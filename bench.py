@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style full evaluation
+(df.write.format("noop") semantics via foreach-free collect of agg, or
+plain collect for small results) — collect is fine here because every
+headline query returns an aggregated/limited result, never raw rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from time_series_data_pipeline_spark.queries import QUERIES
+from time_series_data_pipeline_spark.session import get_spark
+
+# Headline queries: the flagship time-series path + the heaviest
+# relational/extension operators (join, agg, window fn, unpivot, dedup,
+# similarity). Names must exist in the registry.
+HEADLINE = (
+    "window_5m_mean",
+    "window_sliding_15m_5m",
+    "session_windows_5m",
+    "asof_error_click",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "top3_orders_per_customer",
+    "unpivot_lineitem",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "dedup_exact_groups",
+    "token_stats",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("tsdp-bench")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    QUERIES["window_5m_mean"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Table catalog over the driver-generated parquet test data.
+
+``TESTDATA.md``: tables live at ``{sf_dir}/{name}.parquet``. Loads are
+plain ``spark.read.parquet`` — Catalyst handles column pruning and
+predicate pushdown into the parquet scan, so callers never pre-trim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+# At 100 TB the fact tables (lineitem/orders/events) grow with the data;
+# region/nation are fixed-cardinality and stay broadcastable forever.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _configure(spark: SparkSession) -> None:
+    """Session invariants every query relies on, applied idempotently:
+
+    - ``nanosAsLong``: the testdata events.parquet stores TIMESTAMP(NANOS),
+      which Spark 4 otherwise refuses to read; with the flag it surfaces
+      as int64 nanos and we convert below (truncation to µs — exactly
+      what DuckDB does reading the same file).
+    - UTC session tz so date_trunc / collect round-trips are wall-clock
+      identical to DuckDB's naive timestamps under any host tz.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanoseconds → TimestampType(µs). Integer DIV, not float
+        # division — ns-since-epoch exceeds double's 2^53 exact range.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

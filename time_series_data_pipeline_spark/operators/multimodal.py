@@ -1,0 +1,78 @@
+"""Multimodal column pattern (SURVEY.md §2.9 X5): media as opaque
+BinaryType payloads + typed metadata struct; decode/feature steps as
+Arrow-batched pandas functions over mapInPandas.
+
+The container has no image/audio codecs, so `decode_image` is an
+explicitly stubbed step (deterministic fake features) — the Spark-side
+plumbing (schema, batch iteration, partitioning) is real and tested.
+
+Scale notes: payloads ride along as opaque bytes — Spark shuffles them
+only if the plan demands it; metadata-only queries prune the binary
+column at the parquet scan (columnar projection). mapInPandas streams
+Arrow batches, so peak memory is one batch of payloads per task, set by
+spark.sql.execution.arrow.maxRecordsPerBatch, not the partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, sha256 string, "
+    "width int, height int, mean_luma double"
+)
+
+
+def pack_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
+    """Attach a typed metadata struct next to an opaque binary payload."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.sha2(F.col(payload_col), 256).alias("sha256"),
+        ),
+    )
+
+
+def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode payload → (width, height, mean_luma).
+
+    STUB: no codec libraries in this container. Emits deterministic fake
+    dimensions derived from payload length so the distributed plumbing
+    (Arrow batch shape, schema contract, null handling) is fully
+    exercised. A real deployment swaps the body for PIL/ffmpeg.
+    """
+    for pdf in batches:
+        n = pdf["payload"].str.len().fillna(0).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": n,
+                "sha256": pdf["sha256"],
+                # deterministic fake decode — see docstring
+                "width": (n % 640 + 1).astype("int32"),
+                "height": (n % 480 + 1).astype("int32"),
+                "mean_luma": (n % 256).astype("float64") / 255.0,
+            }
+        )
+        yield out
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """df must carry (doc_id, payload binary, kind, sha256). Returns the
+    decoded-feature table per MEDIA_SCHEMA."""
+    cols = df.select("doc_id", "payload", "kind", "sha256")
+    return cols.mapInPandas(decode_image_batch, schema=MEDIA_SCHEMA)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:  # pragma: no cover - explicit stub
+    raise NotImplementedError(
+        "audio decode requires codec libraries not present in this "
+        "container; plumbing pattern identical to decode_image"
+    )

@@ -1,0 +1,167 @@
+"""Embedding similarity search (SURVEY.md §2.9 X3).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+compute dot products with built-in higher-order array functions
+(zip_with + aggregate, JVM-side, no Python), rank per query.
+
+Scale path (100 TB of vectors): brute force against a handful of query
+vectors is already a single broadcast-join map-only pass (no shuffle) —
+it scales linearly and is exactly what a 1000-executor cluster wants.
+For query sets too large to broadcast-pair, `lsh_ann` buckets vectors by
+random hyperplane signs so candidate generation is an equi-join on
+bucket id instead of a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product over array<float|double> with double accumulation,
+    index order (matches DuckDB's list_dot_product fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector the k nearest
+    non-self vectors. Rounds cosine before ranking so rank ties resolve
+    identically across engines (cross-engine float drift ~1e-15 ≪ the
+    5e-7 rounding quantum)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All vector pairs (id_a < id_b) with cosine >= threshold —
+    embedding near-dup detection. Brute force O(n²) pairs; at scale the
+    LSH bucketing below replaces the cross product."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (LCG — no numpy
+    RNG so the plan is reproducible from code alone)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)  # roughly uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sign-random-projection LSH: candidate pairs share at least one
+    band of hyperplane signs; exact cosine verifies candidates.
+
+    Scale: candidate generation is explode(bands) + equi-join on
+    (band, signature) — a hash shuffle on bucket keys, never a cross
+    product. Bucket skew is bounded by band width (n_planes/bands bits).
+    """
+    planes = random_hyperplanes(dim, n_planes)
+    sig_bits = [
+        (dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0).cast("int")
+        for p in planes
+    ]
+    per_band = n_planes // bands
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[sig_bits[b * per_band + i].cast("string") for i in range(per_band)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    sigs = vectors.select(F.col(id_col), F.col(vec_col), *band_cols)
+    exploded = sigs.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    a = exploded.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = exploded.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators (SURVEY.md §2.9 X4): tokenization, shingles,
+token stats, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built-in column expressions (split/transform/aggregate/
+filter) — no Python UDFs, so the whole family stays inside whole-stage
+codegen and scales linearly with document count. Higher-order array
+functions evaluate per-row JVM-side; there is no shuffle at all until a
+query aggregates.
+
+Canonical tokenization: lowercase, split on whitespace runs, drop empty
+tokens. Word 3-shingles are the dedup/fingerprint unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "is")
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+
+def tokens(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as space-joined strings (1-based indexing
+    guarded so short docs yield an empty set, not a descending sequence)."""
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / n_unique_tokens / total_token_chars / avg_token_len."""
+    t = tokens(text_col)
+    return (
+        df.withColumn("__toks", t)
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct("__toks")).cast("long"))
+        .withColumn(
+            "total_token_chars",
+            F.aggregate(
+                "__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.col("total_token_chars").cast("double") / F.col("n_tokens"),
+        )
+        .drop("__toks")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length component, non-stopword
+    component, word-length component. Deterministic double arithmetic
+    (identical expression tree on the DuckDB oracle side)."""
+    t = tokens(text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    df = (
+        df.withColumn("__toks", t)
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn(
+            "n_stopwords",
+            F.size(F.filter("__toks", lambda x: F.array_contains(stop, x))).cast("long"),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.col("n_stopwords").cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.aggregate("__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.col("n_tokens"),
+        )
+    )
+    score = (
+        F.lit(0.4) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - F.col("stopword_ratio"))
+        + F.lit(0.2) * F.least(F.col("mean_token_len") / F.lit(10.0), F.lit(1.0))
+    )
+    return df.withColumn("quality", score).drop("__toks")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score per language = number of tokens in
+    that language's marker set; argmax with fixed precedence (en > es),
+    'und' when every score is zero. An n-gram model would need training
+    data; marker scoring is the deterministic, SQL-expressible heuristic."""
+    t = tokens(text_col)
+    df = df.withColumn("__toks", t)
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        df = df.withColumn(
+            f"{lang}_score",
+            F.size(F.filter("__toks", lambda x: F.array_contains(arr, x))).cast("long"),
+        )
+    pred = (
+        F.when(
+            (F.col("en_score") >= F.col("es_score")) & (F.col("en_score") > 0), F.lit("en")
+        )
+        .when(F.col("es_score") > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn("predicted_lang", pred).drop("__toks")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint = lexicographic min of md5(3-shingle) — a
+    1-permutation MinHash; identical shingle sets ⇒ identical prints."""
+    sh = shingles(tokens(text_col))
+    return df.withColumn("n_shingles", F.size(sh).cast("long")).withColumn(
+        "fingerprint",
+        F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary")))),
+    )

@@ -1,0 +1,157 @@
+"""Time-series operators: tumbling/sliding/session windows, gap-fill,
+last-value, resample.
+
+Reference parity (SURVEY.md §2.5, §2.7): the Flux ``aggregateWindow``
+family (photo/use-variable.png line 5 of the reference) plus the
+extensions a Spark-native engine gets for free. All operators are
+tz-independent compositions of built-ins — they produce identical
+results under any session time zone because ``F.window``/``F.date_trunc``
+on (NTZ) timestamps are wall-clock arithmetic.
+
+Scale notes (100 TB): every operator here is a single hash-aggregation
+over its grouping keys — one shuffle, map-side partial aggregation
+included. Gap-fill joins a tiny generated spine (rows = time-range /
+step, independent of data volume) against the already-aggregated
+buckets, so the join is broadcast-able by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    """Exact-decimal cast so SUM/AVG are associative → deterministic
+    across partition orders (see queries/registry.py docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Flux ``aggregateWindow(every: w, fn: mean, createEmpty: false)``.
+
+    Empty windows are naturally absent (groupBy emits only observed
+    groups). AVG is SUM(decimal)/COUNT for cross-engine determinism.
+    """
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(
+            (F.sum(_dec(value_col)).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "avg_value", "n")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window mean — each row lands in window/slide
+    overlapping windows; Spark expands them JVM-side (no Python)."""
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+        .agg(
+            (F.sum(_dec(value_col)).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "avg_value", "n")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Session windows: a session is a maximal run of events where each
+    consecutive pair is < gap apart; the window is [first, last+gap)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "5 minutes",
+    window_seconds: int = 300,
+) -> DataFrame:
+    """Flux ``aggregateWindow(..., createEmpty: true)``: every bucket in
+    [min, max] appears, empty ones with n_events=0 / avg NULL.
+
+    The spine is `sequence(min_bucket, max_bucket, step)` exploded from a
+    single aggregated row — its size is time-range/step, independent of
+    input volume, so the left join's build side stays tiny at any scale.
+    """
+    agg = (
+        df.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_dec(value_col)).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_events", "avg_value")
+    )
+    spine = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx")).select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        ).alias("bucket")
+    )
+    return spine.join(F.broadcast(agg), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+
+
+def last_value_per_group(
+    df: DataFrame, ts_col: str, value_col: str, keys: list[str]
+) -> DataFrame:
+    """Latest reading per group (the reference's Grafana gauge panels,
+    SURVEY.md §2.5 A4). Deterministic under ts ties via value tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc(), F.col(value_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col(ts_col).alias("last_ts"), F.col(value_col).alias("last_value"))
+    )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    unit: str = "hour",
+) -> DataFrame:
+    """Calendar-unit downsample via date_trunc (vs window(): anchored to
+    calendar boundaries, supports month/quarter units too)."""
+    return (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_dec(value_col)).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )

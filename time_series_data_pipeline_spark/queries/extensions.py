@@ -1,0 +1,282 @@
+"""Extension-operator query surface (SURVEY.md §2.9, M3): the
+training-data-pipeline operators — dedup (exact / hash / n-gram Jaccard
+/ MinHash LSH / SimHash), embedding similarity search, text analysis,
+multimodal columns.
+
+Oracle policy: everything with deterministic SQL-expressible semantics
+gets an exact DuckDB oracle (token pipeline mirrored with list
+functions). LSH-family candidate generation depends on xxhash64 — not
+reproducible in DuckDB — so those queries take the rows-only check; the
+exact-Jaccard / brute-force-cosine queries are their verified ground
+truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import query
+
+# Canonical DuckDB token/shingle pipeline — must mirror operators/text.py
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(__t)-2),"
+    " i -> __t[i] || ' ' || __t[i+1] || ' ' || __t[i+2]))"
+)
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup: group on content hash (32-byte shuffle keys — the
+    raw text never moves), keeper = min doc_id."""
+    return dd.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, sha256(text) AS content_sha256
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: min-id row survives per content."""
+    return dd.dedup_keep_first(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "content_sha256"
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS __t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup (exact form): 3-shingle Jaccard ≥ 0.5 via inverted
+    index — work is Σ df(shingle)², never O(n²) (operators/dedup.py)."""
+    return dd.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("minhash_lsh_pairs")  # rows-only: candidate set depends on xxhash64
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup (scale form): MinHash(64) + LSH banding (r=2, b=32;
+    recall ≈ 0.9999 at j=0.5). Ground truth = ngram_jaccard_pairs."""
+    return dd.minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("simhash_pairs")  # rows-only: xxhash64-based
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup (SimHash form): 64-bit prints, 16-bit band candidates,
+    hamming ≤ 8 verification."""
+    return dd.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 similarity search baseline: brute-force cosine top-10 for 5
+    query vectors — broadcast queries, map-only scoring pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X1 embedding near-dup: all pairs with cosine ≥ 0.3 (exact)."""
+    return sim.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@query("embedding_lsh_ann")  # rows-only: hyperplane LSH candidates
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: sign-random-projection LSH buckets → equi-join
+    candidates → exact cosine verify. Ground truth =
+    embedding_neardup_pairs."""
+    return sim.lsh_ann(table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS __t FROM documents)
+    SELECT doc_id,
+           len(__t)::BIGINT AS n_tokens,
+           len(list_distinct(__t))::BIGINT AS n_unique_tokens,
+           CAST(list_sum(list_transform(__t, x -> length(x))) AS BIGINT) AS total_token_chars,
+           CAST(list_sum(list_transform(__t, x -> length(x))) AS DOUBLE)
+             / len(__t) AS avg_token_len,
+           n_chars
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 token counting: whitespace tokenization, all in higher-order
+    array expressions (no Python, no shuffle)."""
+    return tx.with_token_stats(table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_unique_tokens", "total_token_chars", "avg_token_len", "n_chars"
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(__t)::BIGINT AS n_tokens,
+             len(list_filter(__t, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT
+               AS n_stopwords,
+             CAST(list_sum(list_transform(__t, x -> length(x))) AS DOUBLE) / len(__t)
+               AS mean_token_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           mean_token_len,
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens)
+             + 0.2 * least(mean_token_len / 10.0, 1.0) AS quality
+    FROM s
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality scoring: length / stopword / word-length components,
+    identical double expression tree on both engines (no rounding needed)."""
+    return tx.quality_score(table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_stopwords", "stopword_ratio", "mean_token_len", "quality"
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS __t FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(__t, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT
+               AS en_score,
+             len(list_filter(__t, x -> list_contains(['el','la','de','y','es'], x)))::BIGINT
+               AS es_score
+      FROM t
+    )
+    SELECT doc_id, lang, en_score, es_score,
+           CASE WHEN en_score >= es_score AND en_score > 0 THEN 'en'
+                WHEN es_score > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM s
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 language ID: marker-word scoring with fixed precedence."""
+    return tx.lang_id(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "en_score", "es_score", "predicted_lang"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t)
+    SELECT doc_id,
+           len(s)::BIGINT AS n_shingles,
+           list_aggregate(list_transform(s, x -> md5(x)), 'min') AS fingerprint
+    FROM sh
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 fingerprinting: min-md5 over 3-shingles (1-perm MinHash)."""
+    return tx.fingerprint(table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_shingles", "fingerprint"
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 multimodal plumbing: opaque binary payload + typed metadata
+    (payload fabricated deterministically from text — the container has
+    no codecs; see operators/multimodal.py for the decode stub)."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    packed = mm.pack_media(docs, "payload", "text/plain")
+    return packed.select(
+        "doc_id",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha256"),
+    )
+
+
+@query("multimodal_decode")  # rows-only: stubbed decoder output
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 decode path: mapInPandas Arrow-batched feature extraction
+    (deterministic stub features — no codecs in container)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .withColumn("kind", F.lit("image/fake"))
+        .withColumn("sha256", F.sha2(F.col("payload"), 256))
+    )
+    return mm.decode_image(docs)

@@ -1,0 +1,522 @@
+"""Core relational surface (SURVEY.md §2.2–2.6, M0): scans, filters,
+scalar functions, joins (broadcast/semi/anti), hash aggregations,
+cube/rollup, window functions, sorts/limits, set ops, pivot/unpivot.
+
+All aggregates over double columns go through exact-decimal casts (see
+registry docstring) so Spark and the DuckDB oracle are bit-identical.
+Money columns use DECIMAL(12,2) so the triple product in pricing-summary
+stays inside both engines' 38-digit exact range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import query
+
+
+def _m(col: str):
+    """Money/metric column → exact decimal."""
+    return F.col(col).cast("decimal(12,2)")
+
+
+@query(
+    "filter_project_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5/P6: range + equality predicates and column pruning — both
+    reach the parquet scan (PushedFilters / 3-column ReadSchema)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one hash aggregation with map-side partials; the
+    only shuffle moves (flag, status) groups."""
+    one = F.lit(1).cast("decimal(3,2)")
+    price, disc, tax, qty = _m("l_extendedprice"), _m("l_discount"), _m("l_tax"), _m("l_quantity")
+    cnt = F.count(F.lit(1))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join + agg + top-k. Customer side
+    is filter-reduced; exact-decimal revenue makes the top-k cut
+    deterministic."""
+    one = F.lit(1).cast("decimal(3,2)")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_m("l_extendedprice") * (one - _m("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "region_nation_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions (nation/region are
+    fixed-cardinality — broadcastable at any data scale)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_m("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 anti-join — the reference's new-files = discovered ∖ processed
+    semantics (ETL.py:37–55) as a declarative left_anti."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "parts_ordered_by_brand",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def parts_ordered_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) then aggregate."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id disambiguating subtotal rows."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_m("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           GROUPING(r.r_name, n.n_name) AS gid,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a broadcast-joined hierarchy."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(_m("s_acctbal")).cast("double").alias("total_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .select("r_name", "n_name", "gid", "total_bal", "n_suppliers")
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function; orderkey tiebreak keeps it deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative analytic window (exact-decimal running sum)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_total", F.sum(_m("o_totalprice")).over(w).cast("double"))
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderdate) OVER w AS prev_date,
+           date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: days between consecutive orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn(
+            "gap_days",
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).cast("long"),
+        )
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (Spark expands to partial
+    aggregates, one shuffle per distinct key set)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "set_except_intersect",
+    oracle="""
+    SELECT c_custkey, 'rich_no_orders' AS op FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT c_custkey, 'rich_with_orders' AS op FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    """,
+)
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (distinct set semantics), union-tagged."""
+    rich = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    with_orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    ex = rich.subtract(with_orders).withColumn("op", F.lit("rich_no_orders"))
+    inter = rich.intersect(with_orders).withColumn("op", F.lit("rich_with_orders"))
+    return ex.unionByName(inter)
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS BIGINT) AS priority_num,
+           lower(o_orderstatus) AS status_lower,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           o_orderstatus || '-' || regexp_extract(o_orderpriority, '^(\\d+)', 1) AS status_prio,
+           substring(o_orderpriority, 1, 1) AS prio_first_char,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1–F6 scalar parity: regex extract, case, date parts, formatting,
+    concat, substring, length — all codegen'd built-ins."""
+    prio_num = F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        prio_num.cast("long").alias("priority_num"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.concat_ws("-", F.col("o_orderstatus"), prio_num).alias("status_prio"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_first_char"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+    )
+
+
+@query(
+    "median_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS median_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (A3 — the InfluxDB aggregate menu offers it). Both
+    engines interpolate even-count medians over 2-decimal inputs →
+    3-decimal results, exact on the round(4) grid."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps, no full sort, no full shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_pivot_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job —
+    the list keeps the plan single-pass at any scale)."""
+    p = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (S5 — the InfluxDB client's implicit unpivot of
+    value columns into _field/_value rows, SURVEY.md §1.4)."""
+    return table(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

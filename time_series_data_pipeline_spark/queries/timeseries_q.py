@@ -1,0 +1,175 @@
+"""Time-series query surface — the reference's actual query engine path
+(SURVEY.md §3.3): Flux aggregateWindow / range / last-value restated as
+Catalyst plans over the `events` table, plus sliding/session windows,
+gap-fill and as-of join.
+
+DuckDB-oracle bucket arithmetic uses make_timestamp(epoch_us // step *
+step) — integer µs math, identical to Spark's epoch-aligned F.window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import timeseries as ts_ops
+from ..operators.asof import asof_join
+from .registry import query
+
+_AVG = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)"
+
+
+@query(
+    "window_5m_mean",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS window_start,
+           event_type,
+           {_AVG} AS avg_value,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_5m_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: Flux `aggregateWindow(every: 5m, fn: mean)` per field
+    (reference photo/use-variable.png line 5) — events stands in for the
+    long bucket table, event_type for `_field`."""
+    return ts_ops.tumbling_agg(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "5 minutes"
+    )
+
+
+@query(
+    "window_sliding_15m_5m",
+    oracle=f"""
+    WITH x AS (
+      SELECT ts, event_type, value, unnest([0, 1, 2]) AS k FROM events
+    )
+    SELECT make_timestamp(((epoch_us(ts)//300000000) - k)*300000000) AS window_start,
+           event_type,
+           {_AVG} AS avg_value,
+           COUNT(*) AS n
+    FROM x GROUP BY 1, 2
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 15-minute window every 5 minutes (each event in 3 windows)."""
+    return ts_ops.sliding_agg(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "15 minutes", "5 minutes"
+    )
+
+
+@query(
+    "resample_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           {_AVG} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hour downsample (date_trunc path, vs epoch-aligned window)."""
+    return ts_ops.resample(table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "hour")
+
+
+@query(
+    "gap_fill_5m",
+    oracle="""
+    WITH a AS (
+      SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(min(bucket), max(bucket), INTERVAL 5 MINUTE)) AS bucket
+      FROM a
+    )
+    SELECT spine.bucket AS bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           a.avg_value AS avg_value
+    FROM spine LEFT JOIN a USING (bucket)
+    """,
+)
+def gap_fill_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `aggregateWindow(..., createEmpty: true)`: every 5-minute
+    bucket between first and last purchase appears, empty ones with 0."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ts_ops.gap_fill(ev, "ts", "value", "5 minutes", 300)
+
+
+@query(
+    "last_value_per_type",
+    oracle="""
+    SELECT event_type, ts AS last_ts, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, value DESC) = 1
+    """,
+)
+def last_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Grafana gauges (SURVEY.md §2.5 A4): latest reading per
+    series."""
+    return ts_ops.last_value_per_group(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"]
+    )
+
+
+@query(
+    "session_windows_5m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 5-minute inactivity gap
+    (F.session_window — the [start, last+gap) contract)."""
+    return ts_ops.session_agg(table(spark, sf_dir, "events"), "ts", ["user_id"], "5 minutes")
+
+
+@query(
+    "asof_error_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (X6): for each error event, the most recent prior click
+    by the same user. Spark side: union + last(ignorenulls) window —
+    one shuffle, no cross product (operators/asof.py)."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(left, right, by=["user_id"], ts_col="ts", value_cols=["value"], prefix="click_")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_ts"),
+        F.col("click_value"),
+    )

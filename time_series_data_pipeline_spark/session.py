@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the local[32] test box but with settings
+that carry to a real cluster (AQE, adaptive skew join, Arrow).
+
+Scale stance (100 TB): everything here is per-session tuning only — no
+query in this package depends on these settings for *correctness*. A
+driver-owned session with default configs must produce identical results;
+these knobs only change physical plans (partition counts, broadcast
+thresholds, codegen).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "time_series_data_pipeline_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    Shuffle partitions default to the core count — at 100 TB on a real
+    cluster this would instead be sized so post-shuffle partitions land
+    in the 128–256 MB range (AQE coalescing handles the long tail).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
