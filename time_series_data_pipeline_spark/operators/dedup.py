@@ -59,56 +59,73 @@ def jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str | None = None,
-    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram (3-shingle) Jaccard pairs >= threshold via inverted
-    index. jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
+    """Exact n-gram (3-shingle) Jaccard pairs >= threshold via
+    prefix-filtered candidate generation (AllPairs/PPJoin family):
 
-    `block_col` restricts pairs to equal blocking-key (e.g. language).
-    `max_df` drops shingles appearing in more than max_df docs — the
-    skew/stop-shingle bound; with it unset the result is exact.
+    1. Rank each doc's shingles by (global doc-frequency asc, shingle) —
+       a global total order putting RARE shingles first.
+    2. Probing prefix = first |X| - ceil(t·|X|) + 1 shingles: any pair
+       with jaccard >= t must share a prefix shingle (pigeonhole on the
+       ≥ ceil(t·|X|) overlapping elements), so candidate generation
+       equi-joins only on prefix postings — hot/stop shingles land in
+       suffixes and never generate pairs.
+    3. Length filter: jaccard >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|).
+    4. Verify candidates exactly: |A∩B| via array_intersect on the two
+       shingle sets; jaccard = inter / (|A|+|B|-inter).
+
+    Result is EXACT (filters are lossless); at 100 TB the cost is the
+    prefix-postings self-join — Σ prefix-df², orders of magnitude below
+    the naive Σ df² inverted-index blowup on skewed shingles.
     """
-    block = [block_col] if block_col else []
-    sh = df.select(
-        F.col(id_col), *block, shingles(tokens(text_col)).alias("__sh")
-    ).withColumn("n_sh", F.size("__sh"))
+    sh = df.select(F.col(id_col), shingles(tokens(text_col)).alias("__sh")).withColumn(
+        "n_sh", F.size("__sh")
+    )
+    post = sh.select(id_col, "n_sh", F.explode("__sh").alias("s"))
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("s_df"))
 
-    inv = sh.select(id_col, *block, "n_sh", F.explode("__sh").alias("s"))
-    if max_df is not None:
-        keep = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= max_df
+    w = Window.partitionBy(id_col).orderBy("s_df", "s")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        post.join(dfreq, "s")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(id_col, "n_sh", "s")
+    )
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a"), "s"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_sh_b"), "s"
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("n_sh_a", "n_sh_b")
+                >= F.ceil(F.lit(threshold) * F.greatest("n_sh_a", "n_sh_b"))
+            )
         )
-        inv = inv.join(F.broadcast(keep.select("s")), "s")
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
-    a = inv.select(
-        *[F.col(c).alias(f"{c}_a") for c in (id_col, "n_sh")],
-        *[F.col(c) for c in block],
-        "s",
-    )
-    b = inv.select(
-        *[F.col(c).alias(f"{c}_b") for c in (id_col, "n_sh")],
-        *[F.col(c) for c in block],
-        "s",
-    )
-    inter = (
-        a.join(b, on=["s", *block])
-        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
-        .groupBy(f"{id_col}_a", f"{id_col}_b", "n_sh_a", "n_sh_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")
-    )
-    return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col(f"{id_col}_a").alias("id_a"),
-            F.col(f"{id_col}_b").alias("id_b"),
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
             "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("__sh_a") + F.size("__sh_b") - F.col("n_inter")),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def minhash_signatures(
@@ -118,15 +135,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """k-permutation MinHash over 3-shingles: h_i(doc) = min over
-    shingles of xxhash64(i-salt ++ shingle). Adds `mh` array<long>."""
-    sh = shingles(tokens(text_col))
-    mins = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(n_hashes)
-        ]
+    shingles of xxhash64(i-salt ++ shingle). Returns (id, mh array<long>).
+
+    Shape: ONE explode + ONE groupBy carrying k MIN aggregates — the
+    shingle pipeline runs once per doc (an expression-level k× fan-out
+    would recompute it per hash), and the shuffle moves only
+    (id, k longs) thanks to map-side partial MINs.
+    """
+    post = df.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col))).alias("s")
     )
-    return df.select(F.col(id_col), mins.alias("mh"))
+    agg = post.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("mh")
+    )
 
 
 def minhash_lsh_pairs(

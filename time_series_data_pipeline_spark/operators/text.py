@@ -29,17 +29,19 @@ def tokens(text: str | Column = "text") -> Column:
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as space-joined strings (1-based indexing
-    guarded so short docs yield an empty set, not a descending sequence)."""
-    idx = F.when(
-        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, (i + k).cast("int")) for k in range(n)]
-        ),
-    )
+    """Distinct word n-grams as space-joined strings.
+
+    Built from n shifted slices zipped together — NOT element_at over a
+    generated index array: `tok` is usually a lazy expression (split+
+    filter), and element_at inside transform re-evaluates it per lookup
+    (O(len²) per document). Slicing evaluates it a constant n+1 times.
+    Short docs (< n tokens) yield an empty set via the clamped length.
+    """
+    ln = F.greatest(F.size(tok) - (n - 1), F.lit(0))
+    parts = [F.slice(tok, F.lit(k + 1), ln) for k in range(n)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.zip_with(gram, p, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.array_distinct(gram)
 
 
