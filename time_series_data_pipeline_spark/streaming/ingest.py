@@ -1,0 +1,96 @@
+"""Streaming ingestion: the reference's Airflow DAG as one Structured
+Streaming query.
+
+The reference (rahulkorpe/time-series-data-pipeline ETL.py) polls a
+directory, probes Postgres per file for exactly-once, fans out a task
+graph per file, and synchronously writes InfluxDB with a delete-after-
+load step that double-writes on a crash between write and delete
+(SURVEY.md §2.7 ST6). All four concerns collapse into Spark built-ins:
+
+- file discovery + exactly-once-per-file → the file source's own
+  processed-file log in the checkpoint (replaces glob + Postgres +
+  BranchPythonOperator, ETL.py:13-55, 100-105);
+- transform → the same batch functions (sources.gas_csv / sources.
+  bucket) applied to the streaming frame — batch/stream share one
+  code path, so equivalence is by construction (tested anyway);
+- sink atomicity → the Parquet streaming sink's transaction log
+  (_spark_metadata): a batch is visible only once committed, retried
+  batches overwrite the same epoch — no delete-after-load race.
+
+Scale: ingestion is narrow (map-only) so a micro-batch's cost is
+proportional to newly arrived bytes only. The watermarked window agg
+keeps state bounded: state size = (#open windows × #fields), evicted
+once the watermark passes window end — independent of total history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.timeseries import _dec
+from ..sources import gas_csv
+
+
+def stream_wide_csv(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming scan of the watched CSV directory (reference: the
+    Airflow ``fs_default`` volume, README.md:91-95) with the same
+    explicit schema as batch — streaming sources require one anyway."""
+    return (
+        spark.readStream.schema(gas_csv.GAS_SCHEMA)
+        .option("header", True)
+        .csv(src_dir)
+    )
+
+
+def start_bucket_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    bucket_path: str,
+    checkpoint: str,
+    measurement: str = "gas",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CSV arrivals → derive event time → unpivot → partitioned Parquet
+    bucket, exactly once. ``available_now=True`` drains everything
+    present then stops (the batch-backfill trigger); ``False`` runs
+    continuously like the reference's scheduled DAG."""
+    from ..sources import bucket as bkt
+
+    long_df = bkt.to_long(
+        gas_csv.with_event_time(stream_wide_csv(spark, src_dir)),
+        measurement=measurement,
+        value_cols=list(gas_csv.VALUE_COLS),
+        field_labels=gas_csv.FIELD_LABELS,
+    ).withColumn("_date", F.to_date("_time"))
+
+    writer = (
+        long_df.writeStream.format("parquet")
+        .option("path", bucket_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("_measurement", "_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_mean_stream(
+    long_stream: DataFrame,
+    every: str = "5 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling mean per field (SURVEY.md §2.7 ST3/ST4; the
+    reference has no late-data story — its unit of arrival is a whole
+    day file). Append-mode-compatible: windows emit once final."""
+    return (
+        long_stream.withWatermark("_time", watermark)
+        .groupBy(F.window("_time", every).alias("w"), "_field")
+        .agg(
+            (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "_field", "avg_value", "n")
+    )
