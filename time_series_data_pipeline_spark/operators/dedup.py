@@ -21,8 +21,22 @@ import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from .text import shingles, tokens
+from .text import shingle_hashes, shingles, tokens
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that multiple join branches reuse.
+
+    Spark has no cross-branch common-subexpression reuse: every branch
+    of a self-join recomputes its lineage from the scan, so an
+    unpersisted shingle/signature table is derived 3-4x per query —
+    measured as the dominant cost at bench scale. MEMORY_AND_DISK keeps
+    the 100 TB stance honest (spills instead of OOM; equivalent to the
+    classic materialize-temp-table step of a multi-pass MapReduce
+    dedup)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -78,15 +92,22 @@ def jaccard_pairs(
     prefix-postings self-join — Σ prefix-df², orders of magnitude below
     the naive Σ df² inverted-index blowup on skewed shingles.
     """
-    sh = df.select(F.col(id_col), shingles(tokens(text_col)).alias("__sh")).withColumn(
-        "n_sh", F.size("__sh")
+    sh = _pin(
+        df.select(
+            F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh")
+        ).withColumn("n_sh", F.size("__sh"))
     )
     post = sh.select(id_col, "n_sh", F.explode("__sh").alias("s"))
     dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("s_df"))
 
     w = Window.partitionBy(id_col).orderBy("s_df", "s")
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = (
+    prefix = _pin(
+        # No broadcast hint on dfreq: |distinct shingles| grows with
+        # corpus size, so hard-forcing would break at scale — AQE picks
+        # broadcast at runtime whenever dfreq is actually small. Pinned
+        # because BOTH sides of the candidate self-join read it; without
+        # the pin the dfreq agg + window run twice.
         post.join(dfreq, "s")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= prefix_len)
@@ -143,7 +164,7 @@ def minhash_signatures(
     (id, k longs) thanks to map-side partial MINs.
     """
     post = df.select(
-        F.col(id_col), F.explode(shingles(tokens(text_col))).alias("s")
+        F.col(id_col), F.explode(shingle_hashes(tokens(text_col))).alias("s")
     )
     agg = post.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
@@ -171,7 +192,9 @@ def minhash_lsh_pairs(
     `jaccard_pairs` (kept separate so the oracle comparison stays exact).
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, n_hashes, text_col, id_col)
+    # pinned: the a/b sides of the bucket self-join would otherwise each
+    # recompute the full shingle+hash pipeline from the scan
+    sig = _pin(minhash_signatures(df, n_hashes, text_col, id_col))
     banded = sig.select(
         id_col,
         "mh",
@@ -256,7 +279,7 @@ def simhash_pairs(
     (pigeonhole guarantees recall for hamming < bands), verified by
     exact popcount of the XOR."""
     width = 64 // bands
-    sh = simhash64(df, text_col, id_col)
+    sh = _pin(simhash64(df, text_col, id_col))  # reused by both join sides
     banded = sh.select(
         id_col,
         "simhash",

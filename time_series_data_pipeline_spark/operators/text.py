@@ -45,6 +45,17 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+def shingle_hashes(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as xxhash64 values (array<long>).
+
+    The dedup hot paths (set intersection, prefix join, minhash) only
+    need shingle IDENTITY, not the text: 8-byte longs make every
+    downstream compare/hash/shuffle ~5x cheaper than ~20-char UTF8
+    strings. 64-bit collisions are negligible at any realistic corpus
+    (p ≈ d²/2⁶⁵ for d distinct shingles — ~1e-6 even at d = 10⁹)."""
+    return F.transform(shingles(tok, n), lambda s: F.xxhash64(s))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens / n_unique_tokens / total_token_chars / avg_token_len."""
     t = tokens(text_col)
