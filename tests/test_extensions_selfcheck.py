@@ -1,0 +1,71 @@
+"""Self-consistency checks for the APPROXIMATE operators — the ones the
+DuckDB oracle can't grade (hash-dependent candidates, HLL estimates).
+Each approximate path is pinned against its exact in-repo baseline at
+sf0.01; bounds are set from measured values with safety margin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.catalog import table
+from time_series_data_pipeline_spark.operators import dedup as dd
+from time_series_data_pipeline_spark.operators import similarity as sim
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_CORRECT, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF_CORRECT, "embeddings")
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    """r=2, b=32 banding at j>=0.5 has ~0.9999 candidate recall; the
+    estimator threshold loses a little more. Measured 1.0; pin >= 0.9."""
+    exact = {(r.id_a, r.id_b) for r in dd.jaccard_pairs(docs, 0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert exact, "fixture should contain near-dup documents"
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """16 cells / 4 probes scores ~25% of the corpus per query.
+    Measured recall@10 = 0.92; pin >= 0.7."""
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(emb, q, k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, q, k=10).collect()}
+    assert len(ivf) == len(bf) == 50  # k results per query either way
+    assert len(bf & ivf) / len(bf) >= 0.7
+
+
+def test_lsh_ann_recall_regimes(spark, emb):
+    """Sign-LSH recall grows with true similarity: moderate at the weak
+    cos>=0.3 regime (measured 0.45), complete on strong pairs."""
+    lsh = {(r.id_a, r.id_b) for r in sim.lsh_ann(emb, threshold=0.3).collect()}
+    weak = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, threshold=0.3).collect()}
+    strong = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, threshold=0.5).collect()}
+    assert weak
+    assert len(weak & lsh) / len(weak) >= 0.35
+    assert strong <= lsh  # every strongly-similar pair is found
+
+
+def test_approx_count_distinct_error(spark):
+    ev = table(spark, SF_CORRECT, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact <= 0.05

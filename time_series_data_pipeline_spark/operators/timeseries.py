@@ -124,6 +124,50 @@ def gap_fill(
     )
 
 
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    fine: str = "hour",
+    coarse: str = "day",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: the coarse rollup
+    is RE-AGGREGATED from the fine rollup's partials (count/sum/min/max
+    are associative), never from raw rows.
+
+    At 100 TB this is the whole point of a rollup hierarchy: the daily
+    query aggregates |days×keys×24| tiny rows instead of rescanning the
+    raw table; materialize the fine level once (write it as a bucket
+    table) and every coarser resolution derives from it.
+    """
+    fine_agg = df.groupBy(
+        F.date_trunc(fine, F.col(ts_col)).alias("__fine"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(value_col)).alias("__sum"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    return (
+        fine_agg.groupBy(F.date_trunc(coarse, F.col("__fine")).alias("bucket"), *keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("__sum").alias("__sum"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            *keys,
+            "n",
+            (F.col("__sum").cast("double") / F.col("n")).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def last_value_per_group(
     df: DataFrame, ts_col: str, value_col: str, keys: list[str]
 ) -> DataFrame:

@@ -147,6 +147,30 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann(table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+@query("embedding_ivf_topk")  # rows-only: approximate (cell-probed) ANN
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF — medoid cells, n_probe nearest cells per
+    query, exact cosine inside probed cells. Recall vs the brute-force
+    baseline is pinned in tests/test_extensions_selfcheck.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count (SURVEY.md §2.5): the constant-memory
+    path for 100 TB cardinality questions; exact countDistinct rides
+    along so the tests can pin the 2% default relative error."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
 @query(
     "token_stats",
     oracle=f"""

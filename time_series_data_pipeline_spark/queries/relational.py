@@ -231,6 +231,35 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_m("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
     "rollup_region_nation",
     oracle="""
     SELECT r.r_name, n.n_name,

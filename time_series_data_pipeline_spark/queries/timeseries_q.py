@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators import timeseries as ts_ops
 from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join
 from ..sources import bucket as bkt
 from .registry import query
 
@@ -185,6 +186,57 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization with a 5-minute inactivity gap
     (F.session_window — the [start, last+gap) contract)."""
     return ts_ops.session_agg(table(spark, sf_dir, "events"), "ts", ["user_id"], "5 minutes")
+
+
+@query(
+    "range_join_clicks_before_error",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, COUNT(c.ts) AS n_clicks_10m
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (X6): clicks per user in the 10 minutes
+    before each error. Binned equi-join (operators/rangejoin.py), never
+    a nested loop; errors with no prior clicks kept via the final left
+    join against the match counts."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    matched = range_join(errors, clicks, by=["user_id"], lower_seconds=600)
+    counts = matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_10m"))
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_clicks_10m", F.lit(0)).alias("n_clicks_10m"),
+    )
+
+
+@query(
+    "rollup_day_from_hour",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: daily stats re-aggregated from
+    hourly partials (associative count/sum/min/max), never from raw rows
+    — the continuous-aggregate pattern. Oracle aggregates raw directly;
+    equality IS the associativity proof."""
+    return ts_ops.rollup_cascade(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "hour", "day"
+    )
 
 
 @query(
