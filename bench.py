@@ -23,9 +23,12 @@ from time_series_data_pipeline_spark.session import get_spark
 # similarity). Names must exist in the registry.
 HEADLINE = (
     "window_5m_mean",
+    "flux_pipeline_mean",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
+    "range_join_clicks_before_error",
+    "rollup_day_from_hour",
     "pricing_summary",
     "top_revenue_orders",
     "region_nation_revenue",
@@ -34,6 +37,7 @@ HEADLINE = (
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "embedding_topk",
+    "embedding_ivf_topk",
     "dedup_exact_groups",
     "token_stats",
 )
@@ -54,6 +58,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
+        # each query is timed self-contained: drop intermediates the
+        # dedup/similarity operators pinned so storage-memory pressure
+        # from query i never taxes query i+1
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

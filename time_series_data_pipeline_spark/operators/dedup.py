@@ -21,22 +21,9 @@ import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ._util import pin as _pin
 from .text import shingle_hashes, shingles, tokens
-
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Persist an intermediate that multiple join branches reuse.
-
-    Spark has no cross-branch common-subexpression reuse: every branch
-    of a self-join recomputes its lineage from the scan, so an
-    unpersisted shingle/signature table is derived 3-4x per query —
-    measured as the dominant cost at bench scale. MEMORY_AND_DISK keeps
-    the 100 TB stance honest (spills instead of OOM; equivalent to the
-    classic materialize-temp-table step of a multi-pass MapReduce
-    dedup)."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

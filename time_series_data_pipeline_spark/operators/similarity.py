@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import pin as _pin
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product over array<float|double> with double accumulation,
@@ -36,6 +38,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def with_unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Add a unit-normalized double copy of ``vec_col``.
+
+    Normalizing each side ONCE turns every cosine into a single dot
+    product — higher-order-function evaluation is the per-pair cost, so
+    pre-normalization cuts scoring ~3x (dot + two norms → one dot)
+    wherever a vector is compared against many. The norm lives in a
+    sibling column during the transform so it is computed once per row,
+    not once per element."""
+    return (
+        df.withColumn("__vnorm", norm(F.col(vec_col)))
+        .withColumn(
+            out_col,
+            F.transform(vec_col, lambda x: x.cast("double") / F.col("__vnorm")),
+        )
+        .drop("__vnorm")
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -50,15 +71,26 @@ def cosine_topk(
     5e-7 rounding quantum)."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    q = with_unit(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")),
+        "__q",
+        "__qv",
+    ).select("query_id", "__qv")
+    # pinned: materializes the normalized corpus once — otherwise
+    # CollapseProject inlines the normalization into the scoring
+    # expression and the norm is recomputed per scored pair
+    c = _pin(
+        with_unit(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+            ),
+            "__c",
+            "__cv",
+        ).select("neighbor_id", "__cv")
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_to))
+        .withColumn("cos_sim", F.round(dot(F.col("__qv"), F.col("__cv")), round_to))
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -80,11 +112,12 @@ def cosine_pairs(
     """All vector pairs (id_a < id_b) with cosine >= threshold —
     embedding near-dup detection. Brute force O(n²) pairs; at scale the
     LSH bucketing below replaces the cross product."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    u = _pin(with_unit(vectors.select(F.col(id_col), F.col(vec_col)), vec_col, "__u"))
+    a = u.select(F.col(id_col).alias("id_a"), F.col("__u").alias("__va"))
+    b = u.select(F.col(id_col).alias("id_b"), F.col("__u").alias("__vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+        .withColumn("cos_sim", F.round(dot(F.col("__va"), F.col("__vb")), round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -118,32 +151,38 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cent = (
-        vectors.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("__cent")
-        )
+    uvec = _pin(
+        with_unit(vectors.select(F.col(id_col), F.col(vec_col)), vec_col, "__uv")
     )
-    # assignment: argmax cosine over broadcast centroids
+    cent = (
+        uvec.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col("__uv").alias("__cent"))
+    )
+    # assignment: argmax dot over broadcast unit centroids
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("cell")
     )
     assigned = (
-        vectors.join(F.broadcast(cent))
-        .withColumn("__sim", cosine(F.col(vec_col), F.col("__cent")))
+        uvec.join(F.broadcast(cent))
+        .withColumn("__sim", dot(F.col("__uv"), F.col("__cent")))
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), "cell")
+        .select(F.col(id_col), F.col("__uv"), "cell")
     )
     # probe list: n_probe nearest cells per query
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("cell")
     )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        with_unit(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            vec_col,
+            "__qv",
+        )
+        .select("query_id", "__qv")
         .join(F.broadcast(cent))
-        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cent")))
+        .withColumn("__sim", dot(F.col("__qv"), F.col("__cent")))
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "cell")
@@ -154,7 +193,7 @@ def ivf_topk(
     return (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to))
+        .withColumn("cos_sim", F.round(dot(F.col("__qv"), F.col("__uv")), round_to))
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos_sim")
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
