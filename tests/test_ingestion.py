@@ -205,3 +205,53 @@ def test_windowed_mean_stream_plan(spark, csv_dir, tmp_path):
     # (= max seen - delay) never passes its END, so append mode keeps it
     # open — correct finality semantics, pinned here on purpose.
     assert (dt.datetime(2016, 10, 8, 0, 10), "CO (ppm)") not in got
+
+
+def test_stateful_running_stats_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across separate
+    availableNow runs because state lives in the checkpoint (ST5)."""
+    import json
+
+    from time_series_data_pipeline_spark.streaming.stateful import running_stats
+
+    src = tmp_path / "json_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain(qname):
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # each run lands its emissions in its own parquet dir
+        out = str(tmp_path / f"out_{qname}")
+        stream = spark.readStream.schema("k string, v double").json(str(src))
+        q = (
+            running_stats(stream, "k", "v")
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["key"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    write_batch("b1.json", [{"k": "a", "v": 1.0}, {"k": "a", "v": 3.0}, {"k": "b", "v": 5.0}])
+    got1 = drain("state_run1")
+    assert got1["a"] == (2, 4.0, 1.0, 3.0)
+    assert got1["b"] == (1, 5.0, 5.0, 5.0)
+
+    # restart with a NEW query reading the same checkpoint: prior state
+    # must be restored, new file folded on top
+    write_batch("b2.json", [{"k": "a", "v": -2.0}])
+    got2 = drain("state_run2")
+    assert got2["a"] == (3, 2.0, -2.0, 3.0)
+    assert "b" not in got2  # update mode: only keys touched this batch re-emit

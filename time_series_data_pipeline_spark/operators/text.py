@@ -45,6 +45,19 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+#: BPE-ish pre-tokenizer split: letter runs | digit runs | single
+#: non-alnum glyph — the GPT-2-family pre-split shape, RE2- and
+#: Java-regex compatible so Spark and the DuckDB oracle agree exactly.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: str | Column = "text") -> Column:
+    """Sub-word-style tokens per BPE_SPLIT_RE (case preserved — BPE
+    vocabularies are case-sensitive)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
+
+
 def shingle_hashes(tok: Column, n: int = 3) -> Column:
     """Distinct word n-grams as xxhash64 values (array<long>).
 

@@ -156,6 +156,53 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@query(
+    "distinct_users_two_phase",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact distinct count (operators/skew.py): dedup on
+    (key, value) spreads hot keys across the cluster, then a cheap
+    count — parity with the single-pass oracle proves equivalence."""
+    from ..operators.skew import two_phase_count_distinct
+
+    return two_phase_count_distinct(
+        table(spark, sf_dir, "events"), ["event_type"], "user_id"
+    )
+
+
+@query(
+    "salted_join_segment_counts",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-join pattern (operators/skew.py): events salted 16 ways,
+    customer replicated per salt — a hot user lands on 16 tasks, not 1.
+    Oracle is the plain join: parity proves salt-invariance."""
+    from ..operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, ["user_id"], n_salts=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 @query("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count (SURVEY.md §2.5): the constant-memory
@@ -190,6 +237,39 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions (no Python, no shuffle)."""
     return tx.with_token_stats(table(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_unique_tokens", "total_token_chars", "avg_token_len", "n_chars"
+    )
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS bpe,
+             {_TOKS} AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           len(bpe)::BIGINT AS n_bpe_tokens,
+           len(words)::BIGINT AS n_word_tokens,
+           CAST(len(bpe) AS DOUBLE) / len(words) AS bpe_per_word
+    FROM t
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 token counting, BPE-ish variant: GPT-2-family pre-split
+    (letter runs / digit runs / single punctuation) next to whitespace
+    words — the tokens-per-word ratio is the standard cost estimator
+    for LLM training data."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tx.bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        F.size(tx.tokens("text")).cast("long").alias("n_word_tokens"),
+        (
+            F.size(tx.bpe_tokens("text")).cast("double")
+            / F.size(tx.tokens("text"))
+        ).alias("bpe_per_word"),
     )
 
 
