@@ -56,6 +56,25 @@ def test_lsh_ann_recall_regimes(spark, emb):
     assert strong <= lsh  # every strongly-similar pair is found
 
 
+def test_minhash_signature_narrow_equals_explode(spark, docs):
+    """The narrow (array_min ∘ transform) signature must equal the
+    explode+groupBy reference form hash-for-hash. Guards the
+    transform-arity trap: a 2-arg lambda receives the ARRAY INDEX as
+    its second argument, silently shadowing a captured salt."""
+    from time_series_data_pipeline_spark.operators.text import shingle_hashes, tokens
+
+    narrow = dd.minhash_signatures(docs, n_hashes=8)
+    post = docs.select("doc_id", F.explode(shingle_hashes(tokens("text"))).alias("s"))
+    ref = (
+        post.groupBy("doc_id")
+        .agg(*[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(8)])
+        .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(8)]).alias("mh"))
+    )
+    joined = narrow.alias("n").join(ref.alias("r"), "doc_id")
+    assert joined.filter(F.col("n.mh") != F.col("r.mh")).count() == 0
+    assert joined.count() == docs.count()
+
+
 def test_approx_count_distinct_error(spark):
     ev = table(spark, SF_CORRECT, "events")
     rows = (

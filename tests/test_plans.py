@@ -81,5 +81,5 @@ def test_no_row_python_anywhere(spark, name):
     multimodal decode stub."""
     plan = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan
-    if name != "multimodal_decode":
+    if not name.startswith("multimodal_"):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan

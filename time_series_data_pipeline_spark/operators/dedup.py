@@ -145,20 +145,25 @@ def minhash_signatures(
     """k-permutation MinHash over 3-shingles: h_i(doc) = min over
     shingles of xxhash64(i-salt ++ shingle). Returns (id, mh array<long>).
 
-    Shape: ONE explode + ONE groupBy carrying k MIN aggregates — the
-    shingle pipeline runs once per doc (an expression-level k× fan-out
-    would recompute it per hash), and the shuffle moves only
-    (id, k longs) thanks to map-side partial MINs.
+    Shape: fully NARROW — per row, k array_min(transform(...)) passes
+    over the materialized shingle-hash array. Zero shuffle (the explode
+    + groupBy-of-k-MINs alternative shuffles one posting row per
+    (doc, shingle) — measured 10× slower at bench scale, and at 100 TB
+    it moves billions of rows the narrow form never materializes).
+    Whole-stage codegen's subexpression elimination evaluates the
+    shingle pipeline once per row, not once per hash.
     """
-    post = df.select(
-        F.col(id_col), F.explode(shingle_hashes(tokens(text_col))).alias("s")
+    def _perm(i: int):
+        # MUST be arity-1: pyspark's transform() inspects the lambda's
+        # signature and passes the ARRAY INDEX as a second argument,
+        # which would shadow a `lambda s, i=i:` captured salt.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sh = df.select(F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh"))
+    mins = F.array(
+        *[F.array_min(F.transform("__sh", _perm(i))) for i in range(n_hashes)]
     )
-    agg = post.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
-    )
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("mh")
-    )
+    return sh.select(F.col(id_col), mins.alias("mh"))
 
 
 def minhash_lsh_pairs(
@@ -179,38 +184,35 @@ def minhash_lsh_pairs(
     `jaccard_pairs` (kept separate so the oracle comparison stays exact).
     """
     rows = n_hashes // bands
-    # pinned: the a/b sides of the bucket self-join would otherwise each
-    # recompute the full shingle+hash pipeline from the scan
+    # pinned: the banding sides and the signature join-back all read it
     sig = _pin(minhash_signatures(df, n_hashes, text_col, id_col))
+    # band key = one xxhash64 long over (band id, the band's rows) — an
+    # 8-byte join key instead of a concat string, and the bucket
+    # self-join carries ONLY (key, id): signatures are attached after
+    # candidate dedup, so the shuffle payload stays minimal.
     banded = sig.select(
         id_col,
-        "mh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col("mh")[b * rows + r].cast("string") for r in range(rows)]
-                        ).alias("key"),
+                    F.xxhash64(
+                        F.lit(b), *[F.col("mh")[b * rows + r] for r in range(rows)]
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select(id_col, "mh", "bk.band", "bk.key")
-
-    a = banded.select(
-        "band", "key", F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a")
+        ).alias("key"),
     )
-    b = banded.select(
-        "band", "key", F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b")
-    )
+    a = banded.select(F.col("key"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("key"), F.col(id_col).alias("id_b"))
     cand = (
-        a.join(b, on=["band", "key"])
+        a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b"))
     agree = F.size(
         F.filter(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -219,7 +221,9 @@ def minhash_lsh_pairs(
     )
     est = agree.cast("double") / F.lit(float(n_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

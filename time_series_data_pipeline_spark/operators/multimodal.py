@@ -16,6 +16,7 @@ spark.sql.execution.arrow.maxRecordsPerBatch, not the partition size.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -69,6 +70,65 @@ def decode_image(df: DataFrame) -> DataFrame:
     decoded-feature table per MEDIA_SCHEMA."""
     cols = df.select("doc_id", "payload", "kind", "sha256")
     return cols.mapInPandas(decode_image_batch, schema=MEDIA_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, resized_bytes long"
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize step (STUB body, real plumbing): batch-in/batch-out
+    mapInPandas with target dims closed over — the shape a PIL
+    ``Image.resize`` drops into. Fake output size scales the payload
+    length by the area ratio against the stub-decoded dims."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].str.len().fillna(0).astype("int64")
+            w0 = (n % 640 + 1).astype("int64")  # matches decode stub dims
+            h0 = (n % 480 + 1).astype("int64")
+            ratio = (width * height) / (w0 * h0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "resized_bytes": (n * ratio).astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_sha256 string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling (video → n rows per payload): demonstrates the
+    row-EXPANDING mapInPandas shape — one Arrow batch in, a longer
+    batch out. STUB decoder: frames are equal byte-slices of the
+    payload; a real deployment seeks keyframes with ffmpeg instead.
+
+    Scale: expansion happens inside the task (no shuffle); output rows
+    carry hashes/lengths, not pixels, until a downstream step asks."""
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha256": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = payload if payload is not None else b""
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
 def decode_audio(df: DataFrame) -> DataFrame:  # pragma: no cover - explicit stub

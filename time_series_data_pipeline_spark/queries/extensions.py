@@ -373,6 +373,26 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_frame_sample")  # rows-only: stubbed frame decoder
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 row-expanding decode: 4 sampled frames per payload via
+    mapInPandas (one Arrow batch in, longer batch out) — the video
+    frame-sampling plumbing with a deterministic byte-slice stub."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return mm.sample_frames(docs, n_frames=4)
+
+
+@query("multimodal_resize")  # rows-only: stubbed resize output
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 transform step: batch-in/batch-out mapInPandas resize stub."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return mm.resize_image(docs, 224, 224)
+
+
 @query("multimodal_decode")  # rows-only: stubbed decoder output
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 decode path: mapInPandas Arrow-batched feature extraction

@@ -230,6 +230,29 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SURFACE = """
+    SELECT p_type,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    ORDER BY revenue DESC, p_type
+    LIMIT 10
+"""
+
+
+@query("sql_surface_top_part_types", oracle=_SQL_SURFACE)
+def sql_surface_top_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the EXACT oracle text runs as spark.sql over
+    the registered views — one string, two engines, identical results.
+    Demonstrates the engine's ANSI SQL surface (SURVEY.md §1.4)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
+
+
 @query(
     "grouping_sets_flag_status",
     oracle="""
