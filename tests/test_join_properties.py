@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the custom join operators:
+the Spark implementations must agree with a brute-force Python
+reference on arbitrary small inputs — keys missing from one side,
+duplicate timestamps, empty sides, boundary-exact matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from time_series_data_pipeline_spark.operators.asof import asof_join
+from time_series_data_pipeline_spark.operators.rangejoin import range_join
+
+# (key, epoch_second, value) triples; seconds span two bins of the
+# 600 s range join so bin-boundary cases are generated
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 1800),
+        st.integers(-5, 5),
+    ),
+    max_size=12,
+)
+
+CFG = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows, ts_as_timestamp=True):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, s, float(v)) for k, s, v in rows] or [(0, 0, 0.0)],
+        "k int, sec int, v double",
+    )
+    if not rows:
+        df = df.filter("1=0")
+    return df.select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+
+
+@given(left=ROWS, right=ROWS)
+@settings(**CFG)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    out = asof_join(
+        _df(spark, left), _df(spark, right), by=["k"], ts_col="ts", value_cols=["v"]
+    ).collect()
+    got = sorted(
+        (r["k"], r["ts"].timestamp(), r["v"],
+         r["asof_ts"].timestamp() if r["asof_ts"] else None,
+         r["asof_v"])
+        for r in out
+    )
+    expect = []
+    for k, s, v in left:
+        cands = [(rs, rv) for rk, rs, rv in right if rk == k and rs <= s]
+        best = max(cands) if cands else None  # ties: greatest (ts, value)
+        expect.append(
+            (k, float(s), float(v),
+             float(best[0]) if best else None,
+             float(best[1]) if best else None)
+        )
+    assert got == sorted(expect)
+
+
+@given(left=ROWS, right=ROWS)
+@settings(**CFG)
+def test_range_join_matches_bruteforce(spark, left, right):
+    out = range_join(
+        _df(spark, left), _df(spark, right), by=["k"],
+        left_ts="ts", right_ts="ts", lower_seconds=600,
+    ).collect()
+    got = sorted(
+        (r["k"], r["ts"].timestamp(), r["v"], r["r_ts"].timestamp(), r["r_v"])
+        for r in out
+    )
+    expect = sorted(
+        (lk, float(ls), float(lv), float(rs), float(rv))
+        for lk, ls, lv in left
+        for rk, rs, rv in right
+        if rk == lk and ls - 600 <= rs < ls
+    )
+    assert got == expect

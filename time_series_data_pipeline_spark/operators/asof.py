@@ -36,14 +36,18 @@ def asof_join(
     each right value column; NULL when no right row precedes."""
     value_cols = value_cols or [c for c in right.columns if c not in (*by, ts_col)]
 
+    # the carried payload is ONE struct so the matched right row is
+    # atomic — carrying columns independently would let rows with
+    # interleaved NULL values blend fields from different right rows
+    payload = F.struct(
+        F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in value_cols]
+    )
+    payload_type = right.select(payload.alias("p")).schema["p"].dataType
+
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{prefix}{ts_col}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(payload_type).alias("__asof"),
     )
     rhs = right.select(
         *[
@@ -51,24 +55,24 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("__side"),
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        payload.alias("__asof"),
     )
 
     unioned = lhs.unionByName(rhs)
     # Tiebreak order: right rows (side=0) before left rows at equal ts so
     # ts >= semantics hold; among duplicate right timestamps the greatest
-    # value wins deterministically (value cols appended to the sort).
+    # payload wins deterministically (struct ordering is lexicographic).
     w = (
         Window.partitionBy(*by)
-        .orderBy(
-            F.col(ts_col),
-            F.col("__side"),
-            *[F.col(f"{prefix}{c}") for c in value_cols],
-        )
+        .orderBy(F.col(ts_col), F.col("__side"), F.col("__asof"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{prefix}{ts_col}"] + [f"{prefix}{c}" for c in value_cols]
-    for c in carried:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__side") == 1).drop("__side")
+    unioned = unioned.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
+    return (
+        unioned.filter(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col(f"__asof.{ts_col}").alias(f"{prefix}{ts_col}"),
+            *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        )
+    )

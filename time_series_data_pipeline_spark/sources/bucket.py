@@ -78,16 +78,26 @@ def to_long(
 
 
 def write_bucket(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Append long rows under ``path`` partitioned by measurement/date,
-    field-and-time sorted inside each file for row-group skipping."""
-    (
+    """Write long rows under ``path`` partitioned by measurement/date,
+    field-and-time sorted inside each file for row-group skipping.
+
+    ``mode="overwrite"`` is the idempotent batch path (SURVEY.md §2.7
+    ST6): with dynamic partition overwrite, only the (measurement, date)
+    partitions PRESENT IN ``df`` are replaced — re-running a day's
+    backfill overwrites exactly that day and never touches the rest of
+    the bucket, so batch re-ingestion is safe to retry. (The streaming
+    path gets the same guarantee from the sink's transaction log.)
+    """
+    out = (
         df.withColumn("_date", F.to_date("_time"))
         .repartition("_measurement", "_date")
         .sortWithinPartitions("_field", "_time")
         .write.mode(mode)
         .partitionBy("_measurement", "_date")
-        .parquet(path)
     )
+    if mode == "overwrite":
+        out = out.option("partitionOverwriteMode", "dynamic")
+    out.parquet(path)
 
 
 def read_bucket(spark: SparkSession, path: str) -> DataFrame:
