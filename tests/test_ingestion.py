@@ -281,3 +281,35 @@ def test_overwrite_by_partition_idempotent(spark, csv_dir, tmp_path):
         after.filter(F.to_date("_time") == "2016-10-07").count()
         == len(KEPT["20161007_210049.csv"]) * 19
     )
+
+
+def test_compact_bucket_preserves_content(spark, csv_dir, tmp_path):
+    """Compaction rewrites a day partition into one file with identical
+    content; other partitions untouched (small-file management)."""
+    path = str(tmp_path / "bucket_c")
+    long_df = bkt.to_long(
+        gas_csv.ingest_wide(spark, csv_dir), "gas",
+        value_cols=list(gas_csv.VALUE_COLS),
+        field_labels=gas_csv.FIELD_LABELS,
+    )
+    # fragment day 1 into many files on purpose (bypass write_bucket's
+    # per-partition coalescing repartition)
+    (
+        long_df.withColumn("_date", F.to_date("_time"))
+        .repartition(8)
+        .write.partitionBy("_measurement", "_date")
+        .parquet(path)
+    )
+    day_dir = os.path.join(path, "_measurement=gas", "_date=2016-10-07")
+    before_rows = {
+        tuple(r) for r in bkt.read_bucket(spark, path).drop("tags").collect()
+    }
+    assert len([f for f in os.listdir(day_dir) if f.endswith(".parquet")]) > 1
+
+    bkt.compact_bucket(spark, path, "gas", "2016-10-07", files_per_partition=1)
+
+    assert len([f for f in os.listdir(day_dir) if f.endswith(".parquet")]) == 1
+    after_rows = {
+        tuple(r) for r in bkt.read_bucket(spark, path).drop("tags").collect()
+    }
+    assert after_rows == before_rows

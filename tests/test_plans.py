@@ -74,6 +74,40 @@ def test_ingestion_plan_is_narrow(spark, tmp_path):
     assert "Exchange" not in plan_of(long_df)
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located join (SCALE.md §1, sources/bucketed.py): two tables
+    bucketed 8 ways on the same key must join with zero Exchange."""
+    from time_series_data_pipeline_spark.sources.bucketed import bucketed, write_bucketed
+
+    orders = table(spark, SF_SMOKE, "orders")
+    lineitem = table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        "o_orderkey",
+        8,
+    )
+    # at the 100 TB design point neither fact side broadcasts — force
+    # the planner into that regime (the sf0.001 tables are tiny)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed(spark, "t_orders_b").join(
+            bucketed(spark, "t_lineitem_b"), "o_orderkey"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # sanity: the join actually returns the fact rows
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_row_python_anywhere(spark, name):
     """No query may contain row-at-a-time Python evaluation. The single

@@ -72,7 +72,12 @@ def jaccard_pairs(
        equi-joins only on prefix postings — hot/stop shingles land in
        suffixes and never generate pairs.
     3. Length filter: jaccard >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|).
-    4. Verify candidates exactly: |A∩B| via array_intersect on the two
+    4. Positional filter (PPJoin): for a shared shingle at ranks (i, j),
+       overlap <= min(i,j)-1 + 1 + min(|A|-i, |B|-j); a true pair needs
+       overlap >= ceil(t/(1+t)·(|A|+|B|)), and every shared prefix row
+       of a true pair satisfies the bound, so per-row filtering is
+       lossless while pruning incidental single-shingle collisions.
+    5. Verify candidates exactly: |A∩B| via array_intersect on the two
        shingle sets; jaccard = inter / (|A|+|B|-inter).
 
     Result is EXACT (filters are lossless); at 100 TB the cost is the
@@ -98,14 +103,23 @@ def jaccard_pairs(
         post.join(dfreq, "s")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= prefix_len)
-        .select(id_col, "n_sh", "s")
+        .select(id_col, "n_sh", "__rk", "s")
     )
 
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a"), "s"
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a"),
+        F.col("__rk").alias("rk_a"), "s",
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_sh_b"), "s"
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_sh_b"),
+        F.col("__rk").alias("rk_b"), "s",
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_sh_a") + F.col("n_sh_b"))
+    )
+    positional_ub = (
+        F.least("rk_a", "rk_b")
+        + F.least(F.col("n_sh_a") - F.col("rk_a"), F.col("n_sh_b") - F.col("rk_b"))
     )
     cand = (
         a.join(b, "s")
@@ -115,6 +129,7 @@ def jaccard_pairs(
                 F.least("n_sh_a", "n_sh_b")
                 >= F.ceil(F.lit(threshold) * F.greatest("n_sh_a", "n_sh_b"))
             )
+            & (positional_ub >= min_overlap)
         )
         .select("id_a", "id_b")
         .distinct()

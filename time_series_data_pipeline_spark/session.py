@@ -46,6 +46,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed-table home for bucketed-table tests; off the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/tsdp-warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

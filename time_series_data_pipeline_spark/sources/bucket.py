@@ -104,6 +104,40 @@ def read_bucket(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("_date")
 
 
+def compact_bucket(
+    spark: SparkSession,
+    path: str,
+    measurement: str,
+    date: str,
+    files_per_partition: int = 1,
+) -> None:
+    """Rewrite one (measurement, date) partition into
+    ``files_per_partition`` field/time-sorted files.
+
+    The small-file problem is the operational tax of streaming ingest:
+    every micro-batch appends a file per partition, and a year of
+    5-minute batches is ~100k tiny files per day-partition — metadata
+    pressure and lost row-group locality. Compaction = read one
+    partition, coalesce, rewrite with dynamic partition overwrite, so
+    concurrent readers only ever see the old or the new complete set.
+    Idempotent: re-running reproduces the same partition content.
+    """
+    part = (
+        spark.read.parquet(path)
+        .filter((F.col("_measurement") == measurement) & (F.col("_date") == date))
+        .drop("_date")
+    )
+    (
+        part.coalesce(files_per_partition)
+        .sortWithinPartitions("_field", "_time")
+        .withColumn("_date", F.to_date("_time"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_measurement", "_date")
+        .parquet(path)
+    )
+
+
 def scan(
     bucket: DataFrame,
     measurement: str | None = None,
