@@ -313,3 +313,54 @@ def test_compact_bucket_preserves_content(spark, csv_dir, tmp_path):
         tuple(r) for r in bkt.read_bucket(spark, path).drop("tags").collect()
     }
     assert after_rows == before_rows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST4: a row arriving behind the watermark is dropped — its
+    already-closed window is never re-emitted; on-time rows in the same
+    batch still close their windows."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_file(name, times):
+        rows = [HEADER] + [",".join(str(t + j) for j in range(20)) for t in times]
+        (src / name).write_text("\n".join(rows) + "\n")
+
+    def drain(tag):
+        out = str(tmp_path / f"late_out_{tag}")
+        long_stream = bkt.to_long(
+            gas_csv.with_event_time(st.stream_wide_csv(spark, str(src))),
+            "gas",
+            value_cols=list(gas_csv.VALUE_COLS),
+            field_labels=gas_csv.FIELD_LABELS,
+        )
+        agg = st.windowed_mean_stream(long_stream, "5 minutes", "0 seconds")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            int(r["window_start"].timestamp()) % 86400: (r["avg_value"], r["n"])
+            for r in spark.read.parquet(out)
+            .filter(F.col("_field") == "CO (ppm)")
+            .collect()
+        }
+
+    # batch 1: events at t=0,300,600,1200 -> watermark 1200; windows
+    # [0,300) [300,600) [600,900) close, [1200,1500) stays open
+    write_file("20161008_000000.csv", [0.0, 300.0, 600.0, 1200.0])
+    got1 = drain("r1")
+    assert got1 == {0: (1.0, 1), 300: (301.0, 1), 600: (601.0, 1)}
+
+    # batch 2: t=100 is LATE (behind watermark 1200, its window closed)
+    # -> dropped; t=1800 advances the watermark so [1200,1500) closes
+    write_file("20161008_000001.csv", [100.0, 1800.0])
+    got2 = drain("r2")
+    assert got2 == {1200: (1201.0, 1)}  # no re-emit of window 0, no 101

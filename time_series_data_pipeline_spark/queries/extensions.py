@@ -147,7 +147,51 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann(table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-@query("embedding_ivf_topk")  # rows-only: approximate (cell-probed) ANN
+@query(
+    "embedding_ivf_topk",
+    # deterministic medoid centroids make even this APPROXIMATE path
+    # exactly oracle-able: DuckDB replays assignment -> probe -> score
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                          c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, a.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2: IVF — medoid cells, n_probe nearest cells per
     query, exact cosine inside probed cells. Recall vs the brute-force
@@ -373,7 +417,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: stubbed frame decoder
+@query(
+    "multimodal_frame_sample",
+    # the stub decoder is deterministic byte-slicing, so the oracle can
+    # reproduce it exactly (docs are ASCII: char ops == byte ops)
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT doc_id,
+           i AS frame_idx,
+           CAST(length(substring(text, i * step + 1, step)) AS BIGINT) AS frame_bytes,
+           sha256(substring(text, i * step + 1, step)) AS frame_sha256
+    FROM d, (SELECT unnest([0, 1, 2, 3]) AS i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 row-expanding decode: 4 sampled frames per payload via
     mapInPandas (one Arrow batch in, longer batch out) — the video
@@ -384,7 +444,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(docs, n_frames=4)
 
 
-@query("multimodal_resize")  # rows-only: stubbed resize output
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           224 AS width, 224 AS height,
+           CAST(trunc(n * ((224.0 * 224.0) / ((n % 640 + 1) * (n % 480 + 1))))
+                AS BIGINT) AS resized_bytes
+    FROM d
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 transform step: batch-in/batch-out mapInPandas resize stub."""
     docs = table(spark, sf_dir, "documents").withColumn(
@@ -393,7 +465,22 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_image(docs, 224, 224)
 
 
-@query("multimodal_decode")  # rows-only: stubbed decoder output
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           'image/fake' AS kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(n % 640 + 1 AS INTEGER) AS width,
+           CAST(n % 480 + 1 AS INTEGER) AS height,
+           CAST(n % 256 AS DOUBLE) / 255.0 AS mean_luma
+    FROM d
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 decode path: mapInPandas Arrow-batched feature extraction
     (deterministic stub features — no codecs in container)."""
