@@ -1,0 +1,70 @@
+"""Edge-case goldens for the text operators: empty/whitespace docs,
+short docs (< shingle width), punctuation, BPE splits — the inputs a
+100 TB crawl corpus is full of and the sf testdata doesn't contain.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    rows = [
+        (0, ""),                       # empty
+        (1, "   \t  "),                # whitespace only
+        (2, "one"),                    # single token (< shingle width)
+        (3, "two words"),              # 2 tokens (< shingle width)
+        (4, "a b c"),                  # exactly one 3-shingle
+        (5, "a b c d"),                # two 3-shingles
+        (6, "Hello, world! 123 x2"),   # punctuation + digits
+        (7, "the the the the"),        # repeated token
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _col(df, expr, alias="x"):
+    return {r["doc_id"]: r[alias] for r in df.select("doc_id", expr.alias(alias)).collect()}
+
+
+def test_tokens_edges(spark, edge_docs):
+    got = _col(edge_docs, tx.tokens("text"))
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["one"]
+    assert got[6] == ["hello,", "world!", "123", "x2"]
+    assert got[7] == ["the"] * 4
+
+
+def test_shingles_edges(spark, edge_docs):
+    got = _col(edge_docs, tx.shingles(tx.tokens("text")))
+    assert got[0] == [] and got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c"]
+    assert got[5] == ["a b c", "b c d"]
+    assert got[7] == ["the the the"]  # distinct collapses repeats
+
+
+def test_shingle_hashes_match_shingles(spark, edge_docs):
+    n_sh = _col(edge_docs, F.size(tx.shingles(tx.tokens("text"))))
+    n_h = _col(edge_docs, F.size(tx.shingle_hashes(tx.tokens("text"))))
+    assert n_sh == n_h
+
+
+def test_bpe_tokens_edges(spark, edge_docs):
+    got = _col(edge_docs, tx.bpe_tokens("text"))
+    assert got[0] == [] and got[1] == []
+    # case preserved; punctuation split off; digit runs kept whole
+    assert got[6] == ["Hello", ",", "world", "!", "123", "x", "2"]
+
+
+def test_quality_and_langid_no_crash_on_empty(spark, edge_docs):
+    """Degenerate docs must not divide by zero or throw — NULL ratios
+    are the contract for token-free documents."""
+    q = tx.quality_score(edge_docs).filter(F.col("doc_id") <= 1).collect()
+    assert len(q) == 2
+    for r in q:
+        assert r["n_tokens"] == 0
+    lid = {r["doc_id"]: r["predicted_lang"] for r in tx.lang_id(edge_docs).collect()}
+    assert lid[0] == "und"

@@ -84,7 +84,9 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "avg_token_len",
-            F.col("total_token_chars").cast("double") / F.col("n_tokens"),
+            # try_divide: a token-free doc yields NULL, not a job-killing
+            # ANSI DIVIDE_BY_ZERO — crawl corpora always contain empties
+            F.try_divide(F.col("total_token_chars").cast("double"), F.col("n_tokens")),
         )
         .drop("__toks")
     )
@@ -105,14 +107,17 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "stopword_ratio",
-            F.col("n_stopwords").cast("double") / F.col("n_tokens"),
+            # NULL (not error) on token-free docs; see with_token_stats
+            F.try_divide(F.col("n_stopwords").cast("double"), F.col("n_tokens")),
         )
         .withColumn(
             "mean_token_len",
-            F.aggregate("__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
-                "double"
-            )
-            / F.col("n_tokens"),
+            F.try_divide(
+                F.aggregate(
+                    "__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ).cast("double"),
+                F.col("n_tokens"),
+            ),
         )
     )
     score = (

@@ -310,9 +310,9 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tx.bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
         F.size(tx.tokens("text")).cast("long").alias("n_word_tokens"),
-        (
-            F.size(tx.bpe_tokens("text")).cast("double")
-            / F.size(tx.tokens("text"))
+        F.try_divide(
+            F.size(tx.bpe_tokens("text")).cast("double"),
+            F.size(tx.tokens("text")),
         ).alias("bpe_per_word"),
     )
 
