@@ -178,7 +178,11 @@ def minhash_signatures(
     mins = F.array(
         *[F.array_min(F.transform("__sh", _perm(i))) for i in range(n_hashes)]
     )
-    return sh.select(F.col(id_col), mins.alias("mh"))
+    # shingle-free docs (< n tokens) carry no signal: their all-NULL
+    # signatures would all share the same LSH band keys and generate
+    # O(m²) doomed candidate pairs for m empty docs — a real hazard on
+    # crawl corpora. Dedup is defined over docs with >= 1 shingle.
+    return sh.filter(F.size("__sh") > 0).select(F.col(id_col), mins.alias("mh"))
 
 
 def minhash_lsh_pairs(
