@@ -364,3 +364,52 @@ def test_watermark_drops_late_data(spark, tmp_path):
     write_file("20161008_000001.csv", [100.0, 1800.0])
     got2 = drain("r2")
     assert got2 == {1200: (1201.0, 1)}  # no re-emit of window 0, no 101
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """ST3 session windows on a STREAM: F.session_window + watermark in
+    append mode — sessions close once the watermark passes start+gap."""
+    import json
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    out = str(tmp_path / "sess_out")
+
+    # user a: events at 0s,60s (one session), then 1000s (second session);
+    # user b: 30s. A final 5000s event advances the watermark so all close.
+    rows = [
+        {"u": "a", "sec": 0}, {"u": "a", "sec": 60}, {"u": "a", "sec": 1000},
+        {"u": "b", "sec": 30}, {"u": "w", "sec": 5000},
+    ]
+    with open(src / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("u string, sec long")
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds("sec"))
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("u", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["u"], int(r["s"].timestamp()), int(r["e"].timestamp()), r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("a", 0, 360, 2) in got       # [0, 60+300)
+    assert ("a", 1000, 1300, 1) in got
+    assert ("b", 30, 330, 1) in got
