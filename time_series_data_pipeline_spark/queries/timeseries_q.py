@@ -240,6 +240,30 @@ def rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series (the InfluxDB Data
+    Explorer aggregate family, SURVEY.md §2.5 A3). F.percentile is the
+    exact sort-based aggregate — identical definition to DuckDB's
+    quantile_cont; percentile_approx stays available as the sketch path
+    at scale."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
     "asof_error_click",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,
