@@ -413,3 +413,54 @@ def test_streaming_session_windows(spark, tmp_path):
     assert ("a", 0, 360, 2) in got       # [0, 60+300)
     assert ("a", 1000, 1300, 1) in got
     assert ("b", 30, 330, 1) in got
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """ST2 row-level dedup on a stream: dropDuplicatesWithinWatermark
+    drops re-deliveries of the same key across micro-batches while the
+    key is inside the watermark window — with BOUNDED state (the
+    unwatermarked variant would keep every key forever)."""
+    import json
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def drain(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("event_id long, sec long")
+            .json(str(src))
+            .withColumn("ts", F.timestamp_seconds("sec"))
+        )
+        dedup = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            dedup.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+
+    assert drain("b1.json", [
+        {"event_id": 1, "sec": 10000},
+        {"event_id": 2, "sec": 10060},
+        {"event_id": 2, "sec": 10061},  # intra-batch duplicate
+        {"event_id": 3, "sec": 10120},
+    ]) == [1, 2, 3]
+
+    # batch 2: id 2 re-delivered (still within the 10 min watermark
+    # window) -> dropped; id 4 is new -> kept
+    assert drain("b2.json", [
+        {"event_id": 2, "sec": 10180},
+        {"event_id": 4, "sec": 10240},
+    ]) == [1, 2, 3, 4]

@@ -247,6 +247,15 @@ def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_ivf_kmeans_topk")  # rows-only: MLlib-trained centroids
+def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #3: IVF with pyspark.ml KMeans-trained coarse
+    centroids (fixed seed) — recall pinned vs brute force in
+    tests/test_extensions_selfcheck.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_kmeans(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @query("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count (SURVEY.md §2.5): the constant-memory

@@ -240,6 +240,40 @@ def rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column support: the events `props` JSON string is
+    parsed with a typed ``from_json`` schema (JVM-side, codegen — never
+    a Python json.loads) and aggregated. Integer sums are exact, so the
+    derived mean is deterministic cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "value_percentiles",
     oracle="""
     SELECT event_type,
