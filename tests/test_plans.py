@@ -115,5 +115,8 @@ def test_no_row_python_anywhere(spark, name):
     multimodal decode stub."""
     plan = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan
-    if not name.startswith("multimodal_"):
+    # Arrow-batched Python is sanctioned ONLY at the multimodal decode
+    # boundary and the inherently-sequential EWMA
+    if not name.startswith("multimodal_") and name != "ewma_value":
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan

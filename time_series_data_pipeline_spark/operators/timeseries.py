@@ -168,6 +168,79 @@ def rollup_cascade(
     )
 
 
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n_rows: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-series rolling mean / sample stddev over the trailing
+    ``n_rows`` observations, plus the z-score anomaly flag — the sensor
+    drift / spike detector the reference's Grafana panels eyeball
+    manually.
+
+    One shuffle (the window partition); the frame is row-bounded so
+    state per row is O(n_rows) regardless of series length.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col(value_col))
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    sd = F.stddev_samp(F.col(value_col)).over(w)
+    z = F.try_divide(F.col(value_col) - mean, sd)
+    return df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(value_col),
+        mean.alias("roll_mean"),
+        sd.alias("roll_std"),
+        z.alias("zscore"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average per series.
+
+    EWMA is inherently sequential (each value depends on the full
+    prefix), and the closed-form rewrite over a cumulative sum needs
+    (1-α)^(-rank) factors that overflow doubles on long series — so
+    this is the sanctioned Arrow escape hatch: ``applyInPandas`` per
+    key, ``pandas.Series.ewm`` inside (vectorized C, one pass).
+
+    Scale: one shuffle on the series key; each task holds one series'
+    Arrow batches. Matches ``ewm(adjust=False)`` semantics:
+    y_0 = x_0; y_t = α·x_t + (1-α)·y_{t-1}.
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        [f"`{k}` string" for k in keys] + [f"`{ts_col}` timestamp", f"`{value_col}` double", "ewma double"]
+    )
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    cols = [*keys, ts_col, value_col]
+    return (
+        df.select(*[F.col(c).cast("string") if c in keys else F.col(c) for c in cols])
+        .groupBy(*keys)
+        .applyInPandas(_ewm, schema=out_fields)
+    )
+
+
 def last_value_per_group(
     df: DataFrame, ts_col: str, value_col: str, keys: list[str]
 ) -> DataFrame:

@@ -240,6 +240,46 @@ def rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_stats_zscore",
+    # 9-dp rounding absorbs the stddev accumulation-order drift between
+    # engines (Welford vs sum-of-squares differ in the last ulp)
+    oracle="""
+    SELECT event_type, ts, value,
+           round(AVG(value) OVER w, 9) AS roll_mean,
+           round(STDDEV_SAMP(value) OVER w, 9) AS roll_std,
+           round((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 9)
+             AS zscore,
+           abs((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w) > 3.0
+             AS is_anomaly
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_stats_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/stddev + z-score anomaly flag over the trailing 5
+    observations per series (operators/timeseries.rolling_stats)."""
+    out = ts_ops.rolling_stats(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], 5, 3.0
+    )
+    return out.select(
+        "event_type", "ts", "value",
+        F.round("roll_mean", 9).alias("roll_mean"),
+        F.round("roll_std", 9).alias("roll_std"),
+        F.round("zscore", 9).alias("zscore"),
+        "is_anomaly",
+    )
+
+
+@query("ewma_value")  # rows-only: sequential op, no SQL equivalent
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA (α=0.3) via the Arrow applyInPandas escape hatch
+    — inherently sequential; golden-tested vs a hand-rolled recurrence
+    in tests/test_timeseries_edges.py."""
+    return ts_ops.ewma(table(spark, sf_dir, "events"), "ts", "value", ["event_type"], 0.3)
+
+
+@query(
     "json_props_stats",
     oracle="""
     SELECT event_type,
