@@ -29,6 +29,8 @@ HEADLINE = (
     "asof_error_click",
     "range_join_clicks_before_error",
     "rollup_day_from_hour",
+    "rolling_stats_zscore",
+    "counter_rate",
     "pricing_summary",
     "top_revenue_orders",
     "region_nation_revenue",

@@ -168,6 +168,58 @@ def rollup_cascade(
     )
 
 
+def rate(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """Per-sample rate of change of a (possibly resetting) counter —
+    the PromQL ``rate()`` semantics restated per consecutive pair:
+    delta = v - lag(v), except on a counter RESET (negative delta) the
+    raw value is the increase since the reset. First sample per series
+    has no predecessor → NULL rate.
+
+    One shuffle (window partition); lag is O(1) state per row.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(value_col))
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    delta = F.when(F.col(value_col) >= prev_v, F.col(value_col) - prev_v).otherwise(
+        F.col(value_col)  # reset: counter restarted from ~0
+    )
+    secs = (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_t)) / 1_000_000.0
+    return df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(value_col),
+        F.try_divide(delta, secs).alias("rate_per_s"),
+    )
+
+
+def decimate_minmax(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    window: str = "15 minutes",
+) -> DataFrame:
+    """Rendering decimation: per series per bucket keep only the min
+    and max samples — what a dashboard needs to draw an envelope
+    without shipping every point (the reference's Grafana panels cap at
+    ~1.4k points per panel, BASELINE.md 'rendered points'). Output is
+    ≤ 2 rows per (series, bucket) regardless of input density.
+    """
+    agg = df.groupBy(F.window(ts_col, window).alias("w"), *keys).agg(
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return agg.select(
+        F.col("w.start").alias("bucket"), *keys, "min_value", "max_value", "n_raw"
+    )
+
+
 def rolling_stats(
     df: DataFrame,
     ts_col: str,

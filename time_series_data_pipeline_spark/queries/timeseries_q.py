@@ -240,6 +240,53 @@ def rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "counter_rate",
+    oracle="""
+    SELECT event_type, ts, value,
+           round(CASE
+             WHEN lag(value) OVER w IS NULL THEN NULL
+             WHEN value >= lag(value) OVER w
+               THEN (value - lag(value) OVER w)
+                    / (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE)
+                       / 1000000.0)
+             ELSE value
+                  / (CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE)
+                     / 1000000.0)
+           END, 9) AS rate_per_s
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    """,
+)
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style rate() per series: per-pair delta/seconds with
+    counter-reset handling (negative delta → raw value)."""
+    out = ts_ops.rate(table(spark, sf_dir, "events"), "ts", "value", ["event_type"])
+    return out.select(
+        "event_type", "ts", "value", F.round("rate_per_s", 9).alias("rate_per_s")
+    )
+
+
+@query(
+    "decimate_minmax_15m",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts)//900000000)*900000000) AS bucket,
+           event_type,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS n_raw
+    FROM events GROUP BY 1, 2
+    """,
+)
+def decimate_minmax_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendering decimation: per-series 15-minute min/max envelope —
+    the panel-density cap the reference's Grafana applies (BASELINE.md
+    'rendered points': 566 @ 15 m)."""
+    return ts_ops.decimate_minmax(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "15 minutes"
+    )
+
+
+@query(
     "rolling_stats_zscore",
     # 9-dp rounding absorbs the stddev accumulation-order drift between
     # engines (Welford vs sum-of-squares differ in the last ulp)
