@@ -401,6 +401,37 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnow_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS lc,
+             greatest(length(text) - 4, 0) AS ng
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, ng + 1),
+                            i -> md5(substring(lc, CAST(i AS INTEGER), 5))) AS grams
+      FROM d
+    )
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(grams) - 3 + 1),
+                            i -> list_aggregate(grams[i:i+3], 'min'))
+           )) AS fingerprint
+    FROM g
+    WHERE len(grams) - 3 >= 1
+    """,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 rolling-hash fingerprinting (MOSS winnowing): 5-char gram
+    hashes, window-of-4 local minima — any shared substring of length
+    >= 8 chars yields a shared fingerprint. Exploded to (doc,
+    fingerprint) rows so the oracle compares the exact selection."""
+    docs = table(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+@query(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
