@@ -168,6 +168,50 @@ def rollup_cascade(
     )
 
 
+def gap_fill_interpolated(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "5 minutes",
+    window_seconds: int = 300,
+) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION: empty buckets get a value on
+    the straight line between the nearest observed buckets (NULL at the
+    edges where only one side exists) — Flux's ``interpolate.linear``
+    counterpart to `gap_fill`'s createEmpty.
+
+    Shape: the spine join from `gap_fill`, then two window passes over
+    the (tiny) bucket series: carry the previous/next observed (bucket,
+    value) as atomic structs and weight by bucket distance. The window
+    operates on rows = time-range/step — independent of raw volume.
+    """
+    filled = gap_fill(df, ts_col, value_col, window, window_seconds)
+    obs = F.when(
+        F.col("n_events") > 0, F.struct(F.col("bucket"), F.col("avg_value"))
+    )
+    w_prev = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    span = F.unix_micros(nxt["bucket"]) - F.unix_micros(prev["bucket"])
+    pos = F.unix_micros(F.col("bucket")) - F.unix_micros(prev["bucket"])
+    interp = prev["avg_value"] + F.try_divide(
+        (nxt["avg_value"] - prev["avg_value"]) * pos, span
+    )
+    return filled.select(
+        "bucket",
+        "n_events",
+        "avg_value",
+        F.when(F.col("n_events") > 0, F.col("avg_value"))
+        .otherwise(interp)
+        .alias("interp_value"),
+    )
+
+
 def rate(
     df: DataFrame,
     ts_col: str,

@@ -143,6 +143,53 @@ def gap_fill_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gap_fill_interpolated_5m",
+    oracle="""
+    WITH a AS (
+      SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(min(bucket), max(bucket), INTERVAL 5 MINUTE)) AS bucket
+      FROM a
+    ),
+    filled AS (
+      SELECT spine.bucket AS bucket,
+             COALESCE(a.n_events, 0) AS n_events,
+             a.avg_value AS avg_value
+      FROM spine LEFT JOIN a USING (bucket)
+    ),
+    ctx AS (
+      SELECT *,
+        last_value(CASE WHEN n_events > 0
+                        THEN {'b': bucket, 'v': avg_value} END IGNORE NULLS)
+          OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS p,
+        first_value(CASE WHEN n_events > 0
+                         THEN {'b': bucket, 'v': avg_value} END IGNORE NULLS)
+          OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS nx
+      FROM filled
+    )
+    SELECT bucket, n_events, avg_value,
+           CASE WHEN n_events > 0 THEN avg_value
+                ELSE p.v + ((nx.v - p.v)
+                            * CAST(epoch_us(bucket) - epoch_us(p.b) AS DOUBLE))
+                           / CAST(epoch_us(nx.b) - epoch_us(p.b) AS DOUBLE)
+           END AS interp_value
+    FROM ctx
+    """,
+)
+def gap_fill_interpolated_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with linear interpolation between nearest observed
+    buckets (Flux interpolate.linear)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ts_ops.gap_fill_interpolated(ev, "ts", "value", "5 minutes", 300)
+
+
+@query(
     "last_value_per_type",
     oracle="""
     SELECT event_type, ts AS last_ts, value AS last_value
