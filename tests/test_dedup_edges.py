@@ -70,3 +70,23 @@ def test_singleton_corpus_yields_no_pairs(spark):
     assert dd.jaccard_pairs(one, 0.5).count() == 0
     assert dd.minhash_lsh_pairs(one, 0.5).count() == 0
     assert dd.simhash_pairs(one).count() == 0
+
+
+def test_split_stability_under_growth(spark):
+    """A key's train/val/test assignment must not change when the
+    corpus grows — the no-leakage property of hash-based splitting."""
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    large = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"]: r["split"] for r in train_val_test_split(small, "doc_id").collect()}
+    l = {r["doc_id"]: r["split"] for r in train_val_test_split(large, "doc_id").collect()}
+    assert all(l[k] == v for k, v in s.items())
+    # all three splits realized at n=1000, roughly 90/5/5
+    counts = {k: sum(1 for v in l.values() if v == k) for k in ("train", "val", "test")}
+    assert counts["train"] > 800
+    assert 10 <= counts["val"] <= 120 and 10 <= counts["test"] <= 120

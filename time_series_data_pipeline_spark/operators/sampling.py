@@ -1,0 +1,72 @@
+"""Deterministic sampling & splitting — training-data pipeline staples.
+
+Everything here is HASH-based, not PRNG-based: membership of a row
+depends only on (key, salt), so samples are reproducible across runs,
+engines, cluster sizes, and partitionings — the property a training
+pipeline needs for auditable dataset construction (a seeded
+``df.sample`` changes with partitioning; a hash never does). md5 is
+used (not xxhash64) so any engine can replay the exact selection.
+
+Scale: all operators are narrow (a filter / a projected assignment) —
+zero shuffle; the hash costs ~100 ns/row inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Buckets per key: md5's first 15 hex chars (60 bits) mod 1e6 — fine
+#: granularity (1e-6 fractions) with negligible modulo bias.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 1e6) from the key's salted md5."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — same keys kept
+    on every run and every engine."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(fraction * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). Strata absent from ``fractions``
+    are dropped."""
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col(strata_col)]
+    return df.filter(
+        frac.isNotNull()
+        & (hash_bucket(F.col(key_col), salt) < (frac * BUCKETS).cast("long"))
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ∈ {train, val, test} by key hash —
+    disjoint, exhaustive, and stable under data growth: a key's split
+    never changes when other rows are added (no leakage across
+    retrains)."""
+    b = hash_bucket(F.col(key_col), salt)
+    val_hi = int(val_fraction * BUCKETS)
+    test_hi = val_hi + int(test_fraction * BUCKETS)
+    split = (
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

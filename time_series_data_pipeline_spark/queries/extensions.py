@@ -400,6 +400,71 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "sample_documents_10pct",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_BUCKET_SQL.format(salt="")} < 100000
+    """,
+)
+def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by doc_id hash (operators/sampling.py)
+    — reproducible across runs/engines/partitionings, unlike seeded
+    PRNG sampling; the oracle replays the exact membership."""
+    from ..operators.sampling import deterministic_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return deterministic_sample(docs, "doc_id", 0.10)
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 1.0 ELSE NULL END
+            IS NOT NULL
+      AND {_BUCKET_SQL.format(salt="strat")}
+          < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 1.0 END
+                 * 1000000 AS BIGINT)
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: downsample the dominant
+    language, keep all of a rare one — the corpus-rebalancing op."""
+    from ..operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "es": 1.0}, salt="strat")
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL.format(salt="split")} < 50000 THEN 'val'
+                WHEN {_BUCKET_SQL.format(salt="split")} < 100000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/5/5 split assignment by key hash: a document's split
+    never changes as the corpus grows — no train/test leakage across
+    retrains."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(docs, "doc_id", 0.05, 0.05)
+
+
 @query(
     "winnow_fingerprints",
     oracle="""
