@@ -68,3 +68,23 @@ def test_quality_and_langid_no_crash_on_empty(spark, edge_docs):
         assert r["n_tokens"] == 0
     lid = {r["doc_id"]: r["predicted_lang"] for r in tx.lang_id(edge_docs).collect()}
     assert lid[0] == "und"
+
+
+def test_scrub_pii_goldens(spark):
+    rows = [
+        (0, "contact me at jane.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+        (1, "no pii here"),
+        (2, "two mails a@b.io c@d.org and http://x.y plus https://z.w/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.scrub_pii(df).collect()}
+    assert got[0]["scrubbed"] == "contact me at <EMAIL> or visit <URL> now"
+    assert (got[0]["n_emails"], got[0]["n_urls"]) == (1, 1)
+    assert got[1]["scrubbed"] == "no pii here"
+    assert (got[2]["n_emails"], got[2]["n_urls"]) == (2, 2)
+    assert got[2]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <URL> plus <URL>"
+
+
+def test_clean_text_golden(spark):
+    df = spark.createDataFrame([(0, "  a \t b\n\nc  ")], "doc_id long, text string")
+    assert df.select(tx.clean_text("text").alias("x")).collect()[0]["x"] == "a b c"

@@ -58,6 +58,37 @@ def bpe_tokens(text: str | Column = "text") -> Column:
     return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
 
 
+#: Scrub patterns — deliberately RE2-compatible (no backrefs or
+#: lookaround) so the DuckDB oracle applies the identical regex.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ \t\n]+"
+
+
+def clean_text(text: str | Column = "text") -> Column:
+    """Canonical text normalization: collapse whitespace runs to single
+    spaces and trim — the first pass of every dedup/quality pipeline
+    (two docs differing only in whitespace should hash identically)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"[ \t\n\r]+", " "))
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails and URLs, keeping counts — the PII-scrub step of a
+    training-data pipeline. Pure regexp_replace/extract (JVM, codegen);
+    returns (id, scrubbed text, n_emails, n_urls)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(URL_RE), 0)).cast("long").alias("n_urls"),
+    )
+
+
 def winnow_fingerprints(
     df: "DataFrame",
     text_col: str = "text",

@@ -400,6 +400,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scrub_pii",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ \t\n]+', '<URL>', 'g'),
+             '[ \t\n\r]+', ' ', 'g')) AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT)
+             AS n_urls
+    FROM documents
+    """,
+)
+def scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 cleaning: email/URL redaction with counts + whitespace
+    normalization — regexes are RE2-and-Java compatible so the oracle
+    applies the identical patterns."""
+    out = tx.scrub_pii(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", tx.clean_text(F.col("scrubbed")).alias("scrubbed"), "n_emails", "n_urls"
+    )
+
+
 _BUCKET_SQL = (
     "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 15)) "
     "AS BIGINT) % 1000000"
