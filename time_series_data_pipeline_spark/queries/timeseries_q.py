@@ -374,6 +374,76 @@ def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click) AS n_view_click_purchase
+    FROM f
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST view precedes their
+    first click precedes their first purchase — one aggregation pass
+    (min-per-stage), no self-joins (the n-way-join funnel formulation
+    explodes at scale; this stays one shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    seen_view = F.col("t_view").isNotNull()
+    vc = seen_view & (F.col("t_click") > F.col("t_view"))
+    vcp = vc & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.when(seen_view, 1)).alias("n_view"),
+        F.count(F.when(vc, 1)).alias("n_view_click"),
+        F.count(F.when(vcp, 1)).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "weekly_retention",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(week) AS cohort FROM w GROUP BY user_id)
+    SELECT c.cohort, w.week, COUNT(*) AS n_active
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active week; n_active
+    per (cohort, week) — the triangle a growth dashboard draws. Two
+    aggregations + one join on the deduplicated (user, week) table."""
+    ev = table(spark, sf_dir, "events")
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7).cast("long")
+    w = ev.select("user_id", week.alias("week")).distinct()
+    c = w.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        w.join(c, "user_id")
+        .groupBy("cohort", "week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
     "json_props_stats",
     oracle="""
     SELECT event_type,
