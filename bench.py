@@ -42,6 +42,9 @@ HEADLINE = (
     "embedding_ivf_topk",
     "dedup_exact_groups",
     "token_stats",
+    "scrub_pii",
+    "winnow_fingerprints",
+    "sample_documents_10pct",
 )
 
 

@@ -10,3 +10,8 @@ extension operators (dedup, similarity search, text analysis, multimodal).
 """
 
 __version__ = "0.1.0"
+
+from .catalog import load_tables, register_views, table  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
+
+__all__ = ["get_spark", "table", "load_tables", "register_views"]
