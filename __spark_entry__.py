@@ -35,6 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (omitted for xxhash64-dependent LSH
-    candidates and the stubbed multimodal decode → rows-only checks)."""
+    """DuckDB oracle SQL per query. Omitted (rows-only) only where no
+    second engine can replay the computation: xxhash64-dependent LSH
+    candidate sets (minhash/simhash/hyperplane), the HLL estimate,
+    MLlib-trained IVF centroids, and the sequential EWMA — each is
+    pinned by a recall/equivalence selfcheck in tests/ instead."""
     return dict(ORACLE)
