@@ -90,3 +90,21 @@ def test_split_stability_under_growth(spark):
     counts = {k: sum(1 for v in l.values() if v == k) for k in ("train", "val", "test")}
     assert counts["train"] > 800
     assert 10 <= counts["val"] <= 120 and 10 <= counts["test"] <= 120
+
+
+def test_shingle_store_roundtrip(spark, edge_corpus, tmp_path):
+    """Jaccard over a materialized shingle store equals the direct
+    computation — the write-once amortization path for corpora
+    processed by several dedup queries."""
+    path = str(tmp_path / "shingles")
+    dd.build_shingle_store(edge_corpus, path)
+    store = dd.load_shingle_store(spark, path)
+    direct = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.jaccard_pairs(edge_corpus, 0.5).collect()
+    }
+    via_store = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.jaccard_pairs(edge_corpus, 0.5, shingle_sets=store).collect()
+    }
+    assert direct == via_store and direct

@@ -55,11 +55,34 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def build_shingle_store(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize (id, shingle-hash set, set size) once per corpus
+    version. Every dedup query re-derives the shingle pipeline from raw
+    text — its dominant cold cost; a corpus processed by jaccard +
+    minhash + simhash + repeated runs pays it once via this store
+    (the moral equivalent of an inverted-index build)."""
+    (
+        df.select(
+            F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh")
+        )
+        .withColumn("n_sh", F.size("__sh"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_shingle_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard pairs >= threshold via
     prefix-filtered candidate generation (AllPairs/PPJoin family):
@@ -84,10 +107,14 @@ def jaccard_pairs(
     prefix-postings self-join — Σ prefix-df², orders of magnitude below
     the naive Σ df² inverted-index blowup on skewed shingles.
     """
-    sh = _pin(
-        df.select(
-            F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh")
-        ).withColumn("n_sh", F.size("__sh"))
+    sh = (
+        shingle_sets
+        if shingle_sets is not None
+        else _pin(
+            df.select(
+                F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh")
+            ).withColumn("n_sh", F.size("__sh"))
+        )
     )
     post = sh.select(id_col, "n_sh", F.explode("__sh").alias("s"))
     dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("s_df"))

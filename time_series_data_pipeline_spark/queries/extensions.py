@@ -401,6 +401,71 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM t GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: term frequency + document frequency for
+    the 50 most frequent tokens — the vocab-building / stopword-
+    discovery pass. One explode + one agg; DF via distinct count."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "top_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[CAST(i AS INTEGER)] || ' '
+                         || toks[CAST(i AS INTEGER) + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency head (the n-gram LM-counts step). Bigrams via
+    the zip-with-shifted-slice construction (O(n) per doc, same shape
+    as shingles) — NOT element_at over an index array."""
+    docs = table(spark, sf_dir, "documents")
+    tok = tx.tokens("text")
+    ln = F.greatest(F.size(tok) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tok, 1, ln),
+        F.slice(tok, 2, ln),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
     "scrub_pii",
     oracle="""
     SELECT doc_id,
