@@ -108,3 +108,30 @@ def test_shingle_store_roundtrip(spark, edge_corpus, tmp_path):
         for r in dd.jaccard_pairs(edge_corpus, 0.5, shingle_sets=store).collect()
     }
     assert direct == via_store and direct
+
+
+def test_misra_gries_heavy_hitters_guarantees(spark):
+    """Merged per-partition Misra-Gries summaries: (a) every item with
+    true frequency > n/k appears; (b) estimates never exceed true
+    counts and undercount by at most n/k."""
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.catalog import table
+    from time_series_data_pipeline_spark.operators.sketch import heavy_hitters
+    from tests.conftest import SF_CORRECT
+
+    toks = (
+        table(spark, SF_CORRECT, "documents")
+        .select(F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("item"))
+    )
+    exact = {r["item"]: r["n"] for r in toks.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    k = 64
+    est = {r["item"]: r["est_count"] for r in heavy_hitters(toks, "item", k=k, top=10_000).collect()}
+    bound = n_total / k
+    for item, cnt in exact.items():
+        if cnt > bound:
+            assert item in est, f"guaranteed heavy hitter {item!r} missing"
+    for item, e in est.items():
+        assert e <= exact[item]
+        assert e >= exact[item] - bound

@@ -116,7 +116,11 @@ def test_no_row_python_anywhere(spark, name):
     plan = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan
     # Arrow-batched Python is sanctioned ONLY at the multimodal decode
-    # boundary and the inherently-sequential EWMA
-    if not name.startswith("multimodal_") and name != "ewma_value":
+    # boundary, the inherently-sequential EWMA, and the per-partition-
+    # stateful Misra-Gries sketch
+    if not name.startswith("multimodal_") and name not in (
+        "ewma_value",
+        "heavy_hitter_tokens",
+    ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan

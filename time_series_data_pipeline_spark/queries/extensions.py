@@ -400,6 +400,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("heavy_hitter_tokens")  # rows-only: sketch output is partition-dependent
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter sketch (operators/sketch.py): the
+    approximate counterpart of top_tokens whose shuffle is
+    #partitions x k rows instead of one per distinct token. Guarantees
+    (no false negatives above n/k; lower-bound counts) are pinned in
+    tests/test_dedup_edges.py."""
+    from ..operators.sketch import heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens("text")).alias("item"))
+    return heavy_hitters(toks, "item", k=64, top=20)
+
+
 @query(
     "top_tokens",
     oracle=f"""
