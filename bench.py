@@ -45,6 +45,7 @@ HEADLINE = (
     "scrub_pii",
     "winnow_fingerprints",
     "sample_documents_10pct",
+    "heavy_hitter_tokens",
 )
 
 
