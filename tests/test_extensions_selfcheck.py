@@ -103,3 +103,24 @@ def test_approx_count_distinct_error(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact <= 0.05
+
+
+def test_approx_percentile_accuracy(spark):
+    """percentile_approx (the constant-memory sketch path for 100 TB
+    quantiles) must land within 2% relative error of the exact
+    interpolated percentile at default accuracy."""
+    ev = table(spark, SF_CORRECT, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+            F.percentile_approx("value", F.lit(0.5)).alias("approx_p50"),
+            F.percentile("value", F.lit(0.9)).alias("exact_p90"),
+            F.percentile_approx("value", F.lit(0.9)).alias("approx_p90"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx_p50 - r.exact_p50) / abs(r.exact_p50) <= 0.02
+        assert abs(r.approx_p90 - r.exact_p90) / abs(r.exact_p90) <= 0.02
