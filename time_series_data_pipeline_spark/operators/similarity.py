@@ -252,6 +252,31 @@ def _ivf_search(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-label centroid in LONG form: (label, pos, centroid_val, n) —
+    the class-prototype / cluster-center computation. posexplode + one
+    hash-agg on (label, pos): the shuffle carries (label, pos, partial
+    sum) — map-side combined, never whole vectors."""
+    e = vectors.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    return (
+        e.groupBy(label_col, "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), round_to
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("long"))  # 1-based like SQL
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (LCG — no numpy
     RNG so the plan is reproducible from code alone)."""

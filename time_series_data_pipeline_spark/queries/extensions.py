@@ -139,6 +139,25 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i AS BIGINT) AS pos,
+           round(SUM(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))
+                 / COUNT(*), 9) AS centroid_val,
+           COUNT(*) AS n
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 prototype computation: element-wise per-label mean vector in
+    long form — posexplode + one map-side-combined hash-agg; 9-dp
+    rounding absorbs summation-order float drift."""
+    return sim.label_centroids(table(spark, sf_dir, "embeddings"))
+
+
 @query("embedding_lsh_ann")  # rows-only: hyperplane LSH candidates
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: sign-random-projection LSH buckets → equi-join
