@@ -71,12 +71,14 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     assert got == sorted(expect)
 
 
-@given(left=ROWS, right=ROWS)
+@given(left=ROWS, right=ROWS, span=st.sampled_from([60, 600, 1800, 7200]))
 @settings(**CFG)
-def test_range_join_matches_bruteforce(spark, left, right):
+def test_range_join_matches_bruteforce(spark, left, right, span):
+    """Span varies across bin-boundary regimes: spans smaller than,
+    equal to, and larger than the data's time extent."""
     out = range_join(
         _df(spark, left), _df(spark, right), by=["k"],
-        left_ts="ts", right_ts="ts", lower_seconds=600,
+        left_ts="ts", right_ts="ts", lower_seconds=span,
     ).collect()
     got = sorted(
         (r["k"], r["ts"].timestamp(), r["v"], r["r_ts"].timestamp(), r["r_v"])
@@ -86,6 +88,6 @@ def test_range_join_matches_bruteforce(spark, left, right):
         (lk, float(ls), float(lv), float(rs), float(rv))
         for lk, ls, lv in left
         for rk, rs, rv in right
-        if rk == lk and ls - 600 <= rs < ls
+        if rk == lk and ls - span <= rs < ls
     )
     assert got == expect
