@@ -434,6 +434,46 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similar_part_names",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON substring(a.p_name, 1, 3) = substring(b.p_name, 1, 3)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+      AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with prefix blocking: candidate pairs
+    share their first 3 chars (an equi-join, never a cross product) and
+    pass the |len diff| <= k length filter before the exact levenshtein
+    verify. The blocking is part of the declared semantics (prefix
+    typos are out of contract) — both engines apply it identically."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 3).alias("__blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 3).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@query(
     "top_tokens",
     oracle=f"""
     WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
