@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized via a count-style full evaluation
-(df.write.format("noop") semantics via foreach-free collect of agg, or
-plain collect for small results) — collect is fine here because every
-headline query returns an aggregated/limited result, never raw rows.
+Each query is materialized with the noop sink
+(df.write.format("noop")): every output column is produced and shipped,
+so narrow map-only queries (scrub_pii, token_stats, counter_rate, ...)
+execute their full projection/window work. A bare .count() would let
+Catalyst prune unused projections and Window operators and time little
+more than scan+count.
 """
 
 from __future__ import annotations
@@ -55,7 +57,9 @@ def main() -> None:
     spark = get_spark("tsdp-bench")
 
     # warm the JVM + parquet footers once so timings measure the queries
-    QUERIES["window_5m_mean"](spark, sf_dir).count()
+    QUERIES["window_5m_mean"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -65,7 +69,7 @@ def main() -> None:
         for _attempt in range(2):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             # drop intermediates the dedup/similarity operators pinned
             # so storage-memory pressure never leaks across attempts

@@ -41,12 +41,20 @@ def stratified_sample(
     """Per-stratum deterministic sampling (e.g. downsample dominant
     languages, keep all of rare ones). Strata absent from ``fractions``
     are dropped."""
-    frac = F.create_map(
-        *[F.lit(x) for kv in fractions.items() for x in kv]
+    # Integer cutoffs are precomputed in Python (like deterministic_sample)
+    # rather than as (frac * BUCKETS).cast('long') in the plan: the cast
+    # TRUNCATES while other engines' CAST rounds, so an inexact double
+    # product (0.15 * 1e6 = 149999.99999999997) would disagree by one
+    # bucket across engines.
+    cutoff = F.create_map(
+        *[
+            F.lit(x)
+            for stratum, frac in fractions.items()
+            for x in (stratum, int(round(frac * BUCKETS)))
+        ]
     )[F.col(strata_col)]
     return df.filter(
-        frac.isNotNull()
-        & (hash_bucket(F.col(key_col), salt) < (frac * BUCKETS).cast("long"))
+        cutoff.isNotNull() & (hash_bucket(F.col(key_col), salt) < cutoff)
     )
 
 

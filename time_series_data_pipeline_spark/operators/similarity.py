@@ -110,16 +110,70 @@ def cosine_pairs(
     round_to: int = 6,
 ) -> DataFrame:
     """All vector pairs (id_a < id_b) with cosine >= threshold —
-    embedding near-dup detection. Brute force O(n²) pairs; at scale the
-    LSH bucketing below replaces the cross product."""
-    u = _pin(with_unit(vectors.select(F.col(id_col), F.col(vec_col)), vec_col, "__u"))
-    a = u.select(F.col(id_col).alias("id_a"), F.col("__u").alias("__va"))
-    b = u.select(F.col(id_col).alias("id_b"), F.col("__u").alias("__vb"))
+    embedding near-dup detection, EXACT.
+
+    Exact all-pairs at a low threshold is intrinsically O(n²) *compute*;
+    what must NOT be O(n²) (or single-task) is the JOIN SHAPE. A naive
+    ``a.join(b, id_a < id_b)`` plans as a broadcast-nested-loop join:
+    one side must fit in a broadcast AND the pair space concentrates on
+    few tasks. Instead we use the standard grid/theta-join decomposition
+    (Okcan & Riedewald, 1-Bucket-Theta): hash every vector into one of
+    ``n_blocks`` balanced blocks; for each unordered block pair (p ≤ q)
+    the left side emits its block-p rows keyed (p,q) and the right its
+    block-q rows keyed (p,q). Every vector pair meets in EXACTLY one
+    cell, the join is a plain shuffled equi-join on the cell key, and
+    work is spread over n_blocks·(n_blocks+1)/2 tasks. Shuffle volume is
+    ~n_blocks·n rows per side — linear in the corpus, broadcast-free, so
+    the plan survives a corpus that no executor could broadcast.
+
+    At 100 TB you still don't want exact τ=0.3 pairs at all — use
+    `lsh_ann` (approximate, bucketed) — but when exactness is the
+    contract, this is the shape that scales it.
+    """
+    n_blocks = 8
+    u = _pin(
+        with_unit(vectors.select(F.col(id_col), F.col(vec_col)), vec_col, "__u")
+        .withColumn("__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"))
+        .select(id_col, "__u", "__blk")
+    )
+    # left: block p replicated to every cell (p, q) with q >= p
+    a = u.select(
+        F.col(id_col).alias("__ia"),
+        F.col("__u").alias("__va"),
+        F.col("__blk").alias("__ba"),
+        F.explode(
+            F.array(*[
+                F.when(F.col("__blk") <= F.lit(q), F.concat_ws("_", F.col("__blk"), F.lit(q)))
+                for q in range(n_blocks)
+            ])
+        ).alias("__cell"),
+    ).filter(F.col("__cell").isNotNull())
+    # right: block q replicated to every cell (p, q) with p <= q
+    b = u.select(
+        F.col(id_col).alias("__ib"),
+        F.col("__u").alias("__vb"),
+        F.col("__blk").alias("__bb"),
+        F.explode(
+            F.array(*[
+                F.when(F.col("__blk") >= F.lit(p), F.concat_ws("_", F.lit(p), F.col("__blk")))
+                for p in range(n_blocks)
+            ])
+        ).alias("__cell"),
+    ).filter(F.col("__cell").isNotNull())
+    # A cross-block pair (x∈p, y∈q, p<q) meets exactly once, as (x, y) —
+    # possibly with id_x > id_y, so ids are canonicalized with
+    # least/greatest rather than filtered. Diagonal cells (p,p) see both
+    # orderings and keep the ascending one.
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "__cell")
+        .filter((F.col("__ba") != F.col("__bb")) | (F.col("__ia") < F.col("__ib")))
         .withColumn("cos_sim", F.round(dot(F.col("__va"), F.col("__vb")), round_to))
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "cos_sim",
+        )
     )
 
 
@@ -143,21 +197,24 @@ def ivf_topk(
     reproducible from code alone and needs no ML-pipeline dependency;
     swapping in trained centroids only changes the tiny centroid table.
 
-    Scale: the centroid table is n_cells rows → broadcast to both
-    assignment passes (map-only). The probe join is an equi-join on
-    cell id, so scored candidates are ~(n_probe/n_cells) of the corpus
-    per query — the standard IVF cost model; recall is tested against
-    the brute-force baseline.
+    Scale: the centroid table is n_cells rows — small enough to live as
+    LITERALS in the plan, so cell assignment is a zero-shuffle per-row
+    argmax (see `_ivf_search`). The probe join is an equi-join on cell
+    id, so scored candidates are ~(n_probe/n_cells) of the corpus per
+    query — the standard IVF cost model; recall is tested against the
+    brute-force baseline.
     """
     uvec = _pin(
         with_unit(vectors.select(F.col(id_col), F.col(vec_col)), vec_col, "__uv")
     )
-    cent = (
-        uvec.orderBy(id_col)
+    cent_rows = [
+        (r["cell"], list(r["__cent"]))
+        for r in uvec.orderBy(id_col)
         .limit(n_cells)
         .select(F.col(id_col).alias("cell"), F.col("__uv").alias("__cent"))
-    )
-    return _ivf_search(uvec, queries, cent, k, n_probe, id_col, vec_col, round_to)
+        .collect()
+    ]
+    return _ivf_search(uvec, queries, cent_rows, k, n_probe, id_col, vec_col, round_to)
 
 
 def ivf_topk_kmeans(
@@ -184,22 +241,37 @@ def ivf_topk_kmeans(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
-    spark = vectors.sparkSession
-    cent_raw = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"cell long, {vec_col} array<double>",
-    )
-    cent = with_unit(cent_raw, vec_col, "__cent").select("cell", "__cent")
+    import math
+
+    cent_rows = []
+    for i, c in enumerate(model.clusterCenters()):
+        v = [float(x) for x in c]
+        n = math.sqrt(sum(x * x for x in v))
+        cent_rows.append((i, [x / n for x in v]))
     uvec = _pin(
         with_unit(vectors.select(F.col(id_col), F.col(vec_col)), vec_col, "__uv")
     )
-    return _ivf_search(uvec, queries, cent, k, n_probe, id_col, vec_col, round_to)
+    return _ivf_search(uvec, queries, cent_rows, k, n_probe, id_col, vec_col, round_to)
+
+
+def _cell_sims(vec: Column, cent_rows: list[tuple]) -> Column:
+    """array<struct<sim, negcell>> of dot products against LITERAL unit
+    centroids. Lexicographic struct comparison on (sim, negcell) then
+    picks (max sim, min cell) — the same tie-break as a window ordered
+    (sim DESC, cell ASC)."""
+    return F.array(*[
+        F.struct(
+            dot(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+            F.lit(-cell).alias("negcell"),
+        )
+        for cell, cv in cent_rows
+    ])
 
 
 def _ivf_search(
     uvec: DataFrame,
     queries: DataFrame,
-    cent: DataFrame,
+    cent_rows: list[tuple],
     k: int,
     n_probe: int,
     id_col: str,
@@ -208,36 +280,46 @@ def _ivf_search(
 ) -> DataFrame:
     """Shared IVF search: assign corpus to cells, probe nearest cells
     per query, exact cosine inside probed cells. ``uvec`` carries
-    ``__uv`` (unit vectors); ``cent`` carries (cell, __cent unit)."""
+    ``__uv`` (unit vectors); ``cent_rows`` is the tiny collected
+    centroid list [(cell, unit_vector)].
+
+    Scale note: the centroids are in-plan literals, so cell assignment
+    is a single PROJECTION — argmax over an array of dot products,
+    whole-stage-codegen, zero Exchange. (The previous shape — broadcast
+    join against the centroid table + row_number window — exploded every
+    vector into n_cells rows and then shuffled the 16× expansion just to
+    pick one; at 100 TB that shuffle IS the job.) Probe selection is the
+    same in-row top-n_probe via array_sort on the tiny query side."""
     from pyspark.sql import Window
 
-    # assignment: argmax dot over broadcast unit centroids
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("cell")
+    # assignment: zero-shuffle per-row argmax over literal centroids
+    assigned = uvec.select(
+        F.col(id_col),
+        F.col("__uv"),
+        (-F.array_max(_cell_sims(F.col("__uv"), cent_rows)).getField("negcell")).alias(
+            "cell"
+        ),
     )
-    assigned = (
-        uvec.join(F.broadcast(cent))
-        .withColumn("__sim", dot(F.col("__uv"), F.col("__cent")))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__uv"), "cell")
-    )
-    # probe list: n_probe nearest cells per query
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("cell")
-    )
+    # probe list: n_probe nearest cells per query, in-row sort —
+    # reverse(array_sort) orders (sim DESC, negcell DESC) = cell ASC
     probes = (
         with_unit(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
             vec_col,
             "__qv",
         )
-        .select("query_id", "__qv")
-        .join(F.broadcast(cent))
-        .withColumn("__sim", dot(F.col("__qv"), F.col("__cent")))
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cell")
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_sims(F.col("__qv"), cent_rows))),
+                    1,
+                    n_probe,
+                )
+            ).alias("__pc"),
+        )
+        .select("query_id", "__qv", (-F.col("__pc.negcell")).alias("cell"))
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -307,7 +389,23 @@ def lsh_ann(
     Scale: candidate generation is explode(bands) + equi-join on
     (band, signature) — a hash shuffle on bucket keys, never a cross
     product. Bucket skew is bounded by band width (n_planes/bands bits).
+
+    Vectors whose length differs from ``dim`` raise at runtime: dot()
+    uses zip_with, which silently truncates to the shorter array, so a
+    dimension mismatch would silently degrade signatures (recall loss)
+    instead of failing loudly.
     """
+    vectors = vectors.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_ann: expected {dim}-dim vectors, got length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        ),
+    )
     planes = random_hyperplanes(dim, n_planes)
     sig_bits = [
         (dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) > 0).cast("int")

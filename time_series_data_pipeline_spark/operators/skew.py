@@ -30,15 +30,25 @@ def salted_join(
     the small side replicated once per salt, so a hot key's rows land on
     ``n_salts`` tasks instead of one.
 
-    The salt is an arbitrary row-spreader — the join result is
-    salt-invariant, so a nondeterministic source is fine (and cheaper
-    than hashing columns). Cost model: small side shuffles n_salts times
-    its size; use only when small is too big to broadcast AND the key
-    distribution is hot enough that one task would otherwise run the
-    whole join tail.
+    The salt is a row-spreader and MUST be deterministic: it feeds the
+    shuffle key, and on a stage retry (fetch failure) a recomputed row
+    must land in the same salt bucket or join rows are dropped or
+    duplicated. We hash the big side's own columns (xxhash64 is a pure
+    function of the row), never ``monotonically_increasing_id()`` or
+    ``rand()``. Cost model: small side shuffles n_salts times its size;
+    use only when small is too big to broadcast AND the key distribution
+    is hot enough that one task would otherwise run the whole join tail.
+
+    Only ``inner`` and ``left`` joins are supported: a right/full join
+    would emit each unmatched small-side row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the small side "
+            "is replicated per salt, so right/full would duplicate unmatched rows"
+        )
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     )
     salted_small = (
         small.withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
@@ -57,9 +67,13 @@ def two_phase_count_distinct(
     a hot key's values spread across all partitions because the hash
     includes the value. Phase 2 (shuffle on keys): plain COUNT of the
     deduplicated rows, with map-side partial counting.
+
+    NULL values are excluded, matching SQL ``COUNT(DISTINCT value)``
+    semantics (a bare ``distinct()`` would keep one NULL row per key).
     """
     return (
         df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
         .distinct()
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(f"n_distinct_{value_col}"))

@@ -320,21 +320,23 @@ def ewma(
     """
     import pandas as pd
 
-    out_fields = ", ".join(
-        [f"`{k}` string" for k in keys] + [f"`{ts_col}` timestamp", f"`{value_col}` double", "ewma double"]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = [*keys, ts_col, value_col]
+    narrowed = df.select(*cols)
+    # Output schema derives from the INPUT dtypes (key/ts/value columns
+    # pass through unchanged) — a hardcoded `string`/`double` schema
+    # would silently cast non-string keys.
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols] + [StructField("ewma", DoubleType())]
     )
 
     def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, value_col])
-        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        pdf["ewma"] = pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
         return pdf
 
-    cols = [*keys, ts_col, value_col]
-    return (
-        df.select(*[F.col(c).cast("string") if c in keys else F.col(c) for c in cols])
-        .groupBy(*keys)
-        .applyInPandas(_ewm, schema=out_fields)
-    )
+    return narrowed.groupBy(*keys).applyInPandas(_ewm, schema=out_schema)
 
 
 def last_value_per_group(
