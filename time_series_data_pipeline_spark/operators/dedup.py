@@ -63,8 +63,11 @@ def build_shingle_store(
     text — its dominant cold cost; a corpus processed by jaccard +
     minhash + simhash + repeated runs pays it once via this store
     (the moral equivalent of an inverted-index build)."""
+    from .text import spread_small_scan
+
     (
-        df.select(
+        spread_small_scan(df)
+        .select(
             F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh")
         )
         .withColumn("n_sh", F.size("__sh"))
@@ -183,6 +186,7 @@ def minhash_signatures(
     n_hashes: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash over 3-shingles: h_i(doc) = min over
     shingles of xxhash64(i-salt ++ shingle). Returns (id, mh array<long>).
@@ -201,7 +205,11 @@ def minhash_signatures(
         # which would shadow a `lambda s, i=i:` captured salt.
         return lambda s: F.xxhash64(F.lit(i), s)
 
-    sh = df.select(F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh"))
+    sh = (
+        shingle_sets.select(F.col(id_col), F.col("__sh"))
+        if shingle_sets is not None
+        else df.select(F.col(id_col), shingle_hashes(tokens(text_col)).alias("__sh"))
+    )
     mins = F.array(
         *[F.array_min(F.transform("__sh", _perm(i))) for i in range(n_hashes)]
     )
@@ -219,6 +227,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup: band the signature (rows = n_hashes/bands),
     bucket-join on (band, banded rows), estimate jaccard from signature
@@ -231,7 +240,7 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     # pinned: the banding sides and the signature join-back all read it
-    sig = _pin(minhash_signatures(df, n_hashes, text_col, id_col))
+    sig = _pin(minhash_signatures(df, n_hashes, text_col, id_col, shingle_sets))
     # band key = one xxhash64 long over (band id, the band's rows) — an
     # 8-byte join key instead of a concat string, and the bucket
     # self-join carries ONLY (key, id): signatures are attached after
