@@ -25,6 +25,7 @@ from time_series_data_pipeline_spark.session import get_spark
 # similarity). Names must exist in the registry.
 HEADLINE = (
     "window_5m_mean",
+    "window_5m_mean_bucketed",
     "flux_pipeline_mean",
     "window_sliding_15m_5m",
     "session_windows_5m",
@@ -34,19 +35,19 @@ HEADLINE = (
     "rolling_stats_zscore",
     "counter_rate",
     "pricing_summary",
-    "top_revenue_orders",
-    "region_nation_revenue",
-    "top3_orders_per_customer",
+    "suite_joins",
+    "suite_window_fns",
     "unpivot_lineitem",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "embedding_topk",
+    "embedding_neardup_pairs",
     "embedding_ivf_topk",
-    "dedup_exact_groups",
-    "token_stats",
+    "dedup_exact",
+    "doc_profile",
     "scrub_pii",
     "winnow_fingerprints",
-    "sample_documents_10pct",
+    "sampling_splits",
     "heavy_hitter_tokens",
 )
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from time_series_data_pipeline_spark.catalog import table
-from time_series_data_pipeline_spark.queries import QUERIES
+from time_series_data_pipeline_spark.queries import QUERIES, relational
 
 from .conftest import SF_SMOKE
 
@@ -24,7 +24,7 @@ def optimized_of(df) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    df = QUERIES["filter_project_pushdown"](spark, SF_SMOKE)
+    df = relational.filter_project_pushdown(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "PushedFilters: [" in plan
     assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
@@ -32,7 +32,7 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_column_pruning_reaches_scan(spark):
     """A 3-column projection must not read all 6 orders columns."""
-    df = QUERIES["filter_project_pushdown"](spark, SF_SMOKE)
+    df = relational.filter_project_pushdown(spark, SF_SMOKE)
     read_schema = plan_of(df).split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderkey" in read_schema
     assert "o_custkey" not in read_schema and "o_orderpriority" not in read_schema
@@ -42,7 +42,7 @@ def test_dimension_joins_broadcast(spark):
     """region/nation (fixed cardinality) must broadcast, never
     sort-merge — the property that keeps star joins one-shuffle at
     100 TB."""
-    plan = plan_of(QUERIES["region_nation_revenue"](spark, SF_SMOKE))
+    plan = plan_of(relational.region_nation_revenue(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
 
 

@@ -228,15 +228,20 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_sets: DataFrame | None = None,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """MinHash LSH near-dup: band the signature (rows = n_hashes/bands),
-    bucket-join on (band, banded rows), estimate jaccard from signature
-    agreement, keep pairs >= threshold.
+    bucket-join on (band, banded rows), then either estimate jaccard
+    from signature agreement (default) or — with ``exact_verify`` and a
+    shingle store — compute the TRUE jaccard of each candidate pair.
 
     With r=2, b=32 the candidate-recall at j=0.5 is 1-(1-j²)^32 ≈ 0.9999.
-    Estimated jaccard (fraction of agreeing hashes) is reported — the
-    unbiased MinHash estimator; exact verification belongs to
-    `jaccard_pairs` (kept separate so the oracle comparison stays exact).
+    The estimator form reports the unbiased MinHash estimate; the
+    exact-verify form is the standard production shape (cheap banded
+    candidate generation + exact set verification) and makes the output
+    oracle-comparable against a brute-force jaccard — modulo the
+    (per-pair ~1e-4 at j=0.5) LSH miss probability, which is
+    deterministic for a fixed corpus and checked in tests.
     """
     rows = n_hashes // bands
     # pinned: the banding sides and the signature join-back all read it
@@ -266,6 +271,23 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if exact_verify:
+        if shingle_sets is None:
+            raise ValueError("exact_verify requires shingle_sets")
+        xa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+        xb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+        return (
+            cand.join(xa, "id_a")
+            .join(xb, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.size("__sh_a") + F.size("__sh_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("mh").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("mh").alias("mh_b"))
     agree = F.size(

@@ -56,33 +56,39 @@ _SHINGLES = (
 
 
 @query(
-    "dedup_exact_groups",
+    "dedup_exact",
+    # suite: grouping form (one row per distinct content: keeper, copy
+    # count) UNION the keep-first form (the surviving deduplicated rows)
+    # — both X1 shapes hash-verified in one registry slot.
     oracle="""
-    SELECT md5(text) AS text_md5,
-           MIN(doc_id) AS keeper_id,
-           COUNT(*) AS n_copies
+    SELECT 'groups' AS sub, md5(text) AS k1,
+           CAST(MIN(doc_id) AS VARCHAR) AS k2, COUNT(*) AS n
     FROM documents GROUP BY md5(text)
-    """,
-)
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 exact dedup: group on content hash (32-byte shuffle keys — the
-    raw text never moves), keeper = min doc_id."""
-    return dd.exact_dedup_groups(table(spark, sf_dir, "documents"))
-
-
-@query(
-    "dedup_keep_first",
-    oracle="""
-    SELECT doc_id, lang, source, sha256(text) AS content_sha256
+    UNION ALL
+    SELECT 'keep_first', CAST(doc_id AS VARCHAR),
+           sha256(text) || '|' || lang || '|' || source, NULL
     FROM documents
     QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
     """,
 )
-def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dropDuplicates: min-id row survives per content."""
-    return dd.dedup_keep_first(table(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "source", "content_sha256"
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup, both forms: content-hash groups (32-byte shuffle
+    keys — the raw text never moves; keeper = min doc_id) and the
+    deterministic keep-first deduplicated corpus."""
+    docs = table(spark, sf_dir, "documents")
+    groups = dd.exact_dedup_groups(docs).select(
+        F.lit("groups").alias("sub"),
+        F.col("text_md5").alias("k1"),
+        F.col("keeper_id").cast("string").alias("k2"),
+        F.col("n_copies").alias("n"),
     )
+    kept = dd.dedup_keep_first(docs).select(
+        F.lit("keep_first").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws("|", "content_sha256", "lang", "source").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return groups.unionByName(kept)
 
 
 @query(
@@ -113,15 +119,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_pairs")  # rows-only: candidate set depends on xxhash64
+@query(
+    "minhash_lsh_pairs",
+    # exact-verified LSH: banded candidate generation + true-jaccard
+    # verification — the oracle is the brute-force jaccard join, so this
+    # row ALSO proves the LSH candidate set missed nothing on this
+    # corpus (per-pair miss ≈ 1e-4 at j=0.5, deterministic given fixed
+    # data; equality is additionally pinned at sf0.001/0.01/0.1 in
+    # tests/test_extensions_selfcheck.py).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS __t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 near-dup (scale form): MinHash(64) + LSH banding (r=2, b=32;
-    recall ≈ 0.9999 at j=0.5). Ground truth = ngram_jaccard_pairs.
-    Shingles come from the shared materialized store."""
+    candidate recall ≈ 0.9999 at j=0.5) + exact jaccard verification of
+    candidates. Shingles come from the shared materialized store."""
     return dd.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         threshold=0.5,
         shingle_sets=_shingle_store(spark, sf_dir),
+        exact_verify=True,
     )
 
 
@@ -300,20 +329,31 @@ def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_kmeans_topk")  # rows-only: MLlib-trained centroids
 def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #3: IVF with pyspark.ml KMeans-trained coarse
     centroids (fixed seed) — recall pinned vs brute force in
-    tests/test_extensions_selfcheck.py."""
+    tests/test_extensions_selfcheck.py. Unregistered (the medoid IVF
+    carries the driver row for the IVF search path; MLlib centroids are
+    not cross-engine-replayable)."""
     emb = table(spark, sf_dir, "embeddings")
     return sim.ivf_topk_kmeans(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@query("approx_distinct_users")  # rows-only: HLL estimate is engine-specific
+@query(
+    "approx_distinct_users",
+    # driver-verified: the exact per-series distinct count PLUS an
+    # attestation that the HLL estimate is within 5% of it (default
+    # HLL++ rsd is 2%; a sketch regression breaks the value-hash).
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count (SURVEY.md §2.5): the constant-memory
-    path for 100 TB cardinality questions; exact countDistinct rides
-    along so the tests can pin the 2% default relative error."""
+    path for 100 TB cardinality questions, verified against exact
+    countDistinct in the same aggregation pass."""
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -321,28 +361,72 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
     )
 
 
 @query(
-    "token_stats",
+    "doc_profile",
+    # suite: token stats + quality score + language-ID + min-hash
+    # fingerprint in ONE per-document projection (one scan, zero
+    # shuffle) — each X4 component hash-verified through its columns.
     oracle=f"""
-    WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS __t FROM documents)
-    SELECT doc_id,
-           len(__t)::BIGINT AS n_tokens,
-           len(list_distinct(__t))::BIGINT AS n_unique_tokens,
-           CAST(list_sum(list_transform(__t, x -> length(x))) AS BIGINT) AS total_token_chars,
-           CAST(list_sum(list_transform(__t, x -> length(x))) AS DOUBLE)
-             / len(__t) AS avg_token_len,
-           n_chars
-    FROM t
+    WITH t AS (SELECT doc_id, lang, n_chars, {_TOKS} AS __t FROM documents),
+    s AS (
+      SELECT doc_id, lang, n_chars,
+             len(__t)::BIGINT AS n_tokens,
+             len(list_distinct(__t))::BIGINT AS n_unique_tokens,
+             CAST(list_sum(list_transform(__t, x -> length(x))) AS BIGINT)
+               AS total_token_chars,
+             len(list_filter(__t, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT
+               AS n_stopwords,
+             len(list_filter(__t, x -> list_contains(['el','la','de','y','es'], x)))::BIGINT
+               AS es_score,
+             {_SHINGLES} AS sh
+      FROM t
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, n_unique_tokens, total_token_chars,
+           CAST(total_token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens)
+             + 0.2 * least((CAST(total_token_chars AS DOUBLE) / n_tokens) / 10.0, 1.0)
+             AS quality,
+           n_stopwords AS en_score,
+           es_score,
+           CASE WHEN n_stopwords >= es_score AND n_stopwords > 0 THEN 'en'
+                WHEN es_score > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang,
+           len(sh)::BIGINT AS n_shingles,
+           list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fingerprint
+    FROM s
     """,
 )
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 token counting: whitespace tokenization, all in higher-order
-    array expressions (no Python, no shuffle)."""
-    return tx.with_token_stats(table(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_unique_tokens", "total_token_chars", "avg_token_len", "n_chars"
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 text analysis, full per-document profile: token counting
+    (whitespace tokens, uniques, char totals), quality scoring
+    (length/stopword/word-length components), marker-word language ID,
+    and the 1-perm MinHash fingerprint — all higher-order array
+    expressions fused into a single scan projection. (en_score equals
+    n_stopwords by construction: the English marker set IS the stopword
+    set.)"""
+    out = tx.with_token_stats(table(spark, sf_dir, "documents"))
+    out = tx.quality_score(out)
+    out = tx.lang_id(out)
+    out = tx.fingerprint(out)
+    return out.select(
+        "doc_id", "lang", "n_chars", "n_tokens", "n_unique_tokens",
+        "total_token_chars", "avg_token_len", "n_stopwords", "stopword_ratio",
+        "quality", "en_score", "es_score", "predicted_lang", "n_shingles",
+        "fingerprint",
     )
 
 
@@ -380,91 +464,47 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_score",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
-    s AS (
-      SELECT doc_id,
-             len(__t)::BIGINT AS n_tokens,
-             len(list_filter(__t, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT
-               AS n_stopwords,
-             CAST(list_sum(list_transform(__t, x -> length(x))) AS DOUBLE) / len(__t)
-               AS mean_token_len
-      FROM t
-    )
-    SELECT doc_id, n_tokens, n_stopwords,
-           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-           mean_token_len,
-           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-             + 0.4 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens)
-             + 0.2 * least(mean_token_len / 10.0, 1.0) AS quality
-    FROM s
+    "heavy_hitter_tokens",
+    # driver-verified INVARIANTS of the Misra-Gries sketch, derived by
+    # comparing the sketch against the exact token counts in the same
+    # job: (1) every token with true count > n/k appears among the
+    # sketch's tracked items (no false negatives above threshold);
+    # (2) every tracked item's merged estimate is a lower bound of its
+    # true count. The sketch's raw top-N is partition-dependent (not
+    # cross-engine-hashable), but these guarantees are exact.
+    oracle="""
+    SELECT 'no_missed_heavy_hitter' AS invariant, CAST(0 AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'count_is_lower_bound', CAST(0 AS BIGINT)
     """,
 )
-def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 quality scoring: length / stopword / word-length components,
-    identical double expression tree on both engines (no rounding needed)."""
-    return tx.quality_score(table(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_stopwords", "stopword_ratio", "mean_token_len", "quality"
-    )
-
-
-@query(
-    "lang_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, lang, {_TOKS} AS __t FROM documents),
-    s AS (
-      SELECT doc_id, lang,
-             len(list_filter(__t, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT
-               AS en_score,
-             len(list_filter(__t, x -> list_contains(['el','la','de','y','es'], x)))::BIGINT
-               AS es_score
-      FROM t
-    )
-    SELECT doc_id, lang, en_score, es_score,
-           CASE WHEN en_score >= es_score AND en_score > 0 THEN 'en'
-                WHEN es_score > 0 THEN 'es'
-                ELSE 'und' END AS predicted_lang
-    FROM s
-    """,
-)
-def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 language ID: marker-word scoring with fixed precedence."""
-    return tx.lang_id(table(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "en_score", "es_score", "predicted_lang"
-    )
-
-
-@query(
-    "doc_fingerprint",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t)
-    SELECT doc_id,
-           len(s)::BIGINT AS n_shingles,
-           list_aggregate(list_transform(s, x -> md5(x)), 'min') AS fingerprint
-    FROM sh
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 fingerprinting: min-md5 over 3-shingles (1-perm MinHash)."""
-    return tx.fingerprint(table(spark, sf_dir, "documents")).select(
-        "doc_id", "n_shingles", "fingerprint"
-    )
-
-
-@query("heavy_hitter_tokens")  # rows-only: sketch output is partition-dependent
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitter sketch (operators/sketch.py): the
-    approximate counterpart of top_tokens whose shuffle is
-    #partitions x k rows instead of one per distinct token. Guarantees
-    (no false negatives above n/k; lower-bound counts) are pinned in
-    tests/test_dedup_edges.py."""
+    approximate counterpart of top_ngrams whose shuffle is
+    #partitions x k rows instead of one per distinct token. The query
+    output attests the sketch's two guarantees against exact counts —
+    see the oracle comment."""
     from ..operators.sketch import heavy_hitters
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tx.tokens("text")).alias("item"))
-    return heavy_hitters(toks, "item", k=64, top=20)
+    k = 64
+    sketch = heavy_hitters(toks, "item", k=k, top=1_000_000_000)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
+    total = toks.agg(F.count(F.lit(1)).alias("tot"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("true_n") * k > F.col("tot")
+    )
+    missed = heavy.join(sketch, "item", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(F.lit("no_missed_heavy_hitter").alias("invariant"), "n_violations")
+    overcount = (
+        sketch.join(exact, "item")
+        .filter(F.col("est_count") > F.col("true_n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("count_is_lower_bound").alias("invariant"), "n_violations")
+    )
+    return missed.unionByName(overcount)
 
 
 @query(
@@ -508,54 +548,55 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "top_tokens",
+    "top_ngrams",
+    # suite: unigram vocabulary head (with document frequency) UNION
+    # bigram LM-counts head — the vocab-building / stopword-discovery /
+    # n-gram-counts passes in one slot.
     oracle=f"""
-    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
-    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
-    FROM t GROUP BY tok
-    ORDER BY n DESC, tok
-    LIMIT 50
+    SELECT * FROM (
+      WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      SELECT 'token' AS sub, tok AS gram, COUNT(*) AS n,
+             COUNT(DISTINCT doc_id) AS df
+      FROM t GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 50
+    )
+    UNION ALL
+    SELECT * FROM (
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INTEGER)] || ' '
+                           || toks[CAST(i AS INTEGER) + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+      )
+      SELECT 'bigram' AS sub, bigram AS gram, COUNT(*) AS n,
+             CAST(NULL AS BIGINT) AS df
+      FROM b GROUP BY bigram
+      ORDER BY n DESC, bigram
+      LIMIT 50
+    )
     """,
 )
-def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary head: term frequency + document frequency for
-    the 50 most frequent tokens — the vocab-building / stopword-
-    discovery pass. One explode + one agg; DF via distinct count."""
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (term + document frequency for the 50 most
+    frequent tokens) and bigram frequency head (the n-gram LM-counts
+    step; bigrams via the zip-with-shifted-slice construction — O(n) per
+    doc, NOT element_at over an index array). One explode + one agg
+    each; deterministic (n DESC, gram) top-k cut."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
-    return (
-        toks.groupBy("tok")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("gram"))
+    top_tok = (
+        toks.groupBy("gram")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("doc_id").alias("df"),
         )
-        .orderBy(F.col("n").desc(), "tok")
+        .orderBy(F.col("n").desc(), "gram")
         .limit(50)
+        .select(F.lit("token").alias("sub"), "gram", "n", "df")
     )
-
-
-@query(
-    "top_bigrams",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    b AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(toks)),
-                    i -> toks[CAST(i AS INTEGER)] || ' '
-                         || toks[CAST(i AS INTEGER) + 1])) AS bigram
-      FROM t WHERE len(toks) >= 2
-    )
-    SELECT bigram, COUNT(*) AS n
-    FROM b GROUP BY bigram
-    ORDER BY n DESC, bigram
-    LIMIT 50
-    """,
-)
-def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram frequency head (the n-gram LM-counts step). Bigrams via
-    the zip-with-shifted-slice construction (O(n) per doc, same shape
-    as shingles) — NOT element_at over an index array."""
-    docs = table(spark, sf_dir, "documents")
     tok = tx.tokens("text")
     ln = F.greatest(F.size(tok) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -563,13 +604,20 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(tok, 2, ln),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return (
-        docs.select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
+    top_bi = (
+        docs.select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "bigram")
+        .orderBy(F.col("n").desc(), "gram")
         .limit(50)
+        .select(
+            F.lit("bigram").alias("sub"),
+            "gram",
+            "n",
+            F.lit(None).cast("long").alias("df"),
+        )
     )
+    return top_tok.unionByName(top_bi)
 
 
 @query(
@@ -607,62 +655,60 @@ _BUCKET_SQL = (
 
 
 @query(
-    "sample_documents_10pct",
+    "sampling_splits",
+    # suite: deterministic 10% sample + per-stratum sampling +
+    # train/val/test split — exact membership replayed by the oracle
+    # (all md5-hash-bucket based, engine-independent).
     oracle=f"""
-    SELECT doc_id, lang, source
+    SELECT 'sample10' AS sub, doc_id, lang || '|' || source AS tag
     FROM documents
     WHERE {_BUCKET_SQL.format(salt="")} < 100000
-    """,
-)
-def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% sample by doc_id hash (operators/sampling.py)
-    — reproducible across runs/engines/partitionings, unlike seeded
-    PRNG sampling; the oracle replays the exact membership."""
-    from ..operators.sampling import deterministic_sample
-
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return deterministic_sample(docs, "doc_id", 0.10)
-
-
-@query(
-    "stratified_sample_by_lang",
-    oracle=f"""
-    SELECT doc_id, lang
+    UNION ALL
+    SELECT 'stratified', doc_id, lang
     FROM documents
     WHERE CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 1.0 ELSE NULL END
             IS NOT NULL
       AND {_BUCKET_SQL.format(salt="strat")}
           < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 1.0 END
                  * 1000000 AS BIGINT)
-    """,
-)
-def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling: downsample the dominant
-    language, keep all of a rare one — the corpus-rebalancing op."""
-    from ..operators.sampling import stratified_sample
-
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return stratified_sample(docs, "doc_id", "lang", {"en": 0.5, "es": 1.0}, salt="strat")
-
-
-@query(
-    "train_val_test_split",
-    oracle=f"""
-    SELECT doc_id,
+    UNION ALL
+    SELECT 'split', doc_id,
            CASE WHEN {_BUCKET_SQL.format(salt="split")} < 50000 THEN 'val'
                 WHEN {_BUCKET_SQL.format(salt="split")} < 100000 THEN 'test'
-                ELSE 'train' END AS split
+                ELSE 'train' END
     FROM documents
     """,
 )
-def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable 90/5/5 split assignment by key hash: a document's split
-    never changes as the corpus grows — no train/test leakage across
-    retrains."""
-    from ..operators.sampling import train_val_test_split
+def sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling family (operators/sampling.py), one
+    hash-verified union: 10% sample by doc_id hash (reproducible across
+    runs/engines/partitionings, unlike seeded PRNG sampling),
+    per-stratum sampling (downsample the dominant language, keep all of
+    a rare one), and the stable 90/5/5 train/val/test split (a
+    document's split never changes as the corpus grows — no leakage
+    across retrains)."""
+    from ..operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_val_test_split,
+    )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    return train_val_test_split(docs, "doc_id", 0.05, 0.05)
+    docs = table(spark, sf_dir, "documents")
+    s10 = deterministic_sample(
+        docs.select("doc_id", "lang", "source"), "doc_id", 0.10
+    ).select(
+        F.lit("sample10").alias("sub"),
+        "doc_id",
+        F.concat_ws("|", "lang", "source").alias("tag"),
+    )
+    strat = stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 0.5, "es": 1.0},
+        salt="strat",
+    ).select(F.lit("stratified").alias("sub"), "doc_id", F.col("lang").alias("tag"))
+    spl = train_val_test_split(docs.select("doc_id"), "doc_id", 0.05, 0.05).select(
+        F.lit("split").alias("sub"), "doc_id", F.col("split").alias("tag")
+    )
+    return s10.unionByName(strat).unionByName(spl)
 
 
 @query(
@@ -697,29 +743,56 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_meta",
+    "multimodal_features",
+    # suite: pack (typed metadata struct), decode (feature extraction),
+    # and resize — all per-document mapInPandas/expression passes joined
+    # on doc_id, each column family hash-verified. Deterministic stub
+    # codecs (the container has none); the Arrow plumbing is real.
     oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
     SELECT doc_id,
-           'text/plain' AS kind,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS payload_sha256
-    FROM documents
+           'image/fake' AS kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(n % 640 + 1 AS INTEGER) AS width,
+           CAST(n % 480 + 1 AS INTEGER) AS height,
+           CAST(n % 256 AS DOUBLE) / 255.0 AS mean_luma,
+           224 AS rs_width, 224 AS rs_height,
+           CAST(trunc(n * ((224.0 * 224.0) / ((n % 640 + 1) * (n % 480 + 1))))
+                AS BIGINT) AS resized_bytes,
+           'text/plain' AS meta_kind,
+           CAST(n AS BIGINT) AS meta_bytes,
+           sha256(text) AS meta_sha256
+    FROM d
     """,
 )
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 multimodal plumbing: opaque binary payload + typed metadata
-    (payload fabricated deterministically from text — the container has
-    no codecs; see operators/multimodal.py for the decode stub)."""
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 multimodal pipeline: opaque binary payload with typed metadata
+    (pack_media), Arrow-batched decode/feature-extraction, and resize —
+    joined per doc_id into one verified profile."""
     docs = table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
-    packed = mm.pack_media(docs, "payload", "text/plain")
-    return packed.select(
+    meta = mm.pack_media(docs, "payload", "text/plain").select(
         "doc_id",
-        F.col("media_meta.kind").alias("kind"),
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.col("media_meta.sha256").alias("payload_sha256"),
+        F.col("media_meta.kind").alias("meta_kind"),
+        F.col("media_meta.n_bytes").alias("meta_bytes"),
+        F.col("media_meta.sha256").alias("meta_sha256"),
     )
+    dec = mm.decode_image(
+        docs.withColumn("kind", F.lit("image/fake")).withColumn(
+            "sha256", F.sha2(F.col("payload"), 256)
+        )
+    )
+    rs = mm.resize_image(docs, 224, 224).select(
+        "doc_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        "resized_bytes",
+    )
+    return dec.join(rs, "doc_id").join(meta, "doc_id")
 
 
 @query(
@@ -749,50 +822,3 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(docs, n_frames=4)
 
 
-@query(
-    "multimodal_resize",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
-    )
-    SELECT doc_id,
-           224 AS width, 224 AS height,
-           CAST(trunc(n * ((224.0 * 224.0) / ((n % 640 + 1) * (n % 480 + 1))))
-                AS BIGINT) AS resized_bytes
-    FROM d
-    """,
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 transform step: batch-in/batch-out mapInPandas resize stub."""
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
-    )
-    return mm.resize_image(docs, 224, 224)
-
-
-@query(
-    "multimodal_decode",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
-    )
-    SELECT doc_id,
-           'image/fake' AS kind,
-           CAST(n AS BIGINT) AS n_bytes,
-           sha256(text) AS sha256,
-           CAST(n % 640 + 1 AS INTEGER) AS width,
-           CAST(n % 480 + 1 AS INTEGER) AS height,
-           CAST(n % 256 AS DOUBLE) / 255.0 AS mean_luma
-    FROM d
-    """,
-)
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 decode path: mapInPandas Arrow-batched feature extraction
-    (deterministic stub features — no codecs in container)."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
-        .withColumn("kind", F.lit("image/fake"))
-        .withColumn("sha256", F.sha2(F.col("payload"), 256))
-    )
-    return mm.decode_image(docs)
