@@ -429,10 +429,10 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(*) AS avg_k,
-           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     WHERE json_extract(props, '$.k') IS NOT NULL
     GROUP BY event_type
@@ -576,9 +576,12 @@ def window_5m_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "value_percentiles_approx",
-    # driver-verified INVARIANT: the approx-percentile sketch stays
-    # within 2% relative error of the exact percentile on every series.
-    # The query returns one row per series with its violation count; the
+    # driver-verified INVARIANT: each approx percentile's RANK lands
+    # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
+    # plus interpolation slack). percentile_approx guarantees RANK
+    # error, not value error, so this attestation is deterministic at
+    # every scale factor and value distribution — a 2%-value-error check
+    # (the old form) fails legitimately on small/skewed fixtures. The
     # oracle derives the expected all-zeros table from the same data, so
     # a sketch drifting out of tolerance breaks the value-hash.
     oracle="""
@@ -589,25 +592,45 @@ def window_5m_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: ``percentile_approx`` (a mergeable
     quantile sketch — constant memory, map-side combinable) instead of
-    the exact sort-based aggregate, verified against the exact
-    percentile in the same pass. At scale the exact form
-    (`value_percentiles`) is the oracle-only variant; this sketch is
-    what a dashboard should run."""
-    ev = table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
-        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("a90"),
-        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("a99"),
-        F.percentile("value", F.lit(0.5)).alias("e50"),
-        F.percentile("value", F.lit(0.9)).alias("e90"),
-        F.percentile("value", F.lit(0.99)).alias("e99"),
+    the exact sort-based aggregate, verified in a second pass against
+    the rank-error bound the sketch actually guarantees. At scale the
+    exact form (`value_percentiles`) is the oracle-only variant; this
+    sketch is what a dashboard should run.
+
+    Attestation: for each target quantile p, the returned value a_p is a
+    real data point whose rank interval [count(v < a_p), count(v <= a_p)]
+    must overlap [p*n - slack, p*n + slack] with slack = eps*n + 2
+    (eps = 1/accuracy; +2 absorbs the rank-definition off-by-ones).
+    Two scans + one 5-row broadcast join — no per-row Python."""
+    acc = 10000
+    eps = 1.0 / acc
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(acc)).alias("a90"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(acc)).alias("a99"),
     )
-    bad = lambda a, e: (  # noqa: E731
-        F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e)) > 0.02
-    ).cast("int")
-    return agg.select(
+    j = ev.join(F.broadcast(approx), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in ("50", "90", "99"):
+        aggs.append(
+            F.sum((F.col("value") < F.col(f"a{p}")).cast("long")).alias(f"lt{p}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.col(f"a{p}")).cast("long")).alias(f"le{p}")
+        )
+    counted = j.groupBy("event_type").agg(*aggs)
+    slack = F.lit(eps) * F.col("n") + F.lit(2.0)
+
+    def bad(p: str, q: float):
+        target = F.lit(q) * F.col("n")
+        return (
+            (target < F.col(f"lt{p}") - slack) | (target > F.col(f"le{p}") + slack)
+        ).cast("int")
+
+    return counted.select(
         "event_type",
-        (bad("a50", "e50") + bad("a90", "e90") + bad("a99", "e99"))
+        (bad("50", 0.5) + bad("90", 0.9) + bad("99", 0.99))
         .cast("long")
         .alias("n_violations"),
     )
