@@ -90,6 +90,36 @@ def test_minhash_signature_narrow_equals_explode(spark, docs):
     assert joined.count() == docs.count()
 
 
+def test_heavy_hitter_invariants(spark, docs):
+    """Misra-Gries guarantees, asserted against the exact counts the
+    sketch exists to avoid computing (the exact-count shuffle lives
+    HERE, not in the benched query): (1) every token with true count
+    > n/k appears among the tracked items; (2) every merged estimate is
+    a lower bound of its true count."""
+    from time_series_data_pipeline_spark.operators import text as tx
+    from time_series_data_pipeline_spark.operators.sketch import heavy_hitters
+
+    k = 64
+    toks = docs.select(F.explode(tx.tokens("text")).alias("item")).persist()
+    try:
+        sketch = heavy_hitters(toks, "item", k=k, top=None)
+        exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
+        total = toks.count()
+        heavy = exact.filter(F.col("true_n") * k > F.lit(total))
+        missed = heavy.join(sketch, "item", "left_anti").count()
+        assert missed == 0, f"{missed} heavy hitters missed by the sketch"
+        over = (
+            sketch.join(exact, "item")
+            .filter(F.col("est_count") > F.col("true_n"))
+            .count()
+        )
+        assert over == 0, f"{over} estimates exceed their true count"
+        # and the sketch actually tracked something
+        assert sketch.count() > 0
+    finally:
+        toks.unpersist()
+
+
 def test_approx_count_distinct_error(spark):
     ev = table(spark, SF_CORRECT, "events")
     rows = (

@@ -5,17 +5,22 @@ on a 100 TB corpus with a long-tail vocabulary that shuffle is the
 bottleneck. Misra-Gries summarizes each PARTITION with k counters (one
 pass, O(k) memory), and the summaries merge soundly:
 
-    true_count - n/k  <=  merged_count  <=  true_count
+    true_count - n/(k+1)  <=  merged_count  <=  true_count
 
 so every item with frequency > n/k is guaranteed to survive (no false
-negatives above the threshold); counts may undercount by at most n/k.
-The shuffle moves only (#partitions x k) rows — independent of
+negatives above the threshold); counts may undercount by at most
+n/(k+1). The shuffle moves only (#partitions x k) rows — independent of
 vocabulary size.
 
 Python here is the sanctioned Arrow boundary: the counter loop is
 per-partition stateful (mapInPandas generator accumulates ACROSS the
 partition's batches, emitting one summary at the end) — exactly the
-shape Spark's built-ins can't express.
+shape Spark's built-ins can't express. The per-batch work is
+vectorized: pandas ``value_counts`` collapses each Arrow batch to
+(unique item, weight) pairs first, so the Python loop runs once per
+DISTINCT item per batch, not once per token instance, and the sketch
+update is the weighted Misra-Gries step (decrement by the min counter,
+amortized O(1) decrement events per item).
 """
 
 from __future__ import annotations
@@ -31,20 +36,30 @@ def _mg_partition(k: int):
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for item in pdf["item"]:
+            # vectorized pre-aggregation: one (item, weight) pair per
+            # DISTINCT item in the batch — pandas does the instance loop
+            for item, w in pdf["item"].value_counts().items():
+                w = int(w)
                 if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+                    counters[item] += w
+                    continue
+                # weighted MG insert: decrement everything by the min
+                # counter (or the remaining weight, whichever is
+                # smaller) until the item fits or its weight is spent.
+                # Each decrement event removes d*(k+1) total weight, so
+                # sum(d) <= n/(k+1) — the classic MG error bound.
+                while True:
+                    if len(counters) < k:
+                        counters[item] = w
+                        break
+                    mn = min(counters.values())
+                    d = mn if mn < w else w
+                    counters = {
+                        key: c - d for key, c in counters.items() if c > d
+                    }
+                    w -= d
+                    if w == 0:
+                        break
         yield pd.DataFrame(
             {"item": list(counters), "cnt": list(counters.values())}
         )
@@ -53,16 +68,18 @@ def _mg_partition(k: int):
 
 
 def heavy_hitters(
-    df: DataFrame, item_col: str, k: int = 64, top: int = 20
+    df: DataFrame, item_col: str, k: int = 64, top: int | None = 20
 ) -> DataFrame:
     """Approximate top-``top`` items via per-partition Misra-Gries(k)
     summaries merged by sum. Guarantee: any item with true frequency
-    > n_total/k appears; estimates lower-bound true counts."""
+    > n_total/k appears; estimates lower-bound true counts.
+
+    ``top=None`` returns every merged tracked item with no global sort —
+    the form the invariant attestation (tests) consumes.
+    """
     items = df.select(F.col(item_col).cast("string").alias("item"))
     summaries = items.mapInPandas(_mg_partition(k), schema="item string, cnt long")
-    return (
-        summaries.groupBy("item")
-        .agg(F.sum("cnt").alias("est_count"))
-        .orderBy(F.col("est_count").desc(), "item")
-        .limit(top)
-    )
+    merged = summaries.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    if top is None:
+        return merged
+    return merged.orderBy(F.col("est_count").desc(), "item").limit(top)

@@ -465,46 +465,27 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "heavy_hitter_tokens",
-    # driver-verified INVARIANTS of the Misra-Gries sketch, derived by
-    # comparing the sketch against the exact token counts in the same
-    # job: (1) every token with true count > n/k appears among the
-    # sketch's tracked items (no false negatives above threshold);
-    # (2) every tracked item's merged estimate is a lower bound of its
-    # true count. The sketch's raw top-N is partition-dependent (not
-    # cross-engine-hashable), but these guarantees are exact.
-    oracle="""
-    SELECT 'no_missed_heavy_hitter' AS invariant, CAST(0 AS BIGINT) AS n_violations
-    UNION ALL
-    SELECT 'count_is_lower_bound', CAST(0 AS BIGINT)
-    """,
+    # rows-only BY DESIGN: the sketch's merged counters are
+    # partition-dependent (a Misra-Gries summary is a function of the
+    # partition split, not just the multiset), so the output is not
+    # cross-engine-hashable. Its two exact guarantees — (1) no token
+    # with true count > n/k is missed, (2) every estimate lower-bounds
+    # the true count — are asserted against exact counts in
+    # tests/test_extensions_selfcheck.py::test_heavy_hitter_invariants,
+    # where the exact-count shuffle belongs. The benched query costs
+    # what a user pays for the sketch: one narrow map pass + a
+    # (#partitions x k)-row shuffle, never a per-distinct-token shuffle.
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitter sketch (operators/sketch.py): the
     approximate counterpart of top_ngrams whose shuffle is
-    #partitions x k rows instead of one per distinct token. The query
-    output attests the sketch's two guarantees against exact counts —
-    see the oracle comment."""
+    #partitions x k rows instead of one per distinct token. Returns the
+    sketch's top-20 tokens by estimated (lower-bound) count."""
     from ..operators.sketch import heavy_hitters
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tx.tokens("text")).alias("item"))
-    k = 64
-    sketch = heavy_hitters(toks, "item", k=k, top=1_000_000_000)
-    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
-    total = toks.agg(F.count(F.lit(1)).alias("tot"))
-    heavy = exact.crossJoin(F.broadcast(total)).filter(
-        F.col("true_n") * k > F.col("tot")
-    )
-    missed = heavy.join(sketch, "item", "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("n_violations")
-    ).select(F.lit("no_missed_heavy_hitter").alias("invariant"), "n_violations")
-    overcount = (
-        sketch.join(exact, "item")
-        .filter(F.col("est_count") > F.col("true_n"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
-        .select(F.lit("count_is_lower_bound").alias("invariant"), "n_violations")
-    )
-    return missed.unionByName(overcount)
+    return heavy_hitters(toks, "item", k=64, top=20)
 
 
 @query(
