@@ -45,6 +45,7 @@ HEADLINE = (
     "embedding_ivf_topk",
     "dedup_exact",
     "doc_profile",
+    "bpe_encode_stats",
     "scrub_pii",
     "winnow_fingerprints",
     "sampling_splits",
@@ -63,6 +64,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         # Isolate queries from each other: drop whatever the PREVIOUS
         # query pinned before this one starts. Within a query, pins
@@ -72,15 +74,19 @@ def main() -> None:
         # production (clearing between attempts forced every attempt to
         # pay the one-time build cost and hid the amortization).
         spark.catalog.clearCache()
-        # best-of-2: cold (attempt 1, includes any one-time pin build)
-        # vs steady-state (attempt 2) — report the steady-state.
-        best = float("inf")
+        # BOTH numbers are recorded so a methodology change can never
+        # masquerade as a plan win: attempt 1 ("queries_cold") pays
+        # every one-time pin/store build from the parquet scan; the
+        # best-of-2 headline ("queries") is the steady state an
+        # amortized production pipeline pays.
+        attempts: list[float] = []
         for _attempt in range(2):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            attempts.append(time.perf_counter() - t0)
+        cold[name] = round(attempts[0], 4)
+        timings[name] = round(min(attempts), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -89,6 +95,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "total_cold": round(sum(cold.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -61,14 +61,19 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, emb):
 
 
 def test_lsh_ann_recall_regimes(spark, emb):
-    """Sign-LSH recall grows with true similarity: moderate at the weak
-    cos>=0.3 regime (measured 0.45), complete on strong pairs."""
+    """Sign-LSH recall grows with true similarity: the (80-plane,
+    16-band, r=5) default holds >= 0.7 even at the weak cos>=0.3 regime
+    (measured 0.76 at sf0.1, theory 0.72 at the threshold angle; the
+    old 16-plane default lost half the pairs here), and strong pairs
+    are found (near-)completely."""
     lsh = {(r.id_a, r.id_b) for r in sim.lsh_ann(emb, threshold=0.3).collect()}
     weak = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, threshold=0.3).collect()}
     strong = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, threshold=0.5).collect()}
     assert weak
-    assert len(weak & lsh) / len(weak) >= 0.35
-    assert strong <= lsh  # every strongly-similar pair is found
+    assert len(weak & lsh) / len(weak) >= 0.7
+    # per-pair miss at cos>=0.5 is (1-s^5)^16 < 2e-3; allow at most one
+    # unlucky strong pair on the fixture rather than pinning perfection
+    assert len(strong - lsh) <= max(1, len(strong) // 100)
 
 
 def test_minhash_signature_narrow_equals_explode(spark, docs):

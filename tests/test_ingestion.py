@@ -464,3 +464,73 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         {"event_id": 2, "sec": 10180},
         {"event_id": 4, "sec": 10240},
     ]) == [1, 2, 3, 4]
+
+
+def test_upsert_sink_merges_restarts_and_replays(spark, tmp_path):
+    """Keyed MERGE/upsert foreachBatch sink (streaming/upsert.py):
+    latest-wins per key across micro-batches; a checkpoint restart
+    continues without loss; a REPLAYED epoch (the crash-between-write-
+    and-commit case foreachBatch redelivers) applies exactly once."""
+    import json as _json
+
+    from time_series_data_pipeline_spark.streaming.upsert import UpsertParquetSink
+
+    src = str(tmp_path / "upsrc")
+    os.makedirs(src)
+    table_path = str(tmp_path / "uptable")
+    ckpt = str(tmp_path / "upckpt")
+    sink = UpsertParquetSink(table_path, keys=["sensor"], order_col="ts")
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("sensor string, ts long, value double")
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two sensors, an in-batch duplicate key (ts=2 must win)
+    write_file("b1.json", [
+        {"sensor": "a", "ts": 1, "value": 10.0},
+        {"sensor": "a", "ts": 2, "value": 11.0},
+        {"sensor": "b", "ts": 1, "value": 20.0},
+    ])
+    run_stream()
+    state = {r["sensor"]: (r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state == {"a": (2, 11.0), "b": (1, 20.0)}
+
+    # "restart": a NEW query on the same checkpoint sees only new files;
+    # sensor a is UPDATED, c INSERTED, b untouched
+    write_file("b2.json", [
+        {"sensor": "a", "ts": 5, "value": 12.5},
+        {"sensor": "c", "ts": 3, "value": 30.0},
+    ])
+    run_stream()
+    state = {r["sensor"]: (r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state == {"a": (5, 12.5), "b": (1, 20.0), "c": (3, 30.0)}
+    assert sink.read(spark).count() == 3  # no duplicate keys ever
+
+    # replay: redeliver an ALREADY-COMMITTED epoch id with hostile data —
+    # exactly-once means it must be a no-op
+    replay = spark.createDataFrame(
+        [("a", 99, 999.0)], "sensor string, ts long, value double"
+    )
+    committed = sorted(int(n) for n in os.listdir(os.path.join(table_path, "_commits")))
+    sink(replay, committed[-1])
+    state = {r["sensor"]: (r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state["a"] == (5, 12.5), "replayed epoch was double-applied"
+
+    # ...while a genuinely NEW epoch applies normally
+    sink(replay, committed[-1] + 1000)
+    state = {r["sensor"]: (r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state["a"] == (99, 999.0)

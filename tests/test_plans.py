@@ -117,10 +117,16 @@ def test_no_row_python_anywhere(spark, name):
     assert "BatchEvalPython" not in plan
     # Arrow-batched Python is sanctioned ONLY at the multimodal decode
     # boundary, the inherently-sequential EWMA, and the per-partition-
-    # stateful Misra-Gries sketch
+    # stateful Misra-Gries sketch (benched query + its driver-attested
+    # invariant verification)
+    # ... and the merge-table BPE tokenizer (iterated order-dependent
+    # rewrite per word — the tokenizer boundary every real pipeline
+    # runs as a batch UDF)
     if not name.startswith("multimodal_") and name not in (
         "ewma_value",
         "heavy_hitter_tokens",
+        "heavy_hitter_verify",
+        "bpe_encode_stats",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan

@@ -88,3 +88,39 @@ def test_scrub_pii_goldens(spark):
 def test_clean_text_golden(spark):
     df = spark.createDataFrame([(0, "  a \t b\n\nc  ")], "doc_id long, text string")
     assert df.select(tx.clean_text("text").alias("x")).collect()[0]["x"] == "a b c"
+
+
+def test_bpe_merges_well_formed():
+    """Every merge component must be a single char or the product of an
+    earlier merge — the property that makes rank-order application
+    equivalent to true iterative BPE (operators/text.BPE_MERGES doc)."""
+    formed = set()
+    for a, b in tx.BPE_MERGES:
+        for comp in (a, b):
+            assert len(comp) == 1 or comp in formed, (
+                f"merge component {comp!r} not buildable before its rule"
+            )
+        formed.add(a + b)
+
+
+def test_bpe_encode_word_goldens():
+    assert tx.bpe_encode_word("the") == ["the"]
+    assert tx.bpe_encode_word("birth") == ["b", "i", "r", "th"]
+    assert tx.bpe_encode_word("standing") == ["st", "and", "ing"]
+    assert tx.bpe_encode_word("x") == ["x"]
+    assert tx.bpe_encode_word("") == []
+    # case-sensitive: uppercase never matches the lowercase table
+    assert tx.bpe_encode_word("THE") == ["T", "H", "E"]
+
+
+def test_bpe_encode_distributed_matches_reference(spark, edge_docs):
+    """The Arrow-batched encoder must equal the pure-Python reference
+    (pre-split + per-word merge fold) on every edge doc."""
+    import re
+
+    pat = re.compile(tx.BPE_SPLIT_RE)
+    got = _col(tx.bpe_encode(edge_docs), F.col("bpe_tokens"))
+    texts = {r["doc_id"]: r["text"] for r in edge_docs.collect()}
+    for doc_id, text in texts.items():
+        ref = [t for w in pat.findall(text) for t in tx.bpe_encode_word(w)]
+        assert list(got[doc_id]) == ref, f"doc {doc_id}: {got[doc_id]} != {ref}"

@@ -2,8 +2,58 @@
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+
+def cached_store(build: Callable[[str], None], prefix: str, key_material: str) -> str:
+    """Build-once on-disk store with an ATOMIC publish.
+
+    ``key_material`` must encode everything the store's content depends
+    on — source path, mtime, AND build parameters/algorithm version — so
+    a parameter change can never silently reuse a stale store. The build
+    writes into a unique scratch dir and publishes via ``os.rename``
+    (atomic on POSIX): concurrent sessions either see the complete store
+    or build their own candidate; the rename loser discards its scratch
+    and reads the winner's — no torn reads, no clobbering mid-write.
+
+    This is a local-disk stand-in for what a cluster deployment does
+    with a metastore table + overwrite-by-version; the keying/atomicity
+    contract is the same.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    key = hashlib.md5(key_material.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    # Completeness marker is OURS, touched after build() returns — NOT
+    # parquet's _SUCCESS: a dynamic-partition-overwrite write commits
+    # per partition and leaves no root _SUCCESS, so keying on it made
+    # every lookup a miss and silently rebuilt the store on every query
+    # invocation (measured: the entire "pruned path slower than raw
+    # scan" regression was this rebuild, not the layout).
+    if not os.path.exists(os.path.join(path, "_STORE_COMPLETE")):
+        scratch = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        build(scratch)
+        open(os.path.join(scratch, "_STORE_COMPLETE"), "w").close()
+        try:
+            os.rename(scratch, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "_STORE_COMPLETE")):
+                # lost the publish race — another session renamed first;
+                # drop our candidate and use theirs
+                shutil.rmtree(scratch, ignore_errors=True)
+            else:
+                # a torn dir from a crashed legacy writer occupies the
+                # slot: replace it with our complete candidate
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(scratch, path)
+    return path
 
 
 def pin(df: DataFrame) -> DataFrame:

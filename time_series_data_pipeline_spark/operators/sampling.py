@@ -45,12 +45,14 @@ def stratified_sample(
     # rather than as (frac * BUCKETS).cast('long') in the plan: the cast
     # TRUNCATES while other engines' CAST rounds, so an inexact double
     # product (0.15 * 1e6 = 149999.99999999997) would disagree by one
-    # bucket across engines.
+    # bucket across engines. Half-AWAY-FROM-ZERO (+0.5 then truncate),
+    # not Python round()'s half-to-even: the documented oracle CAST
+    # semantics round .5 up, and the two differ at exact-.5 products.
     cutoff = F.create_map(
         *[
             F.lit(x)
             for stratum, frac in fractions.items()
-            for x in (stratum, int(round(frac * BUCKETS)))
+            for x in (stratum, int(frac * BUCKETS + 0.5))
         ]
     )[F.col(strata_col)]
     return df.filter(

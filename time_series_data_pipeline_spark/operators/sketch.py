@@ -76,8 +76,17 @@ def heavy_hitters(
 
     ``top=None`` returns every merged tracked item with no global sort —
     the form the invariant attestation (tests) consumes.
+
+    NULL items are excluded up front (documented choice): pandas
+    ``value_counts`` drops NaN/None, so nulls would otherwise vanish
+    from the sketch silently; a null token is not a meaningful heavy
+    hitter, and the explicit filter keeps the sketch's n (and therefore
+    its n/k guarantee threshold) defined over the same non-null multiset
+    the exact-count verification uses.
     """
-    items = df.select(F.col(item_col).cast("string").alias("item"))
+    items = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     summaries = items.mapInPandas(_mg_partition(k), schema="item string, cnt long")
     merged = summaries.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     if top is None:

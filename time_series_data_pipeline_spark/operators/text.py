@@ -71,6 +71,85 @@ def bpe_tokens(text: str | Column = "text") -> Column:
     return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
 
 
+#: Demo BPE merge table (byte-pair encoding, Sennrich et al. 2016),
+#: WELL-FORMED: every component is a single character or the product of
+#: an EARLIER merge. Well-formedness is what makes rank-order
+#: application (one left-to-right pass per rule) equivalent to the
+#: iterative lowest-rank-pair loop: a rule's components can never be
+#: (re)created by a later rule, so no earlier rule becomes applicable
+#: again. A production deployment swaps in a real learned table (e.g. a
+#: tokenizer's merges.txt) — the encoder takes any well-formed list.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("a", "l"), ("o", "u"),
+    ("i", "t"), ("i", "s"), ("in", "g"), ("an", "d"), ("t", "o"),
+    ("o", "f"), ("l", "e"), ("m", "e"), ("d", "e"), ("h", "i"),
+    ("c", "o"), ("r", "o"), ("u", "s"), ("e", "d"), ("a", "s"),
+)
+
+
+def bpe_encode_word(word: str, merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> list[str]:
+    """Reference BPE encoder for ONE pre-token: start from characters,
+    apply each merge rule in rank order with a single left-to-right
+    pass, merging every occurrence. Pure Python — the golden model the
+    distributed encoder and the SQL oracle are both tested against."""
+    toks = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """True merge-table BPE encoding: appends ``bpe_tokens``
+    (array<string>) to the frame.
+
+    This is the sanctioned Arrow boundary for tokenization: merge-table
+    encoding is an iterated, order-dependent rewrite per word — the
+    same inherently-sequential shape as EWMA — and real pipelines run
+    their tokenizer (HF/sentencepiece) exactly here, as a vectorized
+    batch UDF. The Python cost is bounded by DISTINCT words per batch,
+    not tokens: an lru_cache memoizes per-word encodings, so a natural-
+    language batch (Zipfian vocabulary) encodes each common word once.
+    Narrow/map-only — zero shuffle; scales linearly with documents.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(BPE_SPLIT_RE)
+
+    def _enc_fn(col):
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 16)
+        def enc_word(w):
+            return tuple(bpe_encode_word(w, merges))
+
+        return col.map(
+            lambda t: [tok for w in pat.findall(t or "") for tok in enc_word(w)]
+        )
+
+    # real (non-string) annotations: the module's `from __future__ import
+    # annotations` would stringify inline hints and break pandas_udf's
+    # eval-type inference
+    _enc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    _enc = pandas_udf(_enc_fn, "array<string>")
+
+    return df.withColumn("bpe_tokens", _enc(F.col(text_col)))
+
+
 #: Scrub patterns — deliberately RE2-compatible (no backrefs or
 #: lookaround) so the DuckDB oracle applies the identical regex.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

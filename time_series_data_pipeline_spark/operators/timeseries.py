@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import pin as _pin
+
 
 def _dec(col: str | Column, scale: int = 2) -> Column:
     """Exact-decimal cast so SUM/AVG are associative → deterministic
@@ -96,29 +98,47 @@ def gap_fill(
     value_col: str,
     window: str = "5 minutes",
     window_seconds: int = 300,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Flux ``aggregateWindow(..., createEmpty: true)``: every bucket in
     [min, max] appears, empty ones with n_events=0 / avg NULL.
 
+    ``keys`` makes the fill PER SERIES — the Flux semantics, where
+    ``createEmpty`` operates per table (= per ``_field``/tag series), so
+    every series gets the full bucket spine of the queried range. With
+    no keys the single pre-filtered series form is preserved.
+
     The spine is `sequence(min_bucket, max_bucket, step)` exploded from a
     single aggregated row — its size is time-range/step, independent of
-    input volume, so the left join's build side stays tiny at any scale.
+    input volume. The per-series grid is spine × distinct(keys): series
+    count is bounded (fields × tags, not rows), so the grid stays tiny
+    and the left join's build side (the already-aggregated buckets) is
+    buckets × series — both post-aggregation sizes that survive any raw
+    volume.
     """
+    keys = list(keys or [])
     agg = (
-        df.groupBy(F.window(ts_col, window).alias("w"))
+        df.groupBy(F.window(ts_col, window).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(_dec(value_col)).cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
-        .select(F.col("w.start").alias("bucket"), "n_events", "avg_value")
+        .select(F.col("w.start").alias("bucket"), *keys, "n_events", "avg_value")
     )
+    agg = _pin(agg) if keys else agg
     spine = agg.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx")).select(
         F.explode(
             F.sequence("mn", "mx", F.expr(f"INTERVAL {window_seconds} SECONDS"))
         ).alias("bucket")
     )
-    return spine.join(F.broadcast(agg), "bucket", "left").select(
+    if keys:
+        # global [min, max] spine crossed with every observed series:
+        # each series is filled over the same queried range (Flux range()
+        # applies to the whole query, not per series)
+        spine = spine.crossJoin(agg.select(*keys).distinct())
+    return spine.join(F.broadcast(agg), ["bucket", *keys], "left").select(
         "bucket",
+        *keys,
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "avg_value",
     )
@@ -174,26 +194,33 @@ def gap_fill_interpolated(
     value_col: str,
     window: str = "5 minutes",
     window_seconds: int = 300,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Gap-fill with LINEAR INTERPOLATION: empty buckets get a value on
     the straight line between the nearest observed buckets (NULL at the
     edges where only one side exists) — Flux's ``interpolate.linear``
-    counterpart to `gap_fill`'s createEmpty.
+    counterpart to `gap_fill`'s createEmpty. ``keys`` interpolates each
+    series independently (per-``_field``, the Flux per-table semantics).
 
     Shape: the spine join from `gap_fill`, then two window passes over
     the (tiny) bucket series: carry the previous/next observed (bucket,
-    value) as atomic structs and weight by bucket distance. The window
-    operates on rows = time-range/step — independent of raw volume.
-    """
-    filled = gap_fill(df, ts_col, value_col, window, window_seconds)
+    value) as atomic structs and weight by bucket distance. The windows
+    are PARTITIONED BY the series keys, so state per task is one series'
+    spine — rows = time-range/step per series, independent of raw
+    volume, and the single-partition window of the keyless form never
+    appears at scale."""
+    keys = list(keys or [])
+    filled = gap_fill(df, ts_col, value_col, window, window_seconds, keys)
     obs = F.when(
         F.col("n_events") > 0, F.struct(F.col("bucket"), F.col("avg_value"))
     )
     w_prev = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        Window.partitionBy(*keys).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_next = (
-        Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy(*keys).orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
     )
     prev = F.last(obs, ignorenulls=True).over(w_prev)
     nxt = F.first(obs, ignorenulls=True).over(w_next)
@@ -204,6 +231,7 @@ def gap_fill_interpolated(
     )
     return filled.select(
         "bucket",
+        *keys,
         "n_events",
         "avg_value",
         F.when(F.col("n_events") > 0, F.col("avg_value"))

@@ -118,40 +118,50 @@ def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gap_fill_5m",
-    # Covers BOTH gap-fill modes in one result: createEmpty (bucket,
-    # n_events, avg_value with empties at 0/NULL) AND linear
-    # interpolation (interp_value) — the interpolated output is a strict
-    # superset of the plain gap-fill's columns.
+    # PER-SERIES gap-fill (keys=[event_type]): every series gets the
+    # full bucket spine of the queried range — the Flux semantics, where
+    # createEmpty/interpolate operate per table (= per _field series;
+    # every reference Grafana panel is per-field). Covers BOTH modes in
+    # one result: createEmpty (n_events=0 / avg NULL empties) AND linear
+    # interpolation (interp_value), interpolated independently per
+    # series.
     oracle="""
     WITH a AS (
-      SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS bucket,
+      SELECT event_type,
+             make_timestamp((epoch_us(ts)//300000000)*300000000) AS bucket,
              COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1
+      FROM events GROUP BY 1, 2
     ),
     spine AS (
       SELECT unnest(generate_series(min(bucket), max(bucket), INTERVAL 5 MINUTE)) AS bucket
       FROM a
     ),
+    grid AS (
+      SELECT k.event_type, s.bucket
+      FROM (SELECT DISTINCT event_type FROM a) k CROSS JOIN spine s
+    ),
     filled AS (
-      SELECT spine.bucket AS bucket,
+      SELECT grid.event_type, grid.bucket,
              COALESCE(a.n_events, 0) AS n_events,
              a.avg_value AS avg_value
-      FROM spine LEFT JOIN a USING (bucket)
+      FROM grid LEFT JOIN a USING (event_type, bucket)
     ),
     ctx AS (
       SELECT *,
         last_value(CASE WHEN n_events > 0
                         THEN {'b': bucket, 'v': avg_value} END IGNORE NULLS)
-          OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS p,
         first_value(CASE WHEN n_events > 0
                          THEN {'b': bucket, 'v': avg_value} END IGNORE NULLS)
-          OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
           AS nx
       FROM filled
     )
-    SELECT bucket, n_events, avg_value,
+    SELECT bucket, event_type, n_events, avg_value,
            CASE WHEN n_events > 0 THEN avg_value
                 ELSE p.v + ((nx.v - p.v)
                             * CAST(epoch_us(bucket) - epoch_us(p.b) AS DOUBLE))
@@ -162,12 +172,15 @@ def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gap_fill_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux `aggregateWindow(..., createEmpty: true)` + linear
-    interpolation (Flux interpolate.linear): every 5-minute bucket
-    between first and last purchase appears — empty ones with n_events=0
-    and an interpolated value on the line between nearest observed
-    buckets."""
-    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    return ts_ops.gap_fill_interpolated(ev, "ts", "value", "5 minutes", 300)
+    interpolation (Flux interpolate.linear), PER SERIES: every 5-minute
+    bucket of the query range appears for every event_type series —
+    empty ones with n_events=0 and a value interpolated on the line
+    between that series' nearest observed buckets (photo/
+    use-variable.png line 5: aggregateWindow is per-_field)."""
+    ev = table(spark, sf_dir, "events")
+    return ts_ops.gap_fill_interpolated(
+        ev, "ts", "value", "5 minutes", 300, keys=["event_type"]
+    )
 
 
 @query(
@@ -509,24 +522,40 @@ def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bump when the bucket layout/build changes — part of the cache key.
+_EVENT_BUCKET_VERSION = "layout-v2"
+
+#: Per-session DataFrame handles for materialized bucket stores. A
+#: production deployment registers the bucket as a metastore TABLE once,
+#: and every query plans against its cached file index; re-calling
+#: ``spark.read.parquet`` per query instead re-lists every day-partition
+#: directory and re-reads footers — measured ~0.3 s/query of pure
+#: driver-side overhead at 30 partitions, and growing with partition
+#: count. NOTE: this caches the file INDEX (plan metadata), not data —
+#: executors still read parquet on every run, and partition pruning
+#: still happens per query against the cached index.
+_BUCKET_DF: dict[tuple[int, str], DataFrame] = {}
+
+
 def _event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events materialized ONCE per corpus version into the bucket
     layout (partitionBy(_measurement, _date) + field/time sort) — the
     storage contract SCALE.md §1 describes. Queries served off this path
     read only the pruned day-partitions and row-group-skipped fields,
-    the honest analog of the reference's indexed TSM store."""
-    import hashlib
+    the honest analog of the reference's indexed TSM store. Keyed by
+    source mtime + layout version; atomic-rename publish
+    (operators/_util.cached_store)."""
     import os
-    import tempfile
+
+    from ..operators._util import cached_store
 
     src = os.path.join(sf_dir, "events.parquet")
     try:
         mtime = int(os.path.getmtime(src))
     except OSError:
         mtime = 0
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"tsdp_event_bucket_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _build(scratch: str) -> None:
         ev = table(spark, sf_dir, "events")
         long_df = ev.select(
             F.col("ts").alias("_time"),
@@ -535,8 +564,17 @@ def _event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("_value"),
             F.create_map().cast("map<string,string>").alias("tags"),
         )
-        bkt.write_bucket(long_df, path, mode="overwrite")
-    return bkt.read_bucket(spark, path)
+        bkt.write_bucket(long_df, scratch, mode="overwrite")
+
+    path = cached_store(
+        _build,
+        "tsdp_event_bucket",
+        f"{os.path.abspath(sf_dir)}:{mtime}:{_EVENT_BUCKET_VERSION}",
+    )
+    key = (id(spark), path)
+    if key not in _BUCKET_DF:
+        _BUCKET_DF[key] = bkt.read_bucket(spark, path)
+    return _BUCKET_DF[key]
 
 
 @query(
@@ -586,7 +624,7 @@ def window_5m_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a sketch drifting out of tolerance breaks the value-hash.
     oracle="""
     SELECT event_type, CAST(0 AS BIGINT) AS n_violations
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
 )
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,7 +642,14 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two scans + one 5-row broadcast join — no per-row Python."""
     acc = 10000
     eps = 1.0 / acc
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    # null values are excluded up front: percentile_approx already skips
+    # them, but count(*) would include them, so a null-bearing group
+    # would spuriously violate (or null-out) the all-zeros attestation
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("a50"),
         F.percentile_approx("value", F.lit(0.9), F.lit(acc)).alias("a90"),

@@ -101,7 +101,13 @@ def write_bucket(df: DataFrame, path: str, mode: str = "append") -> None:
 
 
 def read_bucket(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("_date")
+    """Read the bucket WITH its ``_date`` partition column: `scan`
+    derives a partition predicate from the time range off it — dropping
+    it here would leave only the row-level ``_time`` filter, which
+    parquet row-group stats can skip but directory pruning cannot see
+    (measured: the difference between listing/reading every
+    day-partition and touching only the queried days)."""
+    return spark.read.parquet(path)
 
 
 def compact_bucket(
@@ -149,17 +155,32 @@ def scan(
     1-4): ``from(bucket) |> range(start, stop) |> filter(_measurement)
     |> filter(_field)``. Range is half-open ``[start, stop)``.
 
-    All three predicates are plain comparisons, so Catalyst pushes them
-    to the scan: measurement + date prune directories, field/time prune
-    row groups (see module doc).
+    All predicates are plain comparisons, so Catalyst pushes them to
+    the scan: measurement + date prune directories, field/time prune
+    row groups (see module doc). When the frame carries the ``_date``
+    partition column, the time range is ALSO applied to it —
+    ``_date ∈ [date(start), date(stop)]`` is implied by ``_time ∈
+    [start, stop)`` since ``_date = to_date(_time)`` — which is what
+    turns the range into PartitionFilters (directory pruning at
+    planning time) instead of a row-level filter evaluated after every
+    partition has been listed and opened.
     """
     out = bucket
+    has_date = "_date" in bucket.columns
+    as_col = lambda x: F.lit(x) if isinstance(x, str) else x  # noqa: E731
     if measurement is not None:
         out = out.filter(F.col("_measurement") == measurement)
     if start is not None:
         out = out.filter(F.col("_time") >= start)
+        if has_date:
+            out = out.filter(F.col("_date") >= F.to_date(as_col(start)))
     if stop is not None:
         out = out.filter(F.col("_time") < stop)
+        if has_date:
+            # _date is day-truncated, so the half-open _time bound maps
+            # to an INCLUSIVE date bound (stop's own day can still hold
+            # rows with _time < stop)
+            out = out.filter(F.col("_date") <= F.to_date(as_col(stop)))
     if field is not None:
         out = out.filter(F.col("_field") == field)
     return out
