@@ -60,6 +60,24 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, emb):
     assert len(bf & r8) >= len(bf & r4)
 
 
+def test_cosine_pairs_kernels_agree(spark, emb):
+    """The BLAS (cogrouped-Arrow matmul) and pure-SQL kernels of exact
+    all-pairs cosine must return the identical pair set with identical
+    rounded sims — the kernel changes the per-cell engine, never the
+    semantics. (The BLAS pre-filter keeps a half-quantum + 1e-9 margin
+    and the authoritative round/threshold decision is JVM-side.)"""
+    blas = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sim.cosine_pairs(emb, threshold=0.3, kernel="blas").collect()
+    }
+    sql = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sim.cosine_pairs(emb, threshold=0.3, kernel="sql").collect()
+    }
+    assert blas == sql
+    assert blas  # non-vacuous
+
+
 def test_lsh_ann_recall_regimes(spark, emb):
     """Sign-LSH recall grows with true similarity: the (80-plane,
     16-band, r=5) default holds >= 0.7 even at the weak cos>=0.3 regime

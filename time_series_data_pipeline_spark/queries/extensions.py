@@ -129,26 +129,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_lsh_pairs")  # rows-only: probabilistic recall — see minhash_lsh_verify
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 near-dup (scale form): MinHash(64) + LSH banding (r=2, b=32;
+    candidate recall ≈ 0.9999 at j=0.5) + exact jaccard verification of
+    the candidates ONLY — the standard production shape, and the cost a
+    real pipeline pays. The benched query is the pure sketch path
+    (heavy_hitter_tokens precedent: never bundle the exact brute-force
+    audit the sketch exists to avoid into the benched plan); the exact
+    AllPairs cross-check lives in the non-benched, driver-hash-verified
+    minhash_lsh_verify. Precision is exact by construction (candidates
+    filtered by TRUE jaccard); per-pair LSH equality at pinned sfs stays
+    in tests/test_extensions_selfcheck.py.
+    """
+    docs = table(spark, sf_dir, "documents")
+    store = _shingle_store(spark, sf_dir)
+    return dd.minhash_lsh_pairs(
+        docs, threshold=0.5, shingle_sets=store, exact_verify=True
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query(
-    "minhash_lsh_pairs",
-    # RECALL-BOUND ATTESTATION (the value_percentiles_approx pattern):
-    # the pipeline is probabilistic — LSH banding (r=2, b=32) has a
-    # ~1e-4 per-pair miss probability at j=0.5 — so registering the
-    # brute-force pair list as an exact oracle was one missed pair away
-    # from a red gate on any unpinned corpus. Instead the query verifies
-    # ITSELF against the exact AllPairs join (shared shingle store, so
-    # the exact side is the same prefix-filtered jaccard_pairs the
-    # driver already hash-verifies pair-by-pair) and returns
-    # (n_exact_pairs, recall_ok): n_exact_pairs is deterministic and
-    # cross-checked against DuckDB's brute force; recall_ok attests
-    # misses <= max(1, 1% of true pairs) — ~100x looser than the
-    # theoretical miss rate, so it holds on ANY corpus/sf, while a
-    # genuinely broken banding (systematic misses) still flips it and
-    # breaks the hash. Precision needs no bound: exact_verify filters
-    # candidates by TRUE jaccard, so false positives are impossible by
-    # construction. The exact pair LIST stays driver-verified via
-    # ngram_jaccard_pairs; per-pair LSH equality at the pinned sfs stays
-    # in tests/test_extensions_selfcheck.py.
+    "minhash_lsh_verify",
+    # RECALL-BOUND ATTESTATION (the value_percentiles_approx /
+    # heavy_hitter_verify pattern): the pipeline is probabilistic — LSH
+    # banding (r=2, b=32) has a ~1e-4 per-pair miss probability at
+    # j=0.5 — so registering the brute-force pair list as an exact
+    # oracle was one missed pair away from a red gate on any unpinned
+    # corpus. This query verifies the LSH output against the exact
+    # AllPairs join (shared shingle store, so the exact side is the same
+    # prefix-filtered jaccard_pairs the driver already hash-verifies
+    # pair-by-pair) and returns (n_exact_pairs, recall_ok):
+    # n_exact_pairs is deterministic and cross-checked against DuckDB's
+    # brute force; recall_ok attests misses <= max(1, 1% of true pairs)
+    # — ~100x looser than the theoretical miss rate, so it holds on ANY
+    # corpus/sf, while a genuinely broken banding (systematic misses)
+    # still flips it and breaks the hash. The exact-join shuffle belongs
+    # HERE — the benched minhash_lsh_pairs stays the pure LSH cost.
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS __t FROM documents
@@ -165,15 +182,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM p
     """,
 )
-def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 near-dup (scale form): MinHash(64) + LSH banding (r=2, b=32;
-    candidate recall ≈ 0.9999 at j=0.5) + exact jaccard verification of
-    candidates, self-attested against the exact AllPairs join (see
-    oracle comment). Shingles come from the shared materialized store,
-    so the benched cost is LSH + the exact audit off the same pinned
-    arrays (the pure-LSH pipeline cost is the candidate/verify portion;
-    the exact side's standalone cost is benched as ngram_jaccard_pairs).
-    """
+def minhash_lsh_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall attestation for minhash_lsh_pairs (see oracle comment):
+    joins the LSH pair list against the exact AllPairs join and attests
+    misses <= max(1, 1% of true pairs)."""
     docs = table(spark, sf_dir, "documents")
     store = _shingle_store(spark, sf_dir)
     exact = dd.jaccard_pairs(docs, threshold=0.5, shingle_sets=store).select(
