@@ -52,6 +52,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64 nanoseconds → TimestampType(µs). Integer DIV, not float
         # division — ns-since-epoch exceeds double's 2^53 exact range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Parquet written without isAdjustedToUTC surfaces as TIMESTAMP_NTZ in
+    # Spark 4; DuckDB reads the same file as a naive TIMESTAMP. Under the
+    # UTC session tz an NTZ→LTZ cast is wall-clock identical, and it keeps
+    # the whole engine on one timestamp type (unix_micros & co. require it).
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
