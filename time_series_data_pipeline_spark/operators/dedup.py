@@ -375,3 +375,52 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_overlap_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Benchmark-decontamination overlap: for every (probe doc, corpus
+    doc) pair sharing at least one word ``n``-gram, the count of shared
+    DISTINCT n-grams — the standard test-set-contamination check run
+    before LLM training (exact n-gram overlap, the GPT-3 appendix-C /
+    PaLM methodology, restated as an inverted-index join).
+
+    Shape: explode each side's distinct n-grams, equi-join on the gram
+    HASH (never the raw gram text — at 100 TB the shuffle moves 16-byte
+    keys, not 50-char strings), then one (probe, corpus) group-count.
+    Work is Σ df_probe(g)·df_corpus(g) over shared grams — the probe
+    side (a benchmark set) is tiny, so postings stay skew-free; a probe
+    gram appearing in half the corpus is itself the contamination signal
+    being measured. ``hash_fn='md5'`` (16-hex-char prefix) is
+    cross-engine replayable for the oracle; 'xxhash64' is the scale form
+    (8-byte longs, same join shape).
+    """
+    from .text import ngrams, spread_small_scan, tokens
+
+    if hash_fn == "md5":
+        def h(c: Column) -> Column:
+            return F.substring(F.md5(c), 1, 16)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64  # type: ignore[assignment]
+    else:
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        g = F.array_distinct(ngrams(tokens(text_col), n))
+        return spread_small_scan(df).select(
+            F.col(id_col).alias(out_id), F.explode(g).alias("__g")
+        ).select(out_id, h(F.col("__g")).alias("__gh"))
+
+    p = grams(probe, "probe_id")
+    c = grams(corpus, "corpus_id")
+    return (
+        p.join(c, "__gh")
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

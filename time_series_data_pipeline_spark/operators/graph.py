@@ -1,0 +1,127 @@
+"""Graph operators for dedup clustering: connected components over a
+near-duplicate pair list.
+
+A pair list (id_a, id_b) is only half a dedup pipeline — acting on it
+requires grouping pairs into clusters (a≈b, b≈c ⇒ {a,b,c} is ONE
+duplicate group) and electing a canonical keeper per cluster. That is
+connected components over the similarity graph, the step every
+production dedup run (e.g. the MinHashLSH → components → keep-one
+pipelines described in the deduplication literature) performs between
+pair generation and row deletion.
+
+Algorithm: iterated min-label propagation ("hash-min" — Rastogi et al.,
+'Finding Connected Components in Map-Reduce in Logarithmic Rounds',
+and the simple baseline of Kiveris et al.'s 'Connected Components in
+MapReduce and Beyond', whose large-star/small-star rounds are the
+upgrade path if diameters ever grow). Each round every node adopts the
+minimum label among itself and its neighbors; rounds = graph diameter.
+Near-dup similarity graphs are unions of small dense cliques — observed
+diameters are 1-3 — so the round count is tiny and independent of
+corpus size.
+
+Scale shape per round: one shuffle of the EDGE list (keyed by dst) + a
+min-combine — edges are the near-dup pair list, orders of magnitude
+smaller than the corpus; the corpus itself never enters the loop. The
+convergence check is a single aggregated scalar per round (the same
+driver-side pattern GraphX/GraphFrames use); each round's label frame
+is pinned and the previous round's unpersisted, so lineage stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = the minimum node id in the node's connected component.
+
+    Deterministic for any partitioning (min is order-insensitive).
+    Raises if the diameter exceeds ``max_iter`` rounds rather than
+    returning a half-propagated labeling.
+    """
+    # Pin the incoming pair list FIRST: the bidirectional mirror places
+    # the upstream plan (often a full near-dup join) in BOTH union
+    # branches, and without the pin each branch re-executes it. The
+    # count() is deliberate: a lazily-persisted frame referenced from
+    # several branches of one action gets computed CONCURRENTLY by each
+    # branch on the cold run (cache population races) — materializing
+    # it with its own cheap action first guarantees the expensive
+    # upstream plan runs exactly once.
+    p0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    p0.count()
+    # Materialize the (small) bidirectional edge list once; every round
+    # joins against it.
+    e = (
+        p0.union(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    ).persist()
+
+    prev = labels
+    for _ in range(max_iter):
+        # neighbor minimum: for each v, min over u-neighbors' labels
+        nbr_min = (
+            e.join(prev.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            prev.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_component", "component") < F.col("component"))
+                .alias("__changed"),
+            )
+        ).persist()
+        # The scalar convergence probe is also the action that
+        # materializes this round's cache — afterwards the previous
+        # round's cache can go, and lineage never stacks up.
+        n_changed = (
+            new_labels.agg(F.sum(F.col("__changed").cast("long")).alias("n"))
+            .collect()[0]["n"]
+        )
+        prev.unpersist()
+        prev = new_labels
+        if not n_changed:
+            e.unpersist()
+            p0.unpersist()
+            # thin projection over the (still-cached) final frame — the
+            # caller-facing pin; bench/driver clearCache releases it
+            return new_labels.drop("__changed")
+    e.unpersist()
+    p0.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(diameter too large — switch to large-star/small-star)"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup pair list → actionable dedup assignment: one row per
+    document that appears in any pair, with its ``cluster_id`` (min doc
+    id in the component) and ``is_keeper`` (the canonical survivor —
+    everything else in the cluster is the delete set). Documents in no
+    pair are implicitly their own keepers and are not emitted."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

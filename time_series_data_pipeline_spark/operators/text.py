@@ -41,21 +41,26 @@ def tokens(text: str | Column = "text") -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 
 
-def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as space-joined strings.
+def ngrams(tok: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams as space-joined strings.
 
     Built from n shifted slices zipped together — NOT element_at over a
     generated index array: `tok` is usually a lazy expression (split+
     filter), and element_at inside transform re-evaluates it per lookup
     (O(len²) per document). Slicing evaluates it a constant n+1 times.
-    Short docs (< n tokens) yield an empty set via the clamped length.
+    Short docs (< n tokens) yield an empty array via the clamped length.
     """
     ln = F.greatest(F.size(tok) - (n - 1), F.lit(0))
     parts = [F.slice(tok, F.lit(k + 1), ln) for k in range(n)]
     gram = parts[0]
     for p in parts[1:]:
         gram = F.zip_with(gram, p, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(gram)
+    return gram
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as space-joined strings (see ngrams)."""
+    return F.array_distinct(ngrams(tok, n))
 
 
 #: BPE-ish pre-tokenizer split: letter runs | digit runs | single
@@ -340,6 +345,76 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("und"))
     )
     return df.withColumn("predicted_lang", pred).drop("__toks")
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_max: float = 0.20,
+    dup_trigram_max: float = 0.30,
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters — Rae
+    et al. 2021 §A1.1 — restated over word n-grams): per document,
+
+    - ``dup_token_frac``: fraction of token occurrences that are repeats
+      of an earlier token ((n - n_distinct) / n);
+    - ``top_bigram_frac``: occurrences of the single most frequent
+      bigram over all bigram occurrences — boilerplate / keyword-stuffed
+      pages score high;
+    - ``dup_trigram_frac``: fraction of trigram occurrences that are
+      duplicates ((m - m_distinct) / m);
+    - ``repetitive``: either dominance signal above its threshold.
+
+    Shape: ENTIRELY in-row — the gram arrays are materialized once per
+    row (pinned: the persist is the barrier that stops CollapseProject
+    from inlining the ngram construction into every lookup of the O(m²)
+    bigram-mode pass — the winnow_fingerprints lesson), then everything
+    is size/array_distinct plus one count-equal pass over the pinned
+    arrays. ZERO shuffle; scales linearly with documents (m ~ tokens/doc
+    is corpus-bounded, not scale-bound). Fractions are exact-int
+    divisions → bit-identical across engines.
+    """
+    from ._util import pin as _pin
+
+    c = F.col(id_col)
+    t = tokens(text_col)
+    g = _pin(
+        spread_small_scan(df).select(
+            c,
+            t.alias("__t"),
+            ngrams(t, 2).alias("__bg"),
+            ngrams(t, 3).alias("__tg"),
+        )
+    )
+    n = F.size("__t").cast("long")
+    top_bg = F.array_max(
+        F.transform(
+            "__bg",
+            lambda x: F.size(F.filter("__bg", lambda y: y == x)),
+        )
+    )
+    top_bigram_frac = F.try_divide(top_bg.cast("double"), F.size("__bg"))
+    dup_tri = F.size("__tg") - F.size(F.array_distinct("__tg"))
+    dup_trigram_frac = F.try_divide(dup_tri.cast("double"), F.size("__tg"))
+    return g.select(
+        c,
+        n.alias("n_tokens"),
+        F.try_divide(
+            (n - F.size(F.array_distinct("__t"))).cast("double"), n
+        ).alias("dup_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+        (
+            # the bigram-dominance signal requires an actual repeat —
+            # otherwise every short doc (< 1/threshold bigrams, top
+            # count 1) would be flagged by arithmetic alone
+            F.coalesce(
+                (top_bg >= 2) & (top_bigram_frac > top_bigram_max), F.lit(False)
+            )
+            | F.coalesce(dup_trigram_frac > dup_trigram_max, F.lit(False))
+        ).alias("repetitive"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

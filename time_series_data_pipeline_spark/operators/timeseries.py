@@ -380,6 +380,63 @@ def last_value_per_group(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-series outlier detection via the median absolute
+    deviation: a point is an outlier when |v - median| > k · 1.4826 ·
+    MAD (1.4826 scales MAD to σ under normality — Hampel's rule).
+    Unlike the rolling z-score, median/MAD do not move when the
+    outliers themselves are extreme, so a single huge spike can't mask
+    its neighbors.
+
+    Returns one row per series: n_points, median_value, mad,
+    n_outliers, outlier_frac.
+
+    Shape: two grouped exact-median aggregations over the same
+    shuffle key plus two broadcast joins of per-key scalars back onto
+    the stream — the fact table shuffles on the series key (it must:
+    exact medians are holistic), never on anything wider, and the
+    second pass reuses the same partitioning. Null values are excluded
+    up front (a null would poison abs-dev comparisons). The
+    median/MAD scalars are rounded to 6 dp BEFORE the comparison so
+    the classification is replayable bit-for-bit by the SQL oracle
+    (both engines compare against the identical rounded cutoff).
+    """
+    v = df.filter(F.col(value_col).isNotNull()).select(*keys, value_col)
+    med = v.groupBy(*keys).agg(
+        F.round(F.median(value_col), 6).alias("median_value")
+    )
+    dev = v.join(F.broadcast(med), keys).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("median_value"))
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.round(F.median("__adev"), 6).alias("mad"),
+    )
+    cutoff = F.round(F.lit(k) * F.lit(1.4826) * F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .groupBy(*keys, "median_value", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("__adev") > cutoff).cast("long")).alias("n_outliers"),
+        )
+        .select(
+            *keys,
+            "n_points",
+            "median_value",
+            "mad",
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n_points")).alias(
+                "outlier_frac"
+            ),
+        )
+    )
+
+
 def resample(
     df: DataFrame,
     ts_col: str,

@@ -964,3 +964,144 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(docs, n_frames=4)
 
 
+
+
+@query(
+    "doc_repetition",
+    # Every fraction is an exact-int division (correctly rounded in
+    # both engines), so the whole profile hash-verifies with no rounding
+    # slack at all.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
+    g AS (
+      SELECT doc_id, __t,
+             list_transform(range(1, len(__t)),
+               i -> __t[CAST(i AS INTEGER)] || ' '
+                    || __t[CAST(i AS INTEGER) + 1]) AS bg,
+             list_transform(range(1, len(__t) - 1),
+               i -> __t[CAST(i AS INTEGER)] || ' '
+                    || __t[CAST(i AS INTEGER) + 1] || ' '
+                    || __t[CAST(i AS INTEGER) + 2]) AS tg
+      FROM t
+    )
+    SELECT doc_id,
+           len(__t)::BIGINT AS n_tokens,
+           CASE WHEN len(__t) > 0
+                THEN CAST(len(__t) - len(list_distinct(__t)) AS DOUBLE) / len(__t)
+           END AS dup_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN CAST(list_max(list_transform(bg,
+                       x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+           END AS top_bigram_frac,
+           CASE WHEN len(tg) > 0
+                THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+           END AS dup_trigram_frac,
+           coalesce(list_max(list_transform(bg,
+                      x -> len(list_filter(bg, y -> y = x)))) >= 2
+                    AND CASE WHEN len(bg) > 0
+                THEN CAST(list_max(list_transform(bg,
+                       x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+           END > 0.20, FALSE)
+           OR coalesce(CASE WHEN len(tg) > 0
+                THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+           END > 0.30, FALSE) AS repetitive
+    FROM g
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality filtering, repetition signals (the Gopher filters —
+    Rae et al. 2021 — over word n-grams): duplicate-token fraction,
+    most-frequent-bigram dominance, duplicate-trigram fraction, and the
+    composite `repetitive` flag. In-row array expressions, zero
+    shuffle (operators/text.repetition_stats)."""
+    return tx.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_overlap",
+    # The oracle joins on the identical 16-hex-char md5 prefix the Spark
+    # plan shuffles on, so even a (cosmically unlikely) prefix collision
+    # would agree across engines.
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
+    g AS (
+      SELECT doc_id,
+             substring(md5(unnest(list_distinct(list_transform(
+               range(1, len(__t) - 3),
+               i -> __t[CAST(i AS INTEGER)] || ' '
+                    || __t[CAST(i AS INTEGER) + 1] || ' '
+                    || __t[CAST(i AS INTEGER) + 2] || ' '
+                    || __t[CAST(i AS INTEGER) + 3] || ' '
+                    || __t[CAST(i AS INTEGER) + 4])))), 1, 16) AS gh
+      FROM t
+    )
+    SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+           COUNT(*) AS n_shared_ngrams
+    FROM g p JOIN g c ON p.gh = c.gh
+    WHERE p.doc_id < 20 AND c.doc_id >= 20
+    GROUP BY p.doc_id, c.doc_id
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4 benchmark decontamination: every (probe, corpus) document
+    pair sharing at least one 5-token n-gram, with the shared-distinct-
+    gram count — the exact-overlap contamination check run before
+    training (operators/dedup.ngram_overlap_pairs; inverted-index join
+    on gram hashes, never a cross product). Probe set = doc_id < 20
+    standing in for a held-out benchmark."""
+    docs = table(spark, sf_dir, "documents")
+    return dd.ngram_overlap_pairs(
+        docs.filter(F.col("doc_id") < 20),
+        docs.filter(F.col("doc_id") >= 20),
+        n=5,
+    )
+
+
+@query(
+    "dedup_clusters",
+    # Recursive min-label propagation is exactly replayable in SQL: the
+    # oracle computes the transitive closure of the (bidirectional)
+    # near-dup pair graph with a recursive CTE and takes MIN over each
+    # node's reachable set — the same fixpoint the distributed hash-min
+    # loop converges to (operators/graph.py).
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS __t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM toks
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT x.node, e.v FROM reach x JOIN e ON x.r = e.u
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           MIN(r) = node AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 dedup, the acting step: near-dup pairs (exact 3-shingle
+    jaccard >= 0.5 off the shared store) grouped into duplicate
+    CLUSTERS via distributed connected components (hash-min label
+    propagation, operators/graph.py), with the canonical keeper
+    elected per cluster — pair lists become delete lists."""
+    from ..operators import graph as gr
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(
+        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
+    ).select("id_a", "id_b")
+    return gr.dedup_clusters(pairs)

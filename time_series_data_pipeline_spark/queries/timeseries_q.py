@@ -679,3 +679,48 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_violations"),
     )
+
+
+@query(
+    "anomaly_mad",
+    # The classification is replayable bit-for-bit because median/MAD
+    # are ROUNDED to 6 dp before any comparison: both engines then
+    # compare identical doubles against an identical cutoff (see
+    # operators/timeseries.mad_outliers).
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, round(median(value), 6) AS median_value
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, m.median_value,
+             abs(v.value - m.median_value) AS adev
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(median(adev), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_points,
+           d.median_value,
+           m.mad,
+           CAST(SUM(CASE WHEN d.adev > round(3.0 * 1.4826 * m.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.adev > round(3.0 * 1.4826 * m.mad, 6)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.median_value, m.mad
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per series (Hampel's MAD rule): the
+    median/MAD counterpart of rolling_stats_zscore — a single huge
+    spike inflates a stddev and masks its neighbors, but cannot move a
+    median. The per-series summary a monitoring pipeline alerts on."""
+    return ts_ops.mad_outliers(
+        table(spark, sf_dir, "events"), "value", ["event_type"], k=3.0
+    )
