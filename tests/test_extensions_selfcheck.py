@@ -78,6 +78,25 @@ def test_cosine_pairs_kernels_agree(spark, emb):
     assert blas  # non-vacuous
 
 
+def test_lsh_ann_kernels_agree(spark, emb):
+    """The grid-cogrouped BLAS verify (Arrow signatures + per-cell
+    gathered einsum, in-kernel pair dedup) and the pure-SQL path
+    (interpreted zip_with signatures/dots, distinct-shuffle dedup) must
+    return the identical pair set with identical rounded sims — the
+    packed-int band keys group exactly like the JVM form, and the
+    authoritative round/threshold decision is JVM-side in both."""
+    blas = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sim.lsh_ann(emb, threshold=0.3, verify_kernel="blas").collect()
+    }
+    sql = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sim.lsh_ann(emb, threshold=0.3, verify_kernel="sql").collect()
+    }
+    assert blas == sql
+    assert blas  # non-vacuous
+
+
 def test_lsh_ann_recall_regimes(spark, emb):
     """Sign-LSH recall grows with true similarity: the (80-plane,
     16-band, r=5) default holds >= 0.7 even at the weak cos>=0.3 regime

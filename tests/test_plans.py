@@ -123,16 +123,19 @@ def test_no_row_python_anywhere(spark, name):
     # rewrite per word — the tokenizer boundary every real pipeline
     # runs as a batch UDF)
     # ... and the dense-linear-algebra kernel of exact all-pairs cosine
-    # (embedding_neardup_pairs): array higher-order functions are
-    # interpreted per element, never codegen'd, so the per-cell matmul
-    # is the textbook Arrow-boundary case (~10x; kernel equality vs the
-    # pure-SQL form is pinned in test_extensions_selfcheck)
+    # (embedding_neardup_pairs) plus the candidate-verify dot of the
+    # ANN path (embedding_lsh_ann): array higher-order functions are
+    # interpreted per element, never codegen'd, so per-cell matmuls /
+    # per-pair dots are the textbook Arrow-boundary case (~10x; kernel
+    # equality vs the pure-SQL form is pinned in
+    # test_extensions_selfcheck)
     if not name.startswith("multimodal_") and name not in (
         "ewma_value",
         "heavy_hitter_tokens",
         "heavy_hitter_verify",
         "bpe_encode_stats",
         "embedding_neardup_pairs",
+        "embedding_lsh_ann",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan

@@ -14,6 +14,9 @@ bucket id instead of a cross product.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -468,6 +471,40 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def _band_keys_udf(planes: list[list[float]], bands: int):
+    """Arrow-batched signature pass: ALL hyperplane sign bits and band
+    keys in one numpy matmul per batch — the dense-linear-algebra
+    boundary (same rationale as the cosine_pairs 'blas' kernel).
+    The JVM form evaluates n_planes interpreted zip_with dots per row
+    (measured ~8 s for 2 000 rows × 80 planes); the batch matmul is
+    milliseconds. Band key = b·2^r + packed sign bits — injective per
+    (band, bits), so grouping is identical to the JVM xxhash64 form
+    (which is injective modulo 64-bit collisions)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64")
+    n_planes = P.shape[0]
+    r = n_planes // bands
+    weights = (1 << np.arange(r - 1, -1, -1)).astype("int64")
+
+    def _keys_fn(col):
+        if len(col) == 0:
+            return pd.Series(dtype=object)
+        V = np.stack(col.to_numpy()).astype("float64", copy=False)
+        bits = (V @ P.T) > 0  # (n, n_planes)
+        keys = np.empty((V.shape[0], bands), dtype="int64")
+        for b in range(bands):
+            keys[:, b] = (bits[:, b * r : (b + 1) * r] @ weights) + (b << r)
+        return pd.Series(list(keys))
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints and break eval-type inference
+    _keys_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_keys_fn, "array<bigint>")
+
+
 def lsh_ann(
     vectors: DataFrame,
     threshold: float = 0.3,
@@ -477,6 +514,7 @@ def lsh_ann(
     vec_col: str = "embedding",
     dim: int = 64,
     round_to: int = 6,
+    verify_kernel: str = "blas",
 ) -> DataFrame:
     """Sign-random-projection LSH: candidate pairs share at least one
     band of hyperplane signs (r = n_planes/bands INDEPENDENT planes per
@@ -524,21 +562,33 @@ def lsh_ann(
         .select(id_col, "__u")
     )
     planes = random_hyperplanes(dim, n_planes)
-    # sign bits off the unit vector (sign(v·p) == sign(u·p))
-    sig_bits = [
-        (dot(F.col("__u"), F.array(*[F.lit(v) for v in p])) > 0).cast("int")
-        for p in planes
-    ]
     per_band = n_planes // bands
-    # one xxhash64 long per band over its r sign bits — 8-byte keys
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[sig_bits[b * per_band + i] for i in range(per_band)]
-            )
-            for b in range(bands)
+    if verify_kernel == "blas":
+        band_keys = _band_keys_udf(planes, bands)(F.col("__u"))
+    elif verify_kernel == "sql":
+        # sign bits off the unit vector (sign(v·p) == sign(u·p));
+        # packed-int band keys, identical grouping to the blas kernel
+        sig_bits = [
+            (dot(F.col("__u"), F.array(*[F.lit(v) for v in p])) > 0).cast("long")
+            for p in planes
         ]
-    )
+        band_keys = F.array(
+            *[
+                functools.reduce(
+                    operator.add,
+                    [
+                        sig_bits[b * per_band + i] * F.lit(1 << (per_band - 1 - i))
+                        for i in range(per_band)
+                    ],
+                    F.lit(b << per_band).cast("long"),
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        raise ValueError(
+            f"unknown verify_kernel {verify_kernel!r} (expected 'blas' or 'sql')"
+        )
     banded = u.select(F.col(id_col), F.explode(band_keys).alias("key"))
     a = banded.select("key", F.col(id_col).alias("id_a"))
     b = banded.select("key", F.col(id_col).alias("id_b"))
@@ -546,14 +596,111 @@ def lsh_ann(
         a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
-    ua = u.select(F.col(id_col).alias("id_a"), F.col("__u").alias("__ua"))
-    ub = u.select(F.col(id_col).alias("id_b"), F.col("__u").alias("__ub"))
+    if verify_kernel == "sql":
+        # pure-JVM path: dedup via shuffle, attach vectors by equi-join,
+        # interpreted zip_with dot per pair
+        ua = u.select(F.col(id_col).alias("id_a"), F.col("__u").alias("__ua"))
+        ub = u.select(F.col(id_col).alias("id_b"), F.col("__u").alias("__ub"))
+        return (
+            cand.distinct()
+            .join(ua, "id_a")
+            .join(ub, "id_b")
+            .withColumn("cos_sim", F.round(dot(F.col("__ua"), F.col("__ub")), round_to))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    return _verify_pairs_blas(cand, u, id_col, threshold, round_to)
+
+
+def _verify_pairs_blas(
+    cand: DataFrame,
+    u: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Grid-cogrouped candidate verification: candidates shuffle as BARE
+    ID PAIRS keyed by their (block_a, block_b) grid cell; each id's unit
+    vector is replicated to the n_blocks cells its hash block
+    participates in; the per-cell Arrow kernel dedups pairs (np.unique —
+    subsuming the .distinct() shuffle) and scores them with one gathered
+    einsum.
+
+    Why not join vectors onto pairs and batch-dot? At weak thresholds
+    candidates are a large constant fraction of ALL pairs, so that join
+    ships |cand| × 2·dim floats through Arrow (~1 KB/pair — measured
+    830 MB and 16 s at sf0.1) where this shape ships |cand| × 16 bytes
+    + corpus × n_blocks vectors (~30 MB). Same 1-Bucket-Theta cell
+    decomposition as cosine_pairs, so the shape survives a corpus no
+    executor could broadcast: per-cell vector residency is
+    2·(corpus/n_blocks) rows — bound it by raising n_blocks.
+
+    The authoritative F.round(...) >= threshold decision stays
+    JVM-side; kernel-vs-sql equality is pinned in
+    tests/test_extensions_selfcheck.py."""
+    import numpy as np
+    import pandas as pd
+
+    def blk(c: Column) -> Column:
+        return F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
+
+    pairs_cells = cand.select(
+        "id_a",
+        "id_b",
+        F.concat_ws(
+            "_",
+            F.least(blk(F.col("id_a")), blk(F.col("id_b"))),
+            F.greatest(blk(F.col("id_a")), blk(F.col("id_b"))),
+        ).alias("__cell"),
+    )
+    vec_cells = u.select(
+        F.col(id_col),
+        F.col("__u"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.least(blk(F.col(id_col)), F.lit(q)),
+                        F.greatest(blk(F.col(id_col)), F.lit(q)),
+                    )
+                    for q in range(n_blocks)
+                ]
+            )
+        ).alias("__cell"),
+    ).dropDuplicates([id_col, "__cell"])
+
+    def _score(pairs: pd.DataFrame, vecs: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "__sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pairs) == 0 or len(vecs) == 0:
+            return empty
+        ids = vecs[id_col].to_numpy()
+        V = np.stack(vecs["__u"].to_numpy()).astype("float64", copy=False)
+        order = np.argsort(ids)
+        ids_sorted, V = ids[order], V[order]
+        P = np.unique(
+            pairs[["id_a", "id_b"]].to_numpy().astype("int64"), axis=0
+        )
+        ia = np.searchsorted(ids_sorted, P[:, 0])
+        ib = np.searchsorted(ids_sorted, P[:, 1])
+        sims = np.einsum("ij,ij->i", V[ia], V[ib])
+        return pd.DataFrame({"id_a": P[:, 0], "id_b": P[:, 1], "__sim": sims})
+
+    scored = (
+        pairs_cells.groupBy("__cell")
+        .cogroup(vec_cells.groupBy("__cell"))
+        .applyInPandas(_score, "id_a long, id_b long, __sim double")
+    )
     return (
-        cand.join(ua, "id_a")
-        .join(ub, "id_b")
-        .withColumn("cos_sim", F.round(dot(F.col("__ua"), F.col("__ub")), round_to))
+        scored.withColumn("cos_sim", F.round("__sim", round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
