@@ -534,3 +534,76 @@ def test_upsert_sink_merges_restarts_and_replays(spark, tmp_path):
     sink(replay, committed[-1] + 1000)
     state = {r["sensor"]: (r["ts"], r["value"]) for r in sink.read(spark).collect()}
     assert state["a"] == (99, 999.0)
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partitioned MERGE sink (streaming/upsert.PartitionedUpsertSink):
+    merge semantics match the full-snapshot sink, but a batch touching
+    one partition must leave every other partition's data POINTER
+    unchanged in the manifest (the rewrite-only-touched property that
+    makes keyed state maintainable at 100 TB), and replayed epochs are
+    no-ops."""
+    import json as _json
+
+    from time_series_data_pipeline_spark.streaming.upsert import (
+        PartitionedUpsertSink,
+    )
+
+    table_path = str(tmp_path / "ptable")
+    sink = PartitionedUpsertSink(
+        table_path, keys=["sensor"], order_col="ts", partition_col="site"
+    )
+
+    def batch(rows, epoch):
+        df = spark.createDataFrame(
+            rows, "site string, sensor string, ts long, value double"
+        )
+        sink(df, epoch)
+
+    batch(
+        [
+            ("s1", "a", 1, 10.0),
+            ("s1", "a", 2, 11.0),  # in-batch dup: ts=2 wins
+            ("s2", "b", 1, 20.0),
+        ],
+        epoch=0,
+    )
+    state = {r["sensor"]: (r["site"], r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state == {"a": ("s1", 2, 11.0), "b": ("s2", 1, 20.0)}
+
+    def manifest():
+        commits_dir = os.path.join(table_path, "_commits")
+        latest = max(int(n) for n in os.listdir(commits_dir) if n.isdigit())
+        with open(os.path.join(commits_dir, str(latest))) as f:
+            mf = f.read().strip()
+        with open(os.path.join(table_path, mf)) as f:
+            return _json.load(f)
+
+    m0 = manifest()
+    assert set(m0) == {"site=s1", "site=s2"}
+
+    # epoch 1 touches ONLY s1: update a, insert c
+    batch([("s1", "a", 5, 12.5), ("s1", "c", 3, 30.0)], epoch=1)
+    state = {r["sensor"]: (r["site"], r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state == {
+        "a": ("s1", 5, 12.5),
+        "b": ("s2", 1, 20.0),
+        "c": ("s1", 3, 30.0),
+    }
+    m1 = manifest()
+    assert m1["site=s2"] == m0["site=s2"], "untouched partition was rewritten"
+    assert m1["site=s1"] != m0["site=s1"]
+
+    # replayed epoch with hostile data: exactly-once no-op
+    batch([("s2", "b", 99, 999.0)], epoch=1)
+    state = {r["sensor"]: (r["site"], r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state["b"] == ("s2", 1, 20.0), "replayed epoch was double-applied"
+
+    # a sensor MOVING partitions upserts by key within its new partition
+    # (keys are global only per partition-col design: sensor 'b' in a new
+    # site is a new row there; the old site's row is replaced only if the
+    # batch touches that site too)
+    batch([("s2", "b", 7, 21.0)], epoch=2)
+    state = {r["sensor"]: (r["site"], r["ts"], r["value"]) for r in sink.read(spark).collect()}
+    assert state["b"] == ("s2", 7, 21.0)
+    assert sink.read(spark).count() == 3

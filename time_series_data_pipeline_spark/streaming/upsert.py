@@ -132,3 +132,135 @@ class UpsertParquetSink:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.path}")
         return spark.read.parquet(snap)
+
+
+class PartitionedUpsertSink(UpsertParquetSink):
+    """Partitioned keyed MERGE sink: per batch, only the partitions the
+    batch TOUCHES are merged and rewritten — the scale form of
+    ``UpsertParquetSink`` (which rewrites the full snapshot every
+    batch). With 100 TB of keyed state partitioned by, say, day or
+    tenant, a micro-batch touching 3 partitions rewrites 3 partitions.
+
+    Layout: each epoch writes its touched partitions under a fresh
+    ``v-<epoch>-<nonce>/<pcol>=<val>/`` tree; the commit marker names a
+    MANIFEST (partition subdir -> epoch dir) built as {previous
+    manifest} with the touched entries replaced. Readers group the
+    manifest by epoch dir and read each group with ``basePath`` set so
+    the partition column is restored; atomicity/idempotence are the
+    parent's marker scheme unchanged (a crash between data write and
+    marker leaves orphan dirs, never a torn table).
+
+    The manifest accretes pointers into old epoch dirs; the read fans
+    out over at most one directory group per distinct epoch still
+    referenced. A periodic full rewrite (``compact``) collapses the
+    manifest back to one epoch dir — the same maintenance cadence any
+    log-structured table (Delta/Iceberg/Hudi) schedules.
+
+    Partition values must be non-null (hive-encoded dir names are the
+    manifest keys)."""
+
+    def __init__(
+        self, path: str, keys: list[str], order_col: str, partition_col: str
+    ):
+        super().__init__(path, keys, order_col)
+        if partition_col in keys:
+            # fine — but it must not be the ONLY key (merge would be
+            # partition-global)
+            if keys == [partition_col]:
+                raise ValueError("partition_col cannot be the only key")
+        self.partition_col = partition_col
+
+    def _manifest(self) -> dict[str, str]:
+        """partition subdir name -> epoch dir name, latest commit."""
+        import json
+
+        commits = self._committed()
+        if not commits:
+            return {}
+        with open(os.path.join(self.path, commits[max(commits)])) as f:
+            return json.load(f)
+
+    def _read_manifest(self, spark: SparkSession, manifest: dict[str, str]):
+        by_epoch: dict[str, list[str]] = {}
+        for part_dir, epoch_dir in manifest.items():
+            by_epoch.setdefault(epoch_dir, []).append(part_dir)
+        frames = []
+        for epoch_dir, part_dirs in sorted(by_epoch.items()):
+            base = os.path.join(self.path, epoch_dir)
+            frames.append(
+                spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, p) for p in sorted(part_dirs)]
+                )
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        marker = os.path.join(self._commits_dir(), str(int(epoch_id)))
+        if os.path.exists(marker):
+            return  # redelivered epoch: already applied
+
+        pcol = self.partition_col
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col(self.order_col).desc(),
+            *[F.col(c).desc() for c in batch_df.columns if c != self.order_col],
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        manifest = self._manifest()
+        spark = batch_df.sparkSession
+        # Touched partitions: distinct partition values of the batch — a
+        # bounded driver-side list (#partitions per batch, not #rows).
+        touched_vals = [r[0] for r in latest.select(pcol).distinct().collect()]
+        if not touched_vals:
+            # empty batch: commit an unchanged manifest so the epoch is
+            # recorded as applied
+            snap_rel = None
+            new_manifest = manifest
+        else:
+            touched_subdirs_old = set()
+            merged = latest
+            if manifest:
+                # current rows of the touched partitions only — the
+                # manifest IS the partition pruning
+                cur_all = self._read_manifest(spark, manifest)
+                cur = cur_all.filter(F.col(pcol).isin(touched_vals))
+                merged = cur.join(
+                    latest.select(*self.keys), self.keys, "left_anti"
+                ).unionByName(latest)
+            snap_rel = f"v-{int(epoch_id)}-{uuid.uuid4().hex[:8]}"
+            snap_abs = os.path.join(self.path, snap_rel)
+            merged.write.partitionBy(pcol).mode("overwrite").parquet(snap_abs)
+            written = {
+                n for n in os.listdir(snap_abs) if n.startswith(f"{pcol}=")
+            }
+            # hive-encoded names of the touched values (as written):
+            # replace exactly those entries in the manifest
+            new_manifest = {
+                p: d for p, d in manifest.items() if p not in written
+            }
+            for p in written:
+                new_manifest[p] = snap_rel
+
+        mf_name = f"manifest-{int(epoch_id)}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self.path, mf_name), "w") as f:
+            json.dump(new_manifest, f)
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(mf_name)
+        os.rename(tmp, marker)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        manifest = self._manifest()
+        if not manifest:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        return self._read_manifest(spark, manifest)
