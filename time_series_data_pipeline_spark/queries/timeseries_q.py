@@ -724,3 +724,75 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.mad_outliers(
         table(spark, sf_dir, "events"), "value", ["event_type"], k=3.0
     )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    )
+    SELECT event_type,
+           CAST(CASE WHEN hi = lo THEN 0 ELSE
+             LEAST(19, GREATEST(0, CAST(FLOOR(
+               (CAST(value AS DOUBLE) - lo) / (hi - lo) * 20) AS INTEGER)))
+           END AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           round(lo, 9) AS domain_lo,
+           round(hi, 9) AS domain_hi
+    FROM events, s
+    GROUP BY event_type, bin, lo, hi
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of `value` per event_type over a
+    shared global domain (the Grafana histogram panel): 1-row min/max
+    broadcast + one hash-agg — two linear passes, no sort, no UDF."""
+    return ts_ops.histogram(
+        table(spark, sf_dir, "events"), "value", ["event_type"], bins=20
+    )
+
+
+@query(
+    "value_trend_per_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(12,0)) * y) AS sxy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+             AS slope_per_s,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 12)
+             AS intercept
+    FROM g
+    """,
+)
+def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend line (slope/s + intercept) via
+    exact sufficient statistics in ONE map-side-combined aggregate —
+    the Flux derivative/trend panel without a sort or window. The five
+    sums are exact (integer seconds, lossless decimal values), so the
+    closed form is bit-reproducible cross-engine."""
+    return ts_ops.linear_trend(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"]
+    )
