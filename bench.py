@@ -50,6 +50,12 @@ HEADLINE = (
     "winnow_fingerprints",
     "sampling_splits",
     "heavy_hitter_tokens",
+    "bm25_search",
+    "doc_chunks",
+    "embedding_quantized_topk",
+    "value_histogram",
+    "value_trend_per_type",
+    "merge_value_intervals",
 )
 
 

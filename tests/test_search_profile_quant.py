@@ -247,3 +247,71 @@ def test_linear_trend_ignores_null_values(spark):
 def test_small_side_is_broadcast(spark, build):
     plan = build(spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------- interval merge
+
+
+def test_merge_intervals_bridges_and_splits(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)
+    rows = [
+        # long interval (60s) bridges an event 30s later...
+        Row(user_id=1, event_id=0, ts=mk(0), dur=60_000_000),
+        Row(user_id=1, event_id=1, ts=mk(30), dur=5_000_000),
+        # ...but a 5s interval does NOT bridge a 30s gap
+        Row(user_id=1, event_id=2, ts=mk(100), dur=5_000_000),
+        # touching intervals merge (end == next start)
+        Row(user_id=2, event_id=3, ts=mk(0), dur=10_000_000),
+        Row(user_id=2, event_id=4, ts=mk(10), dur=10_000_000),
+    ]
+    from time_series_data_pipeline_spark.operators.timeseries import merge_intervals
+
+    out = merge_intervals(
+        spark.createDataFrame(rows), "ts", F.col("dur"), ["user_id"], "event_id"
+    ).collect()
+    got = {(r.user_id, r.island): (r.interval_start, r.interval_end, r.n_events) for r in out}
+    assert got[(1, 1)] == (mk(0), mk(60), 2)
+    assert got[(1, 2)] == (mk(100), mk(105), 1)
+    assert got[(2, 1)] == (mk(0), mk(20), 2)
+
+
+def test_merge_intervals_conserves_events(spark):
+    ev = table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    from time_series_data_pipeline_spark.operators.timeseries import merge_intervals
+
+    out = merge_intervals(
+        ev, "ts", F.floor(F.col("value") * 1e6).cast("long"), ["user_id"], "event_id"
+    )
+    assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    # islands are disjoint per user: start of island i+1 > end of island i
+    w_bad = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.island") == F.col("a.island") + 1)
+        & (F.col("b.interval_start") <= F.col("a.interval_end")),
+    )
+    assert w_bad.count() == 0
+
+
+# ----------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_is_stable_and_weight_biased(spark):
+    from time_series_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    a = weighted_sample_topk(docs, "doc_id", "n_chars", k=100).collect()
+    b = weighted_sample_topk(
+        docs.repartition(7), "doc_id", "n_chars", k=100
+    ).collect()
+    # identical selection and ranks under any partitioning
+    assert {(r.doc_id, r.rank) for r in a} == {(r.doc_id, r.rank) for r in b}
+    # heavier-than-average docs should be overrepresented in the sample
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sampled = sum(r.n_chars for r in a) / len(a)
+    assert mean_sampled > mean_all

@@ -80,3 +80,41 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+    round_to: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, public algorithm): each row gets priority
+    ``ln(u) / w`` — the log-space equivalent of ``u^(1/w)`` — with the
+    uniform ``u`` derived from the key's salted md5 instead of a PRNG,
+    so the SAME k rows are selected on every run, engine, and
+    partitioning (auditable training-data mixtures). Heavier rows draw
+    systematically higher priorities; the selection is a single global
+    top-k (per-partition heaps, no sort).
+
+    Priorities are rounded before ranking so the k-boundary resolves
+    identically across engines (libm ln drift ~1 ulp ≪ the rounding
+    quantum); ties break by key."""
+    u = (hash_bucket(F.col(key_col), salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(BUCKETS)
+    )
+    priority = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), round_to
+    )
+    out = (
+        df.withColumn("priority", priority)
+        .filter(F.col(weight_col) > 0)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("priority").desc(), F.col(key_col))
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -557,3 +557,54 @@ def linear_trend(
         F.round(slope, 12).alias("slope_per_s"),
         F.round((sy - slope * sx) / nd, 12).alias("intercept"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration_us: Column | None = None,
+    keys: Sequence[str] = ("user_id",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Temporal interval coalescing: each row projects an interval
+    [ts, ts + duration); overlapping/touching intervals per key merge
+    into maximal islands. With VARIABLE durations this is genuine
+    interval algebra (a long interval can bridge rows a fixed-gap
+    sessionization would split) — the classic gaps-and-islands
+    computation, used for availability windows, incident merging, and
+    effective-coverage spans.
+
+    Shape: two window passes + one hash-agg, all partitioned by the
+    keys — a single shuffle at scale. All arithmetic is exact integer
+    microseconds; a new island starts where the running max of prior
+    interval ends is < the current start (strictly — touching
+    intervals merge).
+    """
+    if duration_us is None:
+        duration_us = F.lit(300_000_000)
+    us = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        *keys,
+        F.col(tiebreak_col).alias("__tb"),
+        us.alias("__us"),
+        (us + duration_us).alias("__end"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__us", "__tb")
+    prev_max_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = prev_max_end.isNull() | (F.col("__us") > prev_max_end)
+    island = (
+        F.sum(new_island.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+    )
+    return (
+        base.withColumn("island", island)
+        .groupBy(*keys, "island")
+        .agg(
+            F.timestamp_micros(F.min("__us")).alias("interval_start"),
+            F.timestamp_micros(F.max("__end")).alias("interval_end"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1282,3 +1282,33 @@ _ORACLE["profile_columns"] = _prof.profile_oracle_sql(
     string=["l_returnflag", "l_linestatus"],
     temporal=["l_shipdate"],
 )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, weight, priority,
+           row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+    FROM (
+      SELECT doc_id, n_chars AS weight,
+             round(ln((CAST({_BUCKET_SQL.format(salt="wsample")} AS DOUBLE)
+                       + 0.5) / 1000000.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS priority
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY priority DESC, doc_id LIMIT 200
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 mixture sampling: deterministic weighted sampling without
+    replacement (Efraimidis-Spirakis priorities ln(u)/w, u from salted
+    md5 — no PRNG, so the drawn set is reproducible across runs,
+    engines, and partitionings). Longer documents (weight = n_chars)
+    are proportionally likelier; selection is one global top-k heap."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        weighted_sample_topk(docs, "doc_id", "n_chars", k=200, salt="wsample")
+        .withColumnRenamed("n_chars", "weight")
+        .select("doc_id", "weight", "priority", "rank")
+    )

@@ -796,3 +796,42 @@ def value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.linear_trend(
         table(spark, sf_dir, "events"), "ts", "value", ["event_type"]
     )
+
+
+@query(
+    "merge_value_intervals",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT *, MAX(e) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM b
+    ),
+    i AS (
+      SELECT *, SUM(CASE WHEN pme IS NULL OR us > pme THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+      FROM m
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           make_timestamp(MIN(us)) AS interval_start,
+           make_timestamp(MAX(e)) AS interval_end,
+           COUNT(*) AS n_events
+    FROM i GROUP BY user_id, island
+    """,
+)
+def merge_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval coalescing (gaps-and-islands) with VARIABLE
+    durations: each event projects [ts, ts + value seconds); overlaps
+    per user merge into maximal islands. Genuine interval algebra — a
+    long interval bridges rows fixed-gap sessionization would split.
+    Exact integer-µs arithmetic, one shuffle."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dur = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    return ts_ops.merge_intervals(ev, "ts", dur, ["user_id"], "event_id")
