@@ -56,6 +56,8 @@ HEADLINE = (
     "value_histogram",
     "value_trend_per_type",
     "merge_value_intervals",
+    "time_weighted_avg",
+    "event_transitions",
 )
 
 

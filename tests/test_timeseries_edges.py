@@ -52,3 +52,70 @@ def test_rolling_stats_values(spark, series):
     # single-observation window: std undefined -> NULL zscore, no flag
     m1, s1, flag1 = got[("b", 100)]
     assert m1 == 10.0 and s1 is None and flag1 is None
+
+
+def test_time_weighted_avg_constant_and_step(spark):
+    """A constant series has TWA == the constant regardless of sampling
+    density (plain AVG shares that only by luck); the ramp+plateau
+    series pins the trapezoid rule itself: linear rise 0->10 over half
+    the span (mean 5), plateau 10 over the other half -> TWA 7.5."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from time_series_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)
+    # constant 5.0 sampled unevenly: TWA must still be exactly 5
+    const = [
+        Row(ts=mk(s), value=5.0, event_type="c", event_id=i)
+        for i, s in enumerate([0, 1, 2, 50, 100])
+    ]
+    # linear rise to 10 by mid-span, then a plateau sampled densely
+    step = [
+        Row(ts=mk(s), value=v, event_type="s", event_id=10 + i)
+        for i, (s, v) in enumerate(
+            [(0, 0.0), (50, 10.0), (75, 10.0), (100, 10.0)]
+        )
+    ]
+    out = {
+        r.event_type: r
+        for r in time_weighted_avg(
+            spark.createDataFrame(const + step)
+        ).collect()
+    }
+    assert abs(out["c"].time_weighted_avg - 5.0) < 1e-9
+    # trapezoid: segment (0->50) mean 5 over half the span, then 10
+    assert abs(out["s"].time_weighted_avg - 7.5) < 1e-9
+
+
+def test_counter_increase_handles_resets(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from time_series_data_pipeline_spark.operators.timeseries import (
+        counter_increase,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(ts=base + dt.timedelta(seconds=i), value=v, event_type="x", event_id=i)
+        # 1 -> 4 (+3), reset to 2 (+2), -> 7 (+5): total 10
+        for i, v in enumerate([1.0, 4.0, 2.0, 7.0])
+    ]
+    out = counter_increase(spark.createDataFrame(rows)).collect()[0]
+    assert out.n == 4 and out.total_increase == 10.0
+
+
+def test_event_transitions_probs_sum_to_one(spark):
+    from time_series_data_pipeline_spark.queries.registry import QUERIES
+
+    out = QUERIES["event_transitions"](spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+
+    sums = (
+        out.groupBy("from_type").agg(F.sum("prob").alias("p")).collect()
+    )
+    assert all(abs(r.p - 1.0) < 1e-9 for r in sums)

@@ -608,3 +608,77 @@ def merge_intervals(
             F.count("*").alias("n_events"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Flux ``timeWeightedAvg()`` / ``integral()``: the trapezoid-rule
+    time integral of each series divided by its observed span — the
+    correct mean for irregularly-sampled gauges, where the plain AVG
+    over-weights densely-sampled stretches.
+
+    Determinism: the trapezoid sum Σ (y_i + y_{i+1})·Δt_i is EXACT —
+    values are lossless DECIMAL(18,2), Δt is integer microseconds cast
+    DECIMAL(14,0) (< 3 years), products stay inside DECIMAL(38,2) — and
+    the single closing division runs on doubles in one fixed shape.
+    One window pass + one hash-agg on the same partition keys = one
+    shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    us = F.unix_micros(F.col(ts_col))
+    y = _dec(value_col)
+    nxt_y = F.lead(y).over(w)
+    nxt_us = F.lead(us).over(w)
+    seg = ((y + nxt_y) * (nxt_us - us).cast("decimal(14,0)")).alias("__seg")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, us.alias("__us"), seg)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__seg").alias("__trap"),
+            (F.max("__us") - F.min("__us")).alias("__span"),
+        )
+    )
+    twa = F.when(
+        F.col("__span") > 0,
+        F.round(
+            F.col("__trap").cast("double")
+            / (F.lit(2.0) * F.col("__span").cast("double")),
+            9,
+        ),
+    )
+    return g.select(*keys, "n", twa.alias("time_weighted_avg"))
+
+
+def counter_increase(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Flux ``increase()``: total monotonic increase of a counter per
+    series, reset-aware — negative deltas (counter restarts) contribute
+    the post-reset value, matching `rate`'s reset rule. Exact decimal
+    arithmetic end to end; one window pass + one hash-agg, one shuffle."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    y = _dec(value_col)
+    prev = F.lag(y).over(w)
+    delta = F.when(prev.isNull(), F.lit(0).cast("decimal(18,2)")).otherwise(
+        F.when(y >= prev, y - prev).otherwise(y)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, delta.alias("__d"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__d").cast("double").alias("total_increase"),
+        )
+    )

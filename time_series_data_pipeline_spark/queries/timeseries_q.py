@@ -835,3 +835,105 @@ def merge_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     dur = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
     return ts_ops.merge_intervals(ev, "ts", dur, ["user_id"], "event_id")
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT event_type, us,
+             (y + lead(y) OVER w) * CAST(lead(us) OVER w - us AS DECIMAL(14,0))
+               AS seg
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(seg) AS trap,
+             MAX(us) - MIN(us) AS span
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN span > 0 THEN
+             round(CAST(trap AS DOUBLE) / (2.0 * CAST(span AS DOUBLE)), 9)
+           END AS time_weighted_avg
+    FROM g
+    """,
+)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `timeWeightedAvg()` / `integral()`: trapezoid time integral
+    over observed span per series — the correct mean for irregular
+    gauges. Exact decimal trapezoid sums; one shuffle."""
+    return ts_ops.time_weighted_avg(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "event_id"
+    )
+
+
+@query(
+    "counter_increase",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id, ts, CAST(value AS DECIMAL(18,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type,
+             CASE WHEN lag(y) OVER w IS NULL THEN CAST(0 AS DECIMAL(18,2))
+                  WHEN y >= lag(y) OVER w THEN y - lag(y) OVER w
+                  ELSE y END AS dd
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(dd) AS DOUBLE) AS total_increase
+    FROM d GROUP BY event_type
+    """,
+)
+def counter_increase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `increase()`: reset-aware total counter increase per series
+    (negative delta = restart, contributes the post-reset value —
+    `rate`'s reset rule). Exact decimal deltas end to end."""
+    return ts_ops.counter_increase(
+        table(spark, sf_dir, "events"), "ts", "value", ["event_type"], "event_id"
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM c
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition matrix: P(next type | type)
+    from consecutive pairs in each user's timeline — the Markov summary
+    behind funnel/session analyses. One lead window (partitioned by
+    user) + one hash-agg on the matrix cells (|types|² rows); the prob
+    normalization windows over those tiny cells, not the raw data."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return c.withColumn(
+        "prob", F.col("n").cast("double") / F.sum("n").over(wt).cast("double")
+    )
