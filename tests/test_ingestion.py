@@ -607,3 +607,48 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     state = {r["sensor"]: (r["site"], r["ts"], r["value"]) for r in sink.read(spark).collect()}
     assert state["b"] == ("s2", 7, 21.0)
     assert sink.read(spark).count() == 3
+
+
+def test_stream_dedup_within_watermark_across_restarts(spark, tmp_path):
+    """dedup_stream: per-record exactly-once on top of the file source's
+    per-file log — a key redelivered in a LATER file (and a later run,
+    through the checkpoint) is dropped while inside the watermark."""
+    import json
+
+    from time_series_data_pipeline_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out = str(tmp_path / "dedup_out")
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for k, t in rows:
+                f.write(json.dumps({"k": k, "_time": t}) + "\n")
+
+    def drain(qname):
+        stream = spark.readStream.schema("k string, _time timestamp").json(str(src))
+        q = (
+            dedup_stream(stream, ["k"], "_time", "1 day")
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    t = "2024-01-01 10:00:00"
+    write_file("f1.json", [("a", t), ("a", t), ("b", t)])  # in-batch dupe
+    got1 = drain("run1")
+    assert sorted(k for k, _ in got1) == ["a", "b"]
+
+    # same keys redelivered in a new file + a NEW run over the same
+    # checkpoint: state must recall them; one genuinely new key passes
+    write_file("f2.json", [("a", "2024-01-01 11:00:00"), ("c", t)])
+    got2 = drain("run2")
+    assert sorted(k for k, _ in got2) == ["a", "b", "c"]

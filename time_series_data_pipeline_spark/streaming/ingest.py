@@ -94,3 +94,28 @@ def windowed_mean_stream(
         )
         .select(F.col("w.start").alias("window_start"), "_field", "avg_value", "n")
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "_time",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """At-source streaming deduplication (ST1/ST6 hardening): drop rows
+    whose key was already seen within the watermark horizon —
+    idempotent ingestion even when the UPSTREAM redelivers (the file
+    source's processed-file log only dedups whole files; this dedups
+    per record, e.g. a device retransmitting a reading into a later
+    file).
+
+    `dropDuplicatesWithinWatermark` keeps one state row per key with
+    eviction once the watermark passes it — state is bounded by keys
+    per horizon, not history, and survives restarts via the checkpoint.
+    A duplicate arriving AFTER its key's state was evicted is emitted
+    again: the horizon is the contract, sized to the upstream's maximum
+    redelivery lag (here: one day, the reference's unit of arrival).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
