@@ -140,3 +140,34 @@ def test_no_row_python_anywhere(spark, name):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
         assert "FlatMapCoGroupsInPandas" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles,traits",
+    [
+        # map-only: chunks never shuffle
+        ("doc_chunks", 0, ()),
+        # one stats shuffle; query set broadcast; top-k is a heap
+        ("bm25_search", 1, ("BroadcastExchange", "TakeOrderedAndProject")),
+        # two linear passes: 1-row domain agg + the binned hash-agg
+        ("value_histogram", 2, ("BroadcastExchange",)),
+        # one map-side-combined hash-agg carries all five statistics
+        ("value_trend_per_type", 1, ()),
+        # window + agg share the user_id partitioning: ONE shuffle
+        ("merge_value_intervals", 1, ()),
+        ("time_weighted_avg", 1, ()),
+    ],
+)
+def test_round4_additions_shuffle_budget(spark, name, max_shuffles, traits):
+    """Pin the 100 TB-relevant shape of each new operator: shuffle count
+    (excluding broadcasts) and required plan features. A regression
+    that introduces an extra Exchange fails here before it costs
+    anything at scale."""
+    plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= max_shuffles, f"{name}: {shuffles} > {max_shuffles}"
+    for t in traits:
+        assert t in plan, f"{name}: missing {t}"
+    # global sorts are never acceptable in these shapes (window-local
+    # sorts inside an existing partition are)
+    assert "rangepartitioning" not in plan.lower()
