@@ -119,3 +119,30 @@ def test_event_transitions_probs_sum_to_one(spark):
         out.groupBy("from_type").agg(F.sum("prob").alias("p")).collect()
     )
     assert all(abs(r.p - 1.0) < 1e-9 for r in sums)
+
+
+def test_ewma_final_matches_arrow_ewma_last_row(spark):
+    """The JVM-fold attestation (ewma_final) and the Arrow applyInPandas
+    per-row EWMA agree bit-for-bit on every series' final value: both
+    run y = (1-α)·y + α·x in float64 in the same order (pandas'
+    old_wt = 1 - alpha is the same double as our (1.0 - 0.3) fold)."""
+    from pyspark.sql import Window
+    from time_series_data_pipeline_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    final = {
+        r.event_type: r.ewma_final
+        for r in QUERIES["ewma_final"](spark, sf).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    last_rows = (
+        QUERIES["ewma_value"](spark, sf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(last_rows) == len(final)
+    for r in last_rows:
+        assert round(r.ewma, 9) == final[r.event_type], r.event_type

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import text as tx
+from ._util import pin as _pin
 
 
 def _tf(tok: Column, term: str) -> Column:
@@ -55,10 +56,15 @@ def bm25_topk(
     dropped before the top-k (score > 0).
     """
     tok = tx.tokens(text_col)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tok).cast("long").alias("dl"),
-        *[_tf(tok, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    # pinned: the narrow tf frame (~8B × (terms+2) per doc) feeds both
+    # the stats aggregate and the scoring pass — without the pin the
+    # corpus is scanned and tokenized twice
+    base = _pin(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tok).cast("long").alias("dl"),
+            *[_tf(tok, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        )
     )
     stats = base.agg(
         F.count("*").alias("n_docs"),

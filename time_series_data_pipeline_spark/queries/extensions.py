@@ -1312,3 +1312,46 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_chars", "weight")
         .select("doc_id", "weight", "priority", "rank")
     )
+
+
+@query(
+    "embedding_dedup_clusters",
+    # same recursive-CTE fixpoint oracle as dedup_clusters, over the
+    # exact-cosine pair graph the driver already hash-verifies
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.3
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT x.node, e.v FROM reach x JOIN e ON x.r = e.u
+    )
+    SELECT node AS vec_id, MIN(r) AS cluster_id, MIN(r) = node AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X1 semantic dedup, the acting step: exact cosine>=0.3 pairs
+    grouped into clusters via the same distributed connected-components
+    loop as the text dedup family, keeper elected per cluster. At scale
+    the pair source swaps to lsh_ann with identical downstream shape."""
+    from ..operators import graph as gr
+
+    pairs = sim.cosine_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.3
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    return gr.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper"
+    )

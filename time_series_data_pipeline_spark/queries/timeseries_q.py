@@ -937,3 +937,42 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.withColumn(
         "prob", F.col("n").cast("double") / F.sum("n").over(wt).cast("double")
     )
+
+
+@query(
+    "ewma_final",
+    # Attestation companion to the rows-only `ewma_value` (the per-row
+    # EWMA is sequential — no SQL engine emits running recurrences):
+    # the FINAL EWMA per series IS SQL-expressible as a list fold, so
+    # this query computes it with a pure JVM aggregate fold and DuckDB
+    # replays it with list_reduce — turning the EWMA family from
+    # "trust the selfcheck" into driver-hash-verified. (1.0 - 0.3) is
+    # written as an expression, NOT 0.7: the doubles differ in the last
+    # ulp and pandas' ewm uses old_wt = 1 - alpha.
+    # Scale note: collect_list holds ONE series in one task — this is
+    # the diagnostic/attestation tier (like minhash_lsh_verify), not a
+    # benched path; the production per-row EWMA stays the Arrow op.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           round(list_reduce(list(value ORDER BY ts, value),
+                             (acc, x) -> (1.0 - 0.3) * acc + 0.3 * x), 9)
+             AS ewma_final
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA value per series (α=0.3, y_t = α·x + (1−α)·y_{t−1})
+    via sort_array + aggregate fold — bit-identical to the Arrow
+    ewma's last row (pinned in tests) and to DuckDB's list_reduce."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("__s"),
+    )
+    vals = F.transform(F.col("__s"), lambda s: s["value"].cast("double"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: (F.lit(1.0) - F.lit(0.3)) * acc + F.lit(0.3) * x,
+    )
+    return g.select("event_type", "n", F.round(fold, 9).alias("ewma_final"))
