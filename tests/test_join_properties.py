@@ -91,3 +91,53 @@ def test_range_join_matches_bruteforce(spark, left, right, span):
         if rk == lk and ls - span <= rs < ls
     )
     assert got == expect
+
+
+def test_asof_directions_fixture(spark):
+    """backward/forward/nearest on a hand-built timeline, including the
+    equal-distance tie (-> backward) and one-sided edges."""
+    import datetime as dt
+
+    from time_series_data_pipeline_spark.operators.asof import asof_join
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [Row(k="u", ts=mk(s), lid=i) for i, s in enumerate([5, 20, 100])]
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", ts=mk(s), rv=float(s)) for s in [10, 30, 90]]
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, by=["k"], ts_col="ts",
+            value_cols=["rv"], direction=direction,
+        )
+        return {r.lid: r.asof_rv for r in out.collect()}
+
+    # left@5: nothing before; left@20: 10 before / 30 after (tie at 10s
+    # distance -> backward); left@100: 90 before, nothing after
+    assert run("backward") == {0: None, 1: 10.0, 2: 90.0}
+    assert run("forward") == {0: 10.0, 1: 30.0, 2: None}
+    assert run("nearest") == {0: 10.0, 1: 10.0, 2: 90.0}
+
+
+def test_asof_nearest_single_exchange(spark):
+    """nearest adds a second window sort but must reuse the single
+    hash-partitioning exchange."""
+    import datetime as dt
+
+    from time_series_data_pipeline_spark.operators.asof import asof_join
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([Row(k="u", ts=base, lid=1)])
+    right = spark.createDataFrame([Row(k="u", ts=base, rv=1.0)])
+    plan = (
+        asof_join(left, right, by=["k"], value_cols=["rv"], direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 1, plan

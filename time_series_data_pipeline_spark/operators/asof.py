@@ -31,9 +31,23 @@ def asof_join(
     ts_col: str = "ts",
     value_cols: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: adds ``{prefix}{ts_col}`` and ``{prefix}{v}`` for
-    each right value column; NULL when no right row precedes."""
+    each right value column; NULL when no right row matches.
+
+    ``direction`` (the pandas ``merge_asof`` surface):
+    - ``backward`` (default): latest right row with right.ts <= left.ts;
+    - ``forward``: earliest right row with right.ts >= left.ts
+      (the mirror-image window: first(ignorenulls) over
+      CURRENT..UNBOUNDED FOLLOWING, right rows ordered after left at
+      equal ts so >= still matches);
+    - ``nearest``: whichever of the two is closer in time, ties to the
+      backward match. All three are the SAME single shuffle; nearest
+      adds a second within-partition sort, never a second exchange.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in (*by, ts_col)]
 
     # the carried payload is ONE struct so the matched right row is
@@ -59,20 +73,54 @@ def asof_join(
     )
 
     unioned = lhs.unionByName(rhs)
-    # Tiebreak order: right rows (side=0) before left rows at equal ts so
-    # ts >= semantics hold; among duplicate right timestamps the greatest
-    # payload wins deterministically (struct ordering is lexicographic).
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col), F.col("__side"), F.col("__asof"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    unioned = unioned.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
+    # Backward tiebreak order: right rows (side=0) before left rows at
+    # equal ts so ts >= semantics hold; among duplicate right timestamps
+    # the greatest payload wins deterministically (struct ordering is
+    # lexicographic). Forward mirrors it: side DESC puts right rows
+    # after left at equal ts (inside the FOLLOWING frame), payload DESC
+    # keeps the same greatest-payload tie rule.
+    if direction in ("backward", "nearest"):
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col), F.col("__side"), F.col("__asof"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        unioned = unioned.withColumn(
+            "__bwd", F.last("__asof", ignorenulls=True).over(wb)
+        )
+    if direction in ("forward", "nearest"):
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col(ts_col), F.col("__side").desc(), F.col("__asof").desc()
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        unioned = unioned.withColumn(
+            "__fwd", F.first("__asof", ignorenulls=True).over(wf)
+        )
+    if direction == "backward":
+        picked = F.col("__bwd")
+    elif direction == "forward":
+        picked = F.col("__fwd")
+    else:
+        bwd, fwd = F.col("__bwd"), F.col("__fwd")
+        lts = F.unix_micros(F.col(ts_col))
+        picked = (
+            F.when(bwd.isNull(), fwd)
+            .when(fwd.isNull(), bwd)
+            .when(
+                F.unix_micros(fwd[ts_col]) - lts < lts - F.unix_micros(bwd[ts_col]),
+                fwd,
+            )
+            .otherwise(bwd)  # ties -> backward (pandas nearest rule)
+        )
     return (
-        unioned.filter(F.col("__side") == 1)
+        unioned.withColumn("__pick", picked)
+        .filter(F.col("__side") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            F.col(f"__asof.{ts_col}").alias(f"{prefix}{ts_col}"),
-            *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in value_cols],
+            F.col(f"__pick.{ts_col}").alias(f"{prefix}{ts_col}"),
+            *[F.col(f"__pick.{c}").alias(f"{prefix}{c}") for c in value_cols],
         )
     )

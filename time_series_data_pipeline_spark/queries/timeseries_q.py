@@ -976,3 +976,56 @@ def ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (F.lit(1.0) - F.lit(0.3)) * acc + F.lit(0.3) * x,
     )
     return g.select("event_type", "n", F.round(fold, 9).alias("ewma_final"))
+
+
+@query(
+    "asof_nearest_click",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT e.event_id, c.ts AS bts, c.value AS bval
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ),
+    f AS (
+      SELECT e.event_id, c.ts AS fts, c.value AS fval
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+                WHEN epoch_us(fts) - epoch_us(e.ts)
+                     < epoch_us(e.ts) - epoch_us(bts) THEN fts
+                ELSE bts END AS click_ts,
+           CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+                WHEN epoch_us(fts) - epoch_us(e.ts)
+                     < epoch_us(e.ts) - epoch_us(bts) THEN fval
+                ELSE bval END AS click_value
+    FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, `nearest` direction (the pandas merge_asof surface):
+    for each error event, the click by the same user CLOSEST in time —
+    either side, ties to the preceding one. Same single shuffle as the
+    backward form; the forward probe is a second window over the same
+    partitioning, never a second exchange."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        left,
+        right,
+        by=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        prefix="click_",
+        direction="nearest",
+    )
