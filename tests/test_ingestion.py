@@ -652,3 +652,68 @@ def test_stream_dedup_within_watermark_across_restarts(spark, tmp_path):
     write_file("f2.json", [("a", "2024-01-01 11:00:00"), ("c", t)])
     got2 = drain("run2")
     assert sorted(k for k, _ in got2) == ["a", "b", "c"]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: clicks joined to same-user errors
+    within the trailing 5 minutes, run as a live join over file
+    streams, must equal the equivalent batch join."""
+    import json
+
+    from time_series_data_pipeline_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    lsrc = tmp_path / "ss_left"
+    rsrc = tmp_path / "ss_right"
+    lsrc.mkdir(); rsrc.mkdir()
+
+    def write(d, name, rows):
+        with open(d / name, "w") as f:
+            for u, t, v in rows:
+                f.write(json.dumps({"u": u, "t": t, "v": v}) + "\n")
+
+    # errors (left): u1@10:10, u2@10:10; clicks (right): u1@10:07 (in
+    # window), u1@10:02 (too old), u2@10:12 (after -> no match)
+    write(lsrc, "e.json", [("u1", "2024-01-01 10:10:00", 1.0),
+                           ("u2", "2024-01-01 10:10:00", 2.0)])
+    write(rsrc, "c.json", [("u1", "2024-01-01 10:07:00", 10.0),
+                           ("u1", "2024-01-01 10:02:00", 20.0),
+                           ("u2", "2024-01-01 10:12:00", 30.0)])
+
+    schema = "u string, t timestamp, v double"
+    ls = (
+        spark.readStream.schema(schema).json(str(lsrc))
+        .withColumnRenamed("t", "l_ts").withColumnRenamed("v", "l_v")
+    )
+    rs = (
+        spark.readStream.schema(schema).json(str(rsrc))
+        .withColumnRenamed("t", "r_ts").withColumnRenamed("v", "r_v")
+    )
+    out = str(tmp_path / "ss_out")
+    q = (
+        interval_join_streams(ls, rs, on="u", window="5 minutes",
+                              watermark="10 minutes")
+        .writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.u, r.l_v, r.r_v) for r in spark.read.parquet(out).collect()}
+    assert got == {("u1", 1.0, 10.0)}
+
+    # batch equivalence on the same frames
+    lb = spark.read.schema(schema).json(str(lsrc)).withColumnRenamed(
+        "t", "l_ts").withColumnRenamed("v", "l_v")
+    rb = spark.read.schema(schema).json(str(rsrc)).withColumnRenamed(
+        "t", "r_ts").withColumnRenamed("v", "r_v")
+    batch = lb.join(
+        rb,
+        (lb.u == rb.u)
+        & (rb.r_ts >= lb.l_ts - F.expr("INTERVAL 5 minutes"))
+        & (rb.r_ts <= lb.l_ts),
+    )
+    assert {(r.l_v, r.r_v) for r in batch.collect()} == {(1.0, 10.0)}
