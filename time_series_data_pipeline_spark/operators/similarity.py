@@ -356,9 +356,25 @@ def _cell_sims(vec: Column, cent_rows: list[tuple]) -> Column:
     plan TWICE (assignment + probes), bloating analysis/codegen and
     re-creating the arrays per evaluation; two pre-built literals make
     the per-row work exactly the n_cells·dim multiply-adds the argmax
-    needs and nothing else."""
-    cents = F.lit([[float(x) for x in cv] for _, cv in cent_rows])
-    negs = F.lit([-int(cell) for cell, _ in cent_rows])
+    needs and nothing else.
+
+    The literals are shipped as ONE from_json(<json string>) each, not
+    F.lit(nested list): lit() issues a py4j call per element (~1 000
+    calls, ~0.7 s of pure driver time per _cell_sims call, measured),
+    while from_json of a foldable string is a single call that
+    Catalyst's ConstantFolding collapses to the identical ArrayType
+    Literal before execution (asserted: optimized plan contains no
+    from_json; assignment values bit-identical). json.dumps emits
+    shortest-round-trip reprs, so the doubles survive exactly."""
+    import json as _json
+
+    cents = F.from_json(
+        F.lit(_json.dumps([[float(x) for x in cv] for _, cv in cent_rows])),
+        "array<array<double>>",
+    )
+    negs = F.from_json(
+        F.lit(_json.dumps([-int(cell) for cell, _ in cent_rows])), "array<int>"
+    )
     return F.zip_with(
         cents,
         negs,
