@@ -306,15 +306,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over tokens: bit b of the print is the sign of
-    Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    Σ_tokens (±1 depending on bit b of hash(token)).
 
     Implemented as explode → 64 conditional sums → one hash aggregation
     (single shuffle of (id, 64 ints)); bit packing is a JVM-side fold.
+
+    ``hash_fn``: ``xxhash64`` (production: fastest JVM hash) or ``md5``
+    (60-bit prefix via conv — ~3x slower but replayable by any engine,
+    the oracle-verification form; bits 60-63 are then constant 0 on
+    every document, which is identical on both engines and harmless to
+    banding).
     """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("t")
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t")).withColumn(
-        "h", F.xxhash64("t")
+        "h", h
     )
     sums = tok.groupBy(id_col).agg(
         *[
@@ -342,12 +361,14 @@ def simhash_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: candidates share ≥1 of `bands` 16-bit bands
     (pigeonhole guarantees recall for hamming < bands), verified by
     exact popcount of the XOR."""
     width = 64 // bands
-    sh = _pin(simhash64(df, text_col, id_col))  # reused by both join sides
+    # reused by both join sides
+    sh = _pin(simhash64(df, text_col, id_col, hash_fn))
     banded = sh.select(
         id_col,
         "simhash",

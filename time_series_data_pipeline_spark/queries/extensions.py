@@ -1355,3 +1355,58 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.dedup_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper"
     )
+
+
+def _simhash_oracle() -> str:
+    """Full SQL replay of the md5-form SimHash pipeline (generated so
+    the 64 bit-sums / packing / banding can never drift from the
+    operator's parameters)."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(64)
+    )
+    bandkeys = ", ".join(
+        f"(CAST({k} AS BIGINT) << 16) | ((sig >> {k * 16}) & 65535)"
+        for k in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {pack} AS sig FROM s),
+    banded AS (SELECT doc_id, sig, unnest([{bandkeys}]) AS key FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+      FROM banded a JOIN banded b ON a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 8
+    """
+
+
+@query("simhash_verify", oracle=None)  # oracle attached below (generated)
+def simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash, the driver-verified form (minhash_lsh_verify
+    precedent): the SAME banding/verify pipeline as simhash_pairs but
+    with md5-prefix token hashes, which DuckDB replays bit-for-bit —
+    signature sums, packing, 16-bit band join, and the popcount verify
+    are all hash-checked. The benched simhash_pairs keeps xxhash64
+    (fastest JVM hash, not SQL-replayable -> rows-only by design)."""
+    return dd.simhash_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=8, hash_fn="md5"
+    )
+
+
+from .registry import ORACLE as _ORACLE2  # noqa: E402
+
+_ORACLE2["simhash_verify"] = _simhash_oracle()
