@@ -813,3 +813,53 @@ def quantized_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def lsh_ann_oracle_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    n_planes: int = 80,
+    bands: int = 16,
+    threshold: float = 0.3,
+    round_to: int = 6,
+) -> str:
+    """Generated DuckDB replay of the SQL-kernel lsh_ann pipeline: the
+    seeded hyperplanes are embedded as literals (repr = shortest
+    round-trip, so the doubles survive exactly), signature bits are
+    list_dot_product signs (the same sequential index-order fold as the
+    JVM aggregate/zip_with dot — bit-identical), band keys the same
+    packed ints, and the verify the same rounded unit-vector dot.
+    Kept beside the operator so the two pipelines cannot drift."""
+    planes = random_hyperplanes(dim, n_planes)
+    per_band = n_planes // bands
+    bits = [
+        "(CASE WHEN list_dot_product(u, ["
+        + ",".join(repr(x) for x in p)
+        + "]) > 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    keys = []
+    for b in range(bands):
+        parts = [f"CAST({b << per_band} AS BIGINT)"] + [
+            f"{bits[b * per_band + i]} * {1 << (per_band - 1 - i)}"
+            for i in range(per_band)
+        ]
+        keys.append(" + ".join(parts))
+    return f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS u
+      FROM {table}
+    ),
+    banded AS (SELECT vec_id, u, unnest([{",".join(keys)}]) AS key FROM u),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b ON a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(ua.u, ub.u), {round_to}) AS cos_sim
+    FROM cand JOIN u ua ON ua.vec_id = id_a JOIN u ub ON ub.vec_id = id_b
+    WHERE round(list_dot_product(ua.u, ub.u), {round_to}) >= {threshold}
+    """

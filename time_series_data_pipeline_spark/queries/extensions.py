@@ -1410,3 +1410,22 @@ def simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import ORACLE as _ORACLE2  # noqa: E402
 
 _ORACLE2["simhash_verify"] = _simhash_oracle()
+
+
+@query("lsh_ann_verify", oracle=None)  # oracle attached below (generated)
+def lsh_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 hyperplane-LSH, the driver-verified form: the SAME seeded
+    planes / banding / threshold as the benched embedding_lsh_ann, run
+    through the pure-JVM signature+verify kernel, which DuckDB replays
+    bit-for-bit (plane literals, fold-order-identical dots). The
+    benched query keeps the Arrow/BLAS kernel (kernel equality is
+    pinned in tests); with this, every sketch family in the registry
+    carries a driver-hash-verified attestation."""
+    return sim.lsh_ann(
+        table(spark, sf_dir, "embeddings"), threshold=0.3, verify_kernel="sql"
+    )
+
+
+from .registry import ORACLE as _ORACLE3  # noqa: E402
+
+_ORACLE3["lsh_ann_verify"] = sim.lsh_ann_oracle_sql()
