@@ -583,9 +583,22 @@ def lsh_ann(
         band_keys = _band_keys_udf(planes, bands)(F.col("__u"))
     elif verify_kernel == "sql":
         # sign bits off the unit vector (sign(v·p) == sign(u·p));
-        # packed-int band keys, identical grouping to the blas kernel
+        # packed-int band keys, identical grouping to the blas kernel.
+        # Planes ship as one constant-folded from_json literal each —
+        # F.array(*[F.lit(v) ...]) is a py4j call per element (5 120
+        # calls for 80×64; see _cell_sims for the measured cost). Each
+        # bit expression is used exactly ONCE (its own band), so total
+        # per-row work stays n_planes dots.
+        import json as _json
+
         sig_bits = [
-            (dot(F.col("__u"), F.array(*[F.lit(v) for v in p])) > 0).cast("long")
+            (
+                dot(
+                    F.col("__u"),
+                    F.from_json(F.lit(_json.dumps(p)), "array<double>"),
+                )
+                > 0
+            ).cast("long")
             for p in planes
         ]
         band_keys = F.array(
