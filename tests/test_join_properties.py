@@ -141,3 +141,60 @@ def test_asof_nearest_single_exchange(spark):
     )
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 1, plan
+
+
+# (key, start_second, duration_seconds) interval triples — durations of
+# 0 and boundary-touching cases are generated
+IVALS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(0, 40)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=IVALS)
+@settings(**CFG)
+def test_merge_intervals_matches_bruteforce(spark, rows):
+    """merge_intervals must equal the classic sweep-line interval union
+    computed in plain Python, per key, for arbitrary interval sets."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from time_series_data_pipeline_spark.operators.timeseries import (
+        merge_intervals,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, i, base + dt.timedelta(seconds=s), d * 1_000_000)
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k long, event_id long, ts timestamp, dur long"
+    )
+    got = {
+        (r.k, r.interval_start, r.interval_end, r.n_events)
+        for r in merge_intervals(
+            df, "ts", F.col("dur"), ["k"], "event_id"
+        ).collect()
+    }
+
+    # brute force: sort by (start, id), sweep, merge on overlap/touch
+    expect = set()
+    by_key: dict = {}
+    for k, i, ts, dur in data:
+        by_key.setdefault(k, []).append((ts, i, ts + dt.timedelta(microseconds=dur)))
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda t: (t[0], t[1]))
+        cur_s, cur_e, n = ivs[0][0], ivs[0][2], 1
+        for s, _, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+                n += 1
+            else:
+                expect.add((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        expect.add((k, cur_s, cur_e, n))
+
+    # island numbering is an implementation detail; compare the spans
+    assert got == expect
