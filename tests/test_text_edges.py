@@ -124,3 +124,40 @@ def test_bpe_encode_distributed_matches_reference(spark, edge_docs):
     for doc_id, text in texts.items():
         ref = [t for w in pat.findall(text) for t in tx.bpe_encode_word(w)]
         assert list(got[doc_id]) == ref, f"doc {doc_id}: {got[doc_id]} != {ref}"
+
+
+def test_learn_bpe_merges_golden_and_wellformed(spark):
+    from pyspark.sql import Row
+    from time_series_data_pipeline_spark.operators.text import (
+        bpe_encode_word,
+        learn_bpe_merges,
+    )
+
+    # corpus: "aaab" x3, "aab" x2. Round 1: (a,a) freq 3*2+2=8 wins.
+    # Round 2: "aaab"->(aa,a,b), "aab"->(aa,b); pairs (aa,a):3 and
+    # (a,b):3 TIE -> lexicographically smallest ('a','b') wins.
+    # Round 3: "aaab"->(aa,ab); (aa,ab):3 beats (aa,b):2.
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="aaab aaab aaab aab aab")]
+    )
+    merges = learn_bpe_merges(docs, n_merges=3, min_freq=2)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # well-formedness: every component is a single char or the product
+    # of an earlier merge
+    products = set()
+    for a, b in merges:
+        assert (len(a) == 1 or a in products) and (len(b) == 1 or b in products)
+        products.add(a + b)
+    # the learned table drives the reference encoder
+    assert bpe_encode_word("aaab", tuple(merges)) == ["aaab"]
+    assert bpe_encode_word("aab", tuple(merges)) == ["aa", "b"]
+
+
+def test_learn_bpe_merges_partitioning_invariant(spark):
+    from time_series_data_pipeline_spark.catalog import table as cat_table
+    from time_series_data_pipeline_spark.operators.text import learn_bpe_merges
+
+    docs = cat_table(spark, "/root/testdata/sf0.001", "documents")
+    a = learn_bpe_merges(docs, n_merges=10)
+    b = learn_bpe_merges(docs.repartition(13), n_merges=10)
+    assert a == b and len(a) == 10

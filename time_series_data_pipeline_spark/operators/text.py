@@ -467,3 +467,68 @@ def chunk_docs(
         F.size("__chunk").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merge table from the corpus (Sennrich et al. 2016) —
+    the companion to ``bpe_encode``, which applies one.
+
+    Distributed part: ONE aggregation collapses the corpus to its
+    word-frequency table (pre-tokens per BPE_SPLIT_RE). The pair-count
+    loop then runs driver-side over that table — the standard shape
+    (HF tokenizers / sentencepiece train exactly this way), because
+    vocabulary size is bounded by the language (Heaps' law), not by
+    corpus bytes: at 100 TB the aggregate is the only part that touches
+    the data, and the loop still sees a few-hundred-thousand-row dict.
+
+    Deterministic: the best pair is (max count, lexicographically
+    smallest) — reproducible on any engine/partitioning. The result is
+    well-formed by construction (each merge's components are single
+    characters or products of earlier merges), so rank-order
+    application in `bpe_encode_word` is equivalent to the iterative
+    lowest-rank loop. Stops early when the best pair's count drops
+    below ``min_freq``.
+    """
+    rows = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + r["n"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for pair in zip(sym, sym[1:]):
+                counts[pair] = counts.get(pair, 0) + n
+        if not counts:
+            break
+        best, best_n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_n < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            out: list[str] = []
+            for t in sym:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges

@@ -1429,3 +1429,21 @@ def lsh_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import ORACLE as _ORACLE3  # noqa: E402
 
 _ORACLE3["lsh_ann_verify"] = sim.lsh_ann_oracle_sql()
+
+
+@query("bpe_learn_merges")  # rows-only: iterative training loop — no SQL replay
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer TRAINING: learn the top-20 BPE merges from the
+    corpus word-frequency table (one distributed aggregate; the pair
+    loop runs driver-side over the bounded vocabulary — the
+    HF-tokenizers shape). Iterative with data-dependent state, so no
+    SQL engine can replay it (same rows-only class as the CC loop
+    before its recursive-CTE oracle); determinism (max count, lexico-
+    smallest tie-break), well-formedness, and partitioning-invariance
+    are pinned in tests, and the learned table feeds the SAME encoder
+    the hash-verified bpe_encode_stats already replays in DuckDB."""
+    merges = tx.learn_bpe_merges(table(spark, sf_dir, "documents"), n_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
