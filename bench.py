@@ -58,6 +58,8 @@ HEADLINE = (
     "merge_value_intervals",
     "time_weighted_avg",
     "event_transitions",
+    "simhash_pairs",
+    "dedup_clusters",
 )
 
 
