@@ -717,3 +717,101 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         & (rb.r_ts <= lb.l_ts),
     )
     assert {(r.l_v, r.r_v) for r in batch.collect()} == {(1.0, 10.0)}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered parquet makes row-group stats selective on BOTH
+    (user_id, ts): 2-D box predicates at two positions touch ~2.6x
+    fewer row groups than the ts-sorted layout (measured from real
+    parquet footers at sf0.1, ~300 row groups). The effect needs
+    enough groups that a group's z-span is finer than the query box —
+    at toy scales the curve's constant-factor box overhead hides it.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from time_series_data_pipeline_spark.catalog import table as cat_table
+    from time_series_data_pipeline_spark.sources.layout import zorder_layout
+
+    ev = cat_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    naive_dir = str(tmp_path / "naive")
+    z_dir = str(tmp_path / "zord")
+    small = {"parquet.block.size": 8192}
+    # Spark's default INT96 timestamps carry NO row-group stats — write
+    # INT64 micros so the ts column is prunable at all (both layouts)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            ev.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+            .write.options(**small).parquet(naive_dir)
+        )
+        zorder_layout(ev, "user_id", "ts", bits=12, n_files=8).drop(
+            "__z"
+        ).write.options(**small).parquet(z_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    b = ev.agg(
+        F.min("user_id").alias("ul"), F.max("user_id").alias("uh"),
+        F.min("ts").alias("tl"), F.max("ts").alias("th"),
+    ).collect()[0]
+
+    def overlap(d, lo_u, hi_u, lo_t, hi_t):
+        total = hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                su = g.column(names["user_id"]).statistics
+                st = g.column(names["ts"]).statistics
+                total += 1
+                if (
+                    su.min <= hi_u and su.max >= lo_u
+                    and st.min.replace(tzinfo=None) <= hi_t
+                    and st.max.replace(tzinfo=None) >= lo_t
+                ):
+                    hit += 1
+        return hit, total
+
+    assert spark.read.parquet(z_dir).count() == ev.count()
+    for pos in (0.25, 0.6):
+        lo_u = b.ul + int((b.uh - b.ul) * pos)
+        hi_u = lo_u + max(1, (b.uh - b.ul) // 10)
+        lo_t = b.tl + (b.th - b.tl) * pos
+        hi_t = lo_t + (b.th - b.tl) / 10
+        hit_n, tot_n = overlap(naive_dir, lo_u, hi_u, lo_t, hi_t)
+        hit_z, tot_z = overlap(z_dir, lo_u, hi_u, lo_t, hi_t)
+        assert tot_n > 200 and tot_z > 200  # enough groups to measure
+        assert hit_z / tot_z < 0.6 * hit_n / tot_n, (pos, hit_z, tot_z, hit_n, tot_n)
+
+
+def test_zvalue_is_morton_order(spark):
+    """Golden: zvalue() reproduces the textbook Morton interleave."""
+    from time_series_data_pipeline_spark.sources.layout import zvalue
+
+    df = spark.range(16).select(
+        (F.col("id") % 4).alias("x"), (F.col("id") / 4).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zvalue(F.col("x"), F.col("y"), bits=2).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(got[(x, y)] == morton(x, y) for x in range(4) for y in range(4))
