@@ -17,7 +17,7 @@ from ..operators import timeseries as ts_ops
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
 from ..sources import bucket as bkt
-from .registry import query
+from .registry import ORACLE, query
 
 _AVG = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)"
 
@@ -1029,3 +1029,154 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="click_",
         direction="nearest",
     )
+
+
+# ---------------------------------------------------------------------------
+# suite_timeseries_stats — nine per-series stat singletons verified
+# through ONE union hash, so their operators keep an in-window driver
+# row even when the singletons rotate below the driver's 50-entry cap
+# (VERDICT r4 item 8). The oracle reuses the constituents' own
+# registered oracle SQL verbatim (ORACLE[...]), so the suite cannot
+# drift from the singletons it folds.
+# ---------------------------------------------------------------------------
+
+_SUITE_TS_SQL = f"""
+    SELECT 'value_percentiles' AS sub, t.event_type AS k1, m.k2,
+           CAST(NULL AS BIGINT) AS n, m.value
+    FROM ({ORACLE["value_percentiles"]}) t,
+         LATERAL (VALUES ('p50', t.p50), ('p90', t.p90), ('p99', t.p99))
+           AS m(k2, value)
+    UNION ALL
+    SELECT 'anomaly_mad', t.event_type, m.k2, t.n_points, m.value
+    FROM ({ORACLE["anomaly_mad"]}) t,
+         LATERAL (VALUES ('median_value', t.median_value), ('mad', t.mad),
+                         ('outlier_frac', t.outlier_frac),
+                         ('n_outliers', CAST(t.n_outliers AS DOUBLE)))
+           AS m(k2, value)
+    UNION ALL
+    SELECT 'value_trend_per_type', t.event_type, m.k2, t.n, m.value
+    FROM ({ORACLE["value_trend_per_type"]}) t,
+         LATERAL (VALUES ('slope_per_s', t.slope_per_s),
+                         ('intercept', t.intercept)) AS m(k2, value)
+    UNION ALL
+    SELECT 'time_weighted_avg', t.event_type, 'time_weighted_avg', t.n,
+           t.time_weighted_avg
+    FROM ({ORACLE["time_weighted_avg"]}) t
+    UNION ALL
+    SELECT 'counter_increase', t.event_type, 'total_increase', t.n,
+           t.total_increase
+    FROM ({ORACLE["counter_increase"]}) t
+    UNION ALL
+    SELECT 'json_props_stats', t.event_type, m.k2, t.n, m.value
+    FROM ({ORACLE["json_props_stats"]}) t,
+         LATERAL (VALUES ('avg_k', t.avg_k),
+                         ('sum_k', CAST(t.sum_k AS DOUBLE)),
+                         ('max_k', CAST(t.max_k AS DOUBLE))) AS m(k2, value)
+    UNION ALL
+    SELECT 'funnel_view_click_purchase', CAST(NULL AS VARCHAR), m.k2,
+           CAST(NULL AS BIGINT), m.value
+    FROM ({ORACLE["funnel_view_click_purchase"]}) t,
+         LATERAL (VALUES ('n_view', CAST(t.n_view AS DOUBLE)),
+                         ('n_view_click', CAST(t.n_view_click AS DOUBLE)),
+                         ('n_view_click_purchase',
+                          CAST(t.n_view_click_purchase AS DOUBLE)))
+           AS m(k2, value)
+    UNION ALL
+    SELECT 'event_transitions', t.from_type, t.to_type, t.n, t.prob
+    FROM ({ORACLE["event_transitions"]}) t
+    UNION ALL
+    SELECT 'weekly_retention', CAST(t.cohort AS VARCHAR),
+           CAST(t.week AS VARCHAR), t.n_active, CAST(NULL AS DOUBLE)
+    FROM ({ORACLE["weekly_retention"]}) t
+"""
+
+
+@query("suite_timeseries_stats", oracle=_SUITE_TS_SQL)
+def suite_timeseries_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series statistics suite: exact percentiles, MAD anomaly
+    summary, least-squares trend, time-weighted average, counter
+    increase, JSON-props stats, conversion funnel, transition matrix,
+    and weekly retention — one order-insensitive union hash. Long
+    format (sub, k1, k2, n, value); exact counts fold into DOUBLE
+    losslessly (all << 2^53)."""
+
+    def _ns():
+        return F.lit(None).cast("string")
+
+    def _nl():
+        return F.lit(None).cast("long")
+
+    def melt(df, sub, ids, metrics, n_col=None):
+        """Unpivot double metric columns to (sub, k1, k2, n, value)."""
+        m = df.unpivot(ids, metrics, "k2", "value")
+        return m.select(
+            F.lit(sub).alias("sub"),
+            F.col(ids[0]).cast("string").alias("k1") if ids else _ns().alias("k1"),
+            F.col("k2"),
+            (F.col(n_col) if n_col else _nl()).cast("long").alias("n"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    vp = melt(
+        value_percentiles(spark, sf_dir),
+        "value_percentiles", ["event_type"], ["p50", "p90", "p99"],
+    )
+    mad_src = anomaly_mad(spark, sf_dir).withColumn(
+        "n_outliers", F.col("n_outliers").cast("double")
+    )
+    mad = melt(
+        mad_src, "anomaly_mad", ["event_type", "n_points"],
+        ["median_value", "mad", "outlier_frac", "n_outliers"], n_col="n_points",
+    )
+    tr = melt(
+        value_trend_per_type(spark, sf_dir),
+        "value_trend_per_type", ["event_type", "n"],
+        ["slope_per_s", "intercept"], n_col="n",
+    )
+    twa = melt(
+        time_weighted_avg_q(spark, sf_dir),
+        "time_weighted_avg", ["event_type", "n"],
+        ["time_weighted_avg"], n_col="n",
+    )
+    ci = melt(
+        counter_increase_q(spark, sf_dir),
+        "counter_increase", ["event_type", "n"],
+        ["total_increase"], n_col="n",
+    )
+    js_src = json_props_stats(spark, sf_dir).select(
+        "event_type", "n", "avg_k",
+        F.col("sum_k").cast("double").alias("sum_k"),
+        F.col("max_k").cast("double").alias("max_k"),
+    )
+    js = melt(
+        js_src, "json_props_stats", ["event_type", "n"],
+        ["avg_k", "sum_k", "max_k"], n_col="n",
+    )
+    fu_src = funnel_view_click_purchase(spark, sf_dir).select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n_view", "n_view_click", "n_view_click_purchase")
+        ]
+    )
+    fu = melt(
+        fu_src, "funnel_view_click_purchase", [],
+        ["n_view", "n_view_click", "n_view_click_purchase"],
+    )
+    et = event_transitions(spark, sf_dir).select(
+        F.lit("event_transitions").alias("sub"),
+        F.col("from_type").alias("k1"),
+        F.col("to_type").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("prob").alias("value"),
+    )
+    wr = weekly_retention(spark, sf_dir).select(
+        F.lit("weekly_retention").alias("sub"),
+        F.col("cohort").cast("string").alias("k1"),
+        F.col("week").cast("string").alias("k2"),
+        F.col("n_active").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    out = vp
+    for part in (mad, tr, twa, ci, js, fu, et, wr):
+        out = out.unionByName(part)
+    return out
