@@ -32,6 +32,40 @@ def test_connected_components_raises_without_convergence(spark):
         gr.connected_components(edges, max_iter=1)
 
 
+def test_star_components_long_chain(spark):
+    # diameter-29 chain: hash-min needs ~29 rounds, far past the auto
+    # fallback's 5 — the star algorithm must finish well inside
+    # max_iter=15 (O(log² n) rounds, diameter-independent)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in gr.connected_components(edges, max_iter=15).collect()
+    }
+    assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_star_matches_hashmin_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {
+        r["node"]: r["component"]
+        for r in gr.connected_components(df, algorithm="star").collect()
+    }
+    hm = {
+        r["node"]: r["component"]
+        for r in gr.connected_components(df, algorithm="hashmin").collect()
+    }
+    assert star == hm and star
+
+
 def test_dedup_clusters_keeper_election(spark):
     # two clusters: {1,2,3} (transitive via 2) and {7,9}
     pairs = spark.createDataFrame(

@@ -749,9 +749,10 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
             ev.repartitionByRange(8, "ts").sortWithinPartitions("ts")
             .write.options(**small).parquet(naive_dir)
         )
-        zorder_layout(ev, "user_id", "ts", bits=12, n_files=8).drop(
-            "__z"
-        ).write.options(**small).parquet(z_dir)
+        # zorder_layout returns exactly the input schema (no __z leak)
+        zdf = zorder_layout(ev, "user_id", "ts", bits=12, n_files=8)
+        assert zdf.columns == ev.columns
+        zdf.write.options(**small).parquet(z_dir)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.parquet.outputTimestampType")

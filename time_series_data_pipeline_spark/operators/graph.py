@@ -33,17 +33,116 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's executor blocks eagerly.
+
+    A checkpointed DataFrame's plan is a LogicalRDD over the persisted
+    block RDD; dropping the Python reference only frees the blocks when
+    the JVM ContextCleaner eventually GCs it, so a long CC run would
+    hold one label-frame copy per round. Unpersisting the underlying
+    RDD bounds executor storage to two rounds (previous + current).
+    Best-effort: if the internal accessor shape ever changes, the
+    blocks still fall back to GC-driven cleanup."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al.): every node u links its
+    strictly-larger neighbors to min(N(u) ∪ {u}). Input and output are
+    SYMMETRIC edge lists."""
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    out = (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        out.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """One small-star round: orient edges high→low, then every node u
+    links its (smaller) neighbors and itself to min(N(u) ∪ {u})."""
+    d = sym.filter(F.col("u") > F.col("v")).distinct()
+    m = d.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    j = d.join(m, "u")
+    out = (
+        j.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(j.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        out.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _star_components(sym0: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond'): alternate the two
+    rules until the edge set reaches its fixpoint — a forest of depth-1
+    stars rooted at each component's minimum id. Converges in
+    O(log² n) rounds INDEPENDENT of graph diameter, so chain-shaped
+    graphs that cost hash-min one round per hop finish in a handful of
+    rounds here. Per round: two groupBy+join shuffles over the edge
+    list only; convergence check is a 1-row (count, hash-sum) scalar —
+    a collision-proof fixpoint signature is not needed because the
+    iteration is monotone (edge target labels only decrease)."""
+    sym = sym0
+    prev_sig = None
+    for _ in range(max_iter):
+        new_sym = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        sig = tuple(
+            new_sym.agg(
+                F.count("*").alias("n"),
+                # decimal sum: a BIGINT Σ of 64-bit hashes overflows
+                # (and raises under Spark 4 ANSI mode)
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+        )
+        if sym is not sym0:
+            _release_checkpoint(sym)
+        sym = new_sym
+        if sig == prev_sig:
+            # fixpoint: sym is now (leaf ↔ root) stars
+            stars = sym.filter(F.col("u") > F.col("v"))
+            nodes = sym0.select("u").distinct()
+            return nodes.join(
+                stars.withColumnRenamed("u", "node"), nodes["u"] == F.col("node"), "left"
+            ).select(
+                nodes["u"].alias("node"),
+                F.coalesce(F.col("v"), nodes["u"]).alias("component"),
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"star connected_components did not converge in {max_iter} rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = the minimum node id in the node's connected component.
 
     Deterministic for any partitioning (min is order-insensitive).
-    Raises if the diameter exceeds ``max_iter`` rounds rather than
+
+    ``algorithm``: ``"hashmin"`` = min-label propagation, one round per
+    diameter hop — optimal for near-dup clique graphs (diameter 1–3);
+    ``"star"`` = large-star/small-star, O(log² n) rounds regardless of
+    diameter; ``"auto"`` (default) = hash-min, falling back to star if
+    no convergence within 5 rounds (a long chain has shown up).
+    Raises if neither converges within ``max_iter`` rounds rather than
     returning a half-propagated labeling.
     """
     # Lineage is truncated PHYSICALLY each round with an eager
@@ -69,13 +168,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if algorithm == "star":
+        return _star_components(e, max_iter)
+    hashmin_rounds = min(5, max_iter) if algorithm == "auto" else max_iter
     prev = (
         e.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(hashmin_rounds):
         # neighbor minimum: for each v, min over u-neighbors' labels
         nbr_min = (
             e.join(prev.withColumnRenamed("node", "u"), "u")
@@ -98,12 +200,22 @@ def connected_components(
             new_labels.agg(F.sum(F.col("__changed").cast("long")).alias("n"))
             .collect()[0]["n"]
         )
+        # the new round is materialized (eager checkpoint + the scalar
+        # collect above) — release the previous round's blocks now so
+        # executor storage stays bounded at two label-frame copies
+        _release_checkpoint(prev)
         prev = new_labels
         if not n_changed:
             return new_labels.drop("__changed")
+    if algorithm == "auto":
+        # diameter exceeded the hash-min budget (chain-shaped graph) —
+        # restart on the star algorithm, whose round count is
+        # O(log² n) regardless of diameter
+        _release_checkpoint(prev)
+        return _star_components(e, max_iter)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(diameter too large — switch to large-star/small-star)"
+        "(diameter too large — use algorithm='star')"
     )
 
 

@@ -472,7 +472,13 @@ def histogram(
     Two linear passes: a 1-row min/max aggregate broadcast back onto the
     scan, then one hash-agg on (keys, bin). Bin assignment is pure
     arithmetic (floor((v-lo)/(hi-lo)*bins) clamped to [0, bins-1]) —
-    exact-replayable, no UDF. ~2B+bins rows ever shuffle per group."""
+    exact-replayable, no UDF. ~2B+bins rows ever shuffle per group.
+
+    NULL values are excluded up front (matching linear_trend /
+    time_weighted_avg / counter_increase): without the filter,
+    floor(NULL) → greatest/least collapse to bin 0 and silently inflate
+    the lowest bin."""
+    df = df.filter(F.col(value_col).isNotNull())
     stats = df.agg(
         F.min(F.col(value_col).cast("double")).alias("__lo"),
         F.max(F.col(value_col).cast("double")).alias("__hi"),
@@ -537,7 +543,10 @@ def linear_trend(
         .groupBy(*keys)
         .agg(
             F.count("*").alias("n"),
-            F.sum("__x").alias("__sx"),
+            # every Σ is decimal so none can wrap at petabyte row counts
+            # (a BIGINT Σx overflows near 1e15 rows × 1e7 s offsets, and
+            # raises under Spark 4 ANSI mode)
+            F.sum(F.col("__x").cast("decimal(30,0)")).alias("__sx"),
             # x*x fits a BIGINT per row (rebased seconds), but the SUM is
             # decimal so it cannot wrap at petabyte row counts
             F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias("__sxx"),

@@ -731,7 +731,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(CASE WHEN hi = lo THEN 0 ELSE
@@ -742,6 +742,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lo, 9) AS domain_lo,
            round(hi, 9) AS domain_hi
     FROM events, s
+    WHERE value IS NOT NULL
     GROUP BY event_type, bin, lo, hi
     """,
 )

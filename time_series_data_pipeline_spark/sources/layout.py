@@ -94,10 +94,14 @@ def zorder_layout(
         _scaled(ys, F.col("__ylo"), F.col("__yhi"), bits),
         bits,
     )
+    # __z is dropped too: the row order established by
+    # sortWithinPartitions survives the drop projection, and the caller
+    # gets back exactly the input schema — writing the frame must not
+    # leak a synthetic column into the table.
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__xlo", "__xhi", "__ylo", "__yhi")
+        .drop("__xlo", "__xhi", "__ylo", "__yhi", "__z")
     )
