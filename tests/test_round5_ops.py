@@ -1,0 +1,84 @@
+"""Unit tests for the round-5 operators: per-group cap sampling,
+char-trigram familiarity, and the leakage-safe split building blocks —
+hand-computable fixtures with exact expected values (the oracle-parity
+suite covers the registered-query forms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.operators import text as tx
+from time_series_data_pipeline_spark.operators.sampling import (
+    cap_per_group,
+    hash_bucket,
+)
+
+
+def test_cap_per_group_keeps_cap_rows_per_group(spark):
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = cap_per_group(df, "g", "k", cap=5).collect()
+    by_g: dict[str, list[int]] = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert {g: len(v) for g, v in by_g.items()} == {"g0": 5, "g1": 5, "g2": 5}
+
+
+def test_cap_per_group_partitioning_invariant(spark):
+    rows = [(i, f"g{i % 4}") for i in range(80)]
+    df1 = spark.createDataFrame(rows, ["k", "g"]).repartition(1)
+    df7 = spark.createDataFrame(rows, ["k", "g"]).repartition(7)
+    kept1 = {(r["k"], r["g"]) for r in cap_per_group(df1, "g", "k", 6).collect()}
+    kept7 = {(r["k"], r["g"]) for r in cap_per_group(df7, "g", "k", 6).collect()}
+    assert kept1 == kept7 and len(kept1) == 24
+
+
+def test_cap_per_group_matches_single_window_reference(spark):
+    from pyspark.sql import Window
+
+    rows = [(i, f"g{i % 3}") for i in range(45)]
+    df = spark.createDataFrame(rows, ["k", "g"]).repartition(5)
+    w = Window.partitionBy("g").orderBy(hash_bucket(F.col("k"), "cap"), F.col("k"))
+    ref = {
+        (r["k"], r["g"])
+        for r in df.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 4)
+        .drop("r")
+        .collect()
+    }
+    got = {(r["k"], r["g"]) for r in cap_per_group(df, "g", "k", 4).collect()}
+    assert got == ref
+
+
+def test_cap_smaller_groups_survive_whole(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["k", "g"])
+    out = cap_per_group(df, "g", "k", cap=10).collect()
+    assert len(out) == 3
+
+
+def test_char_trigrams_values_and_short_text(spark):
+    df = spark.createDataFrame(
+        [(1, "ABcd"), (2, "xy"), (3, "aaa")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tx.char_trigrams("text").alias("t")).collect()
+    }
+    assert got == {1: ["abc", "bcd"], 2: [], 3: ["aaa"]}
+
+
+def test_trigram_familiarity_exact(spark):
+    # corpus: "aaaa" -> [aaa, aaa]; "aaab" -> [aaa, aab]; "xyz" -> [xyz]
+    # model: aaa=3, aab=1, xyz=1
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "xyz"), (4, "zz")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tri"], r["familiarity"])
+        for r in tx.trigram_familiarity(df).collect()
+    }
+    assert got == {
+        1: (2, 3.0),           # (3 + 3) / 2
+        2: (2, 2.0),           # (3 + 1) / 2
+        3: (1, 1.0),
+    }                          # doc 4 too short -> absent

@@ -82,6 +82,46 @@ def train_val_test_split(
     return df.withColumn("split", split)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group cap — the "domain cap" of web-corpus
+    pipelines (RefinedWeb/C4 keep at most N pages per domain so one
+    giant site cannot dominate the training mixture): keep the ``cap``
+    rows per group with the smallest salted-md5 rank (ties by key), a
+    stable uniform-without-replacement draw per group.
+
+    Skew-safe two-phase shape: phase 1 shuffles on (group, input
+    partition id) and pre-caps each fragment — a billion-row domain is
+    spread over many reducers and at most ``cap × n_partitions`` of its
+    rows survive; phase 2 ranks only the survivors per group. The kept
+    SET is independent of the partitioning (the global top-``cap`` by
+    hash order is a subset of every fragment union), so results are
+    reproducible anywhere even though partition ids are not."""
+    from pyspark.sql import Window
+
+    b = hash_bucket(F.col(key_col), salt)
+    pre_w = Window.partitionBy(group_col, "__pid").orderBy(
+        b.asc(), F.col(key_col).asc()
+    )
+    survivors = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(pre_w))
+        .filter(F.col("__pr") <= cap)
+        .drop("__pid", "__pr")
+    )
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col).asc())
+    return (
+        survivors.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .drop("__r")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     key_col: str,

@@ -417,6 +417,58 @@ def repetition_stats(
     )
 
 
+def char_trigrams(text_col: str = "text") -> Column:
+    """All character 3-grams of the lowercased text, WITH multiplicity
+    (position-wise, not distinct) — empty array below 3 chars.
+
+    Spark's sequence(1, n) is DESCENDING when n < 1 ([1, 0]), so the
+    short-text case is guarded explicitly rather than relying on an
+    empty range like SQL generate_series."""
+    low = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.length(low) - 2),
+        lambda i: low.substr(i, F.lit(3)),
+    )
+    return F.when(F.length(low) >= 3, tri).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def trigram_familiarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-relative quality signal: mean corpus frequency of a
+    document's character trigrams — the exact-arithmetic stand-in for
+    the n-gram-LM perplexity filter of CCNet-class pipelines (garbled /
+    non-linguistic text is built from trigrams the corpus rarely
+    produces, so it scores low; fluent text scores high). Unlike a log-
+    probability, the score is a ratio of exact integer counts, so it is
+    bit-reproducible on any engine and hash-verifiable.
+
+    Shape: one scan builds per-doc trigram multiplicities (map-side-
+    combined groupBy), the corpus model is the second aggregate over the
+    same exploded frame (bounded by the trigram alphabet — ~100k entries
+    on natural text, broadcastable), and scoring is one broadcast
+    equi-join + a final per-doc aggregate. Docs shorter than 3 chars
+    drop out (no trigrams)."""
+    occ = df.select(
+        F.col(id_col), F.explode(char_trigrams(text_col)).alias("tri")
+    )
+    per_doc = occ.groupBy(id_col, "tri").agg(F.count("*").alias("c"))
+    model = occ.groupBy("tri").agg(F.count("*").alias("n_t"))
+    return (
+        per_doc.join(F.broadcast(model), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tri"),
+            (
+                F.sum(F.col("c") * F.col("n_t")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("familiarity"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint = lexicographic min of md5(3-shingle) — a
     1-permutation MinHash; identical shingle sets ⇒ identical prints."""
