@@ -64,6 +64,8 @@ HEADLINE = (
     # benched beside embedding_neardup_pairs so the wall-time win is on
     # record (VERDICT r4 item 6)
     "embedding_lsh_ann",
+    # compressed-corpus search: ADC shortlist + exact re-rank
+    "embedding_pq_rerank",
 )
 
 

@@ -315,3 +315,42 @@ def test_weighted_sample_is_stable_and_weight_biased(spark):
     mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
     mean_sampled = sum(r.n_chars for r in a) / len(a)
     assert mean_sampled > mean_all
+
+
+# ------------------------------------------------------ product quantization
+
+
+def test_pq_rerank_recall_vs_exact(spark):
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, queries, k=10).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(emb, queries, dim=64, k=10).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk_rerank(emb, queries, dim=64, k=10).collect()
+    }
+    # pure-ADC ranking on iid synthetic vectors (PQ's worst case — no
+    # correlation structure to exploit): measured 0.6 sf0.001 / 0.46
+    # sf0.01 at (m=16, ksub=64)
+    assert len(exact & adc) / len(exact) >= 0.4
+    # exact re-rank of the ADC top-100 restores the ranking: measured
+    # 1.0 sf0.001 / 0.98 sf0.01
+    assert len(exact & rr) / len(exact) >= 0.9
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    emb = table(spark, SF_SMOKE, "embeddings")
+    cb = sim.pq_codebooks(emb, dim=64, m=16, ksub=8)
+    assert len(cb) == 16 and len(cb[0]) == 8 and len(cb[0][0]) == 4
+    # codebooks are an md5-rank sample — identical on any partitioning
+    cb2 = sim.pq_codebooks(emb.repartition(13), dim=64, m=16, ksub=8)
+    assert cb == cb2
+    codes = sim.pq_encode(emb, cb, dim=64).collect()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(1 <= c <= 8 for r in codes for c in r["codes"])
