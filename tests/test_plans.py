@@ -156,6 +156,16 @@ def test_no_row_python_anywhere(spark, name):
         # window + agg share the user_id partitioning: ONE shuffle
         ("merge_value_intervals", 1, ()),
         ("time_weighted_avg", 1, ()),
+        # round 5: two-phase cap = (group, pid) window + group window
+        ("source_cap_docs", 2, ()),
+        # per-doc multiplicity agg + model agg + final per-doc agg;
+        # the model attaches via broadcast join, never a shuffle
+        ("trigram_familiarity", 3, ("BroadcastExchange",)),
+        # PQ/ADC: codes are a map-only projection; the only exchange is
+        # the per-query top-k window
+        ("embedding_pq_topk", 1, ("BroadcastExchange",)),
+        # + the shortlist re-rank joins (broadcast at this scale)
+        ("embedding_pq_rerank", 2, ("BroadcastExchange",)),
     ],
 )
 def test_round4_additions_shuffle_budget(spark, name, max_shuffles, traits):
