@@ -1589,6 +1589,72 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_apply",
+    # the acting step on top of the cluster oracle: survivors = docs
+    # that are unclustered or their cluster's keeper
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS __t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM toks
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT u, u FROM e
+      UNION
+      SELECT x.node, e.v FROM reach x JOIN e ON x.r = e.u
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT 'survivors' AS sub, d.doc_id AS n
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+    UNION ALL
+    SELECT 'n_removed', (SELECT CAST(COUNT(*) AS BIGINT) FROM clusters
+                         WHERE cluster_id != doc_id)
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 dedup, the FINAL acting step a pipeline actually ships:
+    the cleaned corpus — every document that is either unclustered or
+    its near-dup cluster's elected keeper — plus the removed-row count.
+    Pairs → clusters → apply, end to end, with the cluster membership
+    and the surviving id set both inside the one union hash. The
+    anti-join is a broadcast (cluster frame ≪ corpus)."""
+    from ..operators import graph as gr
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(
+        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
+    ).select("id_a", "id_b")
+    clusters = gr.dedup_clusters(pairs).select(
+        "doc_id", "cluster_id", "is_keeper"
+    )
+    joined = docs.select("doc_id").join(F.broadcast(clusters), "doc_id", "left")
+    survivors = joined.filter(
+        F.col("cluster_id").isNull() | F.col("is_keeper")
+    ).select(F.lit("survivors").alias("sub"), F.col("doc_id").alias("n"))
+    removed = (
+        joined.filter(F.col("cluster_id").isNotNull() & ~F.col("is_keeper"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("n_removed").alias("sub"), "n")
+    )
+    return survivors.unionByName(removed)
+
+
 @query("embedding_pq_topk", oracle=None)  # oracle attached below (generated)
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 product-quantization search (FAISS-style ADC, Jégou et al.

@@ -17,7 +17,7 @@ from ..operators import timeseries as ts_ops
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
 from ..sources import bucket as bkt
-from .registry import ORACLE, query
+from .registry import ORACLE, _dec, query
 
 _AVG = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)"
 
@@ -1029,6 +1029,87 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
         prefix="click_",
         direction="nearest",
+    )
+
+
+@query(
+    "window_percentiles_15m",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts)//900000000)*900000000) AS window_start,
+           event_type,
+           COUNT(value) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def window_percentiles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact quantiles: p50/p95 per series per 15-minute
+    tumbling window — the latency-dashboard panel (aggregateWindow with
+    a quantile fn). Same epoch-aligned bucket arithmetic as the
+    flagship; F.percentile ≡ DuckDB quantile_cont by definition. One
+    shuffle on (window, series)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+    )
+
+
+@query(
+    "day_over_day_delta",
+    # decimal-exact hourly means on both sides; the -24 h probe is an
+    # equi-join on the shifted bucket — deterministic doubles end to end
+    oracle=f"""
+    WITH h AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS bucket,
+             event_type, {_AVG} AS avg_value
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur.bucket, cur.event_type, cur.avg_value,
+           prev.avg_value AS avg_value_prev_day,
+           cur.avg_value - prev.avg_value AS dod_delta
+    FROM h cur
+    JOIN h prev ON prev.event_type = cur.event_type
+      AND epoch_us(prev.bucket) = epoch_us(cur.bucket) - 86400000000
+    """,
+)
+def day_over_day_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (day-over-day) comparison: each hourly mean joined to
+    the SAME series 24 h earlier — the week/day-over baseline panel
+    behind seasonality-aware alerting. A time-shifted self-join on the
+    bucket key: one aggregation shuffle, then an equi-join on
+    (series, bucket−24 h) — co-partitioned, no range scan. Decimal-
+    exact means keep the doubles bit-identical cross-engine."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("bucket"), "event_type"
+    ).agg(
+        (F.sum(_dec("value")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        )
+    )
+    cur = h
+    prev = h.select(
+        (F.col("bucket") + F.expr("INTERVAL 24 HOURS")).alias("bucket"),
+        F.col("event_type"),
+        F.col("avg_value").alias("avg_value_prev_day"),
+    )
+    return cur.join(prev, ["bucket", "event_type"]).select(
+        "bucket",
+        "event_type",
+        "avg_value",
+        "avg_value_prev_day",
+        (F.col("avg_value") - F.col("avg_value_prev_day")).alias("dod_delta"),
     )
 
 
