@@ -816,3 +816,47 @@ def test_zvalue_is_morton_order(spark):
         return z
 
     assert all(got[(x, y)] == morton(x, y) for x in range(4) for y in range(4))
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: live events joined to a
+    static dimension must equal the batch join, carry dimension
+    attributes, and keep unmatched rows (left join)."""
+    import json
+
+    from time_series_data_pipeline_spark.streaming.joins import enrich_stream
+
+    src = tmp_path / "en_src"
+    src.mkdir()
+    rows = [("click", "2024-01-01 10:00:00", 1.0),
+            ("error", "2024-01-01 10:01:00", 2.0),
+            ("mystery", "2024-01-01 10:02:00", 3.0)]
+    with open(src / "ev.json", "w") as f:
+        for ty, t, v in rows:
+            f.write(json.dumps({"event_type": ty, "t": t, "v": v}) + "\n")
+
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("error", "fault"), ("view", "passive")],
+        ["event_type", "category"],
+    )
+    schema = "event_type string, t timestamp, v double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = str(tmp_path / "en_out")
+    q = (
+        enrich_stream(stream, dim, on="event_type")
+        .writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "en_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_type, r.category) for r in spark.read.parquet(out).collect()}
+    assert got == {("click", "interaction"), ("error", "fault"),
+                   ("mystery", None)}
+
+    batch = spark.read.schema(schema).json(str(src)).join(
+        dim, "event_type", "left"
+    )
+    assert {(r.event_type, r.category) for r in batch.collect()} == got

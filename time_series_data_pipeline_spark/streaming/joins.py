@@ -48,3 +48,26 @@ def interval_join_streams(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, "inner").drop(rw[on])
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream
+    hash-joins against a STATIC dimension frame — the standard
+    enrichment shape (events → device/customer/config attributes).
+
+    The static side needs no watermark and holds NO streaming state:
+    Spark re-plans it per micro-batch, so a dimension backed by a file
+    source even picks up new files between batches (slowly-changing
+    dimension refresh for free). With ``broadcast_dim`` (the default —
+    dimensions are small by definition) each batch is a broadcast hash
+    join: zero shuffle on the hot stream path, which is exactly what
+    the 100 TB/day firehose wants; set it False for a dimension too
+    large to broadcast and the batch falls back to a shuffled join."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
