@@ -82,3 +82,38 @@ def test_trigram_familiarity_exact(spark):
         2: (2, 2.0),           # (3 + 1) / 2
         3: (1, 1.0),
     }                          # doc 4 too short -> absent
+
+
+def test_holt_linear_matches_reference_loop(spark):
+    import datetime
+
+    from time_series_data_pipeline_spark.queries.timeseries_q import (
+        holt_linear_final,
+    )
+
+    # build a tiny events parquet so the query fn can read it
+    import os
+    import tempfile
+
+    vals = [2.0, 4.0, 8.0, 3.0, 6.0]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, "s", t0 + datetime.timedelta(minutes=i), v, 1, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double,"
+        " user_id long, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = holt_linear_final(spark, d).collect()[0]
+    l, b = vals[0], 0.0
+    for x in vals[1:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b
+        l = ln
+    assert got["n"] == 5
+    assert got["level"] == round(l, 9)
+    assert got["trend"] == round(b, 9)
+    assert got["forecast_next"] == round(l + b, 9)

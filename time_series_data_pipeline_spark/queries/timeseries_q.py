@@ -1033,6 +1033,81 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "holt_linear_final",
+    # Holt's linear (double exponential) smoothing, final state per
+    # series: level l_t = α·x + (1−α)(l+b), trend b_t = β(l_t−l) +
+    # (1−β)b, init (l,b) = (x_1, 0). α=0.5 and β=0.25 are DYADIC so
+    # every smoothing constant (incl. 1−β=0.75) is exactly
+    # representable — no (1.0−α) folding drift between engines (the
+    # ewma lesson, closed structurally this time). The oracle replays
+    # the recurrence with a RECURSIVE CTE stepping a per-series row
+    # index — NOT list_reduce with a struct accumulator: DuckDB 1.0
+    # evaluates output-struct fields against the PARTIALLY-UPDATED
+    # accumulator (the 'b' expression sees the new 'l'), so coupled
+    # recurrences silently diverge (pitfall, measured). Sequential per
+    # series; like ewma_final this is the attestation/diagnostic tier.
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, value) AS i,
+             CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hw(event_type, i, l, b) AS (
+      SELECT event_type, 1, x, CAST(0 AS DOUBLE) FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+             0.5 * s.x + 0.5 * (h.l + h.b),
+             0.25 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+      FROM hw h JOIN seq s
+        ON s.event_type = h.event_type AND s.i = h.i + 1
+    ),
+    last AS (SELECT event_type, MAX(i) AS n FROM seq GROUP BY event_type)
+    SELECT h.event_type, last.n,
+           round(h.l, 9) AS level,
+           round(h.b, 9) AS trend,
+           round(h.l + h.b, 9) AS forecast_next
+    FROM hw h JOIN last ON last.event_type = h.event_type AND h.i = last.n
+    """,
+)
+def holt_linear_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear trend smoothing (public double-exponential
+    forecasting), final (level, trend) + one-step forecast per series —
+    the trend-aware successor of the EWMA gauge. Pure JVM struct-
+    accumulator fold, bit-identical to DuckDB's list_reduce replay."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("__s"),
+    )
+    structs = F.transform(
+        F.col("__s"),
+        lambda s: F.struct(
+            s["value"].cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+    )
+
+    def _step(acc, x):
+        l_new = F.lit(0.5) * x["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    hw = F.aggregate(
+        F.slice(structs, 2, F.greatest(F.size(structs) - 1, F.lit(0))),
+        F.element_at(structs, 1),
+        _step,
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(hw["l"], 9).alias("level"),
+        F.round(hw["b"], 9).alias("trend"),
+        F.round(hw["l"] + hw["b"], 9).alias("forecast_next"),
+    )
+
+
+@query(
     "window_percentiles_15m",
     oracle="""
     SELECT make_timestamp((epoch_us(ts)//900000000)*900000000) AS window_start,
