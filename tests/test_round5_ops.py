@@ -117,3 +117,30 @@ def test_holt_linear_matches_reference_loop(spark):
     assert got["level"] == round(l, 9)
     assert got["trend"] == round(b, 9)
     assert got["forecast_next"] == round(l + b, 9)
+
+
+def test_triangle_decimate_keeps_spikes_and_endpoints(spark):
+    import datetime
+
+    from time_series_data_pipeline_spark.operators import (
+        timeseries as ts_ops,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # flat series with one huge spike at i=57; 100 points -> n_out=12
+    rows = [
+        (i, "s", t0 + datetime.timedelta(minutes=i),
+         500.0 if i == 57 else 10.0 + (i % 3))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = ts_ops.triangle_decimate(
+        df, "ts", "value", ["event_type"], n_out=12
+    ).collect()
+    assert len(out) == 12  # 10 buckets + first + last
+    buckets = {r["bucket"] for r in out}
+    assert -1 in buckets and -2 in buckets
+    assert any(r["value"] == 500.0 for r in out), "spike must survive"
+    # endpoints kept verbatim
+    ends = {r["ts"] for r in out if r["bucket"] < 0}
+    assert ends == {t0, t0 + datetime.timedelta(minutes=99)}

@@ -691,3 +691,123 @@ def counter_increase(
             F.sum("__d").cast("double").alias("total_increase"),
         )
     )
+
+
+def triangle_decimate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    n_out: int = 50,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Largest-triangle bucket downsampling with bucket-mean anchors —
+    the mean-anchor variant of Steinarsson's LTTB (the Grafana
+    downsampler): split each series' interior points into ``n_out − 2``
+    equal-count index buckets, and keep from each bucket the point
+    forming the largest triangle with the NEIGHBORING BUCKETS' mean
+    points (first/last points always kept). Unlike canonical LTTB the
+    anchor is the previous bucket's MEAN, not the previously SELECTED
+    point — that one change removes the sequential dependency, so the
+    whole operator is plain Catalyst (two windows + one aggregate + one
+    co-keyed join: ONE shuffle key family, no UDF, no per-series loop)
+    and is exactly SQL-replayable. Visual fidelity is equivalent for
+    dashboard rendering: the triangle criterion still favors extrema
+    over midpoints.
+
+    Determinism: x = epoch µs (exact in a double), ȳ from lossless
+    DECIMAL(18,2) sums, areas in one fixed double expression, argmax
+    ties broken by point order. Requires every (keys) series to have
+    more than ``n_out`` points (the registered corpus does; pre-filter
+    short series otherwise).
+
+    Output: the selected points (keys, bucket, ts, value) with bucket
+    −1/−2 marking the always-kept first/last points.
+    """
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(ts_col, value_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    pts = df.select(
+        *kcols,
+        F.col(ts_col),
+        F.col(value_col),
+        F.col(tiebreak_col),
+        us.alias("__x"),
+        F.row_number().over(w).alias("__i"),
+        F.count("*").over(Window.partitionBy(*kcols)).alias("__n"),
+    )
+    mid = pts.filter((F.col("__i") > 1) & (F.col("__i") < F.col("__n")))
+    bucket = F.floor(
+        (F.col("__i") - 2) * F.lit(n_out - 2) / (F.col("__n") - 2)
+    ).cast("long")
+    mid = mid.withColumn("__b", bucket)
+    means = mid.groupBy(*keys, "__b").agg(
+        (
+            F.sum(F.col("__x").cast("decimal(30,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mx"),
+        (
+            F.sum(_dec(value_col)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__my"),
+    )
+    # anchors: previous/next bucket mean; the edge buckets anchor on the
+    # series' first/last raw points
+    wb = Window.partitionBy(*keys).orderBy("__b")
+    ends = pts.filter((F.col("__i") == 1) | (F.col("__i") == F.col("__n"))).select(
+        *keys,
+        F.when(F.col("__i") == 1, F.lit("first")).otherwise(F.lit("last")).alias(
+            "__which"
+        ),
+        F.col("__x").cast("double").alias("__ex"),
+        F.col(value_col).cast("double").alias("__ey"),
+    )
+    first = ends.filter(F.col("__which") == "first").select(
+        *keys, F.col("__ex").alias("__fx"), F.col("__ey").alias("__fy")
+    )
+    last = ends.filter(F.col("__which") == "last").select(
+        *keys, F.col("__ex").alias("__lx"), F.col("__ey").alias("__ly")
+    )
+    anch = (
+        means.withColumn("__px", F.lag("__mx").over(wb))
+        .withColumn("__py", F.lag("__my").over(wb))
+        .withColumn("__nx", F.lead("__mx").over(wb))
+        .withColumn("__ny", F.lead("__my").over(wb))
+        .join(F.broadcast(first), list(keys))
+        .join(F.broadcast(last), list(keys))
+        .select(
+            *keys,
+            "__b",
+            F.coalesce("__px", "__fx").alias("__px"),
+            F.coalesce("__py", "__fy").alias("__py"),
+            F.coalesce("__nx", "__lx").alias("__nx"),
+            F.coalesce("__ny", "__ly").alias("__ny"),
+        )
+    )
+    x = F.col("__x").cast("double")
+    y = F.col(value_col).cast("double")
+    area = F.abs(
+        (F.col("__px") - F.col("__nx")) * (y - F.col("__py"))
+        - (F.col("__px") - x) * (F.col("__ny") - F.col("__py"))
+    )
+    ws = Window.partitionBy(*keys, "__b").orderBy(
+        F.col("__area").desc(), "__i"
+    )
+    chosen = (
+        mid.join(anch, [*keys, "__b"])
+        .withColumn("__area", area)
+        .withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") == 1)
+        .select(*keys, F.col("__b").alias("bucket"), ts_col, value_col)
+    )
+    kept_ends = pts.filter(
+        (F.col("__i") == 1) | (F.col("__i") == F.col("__n"))
+    ).select(
+        *keys,
+        F.when(F.col("__i") == 1, F.lit(-1)).otherwise(F.lit(-2))
+        .cast("long")
+        .alias("bucket"),
+        F.col(ts_col),
+        F.col(value_col),
+    )
+    return chosen.unionByName(kept_ends)

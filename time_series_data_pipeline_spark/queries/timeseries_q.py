@@ -1108,6 +1108,74 @@ def holt_linear_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decimate_lttb",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts, value, event_id, epoch_us(ts) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, value, event_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    mid AS (
+      SELECT *, CAST(FLOOR((i - 2) * 48 / (n - 2)) AS BIGINT) AS b
+      FROM pts WHERE i > 1 AND i < n
+    ),
+    means AS (
+      SELECT event_type, b,
+             CAST(SUM(CAST(x AS DECIMAL(30,0))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS my
+      FROM mid GROUP BY event_type, b
+    ),
+    fst AS (SELECT event_type, CAST(x AS DOUBLE) AS fx,
+                   CAST(value AS DOUBLE) AS fy FROM pts WHERE i = 1),
+    lst AS (SELECT event_type, CAST(x AS DOUBLE) AS lx,
+                   CAST(value AS DOUBLE) AS ly FROM pts WHERE i = n),
+    anch AS (
+      SELECT m.event_type, m.b,
+             COALESCE(lag(mx) OVER w, fx) AS px,
+             COALESCE(lag(my) OVER w, fy) AS py,
+             COALESCE(lead(mx) OVER w, lx) AS nx,
+             COALESCE(lead(my) OVER w, ly) AS ny
+      FROM means m JOIN fst USING (event_type) JOIN lst USING (event_type)
+      WINDOW w AS (PARTITION BY m.event_type ORDER BY m.b)
+    ),
+    scored AS (
+      SELECT mid.event_type, mid.b, mid.ts, mid.value, mid.i,
+             abs((px - nx) * (CAST(mid.value AS DOUBLE) - py)
+                 - (px - CAST(mid.x AS DOUBLE)) * (ny - py)) AS area
+      FROM mid JOIN anch ON anch.event_type = mid.event_type
+                        AND anch.b = mid.b
+    )
+    SELECT event_type, b AS bucket, ts, value FROM scored
+    QUALIFY row_number() OVER (PARTITION BY event_type, b
+                               ORDER BY area DESC, i) = 1
+    UNION ALL
+    SELECT event_type, CAST(CASE WHEN i = 1 THEN -1 ELSE -2 END AS BIGINT),
+           ts, value
+    FROM pts WHERE i = 1 OR i = n
+    """,
+)
+def decimate_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle bucket downsampling to 50 points per series —
+    the Grafana/LTTB panel decimator, in its bucket-mean-anchor variant
+    (operators/timeseries.triangle_decimate): independent per-bucket
+    argmax means NO sequential loop, so the whole selection is plain
+    Catalyst (two window families + one aggregate) and hash-verified.
+    Keeps extrema the decimate_minmax panel keeps, but one point per
+    bucket with triangle-area weighting."""
+    return ts_ops.triangle_decimate(
+        table(spark, sf_dir, "events").filter(F.col("value").isNotNull()),
+        "ts",
+        "value",
+        ["event_type"],
+        n_out=50,
+    )
+
+
+@query(
     "window_percentiles_15m",
     oracle="""
     SELECT make_timestamp((epoch_us(ts)//900000000)*900000000) AS window_start,
