@@ -144,3 +144,44 @@ def test_triangle_decimate_keeps_spikes_and_endpoints(spark):
     # endpoints kept verbatim
     ends = {r["ts"] for r in out if r["bucket"] < 0}
     assert ends == {t0, t0 + datetime.timedelta(minutes=99)}
+
+
+def test_lsh_tuning_regimes():
+    import math
+
+    from time_series_data_pipeline_spark.operators.similarity import (
+        lsh_tuning,
+    )
+
+    n9, b9 = lsh_tuning(0.9)
+    n3, b3 = lsh_tuning(0.3)
+    r9, r3 = n9 // b9, n3 // b3
+    # high thresholds take LONG bands (candidate pressure), weak
+    # thresholds short ones (recall) — the regimes must separate
+    assert r9 >= 12 and r3 <= 6
+    # the returned config actually meets the recall target in theory
+    for t, (n, b) in ((0.9, (n9, b9)), (0.3, (n3, b3))):
+        s = 1.0 - math.acos(t) / math.pi
+        r = n // b
+        assert 1.0 - (1.0 - s**r) ** b >= 0.9
+    assert n9 <= 256 and n3 <= 256
+
+
+def test_lsh_tuned_params_find_planted_neardups(spark):
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_pipeline_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(400, 64)).astype("float32")
+    dup = base[:20] + rng.normal(scale=0.05, size=(20, 64)).astype("float32")
+    allv = np.vstack([base, dup])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(allv)), "embedding": list(allv)})
+    )
+    n_planes, bands = sim.lsh_tuning(0.9, target_recall=0.9)
+    got = sim.lsh_ann(df, threshold=0.9, n_planes=n_planes, bands=bands)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    planted = {(i, 400 + i) for i in range(20)}
+    assert len(pairs & planted) >= 18  # ≥0.9 recall on the planted set
