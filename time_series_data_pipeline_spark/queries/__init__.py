@@ -67,7 +67,10 @@ _CHECKED_WINDOW = [
     "embedding_lsh_ann",
     "embedding_ivf_topk",
     "label_centroids",
-    "ewma_value",
+    # suite_round5 hash-verifies all ten round-5 additions in one slot;
+    # it displaced the rows-only ewma_value (weakest row — its family
+    # stays attested via the in-window ewma_final oracle)
+    "suite_round5",
     "ewma_final",
     "gap_fill_5m",
     "session_windows_5m",

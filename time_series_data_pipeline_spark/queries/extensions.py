@@ -1707,3 +1707,185 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
     )
+
+
+# ---------------------------------------------------------------------------
+# suite_round5 — every round-5 below-cap query verified through ONE
+# in-window union hash (the suite_timeseries_stats pattern): the ten
+# additions get a driver CORRECTNESS row THIS round instead of waiting
+# for the round-6 rotation. Oracles are the constituents' registered
+# SQL verbatim, so the suite cannot drift from the singletons.
+# ---------------------------------------------------------------------------
+
+from .registry import ORACLE as _OR5  # noqa: E402
+
+_SUITE_R5_SQL = f"""
+    SELECT 'source_cap_docs' AS sub, CAST(t.doc_id AS VARCHAR) AS k1,
+           t.source AS k2, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS value
+    FROM ({_OR5["source_cap_docs"]}) t
+    UNION ALL
+    SELECT 'trigram_familiarity', CAST(t.doc_id AS VARCHAR), NULL,
+           t.n_tri, t.familiarity
+    FROM ({_OR5["trigram_familiarity"]}) t
+    UNION ALL
+    SELECT 'split_leakage_guard', t.split, NULL, t.n_docs,
+           CAST(t.n_leaky_clusters AS DOUBLE)
+    FROM ({_OR5["split_leakage_guard"]}) t
+    UNION ALL
+    SELECT 'embedding_pq_topk', CAST(t.query_id AS VARCHAR),
+           CAST(t.neighbor_id AS VARCHAR), t.rank, t.score
+    FROM ({_OR5["embedding_pq_topk"]}) t
+    UNION ALL
+    SELECT 'embedding_pq_rerank', CAST(t.query_id AS VARCHAR),
+           CAST(t.neighbor_id AS VARCHAR), t.rank, t.cos_sim
+    FROM ({_OR5["embedding_pq_rerank"]}) t
+    UNION ALL
+    SELECT 'window_percentiles_15m', t.event_type,
+           CAST(epoch_us(t.window_start) AS VARCHAR) || '|' || m.k2,
+           t.n, m.value
+    FROM ({_OR5["window_percentiles_15m"]}) t,
+         LATERAL (VALUES ('p50', t.p50), ('p95', t.p95)) AS m(k2, value)
+    UNION ALL
+    SELECT 'day_over_day_delta', t.event_type,
+           CAST(epoch_us(t.bucket) AS VARCHAR) || '|' || m.k2,
+           CAST(NULL AS BIGINT), m.value
+    FROM ({_OR5["day_over_day_delta"]}) t,
+         LATERAL (VALUES ('cur', t.avg_value), ('prev', t.avg_value_prev_day),
+                         ('delta', t.dod_delta)) AS m(k2, value)
+    UNION ALL
+    SELECT 'dedup_apply', t.sub, NULL, t.n, CAST(NULL AS DOUBLE)
+    FROM ({_OR5["dedup_apply"]}) t
+    UNION ALL
+    SELECT 'holt_linear_final', t.event_type, m.k2, t.n, m.value
+    FROM ({_OR5["holt_linear_final"]}) t,
+         LATERAL (VALUES ('level', t.level), ('trend', t.trend),
+                         ('forecast_next', t.forecast_next)) AS m(k2, value)
+    UNION ALL
+    SELECT 'decimate_lttb', t.event_type,
+           CAST(t.bucket AS VARCHAR) || '|' || CAST(epoch_us(t.ts) AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(t.value AS DOUBLE)
+    FROM ({_OR5["decimate_lttb"]}) t
+"""
+
+
+@query("suite_round5", oracle=_SUITE_R5_SQL)
+def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 addition suite, one order-insensitive union hash: domain
+    caps, trigram familiarity, leakage-safe splits, PQ/ADC + re-rank,
+    windowed quantiles, day-over-day deltas, dedup apply, Holt
+    smoothing, and triangle decimation — every new operator family
+    driver-attested in one registry slot while the singletons rotate
+    below the cap."""
+    from .timeseries_q import (
+        day_over_day_delta,
+        decimate_lttb,
+        holt_linear_final,
+        window_percentiles_15m,
+    )
+
+    def _ns():
+        return F.lit(None).cast("string")
+
+    def _nl():
+        return F.lit(None).cast("long")
+
+    def _nd():
+        return F.lit(None).cast("double")
+
+    cap = source_cap_docs(spark, sf_dir).select(
+        F.lit("source_cap_docs").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("source").alias("k2"),
+        _nl().alias("n"),
+        _nd().alias("value"),
+    )
+    tf = trigram_familiarity_q(spark, sf_dir).select(
+        F.lit("trigram_familiarity").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _ns().alias("k2"),
+        F.col("n_tri").alias("n"),
+        F.col("familiarity").alias("value"),
+    )
+    sl = split_leakage_guard(spark, sf_dir).select(
+        F.lit("split_leakage_guard").alias("sub"),
+        F.col("split").alias("k1"),
+        _ns().alias("k2"),
+        F.col("n_docs").alias("n"),
+        F.col("n_leaky_clusters").cast("double").alias("value"),
+    )
+    pq = embedding_pq_topk(spark, sf_dir).select(
+        F.lit("embedding_pq_topk").alias("sub"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("neighbor_id").cast("string").alias("k2"),
+        F.col("rank").alias("n"),
+        F.col("score").alias("value"),
+    )
+    pr = embedding_pq_rerank(spark, sf_dir).select(
+        F.lit("embedding_pq_rerank").alias("sub"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("neighbor_id").cast("string").alias("k2"),
+        F.col("rank").alias("n"),
+        F.col("cos_sim").alias("value"),
+    )
+    wp_src = window_percentiles_15m(spark, sf_dir)
+    wp = wp_src.unpivot(
+        ["event_type", "window_start", "n"], ["p50", "p95"], "m", "value"
+    ).select(
+        F.lit("window_percentiles_15m").alias("sub"),
+        F.col("event_type").alias("k1"),
+        F.concat(
+            F.unix_micros("window_start").cast("string"), F.lit("|"), F.col("m")
+        ).alias("k2"),
+        F.col("n"),
+        F.col("value"),
+    )
+    dod_src = day_over_day_delta(spark, sf_dir).select(
+        "bucket",
+        "event_type",
+        F.col("avg_value").alias("cur"),
+        F.col("avg_value_prev_day").alias("prev"),
+        F.col("dod_delta").alias("delta"),
+    )
+    dod = dod_src.unpivot(
+        ["event_type", "bucket"], ["cur", "prev", "delta"], "m", "value"
+    ).select(
+        F.lit("day_over_day_delta").alias("sub"),
+        F.col("event_type").alias("k1"),
+        F.concat(
+            F.unix_micros("bucket").cast("string"), F.lit("|"), F.col("m")
+        ).alias("k2"),
+        _nl().alias("n"),
+        F.col("value"),
+    )
+    da = dedup_apply(spark, sf_dir).select(
+        F.lit("dedup_apply").alias("sub"),
+        F.col("sub").alias("k1"),
+        _ns().alias("k2"),
+        F.col("n"),
+        _nd().alias("value"),
+    )
+    hw = holt_linear_final(spark, sf_dir).unpivot(
+        ["event_type", "n"], ["level", "trend", "forecast_next"], "k2", "value"
+    ).select(
+        F.lit("holt_linear_final").alias("sub"),
+        F.col("event_type").alias("k1"),
+        F.col("k2"),
+        F.col("n"),
+        F.col("value"),
+    )
+    lt = decimate_lttb(spark, sf_dir).select(
+        F.lit("decimate_lttb").alias("sub"),
+        F.col("event_type").alias("k1"),
+        F.concat(
+            F.col("bucket").cast("string"),
+            F.lit("|"),
+            F.unix_micros("ts").cast("string"),
+        ).alias("k2"),
+        _nl().alias("n"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = cap
+    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt):
+        out = out.unionByName(part)
+    return out
