@@ -185,3 +185,88 @@ def test_lsh_tuned_params_find_planted_neardups(spark):
     pairs = {(r.id_a, r.id_b) for r in got.collect()}
     planted = {(i, 400 + i) for i in range(20)}
     assert len(pairs & planted) >= 18  # ≥0.9 recall on the planted set
+
+
+# ---------------------------------------------------- property tests
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _CFG = dict(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 3)), max_size=30
+        ),
+        cap=st.integers(1, 5),
+    )
+    @settings(**_CFG)
+    def test_cap_per_group_properties(spark, rows, cap):
+        rows = list({k for k, _ in rows} and rows)
+        uniq = {}
+        for k, g in rows:
+            uniq[k] = g  # unique keys (cap key is the identity)
+        data = [(k, f"g{g}") for k, g in uniq.items()]
+        if not data:
+            return
+        df = spark.createDataFrame(data, ["k", "g"])
+        out = cap_per_group(df, "g", "k", cap).collect()
+        per_g: dict[str, int] = {}
+        for r in out:
+            per_g[r["g"]] = per_g.get(r["g"], 0) + 1
+        sizes: dict[str, int] = {}
+        for _, g in data:
+            sizes[g] = sizes.get(g, 0) + 1
+        # each group keeps exactly min(cap, group size) rows
+        assert per_g == {g: min(cap, n) for g, n in sizes.items()}
+
+    @given(
+        vals=st.lists(
+            st.floats(-50, 50, allow_nan=False).map(lambda v: round(v, 2)),
+            min_size=13,
+            max_size=40,
+        ),
+        n_out=st.integers(3, 12),
+    )
+    @settings(**_CFG)
+    def test_triangle_decimate_properties(spark, vals, n_out):
+        import datetime
+
+        from time_series_data_pipeline_spark.operators import (
+            timeseries as ts_ops,
+        )
+
+        if len(vals) <= n_out:
+            return
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, "s", t0 + datetime.timedelta(seconds=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "event_type", "ts", "value"]
+        )
+        out = ts_ops.triangle_decimate(
+            df, "ts", "value", ["event_type"], n_out=n_out
+        ).collect()
+        # one point per non-empty bucket + the two endpoints; never
+        # more than n_out points total
+        assert len(out) <= n_out
+        buckets = [r["bucket"] for r in out]
+        assert buckets.count(-1) == 1 and buckets.count(-2) == 1
+        mids = [b for b in buckets if b >= 0]
+        assert len(mids) == len(set(mids))  # ≤1 per bucket
+        # selected points are real input points
+        pts = {(r["ts"], r["value"]) for r in out}
+        allpts = {(r[2], r[3]) for r in rows}
+        assert pts <= allpts
