@@ -270,3 +270,63 @@ if _HYP:
         pts = {(r["ts"], r["value"]) for r in out}
         allpts = {(r[2], r[3]) for r in rows}
         assert pts <= allpts
+
+
+def test_incremental_rollup_refresh_matches_full_rebuild(spark, tmp_path):
+    """Continuous-aggregate maintenance: after appending day-4 data and
+    a late backfill into day 2, refreshing ONLY those two partitions
+    must produce a rollup identical to a from-scratch rebuild, and the
+    refresh must be idempotent."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+
+    def mk(day, n, base):
+        t0 = datetime.datetime(2024, 1, day)
+        return [
+            ("gas", f"f{j % 3}", t0 + datetime.timedelta(minutes=13 * i),
+             float(base + i + j))
+            for i in range(n) for j in range(3)
+        ]
+
+    bucket_path = str(tmp_path / "bkt")
+    roll_path = str(tmp_path / "roll")
+    df0 = spark.createDataFrame(
+        mk(1, 6, 10) + mk(2, 6, 20) + mk(3, 6, 30),
+        ["_measurement", "_field", "_time", "_value"],
+    ).withColumn("tags", F.lit(None).cast("map<string,string>"))
+    bkt.write_bucket(df0, bucket_path)
+    bkt.refresh_hourly_rollup(spark, bucket_path, roll_path)  # full build
+
+    # new day 4 + late backfill into day 2
+    df1 = spark.createDataFrame(
+        mk(4, 6, 40) + mk(2, 2, 99),
+        ["_measurement", "_field", "_time", "_value"],
+    ).withColumn("tags", F.lit(None).cast("map<string,string>"))
+    bkt.write_bucket(df1, bucket_path)
+    bkt.refresh_hourly_rollup(
+        spark, bucket_path, roll_path, dates=["2024-01-02", "2024-01-04"]
+    )
+
+    def snap(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("_measurement", "_field", "_hour", "_date", "n",
+                    F.col("sum_value").cast("double"), "min_value",
+                    "max_value")
+            .collect()
+        }
+
+    incremental = snap(roll_path)
+    full_path = str(tmp_path / "roll_full")
+    bkt.refresh_hourly_rollup(spark, bucket_path, full_path)
+    assert incremental == snap(full_path)
+
+    # idempotence: re-refreshing the same dates changes nothing
+    bkt.refresh_hourly_rollup(
+        spark, bucket_path, roll_path, dates=["2024-01-02"]
+    )
+    assert snap(roll_path) == incremental

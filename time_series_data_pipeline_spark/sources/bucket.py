@@ -190,3 +190,64 @@ def window_mean(scanned: DataFrame, every: str = "5 minutes") -> DataFrame:
     """The Flux suffix: ``aggregateWindow(every, fn: mean, createEmpty:
     false) |> yield("mean")`` — tumbling mean per field."""
     return ts_ops.tumbling_agg(scanned, "_time", "_value", ["_field"], every)
+
+
+def hourly_rollup(bucket: DataFrame) -> DataFrame:
+    """Continuous-aggregate shape: per (measurement, field, hour) exact
+    count/sum/min/max over the long bucket. SUM is carried as
+    DECIMAL(38,6) so partial rollups MERGE losslessly — the property
+    that makes the cascade (hour → day → month) and the incremental
+    refresh below algebraically exact, never approximate."""
+    return (
+        bucket.groupBy(
+            "_measurement",
+            "_field",
+            F.date_trunc("hour", "_time").alias("_hour"),
+            F.col("_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_value").cast("decimal(38,6)")).alias("sum_value"),
+            F.min("_value").alias("min_value"),
+            F.max("_value").alias("max_value"),
+        )
+    )
+
+
+def refresh_hourly_rollup(
+    spark: SparkSession,
+    bucket_path: str,
+    rollup_path: str,
+    dates: list[str] | None = None,
+) -> None:
+    """Incrementally maintain the hourly rollup store — the InfluxDB
+    continuous-query / TimescaleDB continuous-aggregate refresh,
+    Spark-first: recompute ONLY the ``dates`` partitions from the
+    bucket (partition-pruned scan) and dynamic-partition-overwrite them
+    into the rollup store. ``dates=None`` performs a full build.
+
+    Idempotent (re-running a refresh rewrites the same partitions with
+    the same content) and exactly as fresh as the bucket: a late-data
+    backfill into day D is folded in by refreshing [D] — cost is one
+    day's scan, not the table's. At 100 TB this is THE rollup
+    maintenance pattern: the overwrite granularity equals the bucket's
+    partition granularity, so refresh cost tracks data arrival, not
+    history size."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        b = read_bucket(spark, bucket_path)
+        if dates is not None:
+            b = b.filter(F.col("_date").isin(dates))
+        (
+            hourly_rollup(b)
+            .repartition("_measurement", "_date")
+            .write.mode("overwrite")
+            .partitionBy("_measurement", "_date")
+            .parquet(rollup_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
