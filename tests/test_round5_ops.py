@@ -330,3 +330,110 @@ def test_incremental_rollup_refresh_matches_full_rebuild(spark, tmp_path):
         spark, bucket_path, roll_path, dates=["2024-01-02"]
     )
     assert snap(roll_path) == incremental
+
+
+def test_stats_manifest_prunes_files_without_losing_rows(spark, tmp_path):
+    """Delta-style data skipping: a manifest built from parquet footers
+    must (a) cover every file, (b) prune a selective predicate down to
+    a strict subset of files, (c) never lose rows vs the full scan, and
+    (d) treat files added after the harvest as must-scan (staleness
+    degrades to extra IO, never wrong answers)."""
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.sources import manifest as mf
+
+    store = str(tmp_path / "store")
+    man = str(tmp_path / "man")
+    # 8 files, each a disjoint user_id range (write per-range)
+    for b in range(8):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 7).alias("v"),
+        ).coalesce(1).write.mode("append").parquet(store)
+
+    mf.write_manifest(
+        mf.build_stats_manifest(spark, store, ["user_id"]), man
+    )
+    m = spark.read.parquet(man)
+    assert m.select("file").distinct().count() == 8
+    assert m.filter(F.col("n_rows") != 100).count() == 0
+
+    kept = mf.prune_files(spark, store, man, "user_id", lo=250, hi=349)
+    assert 1 <= len(kept) <= 2  # ranges [200,300) and [300,400)
+
+    pruned = (
+        mf.scan_pruned(spark, store, man, "user_id", 250, 349)
+        .filter((F.col("user_id") >= 250) & (F.col("user_id") <= 349))
+    )
+    full = spark.read.parquet(store).filter(
+        (F.col("user_id") >= 250) & (F.col("user_id") <= 349)
+    )
+    assert pruned.count() == full.count() == 100
+
+    # staleness: append a new file AFTER the harvest — it must be
+    # scanned unconditionally
+    spark.range(9000, 9010).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.mode("append").parquet(store)
+    kept2 = mf.prune_files(spark, store, man, "user_id", lo=8990, hi=9005)
+    got = (
+        mf.scan_pruned(spark, store, man, "user_id", 8990, 9005)
+        .filter(F.col("user_id").between(8990, 9005))
+        .count()
+    )
+    assert got == 6 and len(kept2) >= 1
+
+
+def test_stats_manifest_timestamp_column(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.sources import manifest as mf
+
+    store = str(tmp_path / "tstore")
+    t0 = datetime.datetime(2024, 3, 1)
+    # INT96 (Spark's default parquet timestamp) carries NO stats →
+    # every file would fall back to must-scan; write INT64 micros
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        for d in range(4):  # one file per day
+            rows = [
+                (i, t0 + datetime.timedelta(days=d, minutes=15 * i))
+                for i in range(8)
+            ]
+            spark.createDataFrame(rows, ["k", "ts"]).coalesce(1).write.mode(
+                "append"
+            ).parquet(store)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    man = str(tmp_path / "tman")
+    mf.write_manifest(mf.build_stats_manifest(spark, store, ["ts"]), man)
+    kept = mf.prune_files(
+        spark, store, man, "ts",
+        lo=datetime.datetime(2024, 3, 2, 0, 30),
+        hi=datetime.datetime(2024, 3, 2, 1, 0),
+    )
+    assert len(kept) == 1
+    # file-granular pruning keeps BOTH intersecting files (Mar 3's
+    # file starts exactly at the hi bound); the caller's row predicate
+    # does the final cut: Mar 2's 8 rows + the inclusive Mar 3 00:00
+    got = (
+        mf.scan_pruned(
+            spark, store, man, "ts",
+            datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 3),
+        )
+        .filter(
+            F.col("ts").between(
+                datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 3)
+            )
+        )
+        .count()
+    )
+    assert got == 9
