@@ -1766,6 +1766,19 @@ _SUITE_R5_SQL = f"""
            CAST(t.bucket AS VARCHAR) || '|' || CAST(epoch_us(t.ts) AS VARCHAR),
            CAST(NULL AS BIGINT), CAST(t.value AS DOUBLE)
     FROM ({_OR5["decimate_lttb"]}) t
+    UNION ALL
+    SELECT 'trailing_1h_mean', t.event_type,
+           CAST(epoch_us(t.ts) AS VARCHAR), CAST(NULL AS BIGINT),
+           t.trailing_mean_1h
+    FROM ({_OR5["trailing_1h_mean"]}) t
+    UNION ALL
+    SELECT 'state_duration', t.event_type, CAST(t.event_id AS VARCHAR),
+           t.state_duration_s, CAST(t.high AS INTEGER)::DOUBLE
+    FROM ({_OR5["state_duration"]}) t
+    UNION ALL
+    SELECT 'series_correlation', CAST(NULL AS VARCHAR), 'pearson_r',
+           t.n, t.pearson_r
+    FROM ({_OR5["series_correlation"]}) t
 """
 
 
@@ -1774,9 +1787,10 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 addition suite, one order-insensitive union hash: domain
     caps, trigram familiarity, leakage-safe splits, PQ/ADC + re-rank,
     windowed quantiles, day-over-day deltas, dedup apply, Holt
-    smoothing, and triangle decimation — every new operator family
-    driver-attested in one registry slot while the singletons rotate
-    below the cap."""
+    smoothing, triangle decimation, time-range trailing means, state
+    durations, and cross-series correlation — every new operator
+    family driver-attested in one registry slot while the singletons
+    rotate below the cap."""
     from .timeseries_q import (
         day_over_day_delta,
         decimate_lttb,
@@ -1885,7 +1899,34 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl().alias("n"),
         F.col("value").cast("double").alias("value"),
     )
+    from .timeseries_q import (
+        series_correlation,
+        state_duration,
+        trailing_1h_mean,
+    )
+
+    tm = trailing_1h_mean(spark, sf_dir).select(
+        F.lit("trailing_1h_mean").alias("sub"),
+        F.col("event_type").alias("k1"),
+        F.unix_micros("ts").cast("string").alias("k2"),
+        _nl().alias("n"),
+        F.col("trailing_mean_1h").alias("value"),
+    )
+    sd = state_duration(spark, sf_dir).select(
+        F.lit("state_duration").alias("sub"),
+        F.col("event_type").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.col("state_duration_s").alias("n"),
+        F.col("high").cast("int").cast("double").alias("value"),
+    )
+    sc = series_correlation(spark, sf_dir).select(
+        F.lit("series_correlation").alias("sub"),
+        _ns().alias("k1"),
+        F.lit("pearson_r").alias("k2"),
+        F.col("n"),
+        F.col("pearson_r").alias("value"),
+    )
     out = cap
-    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt):
+    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc):
         out = out.unionByName(part)
     return out

@@ -1033,6 +1033,184 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trailing_1h_mean",
+    # Flux timedMovingAverage: TIME-based trailing window — a RANGE
+    # frame over epoch µs, not a row frame (irregular series make the
+    # two differ); frame membership is set-based, so ties need no
+    # ordering tiebreak. Decimal sums keep the means exact.
+    oracle="""
+    SELECT event_type, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) AS trailing_mean_1h
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_1h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point trailing 1-hour mean (Flux `timedMovingAverage`): a
+    RANGE window frame over integer epoch microseconds — the frame is
+    defined by TIME distance, so sparse stretches average few points
+    and dense stretches many (a row frame gets this wrong on irregular
+    series). One shuffle on the series key."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, 0)
+    )
+    return ev.select(
+        "event_type",
+        "ts",
+        "value",
+        (
+            F.sum(_dec("value")).over(w).cast("double")
+            / F.count("value").over(w).cast("double")
+        ).alias("trailing_mean_1h"),
+    )
+
+
+@query(
+    "state_duration",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, ts, value,
+             (value > 50.0) AS high
+      FROM events WHERE value IS NOT NULL
+    ),
+    chg AS (
+      SELECT *, CASE WHEN high IS DISTINCT FROM lag(high) OVER w
+                     THEN 1 ELSE 0 END AS is_chg
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT *, CAST(SUM(is_chg) OVER w AS BIGINT) AS run_id
+      FROM chg WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, ts, high,
+           CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER
+                 (PARTITION BY event_type, run_id)) // 1000000 AS BIGINT)
+             AS state_duration_s
+    FROM runs
+    """,
+)
+def state_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `stateDuration`: per point, seconds spent in the CURRENT
+    run of its state (here: value > 50) — change-detection via lag,
+    run ids via a running sum of changes, duration against the run's
+    first timestamp. Three windows over ONE partitioning = one
+    shuffle; exact integer-µs arithmetic."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    high = F.col("value") > 50.0
+    chg = (
+        ~F.lag(high).over(w).eqNullSafe(high)
+    ).cast("long")
+    runs = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        high.alias("high"),
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    wr = Window.partitionBy("event_type", "run_id")
+    return runs.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "high",
+        (
+            (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(wr))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("state_duration_s"),
+    )
+
+
+@query(
+    "series_correlation",
+    # Pearson between the hourly TOTALS of two series, via exact
+    # sufficient statistics: per-bucket sums are lossless decimals, so
+    # Σx, Σy, Σxy, Σx², Σy² are exact and the closed form (evaluated
+    # once, on doubles) is bit-identical cross-engine — the
+    # linear_trend determinism recipe applied to correlation.
+    oracle="""
+    WITH h AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS b,
+             event_type, SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('click', 'error')
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.b, a.s AS x, e.s AS y
+      FROM h a JOIN h e ON a.b = e.b
+      WHERE a.event_type = 'click' AND e.event_type = 'error'
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+      FROM j
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 12) AS pearson_r
+    FROM g
+    """,
+)
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series Pearson correlation (click vs error hourly totals)
+    — the 'do these two metrics move together' panel. Exact decimal
+    sufficient statistics end-to-end; the closed form touches doubles
+    once. Two shuffles (hourly agg + the 1-row final agg); the bucket
+    join is co-partitioned."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    h = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("b"), "event_type"
+    ).agg(F.sum(_dec("value")).alias("s"))
+    a = h.filter(F.col("event_type") == "click").select("b", F.col("s").alias("x"))
+    e = h.filter(F.col("event_type") == "error").select("b", F.col("s").alias("y"))
+    j = a.join(e, "b")
+    g = j.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return g.select("n", F.round(r, 12).alias("pearson_r"))
+
+
+@query(
     "holt_linear_final",
     # Holt's linear (double exponential) smoothing, final state per
     # series: level l_t = α·x + (1−α)(l+b), trend b_t = β(l_t−l) +
