@@ -437,3 +437,56 @@ def test_stats_manifest_timestamp_column(spark, tmp_path):
         .count()
     )
     assert got == 9
+
+
+def test_canonical_lttb_matches_reference_loop(spark):
+    import datetime
+
+    import numpy as np
+
+    from time_series_data_pipeline_spark.operators import (
+        timeseries as ts_ops,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.normal(20, 5, 120), 2)
+    vals[57] = 500.0  # spike
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, "s", t0 + datetime.timedelta(seconds=60 * i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    n_out = 14
+    got = sorted(
+        (r["bucket"], r["ts"], r["value"])
+        for r in ts_ops.triangle_decimate_sequential(
+            df, "ts", "value", ["event_type"], n_out=n_out
+        ).collect()
+    )
+
+    # reference: canonical LTTB in plain python
+    xs = np.array(
+        [int((t0 + datetime.timedelta(seconds=60 * i)).timestamp() * 1e6)
+         for i in range(len(vals))], dtype="float64"
+    )
+    ys = vals.astype("float64")
+    n, nb = len(vals), n_out - 2
+    sel = [0]
+    for i in range(nb):
+        lo, hi = (i * (n - 2)) // nb + 1, ((i + 1) * (n - 2)) // nb + 1
+        if i + 1 < nb:
+            nlo, nhi = ((i + 1) * (n - 2)) // nb + 1, ((i + 2) * (n - 2)) // nb + 1
+            ax, ay = xs[nlo:nhi].mean(), ys[nlo:nhi].mean()
+        else:
+            ax, ay = xs[-1], ys[-1]
+        px, py = xs[sel[-1]], ys[sel[-1]]
+        area = abs((px - ax) * (ys[lo:hi] - py) - (px - xs[lo:hi]) * (ay - py))
+        sel.append(lo + int(area.argmax()))
+    sel.append(n - 1)
+    exp = sorted(
+        (b, rows[s][2], float(ys[s]))
+        for b, s in zip([-1] + list(range(nb)) + [-2], sel)
+    )
+    assert got == exp
+    assert any(v == 500.0 for _, _, v in got)  # spike survives

@@ -811,3 +811,83 @@ def triangle_decimate(
         F.col(value_col),
     )
     return chosen.unionByName(kept_ends)
+
+
+def triangle_decimate_sequential(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    n_out: int = 50,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """CANONICAL LTTB (Steinarsson 2013, public thesis algorithm): the
+    triangle anchor is the previously SELECTED point, giving the exact
+    published output. The previous-selection dependency makes each
+    series inherently sequential, so this runs as an Arrow-batched
+    applyInPandas kernel — one task per series group, numpy inside
+    (the sanctioned boundary for sequential per-series recurrences,
+    like the per-row EWMA). For a Catalyst-only, hash-verifiable
+    shape use `triangle_decimate` (bucket-mean anchors); both share
+    identical bucket boundaries. Dashboards at scale decimate AFTER a
+    per-series time-range scan, so the per-task series is panel-sized,
+    not corpus-sized.
+
+    Output: (keys, bucket, ts, value); bucket −1/−2 = first/last.
+    """
+    import pandas as pd
+
+    key_list = list(keys)
+    sample = df.select(ts_col).schema[ts_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{k}` string" for k in key_list]
+        + ["bucket long", f"`{ts_col}` {sample}", f"`{value_col}` double"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [ts_col, value_col, tiebreak_col], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        kvals = [str(pdf[k].iloc[0]) for k in key_list]
+        if n <= n_out:
+            return pd.DataFrame(
+                {
+                    **{k: kvals[i] for i, k in enumerate(key_list)},
+                    "bucket": range(n),
+                    ts_col: pdf[ts_col],
+                    value_col: pdf[value_col].astype(float),
+                }
+            )
+        xs = pdf[ts_col].astype("int64").to_numpy().astype("float64")
+        ys = pdf[value_col].to_numpy().astype("float64")
+        nb = n_out - 2
+        sel = [0]
+        for i in range(nb):
+            lo = (i * (n - 2)) // nb + 1
+            hi = ((i + 1) * (n - 2)) // nb + 1
+            if lo >= hi:
+                continue
+            if i + 1 < nb:
+                nlo = ((i + 1) * (n - 2)) // nb + 1
+                nhi = ((i + 2) * (n - 2)) // nb + 1
+                ax, ay = xs[nlo:nhi].mean(), ys[nlo:nhi].mean()
+            else:
+                ax, ay = xs[n - 1], ys[n - 1]
+            px, py = xs[sel[-1]], ys[sel[-1]]
+            area = abs(
+                (px - ax) * (ys[lo:hi] - py) - (px - xs[lo:hi]) * (ay - py)
+            )
+            sel.append(lo + int(area.argmax()))
+        sel.append(n - 1)
+        buckets = [-1] + list(range(len(sel) - 2)) + [-2]
+        return pd.DataFrame(
+            {
+                **{k: kvals[i] for i, k in enumerate(key_list)},
+                "bucket": buckets,
+                ts_col: pdf[ts_col].iloc[sel].to_numpy(),
+                value_col: ys[sel],
+            }
+        )
+
+    return df.groupBy(*key_list).applyInPandas(fn, out_schema)
