@@ -490,3 +490,35 @@ def test_canonical_lttb_matches_reference_loop(spark):
     )
     assert got == exp
     assert any(v == 500.0 for _, _, v in got)  # spike survives
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    from time_series_data_pipeline_spark.operators.dq import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0),
+            (1, 1, 20.0),   # duplicate (k1,k2)
+            (2, 1, None),   # null v -> fails not_null AND range check
+            (3, 2, -5.0),   # fails range check
+            (None, 3, 7.0),  # null key
+        ],
+        "k1 int, k2 int, v double",
+    )
+    got = {
+        r["constraint_name"]: r["n_violations"]
+        for r in check_constraints(
+            df,
+            not_null=["k1", "v"],
+            unique=[["k1", "k2"]],
+            checks={"v_nonneg": F.col("v") >= 0.0},
+        ).collect()
+    }
+    assert got == {
+        "not_null:k1": 1,
+        "not_null:v": 1,
+        "check:v_nonneg": 2,  # NULL counts as a violation (CHECK semantics)
+        "unique:k1,k2": 1,
+    }

@@ -1,0 +1,87 @@
+"""Data-quality constraint gate — the Delta CHECK-constraint / dbt-test
+role: declare invariants over a table, get back one row per constraint
+with its violation count, all in ONE scan plus one tiny aggregate per
+uniqueness key.
+
+A 100 TB ingest runs this between landing and publish: row-level
+checks (not-null, range, cross-column) fold into a single pass of
+conditional counts (map-side combined, zero extra scans); uniqueness
+checks are one distinct-count aggregate per key set. The result is a
+constraint-sized frame — broadcastable, joinable into run manifests,
+and cheap enough to gate every batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    checks: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One row per declared constraint: (constraint_name, n_violations).
+
+    ``not_null``: column names that must not contain NULL.
+    ``unique``: key column lists that must identify rows uniquely
+    (violations = n_rows − n_distinct_keys).
+    ``checks``: named boolean expressions that must hold on every row
+    (violations = rows where the predicate is NOT true — NULL counts
+    as a violation, the SQL CHECK semantics).
+
+    Row-level families evaluate in ONE aggregate over one scan; each
+    uniqueness key adds one count-distinct aggregate (itself one
+    shuffle on 16-byte key hashes). Deterministic exact counts.
+    """
+    checks = checks or {}
+    aggs = []
+    names = []
+    for c in not_null:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}")
+        )
+        names.append((f"not_null:{c}", f"__nn_{c}"))
+    for name, pred in checks.items():
+        aggs.append(
+            F.count(F.when(~pred.eqNullSafe(F.lit(True)), 1)).alias(
+                f"__ck_{name}"
+            )
+        )
+        names.append((f"check:{name}", f"__ck_{name}"))
+
+    parts: list[DataFrame] = []
+    if aggs:
+        row = df.agg(*aggs)
+        long = None
+        for label, col in names:
+            piece = row.select(
+                F.lit(label).alias("constraint_name"),
+                F.col(col).cast("long").alias("n_violations"),
+            )
+            long = piece if long is None else long.unionByName(piece)
+        parts.append(long)
+    for key in unique:
+        key = list(key)
+        label = "unique:" + ",".join(key)
+        # hash the key tuple so only 16-byte digests shuffle
+        k = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key]))
+        parts.append(
+            df.agg(
+                (F.count(F.lit(1)) - F.countDistinct(k))
+                .cast("long")
+                .alias("n_violations")
+            ).select(
+                F.lit(label).alias("constraint_name"), "n_violations"
+            )
+        )
+    if not parts:
+        raise ValueError("no constraints declared")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1655,6 +1655,62 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(removed)
 
 
+@query(
+    "dq_lineitem",
+    oracle="""
+    SELECT 'not_null:l_orderkey' AS constraint_name,
+           CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null:l_quantity',
+           CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'check:qty_range',
+           CAST(COUNT(CASE WHEN NOT COALESCE(
+             l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'check:discount_range',
+           CAST(COUNT(CASE WHEN NOT COALESCE(
+             l_discount BETWEEN 0.0 AND 0.10, FALSE) THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'check:price_nonneg',
+           CAST(COUNT(CASE WHEN NOT COALESCE(
+             l_extendedprice >= 0.0, FALSE) THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(COUNT(*) - (SELECT COUNT(*) FROM
+             (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+             AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/dq.check_constraints): TPC-H-style
+    lineitem invariants — key non-nullness, (orderkey, linenumber)
+    uniqueness, quantity/discount ranges, non-negative prices — one
+    scan of conditional counts + one distinct-count per key. The
+    publish-gate every ingest batch should pass before the data goes
+    live; the violation counts are exact so even "0" is hash-verified."""
+    from ..operators.dq import check_constraints
+
+    li = table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        not_null=["l_orderkey", "l_quantity"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        checks={
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "discount_range": F.col("l_discount").between(0.0, 0.10),
+            "price_nonneg": F.col("l_extendedprice") >= 0.0,
+        },
+    )
+
+
 @query("embedding_pq_topk", oracle=None)  # oracle attached below (generated)
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 product-quantization search (FAISS-style ADC, Jégou et al.
