@@ -1835,6 +1835,10 @@ _SUITE_R5_SQL = f"""
     SELECT 'series_correlation', CAST(NULL AS VARCHAR), 'pearson_r',
            t.n, t.pearson_r
     FROM ({_OR5["series_correlation"]}) t
+    UNION ALL
+    SELECT 'dq_lineitem', t.constraint_name, CAST(NULL AS VARCHAR),
+           t.n_violations, CAST(NULL AS DOUBLE)
+    FROM ({_OR5["dq_lineitem"]}) t
 """
 
 
@@ -1982,7 +1986,14 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("pearson_r").alias("value"),
     )
+    dq = dq_lineitem(spark, sf_dir).select(
+        F.lit("dq_lineitem").alias("sub"),
+        F.col("constraint_name").alias("k1"),
+        _ns().alias("k2"),
+        F.col("n_violations").alias("n"),
+        _nd().alias("value"),
+    )
     out = cap
-    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc):
+    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq):
         out = out.unionByName(part)
     return out
