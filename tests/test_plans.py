@@ -166,6 +166,14 @@ def test_no_row_python_anywhere(spark, name):
         ("embedding_pq_topk", 1, ("BroadcastExchange",)),
         # + the shortlist re-rank joins (broadcast at this scale)
         ("embedding_pq_rerank", 2, ("BroadcastExchange",)),
+        # RANGE-frame trailing mean: one series-key window shuffle
+        ("trailing_1h_mean", 1, ()),
+        # three windows over ONE partitioning = one shuffle
+        ("state_duration", 1, ()),
+        # hourly agg + co-partitioned self-join + 1-row final agg
+        ("series_correlation", 3, ()),
+        # ONE scan: conditional counts + multi-distinct via Expand
+        ("dq_lineitem", 2, ()),
     ],
 )
 def test_round4_additions_shuffle_budget(spark, name, max_shuffles, traits):

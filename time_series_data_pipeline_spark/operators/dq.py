@@ -53,35 +53,28 @@ def check_constraints(
             )
         )
         names.append((f"check:{name}", f"__ck_{name}"))
-
-    parts: list[DataFrame] = []
-    if aggs:
-        row = df.agg(*aggs)
-        long = None
-        for label, col in names:
-            piece = row.select(
+    for i, key in enumerate(unique):
+        key = list(key)
+        # hash the key tuple so only 16-byte digests feed the distinct
+        k = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key]))
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(k)).alias(f"__uq_{i}")
+        )
+        names.append(("unique:" + ",".join(key), f"__uq_{i}"))
+    if not aggs:
+        raise ValueError("no constraints declared")
+    # ONE aggregate (multi-distinct goes through Catalyst's Expand —
+    # still a single scan), then the 1-row result explodes to long form
+    # via inline. Building one branch per label instead re-executes the
+    # whole aggregate per constraint (measured: 5 scans for 5 labels).
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(label).alias("constraint_name"),
                 F.col(col).cast("long").alias("n_violations"),
             )
-            long = piece if long is None else long.unionByName(piece)
-        parts.append(long)
-    for key in unique:
-        key = list(key)
-        label = "unique:" + ",".join(key)
-        # hash the key tuple so only 16-byte digests shuffle
-        k = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key]))
-        parts.append(
-            df.agg(
-                (F.count(F.lit(1)) - F.countDistinct(k))
-                .cast("long")
-                .alias("n_violations")
-            ).select(
-                F.lit(label).alias("constraint_name"), "n_violations"
-            )
-        )
-    if not parts:
-        raise ValueError("no constraints declared")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for label, col in names
+        ]
+    )
+    return row.select(F.inline(pairs))
