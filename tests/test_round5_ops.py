@@ -522,3 +522,59 @@ def test_check_constraints_counts_planted_violations(spark):
         "check:v_nonneg": 2,  # NULL counts as a violation (CHECK semantics)
         "unique:k1,k2": 1,
     }
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    """Bucket-tailing maintenance stream: after each wave of bucket
+    writes, one availableNow pass must leave the rollup identical to a
+    from-scratch rebuild (and a restart over the same checkpoint must
+    not disturb it)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+    from time_series_data_pipeline_spark.streaming.ingest import (
+        start_rollup_maintenance,
+    )
+
+    bucket_path = str(tmp_path / "bkt")
+    roll = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(day, base):
+        t0 = datetime.datetime(2024, 2, day)
+        return [
+            ("gas", f"f{j}", t0 + datetime.timedelta(minutes=20 * i),
+             float(base + i + j))
+            for i in range(5) for j in range(2)
+        ]
+
+    def wave(rows):
+        df = spark.createDataFrame(
+            rows, ["_measurement", "_field", "_time", "_value"]
+        ).withColumn("tags", F.lit(None).cast("map<string,string>"))
+        bkt.write_bucket(df, bucket_path)
+        q = start_rollup_maintenance(spark, bucket_path, roll, ckpt)
+        q.awaitTermination(120)
+
+    def snap(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("_measurement", "_field", "_hour", "_date", "n",
+                    F.col("sum_value").cast("double"))
+            .collect()
+        }
+
+    wave(mk(1, 10) + mk(2, 20))
+    wave(mk(3, 30) + mk(2, 99))  # new day + late backfill into day 2
+
+    full = str(tmp_path / "full")
+    bkt.refresh_hourly_rollup(spark, bucket_path, full)
+    assert snap(roll) == snap(full) and len(snap(roll)) > 0
+
+    # restart with nothing new: no change
+    q = start_rollup_maintenance(spark, bucket_path, roll, ckpt)
+    q.awaitTermination(120)
+    assert snap(roll) == snap(full)

@@ -119,3 +119,54 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def start_rollup_maintenance(
+    spark,
+    bucket_path: str,
+    rollup_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous-aggregate maintenance as a stream: TAIL THE BUCKET
+    (file-source stream over the partitioned store) and, per
+    micro-batch, refresh exactly the `_date` partitions the new files
+    touched (`bucket.refresh_hourly_rollup`). Composed with the
+    exactly-once CSV→bucket ingest this yields the InfluxDB
+    continuous-query chain — raw stream → bucket → hourly rollup —
+    with each stage independently restartable:
+
+    * the refresh recomputes touched partitions FROM THE BUCKET (the
+      source of truth) and dynamic-partition-overwrites them, so a
+      replayed batch rewrites identical bytes — idempotent without any
+      sink log;
+    * the batch only yields the touched-date set (a handful of
+      values), so maintenance cost tracks data arrival, not history.
+    """
+    from ..sources import bucket as bkt
+
+    stream = (
+        spark.readStream.schema(
+            bkt.read_bucket(spark, bucket_path).schema
+        )
+        .option("maxFilesPerTrigger", 64)
+        .parquet(bucket_path)
+    )
+
+    def _refresh(batch_df, epoch_id: int) -> None:
+        dates = [
+            str(r["_date"])
+            for r in batch_df.select("_date").distinct().collect()
+        ]
+        if dates:
+            bkt.refresh_hourly_rollup(
+                batch_df.sparkSession, bucket_path, rollup_path, dates
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
