@@ -158,3 +158,53 @@ def weighted_sample_topk(
 
     w = Window.orderBy(F.col("priority").desc(), F.col(key_col))
     return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def negative_pairs(
+    df: DataFrame,
+    positives: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative-pair sampling — the counterpart of a
+    near-dup pair list for contrastive/embedding training: ``n``
+    pseudo-random document pairs that are NOT in the positive
+    (near-dup) list. Two independently salted md5 rankings are zipped
+    by rank (a reproducible random pairing with no cross join), pairs
+    are canonicalized (low id first), and known positives are removed
+    with an anti-join. Self-pairs and the removed positives make the
+    output ≤ n — by design (callers oversample ``n`` slightly rather
+    than pay an iterative top-up).
+
+    Shapes: two global top-n rankings (TakeOrderedAndProject heaps), a
+    rank equi-join, and a broadcast-able anti-join against the pair
+    list — no shuffle touches the corpus body."""
+    from pyspark.sql import Window
+
+    def ranked(tag: str, out: str) -> DataFrame:
+        w = Window.orderBy(
+            hash_bucket(F.col(id_col), salt + tag).asc(), F.col(id_col).asc()
+        )
+        return (
+            df.select(F.col(id_col))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select("__r", F.col(id_col).alias(out))
+        )
+
+    cand = (
+        ranked("a", "__a")
+        .join(ranked("b", "__b"), "__r")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+        )
+        .distinct()
+    )
+    pos = positives.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    return cand.join(pos, ["id_a", "id_b"], "left_anti")

@@ -597,3 +597,51 @@ def learn_bpe_merges(
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return merges
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence-packing manifest (the GPT-style concat-and-chop pack):
+    documents are laid out in a deterministic pseudo-random order
+    (salted-md5 rank — reshuffling the corpus never changes the pack),
+    token counts accumulate, and every ``budget``-token boundary starts
+    a new training sequence. Emitted per doc: its global token offset,
+    the first/last sequence it lands in, and how many boundaries split
+    it — the manifest a loader uses to build packed batches WITHOUT
+    materializing the concatenation.
+
+    Exact integer arithmetic end to end (token counts, running sums,
+    floor-division), so the pack is reproducible on any engine. One
+    window over one global ordering — at 100 TB, shard first (pack per
+    shard) exactly as real pipelines do; the within-shard math is this.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = Window.orderBy(
+        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.sum(n_tok).over(w) - n_tok).alias("token_offset"),
+    )
+    seq_first = F.floor(F.col("token_offset") / budget).cast("long")
+    seq_last = F.floor(
+        (F.col("token_offset") + F.col("n_tokens") - 1) / budget
+    ).cast("long")
+    return d.select(
+        id_col,
+        "n_tokens",
+        "token_offset",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first).alias("n_boundary_splits"),
+    )

@@ -1765,6 +1765,93 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+                   1, 15)) AS BIGINT) % 1000000 AS b
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS token_offset
+      FROM d
+    )
+    SELECT doc_id, n_tokens, token_offset,
+           CAST(FLOOR(token_offset / 128) AS BIGINT) AS seq_first,
+           CAST(FLOOR((token_offset + n_tokens - 1) / 128) AS BIGINT)
+             AS seq_last,
+           CAST(FLOOR((token_offset + n_tokens - 1) / 128)
+                - FLOOR(token_offset / 128) AS BIGINT) AS n_boundary_splits
+    FROM o
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sequence packing (the GPT-style concat-and-chop pack): the
+    manifest a training loader uses to build 128-token packed batches —
+    deterministic md5-rank layout, running token offsets, first/last
+    sequence per doc and boundary-split counts, all exact integers.
+    One window over one global ordering (shard first at 100 TB)."""
+    return tx.pack_sequences(table(spark, sf_dir, "documents"), budget=128)
+
+
+_NEG_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'),"
+    " 1, 15)) AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "negative_pairs",
+    oracle=f"""
+    WITH ra AS (
+      SELECT doc_id AS a, row_number() OVER (ORDER BY
+        {_NEG_BUCKET.format(salt="nega")}, doc_id) AS r
+      FROM documents QUALIFY r <= 120
+    ),
+    rb AS (
+      SELECT doc_id AS b, row_number() OVER (ORDER BY
+        {_NEG_BUCKET.format(salt="negb")}, doc_id) AS r
+      FROM documents QUALIFY r <= 120
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(a, b) AS id_a, GREATEST(a, b) AS id_b
+      FROM ra JOIN rb USING (r) WHERE a != b
+    ),
+    pos AS (
+      SELECT id_a, id_b FROM ({{jacc}})
+    )
+    SELECT id_a, id_b FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM pos
+                      WHERE pos.id_a = cand.id_a AND pos.id_b = cand.id_b)
+    """.replace("{jacc}", "__JACC__"),
+)
+def negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3 contrastive-training negatives: 120 deterministic
+    pseudo-random document pairs that are NOT near-dups — two salted
+    md5 rankings zipped by rank (reproducible pairing, no cross join),
+    canonicalized, with the exact-jaccard positives anti-joined out."""
+    from ..operators.sampling import negative_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pos = dd.jaccard_pairs(
+        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
+    ).select("id_a", "id_b")
+    return negative_pairs(docs, pos, n=120)
+
+
+from .registry import ORACLE as _ORACLE5  # noqa: E402
+
+_ORACLE5["negative_pairs"] = _ORACLE5["negative_pairs"].replace(
+    "__JACC__", _ORACLE5["ngram_jaccard_pairs"]
+)
+
+
 # ---------------------------------------------------------------------------
 # suite_round5 — every round-5 below-cap query verified through ONE
 # in-window union hash (the suite_timeseries_stats pattern): the ten
@@ -1839,6 +1926,17 @@ _SUITE_R5_SQL = f"""
     SELECT 'dq_lineitem', t.constraint_name, CAST(NULL AS VARCHAR),
            t.n_violations, CAST(NULL AS DOUBLE)
     FROM ({_OR5["dq_lineitem"]}) t
+    UNION ALL
+    SELECT 'pack_sequences', CAST(t.doc_id AS VARCHAR),
+           CAST(t.seq_first AS VARCHAR) || '|' || CAST(t.seq_last AS VARCHAR)
+             || '|' || CAST(t.n_boundary_splits AS VARCHAR),
+           t.token_offset, CAST(t.n_tokens AS DOUBLE)
+    FROM ({_OR5["pack_sequences"]}) t
+    UNION ALL
+    SELECT 'negative_pairs', CAST(t.id_a AS VARCHAR),
+           CAST(t.id_b AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({_OR5["negative_pairs"]}) t
 """
 
 
@@ -1993,7 +2091,26 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").alias("n"),
         _nd().alias("value"),
     )
+    ps = pack_sequences_q(spark, sf_dir).select(
+        F.lit("pack_sequences").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.col("seq_first").cast("string"),
+            F.col("seq_last").cast("string"),
+            F.col("n_boundary_splits").cast("string"),
+        ).alias("k2"),
+        F.col("token_offset").alias("n"),
+        F.col("n_tokens").cast("double").alias("value"),
+    )
+    np_ = negative_pairs_q(spark, sf_dir).select(
+        F.lit("negative_pairs").alias("sub"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        _nl().alias("n"),
+        _nd().alias("value"),
+    )
     out = cap
-    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq):
+    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_):
         out = out.unionByName(part)
     return out
