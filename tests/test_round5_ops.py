@@ -578,3 +578,23 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     q = start_rollup_maintenance(spark, bucket_path, roll, ckpt)
     q.awaitTermination(120)
     assert snap(roll) == snap(full)
+
+
+def test_decode_audio_stub_exact_features(spark):
+    import struct
+
+    from time_series_data_pipeline_spark.operators import multimodal as mm
+
+    # 4 samples: 100, -200, 32767, -32768 (+ one stray odd byte ignored)
+    payload = struct.pack("<4h", 100, -200, 32767, -32768) + b"\x01"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in mm.decode_audio(df).collect()}
+    r1 = rows[1]
+    assert r1["n_samples"] == 4
+    assert r1["sample_rate"] == 16000
+    assert r1["duration_ms"] == 4 * 1000 // 16000
+    assert int(r1["sum_squares"]) == 100**2 + 200**2 + 32767**2 + 32768**2
+    assert r1["n_clipped"] == 2
+    assert rows[2]["n_samples"] == 0 and int(rows[2]["sum_squares"]) == 0

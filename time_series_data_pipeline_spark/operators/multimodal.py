@@ -131,8 +131,56 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
-def decode_audio(df: DataFrame) -> DataFrame:  # pragma: no cover - explicit stub
-    raise NotImplementedError(
-        "audio decode requires codec libraries not present in this "
-        "container; plumbing pattern identical to decode_image"
-    )
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, duration_ms long, "
+    "sum_squares decimal(38,0), n_clipped long"
+)
+
+#: STUB sample rate for the fake decoder — a real deployment reads it
+#: from the container header via soundfile/ffmpeg.
+AUDIO_STUB_RATE = 16_000
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Audio decode + feature extraction over `binary` payloads —
+    mapInPandas, Arrow-batched, row-per-payload (the decode_image
+    shape for the 1-D modality).
+
+    STUB DECODER (this container has no codec libraries): the payload
+    bytes are interpreted as little-endian int16 PCM at a fixed
+    16 kHz — deterministic and loss-free, so the Spark-side plumbing
+    (schema, batching, numpy vectorization, exact aggregates) is fully
+    real and testable; a deployment swaps the two marked lines for
+    soundfile/ffmpeg. Emitted features are codec-independent audio-QA
+    signals: sample count, duration, EXACT integer energy (Σ s² as
+    decimal — engine-reproducible, no float accumulation), and clipped-
+    sample count (|s| = 32767/32768, the clipping-detection heuristic).
+    """
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "duration_ms": [], "sum_squares": [], "n_clipped": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = payload if payload is not None else b""
+                # STUB: bytes -> int16 PCM (real code: soundfile.read)
+                samples = np.frombuffer(
+                    data[: len(data) - (len(data) % 2)], dtype="<i2"
+                )
+                n = int(samples.size)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(AUDIO_STUB_RATE)
+                out["duration_ms"].append(n * 1000 // AUDIO_STUB_RATE)
+                out["sum_squares"].append(
+                    int(np.sum(samples.astype("int64") ** 2))
+                )
+                out["n_clipped"].append(
+                    int(np.count_nonzero(np.abs(samples.astype("int64")) >= 32767))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, schema=AUDIO_SCHEMA)
