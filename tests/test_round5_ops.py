@@ -598,3 +598,100 @@ def test_decode_audio_stub_exact_features(spark):
     assert int(r1["sum_squares"]) == 100**2 + 200**2 + 32767**2 + 32768**2
     assert r1["n_clipped"] == 2
     assert rows[2]["n_samples"] == 0 and int(rows[2]["sum_squares"]) == 0
+
+
+def test_enrich_stream_picks_up_dim_refresh_across_runs(spark, tmp_path):
+    """File-backed dimension refresh: rows arriving after the dimension
+    gains a new file must join against the UPDATED dim (static side is
+    re-planned per run/batch — the slowly-changing-dimension refresh)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.streaming.joins import enrich_stream
+
+    src = tmp_path / "er_src"
+    dimd = tmp_path / "er_dim"
+    src.mkdir()
+    dimd.mkdir()
+    out = str(tmp_path / "er_out")
+    ckpt = str(tmp_path / "er_ckpt")
+
+    spark.createDataFrame(
+        [("click", "interaction")], ["event_type", "category"]
+    ).coalesce(1).write.mode("append").parquet(str(dimd))
+
+    def run(events):
+        with open(src / f"{len(events)}.json", "w") as f:
+            for ty in events:
+                f.write(json.dumps({"event_type": ty}) + "\n")
+        stream = spark.readStream.schema("event_type string").json(str(src))
+        dim = spark.read.parquet(str(dimd))
+        q = (
+            enrich_stream(stream, dim, on="event_type")
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(["click", "error"])  # 'error' unknown in dim v1
+    # dim refresh: 'error' category lands
+    spark.createDataFrame(
+        [("error", "fault")], ["event_type", "category"]
+    ).coalesce(1).write.mode("append").parquet(str(dimd))
+    run(["error"])  # second wave sees the refreshed dim
+
+    got = [
+        (r.event_type, r.category)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got.count(("error", "fault")) == 1      # post-refresh row
+    assert got.count(("error", None)) == 1         # pre-refresh row
+    assert got.count(("click", "interaction")) == 1
+
+
+def test_negative_pairs_properties(spark):
+    from time_series_data_pipeline_spark.operators.sampling import (
+        negative_pairs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    pos = spark.createDataFrame(
+        [(0, 1), (2, 3), (10, 20)], ["id_a", "id_b"]
+    )
+    out = negative_pairs(docs, pos, n=30)
+    rows = {(r.id_a, r.id_b) for r in out.collect()}
+    assert len(rows) <= 30 and rows
+    assert all(a < b for a, b in rows)  # canonicalized
+    assert not rows & {(0, 1), (2, 3), (10, 20)}  # no positives
+    # deterministic under repartitioning
+    rows2 = {
+        (r.id_a, r.id_b)
+        for r in negative_pairs(docs.repartition(7), pos, n=30).collect()
+    }
+    assert rows == rows2
+
+
+def test_pack_sequences_conservation(spark):
+    from time_series_data_pipeline_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 5))) for i in range(25)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget=10).collect()
+    total = sum(r["n_tokens"] for r in out)
+    # offsets tile the concatenation exactly: every token accounted for
+    assert sorted(r["token_offset"] for r in out)[0] == 0
+    last = max(out, key=lambda r: r["token_offset"])
+    assert last["token_offset"] + last["n_tokens"] == total
+    offs = sorted((r["token_offset"], r["n_tokens"]) for r in out)
+    for (o1, n1), (o2, _) in zip(offs, offs[1:]):
+        assert o1 + n1 == o2  # contiguous, no gaps or overlaps
+    for r in out:
+        assert r["seq_first"] == r["token_offset"] // 10
+        assert r["seq_last"] == (r["token_offset"] + r["n_tokens"] - 1) // 10
