@@ -695,3 +695,52 @@ def test_pack_sequences_conservation(spark):
     for r in out:
         assert r["seq_first"] == r["token_offset"] // 10
         assert r["seq_last"] == (r["token_offset"] + r["n_tokens"] - 1) // 10
+
+
+def test_jsonl_ingestion_quarantines_malformed_lines(spark, tmp_path):
+    from time_series_data_pipeline_spark.sources.jsonl import (
+        read_events_jsonl,
+    )
+
+    p = tmp_path / "ev.jsonl"
+    lines = [
+        '{"event_id": 1, "event_type": "click", "ts": "2024-01-01 10:00:00",'
+        ' "value": 1.5, "user_id": 7}',
+        'this is not json at all',
+        '{"event_id": 2, "event_type": "view"}',  # partial -> good, NULLs
+        '{"event_id": 3, "value": "not-a-number"}',  # type damage -> quarantine
+        '{truncated',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantine = read_events_jsonl(spark, str(p))
+    g = {r["event_id"]: r for r in good.collect()}
+    q = [r["raw_line"] for r in quarantine.collect()]
+    assert set(g) == {1, 2}
+    assert g[1]["value"] == 1.5 and g[1]["user_id"] == 7
+    assert g[2]["value"] is None  # partial row parses, nullability is DQ's job
+    assert len(q) == 3
+    assert "this is not json at all" in q and "{truncated" in q
+
+
+def test_bucket_frame_orc_roundtrip(spark, tmp_path):
+    """Storage-format flexibility: the long bucket frame round-trips
+    through ORC (Spark-native, no extra deps) with identical content —
+    a deployment can pick ORC where its warehouse standardizes on it."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("gas", f"f{j}", datetime.datetime(2024, 1, 1, 0, 5 * i), float(i + j))
+        for i in range(10) for j in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, ["_measurement", "_field", "_time", "_value"]
+    ).withColumn("tags", F.lit(None).cast("map<string,string>"))
+    path = str(tmp_path / "orc_bucket")
+    df.write.partitionBy("_measurement").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 30
+    a = {tuple(r) for r in df.select("_field", "_time", "_value").collect()}
+    b = {tuple(r) for r in back.select("_field", "_time", "_value").collect()}
+    assert a == b
