@@ -744,3 +744,43 @@ def test_bucket_frame_orc_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in df.select("_field", "_time", "_value").collect()}
     b = {tuple(r) for r in back.select("_field", "_time", "_value").collect()}
     assert a == b
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """Media-lake ingestion: raw files on disk → Spark's binaryFile
+    source → pack_media typed frame → the audio decode stage. The
+    binary source carries (path, length, content); ids derive from the
+    path deterministically."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.operators import multimodal as mm
+
+    media = tmp_path / "media"
+    media.mkdir()
+    for i in range(3):
+        (media / f"{i:03d}.pcm").write_bytes(
+            struct.pack(f"<{4 + i}h", *range(100, 104 + i))
+        )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pcm")
+        .load(str(media))
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pcm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length"),
+            F.col("content").alias("payload"),
+        )
+    )
+    packed = mm.pack_media(raw, "payload", "audio")
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r["media_meta"]["kind"] == "audio" for r in rows.values())
+    assert rows[1]["media_meta"]["n_bytes"] == 10  # 5 int16 samples
+
+    decoded = {r["doc_id"]: r for r in mm.decode_audio(packed).collect()}
+    assert [decoded[i]["n_samples"] for i in (0, 1, 2)] == [4, 5, 6]
