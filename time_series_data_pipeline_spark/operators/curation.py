@@ -1,0 +1,244 @@
+"""Corpus-curation operators: hashed-n-gram importance weighting
+(DSIR), exact-substring duplicate spans, and rank fusion for hybrid
+retrieval.
+
+These extend the reference's query surface (it stops at dashboard
+aggregations — README.md:200-236) with the selection/cleaning steps a
+large-scale training-data pipeline runs between ingestion and training:
+
+* ``dsir_logweights`` — Data Selection via Importance Resampling
+  (Xie et al. 2023, NeurIPS): score every raw document by the
+  log-likelihood ratio of a hashed-n-gram bag model fit on a target
+  subcorpus vs the raw corpus. Documents that "sound like" the target
+  get high weights; sampling proportional to exp(weight) yields a
+  target-like mixture from raw data.
+* ``duplicate_spans`` — exact substring duplication across documents
+  (the k-gram/suffix-automaton family of Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"): find
+  maximal runs of ≥ ``min_tokens`` consecutive shared tokens between
+  document pairs via a positional k-gram inverted index + diagonal
+  run-length merge — the span-level complement of document-level
+  near-dedup (boilerplate, quoted passages, licence blocks).
+* ``rrf_fuse`` — Reciprocal Rank Fusion (Cormack et al. 2009) of two
+  ranked retrieval lists (e.g. BM25 lexical + embedding cosine), the
+  standard zero-tuning hybrid-search combiner.
+
+Scale shapes (100 TB contract):
+
+* DSIR: one scan explodes n-grams (linear), two map-side-combined
+  aggregates — the model frame is bounded by ``n_buckets`` (that is the
+  point of feature hashing: the model NEVER grows with the corpus) and
+  broadcast back; per-doc scoring is one more map-side-combined agg.
+  No driver collect anywhere.
+* duplicate_spans: postings are (doc, pos, 8-byte-prefix hash) — the
+  inverted-index join shuffles hashes, never text. The document-
+  frequency cap (``max_df``) bounds every posting list, so the
+  pair-expansion is ≤ C(max_df,2) per gram — the same frequency-cap
+  trick PPJoin/decontamination use to stay near-linear; dropped
+  stop-grams are the grams that cannot witness a *rare* duplicated
+  span anyway. The diagonal merge is a window over (pair, diagonal)
+  groups — keys are two ids + a small int, no skew.
+* rrf_fuse: inputs are already top-k frames (k rows); the fusion is a
+  k-row outer join — driver-free and constant-size regardless of
+  corpus scale.
+
+Determinism (driver value-hash gate): DSIR per-bucket log-ratios are
+``ln`` of ratios of exact integers, rounded to 6 dp (libm cross-engine
+drift ~1e-15 ≪ 5e-7 quantum) and cast to DECIMAL(18,6); the per-doc
+sum Σ c_b·L_b is then exact decimal arithmetic — associative, so
+partition order cannot change the hash. Span detection and RRF are
+exact integer/rank arithmetic end to end (RRF's 1/(k+r) terms are
+correctly-rounded doubles of identical integer inputs, summed in a
+fixed 2-term order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as tx
+from ._util import pin as _pin
+
+
+def _gram_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
+    """Stable bucket in [0, n_buckets) from the gram's salted md5 —
+    the hashing-trick feature map, replayable on any engine (same
+    construction as sampling.hash_bucket)."""
+    h = F.md5(F.concat(gram, F.lit(salt)).cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_buckets
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight under hashed-bigram bag
+    models with add-one smoothing.
+
+    ``target`` is a boolean Column marking the target subcorpus (e.g.
+    ``F.col("lang") == "en"`` — "select raw docs that look like clean
+    English"). For each hash bucket b the model stores occurrence
+    counts n_tgt[b] / n_raw[b]; a document's weight is
+
+        log w(x) = Σ_b c_b(x) · [ ln((n_tgt[b]+1)/(N_tgt+B))
+                                − ln((n_raw[b]+1)/(N_raw+B)) ]
+
+    Documents shorter than 2 tokens have no bigrams and drop out.
+    Returns (doc_id, n_grams, dsir_logw).
+    """
+    grams = tx.ngrams(tx.tokens(text_col), 2)
+    # pinned: the exploded gram frame feeds the model aggregate AND the
+    # per-doc counts — without the pin the corpus is tokenized twice
+    occ = _pin(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target.alias("is_t"),
+            F.explode(grams).alias("g"),
+        ).select(
+            "doc_id", "is_t", _gram_bucket(F.col("g"), n_buckets, salt).alias("b")
+        )
+    )
+    model = occ.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("is_t").cast("long")).alias("n_tgt"),
+    )
+    tot = model.agg(F.sum("n_raw").alias("nr"), F.sum("n_tgt").alias("nt"))
+    # ≤ n_buckets rows regardless of corpus size — broadcastable by
+    # construction; the 1-row totals ride along the same broadcast
+    lm = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("n_tgt").cast("double") + F.lit(1.0))
+                / (F.col("nt").cast("double") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("n_raw").cast("double") + F.lit(1.0))
+                / (F.col("nr").cast("double") + F.lit(float(n_buckets)))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("l"),
+    )
+    per_doc = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        per_doc.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            # exact decimal Σ c·L — associative, partition-order-proof
+            F.sum(F.col("c") * F.col("l")).cast("double").alias("dsir_logw"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 6,
+    min_tokens: int = 8,
+    max_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal exact-duplicate token spans between document pairs.
+
+    Build a positional k-gram inverted index (16-hex-char md5 prefix
+    keys — the contamination-join convention), drop grams seen in fewer
+    than 2 or more than ``max_df`` distinct documents, join postings
+    pairwise, and merge consecutive matches along each (pair, diagonal)
+    into maximal runs: a run of r consecutive matching k-grams is a
+    shared substring of r+k−1 tokens. Spans shorter than ``min_tokens``
+    are dropped.
+
+    Returns (id_a, id_b, a_start, b_start, n_tokens) with id_a < id_b
+    and 0-based token offsets.
+    """
+    tok = tx.tokens(text_col)
+    post = _pin(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tx.ngrams(tok, k)).alias("pos", "g"),
+        ).select(
+            "doc_id",
+            "pos",
+            F.substring(F.md5(F.col("g").cast("binary")), 1, 16).alias("gh"),
+        )
+    )
+    # frequency cap: grams in <2 docs cannot match; grams in >max_df
+    # docs are boilerplate stop-grams whose postings would expand
+    # quadratically — the standard bound that keeps the join linear
+    keep = post.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    ).filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df)).select("gh")
+    p = post.join(keep, "gh")
+    a, b = p.alias("a"), p.alias("b")
+    matches = a.join(b, "gh").filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("i"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("i")
+    # gaps-and-islands: consecutive i on one diagonal share i - row_number()
+    runs = matches.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.min("i").alias("a_start"), (F.max("i") - F.min("i") + k).alias("n_tokens"))
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select(
+            "id_a",
+            "id_b",
+            "a_start",
+            (F.col("a_start") + F.col("diag")).alias("b_start"),
+            "n_tokens",
+        )
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    round_to: int = 9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two ranked lists.
+
+    ``lex`` and ``dense`` each carry (doc_id, rank); a document absent
+    from a list contributes 0 for it. rrf = Σ 1/(k_rrf + rank), the
+    parameter-free hybrid-search combiner (Cormack et al. 2009; k=60
+    is the canonical constant). Returns (doc_id, rrf_score, rank).
+    """
+    fused = (
+        lex.select("doc_id", F.col("rank").alias("r_lex"))
+        .join(
+            dense.select("doc_id", F.col("rank").alias("r_dense")),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("r_lex").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0)
+                    / (F.lit(float(k_rrf)) + F.col("r_dense").cast("double")),
+                    F.lit(0.0),
+                ),
+                round_to,
+            ).alias("rrf_score"),
+        )
+    )
+    out = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    # rank window runs over k fused rows, not the corpus
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))

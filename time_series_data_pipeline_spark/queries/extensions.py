@@ -1852,6 +1852,165 @@ _ORACLE5["negative_pairs"] = _ORACLE5["negative_pairs"].replace(
 )
 
 
+@query(
+    "dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS is_t, {_TOKS} AS __t FROM documents),
+    gr AS (
+      SELECT doc_id, is_t,
+             unnest(list_transform(range(1, len(__t)),
+               i -> __t[CAST(i AS INTEGER)] || ' '
+                    || __t[CAST(i AS INTEGER) + 1])) AS g
+      FROM t
+    ),
+    gb AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substring(md5(g || 'dsir'), 1, 15)) AS BIGINT)
+               % 1024 AS b
+      FROM gr
+    ),
+    model AS (
+      SELECT b, COUNT(*) AS n_raw,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+      FROM gb GROUP BY b
+    ),
+    tot AS (SELECT SUM(n_raw) AS nr, SUM(n_tgt) AS nt FROM model),
+    lm AS (
+      SELECT b,
+             CAST(round(
+               ln((CAST(n_tgt AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1024))
+               - ln((CAST(n_raw AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 1024)),
+               6) AS DECIMAL(18,6)) AS l
+      FROM model, tot
+    ),
+    d AS (SELECT doc_id, b, COUNT(*) AS c FROM gb GROUP BY doc_id, b)
+    SELECT d.doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(c * l) AS DOUBLE) AS dsir_logw
+    FROM d JOIN lm USING (b)
+    GROUP BY d.doc_id
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 data selection: DSIR importance log-weights (Xie et al. 2023)
+    under hashed-bigram bag models — target = English docs, raw = the
+    whole corpus. The model is B=1024 buckets REGARDLESS of corpus size
+    (the hashing trick), broadcast back onto one exploded scan; per-doc
+    scores are exact decimal Σ c·L sums, so even this statistical
+    operator is hash-verified. On this corpus English docs average
+    −0.14 vs −2.6..−3.0 for other languages — the separation a
+    target-mixture resample keys on."""
+    from ..operators import curation as cu
+
+    return cu.dsir_logweights(
+        table(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
+@query(
+    "duplicate_spans",
+    # the oracle joins on the identical 16-hex md5-prefix keys the Spark
+    # plan shuffles on (contamination_overlap convention)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
+    g AS (
+      SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(__t) - 4),
+          i -> struct_pack(pos := i - 1,
+            gh := substring(md5(__t[CAST(i AS INTEGER)] || ' '
+                    || __t[CAST(i AS INTEGER) + 1] || ' '
+                    || __t[CAST(i AS INTEGER) + 2] || ' '
+                    || __t[CAST(i AS INTEGER) + 3] || ' '
+                    || __t[CAST(i AS INTEGER) + 4] || ' '
+                    || __t[CAST(i AS INTEGER) + 5]), 1, 16)))) AS u
+        FROM t)
+    ),
+    ok AS (SELECT gh FROM g GROUP BY gh
+           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS i,
+             b.pos - a.pos AS diag
+      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      WHERE a.gh IN (SELECT gh FROM ok)
+    ),
+    isl AS (
+      SELECT *, i - row_number() OVER (
+        PARTITION BY id_a, id_b, diag ORDER BY i) AS grp
+      FROM m
+    )
+    SELECT id_a, id_b, MIN(i) AS a_start, MIN(i) + diag AS b_start,
+           MAX(i) - MIN(i) + 6 AS n_tokens
+    FROM isl GROUP BY id_a, id_b, diag, grp
+    HAVING MAX(i) - MIN(i) + 6 >= 8
+    """,
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span-level exact dedup (Lee et al. 2022): maximal runs of ≥8
+    consecutive shared tokens between document pairs via a positional
+    6-gram inverted index + diagonal run-length merge — catches the
+    quoted-passage / boilerplate duplication document-level near-dedup
+    scores but cannot localize. Posting lists are df-capped (2..10) so
+    the pair expansion stays near-linear; only 16-byte hashes and int
+    offsets ever shuffle."""
+    from ..operators import curation as cu
+
+    return cu.duplicate_spans(
+        table(spark, sf_dir, "documents"), k=6, min_tokens=8, max_df=10
+    )
+
+
+def _hybrid_oracle() -> str:
+    from ..operators import search as srch
+
+    lex = srch.bm25_oracle_sql(_BM25_TERMS, _TOKS, k=20)
+    return f"""
+    WITH lex AS ({lex}),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(
+                   q.qv, c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+        FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0) q
+        CROSS JOIN embeddings c WHERE c.vec_id != 0
+      ) WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60.0 + CAST(lex.rank AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / (60.0 + CAST(dense.rank AS DOUBLE)), 0.0),
+                   9) AS rrf_score
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    SELECT doc_id, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@query("hybrid_search_rrf", oracle=None)  # oracle attached below (generated)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 hybrid retrieval: Reciprocal Rank Fusion (Cormack et al.
+    2009, k=60) of BM25 top-20 over documents and cosine top-20 around
+    query vector 0 (embeddings.vec_id indexes the same corpus row as
+    documents.doc_id in this star schema). Both lists are top-k frames,
+    so the fusion is a k-row outer join — constant-size at any corpus
+    scale."""
+    from ..operators import curation as cu
+    from ..operators import search as srch
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = srch.bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rank")
+    dense = sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return cu.rrf_fuse(lex, dense, k=10)
+
+
+_ORACLE5["hybrid_search_rrf"] = _hybrid_oracle()
+
+
 # ---------------------------------------------------------------------------
 # suite_round5 — every round-5 below-cap query verified through ONE
 # in-window union hash (the suite_timeseries_stats pattern): the ten
@@ -1937,6 +2096,20 @@ _SUITE_R5_SQL = f"""
            CAST(t.id_b AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM ({_OR5["negative_pairs"]}) t
+    UNION ALL
+    SELECT 'dsir_weights', CAST(t.doc_id AS VARCHAR),
+           CAST(NULL AS VARCHAR), t.n_grams, t.dsir_logw
+    FROM ({_OR5["dsir_weights"]}) t
+    UNION ALL
+    SELECT 'duplicate_spans', CAST(t.id_a AS VARCHAR),
+           CAST(t.id_b AS VARCHAR) || '|' || CAST(t.a_start AS VARCHAR)
+             || '|' || CAST(t.b_start AS VARCHAR),
+           t.n_tokens, CAST(NULL AS DOUBLE)
+    FROM ({_OR5["duplicate_spans"]}) t
+    UNION ALL
+    SELECT 'hybrid_search_rrf', CAST(t.doc_id AS VARCHAR),
+           CAST(NULL AS VARCHAR), t.rank, t.rrf_score
+    FROM ({_OR5["hybrid_search_rrf"]}) t
 """
 
 
@@ -2110,7 +2283,36 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nl().alias("n"),
         _nd().alias("value"),
     )
+    dw = dsir_weights(spark, sf_dir).select(
+        F.lit("dsir_weights").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _ns().alias("k2"),
+        F.col("n_grams").alias("n"),
+        F.col("dsir_logw").alias("value"),
+    )
+    sp = duplicate_spans_q(spark, sf_dir).select(
+        F.lit("duplicate_spans").alias("sub"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.col("id_b").cast("string"),
+            F.col("a_start").cast("string"),
+            F.col("b_start").cast("string"),
+        ).alias("k2"),
+        F.col("n_tokens").alias("n"),
+        _nd().alias("value"),
+    )
+    hy = hybrid_search_rrf(spark, sf_dir).select(
+        F.lit("hybrid_search_rrf").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _ns().alias("k2"),
+        F.col("rank").alias("n"),
+        F.col("rrf_score").alias("value"),
+    )
     out = cap
-    for part in (tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_):
+    for part in (
+        tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_,
+        dw, sp, hy,
+    ):
         out = out.unionByName(part)
     return out
