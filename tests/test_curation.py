@@ -103,3 +103,31 @@ def test_hybrid_query_k_rows(spark):
     by_rank = sorted(rows, key=lambda r: r["rank"])
     for x, y in zip(by_rank, by_rank[1:]):
         assert x["rrf_score"] >= y["rrf_score"]
+
+
+def test_curation_pipeline_manifest(spark):
+    rows = QUERIES["curation_pipeline"](spark, SF_SMOKE).collect()
+    docs_n = table(spark, SF_SMOKE, "documents").count()
+    # exactly one verdict per document — nothing dropped, nothing duplicated
+    assert len(rows) == docs_n
+    assert len({r["doc_id"] for r in rows}) == docs_n
+    reasons = {r["reason"] for r in rows}
+    assert reasons <= {
+        "exact_dup", "near_dup", "repetitive", "low_quality",
+        "off_target", "kept",
+    }
+    # keep is exactly the 'kept' verdict, and the pipeline keeps a
+    # nontrivial fraction while rejecting a nontrivial fraction
+    for r in rows:
+        assert r["keep"] == (r["reason"] == "kept")
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < docs_n
+    # every near-dup cluster retains at least its keeper: kept set plus
+    # singleton docs must cover every cluster id
+    from time_series_data_pipeline_spark.queries.extensions import (
+        dedup_clusters_q,
+    )
+    by_doc = {r["doc_id"]: r["reason"] for r in rows}
+    for c in dedup_clusters_q(spark, SF_SMOKE).collect():
+        if c["is_keeper"]:
+            assert by_doc[c["doc_id"]] not in ("exact_dup", "near_dup")

@@ -2011,6 +2011,110 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE5["hybrid_search_rrf"] = _hybrid_oracle()
 
 
+def _curation_oracle() -> str:
+    # Composed verbatim from the registered stage oracles (the
+    # negative_pairs / suite pattern): the pipeline's verdict per doc is
+    # recomputed from the SAME SQL the driver already verifies stage by
+    # stage, so the composition cannot drift from its parts.
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    ),
+    cl AS (SELECT * FROM ({_ORACLE5["dedup_clusters"]})),
+    rep AS (SELECT doc_id, repetitive FROM ({_ORACLE5["doc_repetition"]})),
+    w AS (SELECT doc_id, dsir_logw FROM ({_ORACLE5["dsir_weights"]})),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(__t) > 0 THEN
+               0.4 * least(CAST(len(__t) AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * (1.0 - CAST(len(list_filter(__t,
+                   x -> list_contains(['the','a','of','and','is'], x)))
+                   AS DOUBLE) / len(__t))
+               + 0.2 * least((CAST(list_sum(list_transform(__t,
+                   x -> length(x))) AS DOUBLE) / len(__t)) / 10.0, 1.0)
+             END AS quality
+      FROM (SELECT doc_id, {_TOKS} AS __t FROM documents)
+    )
+    SELECT doc_id, reason, reason = 'kept' AS keep FROM (
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id != ex.keeper THEN 'exact_dup'
+             WHEN coalesce(NOT cl.is_keeper, FALSE) THEN 'near_dup'
+             WHEN coalesce(rep.repetitive, FALSE) THEN 'repetitive'
+             WHEN coalesce(q.quality, 0.0) < 0.55 THEN 'low_quality'
+             WHEN coalesce(w.dsir_logw, -999.0) < -2.0 THEN 'off_target'
+             ELSE 'kept' END AS reason
+      FROM documents d
+      JOIN ex USING (doc_id)
+      LEFT JOIN cl USING (doc_id)
+      LEFT JOIN rep USING (doc_id)
+      LEFT JOIN q USING (doc_id)
+      LEFT JOIN w USING (doc_id)
+    )
+    """
+
+
+@query("curation_pipeline", oracle=None)  # oracle attached below (composed)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X4 end-to-end corpus curation (the FineWeb/RefinedWeb cascade
+    as ONE declarative job): per document, the first failing gate in a
+    fixed priority order — exact duplicate (md5 keeper election) →
+    near-duplicate (jaccard-CC cluster non-keeper) → repetitive
+    (Gopher n-gram dominance) → low quality (composite score < 0.55) →
+    off-target (DSIR log-weight < −2.0) — else kept. Returns the audit
+    manifest (doc_id, reason, keep) a production pipeline materializes
+    beside the kept corpus.
+
+    Scale shape: every stage is a per-doc frame joined back on doc_id
+    (co-partitioned hash joins); the only non-linear stage is the CC
+    round loop already bounded by the dedup-cluster operator. Flags are
+    computed on the full corpus and cascaded by priority, so the reason
+    histogram is stable under any evaluation order."""
+    from ..operators import curation as cu
+    from ..operators import graph as gr
+
+    docs = table(spark, sf_dir, "documents")
+    md = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("__h")
+    )
+    ex = md.join(
+        md.groupBy("__h").agg(F.min("doc_id").alias("__keeper")), "__h"
+    ).select("doc_id", (F.col("doc_id") != F.col("__keeper")).alias("__exact_dup"))
+    pairs = dd.jaccard_pairs(
+        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
+    ).select("id_a", "id_b")
+    cl = gr.dedup_clusters(pairs).select("doc_id", "is_keeper")
+    rep = tx.repetition_stats(docs).select("doc_id", "repetitive")
+    qual = tx.quality_score(docs).select("doc_id", "quality")
+    w = cu.dsir_logweights(docs, target=F.col("lang") == "en").select(
+        "doc_id", "dsir_logw"
+    )
+    reason = (
+        F.when(F.col("__exact_dup"), F.lit("exact_dup"))
+        .when(F.coalesce(~F.col("is_keeper"), F.lit(False)), F.lit("near_dup"))
+        .when(F.coalesce(F.col("repetitive"), F.lit(False)), F.lit("repetitive"))
+        .when(F.coalesce(F.col("quality"), F.lit(0.0)) < 0.55, F.lit("low_quality"))
+        .when(
+            F.coalesce(F.col("dsir_logw"), F.lit(-999.0)) < -2.0,
+            F.lit("off_target"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(ex, "doc_id")
+        .join(cl, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(w, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "kept")
+    )
+
+
+_ORACLE5["curation_pipeline"] = _curation_oracle()
+
+
 # ---------------------------------------------------------------------------
 # suite_round5 — every round-5 below-cap query verified through ONE
 # in-window union hash (the suite_timeseries_stats pattern): the ten
@@ -2110,6 +2214,10 @@ _SUITE_R5_SQL = f"""
     SELECT 'hybrid_search_rrf', CAST(t.doc_id AS VARCHAR),
            CAST(NULL AS VARCHAR), t.rank, t.rrf_score
     FROM ({_OR5["hybrid_search_rrf"]}) t
+    UNION ALL
+    SELECT 'curation_pipeline', CAST(t.doc_id AS VARCHAR), t.reason,
+           CAST(CAST(t.keep AS INTEGER) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_OR5["curation_pipeline"]}) t
 """
 
 
@@ -2309,10 +2417,17 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("n"),
         F.col("rrf_score").alias("value"),
     )
+    cp = curation_pipeline(spark, sf_dir).select(
+        F.lit("curation_pipeline").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("reason").alias("k2"),
+        F.col("keep").cast("int").cast("long").alias("n"),
+        _nd().alias("value"),
+    )
     out = cap
     for part in (
         tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_,
-        dw, sp, hy,
+        dw, sp, hy, cp,
     ):
         out = out.unionByName(part)
     return out
