@@ -131,3 +131,56 @@ def test_curation_pipeline_manifest(spark):
     for c in dedup_clusters_q(spark, SF_SMOKE).collect():
         if c["is_keeper"]:
             assert by_doc[c["doc_id"]] not in ("exact_dup", "near_dup")
+
+
+def test_duplicate_spans_planted_localization(spark):
+    # plant one exact 10-token substring inside otherwise-disjoint docs
+    # and require the operator to localize exactly that span
+    shared = "q w e r t y u i o p".split()
+    a = [f"a{i}" for i in range(7)] + shared + [f"z{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(3)] + shared + [f"y{i}" for i in range(9)]
+    c = [f"c{i}" for i in range(20)]  # no overlap with anything
+    docs = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))],
+        "doc_id long, text string",
+    )
+    spans = cu.duplicate_spans(docs, k=6, min_tokens=8, max_df=10).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["a_start"] == 7 and r["b_start"] == 3 and r["n_tokens"] == 10
+
+
+def test_duplicate_spans_independent_runs_stay_separate(spark):
+    # two disjoint shared runs between the same pair must come back as
+    # two spans, not merge across the gap
+    s1 = "m1 m2 m3 m4 m5 m6 m7 m8".split()
+    s2 = "n1 n2 n3 n4 n5 n6 n7 n8 n9".split()
+    a = s1 + ["ga"] + s2
+    b = ["h1", "h2"] + s1 + ["gb", "gc"] + s2 + ["h3"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], "doc_id long, text string"
+    )
+    spans = {
+        (r["a_start"], r["b_start"], r["n_tokens"])
+        for r in cu.duplicate_spans(docs, k=6, min_tokens=8, max_df=10).collect()
+    }
+    assert spans == {(0, 2, 8), (9, 12, 9)}
+
+
+def test_dsir_weight_moves_toward_target_grams(spark):
+    # two probe docs with the SAME number of bigrams, all novel except
+    # that one swaps its last gram for the target corpus's signature
+    # bigram — that doc must score strictly higher. (Same-length probes
+    # matter: DSIR's weight is a SUM of per-gram log-ratios, and under
+    # add-one smoothing every additional gram shifts the sum, so only
+    # a like-for-like gram swap isolates target affinity.)
+    rows = [(i, "tt1 tt2 tt1 tt2 tt1 tt2", "en") for i in range(8)]
+    rows += [(8 + i, f"u{i}a u{i}b u{i}c u{i}d", "de") for i in range(8)]
+    rows += [(100, "p1 p2 p3 p4", "de"), (101, "q1 q2 tt1 tt2", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in cu.dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert w[101] > w[100]
