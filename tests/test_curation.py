@@ -184,3 +184,46 @@ def test_dsir_weight_moves_toward_target_grams(spark):
         for r in cu.dsir_logweights(docs, F.col("lang") == "en").collect()
     }
     assert w[101] > w[100]
+
+
+def test_span_dedup_apply_planted(spark):
+    shared = "q w e r t y u i o p".split()
+    a = [f"a{i}" for i in range(7)] + shared + [f"z{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(3)] + shared + [f"y{i}" for i in range(9)]
+    c = [f"c{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))],
+        "doc_id long, text string",
+    )
+    spans = cu.duplicate_spans(docs, k=6, min_tokens=8, max_df=10)
+    out = {
+        r["doc_id"]: r
+        for r in cu.remove_duplicate_spans(docs, spans).collect()
+    }
+    import hashlib
+
+    def h(toks):
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    # doc 0 (earlier) keeps everything; doc 1 loses exactly the span;
+    # doc 2 untouched
+    assert out[0]["n_tokens_after"] == len(a)
+    assert out[0]["cleaned_hash"] == h(a)
+    assert out[1]["n_tokens_before"] == len(b)
+    assert out[1]["n_tokens_after"] == len(b) - len(shared)
+    assert out[1]["cleaned_hash"] == h([t for t in b if t not in shared])
+    assert out[2]["cleaned_hash"] == h(c)
+
+
+def test_span_dedup_apply_corpus_invariants(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    spans = cu.duplicate_spans(docs, k=6, min_tokens=8, max_df=10)
+    out = cu.remove_duplicate_spans(docs, spans).collect()
+    assert len(out) == docs.count()  # every doc gets a row
+    victims = {r["id_b"] for r in spans.collect()}
+    for r in out:
+        assert r["n_tokens_after"] <= r["n_tokens_before"]
+        if r["doc_id"] not in victims:
+            assert r["n_tokens_after"] == r["n_tokens_before"]
+        else:
+            assert r["n_tokens_after"] < r["n_tokens_before"]

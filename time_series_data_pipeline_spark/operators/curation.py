@@ -201,6 +201,56 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply step for ``duplicate_spans``: cut each detected span from
+    the LATER document of its pair (id_b — first occurrence wins, the
+    Lee et al. 2022 retention rule), keeping earlier documents intact.
+    Overlapping spans from different partners union naturally.
+
+    Returns one row per document — untouched docs included —
+    (doc_id, n_tokens_before, n_tokens_after, cleaned_hash) where
+    cleaned_hash is the md5 of the space-joined surviving tokens: the
+    digest form ships 16 bytes per doc instead of rewritten text (the
+    doc_chunks convention), and equality against the pre-image is what
+    the oracle replays.
+
+    Scale shape: span lists aggregate per victim doc (bounded by that
+    doc's match count), broadcast-join back onto the corpus scan when
+    small / hash-join otherwise, and the cut itself is an in-row
+    indexed filter — no token rows ever shuffle.
+    """
+    cuts = spans.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.collect_list(F.struct("b_start", "n_tokens")).alias("__cuts")
+    )
+    tok = tx.tokens(text_col)
+    base = docs.select(F.col(id_col), tok.alias("__t")).join(
+        cuts, id_col, "left"
+    )
+
+    def _kept(t: Column, i: Column) -> Column:
+        # i is 0-based; drop when any span [b_start, b_start+n) covers it
+        return ~F.coalesce(
+            F.exists(
+                "__cuts",
+                lambda s: (i >= s["b_start"]) & (i < s["b_start"] + s["n_tokens"]),
+            ),
+            F.lit(False),
+        )
+
+    kept = F.filter("__t", _kept)
+    return base.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("cleaned_hash"),
+    )
+
+
 def rrf_fuse(
     lex: DataFrame,
     dense: DataFrame,

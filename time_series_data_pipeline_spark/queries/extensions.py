@@ -1958,6 +1958,56 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("span_dedup_apply", oracle=None)  # oracle attached below (composed)
+def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 span-level dedup, the acting step: cut every detected
+    duplicate span from the LATER document of its pair (first
+    occurrence wins — the Lee et al. 2022 retention rule), emitting
+    per-doc before/after token counts and the md5 digest of the
+    surviving text for every document. The digest is what the oracle
+    replays, so the cut itself — indexed in-row token filtering — is
+    hash-verified end to end."""
+    from ..operators import curation as cu
+
+    docs = table(spark, sf_dir, "documents")
+    spans = cu.duplicate_spans(docs, k=6, min_tokens=8, max_df=10)
+    return cu.remove_duplicate_spans(docs, spans)
+
+
+def _span_apply_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS __t FROM documents),
+    sp AS (SELECT * FROM ({_ORACLE5["duplicate_spans"]})),
+    pos AS (
+      SELECT doc_id, (u).i AS i, (u).tok AS tok FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(__t) + 1),
+          j -> struct_pack(i := j - 1, tok := __t[CAST(j AS INTEGER)]))) AS u
+        FROM t)
+    ),
+    drop_pos AS (
+      SELECT DISTINCT id_b AS doc_id, b_start + unnest(range(0, n_tokens)) AS i
+      FROM sp
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.i, pos.tok
+      FROM pos ANTI JOIN drop_pos
+        ON pos.doc_id = drop_pos.doc_id AND pos.i = drop_pos.i
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_after,
+             string_agg(tok, ' ' ORDER BY i) AS s
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(__t)::BIGINT AS n_tokens_before,
+           coalesce(agg.n_after, 0)::BIGINT AS n_tokens_after,
+           md5(coalesce(agg.s, '')) AS cleaned_hash
+    FROM t LEFT JOIN agg USING (doc_id)
+    """
+
+
+_ORACLE5["span_dedup_apply"] = _span_apply_oracle()
+
+
 def _hybrid_oracle() -> str:
     from ..operators import search as srch
 
@@ -2218,6 +2268,11 @@ _SUITE_R5_SQL = f"""
     SELECT 'curation_pipeline', CAST(t.doc_id AS VARCHAR), t.reason,
            CAST(CAST(t.keep AS INTEGER) AS BIGINT), CAST(NULL AS DOUBLE)
     FROM ({_OR5["curation_pipeline"]}) t
+    UNION ALL
+    SELECT 'span_dedup_apply', CAST(t.doc_id AS VARCHAR),
+           t.cleaned_hash || '|' || CAST(t.n_tokens_before AS VARCHAR),
+           t.n_tokens_after, CAST(NULL AS DOUBLE)
+    FROM ({_OR5["span_dedup_apply"]}) t
 """
 
 
@@ -2424,10 +2479,19 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep").cast("int").cast("long").alias("n"),
         _nd().alias("value"),
     )
+    sa = span_dedup_apply(spark, sf_dir).select(
+        F.lit("span_dedup_apply").alias("sub"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(
+            "|", F.col("cleaned_hash"), F.col("n_tokens_before").cast("string")
+        ).alias("k2"),
+        F.col("n_tokens_after").alias("n"),
+        _nd().alias("value"),
+    )
     out = cap
     for part in (
         tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_,
-        dw, sp, hy, cp,
+        dw, sp, hy, cp, sa,
     ):
         out = out.unionByName(part)
     return out
