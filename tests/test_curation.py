@@ -227,3 +227,16 @@ def test_span_dedup_apply_corpus_invariants(spark):
             assert r["n_tokens_after"] == r["n_tokens_before"]
         else:
             assert r["n_tokens_after"] < r["n_tokens_before"]
+
+
+def test_mixture_plan_feasibility(spark):
+    out = {r["lang"]: r for r in QUERIES["mixture_plan"](spark, SF_SMOKE).collect()}
+    assert set(out) == {"en", "es", "de", "fr", "zh"}
+    weights = {"en": 0.5, "es": 0.2, "de": 0.15, "fr": 0.1, "zh": 0.05}
+    budget = min(r["n_tokens"] / weights[lg] for lg, r in out.items())
+    for lg, r in out.items():
+        # never oversample; the binding group saturates at rate 1
+        assert 0 < r["sample_rate"] <= 1.0
+        assert r["expected_tokens"] <= r["n_tokens"] + 1e-6
+        assert abs(r["expected_tokens"] - budget * weights[lg]) < 1e-3
+    assert any(abs(r["sample_rate"] - 1.0) < 1e-9 for r in out.values())

@@ -251,6 +251,60 @@ def remove_duplicate_spans(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Training-mixture feasibility plan (the Pile/Dolma-style mixing
+    step downstream of curation): given target mixture ``weights`` per
+    group, find the largest total token budget B the corpus can serve
+    without oversampling any group (B = min_g tokens_g / w_g), and the
+    per-group deterministic sampling rate that realizes it.
+
+    Returns (group, n_docs, n_tokens, weight, sample_rate,
+    expected_tokens); groups absent from ``weights`` are excluded from
+    the mixture. Feed ``sample_rate`` to
+    ``sampling.deterministic_sample`` per group to materialize the mix.
+
+    Scale shape: one map-side-combined aggregate over the corpus (the
+    token count is an in-row size()), then all arithmetic happens on
+    the |groups|-row frame with a broadcast 1-row budget — nothing
+    after the first agg depends on corpus size.
+    """
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    agg = (
+        docs.select(F.col(group_col).alias("grp"), tx.tokens(text_col).alias("__t"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("__t")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("weight", wmap[F.col("grp")])
+        .filter(F.col("weight").isNotNull())
+    )
+    budget = agg.agg(
+        F.min(F.col("n_tokens").cast("double") / F.col("weight")).alias("__b")
+    )
+    out = agg.crossJoin(F.broadcast(budget))
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.round(
+            F.least(
+                F.col("__b") * F.col("weight") / F.col("n_tokens").cast("double"),
+                F.lit(1.0),
+            ),
+            round_to,
+        ).alias("sample_rate"),
+        F.round(F.col("__b") * F.col("weight"), 6).alias("expected_tokens"),
+    )
+
+
 def rrf_fuse(
     lex: DataFrame,
     dense: DataFrame,

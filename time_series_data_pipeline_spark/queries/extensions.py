@@ -1958,6 +1958,42 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_plan",
+    oracle=f"""
+    WITH t AS (SELECT lang, len({_TOKS}) AS n FROM documents),
+    a AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM t GROUP BY lang
+    ),
+    w(lang, weight) AS (VALUES
+      ('en', CAST(0.5 AS DOUBLE)), ('es', CAST(0.2 AS DOUBLE)),
+      ('de', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+      ('zh', CAST(0.05 AS DOUBLE))),
+    j AS (SELECT a.*, w.weight FROM a JOIN w USING (lang)),
+    b AS (SELECT MIN(CAST(n_tokens AS DOUBLE) / weight) AS budget FROM j)
+    SELECT lang, n_docs, n_tokens, weight,
+           round(least(budget * weight / CAST(n_tokens AS DOUBLE), 1.0), 9)
+             AS sample_rate,
+           round(budget * weight, 6) AS expected_tokens
+    FROM j, b
+    """,
+)
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 data mixing (Pile/Dolma-style): the largest token budget the
+    corpus can serve at the target language mixture (en .5 / es .2 /
+    de .15 / fr .1 / zh .05) without oversampling any group, plus the
+    per-group deterministic sample rate realizing it — the planning
+    step between curation and training. One corpus aggregate; all
+    mixture arithmetic on the 5-row group frame."""
+    from ..operators import curation as cu
+
+    return cu.mixture_plan(
+        table(spark, sf_dir, "documents"),
+        {"en": 0.5, "es": 0.2, "de": 0.15, "fr": 0.1, "zh": 0.05},
+    )
+
+
 @query("span_dedup_apply", oracle=None)  # oracle attached below (composed)
 def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 span-level dedup, the acting step: cut every detected
@@ -2273,6 +2309,10 @@ _SUITE_R5_SQL = f"""
            t.cleaned_hash || '|' || CAST(t.n_tokens_before AS VARCHAR),
            t.n_tokens_after, CAST(NULL AS DOUBLE)
     FROM ({_OR5["span_dedup_apply"]}) t
+    UNION ALL
+    SELECT 'mixture_plan', t.lang, CAST(t.n_docs AS VARCHAR),
+           t.n_tokens, t.expected_tokens
+    FROM ({_OR5["mixture_plan"]}) t
 """
 
 
@@ -2488,10 +2528,20 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_after").alias("n"),
         _nd().alias("value"),
     )
+    # weight/sample_rate stay out of the suite key: double→string
+    # rendering is engine-specific (the singleton's typed parity check
+    # covers them; expected_tokens pins the same arithmetic here)
+    mx = mixture_plan_q(spark, sf_dir).select(
+        F.lit("mixture_plan").alias("sub"),
+        F.col("lang").alias("k1"),
+        F.col("n_docs").cast("string").alias("k2"),
+        F.col("n_tokens").alias("n"),
+        F.col("expected_tokens").alias("value"),
+    )
     out = cap
     for part in (
         tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_,
-        dw, sp, hy, cp, sa,
+        dw, sp, hy, cp, sa, mx,
     ):
         out = out.unionByName(part)
     return out
