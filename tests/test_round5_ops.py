@@ -784,3 +784,39 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
 
     decoded = {r["doc_id"]: r for r in mm.decode_audio(packed).collect()}
     assert [decoded[i]["n_samples"] for i in (0, 1, 2)] == [4, 5, 6]
+
+
+def test_pq_persisted_index_equals_direct(spark):
+    # the persisted-index path must reproduce the build-per-query path
+    # bit for bit (same codebooks, same codes, same ranking)
+    import tempfile
+
+    from time_series_data_pipeline_spark.catalog import table
+    from time_series_data_pipeline_spark.operators import similarity as sim
+
+    from .conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    with tempfile.TemporaryDirectory() as d:
+        sim.pq_index_build(emb, d, dim=64, m=16, ksub=64)
+        idx = sim.pq_index_load(spark, d)
+        direct = sorted(
+            map(tuple, sim.pq_topk(emb, q, dim=64, k=10).collect())
+        )
+        stored = sorted(
+            map(tuple, sim.pq_topk(emb, q, dim=64, k=10, index=idx).collect())
+        )
+        assert direct == stored
+        rr_direct = sorted(
+            map(tuple, sim.pq_topk_rerank(emb, q, dim=64, shortlist=50, k=10).collect())
+        )
+        rr_stored = sorted(
+            map(
+                tuple,
+                sim.pq_topk_rerank(
+                    emb, q, dim=64, shortlist=50, k=10, index=idx
+                ).collect(),
+            )
+        )
+        assert rr_direct == rr_stored

@@ -997,6 +997,45 @@ def pq_encode(
     )
 
 
+def pq_index_build(
+    vectors: DataFrame,
+    path: str,
+    dim: int = 64,
+    m: int = 16,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index ONCE per corpus version: the encoded
+    codes table (m bytes/vector) as parquet plus the codebooks as a
+    sidecar JSON. Every PQ query re-derived codebooks + re-encoded the
+    corpus from raw vectors — the index-build cost that a production
+    ANN deployment pays once at ingest and amortizes over every query
+    (FAISS's train/add vs search split). Pair with
+    ``_util.cached_store`` for the keyed atomic-publish lifecycle."""
+    import json
+    import os
+
+    cb = pq_codebooks(vectors, dim, m, ksub, id_col, vec_col)
+    pq_encode(vectors, cb, dim, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(cb, f)
+
+
+def pq_index_load(
+    spark, path: str
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Load a persisted PQ index: (codebooks, codes DataFrame)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        cb = json.load(f)
+    return cb, spark.read.parquet(os.path.join(path, "codes"))
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1007,6 +1046,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    index: tuple[list[list[list[float]]], DataFrame] | None = None,
 ) -> DataFrame:
     """PQ/ADC top-k: corpus rows are scored FROM THEIR CODES ONLY
     (score = Σ_s q_s · centroid[s][code_s] — the asymmetric distance
@@ -1020,13 +1060,20 @@ def pq_topk(
     from pyspark.sql import Window
 
     dsub = dim // m
-    cb = pq_codebooks(vectors, dim, m, ksub, id_col, vec_col)
-    cbl = _cb_literal(cb)
-    codes = _pin(
-        pq_encode(vectors, cb, dim, id_col, vec_col).select(
-            F.col(id_col).alias("neighbor_id"), "codes"
+    if index is not None:
+        # persisted index: codebooks come from the sidecar, codes from
+        # the store scan — no corpus-vector read at query time
+        cb, codes_df = index
+        cbl = _cb_literal(cb)
+        codes = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+    else:
+        cb = pq_codebooks(vectors, dim, m, ksub, id_col, vec_col)
+        cbl = _cb_literal(cb)
+        codes = _pin(
+            pq_encode(vectors, cb, dim, id_col, vec_col).select(
+                F.col(id_col).alias("neighbor_id"), "codes"
+            )
         )
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__q"),
@@ -1174,6 +1221,7 @@ def pq_topk_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    index: tuple[list[list[list[float]]], DataFrame] | None = None,
 ) -> DataFrame:
     """ADC + exact re-rank (the IVFADC+R pattern of the PQ paper): the
     compressed-domain pass shortlists ``shortlist`` candidates per query
@@ -1186,7 +1234,8 @@ def pq_topk_rerank(
     from pyspark.sql import Window
 
     short = pq_topk(
-        vectors, queries, dim, m, ksub, shortlist, id_col, vec_col, round_to
+        vectors, queries, dim, m, ksub, shortlist, id_col, vec_col, round_to,
+        index=index,
     ).select("query_id", "neighbor_id")
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1711,6 +1711,35 @@ def dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bump when the PQ pipeline changes (codebook rule, m, ksub, encode).
+_PQ_STORE_VERSION = "pq-d64-m16-k64-v1"
+
+
+def _pq_store(spark: SparkSession, sf_dir: str):
+    """Persisted PQ index shared by the PQ query family (the FAISS
+    train/add vs search split): codebooks + encoded codes are built
+    once per corpus version (keyed by path + mtime + pipeline version,
+    atomic publish) and queries score from the m-byte codes scan —
+    the raw embedding table is not read at query time."""
+    import os
+
+    from ..operators._util import cached_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    path = cached_store(
+        lambda scratch: sim.pq_index_build(
+            table(spark, sf_dir, "embeddings"), scratch, dim=64, m=16, ksub=64
+        ),
+        "tsdp_pq_index",
+        f"{os.path.abspath(sf_dir)}:{mtime}:{_PQ_STORE_VERSION}",
+    )
+    return sim.pq_index_load(spark, path)
+
+
 @query("embedding_pq_topk", oracle=None)  # oracle attached below (generated)
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 product-quantization search (FAISS-style ADC, Jégou et al.
@@ -1720,9 +1749,14 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vectors. Deterministic md5-rank codebooks + fixed fold orders
     make even this approximate path hash-verified end-to-end (codebook
     selection, argmin encoding, ADC scores); recall vs exact cosine is
-    pinned in tests, with embedding_pq_rerank as the high-recall form."""
+    pinned in tests, with embedding_pq_rerank as the high-recall form.
+    Codes + codebooks come from the persisted PQ index (_pq_store) —
+    queries never re-encode the corpus."""
     emb = table(spark, sf_dir, "embeddings")
-    return sim.pq_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+    return sim.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10,
+        index=_pq_store(spark, sf_dir),
+    )
 
 
 from .registry import ORACLE as _ORACLE4  # noqa: E402
@@ -1737,10 +1771,12 @@ def embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are fetched for the shortlist ONLY (per-mille of the corpus
     at scale), and exact cosine restores the ranking — measured
     recall@10 = 0.98 vs exact on this corpus. Hash-verified end to end
-    including the re-rank join."""
+    including the re-rank join. Shortlisting scores off the persisted
+    index; only the shortlist join touches raw vectors."""
     emb = table(spark, sf_dir, "embeddings")
     return sim.pq_topk_rerank(
-        emb, emb.filter(F.col("vec_id") < 5), dim=64, shortlist=100, k=10
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, shortlist=100, k=10,
+        index=_pq_store(spark, sf_dir),
     )
 
 
