@@ -820,3 +820,35 @@ def test_pq_persisted_index_equals_direct(spark):
             )
         )
         assert rr_direct == rr_stored
+
+
+def test_csv_dead_letter_split(spark, tmp_path):
+    # sensor-rig garbage: text in a numeric cell, an over-wide row, and
+    # a truncated row all quarantine with raw text + source file (CSV
+    # is positional — a missing tail is structural damage, unlike
+    # JSONL's legal absent keys); the intact row survives typed
+    from time_series_data_pipeline_spark.sources.gas_csv import (
+        GAS_SCHEMA,
+        read_wide_csv_tolerant,
+    )
+
+    header = ",".join(f.name for f in GAS_SCHEMA.fields)
+    n = len(GAS_SCHEMA.fields)
+    good_row = ",".join(str(float(i)) for i in range(n))
+    text_row = "12.5,garbage," + ",".join("1.0" for _ in range(n - 2))
+    wide_row = ",".join("2.0" for _ in range(n + 3))
+    short_row = "99.0,3.5"
+    p = tmp_path / "20161001_000000.csv"
+    p.write_text("\n".join([header, good_row, text_row, wide_row, short_row]) + "\n")
+
+    good, quarantine = read_wide_csv_tolerant(spark, str(p))
+    g = good.collect()
+    q = quarantine.collect()
+    assert len(g) == 1 and len(q) == 3
+    assert g[0]["time_s"] == 0.0 and g[0]["r14_mohm"] == float(n - 1)
+    for r in q:
+        assert r["file_name"] == "20161001_000000.csv"
+    raws = {r["raw_line"] for r in q}
+    assert any("garbage" in r for r in raws)
+    assert any(r.count(",") == n + 2 for r in raws)
+    assert "99.0,3.5" in raws

@@ -75,6 +75,43 @@ def read_wide_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(GAS_SCHEMA).option("header", True).csv(path)
 
 
+def read_wide_csv_tolerant(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): the dead-letter variant of the wide scan
+    (same contract as sources/jsonl.read_events_jsonl) for sensor rigs
+    that emit garbage lines — text in numeric columns, extra fields,
+    log output interleaved into the capture file. One PERMISSIVE scan:
+    rows whose cells all parse stay in ``good``; malformed rows surface
+    with their raw text in the corrupt column and route to the
+    quarantine with their source file (replay needs to know which
+    day-file to re-pull). CSV is positional, so a truncated row (fewer
+    columns) is structural damage and quarantines too — unlike JSONL,
+    where an absent key is legal and only unparseable lines quarantine
+    (sources/jsonl.py)."""
+    schema = T.StructType(
+        list(GAS_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .withColumn(
+            "file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        # one parse feeds both outputs; corrupt-column-only reads need a
+        # materialized parse (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    quarantine = raw.filter(F.col("_corrupt").isNotNull()).select(
+        "file_name", F.col("_corrupt").alias("raw_line")
+    )
+    return good, quarantine
+
+
 def with_event_time(df: DataFrame) -> DataFrame:
     """Derive ``_time`` (TimestampType) and ``file_name`` from the
     filename-borne date plus the in-file seconds offset, and apply the
