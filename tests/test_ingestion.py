@@ -860,3 +860,76 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         dim, "event_type", "left"
     )
     assert {(r.event_type, r.category) for r in batch.collect()} == got
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Streaming quality gate + content-hash dedup must land exactly the
+    documents the batch form keeps: quality-gated, one copy per distinct
+    text, across micro-batches and re-deliveries."""
+    import json
+
+    from time_series_data_pipeline_spark.operators import text as tx
+    from time_series_data_pipeline_spark.streaming.ingest import (
+        curate_doc_stream,
+    )
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    out = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+
+    good = ("spark window join hash value table part batch sort merge "
+            "scan fast slow key agg line row " * 3).strip()
+    junk = "x"
+    docs_w1 = [
+        {"doc_id": 1, "text": good, "sec": 100},
+        {"doc_id": 2, "text": junk, "sec": 110},
+        {"doc_id": 3, "text": good + " extra tail tokens here", "sec": 120},
+    ]
+    docs_w2 = [
+        {"doc_id": 4, "text": good, "sec": 130},  # exact re-delivery of 1
+        {"doc_id": 5, "text": junk + " y", "sec": 140},  # still junk
+    ]
+
+    def drain(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, sec long")
+            .json(str(src))
+            .withColumn("ingest_ts", F.timestamp_seconds("sec"))
+        )
+        cur = curate_doc_stream(stream, min_quality=0.55)
+        q = (
+            cur.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("w1.json", docs_w1)
+    drain("w2.json", docs_w2)
+
+    got = spark.read.parquet(out)
+    all_rows = docs_w1 + docs_w2
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in all_rows], "doc_id long, text string"
+    )
+    expect_texts = {
+        r["text"]
+        for r in tx.quality_score(batch_df)
+        .filter(F.coalesce(F.col("quality"), F.lit(0.0)) >= 0.55)
+        .select("text")
+        .distinct()
+        .collect()
+    }
+    got_rows = got.collect()
+    assert {r["text"] for r in got_rows} == expect_texts
+    # one landed copy per distinct surviving text, quality attached
+    assert len(got_rows) == len(expect_texts) == 2
+    assert all(r["quality"] >= 0.55 for r in got_rows)

@@ -121,6 +121,42 @@ def dedup_stream(
     )
 
 
+def curate_doc_stream(
+    stream: DataFrame,
+    min_quality: float = 0.55,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus curation at ingest (the streaming face of the
+    batch ``curation_pipeline``): gate each arriving document on the
+    composite quality score, then drop exact re-deliveries by content
+    hash within the watermark horizon — junk and duplicates never land
+    in the lake, instead of being swept later.
+
+    The quality gate is the same in-row expression the batch pipeline
+    uses (operators/text.quality_score — narrow, streaming-legal); the
+    dedup state is one 16-byte md5 per surviving document bounded by
+    the watermark horizon, surviving restarts via the checkpoint. The
+    batch near-dup/DSIR stages stay batch: they need corpus-global
+    state (cluster graphs, gram models) that a per-record stream
+    cannot maintain — run them as the periodic sweep over the landed
+    lake."""
+    from ..operators import text as tx
+
+    gated = (
+        tx.quality_score(stream, text_col)
+        .filter(F.coalesce(F.col("quality"), F.lit(0.0)) >= min_quality)
+        .drop("n_tokens", "n_stopwords", "stopword_ratio", "mean_token_len")
+    )
+    keyed = gated.withColumn("__h", F.md5(F.col(text_col).cast("binary")))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
+
+
 def start_rollup_maintenance(
     spark,
     bucket_path: str,
