@@ -1057,6 +1057,48 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bump when the cluster pipeline changes (jaccard threshold, shingle
+#: pipeline, CC algorithm/keeper rule).
+_CLUSTER_STORE_VERSION = "jacc05-cc-v1"
+
+
+def _cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup-cluster assignment shared by the acting
+    queries (dedup_clusters, split_leakage_guard, curation_pipeline):
+    the jaccard-pair + connected-components fixpoint is the dominant
+    cost of every consumer and is identical across them, so the
+    (doc_id, cluster_id, is_keeper) table is built ONCE per corpus
+    version (path+mtime+pipeline-version key, atomic publish — the
+    shingle/PQ store lifecycle) — exactly the cluster-assignment table
+    a 100 TB dedup pipeline materializes between its detect and act
+    phases."""
+    import os
+
+    from ..operators import graph as gr
+    from ..operators._util import cached_store
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+
+    def _build(scratch: str) -> None:
+        docs = table(spark, sf_dir, "documents")
+        pairs = dd.jaccard_pairs(
+            docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
+        ).select("id_a", "id_b")
+        gr.dedup_clusters(pairs).write.mode("overwrite").parquet(scratch)
+
+    path = cached_store(
+        _build,
+        "tsdp_cluster_store",
+        f"{os.path.abspath(sf_dir)}:{mtime}:"
+        f"{_SHINGLE_STORE_VERSION}:{_CLUSTER_STORE_VERSION}",
+    )
+    return spark.read.parquet(path)
+
+
 @query(
     "dedup_clusters",
     # Recursive min-label propagation is exactly replayable in SQL: the
@@ -1097,14 +1139,10 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard >= 0.5 off the shared store) grouped into duplicate
     CLUSTERS via distributed connected components (hash-min label
     propagation, operators/graph.py), with the canonical keeper
-    elected per cluster — pair lists become delete lists."""
-    from ..operators import graph as gr
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(
-        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
-    ).select("id_a", "id_b")
-    return gr.dedup_clusters(pairs)
+    elected per cluster — pair lists become delete lists. Served from
+    the materialized cluster store (_cluster_store): the CC fixpoint
+    runs once per corpus version, not once per query."""
+    return _cluster_store(spark, sf_dir)
 
 
 _BM25_TERMS = ["spark", "window", "join", "hash"]
@@ -1555,14 +1593,10 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split doc counts plus the cross-split-cluster violation count,
     which the shared key makes zero BY CONSTRUCTION — the guard the
     oracle independently recomputes."""
-    from ..operators import graph as gr
     from ..operators.sampling import train_val_test_split
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(
-        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
-    ).select("id_a", "id_b")
-    clusters = gr.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    clusters = _cluster_store(spark, sf_dir).select("doc_id", "cluster_id")
     assigned = docs.select("doc_id").join(F.broadcast(clusters), "doc_id", "left")
     split = train_val_test_split(
         assigned.withColumn(
@@ -2193,7 +2227,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on the full corpus and cascaded by priority, so the reason
     histogram is stable under any evaluation order."""
     from ..operators import curation as cu
-    from ..operators import graph as gr
 
     docs = table(spark, sf_dir, "documents")
     md = docs.select(
@@ -2202,10 +2235,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = md.join(
         md.groupBy("__h").agg(F.min("doc_id").alias("__keeper")), "__h"
     ).select("doc_id", (F.col("doc_id") != F.col("__keeper")).alias("__exact_dup"))
-    pairs = dd.jaccard_pairs(
-        docs, threshold=0.5, shingle_sets=_shingle_store(spark, sf_dir)
-    ).select("id_a", "id_b")
-    cl = gr.dedup_clusters(pairs).select("doc_id", "is_keeper")
+    cl = _cluster_store(spark, sf_dir).select("doc_id", "is_keeper")
     rep = tx.repetition_stats(docs).select("doc_id", "repetitive")
     qual = tx.quality_score(docs).select("doc_id", "quality")
     w = cu.dsir_logweights(docs, target=F.col("lang") == "en").select(
