@@ -240,3 +240,86 @@ def test_mixture_plan_feasibility(spark):
         assert r["expected_tokens"] <= r["n_tokens"] + 1e-6
         assert abs(r["expected_tokens"] - budget * weights[lg]) < 1e-3
     assert any(abs(r["sample_rate"] - 1.0) < 1e-9 for r in out.values())
+
+
+# ---------------------------------------------------- property tests
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    def _ref_spans(docs, k=6, min_tokens=8, max_df=10):
+        """Pure-Python reference for duplicate_spans: same gram/df-cap/
+        diagonal-merge semantics, written independently of Spark."""
+        toks = {i: t.lower().split() for i, t in docs.items()}
+        grams = {
+            i: [tuple(t[p : p + k]) for p in range(len(t) - k + 1)]
+            for i, t in toks.items()
+        }
+        df = {}
+        for i, gs in grams.items():
+            for g in set(gs):
+                df[g] = df.get(g, 0) + 1
+        ok = {g for g, n in df.items() if 2 <= n <= max_df}
+        out = set()
+        ids = sorted(docs)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                matches = {}
+                for i, g in enumerate(grams[a]):
+                    if g not in ok:
+                        continue
+                    for j, g2 in enumerate(grams[b]):
+                        if g2 == g:
+                            matches.setdefault(j - i, []).append(i)
+                for d, pos in matches.items():
+                    pos = sorted(set(pos))
+                    run = [pos[0]]
+                    for p in pos[1:]:
+                        if p == run[-1] + 1:
+                            run.append(p)
+                        else:
+                            n = run[-1] - run[0] + k
+                            if n >= min_tokens:
+                                out.add((a, b, run[0], run[0] + d, n))
+                            run = [p]
+                    n = run[-1] - run[0] + k
+                    if n >= min_tokens:
+                        out.add((a, b, run[0], run[0] + d, n))
+        return out
+
+    _WORDS = ["w%d" % i for i in range(6)]
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=24),
+            min_size=2,
+            max_size=4,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_duplicate_spans_matches_reference(spark, docs):
+        # tiny alphabet makes shared 6-grams likely, so the property
+        # exercises real matches, not just empty outputs
+        dmap = {i: " ".join(t) for i, t in enumerate(docs)}
+        sdf = spark.createDataFrame(
+            list(dmap.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["n_tokens"])
+            for r in cu.duplicate_spans(
+                sdf, k=6, min_tokens=8, max_df=10
+            ).collect()
+        }
+        assert got == _ref_spans(dmap)
