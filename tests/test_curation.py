@@ -323,3 +323,27 @@ if _HYP:
             ).collect()
         }
         assert got == _ref_spans(dmap)
+
+
+def test_distribution_drift_semantics(spark):
+    # identical distributions -> all three metrics collapse to ~0;
+    # disjoint vocabularies -> clearly positive and KL >= 0, tvd <= 1
+    same = spark.createDataFrame(
+        [(i, "a b c d e f", i % 2 == 0) for i in range(20)],
+        "doc_id long, text string, is_t boolean",
+    )
+    r0 = cu.distribution_drift(same, F.col("is_t")).collect()[0]
+    assert abs(r0["kl_target_rest"]) < 1e-6
+    assert abs(r0["kl_rest_target"]) < 1e-6
+    assert abs(r0["tvd"]) < 1e-6
+    disjoint = spark.createDataFrame(
+        [(i, "a b c d e f" if i % 2 == 0 else "u v w x y z", i % 2 == 0)
+         for i in range(20)],
+        "doc_id long, text string, is_t boolean",
+    )
+    r1 = cu.distribution_drift(disjoint, F.col("is_t")).collect()[0]
+    assert r1["kl_target_rest"] > 0.01 and r1["kl_rest_target"] > 0.01
+    assert 0.01 < r1["tvd"] <= 1.0
+    # corpus query: en vs rest genuinely differ on this corpus
+    r = QUERIES["corpus_drift"](spark, SF_SMOKE).collect()[0]
+    assert r["tvd"] > 0.05 and r["n_buckets_hit"] > 100

@@ -251,6 +251,96 @@ def remove_duplicate_spans(
     )
 
 
+def distribution_drift(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-distribution drift between the ``target`` subcorpus and
+    the rest, over hashed-bigram buckets with add-one smoothing: both
+    KL divergences (nats) and total-variation distance — the corpus
+    monitoring statistic a pipeline tracks across snapshot versions
+    ("did this crawl / this curation pass shift the token
+    distribution, and how far?").
+
+    Exact-arithmetic construction (hash-verifiable like DSIR): with
+    p_b=(c_pb+1)/(N_p+B), KL(p‖q)·(N_p+B) = Σ_b (c_pb+1)·L_b where
+    L_b is a log of exact-integer ratios, rounded to 6 dp and summed
+    as DECIMAL — associative, partition-order-proof; the TVD numerator
+    is a pure-integer sum (DECIMAL(18,0) products — exact to 1e18
+    occurrences per side). Buckets with no mass on either side enter
+    through a closed-form correction, so the statistic is over the
+    full B-bucket simplex, not just occupied buckets.
+
+    Returns one row: (n_buckets_hit, kl_target_rest, kl_rest_target,
+    tvd). Scale shape: one exploded scan → one B-bounded aggregate →
+    arithmetic on a 1-row frame.
+    """
+    Bf = float(n_buckets)
+    occ = docs.select(
+        target.alias("is_t"),
+        F.explode(tx.ngrams(tx.tokens(text_col), 2)).alias("g"),
+    ).select("is_t", _gram_bucket(F.col("g"), n_buckets, salt).alias("b"))
+    model = occ.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("cp"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cq"),
+    )
+    tot = model.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count("*").alias("hits"),
+    )
+    m = model.crossJoin(F.broadcast(tot))
+    dp = F.col("np").cast("double") + F.lit(Bf)
+    dq = F.col("nq").cast("double") + F.lit(Bf)
+
+    def _l(ca: Column, cb: Column, na: Column, nb: Column) -> Column:
+        return F.round(
+            F.log((ca.cast("double") + F.lit(1.0)) / (cb.cast("double") + F.lit(1.0)))
+            + F.log(nb / na),
+            6,
+        ).cast("decimal(18,6)")
+
+    d18 = "decimal(18,0)"
+    terms = m.agg(
+        F.sum((F.col("cp") + 1) * _l(F.col("cp"), F.col("cq"), dp, dq)).alias("s_pq"),
+        F.sum((F.col("cq") + 1) * _l(F.col("cq"), F.col("cp"), dq, dp)).alias("s_qp"),
+        F.sum(
+            F.abs(
+                (F.col("cp") + 1).cast(d18) * (F.col("nq") + n_buckets).cast(d18)
+                - (F.col("cq") + 1).cast(d18) * (F.col("np") + n_buckets).cast(d18)
+            )
+        ).alias("s_tvd"),
+        F.first("np").alias("np"),
+        F.first("nq").alias("nq"),
+        F.first("hits").alias("hits"),
+    )
+    dp2 = F.col("np").cast("double") + F.lit(Bf)
+    dq2 = F.col("nq").cast("double") + F.lit(Bf)
+    empty = (F.lit(n_buckets) - F.col("hits")).cast(d18)
+    l_empty_pq = F.round(F.log(dq2 / dp2), 6).cast("decimal(18,6)")
+    l_empty_qp = F.round(F.log(dp2 / dq2), 6).cast("decimal(18,6)")
+    return terms.select(
+        F.col("hits").alias("n_buckets_hit"),
+        ((F.col("s_pq") + empty * l_empty_pq).cast("double") / dp2).alias(
+            "kl_target_rest"
+        ),
+        ((F.col("s_qp") + empty * l_empty_qp).cast("double") / dq2).alias(
+            "kl_rest_target"
+        ),
+        (
+            F.lit(0.5)
+            * (
+                F.col("s_tvd")
+                + empty * F.abs(F.col("nq").cast(d18) - F.col("np").cast(d18))
+            ).cast("double")
+            / (dp2 * dq2)
+        ).alias("tvd"),
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     weights: dict[str, float],

@@ -2064,6 +2064,83 @@ def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_drift",
+    oracle=f"""
+    WITH t AS (SELECT lang = 'en' AS is_t, {_TOKS} AS __t FROM documents),
+    gr AS (
+      SELECT is_t, unnest(list_transform(range(1, len(__t)),
+        i -> __t[CAST(i AS INTEGER)] || ' '
+             || __t[CAST(i AS INTEGER) + 1])) AS g
+      FROM t
+    ),
+    gb AS (
+      SELECT is_t,
+             CAST(('0x' || substring(md5(g || 'dsir'), 1, 15)) AS BIGINT)
+               % 1024 AS b
+      FROM gr
+    ),
+    model AS (
+      SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cq
+      FROM gb GROUP BY b
+    ),
+    tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq, COUNT(*) AS hits FROM model),
+    terms AS (
+      SELECT
+        SUM(CAST(cp + 1 AS DECIMAL(20,0))
+            * CAST(round(ln((CAST(cp AS DOUBLE) + 1.0)
+                            / (CAST(cq AS DOUBLE) + 1.0))
+                       + ln((CAST(nq AS DOUBLE) + 1024)
+                            / (CAST(np AS DOUBLE) + 1024)), 6)
+                   AS DECIMAL(18,6))) AS s_pq,
+        SUM(CAST(cq + 1 AS DECIMAL(20,0))
+            * CAST(round(ln((CAST(cq AS DOUBLE) + 1.0)
+                            / (CAST(cp AS DOUBLE) + 1.0))
+                       + ln((CAST(np AS DOUBLE) + 1024)
+                            / (CAST(nq AS DOUBLE) + 1024)), 6)
+                   AS DECIMAL(18,6))) AS s_qp,
+        SUM(abs(CAST(cp + 1 AS DECIMAL(18,0))
+                  * CAST(nq + 1024 AS DECIMAL(18,0))
+              - CAST(cq + 1 AS DECIMAL(18,0))
+                  * CAST(np + 1024 AS DECIMAL(18,0)))) AS s_tvd
+      FROM model, tot
+    )
+    SELECT hits AS n_buckets_hit,
+           CAST(s_pq + CAST(1024 - hits AS DECIMAL(18,0))
+                * CAST(round(ln((CAST(nq AS DOUBLE) + 1024)
+                               / (CAST(np AS DOUBLE) + 1024)), 6)
+                       AS DECIMAL(18,6)) AS DOUBLE)
+             / (CAST(np AS DOUBLE) + 1024) AS kl_target_rest,
+           CAST(s_qp + CAST(1024 - hits AS DECIMAL(18,0))
+                * CAST(round(ln((CAST(np AS DOUBLE) + 1024)
+                               / (CAST(nq AS DOUBLE) + 1024)), 6)
+                       AS DECIMAL(18,6)) AS DOUBLE)
+             / (CAST(nq AS DOUBLE) + 1024) AS kl_rest_target,
+           0.5 * CAST(s_tvd + CAST(1024 - hits AS DECIMAL(18,0))
+                * abs(CAST(nq AS DECIMAL(18,0))
+                      - CAST(np AS DECIMAL(18,0))) AS DOUBLE)
+             / ((CAST(np AS DOUBLE) + 1024) * (CAST(nq AS DOUBLE) + 1024))
+             AS tvd
+    FROM terms, tot
+    """,
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus monitoring: distribution drift between the target
+    (English) subcorpus and the rest — both KL divergences and total
+    variation over hashed-bigram buckets with add-one smoothing. The
+    statistic a pipeline tracks across crawl/curation versions to
+    detect token-distribution shift. Exact decimal sums of 6-dp log
+    terms + a pure-integer TVD numerator make even the divergence
+    hash-verified; empty buckets enter via a closed-form correction so
+    it is the full-simplex statistic."""
+    from ..operators import curation as cu
+
+    return cu.distribution_drift(
+        table(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
 @query("span_dedup_apply", oracle=None)  # oracle attached below (composed)
 def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 span-level dedup, the acting step: cut every detected
@@ -2379,6 +2456,13 @@ _SUITE_R5_SQL = f"""
     SELECT 'mixture_plan', t.lang, CAST(t.n_docs AS VARCHAR),
            t.n_tokens, t.expected_tokens
     FROM ({_OR5["mixture_plan"]}) t
+    UNION ALL
+    SELECT 'corpus_drift', m.k1, CAST(NULL AS VARCHAR),
+           t.n_buckets_hit, m.value
+    FROM ({_OR5["corpus_drift"]}) t,
+         LATERAL (VALUES ('kl_target_rest', t.kl_target_rest),
+                         ('kl_rest_target', t.kl_rest_target),
+                         ('tvd', t.tvd)) AS m(k1, value)
 """
 
 
@@ -2604,10 +2688,22 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n"),
         F.col("expected_tokens").alias("value"),
     )
+    cd = corpus_drift(spark, sf_dir).unpivot(
+        ["n_buckets_hit"],
+        ["kl_target_rest", "kl_rest_target", "tvd"],
+        "k1",
+        "value",
+    ).select(
+        F.lit("corpus_drift").alias("sub"),
+        F.col("k1"),
+        _ns().alias("k2"),
+        F.col("n_buckets_hit").alias("n"),
+        F.col("value"),
+    )
     out = cap
     for part in (
         tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_,
-        dw, sp, hy, cp, sa, mx,
+        dw, sp, hy, cp, sa, mx, cd,
     ):
         out = out.unionByName(part)
     return out
