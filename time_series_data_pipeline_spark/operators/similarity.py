@@ -473,6 +473,59 @@ def label_centroids(
     )
 
 
+def centroid_outliers(
+    vectors: DataFrame,
+    k: int = 20,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Label-QA outlier scores (Confident-Learning-lite): the k vectors
+    globally FARTHEST from their own label centroid by cosine — the
+    standard first-pass screen for mislabeled / out-of-class samples
+    in a labeled embedding set.
+
+    Shape: centroids come from the long-form aggregate (9-dp rounded,
+    so the centroid literal is engine-reproducible), reassembled into
+    |labels| small arrays and BROADCAST onto one scoring scan; the
+    global bottom-k is a TakeOrderedAndProject. Returns
+    (vec_id, label, cos_to_centroid, rank) with rank 1 = worst fit.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(vectors, label_col, vec_col)
+    cvec = (
+        cents.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid_val"))
+            ).alias("__s")
+        )
+        .select(
+            label_col,
+            F.transform("__s", lambda t: t["centroid_val"]).alias("__c"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(label_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    j = v.join(F.broadcast(cvec), label_col)
+    cos = dot(F.col("__v"), F.col("__c")) / (
+        F.sqrt(dot(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot(F.col("__c"), F.col("__c")))
+    )
+    out = (
+        j.withColumn("cos_to_centroid", F.round(cos, round_to))
+        .select(id_col, label_col, "cos_to_centroid")
+        .orderBy(F.col("cos_to_centroid").asc(), id_col)
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos_to_centroid").asc(), F.col(id_col))
+    # rank window runs over k rows post-limit, not the corpus
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (LCG — no numpy
     RNG so the plan is reproducible from code alone)."""

@@ -2141,6 +2141,72 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("chunk_dedup_stats", oracle=None)  # oracle attached below (composed)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X4 chunk-level dedup audit: total chunks, distinct chunk
+    hashes, duplicate fraction, and the most-copied chunk's multiplicity
+    over the doc_chunks windows — duplication at the training-input
+    granularity (boilerplate shows up here even when documents differ).
+    One aggregate over the chunk digests; never the text."""
+    chunks = doc_chunks(spark, sf_dir)
+    d = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct"),
+    )
+    top = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("max_copies"))
+    )
+    return d.crossJoin(F.broadcast(top)).select(
+        "n_chunks",
+        "n_distinct",
+        (
+            (F.col("n_chunks") - F.col("n_distinct")).cast("double")
+            / F.col("n_chunks").cast("double")
+        ).alias("dup_chunk_fraction"),
+        "max_copies",
+    )
+
+
+@query("label_outliers", oracle=None)  # oracle attached below (composed)
+def label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 label QA (Confident-Learning-lite): the 20 vectors globally
+    farthest from their own label centroid by cosine — the first-pass
+    screen for mislabeled / out-of-class samples. Centroids broadcast
+    (9-dp-rounded, engine-reproducible), bottom-k is a
+    TakeOrderedAndProject."""
+    return sim.centroid_outliers(table(spark, sf_dir, "embeddings"), k=20)
+
+
+_ORACLE5["chunk_dedup_stats"] = f"""
+    WITH ch AS ({_ORACLE5["doc_chunks"]})
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_hash) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT chunk_hash) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_fraction,
+           (SELECT MAX(c) FROM
+              (SELECT COUNT(*) AS c FROM ch GROUP BY chunk_hash))
+             AS max_copies
+    FROM ch
+"""
+
+_ORACLE5["label_outliers"] = f"""
+    WITH lc AS ({_ORACLE5["label_centroids"]}),
+    cv AS (SELECT label, list(centroid_val ORDER BY pos) AS cvec
+           FROM lc GROUP BY label),
+    s AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec), 6)
+               AS cos_to_centroid
+      FROM embeddings e JOIN cv USING (label)
+    )
+    SELECT vec_id, label, cos_to_centroid,
+           row_number() OVER (ORDER BY cos_to_centroid ASC, vec_id) AS rank
+    FROM s ORDER BY cos_to_centroid ASC, vec_id LIMIT 20
+"""
+
+
 @query("span_dedup_apply", oracle=None)  # oracle attached below (composed)
 def span_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 span-level dedup, the acting step: cut every detected
@@ -2463,6 +2529,14 @@ _SUITE_R5_SQL = f"""
          LATERAL (VALUES ('kl_target_rest', t.kl_target_rest),
                          ('kl_rest_target', t.kl_rest_target),
                          ('tvd', t.tvd)) AS m(k1, value)
+    UNION ALL
+    SELECT 'chunk_dedup_stats', CAST(t.n_distinct AS VARCHAR),
+           CAST(t.max_copies AS VARCHAR), t.n_chunks, t.dup_chunk_fraction
+    FROM ({_OR5["chunk_dedup_stats"]}) t
+    UNION ALL
+    SELECT 'label_outliers', CAST(t.vec_id AS VARCHAR),
+           CAST(t.label AS VARCHAR), t.rank, t.cos_to_centroid
+    FROM ({_OR5["label_outliers"]}) t
 """
 
 
@@ -2700,10 +2774,24 @@ def suite_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_buckets_hit").alias("n"),
         F.col("value"),
     )
+    cs = chunk_dedup_stats(spark, sf_dir).select(
+        F.lit("chunk_dedup_stats").alias("sub"),
+        F.col("n_distinct").cast("string").alias("k1"),
+        F.col("max_copies").cast("string").alias("k2"),
+        F.col("n_chunks").alias("n"),
+        F.col("dup_chunk_fraction").alias("value"),
+    )
+    lo = label_outliers(spark, sf_dir).select(
+        F.lit("label_outliers").alias("sub"),
+        F.col("vec_id").cast("string").alias("k1"),
+        F.col("label").cast("string").alias("k2"),
+        F.col("rank").alias("n"),
+        F.col("cos_to_centroid").alias("value"),
+    )
     out = cap
     for part in (
         tf, sl, pq, pr, wp, dod, da, hw, lt, tm, sd, sc, dq, ps, np_,
-        dw, sp, hy, cp, sa, mx, cd,
+        dw, sp, hy, cp, sa, mx, cd, cs, lo,
     ):
         out = out.unionByName(part)
     return out
