@@ -1,6 +1,7 @@
 """Corpus-curation operators: hashed-n-gram importance weighting
-(DSIR), exact-substring duplicate spans, and rank fusion for hybrid
-retrieval.
+(DSIR), exact-substring duplicate spans (detect + apply), rank fusion
+for hybrid retrieval, training-mixture planning, and corpus-
+distribution drift monitoring.
 
 These extend the reference's query surface (it stops at dashboard
 aggregations — README.md:200-236) with the selection/cleaning steps a
