@@ -284,6 +284,11 @@ def distribution_drift(
         target.alias("is_t"),
         F.explode(tx.ngrams(tx.tokens(text_col), 2)).alias("g"),
     ).select("is_t", _gram_bucket(F.col("g"), n_buckets, salt).alias("b"))
+    # NOT pinned: the model aggregate feeds both the totals and the
+    # term sums, but Catalyst's ReusedExchange already shares the one
+    # physical aggregate between them (verified: pinning changes
+    # nothing at 50k docs) — the wall cost is the single md5 pass over
+    # the exploded grams, linear in corpus size
     model = occ.groupBy("b").agg(
         F.sum(F.col("is_t").cast("long")).alias("cp"),
         F.sum((~F.col("is_t")).cast("long")).alias("cq"),
