@@ -388,12 +388,34 @@ def repetition_stats(
         )
     )
     n = F.size("__t").cast("long")
-    top_bg = F.array_max(
-        F.transform(
-            "__bg",
-            lambda x: F.size(F.filter("__bg", lambda y: y == x)),
+    # max bigram multiplicity as the longest equal-run of the SORTED
+    # gram array — O(m log m) per doc instead of the O(m²) count-equal
+    # pass over every gram (transform×filter), which dominated the
+    # cascade at 200-token docs (2e9 lambda evals at 50k docs). The
+    # run fold is a struct accumulator over array_sort: (prev, run,
+    # best); "" is a safe init sentinel (real bigrams contain a space).
+    def _max_run(arr):
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
-    )
+
+    top_bg = _max_run(F.col("__bg"))
     top_bigram_frac = F.try_divide(top_bg.cast("double"), F.size("__bg"))
     dup_tri = F.size("__tg") - F.size(F.array_distinct("__tg"))
     dup_trigram_frac = F.try_divide(dup_tri.cast("double"), F.size("__tg"))
