@@ -933,3 +933,53 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     # one landed copy per distinct surviving text, quality attached
     assert len(got_rows) == len(expect_texts) == 2
     assert all(r["quality"] >= 0.55 for r in got_rows)
+
+
+def test_upsert_time_travel(spark, tmp_path):
+    """Every committed epoch's snapshot is retained, so the sink gives
+    Delta/Iceberg-style VERSION AS OF reads: the table as of epoch N
+    shows exactly the merges committed by then, and historical reads
+    survive later writes untouched."""
+    import json as _json
+
+    from time_series_data_pipeline_spark.streaming.upsert import UpsertParquetSink
+
+    src = str(tmp_path / "ttsrc")
+    os.makedirs(src)
+    sink = UpsertParquetSink(
+        str(tmp_path / "tttable"), keys=["sensor"], order_col="ts"
+    )
+    ckpt = str(tmp_path / "ttckpt")
+
+    def wave(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q = (
+            spark.readStream.schema("sensor string, ts long, value double")
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave("w1.json", [{"sensor": "a", "ts": 1, "value": 1.0},
+                     {"sensor": "b", "ts": 1, "value": 2.0}])
+    wave("w2.json", [{"sensor": "a", "ts": 2, "value": 9.0},
+                     {"sensor": "c", "ts": 2, "value": 3.0}])
+
+    epochs = sink.epochs()
+    assert len(epochs) >= 2
+    first, last = epochs[0], epochs[-1]
+    v0 = {r["sensor"]: r["value"] for r in sink.read_at(spark, first).collect()}
+    assert v0 == {"a": 1.0, "b": 2.0}
+    v1 = {r["sensor"]: r["value"] for r in sink.read_at(spark, last).collect()}
+    assert v1 == {"a": 9.0, "b": 2.0, "c": 3.0}
+    # current read equals the newest version; too-early epoch raises
+    assert {r["sensor"]: r["value"] for r in sink.read(spark).collect()} == v1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sink.read_at(spark, first - 1)

@@ -133,6 +133,26 @@ class UpsertParquetSink:
             raise FileNotFoundError(f"no committed snapshot under {self.path}")
         return spark.read.parquet(snap)
 
+    def epochs(self) -> list[int]:
+        """Committed epoch ids, ascending — the table's version history."""
+        return sorted(self._committed())
+
+    def read_at(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+        """Time travel: the table as of ``epoch_id`` (the newest commit
+        with epoch ≤ the requested one — Delta/Iceberg VERSION AS OF
+        semantics). Every committed epoch's snapshot is retained and
+        immutable, so historical reads are plain parquet scans; readers
+        never block writers and vice versa."""
+        commits = self._committed()
+        eligible = [e for e in commits if e <= epoch_id]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no snapshot at or before epoch {epoch_id} under {self.path}"
+            )
+        return spark.read.parquet(
+            os.path.join(self.path, commits[max(eligible)])
+        )
+
 
 class PartitionedUpsertSink(UpsertParquetSink):
     """Partitioned keyed MERGE sink: per batch, only the partitions the
