@@ -983,3 +983,52 @@ def test_upsert_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         sink.read_at(spark, first - 1)
+
+
+def test_upsert_vacuum_bounds_retention(spark, tmp_path):
+    """vacuum(keep_last=N) drops older snapshots AND markers; current
+    reads are untouched, vacuumed epochs become unreadable, and the
+    newest N survive for time travel."""
+    import json as _json
+
+    from time_series_data_pipeline_spark.streaming.upsert import UpsertParquetSink
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    sink = UpsertParquetSink(
+        str(tmp_path / "vtable"), keys=["sensor"], order_col="ts"
+    )
+    ckpt = str(tmp_path / "vckpt")
+
+    def wave(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q = (
+            spark.readStream.schema("sensor string, ts long, value double")
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i in range(3):
+        wave(f"w{i}.json", [{"sensor": "a", "ts": i, "value": float(i)}])
+    epochs = sink.epochs()
+    assert len(epochs) == 3
+    gone = sink.vacuum(keep_last=2)
+    assert gone == epochs[:1]
+    assert sink.epochs() == epochs[1:]
+    # current read still works and shows the newest value
+    assert sink.read(spark).collect()[0]["value"] == 2.0
+    # vacuumed epoch unreadable; surviving older epoch readable
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sink.read_at(spark, epochs[0])
+    assert sink.read_at(spark, epochs[1]).collect()[0]["value"] == 1.0
+    # vacuumed snapshot dirs physically removed
+    snaps = [d for d in os.listdir(sink.path) if d.startswith("v-")]
+    assert len(snaps) == 2

@@ -153,6 +153,38 @@ class UpsertParquetSink:
             os.path.join(self.path, commits[max(eligible)])
         )
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` committed
+        snapshots (directories AND their commit markers), bounding the
+        storage that per-epoch snapshots would otherwise grow without
+        limit. Shrinks the time-travel horizon to ``keep_last`` epochs.
+
+        Safety: ``keep_last`` must exceed the sink's maximum epoch
+        redelivery lag (foreachBatch redelivers only the most recent
+        uncommitted epoch after a restart, so ≥1 always suffices for
+        exactly-once; keep more for time travel). The newest snapshot
+        is never eligible, so a concurrent ``read()`` that resolved the
+        latest commit cannot lose its files. Returns the vacuumed
+        epoch ids."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        commits = self._committed()
+        victims = sorted(commits)[:-keep_last]
+        for e in victims:
+            snap = os.path.join(self.path, commits[e])
+            marker = os.path.join(self._commits_dir(), str(e))
+            # marker first: once it is gone, no reader can resolve the
+            # snapshot, so the directory delete can never tear a read
+            # that started after the vacuum began
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(snap, ignore_errors=True)
+        return victims
+
 
 class PartitionedUpsertSink(UpsertParquetSink):
     """Partitioned keyed MERGE sink: per batch, only the partitions the
