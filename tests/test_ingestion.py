@@ -1032,3 +1032,59 @@ def test_upsert_vacuum_bounds_retention(spark, tmp_path):
     # vacuumed snapshot dirs physically removed
     snaps = [d for d in os.listdir(sink.path) if d.startswith("v-")]
     assert len(snaps) == 2
+
+
+def test_partitioned_vacuum_keeps_referenced_epoch_dirs(spark, tmp_path):
+    """Partitioned vacuum must NOT delete an old epoch dir that the
+    surviving manifest still references (an untouched partition keeps
+    pointing into the epoch that last wrote it)."""
+    import json as _json
+
+    from time_series_data_pipeline_spark.streaming.upsert import (
+        PartitionedUpsertSink,
+    )
+
+    src = str(tmp_path / "pvsrc")
+    os.makedirs(src)
+    sink = PartitionedUpsertSink(
+        str(tmp_path / "pvtable"), keys=["sensor", "day"],
+        order_col="ts", partition_col="day",
+    )
+    ckpt = str(tmp_path / "pvckpt")
+
+    def wave(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q = (
+            spark.readStream.schema(
+                "sensor string, day string, ts long, value double"
+            )
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch0 writes day=a; epochs 1-2 touch only day=b — day=a's data
+    # stays in epoch0's dir, which the final manifest still references
+    wave("w0.json", [{"sensor": "s", "day": "a", "ts": 1, "value": 1.0}])
+    wave("w1.json", [{"sensor": "s", "day": "b", "ts": 2, "value": 2.0}])
+    wave("w2.json", [{"sensor": "s", "day": "b", "ts": 3, "value": 9.0}])
+    epochs = sink.epochs()
+    assert len(epochs) == 3
+
+    gone = sink.vacuum(keep_last=1)
+    assert gone == epochs[:2]
+    got = {(r["day"]): r["value"] for r in sink.read(spark).collect()}
+    assert got == {"a": 1.0, "b": 9.0}
+    # epoch0's dir survived (still referenced); epoch1's b-dir is gone
+    dirs = {d for d in os.listdir(sink.path) if d.startswith("v-")}
+    assert any(d.startswith("v-0-") for d in dirs)
+    assert not any(d.startswith("v-1-") for d in dirs)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sink.read_at(spark, epochs[0])

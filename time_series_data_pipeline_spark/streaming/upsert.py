@@ -316,3 +316,49 @@ class PartitionedUpsertSink(UpsertParquetSink):
         if not manifest:
             raise FileNotFoundError(f"no committed manifest under {self.path}")
         return self._read_manifest(spark, manifest)
+
+    def read_at(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+        """VERSION AS OF for the partitioned sink: resolve the newest
+        manifest with epoch ≤ the requested one and read it."""
+        import json
+
+        commits = self._committed()
+        eligible = [e for e in commits if e <= epoch_id]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no manifest at or before epoch {epoch_id} under {self.path}"
+            )
+        with open(os.path.join(self.path, commits[max(eligible)])) as f:
+            return self._read_manifest(spark, json.load(f))
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention for the log-structured layout: keep the newest
+        ``keep_last`` manifests (and their markers); delete older
+        markers + manifest files first, then every epoch dir referenced
+        by NO surviving manifest — so a reader holding any surviving
+        manifest never loses files. Returns the vacuumed epoch ids."""
+        import json
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        commits = self._committed()
+        ordered = sorted(commits)
+        victims, keep = ordered[:-keep_last], ordered[-keep_last:]
+        referenced: set[str] = set()
+        for e in keep:
+            with open(os.path.join(self.path, commits[e])) as f:
+                referenced.update(json.load(f).values())
+        for e in victims:
+            try:
+                os.remove(os.path.join(self._commits_dir(), str(e)))
+            except FileNotFoundError:
+                pass
+            try:
+                os.remove(os.path.join(self.path, commits[e]))
+            except FileNotFoundError:
+                pass
+        for d in os.listdir(self.path):
+            if d.startswith("v-") and d not in referenced:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return victims
