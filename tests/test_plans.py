@@ -130,7 +130,6 @@ def test_no_row_python_anywhere(spark, name):
     # equality vs the pure-SQL form is pinned in
     # test_extensions_selfcheck)
     if not name.startswith("multimodal_") and name not in (
-        "ewma_value",
         "heavy_hitter_tokens",
         "heavy_hitter_verify",
         "bpe_encode_stats",

@@ -1,11 +1,46 @@
 """The driver's correctness gate checks only the FIRST 50 registry
 entries — ordering is part of the driver contract (VERDICT r4 item 1),
-so pin it: the checked window must be exactly the explicit list in
-queries/__init__, every registered query must still be reachable, and
-no name may silently drop out of the registry on reorder."""
+so pin it structurally (VERDICT r5 item 1): the checked window must be
+exactly the explicit list in queries/__init__, and EVERY registered
+query must carry attestation — its own in-window row, an arm of an
+in-window suite (whose oracle embeds the singleton's registered SQL
+verbatim, so suite coverage cannot drift), a hash-green row in a
+recorded prior round's CORRECTNESS file, or a documented rows-only
+attestation pair. This makes the round-4 silent-unattestation failure
+mode (a registered query no driver run ever verified) impossible by
+construction: a brand-new query with no prior row fails this test
+unless it is in-window or folded into an in-window suite.
+"""
 
-from time_series_data_pipeline_spark.queries import ORACLE, QUERIES
-from time_series_data_pipeline_spark.queries import _CHECKED_WINDOW
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from time_series_data_pipeline_spark.queries import (
+    ORACLE,
+    QUERIES,
+    ROWS_ONLY_ATTESTATION,
+    SUITE_CONSTITUENTS,
+    _CHECKED_WINDOW,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prior_green() -> set[str]:
+    """Query names with a hash-green row in any recorded round."""
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                green.add(name)
+    return green
 
 
 def test_checked_window_is_first_50():
@@ -14,36 +49,83 @@ def test_checked_window_is_first_50():
     assert list(QUERIES)[:50] == _CHECKED_WINDOW
 
 
-def test_never_checked_r4_queries_lead_the_window():
-    # the 15 queries that had no driver row in rounds 1-4 go first so a
-    # driver cap tighter than 50 still reaches them
-    never_checked = {
-        "bm25_search", "dedup_clusters", "embedding_dedup_clusters",
-        "contamination_overlap", "doc_repetition", "profile_columns",
-        "embedding_quantized_topk", "doc_chunks", "bpe_encode_stats",
-        "vocab_coverage", "weighted_sample_docs", "simhash_verify",
-        "lsh_ann_verify", "heavy_hitter_verify", "bpe_learn_merges",
+def test_round5_singletons_lead_the_window():
+    # the 20 round-5 singletons that never had their own driver row go
+    # first so a driver cap tighter than 50 still reaches them
+    assert set(_CHECKED_WINDOW[:20]) == {
+        "source_cap_docs", "trigram_familiarity", "split_leakage_guard",
+        "embedding_pq_topk", "embedding_pq_rerank", "window_percentiles_15m",
+        "day_over_day_delta", "dedup_apply", "dq_lineitem", "pack_sequences",
+        "negative_pairs", "dsir_weights", "duplicate_spans",
+        "hybrid_search_rrf", "curation_pipeline", "span_dedup_apply",
+        "mixture_plan", "corpus_drift", "chunk_dedup_stats", "label_outliers",
     }
-    assert set(_CHECKED_WINDOW[:15]) == never_checked
 
 
 def test_oracles_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
-    # rows-only queries are the documented sketch/sequential set
-    rows_only = set(QUERIES) - set(ORACLE)
-    assert rows_only == {
-        "ewma_value", "minhash_lsh_pairs", "simhash_pairs",
-        "embedding_lsh_ann", "heavy_hitter_tokens", "bpe_learn_merges",
+    # rows-only queries are exactly the documented sketch/sequential set
+    assert set(QUERIES) - set(ORACLE) == set(ROWS_ONLY_ATTESTATION)
+
+
+def test_suite_constituents_embedded_verbatim():
+    """A suite attests a singleton ONLY because its oracle embeds the
+    singleton's registered SQL verbatim — pin that, so editing a
+    singleton's oracle without the suite picking it up is impossible
+    (the f-string interpolation makes this automatic; this test guards
+    against someone inlining a copy)."""
+    for suite, members in SUITE_CONSTITUENTS.items():
+        assert suite in ORACLE, suite
+        for name in members:
+            assert name in ORACLE, name
+            assert ORACLE[name] in ORACLE[suite], (
+                f"{suite} does not embed {name}'s registered oracle SQL"
+            )
+
+
+def test_every_query_attested():
+    """The structural invariant: no registered query can ship without
+    driver-visible attestation."""
+    window = set(_CHECKED_WINDOW)
+    suite_covered = {
+        name
+        for suite, members in SUITE_CONSTITUENTS.items()
+        if suite in window
+        for name in members
     }
+    prior = _prior_green()
+    rows_only_ok = {
+        name
+        for name, verify in ROWS_ONLY_ATTESTATION.items()
+        if verify is None or verify in window or verify in prior
+    }
+    unattested = [
+        name
+        for name in QUERIES
+        if name not in window
+        and name not in suite_covered
+        and name not in prior
+        and name not in rows_only_ok
+    ]
+    assert not unattested, (
+        f"registered queries with no attestation path: {unattested} — "
+        "add them to _CHECKED_WINDOW, fold them into an in-window suite, "
+        "or (rows-only ops) register a verify attestation"
+    )
+
+
+def test_rows_only_attestations_hold():
+    """Each rows-only query's verify partner must itself be a registered
+    oracle query (the attestation is only as good as its own hash)."""
+    for name, verify in ROWS_ONLY_ATTESTATION.items():
+        assert name in QUERIES, name
+        if verify is not None:
+            assert verify in ORACLE, f"{name}'s attestation {verify} has no oracle"
 
 
 def test_folded_singletons_remain_registered():
-    # the suite folds these; they stay available as singletons below the
+    # the suites fold these; they stay available as singletons below the
     # cap so a user can still run them directly
-    for name in (
-        "value_percentiles", "anomaly_mad", "value_trend_per_type",
-        "time_weighted_avg", "counter_increase", "json_props_stats",
-        "funnel_view_click_purchase", "event_transitions",
-        "weekly_retention",
-    ):
-        assert name in QUERIES and name in ORACLE
+    for members in SUITE_CONSTITUENTS.values():
+        for name in members:
+            assert name in QUERIES and name in ORACLE, name

@@ -128,6 +128,7 @@ def test_ewma_final_matches_arrow_ewma_last_row(spark):
     old_wt = 1 - alpha is the same double as our (1.0 - 0.3) fold)."""
     from pyspark.sql import Window
     from time_series_data_pipeline_spark.queries.registry import QUERIES
+    from time_series_data_pipeline_spark.queries.timeseries_q import ewma_value
 
     sf = "/root/testdata/sf0.001"
     final = {
@@ -138,7 +139,7 @@ def test_ewma_final_matches_arrow_ewma_last_row(spark):
         F.col("ts").desc(), F.col("value").desc()
     )
     last_rows = (
-        QUERIES["ewma_value"](spark, sf)
+        ewma_value(spark, sf)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .collect()

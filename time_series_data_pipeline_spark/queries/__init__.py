@@ -3,15 +3,23 @@
 The driver's correctness gate checks only the FIRST 50 registry
 entries (registration order), so ordering is part of the contract:
 ``_CHECKED_WINDOW`` below explicitly pins which 50 queries receive a
-driver CORRECTNESS row this round. Policy (VERDICT r4 item 1):
+driver CORRECTNESS row this round. Policy (VERDICT r4 item 1, r5
+item 1):
 
-* queries that have never had a driver row go first,
+* queries that have never had their own driver row go first,
 * queries whose last green row predates the current round go next,
+* operators whose implementation changed this round are re-attested,
 * a core of always-checked flagships/suites fills the remainder —
   every operator family keeps at least one in-window representative
   (the ``suite_*`` queries verify many operators through one hash),
-* long-stable singletons (hash-green in r1–r4, unchanged since)
-  rotate below the cap; their operators stay covered via the suites.
+* long-stable singletons (hash-green in a recorded prior round,
+  unchanged since) rotate below the cap; their operators stay covered
+  via the suites.
+
+``SUITE_CONSTITUENTS`` records which registered singletons each
+in-window suite hash-verifies; the suite oracles embed the
+constituents' registered SQL verbatim, so suite coverage cannot drift
+from the singleton it attests (pinned by tests/test_registry_window).
 """
 
 # Module import populates the registry dicts via the @query decorator.
@@ -20,36 +28,118 @@ from . import relational  # noqa: F401  isort: skip
 from . import extensions  # noqa: F401  isort: skip
 from .registry import ORACLE, QUERIES
 
+# Registered singletons whose results are hash-verified as arms of an
+# in-window suite (the suite oracle embeds ORACLE[name] verbatim).
+SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
+    "suite_timeseries_stats": (
+        "value_percentiles",
+        "anomaly_mad",
+        "value_trend_per_type",
+        "time_weighted_avg",
+        "counter_increase",
+        "json_props_stats",
+        "funnel_view_click_purchase",
+        "event_transitions",
+        "weekly_retention",
+    ),
+    "suite_round5": (
+        "source_cap_docs",
+        "trigram_familiarity",
+        "split_leakage_guard",
+        "embedding_pq_topk",
+        "embedding_pq_rerank",
+        "window_percentiles_15m",
+        "day_over_day_delta",
+        "dedup_apply",
+        "holt_linear_final",
+        "decimate_lttb",
+        "trailing_1h_mean",
+        "state_duration",
+        "series_correlation",
+        "dq_lineitem",
+        "pack_sequences",
+        "negative_pairs",
+        "dsir_weights",
+        "duplicate_spans",
+        "hybrid_search_rrf",
+        "curation_pipeline",
+        "span_dedup_apply",
+        "mixture_plan",
+        "corpus_drift",
+        "chunk_dedup_stats",
+        "label_outliers",
+    ),
+}
+
+# Rows-only queries (no SQL oracle by documented design) and the
+# hash-verified attestation query that replays each one's pipeline.
+# ``bpe_learn_merges`` is an iterative training loop attested by golden
+# traces + partitioning-invariance tests (tests/test_text.py) rather
+# than a registered replay query.
+ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
+    "minhash_lsh_pairs": "minhash_lsh_verify",
+    "simhash_pairs": "simhash_verify",
+    "embedding_lsh_ann": "lsh_ann_verify",
+    "heavy_hitter_tokens": "heavy_hitter_verify",
+    "bpe_learn_merges": None,
+}
+
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- never driver-checked before round 5 (15) ---
-    "bm25_search",
-    "dedup_clusters",
-    "embedding_dedup_clusters",
-    "contamination_overlap",
-    "doc_repetition",
-    "profile_columns",
-    "embedding_quantized_topk",
-    "doc_chunks",
-    "bpe_encode_stats",
-    "vocab_coverage",
-    "weighted_sample_docs",
-    "simhash_verify",
+    # --- round-5 singletons getting their own first driver row (20).
+    # The five stat/Flux-parity r5 singletons (trailing_1h_mean,
+    # state_duration, series_correlation, holt_linear_final,
+    # decimate_lttb) stay below the cap: they are suite_round5 arms,
+    # so their hashes are attested through the in-window suite
+    # (resolves the 53>50 overflow flagged in ROUND_NOTES r5). ---
+    "source_cap_docs",
+    "trigram_familiarity",
+    "split_leakage_guard",
+    "embedding_pq_topk",
+    "embedding_pq_rerank",
+    "window_percentiles_15m",
+    "day_over_day_delta",
+    "dedup_apply",
+    "dq_lineitem",
+    "pack_sequences",
+    "negative_pairs",
+    "dsir_weights",
+    "duplicate_spans",
+    "hybrid_search_rrf",
+    "curation_pipeline",
+    "span_dedup_apply",
+    "mixture_plan",
+    "corpus_drift",
+    "chunk_dedup_stats",
+    "label_outliers",
+    # --- veterans displaced in r5, last green r1-r4, not covered by
+    # any suite — restore their own rows (17) ---
+    "window_sliding_15m_5m",
+    "resample_hourly",
+    "range_join_clicks_before_error",
+    "rollup_day_from_hour",
+    "counter_rate",
+    "decimate_minmax_15m",
+    "rolling_stats_zscore",
+    "asof_error_click",
+    "value_percentiles_approx",
+    "value_histogram",
+    "merge_value_intervals",
+    "events_pivot_counts",
+    "pricing_summary",
+    "sql_surface_top_part_types",
+    "distinct_users_two_phase",
+    "salted_join_segment_counts",
+    "approx_distinct_users",
+    # --- operators whose implementation changed this round get fresh
+    # attestation (2): gap_fill drops its forced broadcast hint,
+    # lsh_ann derives banding from the threshold via lsh_tuning ---
+    "gap_fill_5m",
     "lsh_ann_verify",
-    "heavy_hitter_verify",
-    "bpe_learn_merges",
-    # --- green in r1–r3 but pushed below the cap in r4 (10) ---
-    "bpe_token_stats",
-    "doc_profile",
-    "heavy_hitter_tokens",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "sampling_splits",
-    "scrub_pii",
-    "similar_part_names",
-    "top_ngrams",
-    "winnow_fingerprints",
-    # --- always-checked core: flagships, suites, sketch pairs (25) ---
+    # --- suite-covered veterans rotating back for their own rows (2) ---
+    "event_transitions",
+    "weekly_retention",
+    # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
@@ -57,26 +147,7 @@ _CHECKED_WINDOW = [
     "suite_joins",
     "suite_grouping",
     "suite_window_fns",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "minhash_lsh_verify",
-    "simhash_pairs",
-    "embedding_topk",
-    "embedding_neardup_pairs",
-    "embedding_lsh_ann",
-    "embedding_ivf_topk",
-    "label_centroids",
-    # suite_round5 hash-verifies all ten round-5 additions in one slot;
-    # it displaced the rows-only ewma_value (weakest row — its family
-    # stays attested via the in-window ewma_final oracle)
     "suite_round5",
-    "ewma_final",
-    "gap_fill_5m",
-    "session_windows_5m",
-    "asof_nearest_click",
-    "unpivot_lineitem",
-    "last_value_per_type",
     "suite_timeseries_stats",
 ]
 
@@ -95,4 +166,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["QUERIES", "ORACLE"]
+__all__ = ["QUERIES", "ORACLE", "SUITE_CONSTITUENTS", "ROWS_ONLY_ATTESTATION"]
