@@ -98,17 +98,17 @@ def test_lsh_ann_kernels_agree(spark, emb):
 
 
 def test_lsh_ann_recall_regimes(spark, emb):
-    """Sign-LSH recall grows with true similarity: the (80-plane,
-    16-band, r=5) default holds >= 0.7 even at the weak cos>=0.3 regime
-    (measured 0.76 at sf0.1, theory 0.72 at the threshold angle; the
-    old 16-plane default lost half the pairs here), and strong pairs
-    are found (near-)completely."""
+    """Sign-LSH recall grows with true similarity: the round-6 derived
+    default banding (lsh_tuning(0.3, 0.9) → r=5, b=30) must hold the
+    0.9 theoretical recall target at the threshold angle (theory
+    1-(1-s^5)^30 = 0.906 at s = 0.597; the old fixed r=5/b=16 measured
+    0.76), and strong pairs are found (near-)completely."""
     lsh = {(r.id_a, r.id_b) for r in sim.lsh_ann(emb, threshold=0.3).collect()}
     weak = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, threshold=0.3).collect()}
     strong = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, threshold=0.5).collect()}
     assert weak
-    assert len(weak & lsh) / len(weak) >= 0.7
-    # per-pair miss at cos>=0.5 is (1-s^5)^16 < 2e-3; allow at most one
+    assert len(weak & lsh) / len(weak) >= 0.8
+    # per-pair miss at cos>=0.5 is (1-s^5)^30 < 1e-4; allow at most one
     # unlucky strong pair on the fixture rather than pinning perfection
     assert len(strong - lsh) <= max(1, len(strong) // 100)
 

@@ -188,3 +188,23 @@ def test_round4_additions_shuffle_budget(spark, name, max_shuffles, traits):
     # global sorts are never acceptable in these shapes (window-local
     # sorts inside an existing partition are)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_gap_fill_has_no_forced_broadcast(spark):
+    """gap_fill's aggregated side is (buckets x series)-sized — the same
+    order as the operator's OUTPUT — so a broadcast HINT on it caps the
+    operator at executor memory at a year-long spine x 1e5 series
+    (VERDICT r5 item 3). The join strategy must be left to the planner:
+    the ANALYZED logical plan may carry no broadcast hint (AQE may still
+    *choose* a broadcast at runtime when the side is genuinely small —
+    that is exactly the desired behavior and is not pinned)."""
+    from time_series_data_pipeline_spark.operators import timeseries as ts_ops
+
+    ev = table(spark, SF_SMOKE, "events")
+    for df in (
+        ts_ops.gap_fill(ev, "ts", "value", keys=["event_type"]),
+        ts_ops.gap_fill_interpolated(ev, "ts", "value", keys=["event_type"]),
+    ):
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical
+        assert "UnresolvedHint" not in logical

@@ -574,16 +574,38 @@ def _band_keys_udf(planes: list[list[float]], bands: int):
     return pandas_udf(_keys_fn, "array<bigint>")
 
 
+def _resolve_banding(
+    threshold: float,
+    n_planes: int | None,
+    bands: int | None,
+    target_recall: float,
+) -> tuple[int, int]:
+    """Shared default-resolution for ``lsh_ann`` and its generated
+    oracle: both must derive the SAME (n_planes, bands) from the same
+    (threshold, target_recall) or the attestation replay drifts."""
+    if n_planes is None and bands is None:
+        return lsh_tuning(threshold, target_recall)
+    if n_planes is None or bands is None:
+        raise ValueError(
+            "pass both n_planes and bands or neither — a partial override "
+            "silently changes r = n_planes/bands, the recall/pressure knob"
+        )
+    if n_planes % bands:
+        raise ValueError(f"n_planes={n_planes} must be divisible by bands={bands}")
+    return n_planes, bands
+
+
 def lsh_ann(
     vectors: DataFrame,
     threshold: float = 0.3,
-    n_planes: int = 80,
-    bands: int = 16,
+    n_planes: int | None = None,
+    bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     round_to: int = 6,
     verify_kernel: str = "blas",
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Sign-random-projection LSH: candidate pairs share at least one
     band of hyperplane signs (r = n_planes/bands INDEPENDENT planes per
@@ -591,16 +613,25 @@ def lsh_ann(
     recall: measured 0.45 with 32 shared planes vs 0.76 with 80
     independent ones); exact cosine verifies candidates.
 
-    Default (r=5, b=16) targets the WEAK-threshold regime the previous
-    (16, 4) default silently lost half its pairs in: measured recall
-    0.76 at cos≥0.3 on the sf0.1 corpus (theory 1-(1-s^5)^16 = 0.72 at
-    s = 1-θ/π = 0.597), vs 0.45 before. At weak thresholds the
-    candidate set is intrinsically a large constant fraction of all
-    pairs (the s-gap between matches and non-matches is small); the
-    bucketing's value is the CONSTANT: candidates ≈ 40 % of pairs at
-    τ=0.3, and collapses to a vanishing fraction as τ grows (at τ=0.7,
-    per-band collision for non-matches ~0.03^5). Raise bands for more
-    recall, raise r for fewer candidates.
+    **Banding defaults are DERIVED, not folklore** (VERDICT r5 item 2):
+    when the caller doesn't pass ``n_planes``/``bands``, they come from
+    ``lsh_tuning(threshold, target_recall)`` — the (r, b) hitting the
+    recall target at minimum random-pair candidate pressure b·(1/2)^r.
+    The previous fixed (r=5, b=16) default was tuned for the weak-τ
+    regime and, at τ=0.9 on 50 k vectors, flooded ~2×10⁹ candidates
+    and aborted (>10 min; SCALE §11) where the derived (r=13, b=17)
+    finishes at recall ≥ 0.9 faster than the exact grid+BLAS path.
+    Pass both ``n_planes`` and ``bands`` to override; passing exactly
+    one raises (a partial override silently changes r = n_planes/bands,
+    which is the recall/pressure knob, so it must be deliberate).
+
+    At weak thresholds the candidate set is intrinsically a large
+    constant fraction of all pairs (the s-gap between matches and
+    non-matches is small — the derived banding at τ=0.3 is r=5, b=30,
+    pressure ≈ 0.94): banding buys little below τ≈0.5, and the exact
+    grid+BLAS ``cosine_pairs`` or the PQ path is the right tool there.
+    The bucketing's value collapses to a vanishing candidate fraction
+    as τ grows (at τ=0.7, non-match per-band collision ~0.03^5).
 
     Scale shape (the part that survives 100 TB): signatures are
     computed ONCE per row off pre-normalized vectors and pinned; the
@@ -615,6 +646,7 @@ def lsh_ann(
     dimension mismatch would silently degrade signatures (recall loss)
     instead of failing loudly.
     """
+    n_planes, bands = _resolve_banding(threshold, n_planes, bands, target_recall)
     checked = vectors.withColumn(
         vec_col,
         F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
@@ -904,10 +936,11 @@ def quantized_topk(
 def lsh_ann_oracle_sql(
     table: str = "embeddings",
     dim: int = 64,
-    n_planes: int = 80,
-    bands: int = 16,
+    n_planes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.3,
     round_to: int = 6,
+    target_recall: float = 0.9,
 ) -> str:
     """Generated DuckDB replay of the SQL-kernel lsh_ann pipeline: the
     seeded hyperplanes are embedded as literals (repr = shortest
@@ -916,6 +949,7 @@ def lsh_ann_oracle_sql(
     JVM aggregate/zip_with dot — bit-identical), band keys the same
     packed ints, and the verify the same rounded unit-vector dot.
     Kept beside the operator so the two pipelines cannot drift."""
+    n_planes, bands = _resolve_banding(threshold, n_planes, bands, target_recall)
     planes = random_hyperplanes(dim, n_planes)
     per_band = n_planes // bands
     bits = [
@@ -1339,8 +1373,10 @@ def lsh_tuning(
     at recall 1.0, 2× faster than the exact grid+BLAS all-pairs (19 s).
     The gap widens quadratically with n; conversely at τ≤0.3 no
     banding wins much (non-match collision can't drop below the s-gap)
-    and exact/PQ paths are the right tool. The default r=5/b=16 in
-    ``lsh_ann`` remains tuned for that weak-τ regime at modest n.
+    and exact/PQ paths are the right tool. Since round 6 this function
+    IS ``lsh_ann``'s default: the operator derives (n_planes, bands)
+    from its ``threshold``/``target_recall`` arguments unless the
+    caller overrides both.
     """
     import math
 

