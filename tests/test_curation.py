@@ -347,3 +347,28 @@ def test_distribution_drift_semantics(spark):
     # corpus query: en vs rest genuinely differ on this corpus
     r = QUERIES["corpus_drift"](spark, SF_SMOKE).collect()[0]
     assert r["tvd"] > 0.05 and r["n_buckets_hit"] > 100
+
+
+def test_mixture_plan_rejects_absent_and_zero_token_groups(spark):
+    """A weighted group missing from the corpus (or present with zero
+    tokens) must raise at execution, not silently overstate the
+    servable budget / emit a NaN sample_rate (ADVICE r5)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from time_series_data_pipeline_spark.operators import curation as cu
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"lang": ["en", "en", "de"], "text": ["a b c", "d e", "f g h i"]}
+        )
+    )
+    with _pytest.raises(Exception, match="absent from the corpus"):
+        cu.mixture_plan(docs, {"en": 0.5, "de": 0.3, "xx": 0.2}).collect()
+    empties = spark.createDataFrame(
+        pd.DataFrame({"lang": ["en", "de"], "text": ["a b", ""]})
+    )
+    with _pytest.raises(Exception, match="zero tokens"):
+        cu.mixture_plan(empties, {"en": 0.5, "de": 0.5}).collect()
+    with _pytest.raises(ValueError, match="non-empty"):
+        cu.mixture_plan(docs, {})

@@ -1088,3 +1088,85 @@ def test_partitioned_vacuum_keeps_referenced_epoch_dirs(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         sink.read_at(spark, epochs[0])
+
+
+def test_partitioned_vacuum_spares_inflight_epoch_dirs(spark, tmp_path):
+    """Concurrent-writer safety (ADVICE r5): vacuum's delete set is
+    victim-referenced MINUS kept-referenced — a v-* dir written by an
+    epoch that is mid-write (or committed after vacuum snapshotted the
+    commit log) is referenced by NO victim manifest and therefore
+    ineligible, even though it is also absent from the kept manifests.
+    The old listdir sweep rmtree'd exactly such dirs."""
+    import json as _json
+
+    from time_series_data_pipeline_spark.streaming.upsert import (
+        PartitionedUpsertSink,
+    )
+
+    src = str(tmp_path / "ifsrc")
+    os.makedirs(src)
+    sink = PartitionedUpsertSink(
+        str(tmp_path / "iftable"), keys=["sensor", "day"],
+        order_col="ts", partition_col="day",
+    )
+    ckpt = str(tmp_path / "ifckpt")
+
+    def wave(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        q = (
+            spark.readStream.schema(
+                "sensor string, day string, ts long, value double"
+            )
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave("w0.json", [{"sensor": "s", "day": "a", "ts": 1, "value": 1.0}])
+    wave("w1.json", [{"sensor": "s", "day": "a", "ts": 2, "value": 2.0}])
+
+    # simulate an in-flight epoch: data dir fully written, marker not
+    # yet created (the window between merged.write and os.rename)
+    inflight = os.path.join(sink.path, "v-99-cafef00d")
+    os.makedirs(os.path.join(inflight, "day=c"))
+    with open(os.path.join(inflight, "day=c", "part-0.parquet"), "wb") as f:
+        f.write(b"\x00")
+
+    gone = sink.vacuum(keep_last=1)
+    assert gone == [0]
+    # the in-flight dir survived the vacuum; the victim epoch's did not
+    dirs = {d for d in os.listdir(sink.path) if d.startswith("v-")}
+    assert "v-99-cafef00d" in dirs
+    assert not any(d.startswith("v-0-") for d in dirs)
+    # table still reads
+    assert [r["value"] for r in sink.read(spark).collect()] == [2.0]
+
+
+def test_partitioned_empty_first_epoch_reads_descriptively(spark, tmp_path):
+    """A committed EMPTY first epoch (manifest = {}) must raise a
+    descriptive error from read()/read_at(), not a bare IndexError
+    (ADVICE r5)."""
+    import pytest as _pytest
+
+    from time_series_data_pipeline_spark.streaming.upsert import (
+        PartitionedUpsertSink,
+    )
+
+    sink = PartitionedUpsertSink(
+        str(tmp_path / "emptytable"), keys=["sensor", "day"],
+        order_col="ts", partition_col="day",
+    )
+    empty = spark.createDataFrame(
+        [], "sensor string, day string, ts long, value double"
+    )
+    sink(empty, 0)
+    assert sink.epochs() == [0]
+    with _pytest.raises(FileNotFoundError, match="references no partitions"):
+        sink.read(spark)
+    with _pytest.raises(FileNotFoundError, match="references no partitions"):
+        sink.read_at(spark, 0)

@@ -361,15 +361,26 @@ def mixture_plan(
     per-group deterministic sampling rate that realizes it.
 
     Returns (group, n_docs, n_tokens, weight, sample_rate,
-    expected_tokens); groups absent from ``weights`` are excluded from
-    the mixture. Feed ``sample_rate`` to
+    expected_tokens); corpus groups absent from ``weights`` are
+    excluded from the mixture. Feed ``sample_rate`` to
     ``sampling.deterministic_sample`` per group to materialize the mix.
+
+    Every key in ``weights`` must exist in the corpus with tokens: a
+    weighted group with no (or zero-token) docs means the TRUE maximal
+    budget serving the full mixture is 0, so silently min-ing over the
+    present groups would overstate the servable budget (and a
+    zero-token present group would divide 0/0 into a NaN sample_rate)
+    — the plan raises at execution instead (ADVICE r5). The check is
+    in-plan (a when/raise_error over the 1-row budget aggregate), so
+    the operator stays lazy and adds no extra job.
 
     Scale shape: one map-side-combined aggregate over the corpus (the
     token count is an in-row size()), then all arithmetic happens on
     the |groups|-row frame with a broadcast 1-row budget — nothing
     after the first agg depends on corpus size.
     """
+    if not weights:
+        raise ValueError("mixture_plan: weights must be non-empty")
     wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     agg = (
         docs.select(F.col(group_col).alias("grp"), tx.tokens(text_col).alias("__t"))
@@ -382,7 +393,31 @@ def mixture_plan(
         .filter(F.col("weight").isNotNull())
     )
     budget = agg.agg(
-        F.min(F.col("n_tokens").cast("double") / F.col("weight")).alias("__b")
+        F.count(F.lit(1)).alias("__ng"),
+        F.min("n_tokens").alias("__min_t"),
+        F.min(F.col("n_tokens").cast("double") / F.col("weight")).alias("__b0"),
+    ).select(
+        F.when(
+            F.col("__ng") < len(weights),
+            F.raise_error(
+                F.lit(
+                    "mixture_plan: weighted group(s) absent from the corpus "
+                    f"(matched __ng of {len(weights)} weights; the maximal "
+                    "budget serving the full mixture is 0)"
+                )
+            ),
+        )
+        .when(
+            F.col("__min_t") <= 0,
+            F.raise_error(
+                F.lit(
+                    "mixture_plan: a weighted group has zero tokens — its "
+                    "sample_rate would be 0/0"
+                )
+            ),
+        )
+        .otherwise(F.col("__b0"))
+        .alias("__b")
     )
     out = agg.crossJoin(F.broadcast(budget))
     return out.select(

@@ -233,6 +233,15 @@ class PartitionedUpsertSink(UpsertParquetSink):
             return json.load(f)
 
     def _read_manifest(self, spark: SparkSession, manifest: dict[str, str]):
+        if not manifest:
+            # a committed EMPTY table (first epoch was an empty batch) is
+            # not a reader error path worth a bare IndexError: say what
+            # happened (ADVICE r5)
+            raise FileNotFoundError(
+                f"committed manifest under {self.path} references no "
+                "partitions (the table is empty — every committed epoch "
+                "so far carried an empty batch)"
+            )
         by_epoch: dict[str, list[str]] = {}
         for part_dir, epoch_dir in manifest.items():
             by_epoch.setdefault(epoch_dir, []).append(part_dir)
@@ -312,10 +321,9 @@ class PartitionedUpsertSink(UpsertParquetSink):
         os.rename(tmp, marker)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        manifest = self._manifest()
-        if not manifest:
+        if not self._committed():
             raise FileNotFoundError(f"no committed manifest under {self.path}")
-        return self._read_manifest(spark, manifest)
+        return self._read_manifest(spark, self._manifest())
 
     def read_at(self, spark: SparkSession, epoch_id: int) -> DataFrame:
         """VERSION AS OF for the partitioned sink: resolve the newest
@@ -334,9 +342,28 @@ class PartitionedUpsertSink(UpsertParquetSink):
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Retention for the log-structured layout: keep the newest
         ``keep_last`` manifests (and their markers); delete older
-        markers + manifest files first, then every epoch dir referenced
-        by NO surviving manifest — so a reader holding any surviving
-        manifest never loses files. Returns the vacuumed epoch ids."""
+        markers + manifest files, then exactly the epoch dirs the
+        VICTIM manifests reference and no surviving manifest does.
+
+        Concurrent-writer safety (ADVICE r5): deletion eligibility is
+        victim-referenced MINUS kept-referenced — never "any v-* dir
+        not in the kept set". The earlier listdir sweep raced a live
+        ``foreachBatch`` epoch: a dir written between the
+        ``_committed()`` snapshot and the sweep (mid-write, or
+        committed just after) was unreferenced *from this process's
+        stale view* and got rmtree'd while the newest manifest pointed
+        into it — data loss inside the exactly-once path. Restricting
+        the delete set to dirs a victim manifest actually names makes
+        in-flight epoch dirs ineligible by construction (no victim can
+        reference a dir that didn't exist when it was committed...
+        and any dir it does reference that the kept manifests still
+        need is excluded by the subtraction). Crash orphans (data
+        written, marker never created) are left behind — bounded by
+        crash count, and reclaimable by ``compact`` which collapses
+        the table into one fresh epoch dir after which every old dir
+        becomes victim-referenced-only on the next vacuum.
+
+        Returns the vacuumed epoch ids."""
         import json
         import shutil
 
@@ -345,10 +372,17 @@ class PartitionedUpsertSink(UpsertParquetSink):
         commits = self._committed()
         ordered = sorted(commits)
         victims, keep = ordered[:-keep_last], ordered[-keep_last:]
-        referenced: set[str] = set()
+        kept_refs: set[str] = set()
         for e in keep:
             with open(os.path.join(self.path, commits[e])) as f:
-                referenced.update(json.load(f).values())
+                kept_refs.update(json.load(f).values())
+        victim_refs: set[str] = set()
+        for e in victims:
+            try:
+                with open(os.path.join(self.path, commits[e])) as f:
+                    victim_refs.update(json.load(f).values())
+            except FileNotFoundError:
+                pass
         for e in victims:
             try:
                 os.remove(os.path.join(self._commits_dir(), str(e)))
@@ -358,7 +392,6 @@ class PartitionedUpsertSink(UpsertParquetSink):
                 os.remove(os.path.join(self.path, commits[e]))
             except FileNotFoundError:
                 pass
-        for d in os.listdir(self.path):
-            if d.startswith("v-") and d not in referenced:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        for d in sorted(victim_refs - kept_refs):
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return victims
