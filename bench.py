@@ -123,6 +123,45 @@ def _bench_ingest_backfill(spark) -> float:
     return elapsed
 
 
+def _bench_stream_chain(spark) -> float:
+    """Time the CONTINUOUS chain at the ingest-corpus scale (VERDICT r5
+    item 6): CSV stream → exactly-once partitioned bucket
+    (streaming/ingest.start_bucket_ingest) → hourly-rollup maintenance
+    stream (start_rollup_maintenance), both drained with
+    trigger(availableNow) so the number is the full streaming envelope
+    — micro-batch scheduling, checkpoint commits, dynamic-partition
+    rollup refresh — over the same 13 × $SPARK_GRAFT_INGEST_ROWS wide
+    CSVs the batch `ingest_backfill` entry measures (~7.4M long rows).
+    Fresh sink/checkpoint dirs per attempt: re-timing a drained
+    checkpoint would measure a no-op."""
+    import shutil
+    import tempfile
+
+    from time_series_data_pipeline_spark.streaming import ingest as sti
+
+    rows = int(os.environ.get("SPARK_GRAFT_INGEST_ROWS", "30000"))
+    corpus = f"/tmp/tsdp_bench_ingest_corpus_r{rows}"
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        # built by _bench_ingest_backfill, which always runs first
+        _bench_ingest_backfill(spark)
+
+    scratch = tempfile.mkdtemp(prefix="tsdp_bench_stream_")
+    bucket = os.path.join(scratch, "bucket")
+    rollup = os.path.join(scratch, "rollup")
+    t0 = time.perf_counter()
+    q1 = sti.start_bucket_ingest(
+        spark, corpus, bucket, os.path.join(scratch, "ckpt_ingest")
+    )
+    q1.awaitTermination()
+    q2 = sti.start_rollup_maintenance(
+        spark, bucket, rollup, os.path.join(scratch, "ckpt_rollup")
+    )
+    q2.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(scratch, ignore_errors=True)
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -168,6 +207,9 @@ def main() -> None:
     ]
     cold["ingest_backfill"] = ingest_attempts[0]
     timings["ingest_backfill"] = min(ingest_attempts)
+    stream_attempts = [round(_bench_stream_chain(spark), 3) for _ in range(2)]
+    cold["ingest_stream_chain"] = stream_attempts[0]
+    timings["ingest_stream_chain"] = min(stream_attempts)
     total = round(sum(timings.values()), 3)
     # ONE compact line, kept well under the driver's 2000-char stdout
     # capture (the r4 line overflowed it and parsed as null): steady

@@ -161,3 +161,49 @@ def test_compact_split_by_field_tightens_stats(spark, tmp_path):
         .count()
     )
     assert got == want
+
+
+def test_incremental_manifest_refresh(spark, tmp_path):
+    """refresh_bucket_manifest(incremental=True) harvests ONLY new
+    files, drops rows for deleted ones, and the refreshed manifest
+    prunes identically to a full rebuild."""
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    before = {r["file"] for r in spark.read.parquet(man).select("file").distinct().collect()}
+
+    # append a year-later wave (new files, uncovered)
+    extra = _events_long(spark).limit(80).withColumn(
+        "_time", F.col("_time") + F.expr("INTERVAL 365 DAYS")
+    )
+    bkt.write_bucket(extra, path, mode="append", cluster="field")
+    new_data_files = set(
+        os.path.relpath(f, path) for f in mf._list_data_files(path)
+    )
+    n_new = mf.refresh_stats_manifest(
+        spark, path, man, ["_field", "_time"]
+    )
+    assert n_new == len(new_data_files - before)
+    after = {r["file"] for r in spark.read.parquet(man).select("file").distinct().collect()}
+    assert after == new_data_files  # full coverage, old rows retained
+
+    # incremental == full rebuild, row for row
+    full = sorted(
+        map(tuple, mf.build_stats_manifest(spark, path, ["_field", "_time"]).collect())
+    )
+    inc = sorted(map(tuple, spark.read.parquet(man).collect()))
+    assert inc == full
+
+    # second tick with nothing new is a no-op harvest
+    assert mf.refresh_stats_manifest(spark, path, man, ["_field", "_time"]) == 0
+
+    # and the refreshed manifest still prunes: new-year clicks are found
+    got = bkt.scan_bucket(
+        spark, path, measurement="events", field="click",
+        start="2024-12-01 00:00:00",
+    ).count()
+    want = (
+        bkt.read_bucket(spark, path)
+        .filter((F.col("_field") == "click") & (F.col("_time") >= "2024-12-01 00:00:00"))
+        .count()
+    )
+    assert got == want

@@ -204,6 +204,7 @@ def refresh_bucket_manifest(
     spark: SparkSession,
     path: str,
     columns: tuple[str, ...] = ("_field", "_time"),
+    incremental: bool = False,
 ) -> str:
     """(Re)build the bucket's file-level stats manifest — the engine
     analog of the reference's TSM index (README.md:173-178: InfluxDB
@@ -211,13 +212,24 @@ def refresh_bucket_manifest(
     index; here the manifest resolves it to parquet FILES before any
     footer is opened). Run after write/compact maintenance, like any
     table-format stats refresh; staleness is safe (uncovered files are
-    force-scanned, see sources/manifest.py)."""
+    force-scanned, see sources/manifest.py).
+
+    ``incremental=True`` harvests footers only for files the manifest
+    does not cover yet and drops rows for compacted-away files — the
+    steady-state maintenance tick whose cost tracks arrival, not store
+    size (single maintenance writer assumed, like any table format's
+    metadata commit)."""
     import os
 
     from . import manifest as mf
 
     man = os.path.join(path, MANIFEST_SUBDIR)
-    mf.write_manifest(mf.build_stats_manifest(spark, path, list(columns)), man)
+    if incremental and os.path.isdir(man):
+        mf.refresh_stats_manifest(spark, path, man, list(columns))
+    else:
+        mf.write_manifest(
+            mf.build_stats_manifest(spark, path, list(columns)), man
+        )
     return man
 
 

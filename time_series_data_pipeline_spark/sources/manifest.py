@@ -99,16 +99,19 @@ def build_stats_manifest(
     convention): a store that moves — including the scratch→final
     atomic-rename publish of ``cached_store`` — keeps a valid manifest;
     ``prune_files`` resolves against the root it is handed."""
+    import os
+
     files = _list_data_files(path)
     file_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(n_tasks, max(len(files), 1)))
+    return _harvest_files(file_df, list(columns), os.path.abspath(path))
 
-    cols = list(columns)
 
-    import os
-
-    root = os.path.abspath(path)
+def _harvest_files(file_df: DataFrame, cols: list[str], root: str) -> DataFrame:
+    """Executor-side footer harvest over an absolute-path file frame;
+    emits store-relative manifest rows. Shared by the full build and
+    the incremental refresh so their rows can never drift in format."""
 
     def _harvest(batches):
         import os as _os
@@ -161,6 +164,65 @@ def build_stats_manifest(
 def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     """Persist the manifest beside the store (one small parquet)."""
     manifest.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+
+
+def refresh_stats_manifest(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    columns: list[str],
+    n_tasks: int = 32,
+) -> int:
+    """INCREMENTAL manifest maintenance: harvest footers only for data
+    files the manifest does not cover yet, drop rows for files that no
+    longer exist (compaction victims), and republish. Returns the
+    number of newly harvested files.
+
+    This is the steady-state refresh a streaming-ingested store runs
+    per maintenance tick: cost tracks ARRIVAL (new files since the last
+    tick), not store size — a full `build_stats_manifest` over a 100 TB
+    store re-reads ~10⁶ footers; the incremental pass reads only the
+    micro-batch's. Publish is read-then-overwrite of the one small
+    parquet: the pattern assumes ONE maintenance writer (the same
+    single-writer assumption every table format's metadata commit
+    makes); readers are safe at any point because a stale manifest only
+    degrades to extra scanning (uncovered files are force-read).
+    """
+    import os
+
+    root = os.path.abspath(path)
+    rel_current = {
+        os.path.relpath(os.path.abspath(f), root) for f in _list_data_files(path)
+    }
+    try:
+        old = spark.read.parquet(manifest_path)
+        covered = {r["file"] for r in old.select("file").distinct().collect()}
+    except Exception:
+        old, covered = None, set()
+    new_files = sorted(rel_current - covered)
+    frames = []
+    if old is not None:
+        cur_df = spark.createDataFrame(
+            [(f,) for f in sorted(rel_current)], "file string"
+        )
+        # localCheckpoint cuts the lineage back to the manifest parquet
+        # we are about to overwrite — without it the merged write would
+        # read its own victim
+        frames.append(
+            old.join(cur_df, "file", "left_semi").localCheckpoint(eager=True)
+        )
+    if new_files:
+        file_df = spark.createDataFrame(
+            [(os.path.join(root, f),) for f in new_files], "file string"
+        ).repartition(min(n_tasks, max(len(new_files), 1)))
+        frames.append(_harvest_files(file_df, list(columns), root))
+    if not frames:
+        frames.append(spark.createDataFrame([], MANIFEST_SCHEMA))
+    merged = frames[0]
+    for fr in frames[1:]:
+        merged = merged.unionByName(fr)
+    write_manifest(merged, manifest_path)
+    return len(new_files)
 
 
 def _exclusion_pred(column: str, lo, hi):
