@@ -207,3 +207,60 @@ def test_incremental_manifest_refresh(spark, tmp_path):
         .count()
     )
     assert got == want
+
+
+def test_streaming_maintenance_keeps_manifest_fresh(spark, tmp_path):
+    """start_rollup_maintenance(maintain_manifest=True): each tick's new
+    bucket files enter the stats manifest incrementally, so scan_bucket
+    prunes freshly streamed data without a manual rebuild."""
+    import datetime
+
+    from time_series_data_pipeline_spark.streaming.ingest import (
+        start_rollup_maintenance,
+    )
+
+    bucket_path = str(tmp_path / "mbkt")
+    roll = str(tmp_path / "mroll")
+    ckpt = str(tmp_path / "mckpt")
+
+    def mk(day, base):
+        t0 = datetime.datetime(2024, 2, day)
+        return [
+            ("gas", f"f{j}", t0 + datetime.timedelta(minutes=20 * i),
+             float(base + i + j))
+            for i in range(5) for j in range(2)
+        ]
+
+    def wave(rows):
+        df = spark.createDataFrame(
+            rows, ["_measurement", "_field", "_time", "_value"]
+        ).withColumn("tags", F.lit(None).cast("map<string,string>"))
+        bkt.write_bucket(df, bucket_path, cluster="field")
+        q = start_rollup_maintenance(
+            spark, bucket_path, roll, ckpt, maintain_manifest=True
+        )
+        q.awaitTermination(120)
+
+    wave(mk(1, 10))
+    wave(mk(2, 20))  # second tick: only day-2 files are new
+
+    man = os.path.join(bucket_path, bkt.MANIFEST_SUBDIR)
+    covered = {
+        r["file"]
+        for r in spark.read.parquet(man).select("file").distinct().collect()
+    }
+    data = {os.path.relpath(f, bucket_path) for f in mf._list_data_files(bucket_path)}
+    assert covered == data and len(data) > 0
+
+    # pruned scan over the streamed store matches the plain scan
+    got = sorted(
+        bkt.scan_bucket(spark, bucket_path, field="f1")
+        .select("_time", "_value")
+        .collect()
+    )
+    want = sorted(
+        bkt.scan(bkt.read_bucket(spark, bucket_path), field="f1")
+        .select("_time", "_value")
+        .collect()
+    )
+    assert got == want and len(got) == 10

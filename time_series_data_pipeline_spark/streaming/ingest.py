@@ -163,6 +163,7 @@ def start_rollup_maintenance(
     rollup_path: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    maintain_manifest: bool = False,
 ):
     """Continuous-aggregate maintenance as a stream: TAIL THE BUCKET
     (file-source stream over the partitioned store) and, per
@@ -178,6 +179,13 @@ def start_rollup_maintenance(
       sink log;
     * the batch only yields the touched-date set (a handful of
       values), so maintenance cost tracks data arrival, not history.
+
+    ``maintain_manifest=True`` additionally runs the INCREMENTAL stats-
+    manifest refresh per batch (``bucket.refresh_bucket_manifest``),
+    keeping file-level skipping (``scan_bucket``) fresh as the stream
+    lands files — the single-maintenance-writer assumption holds here
+    by construction (this stream IS the maintenance process). Cost per
+    tick = footers of the batch's new files only.
     """
     from ..sources import bucket as bkt
 
@@ -197,6 +205,10 @@ def start_rollup_maintenance(
         if dates:
             bkt.refresh_hourly_rollup(
                 batch_df.sparkSession, bucket_path, rollup_path, dates
+            )
+        if maintain_manifest:
+            bkt.refresh_bucket_manifest(
+                batch_df.sparkSession, bucket_path, incremental=True
             )
 
     writer = (
