@@ -264,3 +264,57 @@ def test_streaming_maintenance_keeps_manifest_fresh(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 10
+
+
+def test_multiconstraint_prune_on_zordered_store(spark, tmp_path):
+    """Multi-dimensional FILE skipping: a Z-ordered store + the stats
+    manifest evaluated with two ANDed constraints — the file-level
+    counterpart of the row-group test in test_ingestion (SCALE §9) and
+    the composition the multi-constraint prune_files exists for."""
+    from time_series_data_pipeline_spark.sources.layout import zorder_layout
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    store = str(tmp_path / "zstore")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        zorder_layout(ev, "user_id", "ts", bits=12, n_files=16).write.parquet(
+            store
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    man = str(tmp_path / "zman")
+    mf.write_manifest(
+        mf.build_stats_manifest(spark, store, ["user_id", "ts"]), man
+    )
+    b = ev.agg(
+        F.min("user_id").alias("ul"), F.max("user_id").alias("uh"),
+        F.min("ts").alias("tl"), F.max("ts").alias("th"),
+    ).collect()[0]
+    lo_u = b.ul + (b.uh - b.ul) // 2
+    hi_u = lo_u + max(1, (b.uh - b.ul) // 8)
+    lo_t = b.tl + (b.th - b.tl) / 2
+    hi_t = lo_t + (b.th - b.tl) / 8
+    kept = mf.prune_files(
+        spark, store, man,
+        constraints={"user_id": (lo_u, hi_u), "ts": (lo_t, hi_t)},
+    )
+    total = len(mf._list_data_files(store))
+    # the 2-D box touches a strict subset of the z-ordered files
+    assert 0 < len(kept) < total, (len(kept), total)
+    # row conservation: pruned read + row predicate == full scan + same
+    got = (
+        mf.scan_pruned(
+            spark, store, man,
+            constraints={"user_id": (lo_u, hi_u), "ts": (lo_t, hi_t)},
+        )
+        .filter(F.col("user_id").between(lo_u, hi_u) & F.col("ts").between(lo_t, hi_t))
+        .count()
+    )
+    want = ev.filter(
+        F.col("user_id").between(lo_u, hi_u) & F.col("ts").between(lo_t, hi_t)
+    ).count()
+    assert got == want and want > 0
