@@ -37,7 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query. Omitted (rows-only) only where no
     second engine can replay the computation: xxhash64-dependent LSH
-    candidate sets (minhash/simhash/hyperplane), the HLL estimate,
-    MLlib-trained IVF centroids, and the sequential EWMA — each is
-    pinned by a recall/equivalence selfcheck in tests/ instead."""
+    candidate sets (minhash/simhash/hyperplane), the partition-stateful
+    Misra-Gries sketch, and the iterative BPE trainer — each is paired
+    with a driver-attested `*_verify` oracle query or golden-trace
+    tests (see queries.ROWS_ONLY_ATTESTATION)."""
     return dict(ORACLE)
