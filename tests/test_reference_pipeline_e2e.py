@@ -48,13 +48,25 @@ def pipeline(spark, tmp_path_factory):
 
 
 def _duck(bucket_path: str, sql: str):
+    import datetime
+
     con = duckdb.connect()
     files = os.path.join(bucket_path, "**", "*.parquet")
     con.execute(
         f"CREATE VIEW b AS SELECT * "
         f"FROM read_parquet('{files}', hive_partitioning=true)"
     )
-    return con.execute(sql).fetchall()
+
+    def _naive(v):
+        # the bucket writes INT64 micros with isAdjustedToUTC (round 6;
+        # INT96 carried no stats) → DuckDB yields tz-aware datetimes
+        # where Spark collects naive session-local (UTC) ones: same
+        # instant, normalize for comparison
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
+    return [tuple(_naive(v) for v in row) for row in con.execute(sql).fetchall()]
 
 
 def test_corpus_shape(spark, pipeline):
