@@ -57,7 +57,7 @@ def test_field_clustered_bucket_prunes_files(spark, tmp_path):
     assert len(kept) < len(all_files) / 2, (len(kept), len(all_files))
 
     # _time stats exist (INT64 micros, not INT96) and prune too
-    t = spark.read.parquet(man).filter(
+    t = mf.read_manifest(spark, man).filter(
         (F.col("column") == "_time") & F.col("min_value").isNotNull()
     )
     assert t.count() == len(all_files)
@@ -169,7 +169,7 @@ def test_incremental_manifest_refresh(spark, tmp_path):
     prunes identically to a full rebuild."""
     path = _build_store(spark, tmp_path)
     man = os.path.join(path, bkt.MANIFEST_SUBDIR)
-    before = {r["file"] for r in spark.read.parquet(man).select("file").distinct().collect()}
+    before = {r["file"] for r in mf.read_manifest(spark, man).select("file").distinct().collect()}
 
     # append a year-later wave (new files, uncovered)
     extra = _events_long(spark).limit(80).withColumn(
@@ -183,14 +183,14 @@ def test_incremental_manifest_refresh(spark, tmp_path):
         spark, path, man, ["_field", "_time"]
     )
     assert n_new == len(new_data_files - before)
-    after = {r["file"] for r in spark.read.parquet(man).select("file").distinct().collect()}
+    after = {r["file"] for r in mf.read_manifest(spark, man).select("file").distinct().collect()}
     assert after == new_data_files  # full coverage, old rows retained
 
     # incremental == full rebuild, row for row
     full = sorted(
         map(tuple, mf.build_stats_manifest(spark, path, ["_field", "_time"]).collect())
     )
-    inc = sorted(map(tuple, spark.read.parquet(man).collect()))
+    inc = sorted(map(tuple, mf.read_manifest(spark, man).collect()))
     assert inc == full
 
     # second tick with nothing new is a no-op harvest
@@ -247,7 +247,7 @@ def test_streaming_maintenance_keeps_manifest_fresh(spark, tmp_path):
     man = os.path.join(bucket_path, bkt.MANIFEST_SUBDIR)
     covered = {
         r["file"]
-        for r in spark.read.parquet(man).select("file").distinct().collect()
+        for r in mf.read_manifest(spark, man).select("file").distinct().collect()
     }
     data = {os.path.relpath(f, bucket_path) for f in mf._list_data_files(bucket_path)}
     assert covered == data and len(data) > 0

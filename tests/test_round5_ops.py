@@ -356,7 +356,7 @@ def test_stats_manifest_prunes_files_without_losing_rows(spark, tmp_path):
     mf.write_manifest(
         mf.build_stats_manifest(spark, store, ["user_id"]), man
     )
-    m = spark.read.parquet(man)
+    m = mf.read_manifest(spark, man)
     assert m.select("file").distinct().count() == 8
     assert m.filter(F.col("n_rows") != 100).count() == 0
 

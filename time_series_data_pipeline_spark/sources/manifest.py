@@ -162,8 +162,52 @@ def _harvest_files(file_df: DataFrame, cols: list[str], root: str) -> DataFrame:
 
 
 def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
-    """Persist the manifest beside the store (one small parquet)."""
-    manifest.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    """Persist the manifest beside the store with an ATOMIC publish:
+    the parquet lands in a fresh ``data-<nonce>`` subdir, then a tiny
+    ``_CURRENT`` pointer file is swapped in via tmp+rename (atomic on
+    POSIX) — a concurrent ``prune_files``/``scan_bucket`` reader always
+    resolves either the old or the new complete manifest, never a
+    half-overwritten one (the same commit-point discipline as the
+    upsert sink's markers and ``cached_store``'s rename publish). The
+    previous generation's data dir is kept for in-flight readers and
+    reaped on the NEXT publish (two-generation retention)."""
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(manifest_path, exist_ok=True)
+    gen = f"data-{uuid.uuid4().hex[:12]}"
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(manifest_path, gen)
+    )
+    cur = os.path.join(manifest_path, "_CURRENT")
+    try:
+        with open(cur) as f:
+            prev = f.read().strip()
+    except FileNotFoundError:
+        prev = None
+    tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(gen)
+    os.rename(tmp, cur)
+    # reap generations older than the one we just superseded
+    for d in os.listdir(manifest_path):
+        if d.startswith("data-") and d not in (gen, prev):
+            shutil.rmtree(os.path.join(manifest_path, d), ignore_errors=True)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """The current committed manifest. Resolves the ``_CURRENT``
+    pointer; pre-round-6 manifests (parquet at the root, no pointer)
+    read directly."""
+    import os
+
+    cur = os.path.join(manifest_path, "_CURRENT")
+    try:
+        with open(cur) as f:
+            return spark.read.parquet(os.path.join(manifest_path, f.read().strip()))
+    except FileNotFoundError:
+        return spark.read.parquet(manifest_path)
 
 
 def refresh_stats_manifest(
@@ -195,7 +239,7 @@ def refresh_stats_manifest(
         os.path.relpath(os.path.abspath(f), root) for f in _list_data_files(path)
     }
     try:
-        old = spark.read.parquet(manifest_path)
+        old = read_manifest(spark, manifest_path)
         covered = {r["file"] for r in old.select("file").distinct().collect()}
     except Exception:
         old, covered = None, set()
@@ -295,7 +339,7 @@ def prune_files(
         constraints = {column: (lo, hi)}
     import os
 
-    mdf = spark.read.parquet(manifest_path)
+    mdf = read_manifest(spark, manifest_path)
     excl = None
     for c, (clo, chi) in constraints.items():
         p = _exclusion_pred(c, clo, chi)
