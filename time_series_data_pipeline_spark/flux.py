@@ -1,0 +1,416 @@
+"""Flux front-end: compile the reference's dashboard query language
+onto the engine's scan/window operators.
+
+The reference's USERS don't call an API — they write Flux in Grafana
+panels (README.md:211, photo/use-variable.png lines 1-6 verbatim):
+
+    from(bucket: "gas-quality")
+      |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+      |> filter(fn: (r) => r["_measurement"] == "gas")
+      |> filter(fn: (r) => r["_field"] == "${Resistances}")
+      |> aggregateWindow(every: v.windowPeriod, fn: mean, createEmpty: false)
+      |> yield(name: "mean")
+
+``compile_flux`` parses exactly this pipeline subset — from / range /
+filter (equality, inequality and _value comparisons joined with
+and/or) / aggregateWindow (mean, median, min, max, sum, count, last;
+createEmpty for mean) / last / yield — and emits a DataFrame plan over
+a bucket store, so a reference user can paste their panel queries
+unchanged. Dashboard template variables (``v.windowPeriod``,
+``${Resistances}``) resolve from the ``params`` mapping, exactly the
+role Grafana fills.
+
+Compilation is TRANSLATION, not interpretation: the output is a plain
+Catalyst plan built from `bucket.scan_bucket` (manifest file skipping +
+partition pruning + pushed predicates) and the registered window
+operators — a compiled Flux query is bit-identical to the hand-written
+DataFrame form and inherits every plan property the plan tests pin.
+
+Grammar (the shipped subset — anything else raises with the offending
+stage):
+
+    pipeline   := from ( '|>' stage )*
+    from       := 'from' '(' 'bucket:' STRING ')'
+    stage      := range | filter | aggregateWindow | last | yield
+    range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
+    filter     := 'filter' '(' 'fn:' '(r)' '=>' predicate ')'
+    predicate  := orExpr ; orExpr := andExpr ('or' andExpr)* ;
+                  andExpr := cmp ('and' cmp)*
+    cmp        := ref OP literal | '(' orExpr ')'
+    ref        := 'r["col"]' | 'r.col'
+    time       := RFC3339 string | relative duration (-7d) | v.NAME
+    duration   := INT ('s'|'m'|'h'|'d'|'w')
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.timeseries import _dec
+from .sources import bucket as bkt
+
+_DUR_RE = re.compile(r"^(-?)(\d+)(s|m|h|d|w)$")
+_DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+#: aggregateWindow fns → (aggregate expression builder, needs decimal)
+_AGG_FNS = ("mean", "median", "min", "max", "sum", "count", "last")
+
+
+class FluxError(ValueError):
+    """Unsupported or malformed Flux — always names the offending text."""
+
+
+def _duration_seconds(tok: str) -> int:
+    m = _DUR_RE.match(tok)
+    if not m:
+        raise FluxError(f"unsupported duration {tok!r}")
+    sign = -1 if m.group(1) else 1
+    return sign * int(m.group(2)) * _DUR_S[m.group(3)]
+
+
+def _resolve(tok: str, params: dict[str, Any]) -> Any:
+    """Resolve a Flux value token: quoted string (with ${var} template
+    substitution), dashboard variable (v.name), duration, or number."""
+    tok = tok.strip()
+    if tok.startswith("v."):
+        name = tok[2:]
+        if name not in params:
+            raise FluxError(f"dashboard variable {tok!r} not in params")
+        return params[name]
+    if (tok.startswith('"') and tok.endswith('"')) or (
+        tok.startswith("'") and tok.endswith("'")
+    ):
+        s = tok[1:-1]
+
+        def _sub(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in params:
+                raise FluxError(f"template variable ${{{name}}} not in params")
+            return str(params[name])
+
+        return re.sub(r"\$\{(\w+)\}", _sub, s)
+    if _DUR_RE.match(tok):
+        return tok  # durations stay symbolic until their use site
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    if tok in ("true", "false"):
+        return tok == "true"
+    raise FluxError(f"unsupported value token {tok!r}")
+
+
+def _split_stages(flux: str) -> list[str]:
+    # strip line comments, then split the pipeline on |>
+    body = "\n".join(l.split("//", 1)[0] for l in flux.splitlines())
+    stages = [s.strip() for s in body.split("|>")]
+    if not stages or not stages[0].startswith("from"):
+        raise FluxError("pipeline must start with from(bucket: ...)")
+    return stages
+
+
+def _args(stage: str, name: str) -> dict[str, str]:
+    """Parse `name(k1: v1, k2: v2)` into a dict of raw value strings.
+    Values never contain commas in the shipped subset except inside
+    (r) => predicates, which are extracted separately."""
+    m = re.match(rf"^{name}\s*\((.*)\)\s*$", stage, re.DOTALL)
+    if not m:
+        raise FluxError(f"malformed {name} stage: {stage!r}")
+    inner = m.group(1).strip()
+    out: dict[str, str] = {}
+    if not inner:
+        return out
+    # split on top-level commas (no nesting in the subset besides fn)
+    depth = 0
+    part = []
+    parts: list[str] = []
+    for ch in inner:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    parts.append("".join(part))
+    for p in parts:
+        k, _, v = p.partition(":")
+        out[k.strip()] = v.strip()
+    return out
+
+
+# -- predicate parser -------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(
+        r\[\s*"(?:[^"]+)"\s*\]   # r["col"]
+      | r\.\w+                   # r.col
+      | ==|!=|<=|>=|<|>
+      | and\b|or\b
+      | \(|\)
+      | "(?:[^"]*)"
+      | '(?:[^']*)'
+      | -?\d+\.\d+|-?\d+
+      | v\.\w+
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize_pred(src: str) -> list[str]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            if src[i:].strip() == "":
+                break
+            raise FluxError(f"unsupported predicate syntax at {src[i:]!r}")
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+def _parse_pred(tokens: list[str], params: dict[str, Any]) -> Column:
+    pos = 0
+
+    def peek() -> str | None:
+        return tokens[pos] if pos < len(tokens) else None
+
+    def eat(tok: str | None = None) -> str:
+        nonlocal pos
+        if pos >= len(tokens):
+            raise FluxError("unexpected end of predicate")
+        t = tokens[pos]
+        if tok is not None and t != tok:
+            raise FluxError(f"expected {tok!r}, got {t!r}")
+        pos += 1
+        return t
+
+    def ref_or_fail(t: str) -> Column:
+        if t.startswith("r[") :
+            return F.col(re.match(r'r\[\s*"([^"]+)"\s*\]', t).group(1))
+        if t.startswith("r."):
+            return F.col(t[2:])
+        raise FluxError(f"comparison must start with r[...] / r.col, got {t!r}")
+
+    def cmp() -> Column:
+        if peek() == "(":
+            eat("(")
+            e = or_expr()
+            eat(")")
+            return e
+        left = ref_or_fail(eat())
+        op = eat()
+        right = _resolve(eat(), params)
+        if op == "==":
+            return left == F.lit(right)
+        if op == "!=":
+            return left != F.lit(right)
+        if op == "<":
+            return left < F.lit(right)
+        if op == "<=":
+            return left <= F.lit(right)
+        if op == ">":
+            return left > F.lit(right)
+        if op == ">=":
+            return left >= F.lit(right)
+        raise FluxError(f"unsupported operator {op!r}")
+
+    def and_expr() -> Column:
+        e = cmp()
+        while peek() == "and":
+            eat("and")
+            e = e & cmp()
+        return e
+
+    def or_expr() -> Column:
+        e = and_expr()
+        while peek() == "or":
+            eat("or")
+            e = e | and_expr()
+        return e
+
+    out = or_expr()
+    if pos != len(tokens):
+        raise FluxError(f"trailing predicate tokens: {tokens[pos:]!r}")
+    return out
+
+
+def _filter_extract(stage: str) -> str:
+    m = re.match(
+        r"^filter\s*\(\s*fn\s*:\s*\(\s*r\s*\)\s*=>\s*(.*)\)\s*$",
+        stage,
+        re.DOTALL,
+    )
+    if not m:
+        raise FluxError(f"malformed filter stage: {stage!r}")
+    return m.group(1).strip()
+
+
+def _eq_extract(pred_tokens: list[str], col: str, params: dict[str, Any]):
+    """If the predicate is a pure AND chain containing `r[col] == lit`,
+    return the literal — the pushdown hook for scan_bucket. None when
+    the column is absent or used non-equality / under an or."""
+    if "or" in pred_tokens or "(" in pred_tokens:
+        return None
+    for i, t in enumerate(pred_tokens):
+        is_ref = t == f'r["{col}"]' or t == f"r.{col}"
+        if is_ref and i + 2 < len(pred_tokens) and pred_tokens[i + 1] == "==":
+            return _resolve(pred_tokens[i + 2], params)
+    return None
+
+
+def compile_flux(
+    spark: SparkSession,
+    flux: str,
+    bucket_paths: dict[str, str],
+    params: dict[str, Any] | None = None,
+    now: str | None = None,
+) -> DataFrame:
+    """Compile a Flux pipeline (the reference's dashboard subset) into a
+    DataFrame over the named bucket stores.
+
+    ``bucket_paths`` maps Flux bucket names to store paths (the
+    InfluxDB "bucket" is our partitioned parquet store);``params``
+    resolves dashboard variables (``v.windowPeriod`` → "5m",
+    ``${Resistances}`` → a field label). Relative range bounds (-7d)
+    are anchored at ``now`` (RFC3339; required only when used —
+    wall-clock defaults would break replayability)."""
+    params = dict(params or {})
+    stages = _split_stages(flux)
+    fr = _args(stages[0], "from")
+    if "bucket" not in fr:
+        raise FluxError("from() requires bucket:")
+    bucket_name = _resolve(fr["bucket"], params)
+    if bucket_name not in bucket_paths:
+        raise FluxError(f"unknown bucket {bucket_name!r}")
+    path = bucket_paths[bucket_name]
+
+    start = stop = None
+    measurement = field = None
+    residual_preds: list[Column] = []
+    agg = None  # (every_s, fn, create_empty)
+    take_last = False
+    yield_name = None
+
+    def _bound(tok: str) -> str:
+        v = _resolve(tok, params)
+        if isinstance(v, str) and _DUR_RE.match(v):
+            if now is None:
+                raise FluxError(
+                    f"relative bound {v!r} needs an explicit now= anchor"
+                )
+            secs = _duration_seconds(v)
+            import datetime
+
+            base = datetime.datetime.fromisoformat(now.replace("Z", "+00:00"))
+            out = base + datetime.timedelta(seconds=secs)
+            return out.strftime("%Y-%m-%d %H:%M:%S")
+        return str(v).replace("T", " ").replace("Z", "")
+
+    for stage in stages[1:]:
+        head = stage.split("(", 1)[0].strip()
+        if head == "range":
+            a = _args(stage, "range")
+            if "start" in a:
+                start = _bound(a["start"])
+            if "stop" in a:
+                stop = _bound(a["stop"])
+        elif head == "filter":
+            toks = _tokenize_pred(_filter_extract(stage))
+            m_eq = _eq_extract(toks, "_measurement", params)
+            f_eq = _eq_extract(toks, "_field", params)
+            if m_eq is not None and measurement is None and toks == [
+                f'r["_measurement"]', "==", toks[2]
+            ]:
+                measurement = m_eq
+            elif f_eq is not None and field is None and toks == [
+                f'r["_field"]', "==", toks[2]
+            ]:
+                field = f_eq
+            else:
+                residual_preds.append(_parse_pred(toks, params))
+        elif head == "aggregateWindow":
+            a = _args(stage, "aggregateWindow")
+            every = _resolve(a.get("every", ""), params)
+            if not (isinstance(every, str) and _DUR_RE.match(every)):
+                raise FluxError(f"aggregateWindow every: bad duration {every!r}")
+            fn = a.get("fn", "mean").strip()
+            if fn not in _AGG_FNS:
+                raise FluxError(f"unsupported aggregateWindow fn {fn!r}")
+            create_empty = _resolve(a.get("createEmpty", "false"), params)
+            agg = (_duration_seconds(every), fn, bool(create_empty))
+        elif head == "last":
+            take_last = True
+        elif head == "yield":
+            a = _args(stage, "yield")
+            if "name" in a:
+                yield_name = _resolve(a["name"], params)
+        else:
+            raise FluxError(f"unsupported stage {head!r}")
+
+    df = bkt.scan_bucket(
+        spark, path, measurement=measurement, field=field, start=start, stop=stop
+    )
+    for p in residual_preds:
+        df = df.filter(p)
+
+    if agg is not None:
+        every_s, fn, create_empty = agg
+        if create_empty:
+            if fn != "mean":
+                raise FluxError("createEmpty is shipped for fn: mean only")
+            from .operators import timeseries as ts_ops
+
+            out = ts_ops.gap_fill(
+                df, "_time", "_value", f"{every_s} seconds", every_s, ["_field"]
+            ).select(
+                F.col("bucket").alias("window_start"),
+                "_field",
+                F.col("avg_value").alias(yield_name or "mean"),
+                F.col("n_events").alias("n"),
+            )
+            return out
+        w = F.window("_time", f"{every_s} seconds").alias("w")
+        g = df.groupBy(w, "_field")
+        name = yield_name or fn
+        if fn == "mean":
+            expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
+        elif fn == "median":
+            expr = F.median("_value")
+        elif fn == "min":
+            expr = F.min("_value")
+        elif fn == "max":
+            expr = F.max("_value")
+        elif fn == "sum":
+            expr = F.sum(_dec("_value")).cast("double")
+        elif fn == "count":
+            expr = F.count(F.lit(1)).cast("long")
+        else:  # last: greatest _time wins, value tie-break for determinism
+            expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
+        out = g.agg(expr.alias(name), F.count(F.lit(1)).alias("n")).select(
+            F.col("w.start").alias("window_start"), "_field", name, "n"
+        )
+        if fn == "count":
+            out = out.drop("n")
+        return out
+
+    if take_last:
+        from .operators.timeseries import last_value_per_group
+
+        out = last_value_per_group(df, "_time", "_value", ["_field"])
+        if yield_name:
+            out = out.withColumnRenamed("last_value", yield_name)
+        return out
+
+    return df

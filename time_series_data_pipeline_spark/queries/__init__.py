@@ -136,8 +136,10 @@ _CHECKED_WINDOW = [
     # lsh_ann derives banding from the threshold via lsh_tuning ---
     "gap_fill_5m",
     "lsh_ann_verify",
-    # --- suite-covered veterans rotating back for their own rows (2) ---
-    "event_transitions",
+    # --- new this round: the reference's verbatim Flux text compiled
+    # onto the engine (front-end translation under the hash gate) ---
+    "flux_compiled_mean",
+    # --- suite-covered veteran rotating back for its own row (1) ---
     "weekly_retention",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",

@@ -648,6 +648,56 @@ def window_5m_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_mean",
+    # the SAME semantics as window_5m_mean_bucketed — but the Spark plan
+    # is COMPILED from the reference's verbatim Flux text instead of
+    # hand-written, so the front-end's translation is itself under the
+    # driver's value-hash gate
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS window_start,
+           event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def flux_compiled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dashboard query run AS ITS USERS WRITE IT: the
+    verbatim Flux pipeline from photo/use-variable.png lines 1-6
+    (from |> range |> filter×2 |> aggregateWindow(mean) |> yield),
+    compiled by ``flux.compile_flux`` onto the manifest-pruned bucket
+    scan — template variables (${Resistances}, v.windowPeriod) resolved
+    exactly the way Grafana fills them. Proves the switching story end
+    to end: a reference user's panel text produces the same
+    hash-verified numbers as the hand-written DataFrame plan."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "${Resistances}")
+          |> aggregateWindow(every: v.windowPeriod, fn: mean, createEmpty: false)
+          |> yield(name: "mean")
+        """,
+        {"gas-quality": path},
+        params={
+            "timeRangeStart": "2024-01-08T00:00:00Z",
+            "timeRangeStop": "2024-01-15T00:00:00Z",
+            "windowPeriod": "5m",
+            "Resistances": "click",
+        },
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
