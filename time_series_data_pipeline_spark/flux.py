@@ -257,19 +257,6 @@ def _filter_extract(stage: str) -> str:
     return m.group(1).strip()
 
 
-def _eq_extract(pred_tokens: list[str], col: str, params: dict[str, Any]):
-    """If the predicate is a pure AND chain containing `r[col] == lit`,
-    return the literal — the pushdown hook for scan_bucket. None when
-    the column is absent or used non-equality / under an or."""
-    if "or" in pred_tokens or "(" in pred_tokens:
-        return None
-    for i, t in enumerate(pred_tokens):
-        is_ref = t == f'r["{col}"]' or t == f"r.{col}"
-        if is_ref and i + 2 < len(pred_tokens) and pred_tokens[i + 1] == "==":
-            return _resolve(pred_tokens[i + 2], params)
-    return None
-
-
 def compile_flux(
     spark: SparkSession,
     flux: str,
@@ -328,15 +315,21 @@ def compile_flux(
                 stop = _bound(a["stop"])
         elif head == "filter":
             toks = _tokenize_pred(_filter_extract(stage))
-            m_eq = _eq_extract(toks, "_measurement", params)
-            f_eq = _eq_extract(toks, "_field", params)
-            if m_eq is not None and measurement is None and toks == [
-                f'r["_measurement"]', "==", toks[2]
-            ]:
+
+            def _pure_eq(col: str):
+                # `r["col"] == lit` / `r.col == lit` as the WHOLE stage
+                # — the form scan_bucket can turn into partition/file
+                # pruning; anything else stays a residual row filter
+                if len(toks) == 3 and toks[1] == "==" and toks[0] in (
+                    f'r["{col}"]', f"r.{col}"
+                ):
+                    return _resolve(toks[2], params)
+                return None
+
+            m_eq, f_eq = _pure_eq("_measurement"), _pure_eq("_field")
+            if m_eq is not None and measurement is None:
                 measurement = m_eq
-            elif f_eq is not None and field is None and toks == [
-                f'r["_field"]', "==", toks[2]
-            ]:
+            elif f_eq is not None and field is None:
                 field = f_eq
             else:
                 residual_preds.append(_parse_pred(toks, params))

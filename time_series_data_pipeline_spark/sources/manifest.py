@@ -344,21 +344,20 @@ def prune_files(
     for c, (clo, chi) in constraints.items():
         p = _exclusion_pred(c, clo, chi)
         excl = p if excl is None else (excl | p)
-    excluded = mdf.filter(excl).select("file").distinct()
-    kept_rows = (
-        mdf.select("file")
-        .distinct()
-        .join(excluded, "file", "left_anti")
-        .collect()
-    )
+    # two tiny jobs over the file-sized manifest: the full file set
+    # (needed anyway for the stale-union) and the excluded subset
+    known_rel = {r["file"] for r in mdf.select("file").distinct().collect()}
+    excluded = {
+        r["file"] for r in mdf.filter(excl).select("file").distinct().collect()
+    }
 
     def _resolve(f: str) -> str:
         # manifests record store-relative paths (Delta-log convention);
         # absolute entries (pre-round-6 manifests) pass through
         return f if os.path.isabs(f) else os.path.join(os.path.abspath(path), f)
 
-    kept = [_resolve(r["file"]) for r in kept_rows]
-    known = {_resolve(r["file"]) for r in mdf.select("file").distinct().collect()}
+    kept = [_resolve(f) for f in known_rel - excluded]
+    known = {_resolve(f) for f in known_rel}
     unknown = sorted(
         {os.path.abspath(f) for f in _list_data_files(path)} - known
     )
