@@ -318,3 +318,89 @@ def test_multiconstraint_prune_on_zordered_store(spark, tmp_path):
         F.col("user_id").between(lo_u, hi_u) & F.col("ts").between(lo_t, hi_t)
     ).count()
     assert got == want and want > 0
+
+
+def test_stale_manifest_survives_compaction_deletes(spark, tmp_path):
+    """Staleness must be safe in BOTH directions: after compact_bucket
+    rewrites a partition (deleting the files the manifest still lists),
+    scan_bucket before the next refresh must return correct rows — the
+    dead paths are dropped from the kept set and the rewritten files
+    are scanned as uncovered (no PATH_NOT_FOUND)."""
+    path = _build_store(spark, tmp_path)
+    want = sorted(
+        bkt.scan(bkt.read_bucket(spark, path), field="click")
+        .select("_time", "_value")
+        .collect()
+    )
+    dates = sorted(
+        str(r["_date"])
+        for r in bkt.read_bucket(spark, path).select("_date").distinct().collect()
+    )
+    # compact two partitions WITHOUT refreshing the manifest
+    for d in dates[:2]:
+        bkt.compact_bucket(spark, path, "events", d, split_by_field=True)
+    got = sorted(
+        bkt.scan_bucket(spark, path, field="click")
+        .select("_time", "_value")
+        .collect()
+    )
+    assert got == want
+
+
+def test_manifest_respects_streaming_sink_commit_log(spark, tmp_path):
+    """A FileStreamSink store's glob shows more than its readers see:
+    uncommitted files (aborted tasks, mid-write) are absent from
+    _spark_metadata and must be invisible to the manifest and to
+    prune_files' unknown-union — otherwise scan_pruned would return
+    rows the sink's exactly-once log excludes."""
+    import json as _json
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    sink_path = str(tmp_path / "slog")
+    with open(os.path.join(src, "w.json"), "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({"_time_s": 1700000000 + 60 * i, "v": float(i)}) + "\n")
+    q = (
+        spark.readStream.schema("_time_s long, v double")
+        .json(src)
+        .selectExpr(
+            "timestamp_seconds(_time_s) AS _time",
+            "'m' AS _measurement",
+            "'f' AS _field",
+            "v AS _value",
+        )
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    committed = set(mf._list_data_files(sink_path))
+    assert committed  # the stream landed files
+
+    # plant an UNCOMMITTED orphan (aborted-task leftover): valid parquet
+    # bytes, present on disk, absent from the sink log
+    spark.range(5).selectExpr(
+        "timestamp_seconds(1700000000 + id) AS _time",
+        "'m' AS _measurement",
+        "'f' AS _field",
+        "CAST(999 AS DOUBLE) AS _value",
+    ).coalesce(1).write.parquet(str(tmp_path / "orphan_src"))
+    import glob as _glob
+    import shutil as _shutil
+
+    orphan = _glob.glob(str(tmp_path / "orphan_src" / "*.parquet"))[0]
+    planted = os.path.join(sink_path, "part-99999-orphan.snappy.parquet")
+    _shutil.copy(orphan, planted)
+
+    # invisible to the lister, the manifest, and the pruned scan
+    assert planted not in set(mf._list_data_files(sink_path))
+    man = str(tmp_path / "sman")
+    mf.write_manifest(
+        mf.build_stats_manifest(spark, sink_path, ["_time"]), man
+    )
+    got = mf.scan_pruned(spark, sink_path, man, "_time").count()
+    native = spark.read.parquet(sink_path).count()  # sink-log read
+    assert got == native == 20  # the orphan's 5 rows leak into neither

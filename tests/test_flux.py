@@ -113,19 +113,71 @@ def test_or_and_value_predicates_and_other_fns(spark, store):
 
 
 def test_create_empty_gap_fills(spark, store):
+    from time_series_data_pipeline_spark.operators import timeseries as ts_ops
+
     q = (
         'from(bucket: "b") |> range(start: "2024-01-03 00:00:00", '
         'stop: "2024-01-04 00:00:00") '
         '|> filter(fn: (r) => r["_field"] == "purchase") '
-        "|> aggregateWindow(every: 1h, fn: mean, createEmpty: true)"
+        "|> aggregateWindow(every: 5m, fn: mean, createEmpty: true)"
     )
     got = flux.compile_flux(spark, q, {"b": store})
     rows = got.collect()
-    # every hour of the observed span appears, empties as n=0/null
-    assert any(r["n"] == 0 and r["mean"] is None for r in rows) or all(
-        r["n"] > 0 for r in rows
+    # EXACT equality with the gap_fill operator reference — the weak
+    # "any-empty or all-full" form passed even when no filling happened
+    ref_src = bkt.scan(
+        bkt.read_bucket(spark, store),
+        field="purchase",
+        start="2024-01-03 00:00:00",
+        stop="2024-01-04 00:00:00",
     )
-    assert len(rows) >= 1
+    ref = {
+        (r["bucket"], r["_field"]): (r["n_events"], r["avg_value"])
+        for r in ts_ops.gap_fill(
+            ref_src, "_time", "_value", "300 seconds", 300, ["_field"]
+        ).collect()
+    }
+    assert {
+        (r["window_start"], r["_field"]): (r["n"], r["mean"]) for r in rows
+    } == ref
+    # the spine is contiguous and at least one bucket is an actual gap
+    assert len(rows) == len(ref) > 0
+    assert any(n == 0 for n, _ in ref.values()), "fixture produced no gaps"
+
+
+def test_create_empty_false_string_does_not_gap_fill(spark, store):
+    """bool("false") is True — a template-substituted createEmpty must
+    not silently take the gap-fill path."""
+    q = (
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "purchase") '
+        '|> aggregateWindow(every: 5m, fn: mean, createEmpty: ${ce})'
+    )
+    a = flux.compile_flux(spark, q.replace("${ce}", "false"), {"b": store})
+    assert all(r["n"] > 0 for r in a.collect())
+    with pytest.raises(flux.FluxError, match="createEmpty"):
+        flux.compile_flux(spark, q.replace("${ce}", '"maybe"'), {"b": store})
+
+
+def test_stage_order_violations_raise(spark, store):
+    for bad in (
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) |> last()',
+        'from(bucket: "b") |> last() |> filter(fn: (r) => r["_value"] > 1)',
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        '|> range(start: "2024-01-03 00:00:00")',
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        "|> aggregateWindow(every: 2h, fn: mean)",
+    ):
+        with pytest.raises(flux.FluxError, match="subset"):
+            flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_url_literal_survives_comment_stripping(spark, store):
+    q = (
+        'from(bucket: "b")  // panel query\n'
+        '|> filter(fn: (r) => r["_field"] == "http://example.com/x") |> last()'
+    ).replace("\\n", "\n")
+    got = flux.compile_flux(spark, q, {"b": store})
+    assert got.count() == 0  # no such field; parse must succeed
 
 
 def test_relative_range_needs_anchor_and_resolves(spark, store):

@@ -854,3 +854,14 @@ def test_csv_dead_letter_split(spark, tmp_path):
     assert any("garbage" in r for r in raws)
     assert any(r.count(",") == n + 2 for r in raws)
     assert "99.0,3.5" in raws
+
+
+def test_lsh_tuning_exact_duplicate_threshold():
+    """threshold=1.0 (exact-duplicate search) must produce a working
+    banding, not a bare math-domain ValueError from log(0)."""
+    from time_series_data_pipeline_spark.operators.similarity import (
+        lsh_tuning,
+    )
+
+    n, b = lsh_tuning(1.0)
+    assert n >= 1 and b >= 1 and n % b == 0

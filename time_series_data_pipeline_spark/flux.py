@@ -108,10 +108,48 @@ def _resolve(tok: str, params: dict[str, Any]) -> Any:
     raise FluxError(f"unsupported value token {tok!r}")
 
 
+def _strip_comment(line: str) -> str:
+    """Drop a // line comment — but only OUTSIDE string literals, so
+    predicates on URLs ("http://...") survive."""
+    quote = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "/" and line[i : i + 2] == "//":
+            return line[:i]
+        i += 1
+    return line
+
+
 def _split_stages(flux: str) -> list[str]:
-    # strip line comments, then split the pipeline on |>
-    body = "\n".join(l.split("//", 1)[0] for l in flux.splitlines())
-    stages = [s.strip() for s in body.split("|>")]
+    # strip line comments, then split the pipeline on |> (quote-aware:
+    # a "|>" inside a string literal is data, not a stage separator)
+    body = "\n".join(_strip_comment(l) for l in flux.splitlines())
+    stages, part, quote = [], [], None
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            part.append(ch)
+        elif ch in "\"'":
+            quote = ch
+            part.append(ch)
+        elif ch == "|" and body[i : i + 2] == "|>":
+            stages.append("".join(part))
+            part = []
+            i += 1
+        else:
+            part.append(ch)
+        i += 1
+    stages.append("".join(part))
+    stages = [s.strip() for s in stages]
     if not stages or not stages[0].startswith("from"):
         raise FluxError("pipeline must start with from(bucket: ...)")
     return stages
@@ -307,6 +345,21 @@ def compile_flux(
 
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
+        # stage ORDER is semantics: range/filter after an aggregation
+        # stage would apply to raw rows, and aggregateWindow|>last would
+        # silently drop last() — the shipped subset supports row-level
+        # stages strictly BEFORE one terminal aggregation stage, and
+        # raises on anything else rather than mis-compiling it
+        if head in ("range", "filter") and (agg is not None or take_last):
+            raise FluxError(
+                f"{head}() after an aggregation stage is outside the "
+                f"shipped subset (it would filter raw rows): {stage!r}"
+            )
+        if head in ("aggregateWindow", "last") and (agg is not None or take_last):
+            raise FluxError(
+                f"second aggregation stage {head!r} is outside the "
+                "shipped subset (compose in DataFrame land instead)"
+            )
         if head == "range":
             a = _args(stage, "range")
             if "start" in a:
@@ -341,8 +394,16 @@ def compile_flux(
             fn = a.get("fn", "mean").strip()
             if fn not in _AGG_FNS:
                 raise FluxError(f"unsupported aggregateWindow fn {fn!r}")
-            create_empty = _resolve(a.get("createEmpty", "false"), params)
-            agg = (_duration_seconds(every), fn, bool(create_empty))
+            ce_raw = _resolve(a.get("createEmpty", "false"), params)
+            # explicit boolean mapping: bool("false") is True, so a
+            # quoted/template-substituted "false" must not gap-fill
+            if isinstance(ce_raw, bool):
+                create_empty = ce_raw
+            elif isinstance(ce_raw, str) and ce_raw.lower() in ("true", "false"):
+                create_empty = ce_raw.lower() == "true"
+            else:
+                raise FluxError(f"createEmpty: expected a boolean, got {ce_raw!r}")
+            agg = (_duration_seconds(every), fn, create_empty)
         elif head == "last":
             take_last = True
         elif head == "yield":

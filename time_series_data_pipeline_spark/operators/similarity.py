@@ -1386,7 +1386,18 @@ def lsh_tuning(
         p_band = s**r
         if p_band <= 1e-12:
             break
-        b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+        if p_band >= 1.0:
+            # threshold=1.0 (exact-duplicate search): every band of any
+            # length collides on matches, one band suffices — without
+            # this, log(1 - p_band) = log(0) raised a bare ValueError
+            b = 1
+        else:
+            b = max(
+                1,
+                math.ceil(
+                    math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+                ),
+            )
         if r * b > max_planes:
             continue
         pressure = b * (0.5**r)

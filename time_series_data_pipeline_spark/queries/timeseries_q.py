@@ -536,13 +536,8 @@ _EVENT_BUCKET_VERSION = "layout-v3b"
 #: ``spark.read.parquet`` per query instead re-lists every day-partition
 #: directory and re-reads footers — measured ~0.3 s/query of pure
 #: driver-side overhead at 30 partitions, and growing with partition
-#: count. NOTE: this caches the file INDEX (plan metadata), not data —
-#: executors still read parquet on every run, and partition pruning
-#: still happens per query against the cached index.
-_BUCKET_DF: dict[tuple[int, str], DataFrame] = {}
-
-#: Manifest-pruned scan frames, keyed by (session, store, predicate) —
-#: the prune is plan metadata like the file index above.
+#: count. NOTE: this caches the PLAN METADATA (pruned file list), not
+#: data — executors still read parquet on every run.
 _PRUNED_SCAN_DF: dict[tuple, DataFrame] = {}
 
 
@@ -554,8 +549,7 @@ def _event_bucket_path(spark: SparkSession, sf_dir: str) -> str:
     pruned day-partitions, manifest-kept files, and row-group-skipped
     fields, the honest analog of the reference's indexed TSM store.
     Keyed by source mtime + layout version; atomic-rename publish
-    (operators/_util.cached_store). Returns the store path (and caches
-    a session DataFrame handle in ``_BUCKET_DF``)."""
+    (operators/_util.cached_store). Returns the store path."""
     import os
 
     from ..operators._util import cached_store
@@ -581,23 +575,11 @@ def _event_bucket_path(spark: SparkSession, sf_dir: str) -> str:
         bkt.write_bucket(long_df, scratch, mode="overwrite", cluster="field")
         bkt.refresh_bucket_manifest(spark, scratch)
 
-    path = cached_store(
+    return cached_store(
         _build,
         "tsdp_event_bucket",
         f"{os.path.abspath(sf_dir)}:{mtime}:{_EVENT_BUCKET_VERSION}",
     )
-    key = (id(spark), path)
-    if key not in _BUCKET_DF:
-        _BUCKET_DF[key] = bkt.read_bucket(spark, path)
-    return path
-
-
-def _event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events materialized ONCE per corpus version into the bucket
-    layout — see ``_event_bucket_path`` (which builds/publishes the
-    store); this returns the session-cached DataFrame over it."""
-    path = _event_bucket_path(spark, sf_dir)
-    return _BUCKET_DF[(id(spark), path)]
 
 
 @query(

@@ -58,13 +58,76 @@ def _parse(v: str | None, type_name: str):
     return v
 
 
+def _sink_committed_files(path: str) -> set[str] | None:
+    """COMMITTED data files per the streaming FileStreamSink's
+    ``_spark_metadata`` log, or None when the store has no such log.
+
+    A glob over a sink-logged store sees more than its readers do:
+    files mid-write (no footer yet) and files left by aborted or
+    speculative tasks are on disk but NOT in the log, and
+    ``spark.read.parquet(dir)`` correctly ignores them. The manifest
+    must apply the same visibility rule — harvesting an uncommitted
+    file would either crash the footer read or, worse, let the
+    explicit-file-list read in ``scan_pruned`` return duplicate rows
+    the sink's exactly-once log exists to exclude.
+
+    Log format (public, stable across Spark 2-4): numeric batch files
+    plus periodic ``N.compact`` roll-ups, each "v1" header + one JSON
+    object per file with ``path`` and ``action``. The active set is
+    the latest compact plus every later batch."""
+    import json
+    import os
+
+    meta_dir = os.path.join(path, "_spark_metadata")
+    if not os.path.isdir(meta_dir):
+        return None
+    batches: dict[int, str] = {}
+    compacts: dict[int, str] = {}
+    for n in os.listdir(meta_dir):
+        if n.endswith(".compact") and n.split(".")[0].isdigit():
+            compacts[int(n.split(".")[0])] = n
+        elif n.isdigit():
+            batches[int(n)] = n
+    start = max(compacts) if compacts else -1
+    ordered = ([compacts[start]] if compacts else []) + [
+        batches[b] for b in sorted(batches) if b > start
+    ]
+    committed: set[str] = set()
+    for name in ordered:
+        try:
+            with open(os.path.join(meta_dir, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line == "v1" or not line.startswith("{"):
+                        continue
+                    entry = json.loads(line)
+                    p = entry.get("path", "")
+                    if p.startswith("file:"):
+                        p = p[len("file:") :]
+                        # file:///x and file:/x both occur
+                        while p.startswith("//"):
+                            p = p[1:]
+                    if entry.get("action", "add") == "add":
+                        committed.add(os.path.abspath(p))
+                    else:
+                        committed.discard(os.path.abspath(p))
+        except (OSError, json.JSONDecodeError):
+            # unreadable log slice: fail SAFE for exactly-once — treat
+            # nothing from it as committed rather than guessing
+            continue
+    return committed
+
+
 def _list_data_files(path: str) -> list[str]:
     """Parquet data files under ``path``, honoring Spark's hidden-file
     convention: any path component starting with ``_`` or ``.`` (e.g.
     the ``_stats_manifest`` subdir itself, ``_SUCCESS``, checkpoint
     dirs) is invisible to data discovery and must be invisible to the
     manifest too — otherwise the manifest's own parquet would enter the
-    next harvest as an uncovered "data" file and be force-scanned."""
+    next harvest as an uncovered "data" file and be force-scanned.
+    Stores written by the streaming FileStreamSink are additionally
+    restricted to their ``_spark_metadata`` COMMITTED set (see
+    ``_sink_committed_files``)."""
     import glob
     import os
 
@@ -73,11 +136,14 @@ def _list_data_files(path: str) -> list[str]:
         # starts with '_' (the bucket partitions on _measurement/_date)
         return p.startswith(("_", ".")) and "=" not in p
 
+    committed = _sink_committed_files(path)
     out = []
     for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         rel = os.path.relpath(f, path)
         parts = rel.split(os.sep)
         if any(_hidden_dir(p) for p in parts[:-1]) or parts[-1].startswith(("_", ".")):
+            continue
+        if committed is not None and os.path.abspath(f) not in committed:
             continue
         out.append(f)
     return sorted(out)
@@ -356,11 +422,18 @@ def prune_files(
         # absolute entries (pre-round-6 manifests) pass through
         return f if os.path.isabs(f) else os.path.join(os.path.abspath(path), f)
 
-    kept = [_resolve(f) for f in known_rel - excluded]
+    current = {os.path.abspath(f) for f in _list_data_files(path)}
+    # staleness cuts BOTH ways and both must be safe: files the
+    # manifest has never seen are force-scanned (the unknown union
+    # below), and files the manifest still lists but compaction/
+    # overwrite has DELETED are dropped here — their rows live in the
+    # rewritten files, which are unknown → scanned; passing dead paths
+    # through would crash the read with PATH_NOT_FOUND
+    kept = [
+        f for f in (_resolve(r) for r in known_rel - excluded) if f in current
+    ]
     known = {_resolve(f) for f in known_rel}
-    unknown = sorted(
-        {os.path.abspath(f) for f in _list_data_files(path)} - known
-    )
+    unknown = sorted(current - known)
     return sorted(kept) + unknown
 
 
