@@ -404,3 +404,33 @@ def test_manifest_respects_streaming_sink_commit_log(spark, tmp_path):
     got = mf.scan_pruned(spark, sink_path, man, "_time").count()
     native = spark.read.parquet(sink_path).count()  # sink-log read
     assert got == native == 20  # the orphan's 5 rows leak into neither
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """InfluxDB-style bucket retention: partitions strictly older than
+    the cutoff vanish, the manifest follows, and the surviving scan is
+    row-identical to filtering the original data by the cutoff."""
+    path = _build_store(spark, tmp_path)
+    dates = sorted(
+        str(r["_date"])
+        for r in bkt.read_bucket(spark, path).select("_date").distinct().collect()
+    )
+    cutoff = dates[2]
+    want = (
+        _events_long(spark)
+        .filter(F.to_date("_time") >= cutoff)
+        .count()
+    )
+    gone = bkt.expire_partitions(spark, path, cutoff)
+    assert len(gone) == 2 and all("_date=" in g for g in gone)
+    assert bkt.read_bucket(spark, path).count() == want
+    # manifest refreshed: pruned scans see no dead files
+    got = bkt.scan_bucket(spark, path, field="click").count()
+    ref = (
+        _events_long(spark)
+        .filter((F.col("_field") == "click") & (F.to_date("_time") >= cutoff))
+        .count()
+    )
+    assert got == ref
+    # idempotent
+    assert bkt.expire_partitions(spark, path, cutoff) == []

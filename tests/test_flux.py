@@ -240,3 +240,29 @@ def test_compiled_plan_inherits_pruning(spark, store):
     )
     assert kept < total
     assert got.count() > 0
+
+
+def test_bare_aggregate_stage(spark, store):
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> mean() |> yield(name: "avg")',
+        {"b": store},
+    )
+    assert got.columns == ["_field", "avg", "n"]
+    ref = {
+        r["_field"]: (round(r["avg"], 9), r["n"])
+        for r in bkt.read_bucket(spark, store)
+        .groupBy("_field")
+        .agg(
+            (
+                F.sum(F.col("_value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert {r["_field"]: (round(r["avg"], 9), r["n"]) for r in got.collect()} == ref
+    with pytest.raises(flux.FluxError, match="no arguments"):
+        flux.compile_flux(spark, 'from(bucket: "b") |> mean(column: "x")', {"b": store})

@@ -355,7 +355,10 @@ def compile_flux(
                 f"{head}() after an aggregation stage is outside the "
                 f"shipped subset (it would filter raw rows): {stage!r}"
             )
-        if head in ("aggregateWindow", "last") and (agg is not None or take_last):
+        if head in (
+            "aggregateWindow", "last", "mean", "count", "sum", "min", "max",
+            "median",
+        ) and (agg is not None or take_last):
             raise FluxError(
                 f"second aggregation stage {head!r} is outside the "
                 "shipped subset (compose in DataFrame land instead)"
@@ -406,6 +409,14 @@ def compile_flux(
             agg = (_duration_seconds(every), fn, create_empty)
         elif head == "last":
             take_last = True
+        elif head in ("mean", "count", "sum", "min", "max", "median"):
+            # bare aggregate: one row per series over the scanned range
+            # (the Flux per-table fold) — reuse the windowed machinery
+            # with a single unbounded "window" by marking every_s=None
+            a = _args(stage, head)
+            if a:
+                raise FluxError(f"bare {head}() takes no arguments in the subset")
+            agg = (None, head, False)
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
@@ -435,8 +446,6 @@ def compile_flux(
                 F.col("n_events").alias("n"),
             )
             return out
-        w = F.window("_time", f"{every_s} seconds").alias("w")
-        g = df.groupBy(w, "_field")
         name = yield_name or fn
         if fn == "mean":
             expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
@@ -452,9 +461,16 @@ def compile_flux(
             expr = F.count(F.lit(1)).cast("long")
         else:  # last: greatest _time wins, value tie-break for determinism
             expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
-        out = g.agg(expr.alias(name), F.count(F.lit(1)).alias("n")).select(
-            F.col("w.start").alias("window_start"), "_field", name, "n"
-        )
+        if every_s is None:
+            # bare aggregate: one row per series over the whole range
+            out = df.groupBy("_field").agg(
+                expr.alias(name), F.count(F.lit(1)).alias("n")
+            )
+        else:
+            w = F.window("_time", f"{every_s} seconds").alias("w")
+            out = df.groupBy(w, "_field").agg(
+                expr.alias(name), F.count(F.lit(1)).alias("n")
+            ).select(F.col("w.start").alias("window_start"), "_field", name, "n")
         if fn == "count":
             out = out.drop("n")
         return out

@@ -275,6 +275,47 @@ def scan(
     return out
 
 
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    older_than_date: str,
+    measurement: str | None = None,
+) -> list[str]:
+    """Retention enforcement — the InfluxDB bucket-retention analog,
+    expressed as partition-directory deletion: drop every ``_date``
+    partition strictly OLDER than ``older_than_date`` (optionally for
+    one measurement), then incrementally refresh the stats manifest so
+    pruning stops listing the dead files. Returns the deleted
+    partition dir names (relative).
+
+    Deleting whole day-directories is the only retention shape that
+    stays O(expired-days) at 100 TB — a row-level DELETE would rewrite
+    the table. Single maintenance writer assumed (like compact);
+    readers racing the delete behave like any vanished-partition read
+    and retry off the refreshed listing. Idempotent: re-running with
+    the same cutoff deletes nothing new."""
+    import os
+    import shutil
+
+    deleted: list[str] = []
+    root = os.path.abspath(path)
+    for mdir in sorted(os.listdir(root)):
+        if not mdir.startswith("_measurement="):
+            continue
+        if measurement is not None and mdir != f"_measurement={measurement}":
+            continue
+        mpath = os.path.join(root, mdir)
+        for ddir in sorted(os.listdir(mpath)):
+            if not ddir.startswith("_date="):
+                continue
+            if ddir.split("=", 1)[1] < older_than_date:
+                shutil.rmtree(os.path.join(mpath, ddir), ignore_errors=True)
+                deleted.append(os.path.join(mdir, ddir))
+    if deleted and os.path.isdir(os.path.join(root, MANIFEST_SUBDIR)):
+        refresh_bucket_manifest(spark, path, incremental=True)
+    return deleted
+
+
 def scan_bucket(
     spark: SparkSession,
     path: str,
