@@ -136,11 +136,11 @@ _CHECKED_WINDOW = [
     # lsh_ann derives banding from the threshold via lsh_tuning ---
     "gap_fill_5m",
     "lsh_ann_verify",
-    # --- new this round: the reference's verbatim Flux text compiled
-    # onto the engine (front-end translation under the hash gate) ---
+    # --- new this round: the reference's verbatim dashboard queries
+    # (windowed mean + gauge last()) compiled from Flux text onto the
+    # engine — the front-end translation itself under the hash gate ---
     "flux_compiled_mean",
-    # --- suite-covered veteran rotating back for its own row (1) ---
-    "weekly_retention",
+    "flux_compiled_gauge",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

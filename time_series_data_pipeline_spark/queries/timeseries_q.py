@@ -680,6 +680,39 @@ def flux_compiled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_gauge",
+    # the Grafana gauge panel (A4: latest reading per field) as its
+    # users write it — `from |> filter |> last()` — compiled onto the
+    # bucket store. NULL values are absent from the bucket write's
+    # source selection, so the oracle filters them identically.
+    oracle="""
+    SELECT event_type AS _field, ts AS last_ts, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts DESC, value DESC) = 1
+    """,
+)
+def flux_compiled_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OTHER panel shape (photo/grafana-result.png
+    gauges, A4) through the Flux front-end: ``last()`` per series,
+    compiled onto the manifest-pruned bucket scan. With
+    `flux_compiled_mean` this covers both query forms the reference's
+    dashboards actually issue."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> last()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
