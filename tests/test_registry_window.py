@@ -129,3 +129,12 @@ def test_folded_singletons_remain_registered():
     for members in SUITE_CONSTITUENTS.values():
         for name in members:
             assert name in QUERIES and name in ORACLE, name
+
+
+def test_window_slots_all_carry_oracles():
+    """A driver slot spent on a rows-only query gets only the weak
+    rows-check — every in-window query must carry an oracle so all 50
+    slots produce hash evidence (rows-only ops are attested via their
+    in-window *_verify partners instead)."""
+    missing = [n for n in _CHECKED_WINDOW if n not in ORACLE]
+    assert not missing, missing
