@@ -434,3 +434,16 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert got == ref
     # idempotent
     assert bkt.expire_partitions(spark, path, cutoff) == []
+
+
+def test_expire_partitions_refuses_streaming_sink_stores(spark, tmp_path):
+    """Deleting partition dirs under a FileStreamSink store would leave
+    _spark_metadata pointing at vanished files (every native read then
+    crashes) — retention must refuse and say why."""
+    import pytest as _pytest
+
+    store = str(tmp_path / "sinkstore")
+    os.makedirs(os.path.join(store, "_spark_metadata"))
+    os.makedirs(os.path.join(store, "_measurement=m", "_date=2024-01-01"))
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        bkt.expire_partitions(spark, store, "2024-02-01")

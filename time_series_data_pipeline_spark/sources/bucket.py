@@ -297,8 +297,20 @@ def expire_partitions(
     import os
     import shutil
 
-    deleted: list[str] = []
     root = os.path.abspath(path)
+    if os.path.isdir(os.path.join(root, "_spark_metadata")):
+        # a FileStreamSink store's readers list files from the
+        # _spark_metadata log, not the directory — deleting partition
+        # dirs would leave the log pointing at vanished files and break
+        # every native read with PATH_NOT_FOUND. Retention on a
+        # streaming store must rewrite the sink log (compact the store
+        # into a batch-written bucket first, then expire there).
+        raise ValueError(
+            f"{path} is a streaming-sink store (_spark_metadata present): "
+            "expire_partitions would orphan the sink log; compact to a "
+            "batch bucket first"
+        )
+    deleted: list[str] = []
     for mdir in sorted(os.listdir(root)):
         if not mdir.startswith("_measurement="):
             continue
