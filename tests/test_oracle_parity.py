@@ -46,6 +46,27 @@ def _rows_to_multiset(cols, rows):
     return sorted(out, key=repr)
 
 
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_schema_has_no_hugeint(name):
+    """DuckDB's SUM(BIGINT) returns HUGEINT, which pandas materializes
+    as float64 ("42.0") while Spark's int64 renders "42" — so the
+    driver's value-hash diverges even on bit-identical values (the
+    VERDICT-r6 pack_sequences red row). Pin, by binding each oracle's
+    plan, that no oracle result column is HUGEINT: every integer SUM
+    (plain or windowed) must be wrapped in CAST(... AS BIGINT)."""
+    con = _duck(SF)
+    rel = con.sql(ORACLE[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not bad, (
+        f"{name}: HUGEINT column(s) {bad} — wrap the integer SUM in "
+        f"CAST(... AS BIGINT) so pandas doesn't coerce to float64"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF)

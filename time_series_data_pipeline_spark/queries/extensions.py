@@ -1847,9 +1847,12 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     o AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY b, doc_id
+             -- CAST: DuckDB's SUM(BIGINT) returns HUGEINT, which pandas
+             -- materializes as float64 and breaks the value-hash against
+             -- Spark's int64 even when every value is identical.
+             CAST(SUM(n_tokens) OVER (ORDER BY b, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-               AS token_offset
+               AS BIGINT) AS token_offset
       FROM d
     )
     SELECT doc_id, n_tokens, token_offset,
