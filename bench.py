@@ -74,6 +74,12 @@ HEADLINE = (
     # the full curation cascade (exact/near dedup + repetition +
     # quality + DSIR) as one job
     "curation_pipeline",
+    # round-7: sequence packing global (single-partition window, the
+    # oracle-parity form) vs 8-way sharded (the 100 TB path) — benched
+    # side by side so the distributed plan's overhead/win is measured,
+    # not claimed (VERDICT r6 item 2)
+    "pack_sequences",
+    "pack_sequences_sharded",
 )
 
 
@@ -165,7 +171,16 @@ def _bench_stream_chain(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("tsdp-bench")
+    # Quiet stdout (VERDICT r6 item 7): the driver captures a bounded
+    # tail of this process's output, and stage progress bars + the
+    # expected streaming-AQE WARN (ResolveWriteToStream disables AQE
+    # inside micro-batches — informational, not a misconfiguration)
+    # were crowding out the one JSON line the contract requires.
+    spark = get_spark(
+        "tsdp-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so timings measure the queries
     QUERIES["window_5m_mean"](spark, sf_dir).write.format("noop").mode(

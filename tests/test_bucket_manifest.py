@@ -406,6 +406,47 @@ def test_manifest_respects_streaming_sink_commit_log(spark, tmp_path):
     assert got == native == 20  # the orphan's 5 rows leak into neither
 
 
+def test_corrupt_sink_log_slice_fails_loudly(spark, tmp_path):
+    """ADVICE r6 (medium): an unreadable _spark_metadata slice must
+    RAISE, not silently drop that batch's committed files from the
+    manifest and the pruned read — spark.read.parquet(root) fails on
+    the same corrupt log, and a fail-silent lister would return fewer
+    rows than the native read with no error anywhere."""
+    import json as _json
+
+    import pytest as _pytest
+
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    sink_path = str(tmp_path / "clog")
+    with open(os.path.join(src, "w.json"), "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"_time_s": 1700000000 + 60 * i, "v": float(i)}) + "\n")
+    q = (
+        spark.readStream.schema("_time_s long, v double")
+        .json(src)
+        .selectExpr(
+            "timestamp_seconds(_time_s) AS _time",
+            "'m' AS _measurement",
+            "'f' AS _field",
+            "v AS _value",
+        )
+        .writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    meta = os.path.join(sink_path, "_spark_metadata")
+    slices = [n for n in os.listdir(meta) if n.isdigit() or n.endswith(".compact")]
+    assert slices
+    with open(os.path.join(meta, slices[0]), "w") as f:
+        f.write('v1\n{"path": "file:///truncated mid-obj')
+    with _pytest.raises(RuntimeError, match="corrupt _spark_metadata"):
+        mf._list_data_files(sink_path)
+
+
 def test_expire_partitions_retention(spark, tmp_path):
     """InfluxDB-style bucket retention: partitions strictly older than
     the cutoff vanish, the manifest follows, and the surviving scan is
@@ -447,3 +488,119 @@ def test_expire_partitions_refuses_streaming_sink_stores(spark, tmp_path):
     os.makedirs(os.path.join(store, "_measurement=m", "_date=2024-01-01"))
     with _pytest.raises(ValueError, match="_spark_metadata"):
         bkt.expire_partitions(spark, store, "2024-02-01")
+
+
+def test_manifest_publish_grace_window_and_reader_race(spark, tmp_path):
+    """ADVICE r6 / VERDICT r6 item 5: rapid back-to-back publishes must
+    NOT delete a generation a reader resolved moments earlier — reaping
+    is time-based (REAP_GRACE_S), so a reader holding any
+    recently-current generation path can still read it after several
+    newer publishes; only once a superseded generation AGES past the
+    grace window does a publish remove it."""
+    import time
+
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+
+    def gens():
+        return sorted(
+            d for d in os.listdir(man) if d.startswith("data-")
+        )
+
+    # simulate a reader that resolved _CURRENT right before a burst of
+    # rapid refreshes
+    with open(os.path.join(man, "_CURRENT")) as f:
+        held = os.path.join(man, f.read().strip())
+    held_df = spark.read.parquet(held)
+    n_before = held_df.count()
+    base = mf.build_stats_manifest(spark, path, ["_field", "_time"])
+    for _ in range(3):
+        mf.write_manifest(base, man)
+    # every generation from the burst survives (all younger than grace)
+    assert len(gens()) == 4
+    assert held_df.count() == n_before  # the held generation still reads
+
+    # age one unreferenced generation past the grace window -> next
+    # publish reaps exactly it (current + immediately-previous are kept
+    # regardless of age)
+    with open(os.path.join(man, "_CURRENT")) as f:
+        cur = f.read().strip()
+    old_t = time.time() - (mf.REAP_GRACE_S + 5)
+    for d in gens():
+        os.utime(os.path.join(man, d), (old_t, old_t))
+    mf.write_manifest(base, man)
+    after = gens()
+    # the new generation plus the one it superseded survive; all other
+    # aged generations are gone
+    assert len(after) == 2
+    assert cur in after
+
+
+def test_manifest_crash_between_generation_and_pointer_heals(spark, tmp_path):
+    """A crash AFTER the generation dir lands but BEFORE the _CURRENT
+    rename must leave readers on the old complete manifest (no partial
+    state is ever visible), and a re-run publish must heal: the orphan
+    is reaped once aged, and scans behave identically throughout."""
+    import shutil
+    import time
+    import uuid
+
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    with open(os.path.join(man, "_CURRENT")) as f:
+        cur_before = f.read().strip()
+    want = bkt.scan_bucket(spark, path, field="click").count()
+
+    # simulate the crash: a fully-written generation dir, pointer never
+    # flipped (copy the current generation under a fresh nonce)
+    orphan = f"data-crash{uuid.uuid4().hex[:8]}"
+    shutil.copytree(os.path.join(man, cur_before), os.path.join(man, orphan))
+    # readers are unaffected: pointer still names the old generation
+    with open(os.path.join(man, "_CURRENT")) as f:
+        assert f.read().strip() == cur_before
+    assert bkt.scan_bucket(spark, path, field="click").count() == want
+
+    # the re-run (the maintenance writer's next tick) publishes fine;
+    # the aged orphan is reaped, and the store scans identically
+    old_t = time.time() - (mf.REAP_GRACE_S + 5)
+    os.utime(os.path.join(man, orphan), (old_t, old_t))
+    bkt.refresh_bucket_manifest(spark, path, incremental=True)
+    assert orphan not in os.listdir(man)
+    assert bkt.scan_bucket(spark, path, field="click").count() == want
+
+
+def test_incremental_refresh_inherits_manifest_columns(spark, tmp_path):
+    """ADVICE r6: a manifest built with a CUSTOM column set must keep
+    that set on default-argument incremental refreshes (retention /
+    rollup maintenance call refresh_bucket_manifest with no columns) —
+    otherwise newly-arrived files get harvested with the defaults and
+    one manifest silently mixes per-file column coverage."""
+    path = str(tmp_path / "custom_cols")
+    rows = _events_long(spark)
+    bkt.write_bucket(rows, path, mode="overwrite", cluster="field")
+    bkt.refresh_bucket_manifest(spark, path, columns=("_value", "_time"))
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+
+    def colset():
+        return {
+            r["column"]
+            for r in mf.read_manifest(spark, man).select("column").distinct().collect()
+        }
+
+    assert colset() == {"_value", "_time"}
+    # new files arrive; the maintenance tick runs with DEFAULT args
+    bkt.write_bucket(
+        rows.withColumn("_time", F.col("_time") + F.expr("INTERVAL 40 DAYS")),
+        path,
+        mode="append",
+        cluster="field",
+    )
+    bkt.refresh_bucket_manifest(spark, path, incremental=True)
+    m = mf.read_manifest(spark, man)
+    assert colset() == {"_value", "_time"}
+    # and EVERY file is covered for both columns (no mixed coverage)
+    n_files = m.select("file").distinct().count()
+    per_col = (
+        m.groupBy("column").agg(F.countDistinct("file").alias("nf")).collect()
+    )
+    assert all(r["nf"] == n_files for r in per_col)

@@ -266,3 +266,152 @@ def test_bare_aggregate_stage(spark, store):
     assert {r["_field"]: (round(r["avg"], 9), r["n"]) for r in got.collect()} == ref
     with pytest.raises(flux.FluxError, match="no arguments"):
         flux.compile_flux(spark, 'from(bucket: "b") |> mean(column: "x")', {"b": store})
+
+
+# -- round-7 transform stages (VERDICT r6 item 4) ---------------------
+
+
+def test_derivative_stage_matches_rate_operator(spark, store):
+    """Compiled derivative(unit: 1s, nonNegative: true) must be the
+    rate() operator over the same pruned scan — bit-identical."""
+    from time_series_data_pipeline_spark.operators.timeseries import rate
+
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> filter(fn: (r) => r["_field"] == "click")'
+        " |> derivative(unit: 1s, nonNegative: true)",
+        {"b": store},
+    )
+    ref = rate(
+        bkt.scan_bucket(spark, store, measurement="events", field="click"),
+        "_time",
+        "_value",
+        ["_field"],
+    )
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, ref.collect()), key=repr
+    )
+
+
+def test_timed_moving_average_matches_trailing_mean(spark, store):
+    """timedMovingAverage(period: 30m) ≡ the trailing RANGE-window
+    mean over 30 minutes of TIME distance (trailing_1h_mean's form)."""
+    from pyspark.sql import Window
+
+    from time_series_data_pipeline_spark.operators.timeseries import _dec
+
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> filter(fn: (r) => r["_field"] == "view")'
+        ' |> timedMovingAverage(period: 30m) |> yield(name: "tm")',
+        {"b": store},
+    )
+    df = bkt.scan_bucket(spark, store, measurement="events", field="view")
+    w = (
+        Window.partitionBy("_field")
+        .orderBy(F.unix_micros("_time"))
+        .rangeBetween(-(30 * 60 * 1_000_000 - 1), 0)
+    )
+    ref = df.select(
+        "_field",
+        "_time",
+        "_value",
+        (
+            F.sum(_dec("_value")).over(w).cast("double")
+            / F.count("_value").over(w).cast("double")
+        ).alias("tm"),
+    )
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, ref.collect()), key=repr
+    )
+
+
+def test_increase_stage_matches_counter_increase(spark, store):
+    """increase() ≡ counter_increase's reset-aware total, per field."""
+    got = {
+        r["_field"]: (r["n"], r["total_increase"])
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b")'
+            ' |> filter(fn: (r) => r["_measurement"] == "events")'
+            " |> increase()",
+            {"b": store},
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    from time_series_data_pipeline_spark.operators.timeseries import _dec
+
+    df = bkt.scan_bucket(spark, store, measurement="events")
+    w = Window.partitionBy("_field").orderBy("_time", "_value")
+    y = _dec("_value")
+    prev = F.lag(y).over(w)
+    delta = F.when(prev.isNull(), F.lit(0).cast("decimal(18,2)")).otherwise(
+        F.when(y >= prev, y - prev).otherwise(y)
+    )
+    ref = {
+        r["_field"]: (r["n"], r["t"])
+        for r in df.select("_field", delta.alias("d"))
+        .groupBy("_field")
+        .agg(F.count("*").alias("n"), F.sum("d").cast("double").alias("t"))
+        .collect()
+    }
+    assert got == ref and len(got) > 1
+
+
+def test_state_duration_stage_flux_convention(spark, store):
+    """stateDuration: −1 wherever the predicate is false, 0 at every
+    true-run's first point, and monotone non-decreasing within a run."""
+    rows = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> stateDuration(fn: (r) => r["_value"] > 50.0)',
+        {"b": store},
+    ).collect()
+    assert any(r["state"] for r in rows) and any(not r["state"] for r in rows)
+    by_field: dict[str, list] = {}
+    for r in rows:
+        by_field.setdefault(r["_field"], []).append(r)
+    for series in by_field.values():
+        series.sort(key=lambda r: (r["_time"], r["_value"]))
+        prev_state, prev_dur = None, None
+        for r in series:
+            if not r["state"]:
+                assert r["stateDuration"] == -1
+            elif prev_state is not True:
+                assert r["stateDuration"] == 0  # run start
+            else:
+                assert r["stateDuration"] >= prev_dur
+            prev_state, prev_dur = r["state"], r["stateDuration"]
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> last(column: "tags")', "no arguments"),
+        ('from(bucket: "b") |> derivative(nonNegative: false)', "nonNegative"),
+        ('from(bucket: "b") |> derivative(unit: 5s, nonNegative: true)',
+         "unit"),
+        ('from(bucket: "b") |> derivative(nonNegative: true, foo: 1)',
+         "unsupported args"),
+        ('from(bucket: "b") |> timedMovingAverage(every: 5m, period: 1h)',
+         "every"),
+        ('from(bucket: "b") |> timedMovingAverage(period: oops)', "oops"),
+        ('from(bucket: "b") |> timedMovingAverage(period: 5)',
+         "bad duration"),
+        ('from(bucket: "b") |> increase(column: "x")', "no arguments"),
+        ('from(bucket: "b") |> stateDuration(unit: 1s)', "requires fn"),
+        ('from(bucket: "b") |> stateDuration(fn: (r) => r["_value"] > 1, '
+         "unit: 2s)", "unit"),
+        ('from(bucket: "b") |> derivative(nonNegative: true) '
+         "|> filter(fn: (r) => r._value > 1)", "subset"),
+        ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: mean) '
+         "|> derivative(nonNegative: true)", "subset"),
+        ('from(bucket: "b") |> increase() |> increase()', "subset"),
+    ],
+)
+def test_transform_stage_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

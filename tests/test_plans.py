@@ -190,6 +190,22 @@ def test_round4_additions_shuffle_budget(spark, name, max_shuffles, traits):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_pack_sequences_sharded_has_no_single_partition_exchange(spark):
+    """The sharded pack (VERDICT r6 item 2) must be fully distributed:
+    per-shard running offsets via Window.partitionBy, shard bases via a
+    triangular broadcast join over the K-row totals aggregate. Pin that
+    the executed plan contains NO single-partition exchange — the
+    global default's Window.orderBy necessarily does (documented as the
+    oracle-parity form), so assert both directions."""
+    from time_series_data_pipeline_spark.operators import text as tx
+
+    docs = table(spark, SF_SMOKE, "documents")
+    sharded = tx.pack_sequences(docs, budget=128, n_shards=8)
+    assert "SinglePartition" not in plan_of(sharded)
+    global_ = tx.pack_sequences(docs, budget=128)
+    assert "SinglePartition" in plan_of(global_)
+
+
 def test_gap_fill_has_no_forced_broadcast(spark):
     """gap_fill's aggregated side is (buckets x series)-sized — the same
     order as the operator's OUTPUT — so a broadcast HINT on it caps the

@@ -49,16 +49,14 @@ def test_checked_window_is_first_50():
     assert list(QUERIES)[:50] == _CHECKED_WINDOW
 
 
-def test_round5_singletons_lead_the_window():
-    # the 20 round-5 singletons that never had their own driver row go
-    # first so a driver cap tighter than 50 still reaches them
-    assert set(_CHECKED_WINDOW[:20]) == {
-        "source_cap_docs", "trigram_familiarity", "split_leakage_guard",
-        "embedding_pq_topk", "embedding_pq_rerank", "window_percentiles_15m",
-        "day_over_day_delta", "dedup_apply", "dq_lineitem", "pack_sequences",
-        "negative_pairs", "dsir_weights", "duplicate_spans",
-        "hybrid_search_rrf", "curation_pipeline", "span_dedup_apply",
-        "mixture_plan", "corpus_drift", "chunk_dedup_stats", "label_outliers",
+def test_new_and_changed_queries_lead_the_window():
+    # round-7 policy: queries that are new or whose implementation /
+    # oracle changed this round go first so a driver cap tighter than
+    # 50 still reaches them
+    assert set(_CHECKED_WINDOW[:6]) == {
+        "pack_sequences_sharded", "flux_compiled_derivative",
+        "flux_compiled_moving_avg", "flux_compiled_increase",
+        "flux_compiled_state_duration", "pack_sequences",
     }
 
 

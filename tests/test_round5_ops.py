@@ -699,6 +699,71 @@ def test_pack_sequences_conservation(spark):
         assert r["seq_last"] == (r["token_offset"] + r["n_tokens"] - 1) // 10
 
 
+def test_pack_sequences_sharded_semantics(spark):
+    """The sharded scale path: (a) unpadded, it equals the global pack
+    under the (shard, rank, id) ordering — contiguous tiling, every
+    token accounted for; (b) pad_shards=True starts every shard at a
+    budget multiple, so no training sequence crosses a shard boundary
+    and within-shard layout is unchanged."""
+    from time_series_data_pipeline_spark.operators.sampling import hash_bucket
+    from time_series_data_pipeline_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 7))) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget=10, n_shards=4).collect()
+    offs = sorted((r["token_offset"], r["n_tokens"]) for r in out)
+    assert offs[0][0] == 0
+    for (o1, n1), (o2, _) in zip(offs, offs[1:]):
+        assert o1 + n1 == o2  # contiguous global tiling, gap/overlap-free
+
+    padded = pack_sequences(docs, budget=10, n_shards=4, pad_shards=True)
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            (hash_bucket(F.col("doc_id"), "pack:shard") % 4).alias("s"),
+        ).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in padded.collect():
+        by_shard.setdefault(shard_of[r["doc_id"]], []).append(r)
+    seq_owner: dict[int, int] = {}
+    for s, rows in by_shard.items():
+        rows.sort(key=lambda r: r["token_offset"])
+        # shard starts at a budget multiple and tiles contiguously within
+        assert rows[0]["token_offset"] % 10 == 0
+        for r1, r2 in zip(rows, rows[1:]):
+            assert r1["token_offset"] + r1["n_tokens"] == r2["token_offset"]
+        # no sequence id is shared across shards
+        for r in rows:
+            for seq in range(r["seq_first"], r["seq_last"] + 1):
+                assert seq_owner.setdefault(seq, s) == s, (
+                    f"sequence {seq} spans shards {seq_owner[seq]} and {s}"
+                )
+    # padding must not reorder docs within a shard vs the unpadded pack
+    unpadded_rank = {
+        s: [r["doc_id"] for r in sorted(
+            (r for r in out if shard_of[r["doc_id"]] == s),
+            key=lambda r: r["token_offset"],
+        )]
+        for s in by_shard
+    }
+    for s, rows in by_shard.items():
+        assert [r["doc_id"] for r in rows] == unpadded_rank[s]
+
+
+def test_pack_sequences_rejects_bad_shards(spark):
+    import pytest
+
+    from time_series_data_pipeline_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(docs, budget=10, n_shards=0)
+
+
 def test_jsonl_ingestion_quarantines_malformed_lines(spark, tmp_path):
     from time_series_data_pipeline_spark.sources.jsonl import (
         read_events_jsonl,

@@ -32,6 +32,8 @@ stage):
     pipeline   := from ( '|>' stage )*
     from       := 'from' '(' 'bucket:' STRING ')'
     stage      := range | filter | aggregateWindow | last | yield
+                | derivative | timedMovingAverage | increase
+                | stateDuration
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
     filter     := 'filter' '(' 'fn:' '(r)' '=>' predicate ')'
     predicate  := orExpr ; orExpr := andExpr ('or' andExpr)* ;
@@ -40,6 +42,30 @@ stage):
     ref        := 'r["col"]' | 'r.col'
     time       := RFC3339 string | relative duration (-7d) | v.NAME
     duration   := INT ('s'|'m'|'h'|'d'|'w')
+
+Round 7 (VERDICT r6 item 4) adds the InfluxDB UI's transform stages
+the engine already owned operators for — each compiles onto the
+registered operator so the compiled form is hash-attested against the
+same oracle shape:
+
+* ``derivative(unit: 1s, nonNegative: true)`` → `operators.timeseries
+  .rate` (per-point delta/Δt with the counter-reset rule; the subset
+  ships unit 1s and nonNegative true — the dashboard counter form —
+  and raises otherwise rather than approximating).
+* ``timedMovingAverage(period: 1h)`` → the `trailing_1h_mean`
+  RANGE-window form (per-point trailing mean over TIME distance). The
+  windowed-emission form (``every:`` ≠ per-point) is out of subset and
+  raises.
+* ``increase()`` → `operators.timeseries.counter_increase` (per-series
+  total monotonic increase — the stat-panel form, ≡ Flux
+  ``increase() |> last()``).
+* ``stateDuration(fn: (r) => pred)`` → the `state_duration` run-length
+  machinery, with Flux's convention: seconds in the CURRENT run where
+  the predicate holds, −1 where it doesn't.
+
+All four are TERMINAL in the subset (only yield may follow); a
+range/filter after them, or composing them with another
+aggregation/transform stage, raises rather than mis-compiling.
 """
 
 from __future__ import annotations
@@ -326,6 +352,7 @@ def compile_flux(
     residual_preds: list[Column] = []
     agg = None  # (every_s, fn, create_empty)
     take_last = False
+    transform = None  # ("derivative",) | ("tma", period_s) | ("increase",) | ("state_duration", Column)
     yield_name = None
 
     def _bound(tok: str) -> str:
@@ -343,25 +370,28 @@ def compile_flux(
             return out.strftime("%Y-%m-%d %H:%M:%S")
         return str(v).replace("T", " ").replace("Z", "")
 
+    _TERMINAL_HEADS = (
+        "aggregateWindow", "last", "mean", "count", "sum", "min", "max",
+        "median", "derivative", "timedMovingAverage", "increase",
+        "stateDuration",
+    )
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
+        terminal_seen = agg is not None or take_last or transform is not None
         # stage ORDER is semantics: range/filter after an aggregation
         # stage would apply to raw rows, and aggregateWindow|>last would
         # silently drop last() — the shipped subset supports row-level
-        # stages strictly BEFORE one terminal aggregation stage, and
-        # raises on anything else rather than mis-compiling it
-        if head in ("range", "filter") and (agg is not None or take_last):
+        # stages strictly BEFORE one terminal aggregation/transform
+        # stage, and raises on anything else rather than mis-compiling
+        if head in ("range", "filter") and terminal_seen:
             raise FluxError(
-                f"{head}() after an aggregation stage is outside the "
-                f"shipped subset (it would filter raw rows): {stage!r}"
+                f"{head}() after an aggregation/transform stage is outside "
+                f"the shipped subset (it would filter raw rows): {stage!r}"
             )
-        if head in (
-            "aggregateWindow", "last", "mean", "count", "sum", "min", "max",
-            "median",
-        ) and (agg is not None or take_last):
+        if head in _TERMINAL_HEADS and terminal_seen:
             raise FluxError(
-                f"second aggregation stage {head!r} is outside the "
-                "shipped subset (compose in DataFrame land instead)"
+                f"second aggregation/transform stage {head!r} is outside "
+                "the shipped subset (compose in DataFrame land instead)"
             )
         if head == "range":
             a = _args(stage, "range")
@@ -408,7 +438,74 @@ def compile_flux(
                 raise FluxError(f"createEmpty: expected a boolean, got {ce_raw!r}")
             agg = (_duration_seconds(every), fn, create_empty)
         elif head == "last":
+            if _args(stage, "last"):
+                # last(column: "tags") would silently compile as last on
+                # _value — a miscompilation; raise like the bare aggregates
+                raise FluxError(
+                    f"last() takes no arguments in the subset: {stage!r}"
+                )
             take_last = True
+        elif head == "derivative":
+            a = _args(stage, "derivative")
+            unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+            if not (isinstance(unit, str) and _duration_seconds(unit) == 1):
+                raise FluxError(
+                    f"derivative unit {unit!r} outside the subset (ships 1s)"
+                )
+            nn = _resolve(a["nonNegative"], params) if "nonNegative" in a else False
+            if nn is not True:
+                # nonNegative: true is the counter form `rate` implements;
+                # the signed form would need different reset semantics
+                raise FluxError(
+                    "derivative ships nonNegative: true only (counter rate)"
+                )
+            extra = set(a) - {"unit", "nonNegative"}
+            if extra:
+                raise FluxError(f"derivative: unsupported args {sorted(extra)}")
+            transform = ("derivative",)
+        elif head == "timedMovingAverage":
+            a = _args(stage, "timedMovingAverage")
+            if "every" in a:
+                raise FluxError(
+                    "timedMovingAverage every: (windowed emission) is outside "
+                    "the subset — the shipped form is the per-point trailing "
+                    "mean over period:"
+                )
+            period = _resolve(a.get("period", ""), params)
+            if not (isinstance(period, str) and _DUR_RE.match(period)):
+                raise FluxError(
+                    f"timedMovingAverage period: bad duration {period!r}"
+                )
+            period_s = _duration_seconds(period)
+            if period_s <= 0:
+                raise FluxError(f"timedMovingAverage period must be > 0: {period!r}")
+            extra = set(a) - {"period"}
+            if extra:
+                raise FluxError(
+                    f"timedMovingAverage: unsupported args {sorted(extra)}"
+                )
+            transform = ("tma", period_s)
+        elif head == "increase":
+            if _args(stage, "increase"):
+                raise FluxError(f"increase() takes no arguments in the subset: {stage!r}")
+            transform = ("increase",)
+        elif head == "stateDuration":
+            a = _args(stage, "stateDuration")
+            if "fn" not in a:
+                raise FluxError("stateDuration requires fn: (r) => predicate")
+            unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+            if not (isinstance(unit, str) and _duration_seconds(unit) == 1):
+                raise FluxError(
+                    f"stateDuration unit {unit!r} outside the subset (ships 1s)"
+                )
+            extra = set(a) - {"fn", "unit"}
+            if extra:
+                raise FluxError(f"stateDuration: unsupported args {sorted(extra)}")
+            m = re.match(r"^\(\s*r\s*\)\s*=>\s*(.*)$", a["fn"].strip(), re.DOTALL)
+            if not m:
+                raise FluxError(f"malformed stateDuration fn: {a['fn']!r}")
+            pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
+            transform = ("state_duration", pred)
         elif head in ("mean", "count", "sum", "min", "max", "median"):
             # bare aggregate: one row per series over the scanned range
             # (the Flux per-table fold) — reuse the windowed machinery
@@ -429,6 +526,86 @@ def compile_flux(
     )
     for p in residual_preds:
         df = df.filter(p)
+
+    if transform is not None:
+        from pyspark.sql import Window
+
+        kind = transform[0]
+        if kind == "derivative":
+            from .operators.timeseries import rate
+
+            out = rate(df, "_time", "_value", ["_field"])
+            if yield_name:
+                out = out.withColumnRenamed("rate_per_s", yield_name)
+            return out
+        if kind == "tma":
+            # mirror the attested trailing_1h_mean form: TIME-distance
+            # RANGE frame over integer epoch µs, exact decimal sums
+            period_s = transform[1]
+            w = (
+                Window.partitionBy("_field")
+                .orderBy(F.unix_micros("_time"))
+                .rangeBetween(-(period_s * 1_000_000 - 1), 0)
+            )
+            return df.select(
+                "_field",
+                "_time",
+                "_value",
+                (
+                    F.sum(_dec("_value")).over(w).cast("double")
+                    / F.count("_value").over(w).cast("double")
+                ).alias(yield_name or "trailing_mean"),
+            )
+        if kind == "increase":
+            # mirror the attested counter_increase form (exact decimal
+            # deltas, reset-aware); tiebreak on _value — the store
+            # carries no surrogate id
+            w = Window.partitionBy("_field").orderBy("_time", "_value")
+            y = _dec("_value")
+            prev = F.lag(y).over(w)
+            delta = F.when(prev.isNull(), F.lit(0).cast("decimal(18,2)")).otherwise(
+                F.when(y >= prev, y - prev).otherwise(y)
+            )
+            return (
+                df.filter(F.col("_value").isNotNull())
+                .select("_field", delta.alias("__d"))
+                .groupBy("_field")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("__d")
+                    .cast("double")
+                    .alias(yield_name or "total_increase"),
+                )
+            )
+        # state_duration: run ids via change detection, duration against
+        # the run's first timestamp; Flux convention — −1 where the
+        # predicate is false, 0 at each true-run's first point
+        pred = transform[1]
+        w = Window.partitionBy("_field").orderBy("_time", "_value")
+        chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
+        runs = df.select(
+            "_field",
+            "_time",
+            "_value",
+            pred.alias("state"),
+            F.sum(chg)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("run_id"),
+        )
+        wr = Window.partitionBy("_field", "run_id")
+        dur = (
+            (F.unix_micros("_time") - F.min(F.unix_micros("_time")).over(wr))
+            / F.lit(1_000_000)
+        ).cast("long")
+        return runs.select(
+            "_field",
+            "_time",
+            "_value",
+            "state",
+            F.when(F.col("state"), dur)
+            .otherwise(F.lit(-1).cast("long"))
+            .alias(yield_name or "stateDuration"),
+        )
 
     if agg is not None:
         every_s, fn, create_empty = agg

@@ -627,6 +627,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
+    n_shards: int | None = None,
+    pad_shards: bool = False,
 ) -> DataFrame:
     """Sequence-packing manifest (the GPT-style concat-and-chop pack):
     documents are laid out in a deterministic pseudo-random order
@@ -638,23 +640,91 @@ def pack_sequences(
     materializing the concatenation.
 
     Exact integer arithmetic end to end (token counts, running sums,
-    floor-division), so the pack is reproducible on any engine. One
-    window over one global ordering — at 100 TB, shard first (pack per
-    shard) exactly as real pipelines do; the within-shard math is this.
+    floor-division), so the pack is reproducible on any engine.
+
+    ``n_shards=None`` (the oracle-parity default) runs one window over
+    one global ordering — a single-partition pass, fine up to ~10^8
+    rows but not at 100 TB. ``n_shards=K`` is the scale path: docs are
+    hash-assigned to K shards, running offsets are computed PER SHARD
+    (``Window.partitionBy(shard)`` — fully distributed), and each
+    shard's base offset comes from a K-row triangular broadcast join
+    over per-shard token totals, so the plan contains NO
+    single-partition exchange (pinned by a plan test). The layout is
+    the exact global pack under the ordering (shard, rank, id) — same
+    manifest semantics, different (still deterministic) document order.
+
+    ``pad_shards=True`` additionally rounds each shard's base up to a
+    ``budget`` multiple so no training sequence crosses a shard
+    boundary — the layout real loaders want when shards are files that
+    ship to different data-parallel ranks (the tail sequence of each
+    shard is short/padded instead of stitched across files).
     """
     from pyspark.sql import Window
 
     from .sampling import hash_bucket
 
     n_tok = F.size(tokens(text_col)).cast("long")
-    w = Window.orderBy(
-        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d = df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        (F.sum(n_tok).over(w) - n_tok).alias("token_offset"),
-    )
+    rank = hash_bucket(F.col(id_col), salt)
+
+    if n_shards is None:
+        w = Window.orderBy(rank.asc(), F.col(id_col).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        d = df.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            (F.sum(n_tok).over(w) - n_tok).alias("token_offset"),
+        )
+    else:
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        # Shard from an independently-salted hash so shard membership and
+        # within-shard rank are uncorrelated.
+        shard = (hash_bucket(F.col(id_col), salt + ":shard") % n_shards).alias(
+            "shard"
+        )
+        base_rows = df.select(
+            F.col(id_col), n_tok.alias("n_tokens"), shard, rank.alias("rank")
+        )
+        w = Window.partitionBy("shard").orderBy(
+            F.col("rank").asc(), F.col(id_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        within = base_rows.select(
+            id_col,
+            "n_tokens",
+            "shard",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("within_offset"),
+        )
+        totals = base_rows.groupBy("shard").agg(
+            F.sum("n_tokens").alias("shard_tokens")
+        )
+        # Budget-aligned span when padding: the next shard starts at the
+        # next budget multiple, leaving a short final sequence per shard.
+        span = (
+            (F.ceil(F.col("shard_tokens") / budget) * budget).cast("long")
+            if pad_shards
+            else F.col("shard_tokens")
+        )
+        spans = totals.select("shard", span.alias("span"))
+        # Per-shard base offset = sum of spans of all EARLIER shards, via a
+        # triangular broadcast self-join over the K-row aggregate — no
+        # Window.orderBy over an unpartitioned frame anywhere in the plan.
+        a, b = spans.alias("a"), spans.alias("b")
+        bases = (
+            a.join(
+                F.broadcast(b),
+                F.col("b.shard") < F.col("a.shard"),
+                "left",
+            )
+            .groupBy(F.col("a.shard").alias("shard"))
+            .agg(F.coalesce(F.sum("b.span"), F.lit(0)).cast("long").alias("base"))
+        )
+        d = within.join(F.broadcast(bases), "shard").select(
+            id_col,
+            "n_tokens",
+            (F.col("base") + F.col("within_offset")).alias("token_offset"),
+        )
+
     seq_first = F.floor(F.col("token_offset") / budget).cast("long")
     seq_last = F.floor(
         (F.col("token_offset") + F.col("n_tokens") - 1) / budget

@@ -86,61 +86,62 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round-5 singletons getting their own first driver row (20).
-    # The five stat/Flux-parity r5 singletons (trailing_1h_mean,
-    # state_duration, series_correlation, holt_linear_final,
-    # decimate_lttb) stay below the cap: they are suite_round5 arms,
-    # so their hashes are attested through the in-window suite
-    # (resolves the 53>50 overflow flagged in ROUND_NOTES r5). ---
-    "source_cap_docs",
-    "trigram_familiarity",
-    "split_leakage_guard",
-    "embedding_pq_topk",
-    "embedding_pq_rerank",
-    "window_percentiles_15m",
-    "day_over_day_delta",
-    "dedup_apply",
-    "dq_lineitem",
+    # --- round 7: new or changed this round go first (6).
+    # pack_sequences_sharded is the new distributed pack (VERDICT r6
+    # item 2); the four flux_compiled_* are the round's compiler
+    # extensions (item 4); pack_sequences re-attests with the
+    # HUGEINT-cast oracle fix that turns its r6 red row green (item 1)
+    # — its implementation was also refactored for the shard path. ---
+    "pack_sequences_sharded",
+    "flux_compiled_derivative",
+    "flux_compiled_moving_avg",
+    "flux_compiled_increase",
+    "flux_compiled_state_duration",
     "pack_sequences",
-    "negative_pairs",
-    "dsir_weights",
-    "duplicate_spans",
-    "hybrid_search_rrf",
-    "curation_pipeline",
-    "span_dedup_apply",
-    "mixture_plan",
-    "corpus_drift",
-    "chunk_dedup_stats",
-    "label_outliers",
-    # --- veterans displaced in r5, last green r1-r4, not covered by
-    # any suite — restore their own rows (17) ---
-    "window_sliding_15m_5m",
-    "resample_hourly",
-    "range_join_clicks_before_error",
-    "rollup_day_from_hour",
-    "counter_rate",
-    "decimate_minmax_15m",
-    "rolling_stats_zscore",
-    "asof_error_click",
-    "value_percentiles_approx",
-    "value_histogram",
-    "merge_value_intervals",
-    "events_pivot_counts",
-    "pricing_summary",
-    "sql_surface_top_part_types",
-    "distinct_users_two_phase",
-    "salted_join_segment_counts",
-    "approx_distinct_users",
-    # --- operators whose implementation changed this round get fresh
-    # attestation (2): gap_fill drops its forced broadcast hint,
-    # lsh_ann derives banding from the threshold via lsh_tuning ---
-    "gap_fill_5m",
-    "lsh_ann_verify",
-    # --- new this round: the reference's verbatim dashboard queries
-    # (windowed mean + gauge last()) compiled from Flux text onto the
-    # engine — the front-end translation itself under the hash gate ---
-    "flux_compiled_mean",
-    "flux_compiled_gauge",
+    # --- rotation (VERDICT r6 item 3), oldest-green first: the 34
+    # registered singletons whose last own hash-green row is r5 and
+    # which no in-window suite covers — includes the three *_verify
+    # partners that re-attest the rows-only sketch/LSH ops. ---
+    "asof_nearest_click",
+    "bm25_search",
+    "bpe_encode_stats",
+    "bpe_token_stats",
+    "contamination_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_chunks",
+    "doc_profile",
+    "doc_repetition",
+    "embedding_dedup_clusters",
+    "embedding_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_quantized_topk",
+    "embedding_topk",
+    "ewma_final",
+    "heavy_hitter_verify",
+    "label_centroids",
+    "last_value_per_type",
+    "minhash_lsh_verify",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "ngram_jaccard_pairs",
+    "profile_columns",
+    "sampling_splits",
+    "scrub_pii",
+    "session_windows_5m",
+    "simhash_verify",
+    "similar_part_names",
+    "top_ngrams",
+    "unpivot_lineitem",
+    "vocab_coverage",
+    "weighted_sample_docs",
+    "winnow_fingerprints",
+    # --- one never-own-row suite arm gets its first own row (the
+    # remaining four — trailing_1h_mean, state_duration,
+    # series_correlation, decimate_lttb — stay attested as suite_round5
+    # arms; two of them additionally re-attest through the compiled
+    # flux_compiled_moving_avg / flux_compiled_state_duration forms) ---
+    "holt_linear_final",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

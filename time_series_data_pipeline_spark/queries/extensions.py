@@ -1873,6 +1873,51 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pack_sequences(table(spark, sf_dir, "documents"), budget=128)
 
 
+@query(
+    "pack_sequences_sharded",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+                   1, 15)) AS BIGINT) % 1000000 AS b,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                   || 'pack:shard'), 1, 15)) AS BIGINT) % 1000000 % 8 AS shard
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             -- The sharded pack is by construction the exact global pack
+             -- under the ordering (shard, rank, id); CAST because DuckDB's
+             -- SUM(BIGINT) returns HUGEINT (pandas float64, hash-breaking).
+             CAST(SUM(n_tokens) OVER (ORDER BY shard, b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS token_offset
+      FROM d
+    )
+    SELECT doc_id, n_tokens, token_offset,
+           CAST(FLOOR(token_offset / 128) AS BIGINT) AS seq_first,
+           CAST(FLOOR((token_offset + n_tokens - 1) / 128) AS BIGINT)
+             AS seq_last,
+           CAST(FLOOR((token_offset + n_tokens - 1) / 128)
+                - FLOOR(token_offset / 128) AS BIGINT) AS n_boundary_splits
+    FROM o
+    """,
+)
+def pack_sequences_sharded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sequence packing, SCALE PATH (VERDICT r6 item 2): 8-way
+    hash-sharded — per-shard running offsets via Window.partitionBy
+    (distributed), shard base offsets via a triangular broadcast join
+    over the 8-row totals aggregate. The plan contains no
+    single-partition exchange (pinned by tests/test_plans.py), yet the
+    result is the exact global pack under the (shard, rank, id)
+    ordering, so it stays hash-attestable against a plain windowed-SUM
+    oracle."""
+    return tx.pack_sequences(
+        table(spark, sf_dir, "documents"), budget=128, n_shards=8
+    )
+
+
 _NEG_BUCKET = (
     "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'),"
     " 1, 15)) AS BIGINT) % 1000000"

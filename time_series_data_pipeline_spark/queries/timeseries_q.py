@@ -713,6 +713,188 @@ def flux_compiled_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_derivative",
+    # Flux derivative(unit: 1s, nonNegative: true) — the UI's counter
+    # panel — compiled onto operators.timeseries.rate over the bucket
+    # store. Mirrors counter_rate's attested oracle shape (reset rule,
+    # round-9 determinism) with the store's (_time, _value) tiebreak;
+    # NULLIF guards zero-Δt ties exactly like Spark's try_divide.
+    oracle="""
+    SELECT event_type AS _field, ts AS _time, value AS _value,
+           round(CASE
+             WHEN lag(value) OVER w IS NULL THEN NULL
+             WHEN value >= lag(value) OVER w
+               THEN (value - lag(value) OVER w)
+                    / (CAST(NULLIF(epoch_us(ts) - epoch_us(lag(ts) OVER w),
+                            0) AS DOUBLE) / 1000000.0)
+             ELSE value
+                  / (CAST(NULLIF(epoch_us(ts) - epoch_us(lag(ts) OVER w),
+                          0) AS DOUBLE) / 1000000.0)
+           END, 9) AS rate_per_s
+    FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    """,
+)
+def flux_compiled_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 item 4: `derivative` through the Flux front-end —
+    a reference user pasting the InfluxDB UI's counter-rate panel gets
+    `operators.timeseries.rate` (per-pair delta/Δt, reset-aware) over
+    the manifest-pruned bucket scan. Round-9 applied at the query layer
+    exactly as counter_rate does (shared-rounding determinism policy)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> derivative(unit: 1s, nonNegative: true)
+          |> yield(name: "rate_per_s")
+        """,
+        {"gas-quality": path},
+    )
+    return out.select(
+        "_field", "_time", "_value", F.round("rate_per_s", 9).alias("rate_per_s")
+    )
+
+
+@query(
+    "flux_compiled_moving_avg",
+    # Flux timedMovingAverage(period: 1h) — per-point trailing TIME-
+    # distance mean, the trailing_1h_mean RANGE-window form served
+    # through the front-end. Exact decimal sums keep the means
+    # bit-identical across engines (no rounding needed).
+    oracle="""
+    SELECT event_type AS _field, ts AS _time, value AS _value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) AS trailing_mean_1h
+    FROM events
+    WHERE event_type = 'view'
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def flux_compiled_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 item 4: `timedMovingAverage` through the Flux
+    front-end — compiles onto the trailing RANGE-window mean the engine
+    already attests as trailing_1h_mean (TIME-distance frame over epoch
+    µs, so irregular sampling is averaged correctly)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> timedMovingAverage(period: 1h)
+          |> yield(name: "trailing_mean_1h")
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_increase",
+    # Flux increase() — per-series total monotonic increase (the stat
+    # panel's number, ≡ increase() |> last()), compiled onto the
+    # counter_increase form: exact decimal deltas, reset-aware,
+    # (_time, _value) tiebreak.
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS y,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY event_type ORDER BY ts, value) AS prev
+      FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT event_type AS _field, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
+                         WHEN y >= prev THEN y - prev
+                         ELSE y END) AS DOUBLE) AS total_increase
+    FROM d
+    GROUP BY event_type
+    """,
+)
+def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 item 4: `increase()` through the Flux front-end —
+    the per-series total a dashboard stat panel shows, mirroring the
+    attested counter_increase operator (exact decimal arithmetic, one
+    window pass + one hash-agg on the same keys = one shuffle)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> increase()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_state_duration",
+    # Flux stateDuration(fn) — seconds in the CURRENT run where the
+    # predicate holds, −1 where it doesn't (the Flux convention; the
+    # engine's state_duration reports both states' runs). Exact
+    # integer-µs arithmetic; (_time, _value) tiebreak.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, value, (value > 50.0) AS state
+      FROM events
+    ),
+    chg AS (
+      SELECT *, CASE WHEN state IS DISTINCT FROM lag(state) OVER w
+                     THEN 1 ELSE 0 END AS is_chg
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ),
+    runs AS (
+      SELECT *, CAST(SUM(is_chg) OVER w AS BIGINT) AS run_id
+      FROM chg WINDOW w AS (PARTITION BY event_type ORDER BY ts, value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+    )
+    SELECT event_type AS _field, ts AS _time, value AS _value, state,
+           CASE WHEN state THEN
+             CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER
+                   (PARTITION BY event_type, run_id)) // 1000000 AS BIGINT)
+           ELSE CAST(-1 AS BIGINT) END AS stateDuration
+    FROM runs
+    """,
+)
+def flux_compiled_state_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 item 4: `stateDuration` through the Flux front-end —
+    run-length state tracking (the "how long has the sensor been out of
+    range" panel) with Flux's −1-outside-state convention, compiled
+    onto the state_duration run-id machinery: three windows over ONE
+    partitioning = one shuffle."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> stateDuration(fn: (r) => r["_value"] > 50.0, unit: 1s)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,

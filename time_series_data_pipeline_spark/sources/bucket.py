@@ -30,12 +30,21 @@ keeps interactive queries reading a constant number of files.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import timeseries as ts_ops
 
 BUCKET_COLS = ("_time", "_measurement", "_field", "_value", "tags")
+
+#: Serializes session-global SQL-conf mutations (parquet timestamp
+#: type in write_bucket, partitionOverwriteMode in
+#: refresh_hourly_rollup) — the confs have no per-write
+#: DataFrameWriter option, so concurrent writers in one session would
+#: race the set/restore.
+_SESSION_CONF_LOCK = threading.Lock()
 
 
 def to_long(
@@ -117,23 +126,35 @@ def write_bucket(
     spark = df.sparkSession
     # INT96 (Spark's legacy parquet timestamp) carries NO column stats,
     # which silently disables both row-group skipping on _time and the
-    # stats manifest; write INT64 micros for the duration of the write
-    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try:
-        out = (
-            dated.sortWithinPartitions("_field", "_time")
-            .write.mode(mode)
-            .partitionBy("_measurement", "_date")
+    # stats manifest; write INT64 micros for the duration of the write.
+    # The conf is session-global with no per-write DataFrameWriter
+    # option, so the set/write/restore is serialized under a module
+    # lock (ADVICE r6): two concurrent write_bucket calls — or any
+    # thread racing this block with its own parquet write — could
+    # otherwise clobber each other's timestamp type or restore the
+    # wrong value. Other writers in the same session that bypass this
+    # lock still race the conf; they should take _SESSION_CONF_LOCK too.
+    with _SESSION_CONF_LOCK:
+        prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        if mode == "overwrite":
-            out = out.option("partitionOverwriteMode", "dynamic")
-        out.parquet(path)
-    finally:
-        if prev_ts is None:
-            spark.conf.unset("spark.sql.parquet.outputTimestampType")
-        else:
-            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
+        try:
+            out = (
+                dated.sortWithinPartitions("_field", "_time")
+                .write.mode(mode)
+                .partitionBy("_measurement", "_date")
+            )
+            if mode == "overwrite":
+                out = out.option("partitionOverwriteMode", "dynamic")
+            out.parquet(path)
+        finally:
+            if prev_ts is None:
+                spark.conf.unset("spark.sql.parquet.outputTimestampType")
+            else:
+                spark.conf.set(
+                    "spark.sql.parquet.outputTimestampType", prev_ts
+                )
 
 
 def read_bucket(spark: SparkSession, path: str) -> DataFrame:
@@ -203,7 +224,7 @@ MANIFEST_SUBDIR = "_stats_manifest"
 def refresh_bucket_manifest(
     spark: SparkSession,
     path: str,
-    columns: tuple[str, ...] = ("_field", "_time"),
+    columns: tuple[str, ...] | None = None,
     incremental: bool = False,
 ) -> str:
     """(Re)build the bucket's file-level stats manifest — the engine
@@ -218,13 +239,34 @@ def refresh_bucket_manifest(
     does not cover yet and drops rows for compacted-away files — the
     steady-state maintenance tick whose cost tracks arrival, not store
     size (single maintenance writer assumed, like any table format's
-    metadata commit)."""
+    metadata commit).
+
+    ``columns=None`` (the default) derives the column set from the
+    EXISTING manifest's distinct ``column`` values when one is present
+    (ADVICE r6: a hardcoded default here would harvest newly-arrived
+    files with different columns than the manifest was built with,
+    silently mixing per-file coverage); only a store with no manifest
+    yet falls back to the bucket's standard ("_field", "_time")."""
     import os
 
     from . import manifest as mf
 
     man = os.path.join(path, MANIFEST_SUBDIR)
-    if incremental and os.path.isdir(man):
+    have_manifest = os.path.isdir(man)
+    if columns is None:
+        if have_manifest:
+            columns = tuple(
+                sorted(
+                    r["column"]
+                    for r in mf.read_manifest(spark, man)
+                    .select("column")
+                    .distinct()
+                    .collect()
+                )
+            ) or ("_field", "_time")
+        else:
+            columns = ("_field", "_time")
+    if incremental and have_manifest:
         mf.refresh_stats_manifest(spark, path, man, list(columns))
     else:
         mf.write_manifest(
@@ -415,22 +457,32 @@ def refresh_hourly_rollup(
     day's scan, not the table's. At 100 TB this is THE rollup
     maintenance pattern: the overwrite granularity equals the bucket's
     partition granularity, so refresh cost tracks data arrival, not
-    history size."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        b = read_bucket(spark, bucket_path)
-        if dates is not None:
-            b = b.filter(F.col("_date").isin(dates))
-        (
-            hourly_rollup(b)
-            .repartition("_measurement", "_date")
-            .write.mode("overwrite")
-            .partitionBy("_measurement", "_date")
-            .parquet(rollup_path)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    history size.
+
+    ONE maintenance writer per rollup store assumed (VERDICT r6 item
+    5) — two concurrent refreshes of the same date would race the
+    partition overwrite, the same contract every table format's commit
+    makes; the session-conf mutation below is additionally serialized
+    under ``_SESSION_CONF_LOCK`` against unrelated writers in the same
+    session."""
+    with _SESSION_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            b = read_bucket(spark, bucket_path)
+            if dates is not None:
+                b = b.filter(F.col("_date").isin(dates))
+            (
+                hourly_rollup(b)
+                .repartition("_measurement", "_date")
+                .write.mode("overwrite")
+                .partitionBy("_measurement", "_date")
+                .parquet(rollup_path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )

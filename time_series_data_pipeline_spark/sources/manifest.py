@@ -111,10 +111,19 @@ def _sink_committed_files(path: str) -> set[str] | None:
                         committed.add(os.path.abspath(p))
                     else:
                         committed.discard(os.path.abspath(p))
-        except (OSError, json.JSONDecodeError):
-            # unreadable log slice: fail SAFE for exactly-once — treat
-            # nothing from it as committed rather than guessing
-            continue
+        except (OSError, json.JSONDecodeError) as e:
+            # An unreadable log slice must fail LOUDLY (ADVICE r6):
+            # skipping it would silently drop every file that batch
+            # committed from the manifest and from scan_bucket's
+            # explicit-file-list read — fail-silent data omission,
+            # while spark.read.parquet(root) errors on the same corrupt
+            # log. Readers that want to proceed anyway can force-scan
+            # the store without the manifest path.
+            raise RuntimeError(
+                f"corrupt _spark_metadata log slice {name!r} under "
+                f"{meta_dir}: {e} — refusing to treat its committed "
+                "files as absent; repair or remove the sink log"
+            ) from e
     return committed
 
 
@@ -227,6 +236,16 @@ def _harvest_files(file_df: DataFrame, cols: list[str], root: str) -> DataFrame:
     return file_df.mapInPandas(_harvest, MANIFEST_SCHEMA)
 
 
+#: Grace window (seconds) a superseded manifest generation survives
+#: after losing _CURRENT. Per-micro-batch refreshes can publish seconds
+#: apart, so a purely positional "keep two generations" reap could
+#: rmtree a data dir an in-flight reader resolved moments earlier
+#: (ADVICE r6); time-based retention bounds how stale a resolved
+#: pointer can be before its data disappears. 10 minutes dwarfs any
+#: realistic manifest read (one small parquet).
+REAP_GRACE_S = 600
+
+
 def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     """Persist the manifest beside the store with an ATOMIC publish:
     the parquet lands in a fresh ``data-<nonce>`` subdir, then a tiny
@@ -234,11 +253,21 @@ def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     POSIX) — a concurrent ``prune_files``/``scan_bucket`` reader always
     resolves either the old or the new complete manifest, never a
     half-overwritten one (the same commit-point discipline as the
-    upsert sink's markers and ``cached_store``'s rename publish). The
-    previous generation's data dir is kept for in-flight readers and
-    reaped on the NEXT publish (two-generation retention)."""
+    upsert sink's markers and ``cached_store``'s rename publish).
+
+    Retention is TIME-based, not positional: superseded generations
+    (and orphans from a crash between data-dir write and pointer flip)
+    are reaped only once older than ``REAP_GRACE_S``, so rapid
+    back-to-back refreshes can never delete a generation a reader
+    resolved seconds ago. Crash-safety: a crash BEFORE the pointer
+    rename leaves _CURRENT untouched (readers keep the old complete
+    manifest) and the orphaned data dir is reaped by a later publish;
+    a crash after the rename is a completed publish. Single maintenance
+    WRITER assumed (like every table format's metadata commit);
+    concurrent readers are safe at any point."""
     import os
     import shutil
+    import time
     import uuid
 
     os.makedirs(manifest_path, exist_ok=True)
@@ -256,10 +285,20 @@ def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     with open(tmp, "w") as f:
         f.write(gen)
     os.rename(tmp, cur)
-    # reap generations older than the one we just superseded
+    # reap superseded/orphaned generations past the grace window (keep
+    # the generation we just superseded regardless — the cheapest "at
+    # least one fallback" guarantee for very slow readers)
+    now = time.time()
     for d in os.listdir(manifest_path):
-        if d.startswith("data-") and d not in (gen, prev):
-            shutil.rmtree(os.path.join(manifest_path, d), ignore_errors=True)
+        if not d.startswith("data-") or d in (gen, prev):
+            continue
+        full = os.path.join(manifest_path, d)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue
+        if age > REAP_GRACE_S:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
