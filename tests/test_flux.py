@@ -415,3 +415,58 @@ def test_state_duration_stage_flux_convention(spark, store):
 def test_transform_stage_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_moving_average_stage_drops_first_points(spark, store):
+    """movingAverage(n): trailing row-frame mean, and the first n−1
+    points of each series are dropped (Flux emits nothing until a full
+    window exists); values match the hand-written row window."""
+    from pyspark.sql import Window
+
+    from time_series_data_pipeline_spark.operators.timeseries import _dec
+
+    n = 4
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> filter(fn: (r) => r["_field"] == "click")'
+        f" |> movingAverage(n: {n})",
+        {"b": store},
+    )
+    df = bkt.scan_bucket(spark, store, measurement="events", field="click")
+    wo = Window.partitionBy("_field").orderBy("_time", "_value")
+    ref = (
+        df.select(
+            "_field",
+            "_time",
+            "_value",
+            (
+                F.sum(_dec("_value")).over(wo.rowsBetween(-(n - 1), 0)).cast("double")
+                / F.count("_value").over(wo.rowsBetween(-(n - 1), 0)).cast("double")
+            ).alias("moving_avg"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter(F.col("rn") >= n)
+        .drop("rn")
+    )
+    total = df.count()
+    assert got.count() == total - (n - 1)  # one series: exactly n−1 dropped
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, ref.collect()), key=repr
+    )
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> movingAverage()', "positive int"),
+        ('from(bucket: "b") |> movingAverage(n: 0)', "positive int"),
+        ('from(bucket: "b") |> movingAverage(n: 5, column: "x")',
+         "unsupported args"),
+        ('from(bucket: "b") |> movingAverage(n: 5) |> movingAverage(n: 3)',
+         "subset"),
+    ],
+)
+def test_moving_average_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

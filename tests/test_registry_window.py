@@ -53,10 +53,11 @@ def test_new_and_changed_queries_lead_the_window():
     # round-7 policy: queries that are new or whose implementation /
     # oracle changed this round go first so a driver cap tighter than
     # 50 still reaches them
-    assert set(_CHECKED_WINDOW[:6]) == {
+    assert set(_CHECKED_WINDOW[:7]) == {
         "pack_sequences_sharded", "flux_compiled_derivative",
-        "flux_compiled_moving_avg", "flux_compiled_increase",
-        "flux_compiled_state_duration", "pack_sequences",
+        "flux_compiled_moving_avg", "flux_compiled_row_moving_avg",
+        "flux_compiled_increase", "flux_compiled_state_duration",
+        "pack_sequences",
     }
 
 

@@ -56,6 +56,9 @@ same oracle shape:
   RANGE-window form (per-point trailing mean over TIME distance). The
   windowed-emission form (``every:`` ≠ per-point) is out of subset and
   raises.
+* ``movingAverage(n: 5)`` → a trailing ROW-frame mean with Flux's
+  drop-the-first-``n−1``-points convention (row_number ≥ n), exact
+  decimal sums.
 * ``increase()`` → `operators.timeseries.counter_increase` (per-series
   total monotonic increase — the stat-panel form, ≡ Flux
   ``increase() |> last()``).
@@ -372,8 +375,8 @@ def compile_flux(
 
     _TERMINAL_HEADS = (
         "aggregateWindow", "last", "mean", "count", "sum", "min", "max",
-        "median", "derivative", "timedMovingAverage", "increase",
-        "stateDuration",
+        "median", "derivative", "timedMovingAverage", "movingAverage",
+        "increase", "stateDuration",
     )
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -485,6 +488,15 @@ def compile_flux(
                     f"timedMovingAverage: unsupported args {sorted(extra)}"
                 )
             transform = ("tma", period_s)
+        elif head == "movingAverage":
+            a = _args(stage, "movingAverage")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"movingAverage n: positive int required, got {n!r}")
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(f"movingAverage: unsupported args {sorted(extra)}")
+            transform = ("ma", n)
         elif head == "increase":
             if _args(stage, "increase"):
                 raise FluxError(f"increase() takes no arguments in the subset: {stage!r}")
@@ -555,6 +567,28 @@ def compile_flux(
                     F.sum(_dec("_value")).over(w).cast("double")
                     / F.count("_value").over(w).cast("double")
                 ).alias(yield_name or "trailing_mean"),
+            )
+        if kind == "ma":
+            # Flux movingAverage(n): trailing ROW frame, and the first
+            # n−1 points of each series are DROPPED (Flux emits nothing
+            # until a full window exists); (_time, _value) tiebreak
+            # makes the row frame deterministic on tied timestamps
+            n = transform[1]
+            wo = Window.partitionBy("_field").orderBy("_time", "_value")
+            w = wo.rowsBetween(-(n - 1), 0)
+            return (
+                df.select(
+                    "_field",
+                    "_time",
+                    "_value",
+                    (
+                        F.sum(_dec("_value")).over(w).cast("double")
+                        / F.count("_value").over(w).cast("double")
+                    ).alias(yield_name or "moving_avg"),
+                    F.row_number().over(wo).alias("__rn"),
+                )
+                .filter(F.col("__rn") >= n)
+                .drop("__rn")
             )
         if kind == "increase":
             # mirror the attested counter_increase form (exact decimal

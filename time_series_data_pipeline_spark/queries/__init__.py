@@ -95,6 +95,7 @@ _CHECKED_WINDOW = [
     "pack_sequences_sharded",
     "flux_compiled_derivative",
     "flux_compiled_moving_avg",
+    "flux_compiled_row_moving_avg",
     "flux_compiled_increase",
     "flux_compiled_state_duration",
     "pack_sequences",
@@ -136,12 +137,11 @@ _CHECKED_WINDOW = [
     "vocab_coverage",
     "weighted_sample_docs",
     "winnow_fingerprints",
-    # --- one never-own-row suite arm gets its first own row (the
-    # remaining four — trailing_1h_mean, state_duration,
-    # series_correlation, decimate_lttb — stay attested as suite_round5
-    # arms; two of them additionally re-attest through the compiled
-    # flux_compiled_moving_avg / flux_compiled_state_duration forms) ---
-    "holt_linear_final",
+    # (the five never-own-row suite arms — trailing_1h_mean,
+    # state_duration, series_correlation, decimate_lttb,
+    # holt_linear_final — stay attested as suite_round5 arms, which are
+    # in-window below; two additionally re-attest through the compiled
+    # flux_compiled_moving_avg / flux_compiled_state_duration forms)
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

@@ -802,6 +802,44 @@ def flux_compiled_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_row_moving_avg",
+    # Flux movingAverage(n: 5) — trailing ROW-frame mean with Flux's
+    # drop-the-first-n−1-points convention; exact decimal sums,
+    # (_time, _value) tiebreak for deterministic row frames.
+    oracle="""
+    SELECT event_type AS _field, ts AS _time, value AS _value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) AS moving_avg
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts, value) >= 5
+    """,
+)
+def flux_compiled_row_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r6 item 4 (extended): the row-based `movingAverage(n:)`
+    the InfluxDB UI offers beside timedMovingAverage — a trailing
+    5-row mean per series that emits only once a full window exists
+    (Flux drops the first n−1 points), compiled onto one window
+    partitioning = one shuffle."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "purchase")
+          |> movingAverage(n: 5)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_increase",
     # Flux increase() — per-series total monotonic increase (the stat
     # panel's number, ≡ increase() |> last()), compiled onto the

@@ -449,12 +449,18 @@ def prune_files(
     for c, (clo, chi) in constraints.items():
         p = _exclusion_pred(c, clo, chi)
         excl = p if excl is None else (excl | p)
-    # two tiny jobs over the file-sized manifest: the full file set
-    # (needed anyway for the stale-union) and the excluded subset
-    known_rel = {r["file"] for r in mdf.select("file").distinct().collect()}
-    excluded = {
-        r["file"] for r in mdf.filter(excl).select("file").distinct().collect()
-    }
+    # ONE job over the file-sized manifest yields both the full file
+    # set (needed for the stale-union) and the excluded flag — a file
+    # is excluded when ANY of its manifest rows proves a constraint
+    # cannot match (was two jobs; at local scale the per-job scheduling
+    # overhead, not the data, dominated the prune cost)
+    flagged = (
+        mdf.groupBy("file")
+        .agg(F.max(F.when(excl, 1).otherwise(0)).alias("ex"))
+        .collect()
+    )
+    known_rel = {r["file"] for r in flagged}
+    excluded = {r["file"] for r in flagged if r["ex"] == 1}
 
     def _resolve(f: str) -> str:
         # manifests record store-relative paths (Delta-log convention);

@@ -16,9 +16,13 @@ the manifest path keeps ~days_in_range × 1 and stays flat.  Run:
 
 from __future__ import annotations
 
+import os
 import shutil
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -35,6 +39,7 @@ def build_store(spark, path: str, days: int, fields: int) -> None:
     df = (
         spark.range(n)
         .select(
+            "id",
             (F.col("id") % days).alias("d"),
             ((F.col("id") / days).cast("long") % fields).alias("f"),
             (F.col("id") % ROWS_PER_DAY_FIELD).alias("i"),
@@ -91,8 +96,8 @@ def measure(spark, path: str, field: str, start: str, stop: str):
             "overwrite"
         ).save()
 
-    kept = len(
-        mf.prune_files(
+    def prune_only():
+        return mf.prune_files(
             spark,
             path,
             f"{path}/{bkt.MANIFEST_SUBDIR}",
@@ -101,29 +106,31 @@ def measure(spark, path: str, field: str, start: str, stop: str):
                 "_time": (f"{start}", f"{stop}"),
             },
         )
-    )
+
+    kept = len(prune_only())
+    t_prune = timed(prune_only)
     t_part = timed(run_partition_only)
     t_man = timed(run_manifest)
-    return total_files, kept, t_part, t_man
+    return total_files, kept, t_part, t_man, t_prune
 
 
 def main() -> None:
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    for days, fields in ((30, 5), (120, 20)):
+    for days, fields in ((30, 5), (120, 20), (300, 40)):
         root = tempfile.mkdtemp(prefix=f"tsdp_curve_{days}x{fields}_")
         path = f"{root}/bucket"
         t0 = time.perf_counter()
         build_store(spark, path, days, fields)
         build_s = time.perf_counter() - t0
-        total, kept, t_part, t_man = measure(
+        total, kept, t_part, t_man, t_prune = measure(
             spark, path, "f3", "2024-01-08 00:00:00", "2024-01-15 00:00:00"
         )
         print(
             f"store {days}d x {fields}f ({days*fields*ROWS_PER_DAY_FIELD:,} rows, "
             f"{total} files, built {build_s:.1f}s): "
             f"partition-pruned {t_part:.3f}s | manifest {t_man:.3f}s "
-            f"({kept}/{total} files kept)"
+            f"(prune job {t_prune:.3f}s, {kept}/{total} files kept)"
         )
         shutil.rmtree(root, ignore_errors=True)
 
