@@ -470,3 +470,97 @@ def test_moving_average_stage_drops_first_points(spark, store):
 def test_moving_average_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+# -- Data-Explorer tail stages: sort / limit / keep / drop ------------
+
+
+def test_sort_limit_is_distributed_top_n(spark, store):
+    """sort |> limit compiles to TakeOrderedAndProject (distributed
+    per-partition top-N), never a global Sort+Exchange; values match
+    the hand-written orderBy().limit()."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> sort(columns: ["_value", "_time"], desc: true) |> limit(n: 7)'
+        ' |> keep(columns: ["_time", "_value"])',
+        {"b": store},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert got.columns == ["_time", "_value"]
+    ref = (
+        bkt.scan_bucket(spark, store, measurement="events", field="click")
+        .orderBy(F.col("_value").desc(), F.col("_time").desc())
+        .limit(7)
+        .select("_time", "_value")
+    )
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, ref.collect()), key=repr
+    )
+
+
+def test_tail_applies_after_terminal_stage(spark, store):
+    """keep/drop/sort/limit trim the TERMINAL stage's output — the
+    gauge panel keeping only field + value."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> last() |> keep(columns: ["_field", "last_value"])',
+        {"b": store},
+    )
+    assert got.columns == ["_field", "last_value"]
+    full = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        " |> last()",
+        {"b": store},
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        (r["_field"], r["last_value"]) for r in full.collect()
+    }
+    dropped = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> last() |> drop(columns: ["last_ts"])',
+        {"b": store},
+    )
+    assert "last_ts" not in dropped.columns
+
+
+def test_limit_without_sort_is_allowed(spark, store):
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        " |> limit(n: 3)",
+        {"b": store},
+    )
+    assert got.count() == 3
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> sort(columns: ["_value"], desc: true)',
+         "without a following limit"),
+        ('from(bucket: "b") |> sort(columns: ["_value"]) |> keep(columns: ["_value"])',
+         "without a following limit"),
+        ('from(bucket: "b") |> limit(n: 0)', "positive int"),
+        ('from(bucket: "b") |> limit(n: true)', "positive int"),
+        ('from(bucket: "b") |> sort(columns: []) |> limit(n: 1)', "empty"),
+        ('from(bucket: "b") |> sort(columns: "_value") |> limit(n: 1)',
+         "list"),
+        ('from(bucket: "b") |> keep(columns: ["nope"]) |> limit(n: 1)',
+         "unknown column"),
+        ('from(bucket: "b") |> sort(columns: ["_value"], desc: "yes") '
+         "|> limit(n: 1)", "boolean"),
+        ('from(bucket: "b") |> limit(n: 3) '
+         '|> filter(fn: (r) => r["_value"] > 1)', "tail"),
+        ('from(bucket: "b") |> limit(n: 3) |> last()', "tail"),
+        ('from(bucket: "b") |> keep()', "requires columns"),
+    ],
+)
+def test_tail_stage_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

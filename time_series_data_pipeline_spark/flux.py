@@ -69,6 +69,16 @@ same oracle shape:
 All four are TERMINAL in the subset (only yield may follow); a
 range/filter after them, or composing them with another
 aggregation/transform stage, raises rather than mis-compiling.
+
+The Data-Explorer TAIL stages close the round-7 grammar: ``sort``,
+``limit``, ``keep``, ``drop`` apply to whatever frame precedes them
+(raw scan or a terminal stage's output) in user order. ``sort``
+without a later ``limit`` raises — a global sort with no bound
+materializes the whole frame on one task at 100 TB, while
+``sort |> limit(n)`` compiles to Catalyst's TakeOrderedAndProject
+(distributed per-partition top-N + driver merge). Unknown columns in
+sort/keep/drop raise naming the column; once a tail stage appears,
+only tail stages and yield may follow.
 """
 
 from __future__ import annotations
@@ -313,6 +323,26 @@ def _parse_pred(tokens: list[str], params: dict[str, Any]) -> Column:
     return out
 
 
+def _str_list(tok: str, where: str) -> list[str]:
+    """Parse a Flux string-list literal: ["a", "b"]."""
+    tok = tok.strip()
+    if not (tok.startswith("[") and tok.endswith("]")):
+        raise FluxError(f"{where}: expected a [\"...\"] list, got {tok!r}")
+    inner = tok[1:-1].strip()
+    if not inner:
+        return []
+    out = []
+    for part in inner.split(","):
+        part = part.strip()
+        if not (
+            (part.startswith('"') and part.endswith('"'))
+            or (part.startswith("'") and part.endswith("'"))
+        ):
+            raise FluxError(f"{where}: list items must be quoted, got {part!r}")
+        out.append(part[1:-1])
+    return out
+
+
 def _filter_extract(stage: str) -> str:
     m = re.match(
         r"^filter\s*\(\s*fn\s*:\s*\(\s*r\s*\)\s*=>\s*(.*)\)\s*$",
@@ -356,6 +386,7 @@ def compile_flux(
     agg = None  # (every_s, fn, create_empty)
     take_last = False
     transform = None  # ("derivative",) | ("tma", period_s) | ("increase",) | ("state_duration", Column)
+    post_ops: list[tuple] = []  # sort/limit/keep/drop, in user order
     yield_name = None
 
     def _bound(tok: str) -> str:
@@ -378,9 +409,19 @@ def compile_flux(
         "median", "derivative", "timedMovingAverage", "movingAverage",
         "increase", "stateDuration",
     )
+    _TAIL_HEADS = ("sort", "limit", "keep", "drop")
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
         terminal_seen = agg is not None or take_last or transform is not None
+        if post_ops and head not in _TAIL_HEADS and head != "yield":
+            # once the Data-Explorer tail starts, only more tail stages
+            # (and yield) follow — a filter/aggregate over a sorted or
+            # truncated frame would need the subset to model row order,
+            # which it deliberately does not
+            raise FluxError(
+                f"{head}() after a sort/limit/keep/drop tail is outside "
+                f"the shipped subset: {stage!r}"
+            )
         # stage ORDER is semantics: range/filter after an aggregation
         # stage would apply to raw rows, and aggregateWindow|>last would
         # silently drop last() — the shipped subset supports row-level
@@ -526,12 +567,80 @@ def compile_flux(
             if a:
                 raise FluxError(f"bare {head}() takes no arguments in the subset")
             agg = (None, head, False)
+        elif head == "sort":
+            a = _args(stage, "sort")
+            cols = _str_list(a.get("columns", '["_value"]'), "sort columns")
+            if not cols:
+                raise FluxError("sort: columns list is empty")
+            desc_raw = _resolve(a["desc"], params) if "desc" in a else False
+            if not isinstance(desc_raw, bool):
+                raise FluxError(f"sort desc: expected a boolean, got {desc_raw!r}")
+            extra = set(a) - {"columns", "desc"}
+            if extra:
+                raise FluxError(f"sort: unsupported args {sorted(extra)}")
+            post_ops.append(("sort", cols, desc_raw))
+        elif head == "limit":
+            a = _args(stage, "limit")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"limit n: positive int required, got {n!r}")
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(f"limit: unsupported args {sorted(extra)}")
+            post_ops.append(("limit", n))
+        elif head in ("keep", "drop"):
+            a = _args(stage, head)
+            if "columns" not in a:
+                raise FluxError(f"{head} requires columns:")
+            cols = _str_list(a["columns"], f"{head} columns")
+            if not cols:
+                raise FluxError(f"{head}: columns list is empty")
+            extra = set(a) - {"columns"}
+            if extra:
+                raise FluxError(f"{head}: unsupported args {sorted(extra)}")
+            post_ops.append((head, cols))
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
                 yield_name = _resolve(a["name"], params)
         else:
             raise FluxError(f"unsupported stage {head!r}")
+
+    # a global sort with no later bound materializes the whole frame on
+    # one task — outside the subset; sort |> limit compiles to a
+    # distributed top-N (TakeOrderedAndProject)
+    last_sort = max(
+        (i for i, op in enumerate(post_ops) if op[0] == "sort"), default=None
+    )
+    if last_sort is not None and not any(
+        op[0] == "limit" for op in post_ops[last_sort + 1 :]
+    ):
+        raise FluxError(
+            "sort without a following limit is outside the subset "
+            "(unbounded global sort)"
+        )
+
+    def _finish(out: DataFrame) -> DataFrame:
+        for op in post_ops:
+            if op[0] in ("sort", "keep", "drop"):
+                missing = [c for c in op[1] if c not in out.columns]
+                if missing:
+                    raise FluxError(
+                        f"{op[0]}: unknown column(s) {missing}; frame has "
+                        f"{out.columns}"
+                    )
+            if op[0] == "sort":
+                _, cols, desc = op
+                out = out.orderBy(
+                    *[F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+                )
+            elif op[0] == "limit":
+                out = out.limit(op[1])
+            elif op[0] == "keep":
+                out = out.select(*op[1])
+            else:
+                out = out.drop(*op[1])
+        return out
 
     df = bkt.scan_bucket(
         spark, path, measurement=measurement, field=field, start=start, stop=stop
@@ -549,7 +658,7 @@ def compile_flux(
             out = rate(df, "_time", "_value", ["_field"])
             if yield_name:
                 out = out.withColumnRenamed("rate_per_s", yield_name)
-            return out
+            return _finish(out)
         if kind == "tma":
             # mirror the attested trailing_1h_mean form: TIME-distance
             # RANGE frame over integer epoch µs, exact decimal sums
@@ -559,7 +668,7 @@ def compile_flux(
                 .orderBy(F.unix_micros("_time"))
                 .rangeBetween(-(period_s * 1_000_000 - 1), 0)
             )
-            return df.select(
+            return _finish(df.select(
                 "_field",
                 "_time",
                 "_value",
@@ -567,7 +676,7 @@ def compile_flux(
                     F.sum(_dec("_value")).over(w).cast("double")
                     / F.count("_value").over(w).cast("double")
                 ).alias(yield_name or "trailing_mean"),
-            )
+            ))
         if kind == "ma":
             # Flux movingAverage(n): trailing ROW frame, and the first
             # n−1 points of each series are DROPPED (Flux emits nothing
@@ -576,7 +685,7 @@ def compile_flux(
             n = transform[1]
             wo = Window.partitionBy("_field").orderBy("_time", "_value")
             w = wo.rowsBetween(-(n - 1), 0)
-            return (
+            return _finish(
                 df.select(
                     "_field",
                     "_time",
@@ -600,7 +709,7 @@ def compile_flux(
             delta = F.when(prev.isNull(), F.lit(0).cast("decimal(18,2)")).otherwise(
                 F.when(y >= prev, y - prev).otherwise(y)
             )
-            return (
+            return _finish(
                 df.filter(F.col("_value").isNotNull())
                 .select("_field", delta.alias("__d"))
                 .groupBy("_field")
@@ -631,7 +740,7 @@ def compile_flux(
             (F.unix_micros("_time") - F.min(F.unix_micros("_time")).over(wr))
             / F.lit(1_000_000)
         ).cast("long")
-        return runs.select(
+        return _finish(runs.select(
             "_field",
             "_time",
             "_value",
@@ -639,7 +748,7 @@ def compile_flux(
             F.when(F.col("state"), dur)
             .otherwise(F.lit(-1).cast("long"))
             .alias(yield_name or "stateDuration"),
-        )
+        ))
 
     if agg is not None:
         every_s, fn, create_empty = agg
@@ -656,7 +765,7 @@ def compile_flux(
                 F.col("avg_value").alias(yield_name or "mean"),
                 F.col("n_events").alias("n"),
             )
-            return out
+            return _finish(out)
         name = yield_name or fn
         if fn == "mean":
             expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
@@ -684,7 +793,7 @@ def compile_flux(
             ).select(F.col("w.start").alias("window_start"), "_field", name, "n")
         if fn == "count":
             out = out.drop("n")
-        return out
+        return _finish(out)
 
     if take_last:
         from .operators.timeseries import last_value_per_group
@@ -692,6 +801,6 @@ def compile_flux(
         out = last_value_per_group(df, "_time", "_value", ["_field"])
         if yield_name:
             out = out.withColumnRenamed("last_value", yield_name)
-        return out
+        return _finish(out)
 
-    return df
+    return _finish(df)
