@@ -199,7 +199,7 @@ def test_relative_range_needs_anchor_and_resolves(spark, store):
     "bad,msg",
     [
         ('from(bucket: "nope") |> last()', "unknown bucket"),
-        ('from(bucket: "b") |> pivot(rowKey: ["_time"])', "unsupported stage"),
+        ('from(bucket: "b") |> union(tables: [])', "unsupported stage"),
         ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: stddev)',
          "unsupported aggregateWindow fn"),
         ('from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /R.*/)',
@@ -562,5 +562,59 @@ def test_limit_without_sort_is_allowed(spark, store):
     ],
 )
 def test_tail_stage_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_pivot_stage_table_view(spark, store):
+    """pivot(rowKey:["_time"], columnKey:["_field"], valueColumn:
+    "_value") — the Data-Explorer table/CSV view: one row per _time,
+    one column per field, MAX tie rule, sorted field columns."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> pivot(rowKey: ["_time"], columnKey: ["_field"], '
+        'valueColumn: "_value")',
+        {"b": store},
+    )
+    fields = sorted(
+        r["_field"]
+        for r in bkt.read_bucket(spark, store).select("_field").distinct().collect()
+    )
+    assert got.columns == ["_time"] + fields
+    ref = (
+        bkt.read_bucket(spark, store)
+        .groupBy("_time")
+        .pivot("_field")
+        .agg(F.max("_value"))
+    )
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, ref.collect()), key=repr
+    )
+    # tail stages compose after pivot
+    top = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> pivot(rowKey: ["_time"], columnKey: ["_field"], '
+        'valueColumn: "_value")'
+        ' |> sort(columns: ["_time"], desc: true) |> limit(n: 5)',
+        {"b": store},
+    )
+    assert top.count() == 5
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> pivot(rowKey: ["_field"], '
+         'columnKey: ["_field"], valueColumn: "_value")', "Data-Explorer"),
+        ('from(bucket: "b") |> pivot(rowKey: ["_time"], '
+         'columnKey: ["_field"], valueColumn: "tags")', "Data-Explorer"),
+        ('from(bucket: "b") |> pivot()', "list"),
+        ('from(bucket: "b") |> pivot(rowKey: ["_time"], columnKey: '
+         '["_field"], valueColumn: "_value") |> last()', "subset"),
+    ],
+)
+def test_pivot_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})

@@ -70,6 +70,14 @@ All four are TERMINAL in the subset (only yield may follow); a
 range/filter after them, or composing them with another
 aggregation/transform stage, raises rather than mis-compiling.
 
+``pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn:
+"_value")`` — the Data-Explorer table/CSV-export view — compiles to a
+``groupBy(_time).pivot(_field)`` wide reshape (exactly this arg shape;
+anything else raises). Duplicate (time, field) pairs resolve to the
+MAX value — the subset's deterministic tie rule, documented rather
+than Flux's last-encountered nondeterminism. Like the other
+transforms it is terminal (tail stages and yield may follow).
+
 The Data-Explorer TAIL stages close the round-7 grammar: ``sort``,
 ``limit``, ``keep``, ``drop`` apply to whatever frame precedes them
 (raw scan or a terminal stage's output) in user order. ``sort``
@@ -407,7 +415,7 @@ def compile_flux(
     _TERMINAL_HEADS = (
         "aggregateWindow", "last", "mean", "count", "sum", "min", "max",
         "median", "derivative", "timedMovingAverage", "movingAverage",
-        "increase", "stateDuration",
+        "increase", "stateDuration", "pivot",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop")
     for stage in stages[1:]:
@@ -542,6 +550,24 @@ def compile_flux(
             if _args(stage, "increase"):
                 raise FluxError(f"increase() takes no arguments in the subset: {stage!r}")
             transform = ("increase",)
+        elif head == "pivot":
+            a = _args(stage, "pivot")
+            rk = _str_list(a.get("rowKey", ""), "pivot rowKey")
+            ck = _str_list(a.get("columnKey", ""), "pivot columnKey")
+            vc = _resolve(a.get("valueColumn", '""'), params)
+            if rk != ["_time"] or ck != ["_field"] or vc != "_value":
+                # the Data-Explorer default is the only pivot shape the
+                # subset ships; anything else raises rather than
+                # mis-compiling a different reshape
+                raise FluxError(
+                    "pivot ships only rowKey: [\"_time\"], columnKey: "
+                    "[\"_field\"], valueColumn: \"_value\" (the "
+                    f"Data-Explorer table view); got {stage!r}"
+                )
+            extra = set(a) - {"rowKey", "columnKey", "valueColumn"}
+            if extra:
+                raise FluxError(f"pivot: unsupported args {sorted(extra)}")
+            transform = ("pivot",)
         elif head == "stateDuration":
             a = _args(stage, "stateDuration")
             if "fn" not in a:
@@ -698,6 +724,14 @@ def compile_flux(
                 )
                 .filter(F.col("__rn") >= n)
                 .drop("__rn")
+            )
+        if kind == "pivot":
+            # the Data-Explorer table view: one row per _time, one
+            # column per field (Spark infers + SORTS the distinct pivot
+            # values — deterministic column order); duplicate
+            # (time, field) pairs resolve to MAX (documented tie rule)
+            return _finish(
+                df.groupBy("_time").pivot("_field").agg(F.max("_value"))
             )
         if kind == "increase":
             # mirror the attested counter_increase form (exact decimal
