@@ -190,6 +190,38 @@ def test_round4_additions_shuffle_budget(spark, name, max_shuffles, traits):
     assert "rangepartitioning" not in plan.lower()
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # one series-key window shuffle (lag pairs)
+        ("flux_compiled_derivative", 1),
+        # RANGE-frame trailing mean: one series-key window shuffle
+        ("flux_compiled_moving_avg", 1),
+        # row-frame mean + row_number over ONE partitioning
+        ("flux_compiled_row_moving_avg", 1),
+        # window lag + hash-agg on the SAME key: Catalyst reuses the
+        # partitioning, so one exchange
+        ("flux_compiled_increase", 1),
+        # three windows over ONE partitioning = one shuffle
+        ("flux_compiled_state_duration", 1),
+    ],
+)
+def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):
+    """The compiled Flux transforms must inherit the hand-written
+    operators' shuffle shape — compilation is translation, and a
+    regression that adds an Exchange fails here before it costs
+    anything at scale."""
+    from time_series_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= max_shuffles, f"{name}: {shuffles} > {max_shuffles}"
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_pack_sequences_sharded_has_no_single_partition_exchange(spark):
     """The sharded pack (VERDICT r6 item 2) must be fully distributed:
     per-shard running offsets via Window.partitionBy, shard bases via a
