@@ -475,10 +475,11 @@ def test_moving_average_rejections(spark, store, bad, msg):
 # -- Data-Explorer tail stages: sort / limit / keep / drop ------------
 
 
-def test_sort_limit_is_distributed_top_n(spark, store):
-    """sort |> limit compiles to TakeOrderedAndProject (distributed
-    per-partition top-N), never a global Sort+Exchange; values match
-    the hand-written orderBy().limit()."""
+def test_sort_limit_is_distributed_per_series_top_n(spark, store):
+    """Flux sort/limit are PER TABLE (per series): the compiled form is
+    a rank filter Spark optimizes to WindowGroupLimit (distributed
+    per-key top-N), never a global Sort+Exchange; single-series values
+    match the hand-written orderBy().limit()."""
     got = flux.compile_flux(
         spark,
         'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
@@ -488,7 +489,8 @@ def test_sort_limit_is_distributed_top_n(spark, store):
         {"b": store},
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan.lower()
     assert got.columns == ["_time", "_value"]
     ref = (
         bkt.scan_bucket(spark, store, measurement="events", field="click")
@@ -499,6 +501,32 @@ def test_sort_limit_is_distributed_top_n(spark, store):
     assert sorted(map(tuple, got.collect()), key=repr) == sorted(
         map(tuple, ref.collect()), key=repr
     )
+
+
+def test_limit_is_per_series_on_multi_field_frames(spark, store):
+    """A multi-series frame limits WITHIN each series (Flux per-table
+    semantics): top-2 by value per field, checked field by field."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> sort(columns: ["_value"], desc: true) |> limit(n: 2)',
+        {"b": store},
+    ).collect()
+    by_field: dict[str, list] = {}
+    for r in got:
+        by_field.setdefault(r["_field"], []).append(r["_value"])
+    src = bkt.read_bucket(spark, store)
+    fields = [r["_field"] for r in src.select("_field").distinct().collect()]
+    assert set(by_field) == set(fields)
+    for f in fields:
+        top2 = [
+            r["_value"]
+            for r in src.filter(F.col("_field") == f)
+            .orderBy(F.col("_value").desc())
+            .limit(2)
+            .collect()
+        ]
+        assert sorted(by_field[f]) == sorted(top2)
 
 
 def test_tail_applies_after_terminal_stage(spark, store):
@@ -529,14 +557,28 @@ def test_tail_applies_after_terminal_stage(spark, store):
     assert "last_ts" not in dropped.columns
 
 
-def test_limit_without_sort_is_allowed(spark, store):
+def test_limit_without_sort_keeps_first_rows_per_series(spark, store):
     got = flux.compile_flux(
         spark,
         'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
         " |> limit(n: 3)",
         {"b": store},
     )
-    assert got.count() == 3
+    src = bkt.read_bucket(spark, store)
+    n_fields = src.select("_field").distinct().count()
+    rows = got.collect()
+    assert len(rows) == 3 * n_fields  # 3 per table, Flux semantics
+    # and they are each series' EARLIEST rows (_time order)
+    for f in {r["_field"] for r in rows}:
+        got_times = sorted(r["_time"] for r in rows if r["_field"] == f)
+        want = [
+            r["_time"]
+            for r in src.filter(F.col("_field") == f)
+            .orderBy("_time", "_value")
+            .limit(3)
+            .collect()
+        ]
+        assert got_times == sorted(want)
 
 
 @pytest.mark.parametrize(
@@ -559,6 +601,8 @@ def test_limit_without_sort_is_allowed(spark, store):
          '|> filter(fn: (r) => r["_value"] > 1)', "tail"),
         ('from(bucket: "b") |> limit(n: 3) |> last()', "tail"),
         ('from(bucket: "b") |> keep()', "requires columns"),
+        ('from(bucket: "b") |> sort(columns: ["_value"]) '
+         '|> drop(columns: ["_value"]) |> limit(n: 1)', "dropped"),
     ],
 )
 def test_tail_stage_rejections(spark, store, bad, msg):

@@ -930,3 +930,13 @@ def test_lsh_tuning_exact_duplicate_threshold():
 
     n, b = lsh_tuning(1.0)
     assert n >= 1 and b >= 1 and n % b == 0
+
+
+def test_pack_sequences_pad_without_shards_raises(spark):
+    import pytest
+
+    from time_series_data_pipeline_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pad_shards"):
+        pack_sequences(docs, budget=10, pad_shards=True)

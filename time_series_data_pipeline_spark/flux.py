@@ -32,8 +32,9 @@ stage):
     pipeline   := from ( '|>' stage )*
     from       := 'from' '(' 'bucket:' STRING ')'
     stage      := range | filter | aggregateWindow | last | yield
-                | derivative | timedMovingAverage | increase
-                | stateDuration
+                | derivative | timedMovingAverage | movingAverage
+                | increase | stateDuration | pivot
+                | sort | limit | keep | drop
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
     filter     := 'filter' '(' 'fn:' '(r)' '=>' predicate ')'
     predicate  := orExpr ; orExpr := andExpr ('or' andExpr)* ;
@@ -80,12 +81,17 @@ transforms it is terminal (tail stages and yield may follow).
 
 The Data-Explorer TAIL stages close the round-7 grammar: ``sort``,
 ``limit``, ``keep``, ``drop`` apply to whatever frame precedes them
-(raw scan or a terminal stage's output) in user order. ``sort``
-without a later ``limit`` raises — a global sort with no bound
-materializes the whole frame on one task at 100 TB, while
-``sort |> limit(n)`` compiles to Catalyst's TakeOrderedAndProject
-(distributed per-partition top-N + driver merge). Unknown columns in
-sort/keep/drop raise naming the column; once a tail stage appears,
+(raw scan or a terminal stage's output) in user order, with Flux's
+PER-TABLE semantics: a frame that still carries ``_field`` sorts and
+limits within each series (compiled to a row_number rank filter —
+Spark's WindowGroupLimit turns it into a distributed per-key top-N);
+a one-table frame (pivot output) sorts/limits globally
+(TakeOrderedAndProject). ``limit`` with no pending ``sort`` keeps each
+table's first rows in ``_time`` order (Flux's natural table order).
+``sort`` without a later ``limit`` raises — an unbounded sort
+materializes whole series for nothing but ordering, which the
+order-insensitive frame contract cannot even observe. Unknown columns
+in sort/keep/drop raise naming the column; once a tail stage appears,
 only tail stages and yield may follow.
 """
 
@@ -632,9 +638,10 @@ def compile_flux(
         else:
             raise FluxError(f"unsupported stage {head!r}")
 
-    # a global sort with no later bound materializes the whole frame on
-    # one task — outside the subset; sort |> limit compiles to a
-    # distributed top-N (TakeOrderedAndProject)
+    # a sort with no later bound materializes the whole (or per-series
+    # whole) frame — outside the subset; sort |> limit compiles to a
+    # distributed top-N (TakeOrderedAndProject on a one-table frame,
+    # WindowGroupLimit per series)
     last_sort = max(
         (i for i, op in enumerate(post_ops) if op[0] == "sort"), default=None
     )
@@ -643,10 +650,23 @@ def compile_flux(
     ):
         raise FluxError(
             "sort without a following limit is outside the subset "
-            "(unbounded global sort)"
+            "(unbounded sort)"
         )
 
     def _finish(out: DataFrame) -> DataFrame:
+        # Flux sort/limit are PER TABLE, i.e. per series: a frame that
+        # still carries _field sorts/limits within each field; a
+        # one-table frame (pivot output) sorts/limits globally. A limit
+        # with no pending sort keeps the series' first rows in _time
+        # order (Flux's natural table order).
+        from pyspark.sql import Window
+
+        pending_sort: tuple | None = None
+
+        def sort_cols(op):
+            _, cols, desc = op
+            return [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+
         for op in post_ops:
             if op[0] in ("sort", "keep", "drop"):
                 missing = [c for c in op[1] if c not in out.columns]
@@ -656,12 +676,35 @@ def compile_flux(
                         f"{out.columns}"
                     )
             if op[0] == "sort":
-                _, cols, desc = op
-                out = out.orderBy(
-                    *[F.col(c).desc() if desc else F.col(c).asc() for c in cols]
-                )
+                pending_sort = op
             elif op[0] == "limit":
-                out = out.limit(op[1])
+                n = op[1]
+                per_series = "_field" in out.columns
+                if pending_sort is not None:
+                    gone = [c for c in pending_sort[1] if c not in out.columns]
+                    if gone:
+                        raise FluxError(
+                            f"limit: sort column(s) {gone} were dropped "
+                            "before the limit applied"
+                        )
+                    order = sort_cols(pending_sort)
+                elif "_time" in out.columns:
+                    order = [F.col("_time").asc()]
+                else:
+                    raise FluxError(
+                        "limit without sort needs a _time column to define "
+                        "the table order"
+                    )
+                if per_series:
+                    w = Window.partitionBy("_field").orderBy(*order)
+                    out = (
+                        out.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") <= n)
+                        .drop("__rn")
+                    )
+                else:
+                    out = out.orderBy(*order).limit(n)
+                pending_sort = None
             elif op[0] == "keep":
                 out = out.select(*op[1])
             else:

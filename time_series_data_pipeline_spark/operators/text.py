@@ -667,6 +667,11 @@ def pack_sequences(
     rank = hash_bucket(F.col(id_col), salt)
 
     if n_shards is None:
+        if pad_shards:
+            # silently returning the unpadded global pack would let a
+            # loader ship sequences that cross what it believes are
+            # shard boundaries
+            raise ValueError("pad_shards=True requires n_shards")
         w = Window.orderBy(rank.asc(), F.col(id_col).asc()).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )

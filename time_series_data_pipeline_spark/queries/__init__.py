@@ -86,7 +86,7 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 7: new or changed this round go first (6).
+    # --- round 7: new or changed this round go first (7).
     # pack_sequences_sharded is the new distributed pack (VERDICT r6
     # item 2); the four flux_compiled_* are the round's compiler
     # extensions (item 4); pack_sequences re-attests with the

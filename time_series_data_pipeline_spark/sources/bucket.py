@@ -39,11 +39,10 @@ from ..operators import timeseries as ts_ops
 
 BUCKET_COLS = ("_time", "_measurement", "_field", "_value", "tags")
 
-#: Serializes session-global SQL-conf mutations (parquet timestamp
-#: type in write_bucket, partitionOverwriteMode in
-#: refresh_hourly_rollup) — the confs have no per-write
-#: DataFrameWriter option, so concurrent writers in one session would
-#: race the set/restore.
+#: Serializes the session-global parquet timestamp-type conf mutation
+#: in write_bucket — unlike partitionOverwriteMode, that conf has no
+#: per-write DataFrameWriter option, so concurrent writers in one
+#: session would race the set/restore.
 _SESSION_CONF_LOCK = threading.Lock()
 
 
@@ -242,33 +241,40 @@ def refresh_bucket_manifest(
     metadata commit).
 
     ``columns=None`` (the default) derives the column set from the
-    EXISTING manifest's distinct ``column`` values when one is present
+    EXISTING manifest's distinct ``column`` values when one is readable
     (ADVICE r6: a hardcoded default here would harvest newly-arrived
     files with different columns than the manifest was built with,
-    silently mixing per-file coverage); only a store with no manifest
-    yet falls back to the bucket's standard ("_field", "_time")."""
+    silently mixing per-file coverage); a store with no — or an
+    unreadable/partial — manifest falls back to the bucket's standard
+    ("_field", "_time"), so the full rebuild always heals a
+    half-written manifest dir instead of crashing on it."""
     import os
 
     from . import manifest as mf
 
     man = os.path.join(path, MANIFEST_SUBDIR)
-    have_manifest = os.path.isdir(man)
-    if columns is None:
-        if have_manifest:
-            columns = tuple(
-                sorted(
-                    r["column"]
-                    for r in mf.read_manifest(spark, man)
-                    .select("column")
-                    .distinct()
-                    .collect()
-                )
-            ) or ("_field", "_time")
-        else:
-            columns = ("_field", "_time")
-    if incremental and have_manifest:
-        mf.refresh_stats_manifest(spark, path, man, list(columns))
+    if incremental and os.path.isdir(man):
+        # refresh_stats_manifest derives columns=None from the manifest
+        # read it performs anyway (one job for coverage + column set)
+        mf.refresh_stats_manifest(
+            spark, path, man, list(columns) if columns is not None else None
+        )
     else:
+        if columns is None:
+            try:
+                columns = tuple(
+                    sorted(
+                        r["column"]
+                        for r in mf.read_manifest(spark, man)
+                        .select("column")
+                        .distinct()
+                        .collect()
+                    )
+                ) or ("_field", "_time")
+            except Exception:
+                # no manifest yet, or a crash left a partial one — the
+                # full rebuild is the healing path and must not crash
+                columns = ("_field", "_time")
         mf.write_manifest(
             mf.build_stats_manifest(spark, path, list(columns)), man
         )
@@ -462,27 +468,17 @@ def refresh_hourly_rollup(
     ONE maintenance writer per rollup store assumed (VERDICT r6 item
     5) — two concurrent refreshes of the same date would race the
     partition overwrite, the same contract every table format's commit
-    makes; the session-conf mutation below is additionally serialized
-    under ``_SESSION_CONF_LOCK`` against unrelated writers in the same
-    session."""
-    with _SESSION_CONF_LOCK:
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            b = read_bucket(spark, bucket_path)
-            if dates is not None:
-                b = b.filter(F.col("_date").isin(dates))
-            (
-                hourly_rollup(b)
-                .repartition("_measurement", "_date")
-                .write.mode("overwrite")
-                .partitionBy("_measurement", "_date")
-                .parquet(rollup_path)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+    makes. The overwrite mode is the PER-WRITER DataFrameWriter option
+    (not a session-conf mutation), so concurrent unrelated writers in
+    the same session are unaffected."""
+    b = read_bucket(spark, bucket_path)
+    if dates is not None:
+        b = b.filter(F.col("_date").isin(dates))
+    (
+        hourly_rollup(b)
+        .repartition("_measurement", "_date")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_measurement", "_date")
+        .parquet(rollup_path)
+    )

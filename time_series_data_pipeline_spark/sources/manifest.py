@@ -319,13 +319,20 @@ def refresh_stats_manifest(
     spark: SparkSession,
     path: str,
     manifest_path: str,
-    columns: list[str],
+    columns: list[str] | None = None,
     n_tasks: int = 32,
 ) -> int:
     """INCREMENTAL manifest maintenance: harvest footers only for data
     files the manifest does not cover yet, drop rows for files that no
     longer exist (compaction victims), and republish. Returns the
     number of newly harvested files.
+
+    ``columns=None`` inherits the EXISTING manifest's column set,
+    derived from the same one-job read that computes coverage (ADVICE
+    r6: a hardcoded default would harvest newly-arrived files with
+    different columns and silently mix per-file coverage); with no
+    readable manifest it falls back to the bucket standard
+    ("_field", "_time").
 
     This is the steady-state refresh a streaming-ingested store runs
     per maintenance tick: cost tracks ARRIVAL (new files since the last
@@ -345,9 +352,14 @@ def refresh_stats_manifest(
     }
     try:
         old = read_manifest(spark, manifest_path)
-        covered = {r["file"] for r in old.select("file").distinct().collect()}
+        # one collect gives coverage AND the manifest's column set
+        pairs = old.select("file", "column").distinct().collect()
+        covered = {r["file"] for r in pairs}
+        old_cols = sorted({r["column"] for r in pairs})
     except Exception:
-        old, covered = None, set()
+        old, covered, old_cols = None, set(), []
+    if columns is None:
+        columns = old_cols or ["_field", "_time"]
     new_files = sorted(rel_current - covered)
     frames = []
     if old is not None:
