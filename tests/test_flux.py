@@ -662,3 +662,49 @@ def test_pivot_stage_table_view(spark, store):
 def test_pivot_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_first_aggregate_bare_and_windowed(spark, store):
+    """first(): earliest reading per series (min_by with the (time,
+    value) tie-break), bare and as an aggregateWindow fn."""
+    from pyspark.sql import Window
+
+    bare = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        " |> first()",
+        {"b": store},
+    )
+    ref = {
+        r["_field"]: r["_value"]
+        for r in bkt.read_bucket(spark, store)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_field").orderBy("_time", "_value")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert {r["_field"]: r["first"] for r in bare.collect()} == ref
+
+    windowed = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 1h, fn: first)",
+        {"b": store},
+    )
+    wref = (
+        bkt.read_bucket(spark, store)
+        .filter(F.col("_field") == "click")
+        .groupBy(F.window("_time", "1 hour").alias("w"), "_field")
+        .agg(
+            F.min_by("_value", F.struct("_time", "_value")).alias("first"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "_field", "first", "n")
+    )
+    assert sorted(map(tuple, windowed.collect()), key=repr) == sorted(
+        map(tuple, wref.collect()), key=repr
+    )

@@ -13,8 +13,8 @@ panels (README.md:211, photo/use-variable.png lines 1-6 verbatim):
 
 ``compile_flux`` parses exactly this pipeline subset — from / range /
 filter (equality, inequality and _value comparisons joined with
-and/or) / aggregateWindow (mean, median, min, max, sum, count, last;
-createEmpty for mean) / last / yield — and emits a DataFrame plan over
+and/or) / aggregateWindow (mean, median, min, max, sum, count, first,
+last; createEmpty for mean) / last / yield — and emits a DataFrame plan over
 a bucket store, so a reference user can paste their panel queries
 unchanged. Dashboard template variables (``v.windowPeriod``,
 ``${Resistances}``) resolve from the ``params`` mapping, exactly the
@@ -110,7 +110,7 @@ _DUR_RE = re.compile(r"^(-?)(\d+)(s|m|h|d|w)$")
 _DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
 #: aggregateWindow fns → (aggregate expression builder, needs decimal)
-_AGG_FNS = ("mean", "median", "min", "max", "sum", "count", "last")
+_AGG_FNS = ("mean", "median", "min", "max", "sum", "count", "first", "last")
 
 
 class FluxError(ValueError):
@@ -419,9 +419,9 @@ def compile_flux(
         return str(v).replace("T", " ").replace("Z", "")
 
     _TERMINAL_HEADS = (
-        "aggregateWindow", "last", "mean", "count", "sum", "min", "max",
-        "median", "derivative", "timedMovingAverage", "movingAverage",
-        "increase", "stateDuration", "pivot",
+        "aggregateWindow", "last", "first", "mean", "count", "sum", "min",
+        "max", "median", "derivative", "timedMovingAverage",
+        "movingAverage", "increase", "stateDuration", "pivot",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop")
     for stage in stages[1:]:
@@ -591,7 +591,7 @@ def compile_flux(
                 raise FluxError(f"malformed stateDuration fn: {a['fn']!r}")
             pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
             transform = ("state_duration", pred)
-        elif head in ("mean", "count", "sum", "min", "max", "median"):
+        elif head in ("mean", "count", "sum", "min", "max", "median", "first"):
             # bare aggregate: one row per series over the scanned range
             # (the Flux per-table fold) — reuse the windowed machinery
             # with a single unbounded "window" by marking every_s=None
@@ -856,6 +856,8 @@ def compile_flux(
             expr = F.sum(_dec("_value")).cast("double")
         elif fn == "count":
             expr = F.count(F.lit(1)).cast("long")
+        elif fn == "first":  # earliest _time wins, value tie-break
+            expr = F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
         else:  # last: greatest _time wins, value tie-break for determinism
             expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
         if every_s is None:
