@@ -604,3 +604,43 @@ def test_incremental_refresh_inherits_manifest_columns(spark, tmp_path):
         m.groupBy("column").agg(F.countDistinct("file").alias("nf")).collect()
     )
     assert all(r["nf"] == n_files for r in per_col)
+
+
+def test_concurrent_write_bucket_conf_isolation(spark, tmp_path):
+    """ADVICE r6: two write_bucket calls racing in one session must not
+    clobber each other's parquet timestamp-type conf — both stores get
+    stats-bearing TIMESTAMP_MICROS files and the session conf is
+    restored afterwards."""
+    import threading
+
+    rows = _events_long(spark)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    paths = [str(tmp_path / f"conc_{i}") for i in range(2)]
+    errs: list[Exception] = []
+
+    def run(p):
+        try:
+            bkt.write_bucket(rows, p, mode="overwrite", cluster="field")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(p,)) for p in paths]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert spark.conf.get("spark.sql.parquet.outputTimestampType", None) == prev
+    import pyarrow.parquet as pq
+
+    for p in paths:
+        f = mf._list_data_files(p)[0]
+        # INT96 would mean the lock failed and _time stats are gone
+        assert "INT96" not in str(pq.read_metadata(f).row_group(0))
+        # the manifest harvest finds usable _time stats
+        bkt.refresh_bucket_manifest(spark, p)
+        man = os.path.join(p, bkt.MANIFEST_SUBDIR)
+        t = mf.read_manifest(spark, man).filter(
+            (F.col("column") == "_time") & F.col("min_value").isNotNull()
+        )
+        assert t.count() > 0
