@@ -644,3 +644,40 @@ def test_concurrent_write_bucket_conf_isolation(spark, tmp_path):
             (F.col("column") == "_time") & F.col("min_value").isNotNull()
         )
         assert t.count() > 0
+
+
+def test_prune_cache_keyed_by_generation(spark, tmp_path):
+    """prune_files caches the manifest evaluation per committed
+    GENERATION + constraints (the snapshot-cache pattern): a repeat
+    call returns identical files without re-running the job; a manifest
+    republish (new generation nonce) invalidates; and the LIVE-listing
+    staleness union is never cached — files appended after the harvest
+    still appear."""
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    cons = {"_field": ("click", "click")}
+
+    mf._PRUNE_CACHE.clear()
+    a = mf.prune_files(spark, path, man, constraints=cons)
+    assert len(mf._PRUNE_CACHE) == 1
+    b = mf.prune_files(spark, path, man, constraints=cons)
+    assert a == b
+
+    # append new (uncovered) files WITHOUT refreshing the manifest:
+    # the cached evaluation is still valid, and the unknown-union must
+    # surface the new files on the very next call
+    extra = _events_long(spark).limit(30).withColumn(
+        "_time", F.col("_time") + F.expr("INTERVAL 365 DAYS")
+    )
+    bkt.write_bucket(extra, path, mode="append", cluster="field")
+    c = mf.prune_files(spark, path, man, constraints=cons)
+    assert set(a) < set(c)  # cached manifest verdicts + fresh unknowns
+    assert len(mf._PRUNE_CACHE) == 1  # still the same generation entry
+
+    # republish -> new generation -> cache miss, fresh evaluation
+    bkt.refresh_bucket_manifest(spark, path, incremental=True)
+    d = mf.prune_files(spark, path, man, constraints=cons)
+    assert len(mf._PRUNE_CACHE) == 2
+    # after refresh the new files are covered: manifest excludes the
+    # non-click ones again
+    assert set(d) <= set(c)

@@ -427,6 +427,30 @@ def _exclusion_pred(column: str, lo, hi):
     )
 
 
+def _current_generation(manifest_path: str) -> str | None:
+    """The committed generation nonce (None for pre-round-6 manifests
+    without a _CURRENT pointer)."""
+    import os
+
+    try:
+        with open(os.path.join(manifest_path, "_CURRENT")) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+#: (session id, manifest realpath, generation, constraints) →
+#: (known_rel, excluded). The manifest evaluation is a pure function of
+#: the committed generation + the constraints, so the atomic-publish
+#: nonce is a sound cache key (the Delta/Iceberg snapshot-cache
+#: pattern): a republish changes the nonce and misses. Bounded FIFO;
+#: the staleness union over the LIVE file listing is NOT cached — it
+#: is recomputed per call, so appends/compactions between manifest
+#: refreshes stay visible.
+_PRUNE_CACHE: dict[tuple, tuple[frozenset, frozenset]] = {}
+_PRUNE_CACHE_MAX = 64
+
+
 def prune_files(
     spark: SparkSession,
     path: str,
@@ -456,23 +480,39 @@ def prune_files(
         constraints = {column: (lo, hi)}
     import os
 
-    mdf = read_manifest(spark, manifest_path)
-    excl = None
-    for c, (clo, chi) in constraints.items():
-        p = _exclusion_pred(c, clo, chi)
-        excl = p if excl is None else (excl | p)
-    # ONE job over the file-sized manifest yields both the full file
-    # set (needed for the stale-union) and the excluded flag — a file
-    # is excluded when ANY of its manifest rows proves a constraint
-    # cannot match (was two jobs; at local scale the per-job scheduling
-    # overhead, not the data, dominated the prune cost)
-    flagged = (
-        mdf.groupBy("file")
-        .agg(F.max(F.when(excl, 1).otherwise(0)).alias("ex"))
-        .collect()
-    )
-    known_rel = {r["file"] for r in flagged}
-    excluded = {r["file"] for r in flagged if r["ex"] == 1}
+    gen = _current_generation(manifest_path)
+    cache_key = None
+    if gen is not None:
+        cache_key = (
+            id(spark),
+            os.path.realpath(manifest_path),
+            gen,
+            tuple(sorted((c, repr(b)) for c, b in constraints.items())),
+        )
+    if cache_key is not None and cache_key in _PRUNE_CACHE:
+        known_rel, excluded = _PRUNE_CACHE[cache_key]
+    else:
+        mdf = read_manifest(spark, manifest_path)
+        excl = None
+        for c, (clo, chi) in constraints.items():
+            p = _exclusion_pred(c, clo, chi)
+            excl = p if excl is None else (excl | p)
+        # ONE job over the file-sized manifest yields both the full file
+        # set (needed for the stale-union) and the excluded flag — a file
+        # is excluded when ANY of its manifest rows proves a constraint
+        # cannot match (was two jobs; at local scale the per-job
+        # scheduling overhead, not the data, dominated the prune cost)
+        flagged = (
+            mdf.groupBy("file")
+            .agg(F.max(F.when(excl, 1).otherwise(0)).alias("ex"))
+            .collect()
+        )
+        known_rel = frozenset(r["file"] for r in flagged)
+        excluded = frozenset(r["file"] for r in flagged if r["ex"] == 1)
+        if cache_key is not None:
+            if len(_PRUNE_CACHE) >= _PRUNE_CACHE_MAX:
+                _PRUNE_CACHE.pop(next(iter(_PRUNE_CACHE)))
+            _PRUNE_CACHE[cache_key] = (known_rel, excluded)
 
     def _resolve(f: str) -> str:
         # manifests record store-relative paths (Delta-log convention);
