@@ -708,3 +708,34 @@ def test_first_aggregate_bare_and_windowed(spark, store):
     assert sorted(map(tuple, windowed.collect()), key=repr) == sorted(
         map(tuple, wref.collect()), key=repr
     )
+
+
+def test_create_empty_count_zero_fills(spark, store):
+    """createEmpty with fn: count — the zero-filled count panel: empty
+    buckets appear with count 0, non-empty buckets match the plain
+    windowed count."""
+    q = (
+        'from(bucket: "b") |> range(start: "2024-01-03 00:00:00", '
+        'stop: "2024-01-04 00:00:00") '
+        '|> filter(fn: (r) => r["_field"] == "purchase") '
+        "|> aggregateWindow(every: 5m, fn: count, createEmpty: true)"
+    )
+    got = flux.compile_flux(spark, q, {"b": store})
+    assert got.columns == ["window_start", "_field", "count"]
+    rows = {(r["window_start"], r["_field"]): r["count"] for r in got.collect()}
+    # contiguous 5m spine across the observed extent (gap_fill's spine
+    # spans first..last observation, same contract as the mean form)
+    times = sorted(t for t, _ in rows)
+    assert len(rows) == (times[-1] - times[0]).total_seconds() // 300 + 1
+    assert any(v == 0 for v in rows.values()), "no empty buckets rendered"
+    dense = flux.compile_flux(spark, q.replace(", createEmpty: true", ""), {"b": store})
+    want = {
+        (r["window_start"], r["_field"]): r["count"] for r in dense.collect()
+    }
+    assert {k: v for k, v in rows.items() if v > 0} == want
+    with pytest.raises(flux.FluxError, match="createEmpty"):
+        flux.compile_flux(
+            spark,
+            q.replace("fn: count", "fn: max"),
+            {"b": store},
+        )

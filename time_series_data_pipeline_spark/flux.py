@@ -830,18 +830,32 @@ def compile_flux(
     if agg is not None:
         every_s, fn, create_empty = agg
         if create_empty:
-            if fn != "mean":
-                raise FluxError("createEmpty is shipped for fn: mean only")
+            # gap_fill's spine carries both the windowed mean and the
+            # event count, so the two dashboard shapes that want empty
+            # buckets rendered — a line panel (mean, NULL in gaps) and
+            # a zero-filled count panel — compile off one operator
+            if fn not in ("mean", "count"):
+                raise FluxError(
+                    "createEmpty is shipped for fn: mean and count only"
+                )
             from .operators import timeseries as ts_ops
 
-            out = ts_ops.gap_fill(
+            filled = ts_ops.gap_fill(
                 df, "_time", "_value", f"{every_s} seconds", every_s, ["_field"]
-            ).select(
-                F.col("bucket").alias("window_start"),
-                "_field",
-                F.col("avg_value").alias(yield_name or "mean"),
-                F.col("n_events").alias("n"),
             )
+            if fn == "count":
+                out = filled.select(
+                    F.col("bucket").alias("window_start"),
+                    "_field",
+                    F.col("n_events").cast("long").alias(yield_name or "count"),
+                )
+            else:
+                out = filled.select(
+                    F.col("bucket").alias("window_start"),
+                    "_field",
+                    F.col("avg_value").alias(yield_name or "mean"),
+                    F.col("n_events").alias("n"),
+                )
             return _finish(out)
         name = yield_name or fn
         if fn == "mean":
