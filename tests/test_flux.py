@@ -739,3 +739,32 @@ def test_create_empty_count_zero_fills(spark, store):
             q.replace("fn: count", "fn: max"),
             {"b": store},
         )
+
+
+def test_group_by_field_is_verified_noop(spark, store):
+    """Grafana inserts group(columns: ["_field"]) into panel text; for
+    this subset it is exactly the compiled aggregations' native
+    grouping — results identical with and without the stage. Any other
+    grouping raises (it would CHANGE aggregation semantics)."""
+    base = (
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        "{g} |> aggregateWindow(every: 1h, fn: mean)"
+    )
+    with_g = flux.compile_flux(
+        spark, base.format(g=' |> group(columns: ["_field"])'), {"b": store}
+    )
+    without = flux.compile_flux(spark, base.format(g=""), {"b": store})
+    assert sorted(map(tuple, with_g.collect()), key=repr) == sorted(
+        map(tuple, without.collect()), key=repr
+    )
+    for bad, msg in (
+        ('from(bucket: "b") |> group() |> mean()', "group ships only"),
+        ('from(bucket: "b") |> group(columns: ["tags"]) |> mean()',
+         "group ships only"),
+        ('from(bucket: "b") |> group(columns: ["_field"], mode: "except") '
+         "|> mean()", "group ships only"),
+        ('from(bucket: "b") |> mean() |> group(columns: ["_field"])',
+         "subset"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, bad, {"b": store})

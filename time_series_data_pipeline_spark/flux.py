@@ -31,7 +31,7 @@ stage):
 
     pipeline   := from ( '|>' stage )*
     from       := 'from' '(' 'bucket:' STRING ')'
-    stage      := range | filter | aggregateWindow | last | yield
+    stage      := range | filter | group | aggregateWindow | last | yield
                 | derivative | timedMovingAverage | movingAverage
                 | increase | stateDuration | pivot
                 | sort | limit | keep | drop
@@ -441,7 +441,7 @@ def compile_flux(
         # silently drop last() — the shipped subset supports row-level
         # stages strictly BEFORE one terminal aggregation/transform
         # stage, and raises on anything else rather than mis-compiling
-        if head in ("range", "filter") and terminal_seen:
+        if head in ("range", "filter", "group") and terminal_seen:
             raise FluxError(
                 f"{head}() after an aggregation/transform stage is outside "
                 f"the shipped subset (it would filter raw rows): {stage!r}"
@@ -631,6 +631,23 @@ def compile_flux(
             if extra:
                 raise FluxError(f"{head}: unsupported args {sorted(extra)}")
             post_ops.append((head, cols))
+        elif head == "group":
+            # Grafana inserts group(columns: ["_field"]) into panel
+            # queries; per-series grouping is exactly what every
+            # compiled aggregation already does, so THAT form is a
+            # verified no-op. Any other grouping (incl. group() — merge
+            # all series into one table) would change aggregation
+            # semantics and raises rather than mis-compiling.
+            a = _args(stage, "group")
+            cols = _str_list(a.get("columns", "[]"), "group columns")
+            extra = set(a) - {"columns", "mode"}
+            mode = _resolve(a["mode"], params) if "mode" in a else "by"
+            if extra or mode != "by" or cols != ["_field"]:
+                raise FluxError(
+                    "group ships only columns: [\"_field\"] (mode: \"by\") — "
+                    "the per-series grouping the compiled aggregations "
+                    f"already use; got {stage!r}"
+                )
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
