@@ -202,8 +202,8 @@ def test_relative_range_needs_anchor_and_resolves(spark, store):
         ('from(bucket: "b") |> union(tables: [])', "unsupported stage"),
         ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: stddev)',
          "unsupported aggregateWindow fn"),
-        ('from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /R.*/)',
-         "unsupported predicate"),
+        ('from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ "Rs")',
+         "regex"),
         ('range(start: -1d) |> last()', "must start with from"),
         ('from(bucket: "b") |> filter(fn: (r) => r["_field"] == "${Nope}") |> last()',
          "template variable"),
@@ -768,3 +768,35 @@ def test_group_by_field_is_verified_noop(spark, store):
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_regex_filter_predicates(spark, store):
+    """Grafana regex filters: =~ keeps partial matches, !~ negates;
+    template variables resolve inside the literal."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /^(cl|vi)/) '
+        "|> mean()",
+        {"b": store},
+    )
+    assert {r["_field"] for r in got.collect()} == {"click", "view"}
+    neg = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] !~ /^(cl|vi)/) '
+        "|> mean()",
+        {"b": store},
+    )
+    fields = {
+        r["_field"]
+        for r in bkt.read_bucket(spark, store).select("_field").distinct().collect()
+    }
+    assert {r["_field"] for r in neg.collect()} == fields - {"click", "view"}
+    # template resolution inside the regex literal
+    tmpl = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /^${p}/) '
+        "|> mean()",
+        {"b": store},
+        params={"p": "cli"},
+    )
+    assert {r["_field"] for r in tmpl.collect()} == {"click"}

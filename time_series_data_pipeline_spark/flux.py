@@ -39,7 +39,7 @@ stage):
     filter     := 'filter' '(' 'fn:' '(r)' '=>' predicate ')'
     predicate  := orExpr ; orExpr := andExpr ('or' andExpr)* ;
                   andExpr := cmp ('and' cmp)*
-    cmp        := ref OP literal | '(' orExpr ')'
+    cmp        := ref OP literal | ref ('=~'|'!~') /regex/ | '(' orExpr ')'
     ref        := 'r["col"]' | 'r.col'
     time       := RFC3339 string | relative duration (-7d) | v.NAME
     duration   := INT ('s'|'m'|'h'|'d'|'w')
@@ -246,13 +246,14 @@ _TOKEN_RE = re.compile(
     r"""\s*(
         r\[\s*"(?:[^"]+)"\s*\]   # r["col"]
       | r\.\w+                   # r.col
-      | ==|!=|<=|>=|<|>
+      | ==|!=|<=|>=|=~|!~|<|>
       | and\b|or\b
       | \(|\)
       | "(?:[^"]*)"
       | '(?:[^']*)'
       | -?\d+\.\d+|-?\d+
       | v\.\w+
+      | /(?:\\.|[^/\\])+/       # /regex/ literal (Grafana =~ filters)
     )""",
     re.VERBOSE,
 )
@@ -302,6 +303,21 @@ def _parse_pred(tokens: list[str], params: dict[str, Any]) -> Column:
             return e
         left = ref_or_fail(eat())
         op = eat()
+        if op in ("=~", "!~"):
+            # Grafana regex filters: r["_field"] =~ /^R\d+/ — partial
+            # (unanchored) match like Flux's RE2; Spark rlike is Java
+            # regex, equivalent for the character-class/anchor subset
+            # panels use. ${var} templates resolve inside the literal.
+            tok = eat()
+            if not (tok.startswith("/") and tok.endswith("/") and len(tok) > 2):
+                raise FluxError(f"{op} expects a /regex/ literal, got {tok!r}")
+            pattern = re.sub(
+                r"\$\{(\w+)\}",
+                lambda m: str(_resolve(f"v.{m.group(1)}", params)),
+                tok[1:-1].replace(r"\/", "/"),
+            )
+            matched = left.rlike(pattern)
+            return matched if op == "=~" else ~matched
         right = _resolve(eat(), params)
         if op == "==":
             return left == F.lit(right)
