@@ -681,3 +681,31 @@ def test_prune_cache_keyed_by_generation(spark, tmp_path):
     # after refresh the new files are covered: manifest excludes the
     # non-click ones again
     assert set(d) <= set(c)
+
+
+def test_manifest_columns_heal_vs_transient_policy(spark, tmp_path):
+    """manifest_columns heals absent/partial manifests (None → caller
+    defaults) but PROPAGATES a read failure while a committed pointer
+    exists — silently defaulting there would rebuild the manifest with
+    narrower columns and drop file-skipping coverage."""
+    import shutil
+
+    import pytest as _pytest
+
+    # absent dir → None
+    assert mf.manifest_columns(spark, str(tmp_path / "nope")) is None
+    # crash-partial: dir exists, no pointer, no parquet → None
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    assert mf.manifest_columns(spark, partial) is None
+    # committed manifest → its column set
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    assert mf.manifest_columns(spark, man) == ["_field", "_time"]
+    # committed pointer but generation dir unreadable (racing reap /
+    # transient IO) → raises, never silently narrows
+    with open(os.path.join(man, "_CURRENT")) as f:
+        gen = f.read().strip()
+    shutil.rmtree(os.path.join(man, gen))
+    with _pytest.raises(Exception):
+        mf.manifest_columns(spark, man)

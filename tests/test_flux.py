@@ -800,3 +800,60 @@ def test_regex_filter_predicates(spark, store):
         params={"p": "cli"},
     )
     assert {r["_field"] for r in tmpl.collect()} == {"click"}
+
+
+def test_limit_is_per_measurement_and_field_table(spark, tmp_path):
+    """Flux tables key on (_measurement, _field): a frame carrying two
+    measurements with the same field limits within EACH (m, f) table,
+    not per field globally."""
+    rows = []
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    for m in ("m1", "m2"):
+        for i in range(6):
+            rows.append((t0 + datetime.timedelta(minutes=i), m, "click", float(i)))
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "two_meas")
+    bkt.write_bucket(df, path, mode="overwrite")
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> sort(columns: ["_value"], desc: true) '
+        "|> limit(n: 2)",
+        {"b": path},
+    ).collect()
+    per_table: dict[tuple, list] = {}
+    for r in got:
+        per_table.setdefault((r["_measurement"], r["_field"]), []).append(
+            r["_value"]
+        )
+    assert set(per_table) == {("m1", "click"), ("m2", "click")}
+    for vals in per_table.values():
+        assert sorted(vals) == [4.0, 5.0]  # top-2 per (measurement, field)
+
+
+def test_limit_after_sorted_limit_raises(spark, store):
+    with pytest.raises(flux.FluxError, match="sorted limit"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> sort(columns: ["_value"], desc: true) '
+            "|> limit(n: 5) |> limit(n: 2)",
+            {"b": store},
+        )
+    # plain limit |> limit (no sort ever) stays legal: both are _time
+    # order, so the composition is consistent
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> limit(n: 5) |> limit(n: 2)",
+        {"b": store},
+    )
+    assert got.count() == 2

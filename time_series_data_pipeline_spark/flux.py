@@ -14,7 +14,7 @@ panels (README.md:211, photo/use-variable.png lines 1-6 verbatim):
 ``compile_flux`` parses exactly this pipeline subset — from / range /
 filter (equality, inequality and _value comparisons joined with
 and/or) / aggregateWindow (mean, median, min, max, sum, count, first,
-last; createEmpty for mean) / last / yield — and emits a DataFrame plan over
+last; createEmpty for mean and count) / last / yield — and emits a DataFrame plan over
 a bucket store, so a reference user can paste their panel queries
 unchanged. Dashboard template variables (``v.windowPeriod``,
 ``${Resistances}``) resolve from the ``params`` mapping, exactly the
@@ -687,18 +687,23 @@ def compile_flux(
         )
 
     def _finish(out: DataFrame) -> DataFrame:
-        # Flux sort/limit are PER TABLE, i.e. per series: a frame that
-        # still carries _field sorts/limits within each field; a
-        # one-table frame (pivot output) sorts/limits globally. A limit
-        # with no pending sort keeps the series' first rows in _time
-        # order (Flux's natural table order).
+        # Flux sort/limit are PER TABLE: tables key on
+        # (_measurement, _field), so the rank filter partitions by
+        # every group-key column the frame still carries; a one-table
+        # frame (pivot output) sorts/limits globally. A limit with no
+        # pending sort keeps each table's first rows in _time order
+        # (Flux's natural table order). Determinism: the orderBy is
+        # always extended with the (_time, _value) tiebreak the rest
+        # of the compiler uses, so tied sort keys never select
+        # arbitrary rows.
         from pyspark.sql import Window
 
         pending_sort: tuple | None = None
+        sorted_limit_applied = False
 
         def sort_cols(op):
             _, cols, desc = op
-            return [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+            return [F.col(c).desc() if desc else F.col(c).asc() for c in cols], cols
 
         for op in post_ops:
             if op[0] in ("sort", "keep", "drop"):
@@ -712,7 +717,9 @@ def compile_flux(
                 pending_sort = op
             elif op[0] == "limit":
                 n = op[1]
-                per_series = "_field" in out.columns
+                group_keys = [
+                    c for c in ("_measurement", "_field") if c in out.columns
+                ]
                 if pending_sort is not None:
                     gone = [c for c in pending_sort[1] if c not in out.columns]
                     if gone:
@@ -720,16 +727,30 @@ def compile_flux(
                             f"limit: sort column(s) {gone} were dropped "
                             "before the limit applied"
                         )
-                    order = sort_cols(pending_sort)
+                    order, named = sort_cols(pending_sort)
+                elif sorted_limit_applied:
+                    # a second bare limit after a sorted limit would
+                    # silently re-order by _time — Flux keeps the
+                    # sorted order; raise rather than mis-compile
+                    raise FluxError(
+                        "limit after a sorted limit is outside the subset "
+                        "(the sorted order is not retained)"
+                    )
                 elif "_time" in out.columns:
-                    order = [F.col("_time").asc()]
+                    order, named = [F.col("_time").asc()], ["_time"]
                 else:
                     raise FluxError(
                         "limit without sort needs a _time column to define "
                         "the table order"
                     )
-                if per_series:
-                    w = Window.partitionBy("_field").orderBy(*order)
+                # deterministic tiebreak: extend with (_time, _value)
+                order = order + [
+                    F.col(c).asc()
+                    for c in ("_time", "_value")
+                    if c in out.columns and c not in named
+                ]
+                if group_keys:
+                    w = Window.partitionBy(*group_keys).orderBy(*order)
                     out = (
                         out.withColumn("__rn", F.row_number().over(w))
                         .filter(F.col("__rn") <= n)
@@ -737,6 +758,8 @@ def compile_flux(
                     )
                 else:
                     out = out.orderBy(*order).limit(n)
+                if pending_sort is not None:
+                    sorted_limit_applied = True
                 pending_sort = None
             elif op[0] == "keep":
                 out = out.select(*op[1])

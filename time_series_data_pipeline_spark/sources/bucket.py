@@ -261,20 +261,13 @@ def refresh_bucket_manifest(
         )
     else:
         if columns is None:
-            try:
-                columns = tuple(
-                    sorted(
-                        r["column"]
-                        for r in mf.read_manifest(spark, man)
-                        .select("column")
-                        .distinct()
-                        .collect()
-                    )
-                ) or ("_field", "_time")
-            except Exception:
-                # no manifest yet, or a crash left a partial one — the
-                # full rebuild is the healing path and must not crash
-                columns = ("_field", "_time")
+            # manifest_columns heals absent/partial manifests with
+            # None (→ defaults) but PROPAGATES transient read errors —
+            # silently falling back would rebuild with narrower
+            # columns and drop file-skipping coverage
+            columns = tuple(
+                mf.manifest_columns(spark, man) or ("_field", "_time")
+            )
         mf.write_manifest(
             mf.build_stats_manifest(spark, path, list(columns)), man
         )

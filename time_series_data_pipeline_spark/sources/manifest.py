@@ -27,6 +27,8 @@ so a stale manifest degrades to extra scanning, not missing rows.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -315,6 +317,32 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
         return spark.read.parquet(manifest_path)
 
 
+def manifest_columns(
+    spark: SparkSession, manifest_path: str
+) -> list[str] | None:
+    """Column set of the committed manifest, or None when no readable
+    manifest exists (absent dir, or a crash-partial state with no
+    committed ``_CURRENT`` pointer — the states a rebuild should HEAL
+    with default columns). A read failure while a committed pointer
+    exists PROPAGATES: that is a transient error (e.g. a racing
+    publish), and silently falling back would rebuild the manifest
+    with narrower columns, dropping file-skipping coverage for every
+    later query."""
+    try:
+        cols = sorted(
+            r["column"]
+            for r in read_manifest(spark, manifest_path)
+            .select("column")
+            .distinct()
+            .collect()
+        )
+        return cols or None
+    except Exception:
+        if _current_generation(manifest_path) is None:
+            return None
+        raise
+
+
 def refresh_stats_manifest(
     spark: SparkSession,
     path: str,
@@ -357,6 +385,12 @@ def refresh_stats_manifest(
         covered = {r["file"] for r in pairs}
         old_cols = sorted({r["column"] for r in pairs})
     except Exception:
+        # heal only the genuinely-absent/partial states; a transient
+        # read failure with a committed pointer propagates — treating
+        # it as "no manifest" would silently rebuild with narrower
+        # columns (see manifest_columns)
+        if _current_generation(manifest_path) is not None:
+            raise
         old, covered, old_cols = None, set(), []
     if columns is None:
         columns = old_cols or ["_field", "_time"]
@@ -449,6 +483,7 @@ def _current_generation(manifest_path: str) -> str | None:
 #: refreshes stay visible.
 _PRUNE_CACHE: dict[tuple, tuple[frozenset, frozenset]] = {}
 _PRUNE_CACHE_MAX = 64
+_PRUNE_CACHE_LOCK = threading.Lock()
 
 
 def prune_files(
@@ -489,8 +524,12 @@ def prune_files(
             gen,
             tuple(sorted((c, repr(b)) for c, b in constraints.items())),
         )
-    if cache_key is not None and cache_key in _PRUNE_CACHE:
-        known_rel, excluded = _PRUNE_CACHE[cache_key]
+    cached = None
+    if cache_key is not None:
+        with _PRUNE_CACHE_LOCK:
+            cached = _PRUNE_CACHE.get(cache_key)
+    if cached is not None:
+        known_rel, excluded = cached
     else:
         mdf = read_manifest(spark, manifest_path)
         excl = None
@@ -510,9 +549,12 @@ def prune_files(
         known_rel = frozenset(r["file"] for r in flagged)
         excluded = frozenset(r["file"] for r in flagged if r["ex"] == 1)
         if cache_key is not None:
-            if len(_PRUNE_CACHE) >= _PRUNE_CACHE_MAX:
-                _PRUNE_CACHE.pop(next(iter(_PRUNE_CACHE)))
-            _PRUNE_CACHE[cache_key] = (known_rel, excluded)
+            # lock: concurrent prune_files callers (scan_bucket is a
+            # read path) would otherwise race the FIFO eviction
+            with _PRUNE_CACHE_LOCK:
+                while len(_PRUNE_CACHE) >= _PRUNE_CACHE_MAX:
+                    _PRUNE_CACHE.pop(next(iter(_PRUNE_CACHE)), None)
+                _PRUNE_CACHE[cache_key] = (known_rel, excluded)
 
     def _resolve(f: str) -> str:
         # manifests record store-relative paths (Delta-log convention);
