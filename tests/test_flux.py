@@ -62,10 +62,14 @@ def test_verbatim_dashboard_query_matches_handwritten_plan(spark, store):
             "5 minutes",
         )
     )
-    a = sorted((str(r[0]), r[1], round(r[2], 9), r[3]) for r in got.collect())
+    assert got.columns == ["window_start", "_measurement", "_field", "mean", "n"]
+    assert {r["_measurement"] for r in got.select("_measurement").distinct().collect()} == {"events"}
+    a = sorted(
+        (str(r[0]), r[1], round(r[2], 9), r[3])
+        for r in got.drop("_measurement").collect()
+    )
     b = sorted((str(r[0]), r[1], round(r[2], 9), r[3]) for r in ref.collect())
     assert a == b and len(a) > 0
-    assert got.columns == ["window_start", "_field", "mean", "n"]
 
 
 def test_gauge_last_stage(spark, store):
@@ -99,15 +103,19 @@ def test_or_and_value_predicates_and_other_fns(spark, store):
         "|> aggregateWindow(every: 1h, fn: max) |> yield(name: \"peak\")"
     )
     got = flux.compile_flux(spark, q, {"b": store})
+    assert "_measurement" in got.columns
     ref = (
         bkt.read_bucket(spark, store)
         .filter(
             (F.col("_value") > 50.0)
             & (F.col("_field").isin("click", "view"))
         )
-        .groupBy(F.window("_time", "1 hour").alias("w"), "_field")
+        .groupBy(F.window("_time", "1 hour").alias("w"), "_measurement", "_field")
         .agg(F.max("_value").alias("peak"), F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "_field", "peak", "n")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "_measurement", "_field", "peak", "n",
+        )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
 
@@ -249,7 +257,7 @@ def test_bare_aggregate_stage(spark, store):
         ' |> mean() |> yield(name: "avg")',
         {"b": store},
     )
-    assert got.columns == ["_field", "avg", "n"]
+    assert got.columns == ["_measurement", "_field", "avg", "n"]
     ref = {
         r["_field"]: (round(r["avg"], 9), r["n"])
         for r in bkt.read_bucket(spark, store)
@@ -273,7 +281,9 @@ def test_bare_aggregate_stage(spark, store):
 
 def test_derivative_stage_matches_rate_operator(spark, store):
     """Compiled derivative(unit: 1s, nonNegative: true) must be the
-    rate() operator over the same pruned scan — bit-identical."""
+    rate() operator over the same pruned scan, keyed on the full
+    (_measurement, _field) table key, with the per-table first row
+    dropped (Flux's convention — the rate there is undefined)."""
     from time_series_data_pipeline_spark.operators.timeseries import rate
 
     got = flux.compile_flux(
@@ -287,11 +297,16 @@ def test_derivative_stage_matches_rate_operator(spark, store):
         bkt.scan_bucket(spark, store, measurement="events", field="click"),
         "_time",
         "_value",
-        ["_field"],
-    )
+        ["_measurement", "_field"],
+    ).filter(F.col("rate_per_s").isNotNull())
     assert sorted(map(tuple, got.collect()), key=repr) == sorted(
         map(tuple, ref.collect()), key=repr
     )
+    # the dropped rows are exactly the per-table firsts: one series here
+    n_raw = bkt.scan_bucket(
+        spark, store, measurement="events", field="click"
+    ).count()
+    assert got.count() <= n_raw - 1
 
 
 def test_timed_moving_average_matches_trailing_mean(spark, store):
@@ -310,11 +325,12 @@ def test_timed_moving_average_matches_trailing_mean(spark, store):
     )
     df = bkt.scan_bucket(spark, store, measurement="events", field="view")
     w = (
-        Window.partitionBy("_field")
+        Window.partitionBy("_measurement", "_field")
         .orderBy(F.unix_micros("_time"))
         .rangeBetween(-(30 * 60 * 1_000_000 - 1), 0)
     )
     ref = df.select(
+        "_measurement",
         "_field",
         "_time",
         "_value",
@@ -328,22 +344,67 @@ def test_timed_moving_average_matches_trailing_mean(spark, store):
     )
 
 
-def test_increase_stage_matches_counter_increase(spark, store):
-    """increase() ≡ counter_increase's reset-aware total, per field."""
-    got = {
-        r["_field"]: (r["n"], r["total_increase"])
-        for r in flux.compile_flux(
-            spark,
-            'from(bucket: "b")'
-            ' |> filter(fn: (r) => r["_measurement"] == "events")'
-            " |> increase()",
-            {"b": store},
-        ).collect()
-    }
+def test_increase_stage_is_cumulative_per_point(spark, store):
+    """increase() is Flux's CUMULATIVE form (difference(nonNegative:
+    true) |> cumulativeSum()): per-table running sum of reset-aware
+    deltas, first row dropped, cumulative value REPLACING _value
+    (ADVICE r7: the old per-series-total form was a silent shape
+    change). Checked point-by-point against a driver-side replay."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        ' |> filter(fn: (r) => r["_measurement"] == "events")'
+        " |> increase()",
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "_time", "_value"]
+    rows = got.collect()
+    src = bkt.scan_bucket(spark, store, measurement="events").collect()
+    by_field: dict[str, list] = {}
+    for r in src:
+        if r["_value"] is not None:
+            by_field.setdefault(r["_field"], []).append((r["_time"], r["_value"]))
+    want: list[tuple] = []
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _d2(x: float) -> Decimal:
+        # Spark's double→decimal(18,2) cast rounds HALF_UP
+        return Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+
+    for f, pts in by_field.items():
+        pts.sort()
+        cum = Decimal(0)
+        for (pt, pv), (t, v) in zip(pts, pts[1:]):
+            dv = _d2(v) - _d2(pv)
+            cum += dv if dv >= 0 else _d2(v)
+            want.append((f, t, round(float(cum), 6)))
+    got_list = sorted(
+        (r["_field"], r["_time"], round(r["_value"], 6)) for r in rows
+    )
+    assert got_list == sorted(want) and len(got_list) > 0
+    # each series drops exactly its first row
+    n_src = sum(len(p) for p in by_field.values())
+    assert len(rows) == n_src - len(by_field)
+
+
+def test_increase_then_last_is_stat_panel_total(spark, store):
+    """increase() |> last(): the cumulative series' final point — the
+    reset-aware total monotonic increase per table (what the r7 bare
+    form used to return)."""
     from pyspark.sql import Window
 
     from time_series_data_pipeline_spark.operators.timeseries import _dec
 
+    got = {
+        r["_field"]: r["last_value"]
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b")'
+            ' |> filter(fn: (r) => r["_measurement"] == "events")'
+            " |> increase() |> last()",
+            {"b": store},
+        ).collect()
+    }
     df = bkt.scan_bucket(spark, store, measurement="events")
     w = Window.partitionBy("_field").orderBy("_time", "_value")
     y = _dec("_value")
@@ -352,13 +413,15 @@ def test_increase_stage_matches_counter_increase(spark, store):
         F.when(y >= prev, y - prev).otherwise(y)
     )
     ref = {
-        r["_field"]: (r["n"], r["t"])
+        r["_field"]: r["t"]
         for r in df.select("_field", delta.alias("d"))
         .groupBy("_field")
-        .agg(F.count("*").alias("n"), F.sum("d").cast("double").alias("t"))
+        .agg(F.sum("d").cast("double").alias("t"))
         .collect()
     }
-    assert got == ref and len(got) > 1
+    assert len(got) == len(ref) > 1
+    for f, v in ref.items():
+        assert abs(got[f] - v) < 1e-9, f
 
 
 def test_state_duration_stage_flux_convention(spark, store):
@@ -434,9 +497,10 @@ def test_moving_average_stage_drops_first_points(spark, store):
         {"b": store},
     )
     df = bkt.scan_bucket(spark, store, measurement="events", field="click")
-    wo = Window.partitionBy("_field").orderBy("_time", "_value")
+    wo = Window.partitionBy("_measurement", "_field").orderBy("_time", "_value")
     ref = (
         df.select(
+            "_measurement",
             "_field",
             "_time",
             "_value",
@@ -625,10 +689,10 @@ def test_pivot_stage_table_view(spark, store):
         r["_field"]
         for r in bkt.read_bucket(spark, store).select("_field").distinct().collect()
     )
-    assert got.columns == ["_time"] + fields
+    assert got.columns == ["_measurement", "_time"] + fields
     ref = (
         bkt.read_bucket(spark, store)
-        .groupBy("_time")
+        .groupBy("_measurement", "_time")
         .pivot("_field")
         .agg(F.max("_value"))
     )
@@ -698,12 +762,15 @@ def test_first_aggregate_bare_and_windowed(spark, store):
     wref = (
         bkt.read_bucket(spark, store)
         .filter(F.col("_field") == "click")
-        .groupBy(F.window("_time", "1 hour").alias("w"), "_field")
+        .groupBy(F.window("_time", "1 hour").alias("w"), "_measurement", "_field")
         .agg(
             F.min_by("_value", F.struct("_time", "_value")).alias("first"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select(F.col("w.start").alias("window_start"), "_field", "first", "n")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "_measurement", "_field", "first", "n",
+        )
     )
     assert sorted(map(tuple, windowed.collect()), key=repr) == sorted(
         map(tuple, wref.collect()), key=repr
@@ -721,7 +788,7 @@ def test_create_empty_count_zero_fills(spark, store):
         "|> aggregateWindow(every: 5m, fn: count, createEmpty: true)"
     )
     got = flux.compile_flux(spark, q, {"b": store})
-    assert got.columns == ["window_start", "_field", "count"]
+    assert got.columns == ["window_start", "_measurement", "_field", "count"]
     rows = {(r["window_start"], r["_field"]): r["count"] for r in got.collect()}
     # contiguous 5m spine across the observed extent (gap_fill's spine
     # spans first..last observation, same contract as the mean form)
@@ -741,11 +808,11 @@ def test_create_empty_count_zero_fills(spark, store):
         )
 
 
-def test_group_by_field_is_verified_noop(spark, store):
-    """Grafana inserts group(columns: ["_field"]) into panel text; for
-    this subset it is exactly the compiled aggregations' native
-    grouping — results identical with and without the stage. Any other
-    grouping raises (it would CHANGE aggregation semantics)."""
+def test_group_by_field_rekeys_tables(spark, store):
+    """Grafana's inserted group(columns: ["_field"]) re-keys the tables
+    on _field alone: same aggregation VALUES as the natural
+    (_measurement, _field) key when the store holds one measurement,
+    minus the _measurement output column."""
     base = (
         'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
         "{g} |> aggregateWindow(every: 1h, fn: mean)"
@@ -754,11 +821,12 @@ def test_group_by_field_is_verified_noop(spark, store):
         spark, base.format(g=' |> group(columns: ["_field"])'), {"b": store}
     )
     without = flux.compile_flux(spark, base.format(g=""), {"b": store})
+    assert with_g.columns == ["window_start", "_field", "mean", "n"]
+    assert without.columns == ["window_start", "_measurement", "_field", "mean", "n"]
     assert sorted(map(tuple, with_g.collect()), key=repr) == sorted(
-        map(tuple, without.collect()), key=repr
+        map(tuple, without.drop("_measurement").collect()), key=repr
     )
     for bad, msg in (
-        ('from(bucket: "b") |> group() |> mean()', "group ships only"),
         ('from(bucket: "b") |> group(columns: ["tags"]) |> mean()',
          "group ships only"),
         ('from(bucket: "b") |> group(columns: ["_field"], mode: "except") '
@@ -768,6 +836,62 @@ def test_group_by_field_is_verified_noop(spark, store):
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_group_merge_compiles_keyless_aggregates(spark, store):
+    """group() / group(columns: []) — merge all series into one table
+    (VERDICT r7 item 7): a following bare aggregate folds everything to
+    ONE row; aggregateWindow keys on the window alone; last() is a
+    global max_by aggregation. A per-point window transform over the
+    merged table raises (single-partition scale trap)."""
+    src = bkt.read_bucket(spark, store)
+    one = flux.compile_flux(
+        spark, 'from(bucket: "b") |> group() |> mean()', {"b": store}
+    )
+    assert one.columns == ["mean", "n"]
+    row = one.collect()
+    want_n = src.count()
+    want_mean = src.agg(
+        (
+            F.sum(F.col("_value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert len(row) == 1 and row[0]["n"] == want_n
+    assert abs(row[0]["mean"] - want_mean) < 1e-9
+    # windowed form: one row per window over everything
+    win = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group(columns: []) '
+        "|> aggregateWindow(every: 1h, fn: count)",
+        {"b": store},
+    )
+    assert win.columns == ["window_start", "count"]
+    assert win.count() == win.select("window_start").distinct().count() > 0
+    # last(): one latest reading over everything, via aggregation
+    last = flux.compile_flux(
+        spark, 'from(bucket: "b") |> group() |> last()', {"b": store}
+    )
+    lrow = last.collect()
+    wref = src.orderBy(F.col("_time").desc(), F.col("_value").desc()).limit(1).collect()[0]
+    assert len(lrow) == 1
+    assert (lrow[0]["last_ts"], lrow[0]["last_value"]) == (
+        wref["_time"], wref["_value"]
+    )
+    plan = last._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # aggregation, not a one-partition window
+    with pytest.raises(flux.FluxError, match="one partition"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> group() |> movingAverage(n: 3)',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="one partition"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> group() |> derivative(nonNegative: true)',
+            {"b": store},
+        )
 
 
 def test_regex_filter_predicates(spark, store):
@@ -857,3 +981,186 @@ def test_limit_after_sorted_limit_raises(spark, store):
         {"b": store},
     )
     assert got.count() == 2
+
+
+# -- round-8 series keying (VERDICT r7 item 1) ------------------------
+
+
+@pytest.fixture(scope="module")
+def two_meas(spark, tmp_path_factory):
+    """A store holding TWO measurements sharing field names, with
+    per-measurement values offset by +1000 so any cross-measurement
+    merge is numerically visible in every aggregate."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for mi, m in enumerate(("m1", "m2")):
+        for f in ("click", "view"):
+            for i in range(40):
+                rows.append(
+                    (
+                        t0 + datetime.timedelta(minutes=7 * i),
+                        m,
+                        f,
+                        1000.0 * mi + i + (10.0 if f == "view" else 0.0),
+                    )
+                )
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path_factory.mktemp("fluxtwomeas") / "bucket")
+    bkt.write_bucket(df, path, mode="overwrite")
+    bkt.refresh_bucket_manifest(spark, path)
+    return path
+
+
+def _per_meas_tables(rows, key_cols=("_measurement", "_field")):
+    out: dict[tuple, list] = {}
+    for r in rows:
+        out.setdefault(tuple(r[c] for c in key_cols), []).append(r)
+    return out
+
+
+def test_two_measurement_aggregates_key_per_measurement(spark, two_meas):
+    """Every compiled aggregation keys on the FULL Flux table key
+    (_measurement, _field): a pipeline with no _measurement filter over
+    a two-measurement store produces per-measurement series, never a
+    silent merge (VERDICT r7 item 1 — the r7 compiler's only
+    wrong-answer edge)."""
+    # windowed mean: m2's values are +1000, so a merged mean would sit
+    # between the two measurements' own means
+    win = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> aggregateWindow(every: 1h, fn: mean)",
+        {"b": two_meas},
+    ).collect()
+    per = _per_meas_tables(win)
+    assert set(per) == {("m1", "click"), ("m2", "click")}
+    for (m, _f), rs in per.items():
+        lo, hi = (0, 40) if m == "m1" else (1000, 1040)
+        assert all(lo <= r["mean"] <= hi for r in rs)
+
+    # bare aggregates: one row per (measurement, field) table
+    for fn, col in (("mean", "mean"), ("max", "max"), ("count", "count")):
+        bare = flux.compile_flux(
+            spark, f'from(bucket: "b") |> {fn}()', {"b": two_meas}
+        ).collect()
+        assert {(r["_measurement"], r["_field"]) for r in bare} == {
+            (m, f) for m in ("m1", "m2") for f in ("click", "view")
+        }, fn
+    mx = {
+        (r["_measurement"], r["_field"]): r["max"]
+        for r in flux.compile_flux(
+            spark, 'from(bucket: "b") |> max()', {"b": two_meas}
+        ).collect()
+    }
+    assert mx[("m1", "click")] == 39.0 and mx[("m2", "click")] == 1039.0
+
+    # last() / first(): latest & earliest per (measurement, field)
+    last = flux.compile_flux(
+        spark, 'from(bucket: "b") |> last()', {"b": two_meas}
+    ).collect()
+    assert {(r["_measurement"], r["_field"]): r["last_value"] for r in last} == {
+        ("m1", "click"): 39.0, ("m1", "view"): 49.0,
+        ("m2", "click"): 1039.0, ("m2", "view"): 1049.0,
+    }
+    first = flux.compile_flux(
+        spark, 'from(bucket: "b") |> first()', {"b": two_meas}
+    ).collect()
+    assert {(r["_measurement"], r["_field"]): r["first"] for r in first} == {
+        ("m1", "click"): 0.0, ("m1", "view"): 10.0,
+        ("m2", "click"): 1000.0, ("m2", "view"): 1010.0,
+    }
+
+    # createEmpty gap fill: spine per (measurement, field)
+    filled = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> aggregateWindow(every: 5m, fn: count, createEmpty: true)",
+        {"b": two_meas},
+    ).collect()
+    fper = _per_meas_tables(filled)
+    assert set(fper) == {("m1", "click"), ("m2", "click")}
+    for rs in fper.values():
+        assert any(r["count"] == 0 for r in rs)  # 7-min cadence → gaps
+
+
+def test_two_measurement_transforms_key_per_measurement(spark, two_meas):
+    """The per-point transforms partition on the full table key: the
+    first-row boundary, window frames and run-ids never cross
+    measurements."""
+    # derivative: 4 tables → 4 dropped first rows; rates within a
+    # measurement reflect its own +1 step (never the +1000 jump a
+    # merged series would see at the boundary)
+    der = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> derivative(unit: 1s, nonNegative: true)',
+        {"b": two_meas},
+    ).collect()
+    assert len(der) == 160 - 4
+    assert all(r["rate_per_s"] < 1.0 for r in der)  # +1 per 7 min
+
+    # movingAverage: per-table frames; each table drops n−1 rows
+    ma = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> movingAverage(n: 5)',
+        {"b": two_meas},
+    ).collect()
+    assert len(ma) == 160 - 4 * 4
+    for (m, _f), rs in _per_meas_tables(ma).items():
+        lo, hi = (0, 50) if m == "m1" else (1000, 1050)
+        assert all(lo <= r["moving_avg"] <= hi for r in rs)
+
+    # timedMovingAverage: RANGE frame per table
+    tma = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "view") '
+        "|> timedMovingAverage(period: 30m)",
+        {"b": two_meas},
+    ).collect()
+    for (m, _f), rs in _per_meas_tables(tma).items():
+        lo, hi = (10, 50) if m == "m1" else (1010, 1050)
+        assert all(lo <= r["trailing_mean"] <= hi for r in rs)
+
+    # increase: cumulative per table — totals are each table's own sum
+    # of +1 steps (39), never polluted by the cross-measurement +1000
+    inc = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> increase() |> last()',
+        {"b": two_meas},
+    ).collect()
+    assert {(r["_measurement"], r["_field"]): r["last_value"] for r in inc} == {
+        (m, f): 39.0 for m in ("m1", "m2") for f in ("click", "view")
+    }
+
+    # stateDuration: predicate true only for m2 (values ≥ 1000); run
+    # boundaries must not leak across measurements
+    sd = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> stateDuration(fn: (r) => r._value >= 1000.0)",
+        {"b": two_meas},
+    ).collect()
+    sper = _per_meas_tables(sd)
+    assert all(r["stateDuration"] == -1 for r in sper[("m1", "click")])
+    m2 = sorted(sper[("m2", "click")], key=lambda r: r["_time"])
+    assert m2[0]["stateDuration"] == 0  # run starts at m2's own first row
+    assert m2[-1]["stateDuration"] == 39 * 7 * 60
+
+    # pivot: residual key keeps _measurement — one row per (m, time)
+    piv = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> pivot(rowKey: ["_time"], columnKey: '
+        '["_field"], valueColumn: "_value")',
+        {"b": two_meas},
+    )
+    assert piv.columns == ["_measurement", "_time", "click", "view"]
+    assert piv.count() == 80  # 40 times × 2 measurements, never merged

@@ -202,9 +202,12 @@ import pytest as _pytest
         ("flux_compiled_moving_avg", 1),
         # row-frame mean + row_number over ONE partitioning
         ("flux_compiled_row_moving_avg", 1),
-        # window lag + hash-agg on the SAME key: Catalyst reuses the
-        # partitioning, so one exchange
+        # window lag + running sum over ONE partitioning = one exchange
         ("flux_compiled_increase", 1),
+        # + last(): row_number over the SAME key partitioning — reused
+        ("flux_compiled_increase_total", 1),
+        # group() |> mean(): partial agg → one tiny final exchange
+        ("flux_compiled_group_merge", 1),
         # three windows over ONE partitioning = one shuffle
         ("flux_compiled_state_duration", 1),
     ],

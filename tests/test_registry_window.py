@@ -50,14 +50,16 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-7 policy: queries that are new or whose implementation /
+    # round-8 policy: queries that are new or whose implementation /
     # oracle changed this round go first so a driver cap tighter than
-    # 50 still reaches them
-    assert set(_CHECKED_WINDOW[:7]) == {
-        "pack_sequences_sharded", "flux_compiled_derivative",
+    # 50 still reaches them — the Flux keying change touched every
+    # compiled query, and increase_total / group_merge are new
+    assert set(_CHECKED_WINDOW[:9]) == {
+        "flux_compiled_increase", "flux_compiled_increase_total",
+        "flux_compiled_group_merge", "flux_compiled_derivative",
+        "flux_compiled_mean", "flux_compiled_gauge",
         "flux_compiled_moving_avg", "flux_compiled_row_moving_avg",
-        "flux_compiled_increase", "flux_compiled_state_duration",
-        "pack_sequences",
+        "flux_compiled_state_duration",
     }
 
 

@@ -60,16 +60,21 @@ same oracle shape:
 * ``movingAverage(n: 5)`` → a trailing ROW-frame mean with Flux's
   drop-the-first-``n−1``-points convention (row_number ≥ n), exact
   decimal sums.
-* ``increase()`` → `operators.timeseries.counter_increase` (per-series
-  total monotonic increase — the stat-panel form, ≡ Flux
-  ``increase() |> last()``).
+* ``increase()`` → the CUMULATIVE per-point form (Flux's actual
+  semantics: ``difference(nonNegative: true) |> cumulativeSum()`` —
+  running sum of reset-aware deltas, the per-table first row dropped
+  because it has no predecessor). ``increase() |> last()`` reduces it
+  to the per-series total a stat panel shows (round 8, ADVICE r7: the
+  bare form previously compiled to the total — a silent shape change
+  for counter time-series panels).
 * ``stateDuration(fn: (r) => pred)`` → the `state_duration` run-length
   machinery, with Flux's convention: seconds in the CURRENT run where
   the predicate holds, −1 where it doesn't.
 
-All four are TERMINAL in the subset (only yield may follow); a
-range/filter after them, or composing them with another
-aggregation/transform stage, raises rather than mis-compiling.
+All four are TERMINAL in the subset (only yield may follow, plus
+``last()`` after ``increase()``); a range/filter after them, or
+composing them with another aggregation/transform stage, raises
+rather than mis-compiling.
 
 ``pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn:
 "_value")`` — the Data-Explorer table/CSV-export view — compiles to a
@@ -93,6 +98,29 @@ materializes whole series for nothing but ordering, which the
 order-insensitive frame contract cannot even observe. Unknown columns
 in sort/keep/drop raise naming the column; once a tail stage appears,
 only tail stages and yield may follow.
+
+Series keying (round 8, VERDICT r7 item 1): Flux tables key on
+``(_measurement, _field)``, and EVERY compiled aggregation/transform
+partitions/groups on that full table key — a pipeline with no
+``_measurement`` filter over a store holding several measurements
+aggregates each measurement's series separately instead of silently
+merging same-named fields (the tail ``limit`` already did this; the
+aggregations now match). When the filter pins ``_measurement`` to a
+constant the extra key is constant-cost (one more group column whose
+cardinality is 1 after pushdown), and the output frame carries the
+``_measurement`` column exactly as a Flux record does.
+
+``group(columns: [...])`` RE-KEYS the tables (Flux regrouping): the
+subset ships any subset of {``_measurement``, ``_field``} — including
+``group()`` / ``group(columns: [])``, the Data-Explorer "merge all
+series into one table" form, which compiles aggregations to their
+key-less global forms (one row / one row per window over everything).
+Re-keying a per-point window transform (derivative, movingAverage, …)
+onto the EMPTY key would funnel every raw row through one partition —
+that shape raises (outside the subset) rather than compiling a
+scale-trap; re-keying them onto a non-empty subset compiles fine.
+Grouping by anything else (tags don't exist in this store — SURVEY
+§1.1) raises.
 """
 
 from __future__ import annotations
@@ -418,6 +446,9 @@ def compile_flux(
     transform = None  # ("derivative",) | ("tma", period_s) | ("increase",) | ("state_duration", Column)
     post_ops: list[tuple] = []  # sort/limit/keep/drop, in user order
     yield_name = None
+    # Flux table key: (_measurement, _field). A group() stage re-keys;
+    # None = the natural key (no regrouping requested).
+    group_cols: list[str] | None = None
 
     def _bound(tok: str) -> str:
         v = _resolve(tok, params)
@@ -463,6 +494,20 @@ def compile_flux(
                 f"the shipped subset (it would filter raw rows): {stage!r}"
             )
         if head in _TERMINAL_HEADS and terminal_seen:
+            if (
+                head == "last"
+                and transform is not None
+                and transform[0] == "increase"
+                and not take_last
+            ):
+                # increase() |> last(): Flux's stat-panel total — reduce
+                # the cumulative series to its final point per table
+                if _args(stage, "last"):
+                    raise FluxError(
+                        f"last() takes no arguments in the subset: {stage!r}"
+                    )
+                take_last = True
+                continue
             raise FluxError(
                 f"second aggregation/transform stage {head!r} is outside "
                 "the shipped subset (compose in DataFrame land instead)"
@@ -648,22 +693,28 @@ def compile_flux(
                 raise FluxError(f"{head}: unsupported args {sorted(extra)}")
             post_ops.append((head, cols))
         elif head == "group":
-            # Grafana inserts group(columns: ["_field"]) into panel
-            # queries; per-series grouping is exactly what every
-            # compiled aggregation already does, so THAT form is a
-            # verified no-op. Any other grouping (incl. group() — merge
-            # all series into one table) would change aggregation
-            # semantics and raises rather than mis-compiling.
+            # Flux regrouping: re-key the tables. The subset ships any
+            # subset of the store's table-key columns — including the
+            # empty key (group(): merge all series into one table, the
+            # Data-Explorer "one value over everything" form) — and
+            # raises on anything else (tags don't exist in this store,
+            # SURVEY §1.1). Grafana's inserted
+            # group(columns: ["_field"]) re-keys on _field alone:
+            # same values as the natural key when the filter pins
+            # _measurement, minus the _measurement output column.
             a = _args(stage, "group")
             cols = _str_list(a.get("columns", "[]"), "group columns")
             extra = set(a) - {"columns", "mode"}
             mode = _resolve(a["mode"], params) if "mode" in a else "by"
-            if extra or mode != "by" or cols != ["_field"]:
+            bad = [c for c in cols if c not in ("_measurement", "_field")]
+            if extra or mode != "by" or bad or len(cols) != len(set(cols)):
                 raise FluxError(
-                    "group ships only columns: [\"_field\"] (mode: \"by\") — "
-                    "the per-series grouping the compiled aggregations "
-                    f"already use; got {stage!r}"
+                    "group ships only mode: \"by\" over a subset of the "
+                    "table key columns [\"_measurement\", \"_field\"] "
+                    f"(incl. the empty list — merge all series); got {stage!r}"
                 )
+            # canonical key order keeps output column order deterministic
+            group_cols = [c for c in ("_measurement", "_field") if c in cols]
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
@@ -773,14 +824,32 @@ def compile_flux(
     for p in residual_preds:
         df = df.filter(p)
 
+    # the Flux table key every aggregation/transform partitions on:
+    # (_measurement, _field) unless a group() stage re-keyed the tables
+    keys = group_cols if group_cols is not None else ["_measurement", "_field"]
+
     if transform is not None:
         from pyspark.sql import Window
 
         kind = transform[0]
+        if not keys and kind != "pivot":
+            # a per-point window transform over the merged-one-table key
+            # is a single-partition window over raw rows — a scale trap,
+            # not a plan; raise rather than compile it
+            raise FluxError(
+                f"group() (merge all series) before {kind} is outside the "
+                "subset: the per-point transform would run in one partition"
+            )
         if kind == "derivative":
             from .operators.timeseries import rate
 
-            out = rate(df, "_time", "_value", ["_field"])
+            # Flux derivative drops each table's FIRST row (no
+            # predecessor → no rate); the filter also removes the
+            # degenerate zero-Δt duplicate-timestamp pairs a real
+            # InfluxDB series cannot contain (round 8, ADVICE r7)
+            out = rate(df, "_time", "_value", keys).filter(
+                F.col("rate_per_s").isNotNull()
+            )
             if yield_name:
                 out = out.withColumnRenamed("rate_per_s", yield_name)
             return _finish(out)
@@ -789,12 +858,12 @@ def compile_flux(
             # RANGE frame over integer epoch µs, exact decimal sums
             period_s = transform[1]
             w = (
-                Window.partitionBy("_field")
+                Window.partitionBy(*keys)
                 .orderBy(F.unix_micros("_time"))
                 .rangeBetween(-(period_s * 1_000_000 - 1), 0)
             )
             return _finish(df.select(
-                "_field",
+                *keys,
                 "_time",
                 "_value",
                 (
@@ -808,11 +877,11 @@ def compile_flux(
             # until a full window exists); (_time, _value) tiebreak
             # makes the row frame deterministic on tied timestamps
             n = transform[1]
-            wo = Window.partitionBy("_field").orderBy("_time", "_value")
+            wo = Window.partitionBy(*keys).orderBy("_time", "_value")
             w = wo.rowsBetween(-(n - 1), 0)
             return _finish(
                 df.select(
-                    "_field",
+                    *keys,
                     "_time",
                     "_value",
                     (
@@ -825,42 +894,76 @@ def compile_flux(
                 .drop("__rn")
             )
         if kind == "pivot":
-            # the Data-Explorer table view: one row per _time, one
-            # column per field (Spark infers + SORTS the distinct pivot
-            # values — deterministic column order); duplicate
-            # (time, field) pairs resolve to MAX (documented tie rule)
+            # the Data-Explorer table view: one row per (measurement,
+            # _time) — the residual table key after _field pivots out —
+            # one column per field (Spark infers + SORTS the distinct
+            # pivot values — deterministic column order); duplicate
+            # (measurement, time, field) cells resolve to MAX (the
+            # documented tie rule)
+            if group_cols is not None:
+                raise FluxError(
+                    "pivot after group() is outside the subset (the "
+                    "Data-Explorer emits pivot over the natural table key)"
+                )
             return _finish(
-                df.groupBy("_time").pivot("_field").agg(F.max("_value"))
+                df.groupBy("_measurement", "_time")
+                .pivot("_field")
+                .agg(F.max("_value"))
             )
         if kind == "increase":
-            # mirror the attested counter_increase form (exact decimal
-            # deltas, reset-aware); tiebreak on _value — the store
-            # carries no surrogate id
-            w = Window.partitionBy("_field").orderBy("_time", "_value")
+            # Flux increase() = difference(nonNegative: true)
+            # |> cumulativeSum(): the PER-POINT running sum of
+            # reset-aware deltas, first row of each table dropped (no
+            # predecessor). Null values are excluded before
+            # differencing — one declared policy, shared with the
+            # oracle (round 8, ADVICE r7: the bare form previously
+            # compiled to the total, a silent shape change). The
+            # cumulative value REPLACES _value exactly as Flux rewrites
+            # it, so a following last() — or the tail stages — compose
+            # on the Flux-shaped frame.
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
             y = _dec("_value")
             prev = F.lag(y).over(w)
-            delta = F.when(prev.isNull(), F.lit(0).cast("decimal(18,2)")).otherwise(
+            # explicit NULL on the first row: `y >= NULL` is NULL, so a
+            # bare when(...).otherwise(y) would silently contribute the
+            # first raw VALUE to every cumulative sum
+            delta = F.when(prev.isNull(), F.lit(None).cast("decimal(18,2)")).otherwise(
                 F.when(y >= prev, y - prev).otherwise(y)
             )
-            return _finish(
+            inc = (
                 df.filter(F.col("_value").isNotNull())
-                .select("_field", delta.alias("__d"))
-                .groupBy("_field")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum("__d")
+                .select(
+                    *keys,
+                    "_time",
+                    prev.alias("__prev"),
+                    F.sum(delta)
+                    .over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
                     .cast("double")
-                    .alias(yield_name or "total_increase"),
+                    .alias("_value"),
                 )
+                .filter(F.col("__prev").isNotNull())
+                .drop("__prev")
             )
+            if take_last:
+                from .operators.timeseries import last_value_per_group
+
+                out = last_value_per_group(inc, "_time", "_value", keys)
+                if yield_name:
+                    out = out.withColumnRenamed("last_value", yield_name)
+                return _finish(out)
+            if yield_name:
+                inc = inc.withColumnRenamed("_value", yield_name)
+            return _finish(inc)
         # state_duration: run ids via change detection, duration against
         # the run's first timestamp; Flux convention — −1 where the
         # predicate is false, 0 at each true-run's first point
         pred = transform[1]
-        w = Window.partitionBy("_field").orderBy("_time", "_value")
+        w = Window.partitionBy(*keys).orderBy("_time", "_value")
         chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
         runs = df.select(
-            "_field",
+            *keys,
             "_time",
             "_value",
             pred.alias("state"),
@@ -868,13 +971,13 @@ def compile_flux(
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .alias("run_id"),
         )
-        wr = Window.partitionBy("_field", "run_id")
+        wr = Window.partitionBy(*keys, "run_id")
         dur = (
             (F.unix_micros("_time") - F.min(F.unix_micros("_time")).over(wr))
             / F.lit(1_000_000)
         ).cast("long")
         return _finish(runs.select(
-            "_field",
+            *keys,
             "_time",
             "_value",
             "state",
@@ -897,18 +1000,18 @@ def compile_flux(
             from .operators import timeseries as ts_ops
 
             filled = ts_ops.gap_fill(
-                df, "_time", "_value", f"{every_s} seconds", every_s, ["_field"]
+                df, "_time", "_value", f"{every_s} seconds", every_s, keys
             )
             if fn == "count":
                 out = filled.select(
                     F.col("bucket").alias("window_start"),
-                    "_field",
+                    *keys,
                     F.col("n_events").cast("long").alias(yield_name or "count"),
                 )
             else:
                 out = filled.select(
                     F.col("bucket").alias("window_start"),
-                    "_field",
+                    *keys,
                     F.col("avg_value").alias(yield_name or "mean"),
                     F.col("n_events").alias("n"),
                 )
@@ -931,23 +1034,37 @@ def compile_flux(
         else:  # last: greatest _time wins, value tie-break for determinism
             expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
         if every_s is None:
-            # bare aggregate: one row per series over the whole range
-            out = df.groupBy("_field").agg(
+            # bare aggregate: one row per table over the whole range
+            # (keys == [] — the group() merge form — folds everything
+            # to ONE row: a partial-aggregated global agg, no shuffle
+            # wider than the partial results)
+            out = df.groupBy(*keys).agg(
                 expr.alias(name), F.count(F.lit(1)).alias("n")
             )
         else:
             w = F.window("_time", f"{every_s} seconds").alias("w")
-            out = df.groupBy(w, "_field").agg(
+            out = df.groupBy(w, *keys).agg(
                 expr.alias(name), F.count(F.lit(1)).alias("n")
-            ).select(F.col("w.start").alias("window_start"), "_field", name, "n")
+            ).select(F.col("w.start").alias("window_start"), *keys, name, "n")
         if fn == "count":
             out = out.drop("n")
         return _finish(out)
 
     if take_last:
-        from .operators.timeseries import last_value_per_group
+        if keys:
+            from .operators.timeseries import last_value_per_group
 
-        out = last_value_per_group(df, "_time", "_value", ["_field"])
+            out = last_value_per_group(df, "_time", "_value", keys)
+        else:
+            # group() |> last(): one latest reading over everything —
+            # a max_by aggregation (map-side combinable), never a
+            # single-partition window over raw rows
+            out = df.agg(
+                F.max(F.struct(F.col("_time"), F.col("_value"))).alias("__m")
+            ).select(
+                F.col("__m._time").alias("last_ts"),
+                F.col("__m._value").alias("last_value"),
+            )
         if yield_name:
             out = out.withColumnRenamed("last_value", yield_name)
         return _finish(out)

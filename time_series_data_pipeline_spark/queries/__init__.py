@@ -86,62 +86,61 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 7: new or changed this round go first (7).
-    # pack_sequences_sharded is the new distributed pack (VERDICT r6
-    # item 2); the four flux_compiled_* are the round's compiler
-    # extensions (item 4); pack_sequences re-attests with the
-    # HUGEINT-cast oracle fix that turns its r6 red row green (item 1)
-    # — its implementation was also refactored for the shard path. ---
-    "pack_sequences_sharded",
+    # --- round 8: new or changed this round go first (9). The Flux
+    # compiler re-keyed every aggregation/transform onto the full
+    # (_measurement, _field) table key (VERDICT r7 item 1 — output
+    # frames now carry _measurement) and increase() gained its real
+    # cumulative semantics (ADVICE r7), so ALL compiled queries
+    # re-attest; increase_total (increase |> last) and group_merge
+    # (group() |> mean — VERDICT item 7) are new. ---
+    "flux_compiled_increase",
+    "flux_compiled_increase_total",
+    "flux_compiled_group_merge",
     "flux_compiled_derivative",
+    "flux_compiled_mean",
+    "flux_compiled_gauge",
     "flux_compiled_moving_avg",
     "flux_compiled_row_moving_avg",
-    "flux_compiled_increase",
     "flux_compiled_state_duration",
-    "pack_sequences",
-    # --- rotation (VERDICT r6 item 3), oldest-green first: the 34
-    # registered singletons whose last own hash-green row is r5 and
-    # which no in-window suite covers — includes the three *_verify
-    # partners that re-attest the rows-only sketch/LSH ops. ---
-    "asof_nearest_click",
-    "bm25_search",
-    "bpe_encode_stats",
-    "bpe_token_stats",
-    "contamination_overlap",
-    "dedup_clusters",
-    "dedup_exact",
-    "doc_chunks",
-    "doc_profile",
-    "doc_repetition",
-    "embedding_dedup_clusters",
-    "embedding_ivf_topk",
-    "embedding_neardup_pairs",
-    "embedding_quantized_topk",
-    "embedding_topk",
-    "ewma_final",
-    "heavy_hitter_verify",
-    "label_centroids",
-    "last_value_per_type",
-    "minhash_lsh_verify",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "ngram_jaccard_pairs",
-    "profile_columns",
-    "sampling_splits",
-    "scrub_pii",
-    "session_windows_5m",
-    "simhash_verify",
-    "similar_part_names",
-    "top_ngrams",
-    "unpivot_lineitem",
-    "vocab_coverage",
-    "weighted_sample_docs",
-    "winnow_fingerprints",
-    # (the five never-own-row suite arms — trailing_1h_mean,
-    # state_duration, series_correlation, decimate_lttb,
-    # holt_linear_final — stay attested as suite_round5 arms, which are
-    # in-window below; two additionally re-attest through the compiled
-    # flux_compiled_moving_avg / flux_compiled_state_duration forms)
+    # --- rotation (VERDICT r7 item 3), oldest-green first: the 19
+    # r6-green singletons whose rows aged out in r7 ... ---
+    "window_sliding_15m_5m",
+    "resample_hourly",
+    "range_join_clicks_before_error",
+    "rollup_day_from_hour",
+    "counter_rate",
+    "decimate_minmax_15m",
+    "rolling_stats_zscore",
+    "asof_error_click",
+    "value_percentiles_approx",
+    "value_histogram",
+    "merge_value_intervals",
+    "events_pivot_counts",
+    "pricing_summary",
+    "sql_surface_top_part_types",
+    "distinct_users_two_phase",
+    "salted_join_segment_counts",
+    "approx_distinct_users",
+    "gap_fill_5m",
+    "lsh_ann_verify",
+    # ... then the 13 suite arms with the OLDEST own rows: the nine
+    # r4-green suite_timeseries_stats arms and four suite_round5 arms
+    # that never had an own driver row (trailing_1h_mean stays
+    # arm-attested — suite_round5 is in-window and the compiled
+    # flux_compiled_moving_avg re-attests its window form this round).
+    "anomaly_mad",
+    "counter_increase",
+    "event_transitions",
+    "funnel_view_click_purchase",
+    "json_props_stats",
+    "time_weighted_avg",
+    "value_percentiles",
+    "value_trend_per_type",
+    "weekly_retention",
+    "decimate_lttb",
+    "holt_linear_final",
+    "series_correlation",
+    "state_duration",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

@@ -637,6 +637,7 @@ def window_5m_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver's value-hash gate
     oracle="""
     SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS window_start,
+           'events' AS _measurement,
            event_type AS _field,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean,
            COUNT(*) AS n
@@ -644,7 +645,7 @@ def window_5m_mean_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_type = 'click'
       AND ts >= TIMESTAMP '2024-01-08 00:00:00'
       AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
     """,
 )
 def flux_compiled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,7 +687,8 @@ def flux_compiled_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket store. NULL values are absent from the bucket write's
     # source selection, so the oracle filters them identically.
     oracle="""
-    SELECT event_type AS _field, ts AS last_ts, value AS last_value
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS last_ts, value AS last_value
     FROM events
     QUALIFY row_number() OVER (PARTITION BY event_type
                                ORDER BY ts DESC, value DESC) = 1
@@ -718,24 +720,29 @@ def flux_compiled_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # panel — compiled onto operators.timeseries.rate over the bucket
     # store. Mirrors counter_rate's attested oracle shape (reset rule,
     # round-9 determinism) with the store's (_time, _value) tiebreak;
-    # NULLIF guards zero-Δt ties exactly like Spark's try_divide.
+    # NULLIF guards zero-Δt ties exactly like Spark's try_divide. The
+    # outer rate_per_s IS NOT NULL mirrors Flux's drop-the-first-row-
+    # per-table convention (round 8, ADVICE r7).
     oracle="""
-    SELECT event_type AS _field, ts AS _time, value AS _value,
-           round(CASE
-             WHEN lag(value) OVER w IS NULL THEN NULL
-             WHEN value >= lag(value) OVER w
-               THEN (value - lag(value) OVER w)
+    SELECT * FROM (
+      SELECT 'events' AS _measurement, event_type AS _field,
+             ts AS _time, value AS _value,
+             round(CASE
+               WHEN lag(value) OVER w IS NULL THEN NULL
+               WHEN value >= lag(value) OVER w
+                 THEN (value - lag(value) OVER w)
+                      / (CAST(NULLIF(epoch_us(ts) - epoch_us(lag(ts) OVER w),
+                              0) AS DOUBLE) / 1000000.0)
+               ELSE value
                     / (CAST(NULLIF(epoch_us(ts) - epoch_us(lag(ts) OVER w),
                             0) AS DOUBLE) / 1000000.0)
-             ELSE value
-                  / (CAST(NULLIF(epoch_us(ts) - epoch_us(lag(ts) OVER w),
-                          0) AS DOUBLE) / 1000000.0)
-           END, 9) AS rate_per_s
-    FROM events
-    WHERE event_type = 'error'
-      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
-      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+             END, 9) AS rate_per_s
+      FROM events
+      WHERE event_type = 'error'
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ) WHERE rate_per_s IS NOT NULL
     """,
 )
 def flux_compiled_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,7 +767,8 @@ def flux_compiled_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"gas-quality": path},
     )
     return out.select(
-        "_field", "_time", "_value", F.round("rate_per_s", 9).alias("rate_per_s")
+        "_measurement", "_field", "_time", "_value",
+        F.round("rate_per_s", 9).alias("rate_per_s"),
     )
 
 
@@ -771,7 +779,8 @@ def flux_compiled_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the front-end. Exact decimal sums keep the means
     # bit-identical across engines (no rounding needed).
     oracle="""
-    SELECT event_type AS _field, ts AS _time, value AS _value,
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / CAST(COUNT(value) OVER w AS DOUBLE) AS trailing_mean_1h
     FROM events
@@ -807,7 +816,8 @@ def flux_compiled_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop-the-first-n−1-points convention; exact decimal sums,
     # (_time, _value) tiebreak for deterministic row frames.
     oracle="""
-    SELECT event_type AS _field, ts AS _time, value AS _value,
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / CAST(COUNT(value) OVER w AS DOUBLE) AS moving_avg
     FROM events
@@ -841,32 +851,41 @@ def flux_compiled_row_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "flux_compiled_increase",
-    # Flux increase() — per-series total monotonic increase (the stat
-    # panel's number, ≡ increase() |> last()), compiled onto the
-    # counter_increase form: exact decimal deltas, reset-aware,
-    # (_time, _value) tiebreak.
+    # Flux increase() — the CUMULATIVE per-point running sum of
+    # reset-aware deltas (difference(nonNegative: true) |>
+    # cumulativeSum()), per-table first row dropped, nulls excluded
+    # before differencing (one declared policy on both engines —
+    # round 8, ADVICE r7: the old total form was a silent shape change
+    # for counter time-series panels). Exact decimal deltas,
+    # (_time, _value) tiebreak; the cumulative value replaces _value
+    # exactly as Flux rewrites it.
     oracle="""
-    WITH d AS (
-      SELECT event_type,
-             CAST(value AS DECIMAL(18,2)) AS y,
-             lag(CAST(value AS DECIMAL(18,2)))
-               OVER (PARTITION BY event_type ORDER BY ts, value) AS prev
-      FROM events
-      WHERE event_type = 'click'
-    )
-    SELECT event_type AS _field, COUNT(*) AS n,
-           CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
-                         WHEN y >= prev THEN y - prev
-                         ELSE y END) AS DOUBLE) AS total_increase
-    FROM d
-    GROUP BY event_type
+    SELECT _measurement, _field, _time, _value FROM (
+      SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+             prev,
+             CAST(SUM(CASE WHEN prev IS NULL THEN NULL
+                           WHEN y >= prev THEN y - prev
+                           ELSE y END)
+                  OVER (PARTITION BY event_type ORDER BY ts, y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS _value
+      FROM (
+        SELECT event_type, ts,
+               CAST(value AS DECIMAL(18,2)) AS y,
+               lag(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY event_type ORDER BY ts, value) AS prev
+        FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL
+      )
+    ) WHERE prev IS NOT NULL
     """,
 )
 def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VERDICT r6 item 4: `increase()` through the Flux front-end —
-    the per-series total a dashboard stat panel shows, mirroring the
-    attested counter_increase operator (exact decimal arithmetic, one
-    window pass + one hash-agg on the same keys = one shuffle)."""
+    """Flux `increase()` through the front-end with its REAL semantics
+    (ADVICE r7 medium): the cumulative per-point counter series a
+    Grafana counter time-series panel plots — not the one-row total the
+    r7 form returned. One window partitioning (lag + running sum over
+    the same keys) = one shuffle."""
     from ..flux import compile_flux
 
     path = _event_bucket_path(spark, sf_dir)
@@ -877,6 +896,88 @@ def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
           |> filter(fn: (r) => r["_measurement"] == "events")
           |> filter(fn: (r) => r["_field"] == "click")
           |> increase()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_increase_total",
+    # increase() |> last() — the stat-panel total: the cumulative
+    # series' final point per table. last_ts is the max ts among
+    # EMITTED rows (prev IS NOT NULL), which the FILTER pins exactly;
+    # the total is the full delta sum because the cumulative is
+    # non-decreasing along the window order.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ts,
+             CAST(value AS DECIMAL(18,2)) AS y,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY event_type ORDER BY ts, value) AS prev
+      FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+    )
+    SELECT 'events' AS _measurement, event_type AS _field,
+           MAX(ts) FILTER (WHERE prev IS NOT NULL) AS last_ts,
+           CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
+                         WHEN y >= prev THEN y - prev
+                         ELSE y END) AS DOUBLE) AS last_value
+    FROM d
+    GROUP BY event_type
+    HAVING COUNT(*) FILTER (WHERE prev IS NOT NULL) > 0
+    """,
+)
+def flux_compiled_increase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`increase() |> last()` — the composition ADVICE r7 asked the
+    bare form to stop impersonating: the dashboard stat panel's
+    per-series total monotonic increase, reduced from the cumulative
+    series by the standard last() stage."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> increase()
+          |> last()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_group_merge",
+    # group() |> mean() — the Data-Explorer "one value over all
+    # series" form (VERDICT r7 item 7): the empty group key merges
+    # every table, so the bare aggregate folds the whole scanned range
+    # to ONE row (global partial-aggregated agg, no per-key shuffle).
+    oracle="""
+    SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def flux_compiled_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `group()` (merge all series) |> bare aggregate — the other
+    shape the InfluxDB Data Explorer emits (one stat over every series
+    in range). Compiles to a key-less global aggregate: map-side
+    partials, one tiny exchange, never a merged-table window."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> group()
+          |> mean()
         """,
         {"gas-quality": path},
     )
@@ -904,7 +1005,8 @@ def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW)
     )
-    SELECT event_type AS _field, ts AS _time, value AS _value, state,
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value, state,
            CASE WHEN state THEN
              CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER
                    (PARTITION BY event_type, run_id)) // 1000000 AS BIGINT)
