@@ -129,6 +129,52 @@ def _bench_ingest_backfill(spark) -> float:
     return elapsed
 
 
+def _warm_stream_machinery(spark) -> None:
+    """Throwaway mini-drain before the TIMED stream-chain attempts
+    (VERDICT r7 item 2): one tiny 2-file corpus through the identical
+    ingest + rollup chain, so streaming-machinery one-time init — state
+    store and sink-log class loading, micro-batch planner codegen,
+    checkpoint format setup — never lands inside a timed attempt. The
+    r7 driver recorded 8.4 s for a chain that steady-states at 3.0 s
+    because BOTH min-of-2 attempts paid cold init under box
+    contention; warming is the only fix min-of-N can't fake."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_pipeline_spark.sources import gas_csv
+    from time_series_data_pipeline_spark.streaming import ingest as sti
+
+    corpus = tempfile.mkdtemp(prefix="tsdp_bench_warm_corpus_")
+    scratch = tempfile.mkdtemp(prefix="tsdp_bench_warm_stream_")
+    try:
+        rng = np.random.default_rng(11)
+        cols = ["Time (s)", *gas_csv.FIELD_LABELS.values()]
+        for d in range(2):
+            data = {"Time (s)": np.arange(100) * 860.0}
+            for j, c in enumerate(cols[1:]):
+                data[c] = np.round(rng.normal(10 + j, 3, 100), 4)
+            pd.DataFrame(data).to_csv(
+                os.path.join(corpus, f"201609{d + 1:02d}_000000.csv"), index=False
+            )
+        q1 = sti.start_bucket_ingest(
+            spark, corpus, os.path.join(scratch, "bucket"),
+            os.path.join(scratch, "ckpt_ingest"),
+        )
+        q1.awaitTermination()
+        q2 = sti.start_rollup_maintenance(
+            spark, os.path.join(scratch, "bucket"),
+            os.path.join(scratch, "rollup"),
+            os.path.join(scratch, "ckpt_rollup"),
+        )
+        q2.awaitTermination()
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _bench_stream_chain(spark) -> float:
     """Time the CONTINUOUS chain at the ingest-corpus scale (VERDICT r5
     item 6): CSV stream → exactly-once partitioned bucket
@@ -222,6 +268,7 @@ def main() -> None:
     ]
     cold["ingest_backfill"] = ingest_attempts[0]
     timings["ingest_backfill"] = min(ingest_attempts)
+    _warm_stream_machinery(spark)
     stream_attempts = [round(_bench_stream_chain(spark), 3) for _ in range(2)]
     cold["ingest_stream_chain"] = stream_attempts[0]
     timings["ingest_stream_chain"] = min(stream_attempts)

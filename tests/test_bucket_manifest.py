@@ -709,3 +709,70 @@ def test_manifest_columns_heal_vs_transient_policy(spark, tmp_path):
     shutil.rmtree(os.path.join(man, gen))
     with _pytest.raises(Exception):
         mf.manifest_columns(spark, man)
+
+
+def test_concurrent_manifest_writer_fails_loudly(spark, tmp_path):
+    """VERDICT r7 item 5: the manifest publish is single-writer, and a
+    SECOND concurrent writer must fail loudly (ConcurrentManifestWriter)
+    instead of silently last-wins — while a crashed writer's abandoned
+    lock is taken over after LOCK_STALE_S, and readers resolve a
+    complete manifest at every point."""
+    import time
+
+    import pytest as _pytest
+
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    base = mf.build_stats_manifest(spark, path, ["_field", "_time"])
+    lock = os.path.join(man, "_WRITER_LOCK")
+
+    # a fresh (in-flight) lock blocks a second writer loudly
+    with open(lock, "w") as f:
+        f.write("someone-else")
+    with _pytest.raises(mf.ConcurrentManifestWriter, match="single-writer"):
+        mf.write_manifest(base, man)
+    # the blocked writer must not have moved the committed pointer
+    assert mf.read_manifest(spark, man).count() > 0
+
+    # an abandoned lock (crashed writer) is taken over once stale
+    old_t = time.time() - (mf.LOCK_STALE_S + 5)
+    os.utime(lock, (old_t, old_t))
+    mf.write_manifest(base, man)
+    assert not os.path.exists(lock)  # released after publish
+    assert mf.read_manifest(spark, man).count() == base.count()
+
+
+def test_two_writer_race_one_fails_readers_always_complete(spark, tmp_path):
+    """Two genuinely concurrent write_manifest calls: every failure is
+    the LOUD ConcurrentManifestWriter (never silent last-wins with two
+    success reports), at least one publish commits, and the committed
+    pointer resolves a complete readable manifest."""
+    import threading
+
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    base = mf.build_stats_manifest(spark, path, ["_field", "_time"])
+    results: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def writer(i):
+        barrier.wait()
+        try:
+            mf.write_manifest(base, man)
+            results[i] = "ok"
+        except mf.ConcurrentManifestWriter:
+            results[i] = "loud"
+        except Exception as e:  # anything else is a real failure
+            results[i] = e
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(r in ("ok", "loud") for r in results), results
+    assert "ok" in results  # at least one commit landed
+    # reader: committed pointer resolves a complete manifest
+    got = mf.read_manifest(spark, man)
+    assert got.count() == base.count()
+    assert not os.path.exists(os.path.join(man, "_WRITER_LOCK"))

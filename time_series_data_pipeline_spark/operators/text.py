@@ -663,6 +663,10 @@ def pack_sequences(
 
     from .sampling import hash_bucket
 
+    if not isinstance(budget, int) or isinstance(budget, bool) or budget < 1:
+        # budget is interpolated into DIV expressions — validate before
+        # it can build a malformed or divide-by-zero plan
+        raise ValueError(f"budget must be a positive int, got {budget!r}")
     n_tok = F.size(tokens(text_col)).cast("long")
     rank = hash_bucket(F.col(id_col), salt)
 
@@ -705,8 +709,15 @@ def pack_sequences(
         )
         # Budget-aligned span when padding: the next shard starts at the
         # next budget multiple, leaving a short final sequence per shard.
+        # Integer ceiling via DIV (ADVICE r7): ceil(a / b) through a
+        # double quotient can round across an integer near 2^52
+        # tokens/shard, letting a sequence cross the very boundary this
+        # flag exists to forbid — the rest of the pack is exact long
+        # arithmetic, so this term must be too.
         span = (
-            (F.ceil(F.col("shard_tokens") / budget) * budget).cast("long")
+            F.expr(
+                f"((shard_tokens + {budget - 1}) DIV {budget}) * {budget}"
+            ).cast("long")
             if pad_shards
             else F.col("shard_tokens")
         )
@@ -730,9 +741,12 @@ def pack_sequences(
             (F.col("base") + F.col("within_offset")).alias("token_offset"),
         )
 
-    seq_first = F.floor(F.col("token_offset") / budget).cast("long")
-    seq_last = F.floor(
-        (F.col("token_offset") + F.col("n_tokens") - 1) / budget
+    # integer floor-division (DIV), not floor(double quotient): offsets
+    # are longs and the pack's boundary math must stay exact at any
+    # corpus size (same 2^52 hazard as the pad_shards ceiling)
+    seq_first = F.expr(f"token_offset DIV {budget}").cast("long")
+    seq_last = F.expr(
+        f"(token_offset + n_tokens - 1) DIV {budget}"
     ).cast("long")
     return d.select(
         id_col,

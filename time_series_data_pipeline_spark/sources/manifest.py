@@ -247,6 +247,23 @@ def _harvest_files(file_df: DataFrame, cols: list[str], root: str) -> DataFrame:
 #: realistic manifest read (one small parquet).
 REAP_GRACE_S = 600
 
+#: Age after which a writer lock is considered abandoned (a crashed
+#: writer) and may be taken over. A manifest publish is seconds of
+#: work; two minutes dwarfs it while bounding how long a crash can
+#: block maintenance.
+LOCK_STALE_S = 120
+
+
+class ConcurrentManifestWriter(RuntimeError):
+    """A second maintenance writer raced this manifest publish.
+
+    The manifest commit assumes ONE maintenance writer (the same
+    single-writer discipline every table format's metadata commit
+    takes); two concurrent refreshes would otherwise resolve
+    last-wins, silently discarding one writer's harvested coverage
+    (VERDICT r7 item 5). Readers are unaffected either way — they
+    resolve a complete generation through ``_CURRENT``."""
+
 
 def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     """Persist the manifest beside the store with an ATOMIC publish:
@@ -265,42 +282,99 @@ def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     rename leaves _CURRENT untouched (readers keep the old complete
     manifest) and the orphaned data dir is reaped by a later publish;
     a crash after the rename is a completed publish. Single maintenance
-    WRITER assumed (like every table format's metadata commit);
-    concurrent readers are safe at any point."""
+    WRITER enforced (round 8, VERDICT r7 item 5): an advisory
+    ``_WRITER_LOCK`` (O_EXCL create, stale-age takeover after
+    ``LOCK_STALE_S``) makes a second concurrent writer FAIL LOUDLY with
+    :class:`ConcurrentManifestWriter` instead of silently last-wins
+    overwriting the first's coverage; a post-rename pointer re-read
+    backstops any non-cooperating writer that bypassed the lock.
+    Concurrent readers are safe at any point."""
     import os
     import shutil
     import time
     import uuid
 
     os.makedirs(manifest_path, exist_ok=True)
-    gen = f"data-{uuid.uuid4().hex[:12]}"
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(manifest_path, gen)
-    )
-    cur = os.path.join(manifest_path, "_CURRENT")
-    try:
-        with open(cur) as f:
-            prev = f.read().strip()
-    except FileNotFoundError:
-        prev = None
-    tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(gen)
-    os.rename(tmp, cur)
-    # reap superseded/orphaned generations past the grace window (keep
-    # the generation we just superseded regardless — the cheapest "at
-    # least one fallback" guarantee for very slow readers)
-    now = time.time()
-    for d in os.listdir(manifest_path):
-        if not d.startswith("data-") or d in (gen, prev):
-            continue
-        full = os.path.join(manifest_path, d)
+    nonce = uuid.uuid4().hex[:12]
+    lock = os.path.join(manifest_path, "_WRITER_LOCK")
+
+    def _try_lock() -> bool:
         try:
-            age = now - os.path.getmtime(full)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(nonce)
+        return True
+
+    if not _try_lock():
+        try:
+            age = time.time() - os.path.getmtime(lock)
         except OSError:
-            continue
-        if age > REAP_GRACE_S:
-            shutil.rmtree(full, ignore_errors=True)
+            age = None  # holder released between our create and stat
+        if age is not None and age <= LOCK_STALE_S:
+            raise ConcurrentManifestWriter(
+                f"another manifest writer holds {lock} (age {age:.1f}s); "
+                "the manifest publish is single-writer — serialize "
+                "maintenance, or remove the lock if its writer crashed"
+            )
+        # abandoned (crashed writer) or just-released lock: take over
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+        if not _try_lock():
+            raise ConcurrentManifestWriter(
+                f"lost the takeover race for {lock}: another writer "
+                "re-acquired it — serialize maintenance"
+            )
+    try:
+        gen = f"data-{nonce}"
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(manifest_path, gen)
+        )
+        cur = os.path.join(manifest_path, "_CURRENT")
+        try:
+            with open(cur) as f:
+                prev = f.read().strip()
+        except FileNotFoundError:
+            prev = None
+        tmp = cur + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.rename(tmp, cur)
+        # backstop: a bypassing writer that raced our rename means the
+        # committed pointer is not ours — fail loudly rather than let
+        # both writers report success over one surviving manifest
+        with open(cur) as f:
+            committed = f.read().strip()
+        if committed != gen:
+            raise ConcurrentManifestWriter(
+                f"manifest pointer raced: committed {committed!r}, "
+                f"this writer published {gen!r}"
+            )
+        # reap superseded/orphaned generations past the grace window
+        # (keep the generation we just superseded regardless — the
+        # cheapest "at least one fallback" guarantee for slow readers)
+        now = time.time()
+        for d in os.listdir(manifest_path):
+            if not d.startswith("data-") or d in (gen, prev):
+                continue
+            full = os.path.join(manifest_path, d)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age > REAP_GRACE_S:
+                shutil.rmtree(full, ignore_errors=True)
+    finally:
+        # release only a lock we still own (takeover may have moved it)
+        try:
+            with open(lock) as f:
+                if f.read().strip() == nonce:
+                    os.unlink(lock)
+        except OSError:
+            pass
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
