@@ -77,7 +77,7 @@ def run_tick(spark, bucket, rollup, ckpt) -> float:
 def main() -> None:
     spark = get_spark("scale-curve-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
-    for days, fields in ((20, 5), (80, 10), (240, 20)):
+    for days, fields in ((20, 5), (60, 10), (180, 15)):
         root = tempfile.mkdtemp(prefix=f"tsdp_maint_{days}x{fields}_")
         bucket, rollup = f"{root}/bucket", f"{root}/rollup"
         ckpt = f"{root}/ckpt"
