@@ -1164,3 +1164,91 @@ def test_two_measurement_transforms_key_per_measurement(spark, two_meas):
     )
     assert piv.columns == ["_measurement", "_time", "click", "view"]
     assert piv.count() == 80  # 40 times × 2 measurements, never merged
+
+
+# -- round-8 tail stages: fill / rename -------------------------------
+
+
+def test_fill_use_previous_carries_last_observation(spark, store):
+    """aggregateWindow(createEmpty) |> fill(usePrevious: true): empty
+    buckets carry the previous observed value per table; leading
+    empties (no previous) stay NULL."""
+    base_q = (
+        'from(bucket: "b") |> range(start: "2024-01-03 00:00:00", '
+        'stop: "2024-01-04 00:00:00") '
+        '|> filter(fn: (r) => r["_field"] == "purchase") '
+        "|> aggregateWindow(every: 5m, fn: mean, createEmpty: true)"
+    )
+    raw = flux.compile_flux(spark, base_q, {"b": store}).collect()
+    got = flux.compile_flux(
+        spark,
+        base_q + ' |> fill(column: "mean", usePrevious: true)',
+        {"b": store},
+    ).collect()
+    assert len(got) == len(raw) > 0
+    raw_by = {
+        r["window_start"]: r["mean"]
+        for r in sorted(raw, key=lambda r: r["window_start"])
+    }
+    prev = None
+    want = {}
+    for t in sorted(raw_by):
+        if raw_by[t] is not None:
+            prev = raw_by[t]
+        want[t] = prev
+    assert {r["window_start"]: r["mean"] for r in got} == want
+    assert any(v is None for v in raw_by.values())  # fixture had gaps
+
+
+def test_fill_value_mode_is_coalesce(spark, store):
+    q = (
+        'from(bucket: "b") |> range(start: "2024-01-03 00:00:00", '
+        'stop: "2024-01-04 00:00:00") '
+        '|> filter(fn: (r) => r["_field"] == "purchase") '
+        "|> aggregateWindow(every: 5m, fn: mean, createEmpty: true)"
+        ' |> fill(column: "mean", value: -1.0)'
+    )
+    rows = flux.compile_flux(spark, q, {"b": store}).collect()
+    assert all(r["mean"] is not None for r in rows)
+    assert any(r["mean"] == -1.0 and r["n"] == 0 for r in rows)
+
+
+def test_rename_stage(spark, store):
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_measurement"] == "events")'
+        ' |> last() |> rename(columns: {last_value: "gauge", last_ts: "at"})',
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "at", "gauge"]
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> fill(column: "_value")', "exactly one"),
+        ('from(bucket: "b") |> fill(column: "_value", value: 0, '
+         "usePrevious: true)", "exactly one"),
+        ('from(bucket: "b") |> fill(column: "nope", value: 0) |> limit(n: 1)',
+         "unknown column"),
+        ('from(bucket: "b") |> fill(column: "_value", usePrevious: "yes")',
+         "boolean"),
+        ('from(bucket: "b") |> fill(column: "_value", value: 0, foo: 1)',
+         "unsupported args"),
+        ('from(bucket: "b") |> last() '
+         '|> fill(column: "last_value", usePrevious: true)', "table order"),
+        ('from(bucket: "b") |> rename()', "requires columns"),
+        ('from(bucket: "b") |> rename(columns: ["_value"])', "record"),
+        ('from(bucket: "b") |> rename(columns: {nope: "x"})',
+         "unknown column"),
+        ('from(bucket: "b") |> rename(columns: {_value: "_time"})',
+         "already exist"),
+        ('from(bucket: "b") |> rename(columns: {_value: "x", _field: "x"})',
+         "collide"),
+        ('from(bucket: "b") |> fill(column: "_value", value: 0) '
+         "|> mean()", "tail"),
+    ],
+)
+def test_fill_rename_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

@@ -34,7 +34,7 @@ stage):
     stage      := range | filter | group | aggregateWindow | last | yield
                 | derivative | timedMovingAverage | movingAverage
                 | increase | stateDuration | pivot
-                | sort | limit | keep | drop
+                | sort | limit | keep | drop | fill | rename
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
     filter     := 'filter' '(' 'fn:' '(r)' '=>' predicate ')'
     predicate  := orExpr ; orExpr := andExpr ('or' andExpr)* ;
@@ -98,6 +98,12 @@ materializes whole series for nothing but ordering, which the
 order-insensitive frame contract cannot even observe. Unknown columns
 in sort/keep/drop raise naming the column; once a tail stage appears,
 only tail stages and yield may follow.
+
+Round 8 adds the remaining Data-Explorer tail stages: ``fill(column:,
+value: X)`` / ``fill(column:, usePrevious: true)`` — the Grafana
+null-fill panel option over gap-filled frames (coalesce, resp. a
+last-non-null window per table over the bucket spine) — and
+``rename(columns: {old: "new"})``; swap/collision rename sets raise.
 
 Series keying (round 8, VERDICT r7 item 1): Flux tables key on
 ``(_measurement, _field)``, and EVERY compiled aggregation/transform
@@ -247,14 +253,15 @@ def _args(stage: str, name: str) -> dict[str, str]:
     out: dict[str, str] = {}
     if not inner:
         return out
-    # split on top-level commas (no nesting in the subset besides fn)
+    # split on top-level commas (no nesting in the subset besides fn,
+    # list literals, and rename's {old: "new"} map literal)
     depth = 0
     part = []
     parts: list[str] = []
     for ch in inner:
-        if ch in "([":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(part))
@@ -401,6 +408,38 @@ def _str_list(tok: str, where: str) -> list[str]:
     return out
 
 
+def _str_map(tok: str, where: str) -> dict[str, str]:
+    """Parse a Flux record literal of string values: {old: "new", ...}
+    (keys bare identifiers or quoted — the ``rename(columns:)`` shape)."""
+    tok = tok.strip()
+    if not (tok.startswith("{") and tok.endswith("}")):
+        raise FluxError(f"{where}: expected a {{old: \"new\"}} record, got {tok!r}")
+    inner = tok[1:-1].strip()
+    out: dict[str, str] = {}
+    if not inner:
+        return out
+    for part in inner.split(","):
+        k, sep, v = part.partition(":")
+        k, v = k.strip(), v.strip()
+        if not sep or not k or not v:
+            raise FluxError(f"{where}: malformed entry {part!r}")
+        if (k.startswith('"') and k.endswith('"')) or (
+            k.startswith("'") and k.endswith("'")
+        ):
+            k = k[1:-1]
+        elif not re.fullmatch(r"\w+", k):
+            raise FluxError(f"{where}: bad key {k!r}")
+        if not (
+            (v.startswith('"') and v.endswith('"'))
+            or (v.startswith("'") and v.endswith("'"))
+        ):
+            raise FluxError(f"{where}: values must be quoted, got {v!r}")
+        if k in out:
+            raise FluxError(f"{where}: duplicate key {k!r}")
+        out[k] = v[1:-1]
+    return out
+
+
 def _filter_extract(stage: str) -> str:
     m = re.match(
         r"^filter\s*\(\s*fn\s*:\s*\(\s*r\s*\)\s*=>\s*(.*)\)\s*$",
@@ -470,7 +509,7 @@ def compile_flux(
         "max", "median", "derivative", "timedMovingAverage",
         "movingAverage", "increase", "stateDuration", "pivot",
     )
-    _TAIL_HEADS = ("sort", "limit", "keep", "drop")
+    _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename")
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
         terminal_seen = agg is not None or take_last or transform is not None
@@ -692,6 +731,41 @@ def compile_flux(
             if extra:
                 raise FluxError(f"{head}: unsupported args {sorted(extra)}")
             post_ops.append((head, cols))
+        elif head == "fill":
+            # fill(column:, value:) / fill(column:, usePrevious: true) —
+            # the Grafana panel option for gap-filled frames (null means
+            # "no data in this bucket"); exactly one fill mode
+            a = _args(stage, "fill")
+            col = _resolve(a["column"], params) if "column" in a else "_value"
+            if not isinstance(col, str):
+                raise FluxError(f"fill column: expected a string, got {col!r}")
+            extra = set(a) - {"column", "value", "usePrevious"}
+            if extra:
+                raise FluxError(f"fill: unsupported args {sorted(extra)}")
+            up = (
+                _resolve(a["usePrevious"], params) if "usePrevious" in a else False
+            )
+            if not isinstance(up, bool):
+                raise FluxError(f"fill usePrevious: expected a boolean, got {up!r}")
+            if ("value" in a) == up:
+                raise FluxError(
+                    "fill needs exactly one of value: or usePrevious: true"
+                )
+            if up:
+                post_ops.append(("fill", [col], "previous", None))
+            else:
+                post_ops.append(("fill", [col], "value", _resolve(a["value"], params)))
+        elif head == "rename":
+            a = _args(stage, "rename")
+            if "columns" not in a:
+                raise FluxError("rename requires columns: {old: \"new\"}")
+            extra = set(a) - {"columns"}
+            if extra:
+                raise FluxError(f"rename: unsupported args {sorted(extra)}")
+            mapping = _str_map(a["columns"], "rename columns")
+            if not mapping:
+                raise FluxError("rename: columns record is empty")
+            post_ops.append(("rename", mapping))
         elif head == "group":
             # Flux regrouping: re-key the tables. The subset ships any
             # subset of the store's table-key columns — including the
@@ -757,12 +831,34 @@ def compile_flux(
             return [F.col(c).desc() if desc else F.col(c).asc() for c in cols], cols
 
         for op in post_ops:
-            if op[0] in ("sort", "keep", "drop"):
+            if op[0] in ("sort", "keep", "drop", "fill"):
                 missing = [c for c in op[1] if c not in out.columns]
                 if missing:
                     raise FluxError(
                         f"{op[0]}: unknown column(s) {missing}; frame has "
                         f"{out.columns}"
+                    )
+            elif op[0] == "rename":
+                missing = [c for c in op[1] if c not in out.columns]
+                if missing:
+                    raise FluxError(
+                        f"rename: unknown column(s) {missing}; frame has "
+                        f"{out.columns}"
+                    )
+                vals = list(op[1].values())
+                clash = sorted(
+                    {
+                        new
+                        for new in vals
+                        if new in out.columns or vals.count(new) > 1
+                    }
+                )
+                if clash:
+                    # chained withColumnRenamed on a swap/collision set
+                    # would silently rename twice — raise instead
+                    raise FluxError(
+                        f"rename: target column(s) {clash} already exist "
+                        "or collide"
                     )
             if op[0] == "sort":
                 pending_sort = op
@@ -814,8 +910,43 @@ def compile_flux(
                 pending_sort = None
             elif op[0] == "keep":
                 out = out.select(*op[1])
-            else:
+            elif op[0] == "drop":
                 out = out.drop(*op[1])
+            elif op[0] == "fill":
+                col, mode, value = op[1][0], op[2], op[3]
+                if mode == "value":
+                    out = out.withColumn(
+                        col, F.coalesce(F.col(col), F.lit(value))
+                    )
+                else:
+                    # usePrevious: last non-null per table in table
+                    # order. The frame is an aggregated/gap-filled one
+                    # (or a raw scan), so the window runs over
+                    # bucket-spine-sized (or pruned) rows per series —
+                    # bounded by range/step, not raw volume.
+                    gk = [
+                        c for c in ("_measurement", "_field") if c in out.columns
+                    ]
+                    ordc = next(
+                        (c for c in ("_time", "window_start") if c in out.columns),
+                        None,
+                    )
+                    if ordc is None:
+                        raise FluxError(
+                            "fill(usePrevious) needs a _time/window_start "
+                            "column to define the table order"
+                        )
+                    w = (
+                        Window.partitionBy(*gk)
+                        .orderBy(ordc)
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                    out = out.withColumn(
+                        col, F.last(col, ignorenulls=True).over(w)
+                    )
+            else:  # rename
+                for old, new in op[1].items():
+                    out = out.withColumnRenamed(old, new)
         return out
 
     df = bkt.scan_bucket(

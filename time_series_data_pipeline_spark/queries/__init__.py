@@ -96,6 +96,7 @@ _CHECKED_WINDOW = [
     "flux_compiled_increase",
     "flux_compiled_increase_total",
     "flux_compiled_group_merge",
+    "flux_compiled_fill_previous",
     "flux_compiled_derivative",
     "flux_compiled_mean",
     "flux_compiled_gauge",
@@ -137,9 +138,10 @@ _CHECKED_WINDOW = [
     "value_percentiles",
     "value_trend_per_type",
     "weekly_retention",
+    # (series_correlation stays arm-attested via in-window suite_round5
+    # — it yielded its slot to the new flux_compiled_fill_previous)
     "decimate_lttb",
     "holt_linear_final",
-    "series_correlation",
     "state_duration",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",

@@ -949,6 +949,70 @@ def flux_compiled_increase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_fill_previous",
+    # aggregateWindow(createEmpty: true) |> fill(usePrevious) |>
+    # rename — the Grafana null-fill panel option plus a rename, both
+    # round-8 tail stages, attested through one pipeline. Spine =
+    # [min, max] observed buckets per the gap_fill contract; empty
+    # leading buckets stay NULL (no previous) on both engines.
+    oracle="""
+    WITH a AS (
+      SELECT 'events' AS _measurement, event_type AS _field,
+             make_timestamp((epoch_us(ts)//300000000)*300000000) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-09 00:00:00'
+      GROUP BY 1, 2, 3
+    ),
+    spine AS (
+      SELECT unnest(generate_series(min(bucket), max(bucket),
+                                    INTERVAL 5 MINUTE)) AS bucket
+      FROM a
+    ),
+    grid AS (
+      SELECT k._measurement, k._field, s.bucket
+      FROM (SELECT DISTINCT _measurement, _field FROM a) k
+      CROSS JOIN spine s
+    )
+    SELECT grid.bucket AS window_start, grid._measurement, grid._field,
+           last_value(a.mean IGNORE NULLS) OVER (
+             PARTITION BY grid._measurement, grid._field
+             ORDER BY grid.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS mean_filled,
+           COALESCE(a.n, 0) AS n
+    FROM grid LEFT JOIN a USING (_measurement, _field, bucket)
+    """,
+)
+def flux_compiled_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 tail stages through the front-end: a gap-filled 5-minute
+    mean where empty buckets carry the previous observed value
+    (``fill(usePrevious: true)`` — the Grafana "connect null values /
+    fill previous" panel option) and the value column renamed via
+    ``rename(columns:)``. The fill window runs over the bucket spine
+    (range/step rows per series), never raw volume."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-09T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "purchase")
+          |> aggregateWindow(every: 5m, fn: mean, createEmpty: true)
+          |> fill(column: "mean", usePrevious: true)
+          |> rename(columns: {mean: "mean_filled"})
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_group_merge",
     # group() |> mean() — the Data-Explorer "one value over all
     # series" form (VERDICT r7 item 7): the empty group key merges
