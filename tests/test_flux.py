@@ -1252,3 +1252,101 @@ def test_rename_stage(spark, store):
 def test_fill_rename_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+# -- round-8 map() stage ----------------------------------------------
+
+
+def test_map_rewrites_value_in_stage_order(spark, store):
+    """map(fn: (r) => ({ r with _value: <arith> })) rewrites _value
+    in-plan; a later _value filter sees CONVERTED units, and arithmetic
+    precedence matches the hand-written expression."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> map(fn: (r) => ({ r with _value: (r._value * 4.0 + 100.0) / 2.0 }))"
+        ' |> filter(fn: (r) => r["_value"] > 120.0)'
+        " |> mean()",
+        {"b": store},
+    ).collect()
+    src = bkt.scan_bucket(spark, store, field="click")
+    conv = src.withColumn(
+        "_value", (F.col("_value").cast("double") * 4.0 + 100.0) / 2.0
+    ).filter(F.col("_value") > 120.0)
+    want_n = conv.count()
+    want_mean = conv.agg(
+        (
+            F.sum(F.col("_value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert len(got) == 1 and got[0]["n"] == want_n > 0
+    assert abs(got[0]["mean"] - want_mean) < 1e-9
+    # stage order matters: filter BEFORE map keeps different rows
+    flipped = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> filter(fn: (r) => r["_value"] > 120.0)'
+        " |> map(fn: (r) => ({ r with _value: (r._value * 4.0 + 100.0) / 2.0 }))"
+        " |> mean()",
+        {"b": store},
+    ).collect()
+    assert flipped == [] or flipped[0]["n"] != got[0]["n"]
+
+
+def test_map_variables_and_no_udf_in_plan(spark, store):
+    df = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "view")'
+        " |> map(fn: (r) => ({ r with _value: r._value * v.scale - -1.5 }))"
+        " |> last()",
+        {"b": store},
+        params={"scale": 0.001},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ref = (
+        bkt.scan_bucket(spark, store, field="view")
+        .withColumn("_value", F.col("_value").cast("double") * 0.001 - (-1.5))
+    )
+    from pyspark.sql import Window
+
+    wref = (
+        ref.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_measurement", "_field").orderBy(
+                    F.col("_time").desc(), F.col("_value").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    got = df.collect()
+    assert {(r["_measurement"], r["_field"], r["last_value"]) for r in got} == {
+        (r["_measurement"], r["_field"], r["_value"]) for r in wref
+    }
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> map(fn: (r) => ({ r with _time: r._time }))',
+         "_value rewrite"),
+        ('from(bucket: "b") |> map(fn: (r) => r._value * 2.0)',
+         "r with"),
+        ('from(bucket: "b") |> map()', "requires fn"),
+        ('from(bucket: "b") |> map(fn: (r) => ({ r with _value: '
+         'r._value ** 2.0 }))', "map expression"),
+        ('from(bucket: "b") |> map(fn: (r) => ({ r with _value: '
+         'r._value + v.missing }))', "not in params"),
+        ('from(bucket: "b") |> mean() |> map(fn: (r) => ({ r with _value: '
+         "r._value }))", "subset"),
+        ('from(bucket: "b") |> map(fn: (r) => ({ r with _value: '
+         '(r._value + 1.0 }))', "map expression"),
+    ],
+)
+def test_map_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

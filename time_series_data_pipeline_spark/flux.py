@@ -31,10 +31,13 @@ stage):
 
     pipeline   := from ( '|>' stage )*
     from       := 'from' '(' 'bucket:' STRING ')'
-    stage      := range | filter | group | aggregateWindow | last | yield
+    stage      := range | filter | map | group | aggregateWindow | last
+                | yield
                 | derivative | timedMovingAverage | movingAverage
                 | increase | stateDuration | pivot
                 | sort | limit | keep | drop | fill | rename
+    map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
+    arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
     filter     := 'filter' '(' 'fn:' '(r)' '=>' predicate ')'
     predicate  := orExpr ; orExpr := andExpr ('or' andExpr)* ;
@@ -388,6 +391,99 @@ def _parse_pred(tokens: list[str], params: dict[str, Any]) -> Column:
     return out
 
 
+# -- arithmetic parser (map's value-rewrite expressions) ---------------
+
+_ARITH_TOKEN_RE = re.compile(
+    r"""\s*(
+        r\[\s*"(?:[^"]+)"\s*\]   # r["col"]
+      | r\.\w+                   # r.col
+      | -?\d+\.\d+|-?\d+         # numeric literal
+      | v\.\w+                   # dashboard variable
+      | [+\-*/()]
+    )""",
+    re.VERBOSE,
+)
+
+
+def _parse_arith(src: str, params: dict[str, Any]) -> Column:
+    """Parse the arithmetic subset map() ships: r["col"] / r.col refs,
+    numeric literals, dashboard variables, + - * / and parens, with
+    ordinary precedence. Everything is computed in doubles (Flux float
+    arithmetic), so an oracle replays it bit-for-bit."""
+    tokens, i = [], 0
+    while i < len(src):
+        m = _ARITH_TOKEN_RE.match(src, i)
+        if not m:
+            if src[i:].strip() == "":
+                break
+            raise FluxError(f"unsupported map expression syntax at {src[i:]!r}")
+        tokens.append(m.group(1))
+        i = m.end()
+    pos = 0
+
+    def peek() -> str | None:
+        return tokens[pos] if pos < len(tokens) else None
+
+    def eat() -> str:
+        nonlocal pos
+        if pos >= len(tokens):
+            raise FluxError("unexpected end of map expression")
+        t = tokens[pos]
+        pos += 1
+        return t
+
+    def factor() -> Column:
+        t = eat()
+        if t == "(":
+            e = expr()
+            if eat() != ")":
+                raise FluxError("unbalanced parens in map expression")
+            return e
+        if t == "-":
+            return -factor()
+        if t.startswith("r["):
+            return F.col(re.match(r'r\[\s*"([^"]+)"\s*\]', t).group(1)).cast(
+                "double"
+            )
+        if t.startswith("r."):
+            return F.col(t[2:]).cast("double")
+        if t.startswith("v."):
+            val = _resolve(t, params)
+            if isinstance(val, bool) or not isinstance(val, (int, float)):
+                raise FluxError(
+                    f"map expression variable {t!r} must resolve to a "
+                    f"number, got {val!r}"
+                )
+            return F.lit(float(val))
+        try:
+            return F.lit(float(t))
+        except ValueError:
+            raise FluxError(f"unsupported map expression token {t!r}")
+
+    def term() -> Column:
+        e = factor()
+        while peek() in ("*", "/"):
+            if eat() == "*":
+                e = e * factor()
+            else:
+                e = e / factor()
+        return e
+
+    def expr() -> Column:
+        e = term()
+        while peek() in ("+", "-"):
+            if eat() == "+":
+                e = e + term()
+            else:
+                e = e - term()
+        return e
+
+    out = expr()
+    if pos != len(tokens):
+        raise FluxError(f"trailing map expression tokens: {tokens[pos:]!r}")
+    return out
+
+
 def _str_list(tok: str, where: str) -> list[str]:
     """Parse a Flux string-list literal: ["a", "b"]."""
     tok = tok.strip()
@@ -479,7 +575,11 @@ def compile_flux(
 
     start = stop = None
     measurement = field = None
-    residual_preds: list[Column] = []
+    # residual row-level stages in USER ORDER: ("filter", pred) and
+    # ("map", value_expr) interleave — a _value filter after a map sees
+    # mapped values. (_measurement/_field equality pushdown commutes
+    # with _value maps, so extraction stays order-free.)
+    row_ops: list[tuple[str, Column]] = []
     agg = None  # (every_s, fn, create_empty)
     take_last = False
     transform = None  # ("derivative",) | ("tma", period_s) | ("increase",) | ("state_duration", Column)
@@ -527,10 +627,10 @@ def compile_flux(
         # silently drop last() — the shipped subset supports row-level
         # stages strictly BEFORE one terminal aggregation/transform
         # stage, and raises on anything else rather than mis-compiling
-        if head in ("range", "filter", "group") and terminal_seen:
+        if head in ("range", "filter", "group", "map") and terminal_seen:
             raise FluxError(
                 f"{head}() after an aggregation/transform stage is outside "
-                f"the shipped subset (it would filter raw rows): {stage!r}"
+                f"the shipped subset (it would act on raw rows): {stage!r}"
             )
         if head in _TERMINAL_HEADS and terminal_seen:
             if (
@@ -576,7 +676,37 @@ def compile_flux(
             elif f_eq is not None and field is None:
                 field = f_eq
             else:
-                residual_preds.append(_parse_pred(toks, params))
+                row_ops.append(("filter", _parse_pred(toks, params)))
+        elif head == "map":
+            # map(fn: (r) => ({ r with _value: <arith> })) — the Data
+            # Explorer's unit-conversion / custom-function transform.
+            # The subset ships the _value-rewrite record-extension form
+            # only (rewriting _time/_field would change table keys and
+            # window semantics — raise rather than mis-compile).
+            a = _args(stage, "map")
+            if "fn" not in a:
+                raise FluxError("map requires fn: (r) => ({ r with ... })")
+            extra = set(a) - {"fn"}
+            if extra:
+                raise FluxError(f"map: unsupported args {sorted(extra)}")
+            m = re.match(
+                r"^\(\s*r\s*\)\s*=>\s*\(\s*\{\s*r\s+with\s+"
+                r"(\w+|\"[^\"]+\")\s*:\s*(.*?)\s*\}\s*\)\s*$",
+                a["fn"].strip(),
+                re.DOTALL,
+            )
+            if not m:
+                raise FluxError(
+                    "map ships only fn: (r) => ({ r with _value: <arith> })"
+                    f"; got {a['fn']!r}"
+                )
+            target = m.group(1).strip('"')
+            if target != "_value":
+                raise FluxError(
+                    f"map ships only the _value rewrite; got {target!r} "
+                    "(rewriting keys/time would change table semantics)"
+                )
+            row_ops.append(("map", _parse_arith(m.group(2), params)))
         elif head == "aggregateWindow":
             a = _args(stage, "aggregateWindow")
             every = _resolve(a.get("every", ""), params)
@@ -952,8 +1082,8 @@ def compile_flux(
     df = bkt.scan_bucket(
         spark, path, measurement=measurement, field=field, start=start, stop=stop
     )
-    for p in residual_preds:
-        df = df.filter(p)
+    for kind, c in row_ops:
+        df = df.filter(c) if kind == "filter" else df.withColumn("_value", c)
 
     # the Flux table key every aggregation/transform partitions on:
     # (_measurement, _field) unless a group() stage re-keyed the tables

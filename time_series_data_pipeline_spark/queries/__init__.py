@@ -97,6 +97,7 @@ _CHECKED_WINDOW = [
     "flux_compiled_increase_total",
     "flux_compiled_group_merge",
     "flux_compiled_fill_previous",
+    "flux_compiled_map_units",
     "flux_compiled_derivative",
     "flux_compiled_mean",
     "flux_compiled_gauge",
@@ -138,10 +139,10 @@ _CHECKED_WINDOW = [
     "value_percentiles",
     "value_trend_per_type",
     "weekly_retention",
-    # (series_correlation stays arm-attested via in-window suite_round5
-    # — it yielded its slot to the new flux_compiled_fill_previous)
+    # (series_correlation and holt_linear_final stay arm-attested via
+    # in-window suite_round5 — they yielded their slots to the new
+    # flux_compiled_fill_previous / flux_compiled_map_units)
     "decimate_lttb",
-    "holt_linear_final",
     "state_duration",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",

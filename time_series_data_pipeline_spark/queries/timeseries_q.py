@@ -1013,6 +1013,48 @@ def flux_compiled_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_map_units",
+    # map(fn: (r) => ({ r with _value: ... })) — the Data Explorer's
+    # unit-conversion transform (round 8): rewrite _value with double
+    # arithmetic, then aggregate. fn: max keeps both engines on raw
+    # IEEE doubles (no decimal rounding), so the hash is exact.
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
+           'events' AS _measurement,
+           event_type AS _field,
+           MAX((value * 4.0 + 100.0) / 2.0) AS max,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_map_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: `map()` through the front-end — a dashboard's unit
+    conversion ((v·4 + 100) / 2) applied per row, then the hourly
+    windowed max. The map compiles to an in-plan column rewrite
+    (whole-stage-codegen arithmetic, no UDF), applied in user stage
+    order so later _value filters would see converted units."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> map(fn: (r) => ({ r with _value: (r._value * 4.0 + 100.0) / 2.0 }))
+          |> aggregateWindow(every: 1h, fn: max)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_group_merge",
     # group() |> mean() — the Data-Explorer "one value over all
     # series" form (VERDICT r7 item 7): the empty group key merges
