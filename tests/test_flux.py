@@ -1350,3 +1350,100 @@ def test_map_variables_and_no_udf_in_plan(spark, store):
 def test_map_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+# -- round-8 difference() / cumulativeSum() ----------------------------
+
+
+def test_difference_signed_and_nonnegative(spark, store):
+    """difference(): signed per-table lag delta, first row dropped;
+    nonNegative: true applies the counter reset rule (delta = current
+    value on decrease)."""
+    from pyspark.sql import Window
+
+    from time_series_data_pipeline_spark.operators.timeseries import _dec
+
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> difference()",
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "_time", "_value"]
+    df = bkt.scan_bucket(spark, store, field="click")
+    w = Window.partitionBy("_measurement", "_field").orderBy("_time", "_value")
+    y = _dec("_value")
+    ref = (
+        df.select(
+            "_measurement", "_field", "_time",
+            (y - F.lag(y).over(w)).cast("double").alias("_value"),
+        )
+        .filter(F.col("_value").isNotNull())
+    )
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, ref.collect()), key=repr
+    )
+    assert got.count() == df.count() - 1  # one series: first row dropped
+    # signed form really goes negative somewhere in the fixture
+    assert any(r["_value"] < 0 for r in got.collect())
+    # nonNegative: true never goes negative
+    nn = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> difference(nonNegative: true)",
+        {"b": store},
+    )
+    assert all(r["_value"] >= 0 for r in nn.collect())
+
+
+def test_cumulative_sum_and_last_reduction(spark, store):
+    """cumulativeSum(): per-table running sum keeping every row; its
+    last() reduction equals the series' total sum."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "purchase")'
+        " |> cumulativeSum()",
+        {"b": store},
+    )
+    df = bkt.scan_bucket(spark, store, field="purchase")
+    n = df.count()
+    assert got.count() == n  # every row kept
+    total = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "purchase")'
+        " |> cumulativeSum() |> last()",
+        {"b": store},
+    ).collect()
+    want = df.agg(
+        F.sum(F.col("_value").cast("decimal(18,2)")).cast("double").alias("t")
+    ).collect()[0]["t"]
+    assert len(total) == 1
+    assert abs(total[0]["last_value"] - want) < 1e-9
+
+
+def test_difference_keys_per_measurement(spark, two_meas):
+    """difference never differences across measurements: 4 tables →
+    4 dropped first rows, and no delta reflects the ±1000 boundary."""
+    got = flux.compile_flux(
+        spark, 'from(bucket: "b") |> difference()', {"b": two_meas}
+    ).collect()
+    assert len(got) == 160 - 4
+    assert all(abs(r["_value"]) <= 50 for r in got)
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> difference(columns: ["_value"])',
+         "unsupported args"),
+        ('from(bucket: "b") |> difference(nonNegative: 1)', "boolean"),
+        ('from(bucket: "b") |> cumulativeSum(columns: ["x"])',
+         "cumulativeSum ships only"),
+        ('from(bucket: "b") |> cumulativeSum() |> difference()', "subset"),
+        ('from(bucket: "b") |> group() |> difference()', "one partition"),
+        ('from(bucket: "b") |> difference() |> last() |> last()', "tail|subset"),
+    ],
+)
+def test_difference_cumsum_rejections(spark, store, two_meas, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

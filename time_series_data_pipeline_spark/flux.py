@@ -73,11 +73,17 @@ same oracle shape:
 * ``stateDuration(fn: (r) => pred)`` → the `state_duration` run-length
   machinery, with Flux's convention: seconds in the CURRENT run where
   the predicate holds, −1 where it doesn't.
+* ``difference([nonNegative:])`` / ``cumulativeSum()`` (round 8) — the
+  remaining Data-Explorer numeric transforms: per-table lag delta
+  (signed, or the reset-aware counter form) with the first row
+  dropped, and the per-table running sum; both rewrite ``_value``
+  like Flux and accept a following ``last()``.
 
-All four are TERMINAL in the subset (only yield may follow, plus
-``last()`` after ``increase()``); a range/filter after them, or
-composing them with another aggregation/transform stage, raises
-rather than mis-compiling.
+These transforms are TERMINAL in the subset (only yield may follow,
+plus ``last()`` after the value-series transforms increase /
+difference / cumulativeSum); a range/filter after them, or composing
+them with another aggregation/transform stage, raises rather than
+mis-compiling.
 
 ``pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn:
 "_value")`` — the Data-Explorer table/CSV-export view — compiles to a
@@ -608,6 +614,7 @@ def compile_flux(
         "aggregateWindow", "last", "first", "mean", "count", "sum", "min",
         "max", "median", "derivative", "timedMovingAverage",
         "movingAverage", "increase", "stateDuration", "pivot",
+        "difference", "cumulativeSum",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename")
     for stage in stages[1:]:
@@ -636,11 +643,11 @@ def compile_flux(
             if (
                 head == "last"
                 and transform is not None
-                and transform[0] == "increase"
+                and transform[0] in ("increase", "difference", "cumsum")
                 and not take_last
             ):
-                # increase() |> last(): Flux's stat-panel total — reduce
-                # the cumulative series to its final point per table
+                # <value-series transform> |> last(): Flux's stat-panel
+                # reduction — the rewritten series' final point per table
                 if _args(stage, "last"):
                     raise FluxError(
                         f"last() takes no arguments in the subset: {stage!r}"
@@ -786,6 +793,37 @@ def compile_flux(
             if _args(stage, "increase"):
                 raise FluxError(f"increase() takes no arguments in the subset: {stage!r}")
             transform = ("increase",)
+        elif head == "difference":
+            # Flux difference(): per-table lag delta rewriting _value,
+            # first row dropped (no predecessor). nonNegative: true is
+            # the counter form (reset ⇒ previous assumed zero ⇒ delta =
+            # current value) — the same rule increase() accumulates.
+            a = _args(stage, "difference")
+            nn = _resolve(a["nonNegative"], params) if "nonNegative" in a else False
+            if not isinstance(nn, bool):
+                raise FluxError(
+                    f"difference nonNegative: expected a boolean, got {nn!r}"
+                )
+            extra = set(a) - {"nonNegative"}
+            if extra:
+                raise FluxError(f"difference: unsupported args {sorted(extra)}")
+            transform = ("difference", nn)
+        elif head == "cumulativeSum":
+            # cumulativeSum(): per-table running sum rewriting _value.
+            # The default column list is the only shape shipped.
+            a = _args(stage, "cumulativeSum")
+            cols = (
+                _str_list(a["columns"], "cumulativeSum columns")
+                if "columns" in a
+                else ["_value"]
+            )
+            extra = set(a) - {"columns"}
+            if extra or cols != ["_value"]:
+                raise FluxError(
+                    "cumulativeSum ships only columns: [\"_value\"] "
+                    f"(the default); got {stage!r}"
+                )
+            transform = ("cumsum",)
         elif head == "pivot":
             a = _args(stage, "pivot")
             rk = _str_list(a.get("rowKey", ""), "pivot rowKey")
@@ -1171,52 +1209,73 @@ def compile_flux(
                 .pivot("_field")
                 .agg(F.max("_value"))
             )
-        if kind == "increase":
-            # Flux increase() = difference(nonNegative: true)
-            # |> cumulativeSum(): the PER-POINT running sum of
-            # reset-aware deltas, first row of each table dropped (no
-            # predecessor). Null values are excluded before
-            # differencing — one declared policy, shared with the
-            # oracle (round 8, ADVICE r7: the bare form previously
-            # compiled to the total, a silent shape change). The
-            # cumulative value REPLACES _value exactly as Flux rewrites
-            # it, so a following last() — or the tail stages — compose
-            # on the Flux-shaped frame.
+        if kind in ("increase", "difference", "cumsum"):
+            # The VALUE-SERIES transforms: each rewrites _value per
+            # table exactly as Flux does, so a following last() — or
+            # the tail stages — compose on the Flux-shaped frame.
+            # * increase() = difference(nonNegative: true) |>
+            #   cumulativeSum(): per-point running sum of reset-aware
+            #   deltas, first row of each table dropped (no
+            #   predecessor) — round 8, ADVICE r7: the old bare form
+            #   compiled to the total, a silent shape change.
+            # * difference(): the per-table lag delta (signed, or the
+            #   reset-aware nonNegative form), first row dropped.
+            # * cumulativeSum(): the per-table running sum, every row
+            #   kept.
+            # Null values are excluded before the window — one declared
+            # policy, shared with the oracles.
             w = Window.partitionBy(*keys).orderBy("_time", "_value")
             y = _dec("_value")
-            prev = F.lag(y).over(w)
-            # explicit NULL on the first row: `y >= NULL` is NULL, so a
-            # bare when(...).otherwise(y) would silently contribute the
-            # first raw VALUE to every cumulative sum
-            delta = F.when(prev.isNull(), F.lit(None).cast("decimal(18,2)")).otherwise(
-                F.when(y >= prev, y - prev).otherwise(y)
-            )
-            inc = (
-                df.filter(F.col("_value").isNotNull())
-                .select(
+            src = df.filter(F.col("_value").isNotNull())
+            if kind == "cumsum":
+                series = src.select(
                     *keys,
                     "_time",
-                    prev.alias("__prev"),
-                    F.sum(delta)
+                    F.sum(y)
                     .over(
                         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                     )
                     .cast("double")
                     .alias("_value"),
                 )
-                .filter(F.col("__prev").isNotNull())
-                .drop("__prev")
-            )
+            else:
+                prev = F.lag(y).over(w)
+                if kind == "difference" and transform[1] is False:
+                    delta = y - prev  # NULL on the first row
+                else:
+                    # reset-aware delta; explicit NULL on the first row
+                    # (`y >= NULL` is NULL, so a bare otherwise(y) would
+                    # silently contribute the first raw VALUE)
+                    delta = F.when(
+                        prev.isNull(), F.lit(None).cast("decimal(18,2)")
+                    ).otherwise(F.when(y >= prev, y - prev).otherwise(y))
+                point = (
+                    delta
+                    if kind == "difference"
+                    else F.sum(delta).over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                )
+                series = (
+                    src.select(
+                        *keys,
+                        "_time",
+                        prev.alias("__prev"),
+                        point.cast("double").alias("_value"),
+                    )
+                    .filter(F.col("__prev").isNotNull())
+                    .drop("__prev")
+                )
             if take_last:
                 from .operators.timeseries import last_value_per_group
 
-                out = last_value_per_group(inc, "_time", "_value", keys)
+                out = last_value_per_group(series, "_time", "_value", keys)
                 if yield_name:
                     out = out.withColumnRenamed("last_value", yield_name)
                 return _finish(out)
             if yield_name:
-                inc = inc.withColumnRenamed("_value", yield_name)
-            return _finish(inc)
+                series = series.withColumnRenamed("_value", yield_name)
+            return _finish(series)
         # state_duration: run ids via change detection, duration against
         # the run's first timestamp; Flux convention — −1 where the
         # predicate is false, 0 at each true-run's first point

@@ -86,18 +86,21 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 8: new or changed this round go first (9). The Flux
+    # --- round 8: new or changed this round go first (13). The Flux
     # compiler re-keyed every aggregation/transform onto the full
     # (_measurement, _field) table key (VERDICT r7 item 1 — output
     # frames now carry _measurement) and increase() gained its real
     # cumulative semantics (ADVICE r7), so ALL compiled queries
-    # re-attest; increase_total (increase |> last) and group_merge
-    # (group() |> mean — VERDICT item 7) are new. ---
+    # re-attest; increase_total (increase |> last), group_merge
+    # (group() |> mean — VERDICT item 7), fill_previous, map_units,
+    # difference and cumulative_sum are new round-8 stages. ---
     "flux_compiled_increase",
     "flux_compiled_increase_total",
     "flux_compiled_group_merge",
     "flux_compiled_fill_previous",
     "flux_compiled_map_units",
+    "flux_compiled_difference",
+    "flux_compiled_cumulative_sum",
     "flux_compiled_derivative",
     "flux_compiled_mean",
     "flux_compiled_gauge",
@@ -139,11 +142,11 @@ _CHECKED_WINDOW = [
     "value_percentiles",
     "value_trend_per_type",
     "weekly_retention",
-    # (series_correlation and holt_linear_final stay arm-attested via
-    # in-window suite_round5 — they yielded their slots to the new
-    # flux_compiled_fill_previous / flux_compiled_map_units)
-    "decimate_lttb",
-    "state_duration",
+    # (series_correlation, holt_linear_final, decimate_lttb and
+    # state_duration stay arm-attested via in-window suite_round5 —
+    # they yielded their slots to the four new flux_compiled_* rows;
+    # state_duration additionally re-attests through the compiled
+    # flux_compiled_state_duration form this round)
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

@@ -1013,6 +1013,78 @@ def flux_compiled_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_difference",
+    # Flux difference() — the SIGNED per-table lag delta rewriting
+    # _value, first row dropped; exact decimal subtraction cast to
+    # double (round 8: completes the Data-Explorer numeric transform
+    # palette beside derivative/increase/cumulativeSum).
+    oracle="""
+    SELECT _measurement, _field, _time, _value FROM (
+      SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+             CAST(CAST(value AS DECIMAL(18,2))
+                  - lag(CAST(value AS DECIMAL(18,2))) OVER w
+                  AS DOUBLE) AS _value,
+             lag(value) OVER w AS prev
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ) WHERE prev IS NOT NULL
+    """,
+)
+def flux_compiled_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `difference()` through the front-end: the signed per-point
+    delta a dashboard's change panel plots — one window partitioning
+    (lag over the table key) = one shuffle."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> difference()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_cumulative_sum",
+    # Flux cumulativeSum() — per-table running sum rewriting _value
+    # (every row kept; nulls excluded first, the declared shared
+    # policy). Exact decimal accumulation cast to double per point.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY event_type ORDER BY ts, value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS _value
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    """,
+)
+def flux_compiled_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux `cumulativeSum()` through the front-end: the running total
+    panel (e.g. cumulative purchases). One window partitioning over the
+    table key = one shuffle."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "purchase")
+          |> cumulativeSum()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_map_units",
     # map(fn: (r) => ({ r with _value: ... })) — the Data Explorer's
     # unit-conversion transform (round 8): rewrite _value with double
