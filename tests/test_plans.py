@@ -204,6 +204,11 @@ import pytest as _pytest
         ("flux_compiled_row_moving_avg", 1),
         # window lag + running sum over ONE partitioning = one exchange
         ("flux_compiled_increase", 1),
+        # lag delta / running sum: same single-partitioning shape
+        ("flux_compiled_difference", 1),
+        ("flux_compiled_cumulative_sum", 1),
+        # map is an in-plan rewrite: the windowed agg's one exchange only
+        ("flux_compiled_map_units", 1),
         # + last(): row_number over the SAME key partitioning — reused
         ("flux_compiled_increase_total", 1),
         # group() |> mean(): partial agg → one tiny final exchange
