@@ -1447,3 +1447,52 @@ def test_difference_keys_per_measurement(spark, two_meas):
 def test_difference_cumsum_rejections(spark, store, two_meas, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+# -- round-8 schema (variable) queries ---------------------------------
+
+
+def test_schema_variable_queries(spark, store):
+    """Grafana variable queries — the reference's ${Resistances}
+    dropdown definition — compile to distinct key frames with the
+    _value column Grafana reads options from."""
+    fields = flux.compile_flux(
+        spark,
+        'import "influxdata/influxdb/schema"\n\n'
+        'schema.fieldKeys(bucket: "b")',
+        {"b": store},
+    )
+    assert fields.columns == ["_value"]
+    src = bkt.read_bucket(spark, store)
+    want = {r["_field"] for r in src.select("_field").distinct().collect()}
+    assert {r["_value"] for r in fields.collect()} == want
+
+    meas = flux.compile_flux(
+        spark, 'schema.measurements(bucket: "b")', {"b": store}
+    )
+    assert [r["_value"] for r in meas.collect()] == ["events"]
+    # the measurement scan reads NO data columns (partition dir only)
+    plan = meas._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
+
+    tags = flux.compile_flux(
+        spark, 'schema.tagKeys(bucket: "b")', {"b": store}
+    )
+    assert tags.collect() == []  # this store writes zero tags
+
+    # yield tail tolerated; anything else raises
+    ok = flux.compile_flux(
+        spark,
+        'schema.fieldKeys(bucket: "b") |> yield(name: "fields")',
+        {"b": store},
+    )
+    assert ok.count() == len(want)
+    for bad, msg in (
+        ('schema.fieldKeys(bucket: "b") |> limit(n: 1)', "no pipeline"),
+        ('schema.fieldKeys()', "requires bucket"),
+        ('schema.fieldKeys(bucket: "nope")', "unknown bucket"),
+        ('schema.tagValues(bucket: "b", tag: "t")', "unsupported schema"),
+        ('schema.fieldKeys(bucket: "b", start: -7d)', "unsupported args"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, bad, {"b": store})

@@ -222,7 +222,7 @@ def _strip_comment(line: str) -> str:
     return line
 
 
-def _split_stages(flux: str) -> list[str]:
+def _split_stages(flux: str, require_from: bool = True) -> list[str]:
     # strip line comments, then split the pipeline on |> (quote-aware:
     # a "|>" inside a string literal is data, not a stage separator)
     body = "\n".join(_strip_comment(l) for l in flux.splitlines())
@@ -246,7 +246,7 @@ def _split_stages(flux: str) -> list[str]:
         i += 1
     stages.append("".join(part))
     stages = [s.strip() for s in stages]
-    if not stages or not stages[0].startswith("from"):
+    if require_from and (not stages or not stages[0].startswith("from")):
         raise FluxError("pipeline must start with from(bucket: ...)")
     return stages
 
@@ -553,6 +553,62 @@ def _filter_extract(stage: str) -> str:
     return m.group(1).strip()
 
 
+def _compile_schema_query(
+    spark: SparkSession,
+    body: str,
+    bucket_paths: dict[str, str],
+    params: dict[str, Any],
+) -> DataFrame:
+    """Compile a Grafana variable query: ``schema.fieldKeys(bucket:)`` /
+    ``schema.measurements(bucket:)`` / ``schema.tagKeys(bucket:)`` —
+    each returns the distinct key set as a one-column ``_value`` frame
+    (the column Grafana reads dropdown options from).
+
+    Scale shape: ``measurements`` reads only the partition column
+    (`_measurement` is a directory name — the scan's ReadSchema is
+    empty, no parquet pages); ``fieldKeys`` is a single-column
+    dictionary-encoded scan (and the field-clustered layout keeps it
+    one tiny column chunk per file); ``tagKeys`` explodes the tag map's
+    keys. An optional trailing ``yield`` is accepted; any other piped
+    stage raises (variable queries are standalone)."""
+    from .sources import bucket as bkt
+
+    stages = _split_stages(body, require_from=False)
+    for extra_stage in stages[1:]:
+        if extra_stage.split("(", 1)[0].strip() != "yield":
+            raise FluxError(
+                f"schema queries take no pipeline stages: {extra_stage!r}"
+            )
+    m = re.match(
+        r"^schema\.(fieldKeys|measurements|tagKeys)\s*\((.*)\)\s*$",
+        stages[0].strip(),
+        re.DOTALL,
+    )
+    if not m:
+        raise FluxError(f"unsupported schema query: {stages[0]!r}")
+    fn, inner = m.group(1), m.group(2)
+    a = _args(f"schema.{fn}({inner})", re.escape(f"schema.{fn}"))
+    if "bucket" not in a:
+        raise FluxError(f"schema.{fn} requires bucket:")
+    extra = set(a) - {"bucket"}
+    if extra:
+        raise FluxError(f"schema.{fn}: unsupported args {sorted(extra)}")
+    bucket_name = _resolve(a["bucket"], params)
+    if bucket_name not in bucket_paths:
+        raise FluxError(f"unknown bucket {bucket_name!r}")
+    df = bkt.read_bucket(spark, bucket_paths[bucket_name])
+    if fn == "measurements":
+        out = df.select(F.col("_measurement").alias("_value"))
+    elif fn == "fieldKeys":
+        out = df.select(F.col("_field").alias("_value"))
+    else:  # tagKeys — this store writes zero tags (SURVEY §1.1), but
+        # the map column is real, so the query is too
+        out = df.select(
+            F.explode(F.map_keys(F.col("tags"))).alias("_value")
+        )
+    return out.distinct()
+
+
 def compile_flux(
     spark: SparkSession,
     flux: str,
@@ -570,7 +626,19 @@ def compile_flux(
     are anchored at ``now`` (RFC3339; required only when used —
     wall-clock defaults would break replayability)."""
     params = dict(params or {})
-    stages = _split_stages(flux)
+    # Grafana VARIABLE queries (the dropdowns dashboards are built on —
+    # the reference's ${Resistances} variable is defined by exactly
+    # this shape): `import "influxdata/influxdb/schema"` followed by a
+    # schema.* call. Handled before the pipeline grammar.
+    body = re.sub(
+        r'^\s*import\s+"influxdata/influxdb/schema"\s*$',
+        "",
+        flux,
+        flags=re.MULTILINE,
+    )
+    if re.match(r"^\s*schema\.", body.lstrip()):
+        return _compile_schema_query(spark, body, bucket_paths, params)
+    stages = _split_stages(body)
     fr = _args(stages[0], "from")
     if "bucket" not in fr:
         raise FluxError("from() requires bucket:")

@@ -86,7 +86,7 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 8: new or changed this round go first (13). The Flux
+    # --- round 8: new or changed this round go first (15). The Flux
     # compiler re-keyed every aggregation/transform onto the full
     # (_measurement, _field) table key (VERDICT r7 item 1 — output
     # frames now carry _measurement) and increase() gained its real
@@ -101,6 +101,8 @@ _CHECKED_WINDOW = [
     "flux_compiled_map_units",
     "flux_compiled_difference",
     "flux_compiled_cumulative_sum",
+    "flux_schema_field_keys",
+    "flux_schema_measurements",
     "flux_compiled_derivative",
     "flux_compiled_mean",
     "flux_compiled_gauge",
@@ -133,11 +135,12 @@ _CHECKED_WINDOW = [
     # that never had an own driver row (trailing_1h_mean stays
     # arm-attested — suite_round5 is in-window and the compiled
     # flux_compiled_moving_avg re-attests its window form this round).
-    "anomaly_mad",
+    # (anomaly_mad and json_props_stats stay arm-attested via the
+    # in-window suite_timeseries_stats — they yielded their freshness
+    # slots to the two new flux_schema_* variable queries)
     "counter_increase",
     "event_transitions",
     "funnel_view_click_purchase",
-    "json_props_stats",
     "time_weighted_avg",
     "value_percentiles",
     "value_trend_per_type",

@@ -1013,6 +1013,51 @@ def flux_compiled_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_schema_field_keys",
+    # the Grafana VARIABLE query that populates the reference's
+    # ${Resistances} dropdown (photo/use-variable.png): schema.fieldKeys
+    # over the bucket — distinct field keys as a _value column.
+    oracle="SELECT DISTINCT event_type AS _value FROM events",
+)
+def flux_schema_field_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: the dashboard-variable surface. A reference user's
+    variable definition (`import "influxdata/influxdb/schema"` +
+    `schema.fieldKeys(bucket:)`) compiles to a distinct single-column
+    scan — the dropdown Grafana builds every panel filter from."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        import "influxdata/influxdb/schema"
+
+        schema.fieldKeys(bucket: "gas-quality")
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_schema_measurements",
+    oracle="SELECT DISTINCT 'events' AS _value FROM events",
+)
+def flux_schema_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`schema.measurements(bucket:)` — the other variable-query shape;
+    `_measurement` is a partition directory name, so the scan's
+    ReadSchema is empty (no parquet pages read, metadata only)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        'import "influxdata/influxdb/schema"\n'
+        'schema.measurements(bucket: "gas-quality")',
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_difference",
     # Flux difference() — the SIGNED per-table lag delta rewriting
     # _value, first row dropped; exact decimal subtraction cast to
