@@ -1487,12 +1487,36 @@ def test_schema_variable_queries(spark, store):
         {"b": store},
     )
     assert ok.count() == len(want)
+    vals = flux.compile_flux(
+        spark, 'schema.tagValues(bucket: "b", tag: "host")', {"b": store}
+    )
+    assert vals.collect() == []  # zero tags -> zero values, not an error
     for bad, msg in (
         ('schema.fieldKeys(bucket: "b") |> limit(n: 1)', "no pipeline"),
         ('schema.fieldKeys()', "requires bucket"),
         ('schema.fieldKeys(bucket: "nope")', "unknown bucket"),
-        ('schema.tagValues(bucket: "b", tag: "t")', "unsupported schema"),
+        ('schema.tagValues(bucket: "b")', "requires tag"),
+        ('schema.buckets()', "unsupported schema"),
         ('schema.fieldKeys(bucket: "b", start: -7d)', "unsupported args"),
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_fill_previous_keys_per_measurement(spark, two_meas):
+    """fill(usePrevious) never carries a value across measurements:
+    each (measurement, field) table fills from its OWN previous
+    bucket."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> aggregateWindow(every: 5m, fn: mean, createEmpty: true) "
+        '|> fill(column: "mean", usePrevious: true)',
+        {"b": two_meas},
+    ).collect()
+    per = _per_meas_tables(got)
+    assert set(per) == {("m1", "click"), ("m2", "click")}
+    for (m, _f), rs in per.items():
+        lo, hi = (0, 40) if m == "m1" else (1000, 1040)
+        filled = [r["mean"] for r in rs if r["mean"] is not None]
+        assert filled and all(lo <= v <= hi for v in filled)

@@ -580,7 +580,7 @@ def _compile_schema_query(
                 f"schema queries take no pipeline stages: {extra_stage!r}"
             )
     m = re.match(
-        r"^schema\.(fieldKeys|measurements|tagKeys)\s*\((.*)\)\s*$",
+        r"^schema\.(fieldKeys|measurements|tagKeys|tagValues)\s*\((.*)\)\s*$",
         stages[0].strip(),
         re.DOTALL,
     )
@@ -590,7 +590,8 @@ def _compile_schema_query(
     a = _args(f"schema.{fn}({inner})", re.escape(f"schema.{fn}"))
     if "bucket" not in a:
         raise FluxError(f"schema.{fn} requires bucket:")
-    extra = set(a) - {"bucket"}
+    allowed = {"bucket", "tag"} if fn == "tagValues" else {"bucket"}
+    extra = set(a) - allowed
     if extra:
         raise FluxError(f"schema.{fn}: unsupported args {sorted(extra)}")
     bucket_name = _resolve(a["bucket"], params)
@@ -601,6 +602,15 @@ def _compile_schema_query(
         out = df.select(F.col("_measurement").alias("_value"))
     elif fn == "fieldKeys":
         out = df.select(F.col("_field").alias("_value"))
+    elif fn == "tagValues":
+        if "tag" not in a:
+            raise FluxError("schema.tagValues requires tag:")
+        tag = _resolve(a["tag"], params)
+        if not isinstance(tag, str):
+            raise FluxError(f"schema.tagValues tag: expected a string, got {tag!r}")
+        out = df.select(
+            F.element_at(F.col("tags"), F.lit(tag)).alias("_value")
+        ).filter(F.col("_value").isNotNull())
     else:  # tagKeys — this store writes zero tags (SURVEY §1.1), but
         # the map column is real, so the query is too
         out = df.select(
