@@ -153,7 +153,10 @@ _DUR_RE = re.compile(r"^(-?)(\d+)(s|m|h|d|w)$")
 _DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
 #: aggregateWindow fns → (aggregate expression builder, needs decimal)
-_AGG_FNS = ("mean", "median", "min", "max", "sum", "count", "first", "last")
+_AGG_FNS = (
+    "mean", "median", "min", "max", "sum", "count", "first", "last",
+    "spread", "stddev",
+)
 
 
 class FluxError(ValueError):
@@ -692,7 +695,7 @@ def compile_flux(
         "aggregateWindow", "last", "first", "mean", "count", "sum", "min",
         "max", "median", "derivative", "timedMovingAverage",
         "movingAverage", "increase", "stateDuration", "pivot",
-        "difference", "cumulativeSum",
+        "difference", "cumulativeSum", "spread", "stddev", "quantile",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename")
     for stage in stages[1:]:
@@ -937,7 +940,10 @@ def compile_flux(
                 raise FluxError(f"malformed stateDuration fn: {a['fn']!r}")
             pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
             transform = ("state_duration", pred)
-        elif head in ("mean", "count", "sum", "min", "max", "median", "first"):
+        elif head in (
+            "mean", "count", "sum", "min", "max", "median", "first",
+            "spread", "stddev",
+        ):
             # bare aggregate: one row per series over the scanned range
             # (the Flux per-table fold) — reuse the windowed machinery
             # with a single unbounded "window" by marking every_s=None
@@ -945,6 +951,35 @@ def compile_flux(
             if a:
                 raise FluxError(f"bare {head}() takes no arguments in the subset")
             agg = (None, head, False)
+        elif head == "quantile":
+            # quantile(q:, [method: "exact_selector"]) — compiled as the
+            # EXACT selector (the smallest data point with cumulative
+            # frequency ≥ q, i.e. percentile_disc — Flux's
+            # exact_selector method). The default estimate_tdigest asks
+            # for an estimate, which an exact answer satisfies, so both
+            # compile here; exact_mean has DIFFERENT defined semantics
+            # (mean of the straddling points) and raises.
+            a = _args(stage, "quantile")
+            if "q" not in a:
+                raise FluxError("quantile requires q:")
+            qv = _resolve(a["q"], params)
+            if isinstance(qv, bool) or not isinstance(qv, (int, float)) or not (
+                0 < float(qv) <= 1
+            ):
+                raise FluxError(f"quantile q: expected a number in (0, 1], got {qv!r}")
+            method = (
+                _resolve(a["method"], params) if "method" in a else "exact_selector"
+            )
+            if method not in ("exact_selector", "estimate_tdigest"):
+                raise FluxError(
+                    "quantile ships the exact_selector method (also answering "
+                    f"estimate_tdigest exactly); got method {method!r}"
+                )
+            extra = set(a) - {"q", "method"}
+            if extra:
+                raise FluxError(f"quantile: unsupported args {sorted(extra)}")
+            quantile_q = float(qv)
+            agg = (None, "quantile", False)
         elif head == "sort":
             a = _args(stage, "sort")
             cols = _str_list(a.get("columns", '["_value"]'), "sort columns")
