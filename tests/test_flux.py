@@ -208,8 +208,15 @@ def test_relative_range_needs_anchor_and_resolves(spark, store):
     [
         ('from(bucket: "nope") |> last()', "unknown bucket"),
         ('from(bucket: "b") |> union(tables: [])', "unsupported stage"),
-        ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: stddev)',
+        ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: mode)',
          "unsupported aggregateWindow fn"),
+        ('from(bucket: "b") |> quantile(q: 1.5)', "quantile q"),
+        ('from(bucket: "b") |> quantile(method: "exact_selector")',
+         "quantile requires q"),
+        ('from(bucket: "b") |> quantile(q: 0.5, method: "exact_mean")',
+         "exact_selector"),
+        ('from(bucket: "b") |> group() |> quantile(q: 0.5)',
+         "one partition"),
         ('from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ "Rs")',
          "regex"),
         ('range(start: -1d) |> last()', "must start with from"),
@@ -274,6 +281,102 @@ def test_bare_aggregate_stage(spark, store):
     assert {r["_field"]: (round(r["avg"], 9), r["n"]) for r in got.collect()} == ref
     with pytest.raises(flux.FluxError, match="no arguments"):
         flux.compile_flux(spark, 'from(bucket: "b") |> mean(column: "x")', {"b": store})
+
+
+def test_bare_stddev_spread_quantile(spark, store):
+    """Round 9 (VERDICT r8 item 1): the last three Data-Explorer
+    dropdown aggregates — sample stddev, spread (max−min) and the
+    exact_selector quantile — checked value-by-value against a
+    driver-side replay per (_measurement, _field) table."""
+    import math
+    import statistics
+
+    src = bkt.scan_bucket(spark, store, measurement="events").collect()
+    by_field: dict[str, list[float]] = {}
+    for r in src:
+        if r["_value"] is not None:
+            by_field.setdefault(r["_field"], []).append(r["_value"])
+    assert all(len(v) > 2 for v in by_field.values())
+
+    sd = flux.compile_flux(
+        spark, 'from(bucket: "b") |> stddev()', {"b": store}
+    )
+    assert sd.columns == ["_measurement", "_field", "stddev", "n"]
+    got_sd = {r["_field"]: (r["stddev"], r["n"]) for r in sd.collect()}
+    assert set(got_sd) == set(by_field)
+    for f, vals in by_field.items():
+        s, n = got_sd[f]
+        assert n == len(vals)
+        assert abs(s - statistics.stdev(vals)) < 1e-9, f
+
+    sp = flux.compile_flux(
+        spark, 'from(bucket: "b") |> spread() |> yield(name: "rng")',
+        {"b": store},
+    )
+    assert sp.columns == ["_measurement", "_field", "rng", "n"]
+    got_sp = {r["_field"]: r["rng"] for r in sp.collect()}
+    for f, vals in by_field.items():
+        assert got_sp[f] == max(vals) - min(vals), f
+
+    for q in (0.5, 0.9, 1.0):
+        qd = flux.compile_flux(
+            spark,
+            f'from(bucket: "b") |> quantile(q: {q})',
+            {"b": store},
+        )
+        assert qd.columns == ["_measurement", "_field", "quantile", "n"]
+        got_q = {r["_field"]: (r["quantile"], r["n"]) for r in qd.collect()}
+        for f, vals in by_field.items():
+            srt = sorted(vals)
+            # exact_selector / percentile_disc: smallest value whose
+            # cumulative frequency reaches q = rank ceil(q*n)
+            want = srt[math.ceil(q * len(srt)) - 1]
+            v, n = got_q[f]
+            assert v == want and n == len(vals), (f, q)
+
+
+def test_windowed_stddev_and_spread(spark, store):
+    """aggregateWindow(fn: stddev/spread): per-window sample stddev
+    (NULL on single-point windows, as Flux yields no value) and
+    max−min, keyed per table."""
+    import statistics
+
+    src = bkt.scan_bucket(spark, store, field="click").collect()
+    buckets: dict = {}
+    for r in src:
+        if r["_value"] is not None:
+            b = r["_time"].replace(
+                minute=0, second=0, microsecond=0
+            )
+            buckets.setdefault(b, []).append(r["_value"])
+    got = {
+        r["window_start"]: (r["stddev"], r["n"])
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+            " |> aggregateWindow(every: 1h, fn: stddev)",
+            {"b": store},
+        ).collect()
+    }
+    assert set(got) == set(buckets)
+    for b, vals in buckets.items():
+        s, n = got[b]
+        assert n == len(vals)
+        if len(vals) == 1:
+            assert s is None
+        else:
+            assert abs(s - statistics.stdev(vals)) < 1e-9
+    got_sp = {
+        r["window_start"]: r["spread"]
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+            " |> aggregateWindow(every: 1h, fn: spread)",
+            {"b": store},
+        ).collect()
+    }
+    for b, vals in buckets.items():
+        assert got_sp[b] == max(vals) - min(vals)
 
 
 # -- round-7 transform stages (VERDICT r6 item 4) ---------------------
@@ -345,11 +448,11 @@ def test_timed_moving_average_matches_trailing_mean(spark, store):
 
 
 def test_increase_stage_is_cumulative_per_point(spark, store):
-    """increase() is Flux's CUMULATIVE form (difference(nonNegative:
-    true) |> cumulativeSum()): per-table running sum of reset-aware
-    deltas, first row dropped, cumulative value REPLACING _value
-    (ADVICE r7: the old per-series-total form was a silent shape
-    change). Checked point-by-point against a driver-side replay."""
+    """increase() is Flux's CUMULATIVE form (difference(nonNegative,
+    keepFirst, initialZero) |> cumulativeSum()): per-table running sum
+    of reset-aware deltas, the first row KEPT with _value 0 (upstream
+    initialZero — ADVICE r8), cumulative value REPLACING _value.
+    Checked point-by-point against a driver-side replay."""
     got = flux.compile_flux(
         spark,
         'from(bucket: "b")'
@@ -374,6 +477,7 @@ def test_increase_stage_is_cumulative_per_point(spark, store):
     for f, pts in by_field.items():
         pts.sort()
         cum = Decimal(0)
+        want.append((f, pts[0][0], 0.0))  # initialZero keeps row 1
         for (pt, pv), (t, v) in zip(pts, pts[1:]):
             dv = _d2(v) - _d2(pv)
             cum += dv if dv >= 0 else _d2(v)
@@ -382,9 +486,9 @@ def test_increase_stage_is_cumulative_per_point(spark, store):
         (r["_field"], r["_time"], round(r["_value"], 6)) for r in rows
     )
     assert got_list == sorted(want) and len(got_list) > 0
-    # each series drops exactly its first row
+    # initialZero: every source row survives (unlike difference())
     n_src = sum(len(p) for p in by_field.values())
-    assert len(rows) == n_src - len(by_field)
+    assert len(rows) == n_src
 
 
 def test_increase_then_last_is_stat_panel_total(spark, store):
@@ -1049,7 +1153,10 @@ def test_two_measurement_aggregates_key_per_measurement(spark, two_meas):
         assert all(lo <= r["mean"] <= hi for r in rs)
 
     # bare aggregates: one row per (measurement, field) table
-    for fn, col in (("mean", "mean"), ("max", "max"), ("count", "count")):
+    for fn, col in (
+        ("mean", "mean"), ("max", "max"), ("count", "count"),
+        ("spread", "spread"), ("stddev", "stddev"),
+    ):
         bare = flux.compile_flux(
             spark, f'from(bucket: "b") |> {fn}()', {"b": two_meas}
         ).collect()
@@ -1063,6 +1170,18 @@ def test_two_measurement_aggregates_key_per_measurement(spark, two_meas):
         ).collect()
     }
     assert mx[("m1", "click")] == 39.0 and mx[("m2", "click")] == 1039.0
+    # quantile keys per measurement: m2's 0.5-selector sits 1000 above
+    # m1's — a merged table would answer m2's range for both
+    qv = {
+        (r["_measurement"], r["_field"]): r["quantile"]
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+            " |> quantile(q: 0.5)",
+            {"b": two_meas},
+        ).collect()
+    }
+    assert qv[("m1", "click")] == 19.0 and qv[("m2", "click")] == 1019.0
 
     # last() / first(): latest & earliest per (measurement, field)
     last = flux.compile_flux(

@@ -64,12 +64,22 @@ same oracle shape:
   drop-the-first-``n−1``-points convention (row_number ≥ n), exact
   decimal sums.
 * ``increase()`` → the CUMULATIVE per-point form (Flux's actual
-  semantics: ``difference(nonNegative: true) |> cumulativeSum()`` —
-  running sum of reset-aware deltas, the per-table first row dropped
-  because it has no predecessor). ``increase() |> last()`` reduces it
-  to the per-series total a stat panel shows (round 8, ADVICE r7: the
-  bare form previously compiled to the total — a silent shape change
-  for counter time-series panels).
+  semantics: ``difference(nonNegative, keepFirst, initialZero) |>
+  cumulativeSum()`` — running sum of reset-aware deltas, the
+  per-table first row KEPT with value 0 exactly as upstream
+  initialZero does, round 9, ADVICE r8). ``increase() |> last()``
+  reduces it to the per-series total a stat panel shows (round 8,
+  ADVICE r7: the bare form previously compiled to the total — a
+  silent shape change for counter time-series panels).
+* ``stddev()`` / ``spread()`` / ``quantile(q:, [method:])`` (round 9
+  — completing the Data-Explorer aggregate dropdown): sample standard
+  deviation (Flux's default mode), max−min, and the exact_selector
+  quantile (the smallest value whose cumulative frequency reaches q,
+  SQL percentile_disc — compiled as a per-table cume_dist rank, so
+  the key-less ``group()`` merge form raises as a scale trap).
+  ``stddev``/``spread`` are also accepted as ``aggregateWindow`` fns;
+  ``quantile`` is bare-only (the windowed form needs a Flux lambda,
+  outside the subset).
 * ``stateDuration(fn: (r) => pred)`` → the `state_duration` run-length
   machinery, with Flux's convention: seconds in the CURRENT run where
   the predicate holds, −1 where it doesn't.
@@ -406,7 +416,11 @@ _ARITH_TOKEN_RE = re.compile(
     r"""\s*(
         r\[\s*"(?:[^"]+)"\s*\]   # r["col"]
       | r\.\w+                   # r.col
-      | -?\d+\.\d+|-?\d+         # numeric literal
+      | \d+\.\d+|\d+             # numeric literal (unary minus is the
+                                 # factor() rule's job — a leading -?
+                                 # here made "r._value-1" tokenize as
+                                 # [r._value, -1] and reject valid
+                                 # subtraction, ADVICE r8)
       | v\.\w+                   # dashboard variable
       | [+\-*/()]
     )""",
@@ -812,7 +826,7 @@ def compile_flux(
                 create_empty = ce_raw.lower() == "true"
             else:
                 raise FluxError(f"createEmpty: expected a boolean, got {ce_raw!r}")
-            agg = (_duration_seconds(every), fn, create_empty)
+            agg = (_duration_seconds(every), fn, create_empty, None)
         elif head == "last":
             if _args(stage, "last"):
                 # last(column: "tags") would silently compile as last on
@@ -950,7 +964,7 @@ def compile_flux(
             a = _args(stage, head)
             if a:
                 raise FluxError(f"bare {head}() takes no arguments in the subset")
-            agg = (None, head, False)
+            agg = (None, head, False, None)
         elif head == "quantile":
             # quantile(q:, [method: "exact_selector"]) — compiled as the
             # EXACT selector (the smallest data point with cumulative
@@ -978,8 +992,7 @@ def compile_flux(
             extra = set(a) - {"q", "method"}
             if extra:
                 raise FluxError(f"quantile: unsupported args {sorted(extra)}")
-            quantile_q = float(qv)
-            agg = (None, "quantile", False)
+            agg = (None, "quantile", False, float(qv))
         elif head == "sort":
             a = _args(stage, "sort")
             cols = _str_list(a.get("columns", '["_value"]'), "sort columns")
@@ -1326,11 +1339,10 @@ def compile_flux(
             # The VALUE-SERIES transforms: each rewrites _value per
             # table exactly as Flux does, so a following last() — or
             # the tail stages — compose on the Flux-shaped frame.
-            # * increase() = difference(nonNegative: true) |>
-            #   cumulativeSum(): per-point running sum of reset-aware
-            #   deltas, first row of each table dropped (no
-            #   predecessor) — round 8, ADVICE r7: the old bare form
-            #   compiled to the total, a silent shape change.
+            # * increase() = difference(nonNegative, keepFirst,
+            #   initialZero) |> cumulativeSum(): per-point running sum
+            #   of reset-aware deltas, first row of each table kept
+            #   with _value 0 (upstream initialZero — ADVICE r8).
             # * difference(): the per-table lag delta (signed, or the
             #   reset-aware nonNegative form), first row dropped.
             # * cumulativeSum(): the per-table running sum, every row
@@ -1369,16 +1381,32 @@ def compile_flux(
                         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                     )
                 )
-                series = (
-                    src.select(
+                if kind == "increase":
+                    # upstream Flux defines increase() as
+                    # difference(nonNegative, keepFirst, initialZero)
+                    # |> cumulativeSum(): each table's FIRST row is
+                    # kept with _value 0 (ADVICE r8 — the old form
+                    # dropped it, one fewer row per series than real
+                    # InfluxDB). difference() alone still drops it,
+                    # matching upstream difference() semantics.
+                    series = src.select(
                         *keys,
                         "_time",
-                        prev.alias("__prev"),
-                        point.cast("double").alias("_value"),
+                        F.coalesce(point, F.lit(0))
+                        .cast("double")
+                        .alias("_value"),
                     )
-                    .filter(F.col("__prev").isNotNull())
-                    .drop("__prev")
-                )
+                else:
+                    series = (
+                        src.select(
+                            *keys,
+                            "_time",
+                            prev.alias("__prev"),
+                            point.cast("double").alias("_value"),
+                        )
+                        .filter(F.col("__prev").isNotNull())
+                        .drop("__prev")
+                    )
             if take_last:
                 from .operators.timeseries import last_value_per_group
 
@@ -1420,7 +1448,7 @@ def compile_flux(
         ))
 
     if agg is not None:
-        every_s, fn, create_empty = agg
+        every_s, fn, create_empty, agg_q = agg
         if create_empty:
             # gap_fill's spine carries both the windowed mean and the
             # event count, so the two dashboard shapes that want empty
@@ -1450,6 +1478,37 @@ def compile_flux(
                 )
             return _finish(out)
         name = yield_name or fn
+        if fn == "quantile":
+            # exact_selector: the smallest _value whose cumulative
+            # frequency reaches q (SQL percentile_disc). Rank order
+            # needs each table's rows on one partition — the same
+            # per-table locality every per-point transform (derivative,
+            # movingAverage, …) already assumes; the key-less group()
+            # merge form would funnel ALL raw rows through a single
+            # partition and raises instead (scale trap, not a subset
+            # gap — same rule as group() |> derivative()).
+            if not keys:
+                raise FluxError(
+                    "group() |> quantile() would sort every raw row on "
+                    "one partition — outside the shipped subset"
+                )
+            from pyspark.sql import Window
+
+            src = df.filter(F.col("_value").isNotNull())
+            wq = Window.partitionBy(*keys).orderBy("_value")
+            wk = Window.partitionBy(*keys)
+            ranked = src.select(
+                *keys,
+                "_value",
+                F.cume_dist().over(wq).alias("__cd"),
+                F.count(F.lit(1)).over(wk).alias("__n"),
+            )
+            out = (
+                ranked.filter(F.col("__cd") >= F.lit(agg_q))
+                .groupBy(*keys)
+                .agg(F.min("_value").alias(name), F.max("__n").alias("n"))
+            )
+            return _finish(out)
         if fn == "mean":
             expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
         elif fn == "median":
@@ -1464,8 +1523,22 @@ def compile_flux(
             expr = F.count(F.lit(1)).cast("long")
         elif fn == "first":  # earliest _time wins, value tie-break
             expr = F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
-        else:  # last: greatest _time wins, value tie-break for determinism
+        elif fn == "stddev":
+            # Flux stddev() default mode "sample" — central-moment
+            # merge aggregation (map-side combinable); NULL for a
+            # single-point table, exactly as Flux yields no value
+            expr = F.stddev_samp("_value")
+        elif fn == "spread":
+            # max − min over the table/window — two map-side-combinable
+            # extrema, exact on the store's doubles
+            expr = F.max("_value") - F.min("_value")
+        elif fn == "last":  # greatest _time wins, value tie-break
             expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
+        else:
+            # structural backstop (VERDICT r8): an accepted-set name
+            # with no expression branch must raise, never silently
+            # compile to some other aggregate
+            raise FluxError(f"aggregate fn {fn!r} has no compiled form")
         if every_s is None:
             # bare aggregate: one row per table over the whole range
             # (keys == [] — the group() merge form — folds everything

@@ -852,32 +852,29 @@ def flux_compiled_row_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "flux_compiled_increase",
     # Flux increase() — the CUMULATIVE per-point running sum of
-    # reset-aware deltas (difference(nonNegative: true) |>
-    # cumulativeSum()), per-table first row dropped, nulls excluded
-    # before differencing (one declared policy on both engines —
-    # round 8, ADVICE r7: the old total form was a silent shape change
-    # for counter time-series panels). Exact decimal deltas,
-    # (_time, _value) tiebreak; the cumulative value replaces _value
-    # exactly as Flux rewrites it.
+    # reset-aware deltas (difference(nonNegative, keepFirst,
+    # initialZero) |> cumulativeSum()), per-table first row KEPT with
+    # _value 0 (upstream initialZero — round 9, ADVICE r8), nulls
+    # excluded before differencing (one declared policy on both
+    # engines). Exact decimal deltas, (_time, _value) tiebreak; the
+    # cumulative value replaces _value exactly as Flux rewrites it.
     oracle="""
-    SELECT _measurement, _field, _time, _value FROM (
-      SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
-             prev,
-             CAST(SUM(CASE WHEN prev IS NULL THEN NULL
-                           WHEN y >= prev THEN y - prev
-                           ELSE y END)
-                  OVER (PARTITION BY event_type ORDER BY ts, y
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DOUBLE) AS _value
-      FROM (
-        SELECT event_type, ts,
-               CAST(value AS DECIMAL(18,2)) AS y,
-               lag(CAST(value AS DECIMAL(18,2)))
-                 OVER (PARTITION BY event_type ORDER BY ts, value) AS prev
-        FROM events
-        WHERE event_type = 'click' AND value IS NOT NULL
-      )
-    ) WHERE prev IS NOT NULL
+    SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+           CAST(COALESCE(
+             SUM(CASE WHEN prev IS NULL THEN NULL
+                      WHEN y >= prev THEN y - prev
+                      ELSE y END)
+             OVER (PARTITION BY event_type ORDER BY ts, y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0) AS DOUBLE) AS _value
+    FROM (
+      SELECT event_type, ts,
+             CAST(value AS DECIMAL(18,2)) AS y,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY event_type ORDER BY ts, value) AS prev
+      FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+    )
     """,
 )
 def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,10 +901,11 @@ def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "flux_compiled_increase_total",
     # increase() |> last() — the stat-panel total: the cumulative
-    # series' final point per table. last_ts is the max ts among
-    # EMITTED rows (prev IS NOT NULL), which the FILTER pins exactly;
-    # the total is the full delta sum because the cumulative is
-    # non-decreasing along the window order.
+    # series' final point per table. initialZero (round 9) keeps every
+    # source row, so last_ts is simply MAX(ts); the total is the full
+    # delta sum because the cumulative is non-decreasing along the
+    # window order (a single-point table now yields total 0 instead of
+    # vanishing).
     oracle="""
     WITH d AS (
       SELECT event_type, ts,
@@ -918,13 +916,12 @@ def flux_compiled_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type = 'error' AND value IS NOT NULL
     )
     SELECT 'events' AS _measurement, event_type AS _field,
-           MAX(ts) FILTER (WHERE prev IS NOT NULL) AS last_ts,
+           MAX(ts) AS last_ts,
            CAST(SUM(CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
                          WHEN y >= prev THEN y - prev
                          ELSE y END) AS DOUBLE) AS last_value
     FROM d
     GROUP BY event_type
-    HAVING COUNT(*) FILTER (WHERE prev IS NOT NULL) > 0
     """,
 )
 def flux_compiled_increase_total(spark: SparkSession, sf_dir: str) -> DataFrame:
