@@ -318,7 +318,7 @@ def test_bare_stddev_spread_quantile(spark, store):
     for f, vals in by_field.items():
         assert got_sp[f] == max(vals) - min(vals), f
 
-    for q in (0.5, 0.9, 1.0):
+    for q in (0.25, 0.5, 0.9, 1.0):
         qd = flux.compile_flux(
             spark,
             f'from(bucket: "b") |> quantile(q: {q})',
@@ -328,9 +328,10 @@ def test_bare_stddev_spread_quantile(spark, store):
         got_q = {r["_field"]: (r["quantile"], r["n"]) for r in qd.collect()}
         for f, vals in by_field.items():
             srt = sorted(vals)
-            # exact_selector / percentile_disc: smallest value whose
-            # cumulative frequency reaches q = rank ceil(q*n)
-            want = srt[math.ceil(q * len(srt)) - 1]
+            # exact_selector, UPSTREAM rank convention (ADVICE r9):
+            # sorted index round(q*n) − 1, half away from zero,
+            # clamped at 0 — floor(x+0.5) is half-away for positive x
+            want = srt[max(int(math.floor(q * len(srt) + 0.5)) - 1, 0)]
             v, n = got_q[f]
             assert v == want and n == len(vals), (f, q)
 
@@ -1639,3 +1640,234 @@ def test_fill_previous_keys_per_measurement(spark, two_meas):
         lo, hi = (0, 40) if m == "m1" else (1000, 1040)
         filled = [r["mean"] for r in rs if r["mean"] is not None]
         assert filled and all(lo <= v <= hi for v in filled)
+
+
+def test_quantile_upstream_rounding_convention(spark, tmp_path):
+    """ADVICE r9 (medium): upstream Flux's exact_selector picks the
+    sorted index round(q*n) - 1 (half away from zero, clamped at 0),
+    NOT percentile_disc's ceil(q*n) rank. n=5, q=0.25 -> q*n = 1.25 ->
+    upstream returns the 1st smallest; the ceil convention would
+    return the 2nd. This pins the upstream-expected value."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=i), "events", "click", v)
+        for i, v in enumerate([50.0, 10.0, 40.0, 20.0, 30.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "q5")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> quantile(q: 0.25)', {"b": path}
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["quantile"] == 10.0  # 1st smallest, NOT 20.0 (ceil)
+    assert out[0]["n"] == 5
+    # and the half-point rounds AWAY from zero: q=0.5 -> round(2.5)=3
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> quantile(q: 0.5)', {"b": path}
+    ).collect()
+    assert out[0]["quantile"] == 30.0  # 3rd smallest
+    # q small enough that round(q*n) == 0 clamps to rank 1
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> quantile(q: 0.05)', {"b": path}
+    ).collect()
+    assert out[0]["quantile"] == 10.0
+
+
+def test_timeshift_row_level_shifts_before_window(spark, store):
+    """timeShift BEFORE aggregateWindow: Flux shifts _time first, so
+    window bucketing runs on shifted timestamps — every window_start
+    moves by exactly the duration and the aggregates are unchanged."""
+    base = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        ' |> range(start: "2024-01-03 00:00:00", stop: "2024-01-06 00:00:00")'
+        ' |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 1h, fn: mean)",
+        {"b": store},
+    ).collect()
+    shifted = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        ' |> range(start: "2024-01-03 00:00:00", stop: "2024-01-06 00:00:00")'
+        ' |> filter(fn: (r) => r["_field"] == "click")'
+        " |> timeShift(duration: -7d)"
+        " |> aggregateWindow(every: 1h, fn: mean)",
+        {"b": store},
+    ).collect()
+    import datetime
+
+    week = datetime.timedelta(days=7)
+    a = {r["window_start"]: (round(r["mean"], 9), r["n"]) for r in base}
+    b = {r["window_start"] + week: (round(r["mean"], 9), r["n"]) for r in shifted}
+    assert a == b and len(a) > 0
+
+
+def test_timeshift_tail_shifts_output_frame(spark, store):
+    """timeShift AFTER the terminal stage: a tail op shifting the
+    aggregated frame's window_start (the Grafana overlay form)."""
+    base = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 1h, fn: count)",
+        {"b": store},
+    ).collect()
+    shifted = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 1h, fn: count)"
+        ' |> timeShift(duration: 6h, columns: ["_time"])',
+        {"b": store},
+    ).collect()
+    import datetime
+
+    six = datetime.timedelta(hours=6)
+    a = {r["window_start"] + six: r["count"] for r in base}
+    b = {r["window_start"]: r["count"] for r in shifted}
+    assert a == b and len(a) > 0
+    # raw-frame tail form shifts _time
+    raw = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> sort(columns: [\"_value\"], desc: true) |> limit(n: 3)"
+        " |> timeShift(duration: 1h)",
+        {"b": store},
+    )
+    assert "_time" in raw.columns and raw.count() > 0
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (
+            'from(bucket: "b") |> timeShift(duration: -7d) '
+            '|> range(start: "2024-01-03 00:00:00")',
+            "range.*after timeShift",
+        ),
+        ('from(bucket: "b") |> timeShift()', "requires duration"),
+        (
+            'from(bucket: "b") |> timeShift(duration: -7d, columns: ["_field"])',
+            "timeShift ships",
+        ),
+        (
+            'from(bucket: "b") |> timeShift(duration: -7d, foo: 1)',
+            "unsupported args",
+        ),
+        ('from(bucket: "b") |> elapsed(unit: 0s)', "must be > 0"),
+        ('from(bucket: "b") |> elapsed(columns: ["x"])', "unsupported args"),
+        (
+            'from(bucket: "b") |> group() |> elapsed()',
+            "one partition",
+        ),
+    ],
+)
+def test_timeshift_elapsed_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_elapsed_gaps_per_table(spark, tmp_path):
+    """elapsed(): whole-unit gap between subsequent records per table,
+    truncated toward zero; the per-table first row is dropped."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # click: gaps 90s, 45s; view: gap 30s
+    for f, offs in (("click", [0, 90, 135]), ("view", [0, 30])):
+        for i, s in enumerate(offs):
+            rows.append(
+                (t0 + datetime.timedelta(seconds=s), "events", f, float(i))
+            )
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "elapsed")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> elapsed()', {"b": path}
+    )
+    assert out.columns == ["_measurement", "_field", "_time", "_value", "elapsed"]
+    got = {
+        (r["_field"], r["_value"]): r["elapsed"] for r in out.collect()
+    }
+    # first row of each table dropped: 3+2 rows in -> 2+1 out
+    assert got == {("click", 1.0): 90, ("click", 2.0): 45, ("view", 1.0): 30}
+    # unit: 1m truncates toward zero (90s -> 1, 45s -> 0, 30s -> 0)
+    got_m = {
+        (r["_field"], r["_value"]): r["elapsed"]
+        for r in flux.compile_flux(
+            spark, 'from(bucket: "b") |> elapsed(unit: 1m)', {"b": path}
+        ).collect()
+    }
+    assert got_m == {("click", 1.0): 1, ("click", 2.0): 0, ("view", 1.0): 0}
+
+
+def test_aggregate_null_policy_is_uniform(spark, tmp_path):
+    """ADVICE r9 (low): null _value rows are excluded BEFORE the
+    aggregate groupBy, so `n` counts exactly the rows the aggregate
+    saw — and last() skips null values like upstream selectors."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=i), "events", "click", v)
+        for i, v in enumerate([10.0, None, 30.0, None, 50.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "nulls")
+    bkt.write_bucket(df, path, mode="overwrite")
+    r = flux.compile_flux(
+        spark, 'from(bucket: "b") |> mean()', {"b": path}
+    ).collect()[0]
+    assert r["n"] == 3 and r["mean"] == 30.0
+    r = flux.compile_flux(
+        spark, 'from(bucket: "b") |> count()', {"b": path}
+    ).collect()[0]
+    assert r["count"] == 3
+    r = flux.compile_flux(
+        spark, 'from(bucket: "b") |> stddev()', {"b": path}
+    ).collect()[0]
+    assert r["n"] == 3 and abs(r["stddev"] - 20.0) < 1e-9
+    # last(): the latest NON-NULL value (t=4 is null-free here; make
+    # the last row null to prove the skip)
+    rows2 = rows + [(t0 + datetime.timedelta(minutes=9), "events", "click", None)]
+    df2 = spark.createDataFrame(
+        rows2, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path2 = str(tmp_path / "nulls2")
+    bkt.write_bucket(df2, path2, mode="overwrite")
+    r = flux.compile_flux(
+        spark, 'from(bucket: "b") |> last()', {"b": path2}
+    ).collect()[0]
+    assert r["last_value"] == 50.0

@@ -50,19 +50,17 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-8 policy: queries that are new or whose implementation /
+    # round-10 policy: queries that are new or whose implementation /
     # oracle changed this round go first so a driver cap tighter than
-    # 50 still reaches them — the Flux keying change touched every
-    # compiled query, and increase_total / group_merge are new
-    assert set(_CHECKED_WINDOW[:15]) == {
-        "flux_compiled_increase", "flux_compiled_increase_total",
-        "flux_compiled_group_merge", "flux_compiled_fill_previous",
-        "flux_compiled_map_units", "flux_compiled_difference",
-        "flux_compiled_cumulative_sum", "flux_schema_field_keys",
-        "flux_schema_measurements", "flux_compiled_derivative",
-        "flux_compiled_mean", "flux_compiled_gauge",
-        "flux_compiled_moving_avg", "flux_compiled_row_moving_avg",
-        "flux_compiled_state_duration",
+    # 50 still reaches them — five new compiled queries (stddev /
+    # spread / quantile get driver rows, timeShift / elapsed are new
+    # stages), and the shared null-policy change re-attests the three
+    # registered bare/windowed-aggregate + last() paths
+    assert set(_CHECKED_WINDOW[:8]) == {
+        "flux_compiled_quantile", "flux_compiled_stddev",
+        "flux_compiled_spread", "flux_compiled_timeshift",
+        "flux_compiled_elapsed", "flux_compiled_mean",
+        "flux_compiled_group_merge", "flux_compiled_gauge",
     }
 
 

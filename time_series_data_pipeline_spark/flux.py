@@ -34,8 +34,8 @@ stage):
     stage      := range | filter | map | group | aggregateWindow | last
                 | yield
                 | derivative | timedMovingAverage | movingAverage
-                | increase | stateDuration | pivot
-                | sort | limit | keep | drop | fill | rename
+                | increase | stateDuration | pivot | elapsed
+                | sort | limit | keep | drop | fill | rename | timeShift
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -123,6 +123,22 @@ value: X)`` / ``fill(column:, usePrevious: true)`` — the Grafana
 null-fill panel option over gap-filled frames (coalesce, resp. a
 last-non-null window per table over the bucket spine) — and
 ``rename(columns: {old: "new"})``; swap/collision rename sets raise.
+
+Round 10 adds the period-comparison stages (VERDICT r8 item 6):
+
+* ``timeShift(duration: d)`` — Grafana's day-over-day overlay. BEFORE
+  the terminal stage it is a row-level ``_time`` rewrite (shifted rows
+  then window/aggregate exactly as Flux does); AFTER one it is a tail
+  stage shifting the output frame's time column (``_time`` /
+  ``window_start``). A ``range()`` AFTER a row-level timeShift would
+  filter shifted timestamps — order the subset refuses rather than
+  re-deriving the user's intent; the shipped ``columns:`` shape is the
+  default (or an explicit ``["_time"]`` — this store materializes no
+  ``_start``/``_stop`` columns to shift).
+* ``elapsed([unit: d])`` — seconds (or any positive duration unit)
+  between subsequent records per table, truncated toward zero exactly
+  as Flux duration division does; each table's FIRST row is dropped
+  (upstream yields no elapsed for it).
 
 Series keying (round 8, VERDICT r7 item 1): Flux tables key on
 ``(_measurement, _field)``, and EVERY compiled aggregation/transform
@@ -710,8 +726,11 @@ def compile_flux(
         "max", "median", "derivative", "timedMovingAverage",
         "movingAverage", "increase", "stateDuration", "pivot",
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
+        "elapsed",
     )
-    _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename")
+    _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
+                   "timeShift")
+    time_shifted = False  # a row-level timeShift has rewritten _time
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
         terminal_seen = agg is not None or take_last or transform is not None
@@ -754,6 +773,15 @@ def compile_flux(
                 "the shipped subset (compose in DataFrame land instead)"
             )
         if head == "range":
+            if time_shifted:
+                # the scan's pushed time bounds filter STORED
+                # timestamps; after a row-level timeShift they would
+                # filter SHIFTED ones — refuse rather than mis-prune
+                raise FluxError(
+                    "range() after timeShift() is outside the shipped "
+                    "subset (the pushed bounds would filter shifted "
+                    f"timestamps): {stage!r}"
+                )
             a = _args(stage, "range")
             if "start" in a:
                 start = _bound(a["start"])
@@ -993,6 +1021,49 @@ def compile_flux(
             if extra:
                 raise FluxError(f"quantile: unsupported args {sorted(extra)}")
             agg = (None, "quantile", False, float(qv))
+        elif head == "timeShift":
+            # Grafana's period-comparison overlay: add duration to the
+            # time column. Row-level before the terminal stage (Flux
+            # shifts THEN windows), tail stage after it (shift the
+            # aggregated frame's window_start/_time).
+            a = _args(stage, "timeShift")
+            if "duration" not in a:
+                raise FluxError("timeShift requires duration:")
+            dur = _resolve(a["duration"], params)
+            if not (isinstance(dur, str) and _DUR_RE.match(dur)):
+                raise FluxError(f"timeShift duration: bad duration {dur!r}")
+            shift_s = _duration_seconds(dur)
+            if "columns" in a:
+                cols = _str_list(a["columns"], "timeShift columns")
+                if cols not in (["_time"], ["_start", "_stop", "_time"]):
+                    raise FluxError(
+                        "timeShift ships the default columns: (or an "
+                        'explicit ["_time"]) — this store materializes '
+                        f"no _start/_stop columns to shift; got {stage!r}"
+                    )
+            extra = set(a) - {"duration", "columns"}
+            if extra:
+                raise FluxError(f"timeShift: unsupported args {sorted(extra)}")
+            if terminal_seen or post_ops:
+                post_ops.append(("timeshift", shift_s))
+            else:
+                row_ops.append(("timeshift", shift_s))
+                time_shifted = True
+        elif head == "elapsed":
+            # elapsed([unit:]): duration between subsequent records per
+            # table, truncated to whole units (Flux duration division);
+            # the per-table first row is dropped (no predecessor)
+            a = _args(stage, "elapsed")
+            unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+            if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                raise FluxError(f"elapsed unit: bad duration {unit!r}")
+            unit_s = _duration_seconds(unit)
+            if unit_s <= 0:
+                raise FluxError(f"elapsed unit must be > 0: {unit!r}")
+            extra = set(a) - {"unit"}
+            if extra:
+                raise FluxError(f"elapsed: unsupported args {sorted(extra)}")
+            transform = ("elapsed", unit_s)
         elif head == "sort":
             a = _args(stage, "sort")
             cols = _str_list(a.get("columns", '["_value"]'), "sort columns")
@@ -1238,6 +1309,26 @@ def compile_flux(
                     out = out.withColumn(
                         col, F.last(col, ignorenulls=True).over(w)
                     )
+            elif op[0] == "timeshift":
+                # tail form: shift the output frame's time column(s) —
+                # the aggregated/windowed frame carries window_start,
+                # raw/transform frames carry _time
+                shift_us = op[1] * 1_000_000
+                tcols = [
+                    c for c in ("_time", "window_start") if c in out.columns
+                ]
+                if not tcols:
+                    raise FluxError(
+                        "timeShift needs a _time/window_start column in "
+                        f"the frame; frame has {out.columns}"
+                    )
+                for c in tcols:
+                    out = out.withColumn(
+                        c,
+                        F.timestamp_micros(
+                            F.unix_micros(c) + F.lit(shift_us)
+                        ),
+                    )
             else:  # rename
                 for old, new in op[1].items():
                     out = out.withColumnRenamed(old, new)
@@ -1247,7 +1338,18 @@ def compile_flux(
         spark, path, measurement=measurement, field=field, start=start, stop=stop
     )
     for kind, c in row_ops:
-        df = df.filter(c) if kind == "filter" else df.withColumn("_value", c)
+        if kind == "filter":
+            df = df.filter(c)
+        elif kind == "timeshift":
+            # integer-µs arithmetic: lossless for timestamps, and the
+            # shifted column feeds window bucketing exactly as Flux's
+            # shift-then-aggregate order demands
+            df = df.withColumn(
+                "_time",
+                F.timestamp_micros(F.unix_micros("_time") + F.lit(c * 1_000_000)),
+            )
+        else:
+            df = df.withColumn("_value", c)
 
     # the Flux table key every aggregation/transform partitions on:
     # (_measurement, _field) unless a group() stage re-keyed the tables
@@ -1335,6 +1437,36 @@ def compile_flux(
                 .pivot("_field")
                 .agg(F.max("_value"))
             )
+        if kind == "elapsed":
+            # per-table gap between subsequent records in whole units —
+            # the long cast truncates toward zero on the non-negative
+            # µs diff, exactly Flux's integer duration division; the
+            # first row of each table is dropped (no predecessor), and
+            # null values are excluded first (shared null policy)
+            unit_us = transform[1] * 1_000_000
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            src = df.filter(F.col("_value").isNotNull())
+            out = (
+                src.select(
+                    *keys,
+                    "_time",
+                    "_value",
+                    F.lag(F.unix_micros("_time")).over(w).alias("__prev_us"),
+                )
+                .filter(F.col("__prev_us").isNotNull())
+                .select(
+                    *keys,
+                    "_time",
+                    "_value",
+                    (
+                        (F.unix_micros("_time") - F.col("__prev_us"))
+                        / F.lit(unit_us)
+                    )
+                    .cast("long")
+                    .alias(yield_name or "elapsed"),
+                )
+            )
+            return _finish(out)
         if kind in ("increase", "difference", "cumsum"):
             # The VALUE-SERIES transforms: each rewrites _value per
             # table exactly as Flux does, so a following last() — or
@@ -1479,14 +1611,21 @@ def compile_flux(
             return _finish(out)
         name = yield_name or fn
         if fn == "quantile":
-            # exact_selector: the smallest _value whose cumulative
-            # frequency reaches q (SQL percentile_disc). Rank order
-            # needs each table's rows on one partition — the same
-            # per-table locality every per-point transform (derivative,
-            # movingAverage, …) already assumes; the key-less group()
-            # merge form would funnel ALL raw rows through a single
-            # partition and raises instead (scale trap, not a subset
-            # gap — same rule as group() |> derivative()).
+            # exact_selector with UPSTREAM Flux's rank convention
+            # (ADVICE r9): Flux's getQuantileIndex picks the sorted
+            # index round(q·n) − 1 (half away from zero, clamped at 0)
+            # — i.e. 1-based rank max(round(q·n), 1) — which diverges
+            # from SQL percentile_disc (rank ceil(q·n)) whenever
+            # frac(q·n) ∈ (0, 0.5): n=5, q=0.25 → Flux's 1st smallest,
+            # percentile_disc's 2nd. Spark's F.round is HALF_UP on the
+            # identical IEEE product q·n, so the rank matches Go's
+            # math.Round bit-for-bit. Rank order needs each table's
+            # rows on one partition — the same per-table locality every
+            # per-point transform (derivative, movingAverage, …)
+            # already assumes; the key-less group() merge form would
+            # funnel ALL raw rows through a single partition and raises
+            # instead (scale trap, not a subset gap — same rule as
+            # group() |> derivative()).
             if not keys:
                 raise FluxError(
                     "group() |> quantile() would sort every raw row on "
@@ -1500,13 +1639,15 @@ def compile_flux(
             ranked = src.select(
                 *keys,
                 "_value",
-                F.cume_dist().over(wq).alias("__cd"),
+                F.row_number().over(wq).alias("__rn"),
                 F.count(F.lit(1)).over(wk).alias("__n"),
             )
-            out = (
-                ranked.filter(F.col("__cd") >= F.lit(agg_q))
-                .groupBy(*keys)
-                .agg(F.min("_value").alias(name), F.max("__n").alias("n"))
+            target = F.greatest(
+                F.round(F.lit(float(agg_q)) * F.col("__n")).cast("long"),
+                F.lit(1).cast("long"),
+            )
+            out = ranked.filter(F.col("__rn") == target).select(
+                *keys, F.col("_value").alias(name), F.col("__n").alias("n")
             )
             return _finish(out)
         if fn == "mean":
@@ -1539,17 +1680,24 @@ def compile_flux(
             # with no expression branch must raise, never silently
             # compile to some other aggregate
             raise FluxError(f"aggregate fn {fn!r} has no compiled form")
+        # shared null policy (ADVICE r9): Flux aggregates skip null
+        # values of the aggregated column, and the value-series
+        # transforms + quantile already filter them — the groupBy
+        # source does too, so `n` counts exactly the rows the
+        # aggregate saw (a null-carrying table would otherwise skew
+        # mean's sum/count split and over-count n for stddev/extrema)
+        src = df.filter(F.col("_value").isNotNull())
         if every_s is None:
             # bare aggregate: one row per table over the whole range
             # (keys == [] — the group() merge form — folds everything
             # to ONE row: a partial-aggregated global agg, no shuffle
             # wider than the partial results)
-            out = df.groupBy(*keys).agg(
+            out = src.groupBy(*keys).agg(
                 expr.alias(name), F.count(F.lit(1)).alias("n")
             )
         else:
             w = F.window("_time", f"{every_s} seconds").alias("w")
-            out = df.groupBy(w, *keys).agg(
+            out = src.groupBy(w, *keys).agg(
                 expr.alias(name), F.count(F.lit(1)).alias("n")
             ).select(F.col("w.start").alias("window_start"), *keys, name, "n")
         if fn == "count":
@@ -1557,6 +1705,9 @@ def compile_flux(
         return _finish(out)
 
     if take_last:
+        # upstream last() selects the last record with a NON-NULL
+        # _value — same null policy as the aggregates above
+        df = df.filter(F.col("_value").isNotNull())
         if keys:
             from .operators.timeseries import last_value_per_group
 

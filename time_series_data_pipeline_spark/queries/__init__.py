@@ -86,70 +86,65 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 8: new or changed this round go first (15). The Flux
-    # compiler re-keyed every aggregation/transform onto the full
-    # (_measurement, _field) table key (VERDICT r7 item 1 — output
-    # frames now carry _measurement) and increase() gained its real
-    # cumulative semantics (ADVICE r7), so ALL compiled queries
-    # re-attest; increase_total (increase |> last), group_merge
-    # (group() |> mean — VERDICT item 7), fill_previous, map_units,
-    # difference and cumulative_sum are new round-8 stages. ---
-    "flux_compiled_increase",
-    "flux_compiled_increase_total",
-    "flux_compiled_group_merge",
-    "flux_compiled_fill_previous",
-    "flux_compiled_map_units",
-    "flux_compiled_difference",
-    "flux_compiled_cumulative_sum",
-    "flux_schema_field_keys",
-    "flux_schema_measurements",
-    "flux_compiled_derivative",
+    # --- round 10: new or changed this round go first (8). Five NEW
+    # compiled queries (VERDICT r9 items 1 + 5: the r9-implemented
+    # stddev/spread/quantile aggregates get their driver rows, and
+    # timeShift/elapsed are new stages); quantile additionally changed
+    # convention (ADVICE r9 medium: upstream round(q·n) rank, not
+    # percentile_disc's ceil — q=0.25 diverges on this store, so the
+    # hash pins the convention). The shared null policy (ADVICE r9
+    # low: null _value filtered before the aggregate groupBy, and
+    # last() skips nulls like upstream selectors) changed the compiled
+    # plan of every bare/windowed aggregate — mean, group_merge and
+    # gauge re-attest as the three registered queries on those paths.
+    "flux_compiled_quantile",
+    "flux_compiled_stddev",
+    "flux_compiled_spread",
+    "flux_compiled_timeshift",
+    "flux_compiled_elapsed",
     "flux_compiled_mean",
+    "flux_compiled_group_merge",
     "flux_compiled_gauge",
-    "flux_compiled_moving_avg",
-    "flux_compiled_row_moving_avg",
-    "flux_compiled_state_duration",
-    # --- rotation (VERDICT r7 item 3), oldest-green first: the 19
-    # r6-green singletons whose rows aged out in r7 ... ---
-    "window_sliding_15m_5m",
-    "resample_hourly",
-    "range_join_clicks_before_error",
-    "rollup_day_from_hour",
-    "counter_rate",
-    "decimate_minmax_15m",
-    "rolling_stats_zscore",
-    "asof_error_click",
-    "value_percentiles_approx",
-    "value_histogram",
-    "merge_value_intervals",
-    "events_pivot_counts",
-    "pricing_summary",
-    "sql_surface_top_part_types",
-    "distinct_users_two_phase",
-    "salted_join_segment_counts",
-    "approx_distinct_users",
-    "gap_fill_5m",
-    "lsh_ann_verify",
-    # ... then the 13 suite arms with the OLDEST own rows: the nine
-    # r4-green suite_timeseries_stats arms and four suite_round5 arms
-    # that never had an own driver row (trailing_1h_mean stays
-    # arm-attested — suite_round5 is in-window and the compiled
-    # flux_compiled_moving_avg re-attests its window form this round).
-    # (anomaly_mad and json_props_stats stay arm-attested via the
-    # in-window suite_timeseries_stats — they yielded their freshness
-    # slots to the two new flux_schema_* variable queries)
-    "counter_increase",
-    "event_transitions",
-    "funnel_view_click_purchase",
-    "time_weighted_avg",
-    "value_percentiles",
-    "value_trend_per_type",
-    "weekly_retention",
-    # (series_correlation, holt_linear_final, decimate_lttb and
-    # state_duration stay arm-attested via in-window suite_round5 —
-    # they yielded their slots to the four new flux_compiled_* rows;
-    # state_duration additionally re-attests through the compiled
-    # flux_compiled_state_duration form this round)
+    # --- rotation (VERDICT r9 item 2, two rounds overdue), oldest-
+    # green first: 33 of the 36 r7-green singletons whose own rows are
+    # now two rounds old. Left out (slots exhausted): pack_sequences
+    # (arm-attested by the in-window suite_round5, which embeds its
+    # oracle verbatim) and the two multimodal queries (deterministic
+    # codec stubs, code untouched since r7 — lowest real-user risk;
+    # next rotation's head). ---
+    "asof_nearest_click",
+    "bm25_search",
+    "bpe_encode_stats",
+    "bpe_token_stats",
+    "contamination_overlap",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_chunks",
+    "doc_profile",
+    "doc_repetition",
+    "embedding_dedup_clusters",
+    "embedding_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_quantized_topk",
+    "embedding_topk",
+    "ewma_final",
+    "heavy_hitter_verify",
+    "label_centroids",
+    "last_value_per_type",
+    "minhash_lsh_verify",
+    "ngram_jaccard_pairs",
+    "pack_sequences_sharded",
+    "profile_columns",
+    "sampling_splits",
+    "scrub_pii",
+    "session_windows_5m",
+    "simhash_verify",
+    "similar_part_names",
+    "top_ngrams",
+    "unpivot_lineitem",
+    "vocab_coverage",
+    "weighted_sample_docs",
+    "winnow_fingerprints",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

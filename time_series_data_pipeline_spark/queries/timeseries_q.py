@@ -1255,6 +1255,195 @@ def flux_compiled_state_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_stddev",
+    # Flux stddev() — sample mode, the Data-Explorer dropdown's
+    # variability stat (VERDICT r8 item 1 / r9 item 1: implemented in
+    # r9, driver-attested here). 9-dp rounding on both sides absorbs
+    # the accumulation-order drift between Spark's and DuckDB's
+    # central-moment merges (the rolling_stats_zscore policy).
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           round(stddev_samp(value), 9) AS stddev,
+           count(value) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def flux_compiled_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare `stddev()` through the Flux front-end: per-table sample
+    standard deviation — a map-side-combinable central-moment agg, one
+    tiny exchange on the table key."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> stddev()
+        """,
+        {"gas-quality": path},
+    )
+    return out.withColumn("stddev", F.round("stddev", 9))
+
+
+@query(
+    "flux_compiled_spread",
+    # Flux spread() — max − min per table; two extrema aggregates,
+    # exact on the store's doubles (no rounding needed).
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           max(value) - min(value) AS spread,
+           count(value) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def flux_compiled_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare `spread()` through the Flux front-end — the Data-Explorer
+    range stat, compiled to map-side-combinable extrema."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> spread()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_quantile",
+    # Flux quantile(q: 0.25, method: "exact_selector") with UPSTREAM's
+    # rank convention (ADVICE r9): sorted index round(q*n) − 1 (half
+    # away from zero, clamped at 0) — NOT percentile_disc's ceil(q*n).
+    # q=0.25 is chosen because the two conventions DIVERGE on this
+    # store (per-field n where frac(q·n) ∈ (0, 0.5), e.g. n=1981 →
+    # rank 495 vs 496), so the hash pins the upstream convention, not
+    # just the value. The oracle replays the rank arithmetic with
+    # DuckDB's half-away-from-zero round on the identical IEEE q·n.
+    oracle="""
+    SELECT _measurement, _field, _value AS quantile, n FROM (
+      SELECT 'events' AS _measurement, event_type AS _field,
+             value AS _value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             count(value) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL
+    ) WHERE rn = greatest(CAST(round(0.25 * n) AS BIGINT), 1)
+    """,
+)
+def flux_compiled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare `quantile(q: 0.25)` through the Flux front-end — the
+    exact_selector with upstream Flux's getQuantileIndex rounding,
+    compiled to a per-table row_number rank select (per-table
+    locality, same as every per-point transform; the key-less group()
+    form raises as a scale trap)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> quantile(q: 0.25, method: "exact_selector")
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_timeshift",
+    # Flux timeShift(duration: -7d) BEFORE aggregateWindow — Grafana's
+    # period-comparison overlay (VERDICT r8 item 6): rows shift, THEN
+    # window, so every window_start moves by exactly the duration.
+    # The oracle buckets epoch µs shifted by −7d; −604800e6 is a
+    # multiple of the 1h bucket, keeping the floor-div arithmetic
+    # aligned with Spark's window() on the shifted timestamps.
+    oracle="""
+    SELECT make_timestamp(
+             ((epoch_us(ts) - 604800000000)//3600000000)*3600000000
+           ) AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_timeshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`timeShift` through the Flux front-end: the row-level _time
+    rewrite feeding window bucketing (shift-then-aggregate, Flux's
+    order). A range() AFTER the shift raises — the scan's pushed
+    bounds filter stored timestamps, so the range here precedes it."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> timeShift(duration: -7d)
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_elapsed",
+    # Flux elapsed() — whole-second gaps between subsequent records per
+    # table, first row dropped (no predecessor). Truncation toward zero
+    # on the non-negative µs diff ≡ DuckDB's // floor division.
+    oracle="""
+    SELECT * FROM (
+      SELECT 'events' AS _measurement, event_type AS _field,
+             ts AS _time, value AS _value,
+             CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000
+                  AS BIGINT) AS elapsed
+      FROM events
+      WHERE event_type = 'error'
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ) WHERE elapsed IS NOT NULL
+    """,
+)
+def flux_compiled_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`elapsed()` through the Flux front-end — the inter-arrival-gap
+    panel (sensor heartbeat monitoring), compiled to a per-table lag
+    over one (_measurement, _field) partitioning: one exchange."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> elapsed(unit: 1s)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
