@@ -129,6 +129,50 @@ def _bench_ingest_backfill(spark) -> float:
     return elapsed
 
 
+def _warm_backfill_machinery(spark) -> None:
+    """Throwaway mini-backfill before the TIMED backfill attempts
+    (VERDICT r8 item 3, carried to r9 item 3): two tiny CSVs through
+    the IDENTICAL scan → wide→long unpivot → partitioned-write path,
+    so CSV-reader codegen, the parquet committer, and the write-path
+    class loading never land inside a timed attempt. r8's driver
+    capture recorded 4.61 s cold vs 1.6–2.5 s steady for the same
+    code purely because attempt 1 paid this init under contention —
+    warming is the fix min-of-N can't fake (same rationale as
+    _warm_stream_machinery)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+    from time_series_data_pipeline_spark.sources import gas_csv
+
+    corpus = tempfile.mkdtemp(prefix="tsdp_bench_warm_backfill_")
+    out = tempfile.mkdtemp(prefix="tsdp_bench_warm_bucket_")
+    try:
+        rng = np.random.default_rng(13)
+        cols = ["Time (s)", *gas_csv.FIELD_LABELS.values()]
+        for d in range(2):
+            data = {"Time (s)": np.arange(100) * 860.0}
+            for j, c in enumerate(cols[1:]):
+                data[c] = np.round(rng.normal(10 + j, 3, 100), 4)
+            pd.DataFrame(data).to_csv(
+                os.path.join(corpus, f"201608{d + 1:02d}_000000.csv"),
+                index=False,
+            )
+        long_df = bkt.to_long(
+            gas_csv.ingest_wide(spark, corpus),
+            "gas",
+            value_cols=list(gas_csv.VALUE_COLS),
+            field_labels=gas_csv.FIELD_LABELS,
+        )
+        bkt.write_bucket(long_df, out)
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _warm_stream_machinery(spark) -> None:
     """Throwaway mini-drain before the TIMED stream-chain attempts
     (VERDICT r7 item 2): one tiny 2-file corpus through the identical
@@ -247,22 +291,28 @@ def main() -> None:
         # BOTH numbers are recorded so a methodology change can never
         # masquerade as a plan win: attempt 1 ("queries_cold") pays
         # every one-time pin/store build from the parquet scan; the
-        # best-of-2 headline ("queries") is the steady state an
-        # amortized production pipeline pays.
+        # best-of-3 headline ("queries") is the steady state an
+        # amortized production pipeline pays. Three attempts (VERDICT
+        # r9 item 3): the r9 round-over-round band on UNTOUCHED
+        # queries was ±30% under box contention with min-of-2 —
+        # min-of-3 halves the odds both steady attempts land on a
+        # contended slice, making cross-round comparison meaningful.
         attempts: list[float] = []
-        for _attempt in range(2):
+        for _attempt in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             attempts.append(time.perf_counter() - t0)
         cold[name] = round(attempts[0], 3)
         timings[name] = round(min(attempts), 3)
-    # same cold/steady protocol as the queries: attempt 1 pays JVM/page-
-    # cache warmup (it runs after 40+ materialized queries, so run-to-run
-    # it swung 4-20 s from GC/cache pressure alone); the best-of-2 is the
-    # reproducible cost of the backfill work itself (re-ingest of a
+    # same cold/steady protocol as the queries, with the write-path
+    # machinery warmed first (mini-backfill above) so attempt 1 no
+    # longer pays CSV-reader/committer init — run-to-run it swung
+    # 4-20 s from that plus GC/cache pressure alone; the best-of-2 is
+    # the reproducible cost of the backfill work itself (re-ingest of a
     # cached day is a real operation: the idempotent-overwrite retry path)
     spark.catalog.clearCache()
+    _warm_backfill_machinery(spark)
     ingest_attempts = [
         round(_bench_ingest_backfill(spark), 3) for _ in range(2)
     ]
