@@ -940,3 +940,86 @@ def test_pack_sequences_pad_without_shards_raises(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="pad_shards"):
         pack_sequences(docs, budget=10, pad_shards=True)
+
+
+def test_streaming_rollup_maintenance_watched_horizon(spark, tmp_path):
+    """SCALE §20 mitigation (VERDICT r8 item 5 / r9 item 4):
+    ``watch_recent_days=N`` narrows the file source to the newest N
+    ``_date`` partitions, so the per-trigger listing floor is bounded
+    by the horizon, not store history. The watched tick must still
+    refresh arrivals inside the horizon exactly like the full watch;
+    an arrival OUTSIDE it is (by documented design) deferred to the
+    next unwatched/backfill tick — and the checkpoint's seen-files
+    log must carry across the source-path changes."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+    from time_series_data_pipeline_spark.streaming.ingest import (
+        _recent_bucket_dates,
+        start_rollup_maintenance,
+    )
+
+    bucket_path = str(tmp_path / "bkt")
+    roll = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(day, base):
+        t0 = datetime.datetime(2024, 3, day)
+        return [
+            ("gas", f"f{j}", t0 + datetime.timedelta(minutes=30 * i),
+             float(base + i + j))
+            for i in range(4) for j in range(2)
+        ]
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows, ["_measurement", "_field", "_time", "_value"]
+        ).withColumn("tags", F.lit(None).cast("map<string,string>"))
+        bkt.write_bucket(df, bucket_path)
+
+    def drain(**kw):
+        q = start_rollup_maintenance(spark, bucket_path, roll, ckpt, **kw)
+        q.awaitTermination(120)
+
+    def snap(path):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("_measurement", "_field", "_hour", "_date", "n",
+                    F.col("sum_value").cast("double"))
+            .collect()
+        }
+
+    # store spans days 1..12; full (unwatched) backfill drain first
+    write(mk(1, 10) + mk(2, 20) + mk(10, 30) + mk(11, 40) + mk(12, 50))
+    drain()
+
+    # the horizon helper: newest 3 present dates only
+    assert _recent_bucket_dates(bucket_path, 3) == [
+        "2024-03-10", "2024-03-11", "2024-03-12"
+    ]
+    assert _recent_bucket_dates(bucket_path, 100) == [
+        "2024-03-01", "2024-03-02", "2024-03-10",
+        "2024-03-11", "2024-03-12",
+    ]
+    assert _recent_bucket_dates(str(tmp_path / "nope"), 3) == []
+
+    # arrival INSIDE the horizon: the watched tick refreshes it
+    write(mk(12, 99))
+    drain(watch_recent_days=3)
+    full = str(tmp_path / "full")
+    bkt.refresh_hourly_rollup(spark, bucket_path, full)
+    assert snap(roll) == snap(full) and len(snap(roll)) > 0
+
+    # arrival OUTSIDE the horizon: the watched tick must not see it
+    # (listing never descends old dates) — the rollup stays stale for
+    # day 1 until an unwatched tick catches it up
+    write(mk(1, 77))
+    drain(watch_recent_days=3)
+    stale = snap(roll)
+    bkt.refresh_hourly_rollup(spark, bucket_path, full)
+    assert stale != snap(full)
+    drain()  # unwatched catch-up over the same checkpoint
+    assert snap(roll) == snap(full)

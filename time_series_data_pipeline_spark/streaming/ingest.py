@@ -157,6 +157,35 @@ def curate_doc_stream(
     )
 
 
+def _recent_bucket_dates(bucket_path: str, n_days: int) -> list[str]:
+    """The newest ``n_days`` distinct ``_date`` partition values in the
+    store, anchored at the newest PRESENT date (not wall clock — the
+    engine's replayability rule). One directory listing: O(measurements
+    × dates) dirs, never O(files)."""
+    import datetime
+    import os
+
+    dates: set[str] = set()
+    try:
+        for mdir in os.listdir(bucket_path):
+            if not mdir.startswith("_measurement="):
+                continue
+            mpath = os.path.join(bucket_path, mdir)
+            for ddir in os.listdir(mpath):
+                if ddir.startswith("_date="):
+                    dates.add(ddir.split("=", 1)[1])
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    if not dates:
+        return []
+    newest = max(dates)
+    cutoff = (
+        datetime.date.fromisoformat(newest)
+        - datetime.timedelta(days=n_days - 1)
+    ).isoformat()
+    return sorted(d for d in dates if d >= cutoff)
+
+
 def start_rollup_maintenance(
     spark,
     bucket_path: str,
@@ -164,6 +193,7 @@ def start_rollup_maintenance(
     checkpoint: str,
     trigger_available_now: bool = True,
     maintain_manifest: bool = False,
+    watch_recent_days: int | None = None,
 ):
     """Continuous-aggregate maintenance as a stream: TAIL THE BUCKET
     (file-source stream over the partitioned store) and, per
@@ -186,15 +216,36 @@ def start_rollup_maintenance(
     lands files — the single-maintenance-writer assumption holds here
     by construction (this stream IS the maintenance process). Cost per
     tick = footers of the batch's new files only.
+
+    ``watch_recent_days=N`` bounds the METADATA FLOOR (SCALE §20): the
+    file source's per-trigger directory listing walks the whole store
+    (~6 ms/file of pure metadata — the known Spark file-source limit
+    at ~10⁶ files), but the touched-date refresh never needs history,
+    so the source path is narrowed to the newest N ``_date``
+    partitions (one cheap dir-level listing at start; Hadoop
+    ``{a,b}`` glob + ``basePath`` keeps the partition columns). Each
+    ``availableNow`` tick re-derives the horizon, so it rolls forward
+    with arrivals; the checkpoint's seen-files log carries across path
+    changes, and a file that ages past the horizon unseen is caught by
+    the next backfill refresh — retention (``expire_partitions``)
+    bounds the live set either way.
     """
     from ..sources import bucket as bkt
 
+    source_path = bucket_path
+    if watch_recent_days is not None:
+        recent = _recent_bucket_dates(bucket_path, watch_recent_days)
+        if recent:
+            source_path = (
+                f"{bucket_path}/_measurement=*/_date={{{','.join(recent)}}}"
+            )
     stream = (
         spark.readStream.schema(
             bkt.read_bucket(spark, bucket_path).schema
         )
         .option("maxFilesPerTrigger", 64)
-        .parquet(bucket_path)
+        .option("basePath", bucket_path)
+        .parquet(source_path)
     )
 
     def _refresh(batch_df, epoch_id: int) -> None:

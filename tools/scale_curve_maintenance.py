@@ -65,10 +65,11 @@ def day_frame(spark, day0_offset: int, days: int, fields: int):
     )
 
 
-def run_tick(spark, bucket, rollup, ckpt) -> float:
+def run_tick(spark, bucket, rollup, ckpt, watch=None) -> float:
     t0 = time.perf_counter()
     q = sti.start_rollup_maintenance(
-        spark, bucket, rollup, ckpt, maintain_manifest=True
+        spark, bucket, rollup, ckpt, maintain_manifest=True,
+        watch_recent_days=watch,
     )
     q.awaitTermination()
     return time.perf_counter() - t0
@@ -98,10 +99,21 @@ def main() -> None:
         t_tick = run_tick(spark, bucket, rollup, ckpt)
         # empty tick: scheduler + listing floor with nothing to do
         t_empty = run_tick(spark, bucket, rollup, ckpt)
+        # the same two ticks with watch_recent_days=3 (round 10): the
+        # source lists only the newest 3 _date partitions, so the
+        # floor is bounded by the horizon while the marginal arrival
+        # cost is unchanged — a second fixed arrival + a watched
+        # empty tick expose both
+        bkt.write_bucket(
+            day_frame(spark, days + 1, 1, fields), bucket, mode="append"
+        )
+        t_tick_w = run_tick(spark, bucket, rollup, ckpt, watch=3)
+        t_empty_w = run_tick(spark, bucket, rollup, ckpt, watch=3)
         print(
             f"store {days}d x {fields}f ({n_store} files, backfill "
             f"{t_backfill:.1f}s): arrival {n_new} files -> tick "
-            f"{t_tick:.2f}s | empty tick {t_empty:.2f}s"
+            f"{t_tick:.2f}s | empty tick {t_empty:.2f}s | watched(3d) "
+            f"tick {t_tick_w:.2f}s | watched empty {t_empty_w:.2f}s"
         )
         shutil.rmtree(root, ignore_errors=True)
 
