@@ -776,3 +776,86 @@ def test_two_writer_race_one_fails_readers_always_complete(spark, tmp_path):
     got = mf.read_manifest(spark, man)
     assert got.count() == base.count()
     assert not os.path.exists(os.path.join(man, "_WRITER_LOCK"))
+
+
+def test_takeover_vs_takeover_race_never_two_successes(spark, tmp_path):
+    """ADVICE r9 / VERDICT r9 item 6: two writers that BOTH observe a
+    stale lock race the takeover itself. The rename-aside takeover is
+    exclusive (only one racer can move a given lock file), so every
+    outcome is ok-or-loud, at least one publish commits, and the
+    committed pointer always resolves a complete manifest."""
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    path = _build_store(spark, tmp_path)
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    base = mf.build_stats_manifest(spark, path, ["_field", "_time"])
+    lock = os.path.join(man, "_WRITER_LOCK")
+
+    for attempt in range(3):  # repeat: the interleaving is timing-luck
+        # plant a stale lock both writers will judge abandoned
+        with open(lock, "w") as f:
+            f.write(f"crashed-writer-{attempt}")
+        old_t = time.time() - (mf.LOCK_STALE_S + 5)
+        os.utime(lock, (old_t, old_t))
+
+        results: list = [None, None]
+        barrier = threading.Barrier(2)
+
+        def writer(i):
+            barrier.wait()
+            try:
+                mf.write_manifest(base, man)
+                results[i] = "ok"
+            except mf.ConcurrentManifestWriter:
+                results[i] = "loud"
+            except Exception as e:
+                results[i] = e
+
+        ts = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(r in ("ok", "loud") for r in results), results
+        assert "ok" in results
+        got = mf.read_manifest(spark, man)
+        assert got.count() == base.count()
+        assert not os.path.exists(lock)
+        # no aside debris left behind by either takeover path
+        assert not [
+            d for d in os.listdir(man) if d.startswith("_WRITER_LOCK.stale-")
+        ]
+
+
+def test_takeover_refuses_to_steal_a_live_lock(tmp_path):
+    """Deterministic replay of the window the threaded test can only
+    hit by luck: a takeover that observed holder X finds the lock
+    re-created by live writer Y between the staleness check and the
+    rename. It must restore Y's lock byte-for-byte and raise, never
+    proceed as owner."""
+    import pytest as _pytest
+
+    lock = str(tmp_path / "_WRITER_LOCK")
+    # live writer Y re-created the lock after our staleness observation
+    with open(lock, "w") as f:
+        f.write("live-writer-Y")
+    with _pytest.raises(mf.ConcurrentManifestWriter, match="live writer"):
+        mf._take_over_stale_lock(lock, "crashed-writer-X", "my-nonce")
+    with open(lock) as f:
+        assert f.read().strip() == "live-writer-Y"  # restored, not stolen
+    assert not os.path.exists(lock + ".stale-my-nonce")
+    # holder unreadable at observation time (lock vanished mid-check):
+    # a lock present at rename time is someone else's fresh lock — same
+    # refusal
+    with _pytest.raises(mf.ConcurrentManifestWriter, match="live writer"):
+        mf._take_over_stale_lock(lock, None, "my-nonce")
+    with open(lock) as f:
+        assert f.read().strip() == "live-writer-Y"
+    # the clean case: the lock we observed IS the one we move
+    mf._take_over_stale_lock(lock, "live-writer-Y", "my-nonce")
+    assert not os.path.exists(lock)
+    # and a vanished lock is a completed release, not an error
+    mf._take_over_stale_lock(lock, "whoever", "my-nonce")

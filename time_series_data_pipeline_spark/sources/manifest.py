@@ -265,6 +265,43 @@ class ConcurrentManifestWriter(RuntimeError):
     resolve a complete generation through ``_CURRENT``."""
 
 
+def _take_over_stale_lock(lock: str, holder: str | None, nonce: str) -> None:
+    """Remove a stale ``_WRITER_LOCK`` ATOMICALLY (ADVICE r9: the old
+    stat-then-unlink takeover let two racers each unlink the OTHER
+    racer's freshly re-created lock — both then proceeded to pay a
+    full manifest write before the post-rename backstop failed the
+    loser). ``os.rename`` to a nonce-unique aside name is exclusive:
+    only one racer can move a given lock file, and the aside content
+    is then verified against the holder nonce observed during the
+    staleness check — a mismatch means a LIVE writer re-created the
+    lock inside the window, so it is restored (``os.link`` refuses to
+    clobber a newer lock — atomic create-if-absent) and this writer
+    fails loudly instead of stealing it."""
+    import os
+
+    aside = f"{lock}.stale-{nonce}"
+    try:
+        os.rename(lock, aside)
+    except FileNotFoundError:
+        return  # the holder released, or another takeover already won
+    try:
+        with open(aside) as f:
+            moved = f.read().strip()
+    except OSError:
+        moved = None
+    if holder is None or moved != holder:
+        try:
+            os.link(aside, lock)
+        except (FileExistsError, OSError):
+            pass  # an even newer lock exists — leave it in place
+        os.unlink(aside)
+        raise ConcurrentManifestWriter(
+            f"takeover of {lock} raced a live writer re-acquiring it "
+            "— serialize maintenance"
+        )
+    os.unlink(aside)
+
+
 def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     """Persist the manifest beside the store with an ATOMIC publish:
     the parquet lands in a fresh ``data-<nonce>`` subdir, then a tiny
@@ -310,19 +347,17 @@ def write_manifest(manifest: DataFrame, manifest_path: str) -> None:
     if not _try_lock():
         try:
             age = time.time() - os.path.getmtime(lock)
+            with open(lock) as f:
+                holder = f.read().strip()
         except OSError:
-            age = None  # holder released between our create and stat
+            age = holder = None  # holder released between create and stat
         if age is not None and age <= LOCK_STALE_S:
             raise ConcurrentManifestWriter(
                 f"another manifest writer holds {lock} (age {age:.1f}s); "
                 "the manifest publish is single-writer — serialize "
                 "maintenance, or remove the lock if its writer crashed"
             )
-        # abandoned (crashed writer) or just-released lock: take over
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        _take_over_stale_lock(lock, holder, nonce)
         if not _try_lock():
             raise ConcurrentManifestWriter(
                 f"lost the takeover race for {lock}: another writer "
