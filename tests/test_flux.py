@@ -1871,3 +1871,156 @@ def test_aggregate_null_policy_is_uniform(spark, tmp_path):
         spark, 'from(bucket: "b") |> last()', {"b": path2}
     ).collect()[0]
     assert r["last_value"] == 50.0
+
+
+MULTI_OVERLAY = """
+a = from(bucket: "b")
+  |> range(start: "2024-01-08 00:00:00", stop: "2024-01-15 00:00:00")
+  |> filter(fn: (r) => r["_field"] == "click")
+  |> aggregateWindow(every: 1d, fn: mean)
+b = from(bucket: "b")
+  |> range(start: "2024-01-01 00:00:00", stop: "2024-01-08 00:00:00")
+  |> filter(fn: (r) => r["_field"] == "click")
+  |> timeShift(duration: 7d)
+  |> aggregateWindow(every: 1d, fn: mean)
+join(tables: {a: a, b: b}, on: ["window_start", "_measurement", "_field"])
+  |> map(fn: (r) => ({ r with _value: r.mean_a - r.mean_b }))
+  |> yield(name: "wow_delta")
+"""
+
+
+def test_multi_pipeline_join_week_over_week(spark, store):
+    """The Grafana period-comparison overlay as users write it: two
+    named pipelines (this week; last week shifted forward), joined on
+    the window key, delta via map — values must equal the two
+    single-pipeline queries joined by hand."""
+    out = flux.compile_flux(spark, MULTI_OVERLAY, {"b": store})
+    cur = {
+        (r["window_start"], r["_field"]): r["mean"]
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b")'
+            ' |> range(start: "2024-01-08 00:00:00", stop: "2024-01-15 00:00:00")'
+            ' |> filter(fn: (r) => r["_field"] == "click")'
+            " |> aggregateWindow(every: 1d, fn: mean)",
+            {"b": store},
+        ).collect()
+    }
+    import datetime
+
+    prev = {
+        (r["window_start"] + datetime.timedelta(days=7), r["_field"]): r["mean"]
+        for r in flux.compile_flux(
+            spark,
+            'from(bucket: "b")'
+            ' |> range(start: "2024-01-01 00:00:00", stop: "2024-01-08 00:00:00")'
+            ' |> filter(fn: (r) => r["_field"] == "click")'
+            " |> aggregateWindow(every: 1d, fn: mean)",
+            {"b": store},
+        ).collect()
+    }
+    want = {
+        k: round(cur[k] - prev[k], 9) for k in cur.keys() & prev.keys()
+    }
+    got = {
+        (r["window_start"], r["_field"]): round(r["wow_delta"], 9)
+        for r in out.collect()
+    }
+    assert got == want and len(got) > 0
+    # conflicting non-key columns carry the upstream _<label> suffixes
+    assert {"mean_a", "mean_b", "n_a", "n_b"} <= set(out.columns)
+
+
+def test_multi_pipeline_union(spark, store):
+    """union(tables: [a, b]): bag concat of identical frames — two
+    single-field window counts union to the two-field query."""
+    got = flux.compile_flux(
+        spark,
+        """
+        a = from(bucket: "b")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1d, fn: count)
+        b = from(bucket: "b")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> aggregateWindow(every: 1d, fn: count)
+        union(tables: [a, b])
+        """,
+        {"b": store},
+    )
+    both = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        ' |> filter(fn: (r) => r["_field"] == "click" or r["_field"] == "error")'
+        " |> aggregateWindow(every: 1d, fn: count)",
+        {"b": store},
+    )
+    key = lambda r: (r["window_start"], r["_field"], r["count"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, both.collect()))
+    assert got.count() > 0
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'join(tables: {a: a, b: nope}, on: ["_field"])',
+            "unknown pipeline",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'b = from(bucket: "b") |> last()\n'
+            'join(tables: {a: a, b: b}, on: ["_field"], method: "left")',
+            "inner",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'b = from(bucket: "b") |> last()\n'
+            'join(tables: {x: a, x: b}, on: ["_field"])',
+            "collide",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'b = from(bucket: "b") |> last()\n'
+            'join(tables: {a: a, b: b}, on: ["no_such"])',
+            "missing from table",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'b = from(bucket: "b") |> count()\n'
+            "union(tables: [a, b])",
+            "identical frames",
+        ),
+        (
+            'a = from(bucket: "b") |> last()',
+            "dangling assignment",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'b = from(bucket: "b") |> last()\n'
+            'join(tables: {a: a, b: b}, on: ["_field"])\n'
+            '  |> sort(columns: ["_field"])',
+            "outside the shipped",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            'b = from(bucket: "b") |> last()\n'
+            'join(tables: {a: a, b: b}, on: ["_field"])\n'
+            "  |> map(fn: (r) => ({ r with _value: r.bogus + 1 }))",
+            "unknown column",
+        ),
+        (
+            'a = from(bucket: "b") |> last()\n'
+            "a2 = union(tables: [a, a])",
+            "must bind a from",
+        ),
+        (
+            'from(bucket: "b") |> last()\n'
+            'from(bucket: "b") |> count()',
+            "ONE result expression",
+        ),
+    ],
+)
+def test_multi_pipeline_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

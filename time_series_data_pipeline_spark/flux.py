@@ -139,6 +139,18 @@ Round 10 adds the period-comparison stages (VERDICT r8 item 6):
   between subsequent records per table, truncated toward zero exactly
   as Flux duration division does; each table's FIRST row is dropped
   (upstream yields no elapsed for it).
+* MULTI-STATEMENT scripts — named ``from`` pipelines feeding one final
+  ``join(tables: {a:, b:}, on: [...])`` (inner, upstream's default;
+  conflicting non-key columns suffixed ``_<label>`` like upstream) or
+  ``union(tables: [a, b, ...])`` (identical column sets), optionally
+  followed by ``map``/``yield`` — together with ``timeShift`` this is
+  the full Grafana period-comparison overlay::
+
+      a = from(bucket: "b") |> range(...) |> aggregateWindow(...)
+      b = from(bucket: "b") |> range(...) |> timeShift(duration: 7d)
+            |> aggregateWindow(...)
+      join(tables: {a: a, b: b}, on: ["window_start", "_field"])
+        |> map(fn: (r) => ({ r with _value: r.mean_a - r.mean_b }))
 
 Series keying (round 8, VERDICT r7 item 1): Flux tables key on
 ``(_measurement, _field)``, and EVERY compiled aggregation/transform
@@ -278,6 +290,63 @@ def _split_stages(flux: str, require_from: bool = True) -> list[str]:
     if require_from and (not stages or not stages[0].startswith("from")):
         raise FluxError("pipeline must start with from(bucket: ...)")
     return stages
+
+
+def _paren_delta(line: str) -> int:
+    """Net bracket depth change of a line, quote-aware (parens inside
+    string literals are data)."""
+    depth, quote = 0, None
+    for ch in line:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+    return depth
+
+
+_ASSIGN_RE = re.compile(r"^(\w+)\s*=(?!=|~)\s*(.*)$", re.DOTALL)
+
+
+def _split_statements(body: str) -> list[tuple[str | None, str]]:
+    """Split a Flux script into top-level statements: ``name = <pipeline>``
+    assignments and bare result expressions. Statement boundaries are
+    line-based (the Grafana editor's one-stage-per-line format): a line
+    continues the current statement iff it starts with ``|>`` or an
+    earlier line left brackets open; anything else begins a new one."""
+    stmts: list[tuple[str | None, str]] = []
+    cur: list[str] = []
+    name: str | None = None
+    depth = 0
+
+    def flush() -> None:
+        nonlocal cur, name
+        if cur:
+            stmts.append((name, "\n".join(cur)))
+        cur, name = [], None
+
+    for raw in body.splitlines():
+        line = _strip_comment(raw)
+        if not line.strip():
+            continue
+        s = line.strip()
+        if depth <= 0 and cur and not s.startswith("|>"):
+            flush()
+        if not cur:
+            m = _ASSIGN_RE.match(s)
+            if m:
+                name = m.group(1)
+                line = m.group(2)
+        cur.append(line)
+        depth += _paren_delta(line)
+    flush()
+    if not stmts:
+        raise FluxError("empty Flux script")
+    return stmts
 
 
 def _args(stage: str, name: str) -> dict[str, str]:
@@ -681,6 +750,45 @@ def compile_flux(
     )
     if re.match(r"^\s*schema\.", body.lstrip()):
         return _compile_schema_query(spark, body, bucket_paths, params)
+    stmts = _split_statements(body)
+    if len(stmts) == 1 and stmts[0][0] is None:
+        return _compile_pipeline(spark, stmts[0][1], bucket_paths, params, now)
+    # MULTI-STATEMENT form (round 10): named from-pipelines feeding one
+    # final join()/union() — the Grafana period-comparison overlay
+    # (`a = from |> … |> timeShift |> …; join(tables: {a:, b:}, …)`)
+    env: dict[str, DataFrame] = {}
+    final: str | None = None
+    for nm, text in stmts:
+        if nm is not None:
+            if not text.lstrip().startswith("from"):
+                raise FluxError(
+                    f"assignment {nm!r} must bind a from() pipeline; "
+                    f"got {text.lstrip()[:40]!r}"
+                )
+            env[nm] = _compile_pipeline(spark, text, bucket_paths, params, now)
+        else:
+            if final is not None:
+                raise FluxError(
+                    "the subset ships exactly ONE result expression "
+                    "(join/union) after the named pipelines"
+                )
+            final = text
+    if final is None:
+        raise FluxError(
+            "multi-statement Flux needs a final join()/union() result "
+            "expression (a dangling assignment yields nothing)"
+        )
+    return _compile_combiner(spark, final, env, params)
+
+
+def _compile_pipeline(
+    spark: SparkSession,
+    body: str,
+    bucket_paths: dict[str, str],
+    params: dict[str, Any],
+    now: str | None,
+) -> DataFrame:
+    """Compile ONE `from |> …` pipeline (the single-statement grammar)."""
     stages = _split_stages(body)
     fr = _args(stages[0], "from")
     if "bucket" not in fr:
@@ -1727,3 +1835,164 @@ def compile_flux(
         return _finish(out)
 
     return _finish(df)
+
+
+_MAP_FN_RE = re.compile(
+    r"^\(\s*r\s*\)\s*=>\s*\(\s*\{\s*r\s+with\s+"
+    r"(\w+|\"[^\"]+\")\s*:\s*(.*?)\s*\}\s*\)\s*$",
+    re.DOTALL,
+)
+
+
+def _compile_combiner(
+    spark: SparkSession,
+    text: str,
+    env: dict[str, DataFrame],
+    params: dict[str, Any],
+) -> DataFrame:
+    """The multi-statement result expression: ``join(tables: {a:, b:},
+    on: [...])`` (inner — Flux's default; conflicting non-key columns
+    suffixed ``_<label>`` exactly as upstream join does) or
+    ``union(tables: [a, b, ...])`` (identical column sets, aligned by
+    name), optionally followed by ``map`` (the ``_value``-rewrite form
+    — the overlay delta computation) and ``yield``.
+
+    Scale shape: join shuffles both sides on the ``on:`` key — for the
+    dashboard overlay both inputs are already window-aggregated
+    (bucket-spine-sized), and for raw-frame joins the key carries
+    ``_time`` + table key, so the exchange is the same per-key
+    hash-partitioning every window transform already pays; union is
+    exchange-free (a bag concat of partitions)."""
+    stages = _split_stages(text, require_from=False)
+    head = stages[0].split("(", 1)[0].strip()
+    if head == "join":
+        a = _args(stages[0], "join")
+        if "tables" not in a or "on" not in a:
+            raise FluxError(
+                "join requires tables: {a: <pipeline>, b: <pipeline>} "
+                "and an explicit on: [columns]"
+            )
+        method = _resolve(a["method"], params) if "method" in a else "inner"
+        if method != "inner":
+            raise FluxError(
+                f'join ships method: "inner" (Flux\'s default) only; '
+                f"got {method!r}"
+            )
+        extra = set(a) - {"tables", "on", "method"}
+        if extra:
+            raise FluxError(f"join: unsupported args {sorted(extra)}")
+        m = re.match(
+            r"^\{\s*(\w+)\s*:\s*(\w+)\s*,\s*(\w+)\s*:\s*(\w+)\s*\}$",
+            a["tables"].strip(),
+        )
+        if not m:
+            raise FluxError(
+                "join ships exactly two named tables "
+                f"{{a: <pipeline>, b: <pipeline>}}; got {a['tables']!r}"
+            )
+        la, ra, lb, rb = m.groups()
+        if la == lb:
+            raise FluxError(f"join table labels collide: {la!r}")
+        for ref in (ra, rb):
+            if ref not in env:
+                raise FluxError(
+                    f"join references unknown pipeline {ref!r} "
+                    f"(defined: {sorted(env)})"
+                )
+        on = _str_list(a["on"], "join on")
+        if not on:
+            raise FluxError("join on: column list is empty")
+        dfa, dfb = env[ra], env[rb]
+        for label, d in ((la, dfa), (lb, dfb)):
+            missing = [c for c in on if c not in d.columns]
+            if missing:
+                raise FluxError(
+                    f"join on column(s) {missing} missing from table "
+                    f"{label!r} (frame has {d.columns})"
+                )
+        # upstream join suffixes CONFLICTING non-key columns _<label>
+        for c in sorted((set(dfa.columns) & set(dfb.columns)) - set(on)):
+            dfa = dfa.withColumnRenamed(c, f"{c}_{la}")
+            dfb = dfb.withColumnRenamed(c, f"{c}_{lb}")
+        out = dfa.join(dfb, on=on, how="inner")
+    elif head == "union":
+        a = _args(stages[0], "union")
+        if "tables" not in a:
+            raise FluxError("union requires tables: [a, b, ...]")
+        extra = set(a) - {"tables"}
+        if extra:
+            raise FluxError(f"union: unsupported args {sorted(extra)}")
+        toks = a["tables"].strip()
+        if not re.match(r"^\[\s*\w+(?:\s*,\s*\w+)*\s*\]$", toks):
+            raise FluxError(
+                f"union tables: expected [name, name, ...]; got {toks!r}"
+            )
+        refs = [t.strip() for t in toks[1:-1].split(",")]
+        if len(refs) < 2:
+            raise FluxError("union needs at least two tables")
+        frames = []
+        for ref in refs:
+            if ref not in env:
+                raise FluxError(
+                    f"union references unknown pipeline {ref!r} "
+                    f"(defined: {sorted(env)})"
+                )
+            frames.append(env[ref])
+        cols0 = set(frames[0].columns)
+        for ref, fr_ in zip(refs[1:], frames[1:]):
+            if set(fr_.columns) != cols0:
+                raise FluxError(
+                    f"union: pipeline {ref!r} columns "
+                    f"{sorted(fr_.columns)} differ from {refs[0]!r} "
+                    f"columns {sorted(cols0)} — the subset unions "
+                    "identical frames only"
+                )
+        out = frames[0]
+        for fr_ in frames[1:]:
+            out = out.unionByName(fr_)
+    else:
+        raise FluxError(
+            f"multi-statement result must be join() or union(); got {head!r}"
+        )
+    for stage in stages[1:]:
+        shead = stage.split("(", 1)[0].strip()
+        if shead == "map":
+            a = _args(stage, "map")
+            if "fn" not in a or set(a) - {"fn"}:
+                raise FluxError(
+                    "map requires exactly fn: (r) => ({ r with ... })"
+                )
+            m = _MAP_FN_RE.match(a["fn"].strip())
+            if not m:
+                raise FluxError(
+                    "map ships only fn: (r) => ({ r with _value: <arith> })"
+                    f"; got {a['fn']!r}"
+                )
+            target = m.group(1).strip('"')
+            if target != "_value":
+                raise FluxError(
+                    f"map ships only the _value rewrite; got {target!r}"
+                )
+            expr_src = m.group(2)
+            for t1, t2 in re.findall(
+                r'r\.(\w+)|r\[\s*"([^"]+)"\s*\]', expr_src
+            ):
+                c = t1 or t2
+                if c not in out.columns:
+                    raise FluxError(
+                        f"map references unknown column {c!r}; frame "
+                        f"has {out.columns}"
+                    )
+            out = out.withColumn("_value", _parse_arith(expr_src, params))
+        elif shead == "yield":
+            a = _args(stage, "yield")
+            if "name" in a and "_value" in out.columns:
+                out = out.withColumnRenamed(
+                    "_value", _resolve(a["name"], params)
+                )
+        else:
+            raise FluxError(
+                f"stage {shead!r} after join/union is outside the shipped "
+                "subset (map and yield only)"
+            )
+    return out

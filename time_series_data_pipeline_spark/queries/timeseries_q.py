@@ -1404,6 +1404,81 @@ def flux_compiled_timeshift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_join_overlay",
+    # The Grafana week-over-week overlay as a MULTI-STATEMENT Flux
+    # script (VERDICT r9 "Flux subset remainder"): two named pipelines
+    # — this week's daily mean and last week's shifted forward 7d —
+    # joined on the window key, delta via map. Exercises the whole
+    # round-10 surface in one driver row: statement splitting,
+    # timeShift-then-window, join suffixing (mean_a/mean_b), the
+    # combiner map/yield. 9-dp rounding on the delta (two
+    # decimal-exact doubles subtract deterministically; the rounding
+    # is belt-and-braces per the shared policy).
+    oracle="""
+    WITH cur AS (
+      SELECT make_timestamp((epoch_us(ts)//86400000000)*86400000000)
+               AS window_start,
+             'events' AS _measurement, event_type AS _field,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS mean_a,
+             COUNT(*) AS n_a
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2, 3
+    ), prev AS (
+      SELECT make_timestamp(
+               ((epoch_us(ts)+604800000000)//86400000000)*86400000000
+             ) AS window_start,
+             'events' AS _measurement, event_type AS _field,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS mean_b,
+             COUNT(*) AS n_b
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.window_start, c._measurement, c._field,
+           c.mean_a, c.n_a, p.mean_b, p.n_b,
+           round(c.mean_a - p.mean_b, 9) AS wow_delta
+    FROM cur c JOIN prev p USING (window_start, _measurement, _field)
+    """,
+)
+def flux_compiled_join_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statement Flux through the front-end: named pipelines +
+    `join` + `map` — the period-comparison dashboard panel. Both join
+    inputs are day-window aggregates (bucket-spine-sized), so the
+    inner join's exchange hashes tiny frames on the window key."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    out = compile_flux(
+        spark,
+        """
+        a = from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1d, fn: mean, createEmpty: false)
+        b = from(bucket: "gas-quality")
+          |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-08T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> timeShift(duration: 7d)
+          |> aggregateWindow(every: 1d, fn: mean, createEmpty: false)
+        join(tables: {a: a, b: b}, on: ["window_start", "_measurement", "_field"])
+          |> map(fn: (r) => ({ r with _value: r.mean_a - r.mean_b }))
+          |> yield(name: "wow_delta")
+        """,
+        {"gas-quality": path},
+    )
+    return out.withColumn("wow_delta", F.round("wow_delta", 9))
+
+
+@query(
     "flux_compiled_elapsed",
     # Flux elapsed() — whole-second gaps between subsequent records per
     # table, first row dropped (no predecessor). Truncation toward zero
