@@ -2024,3 +2024,62 @@ def test_multi_pipeline_union(spark, store):
 def test_multi_pipeline_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_top_bottom_per_series(spark, store):
+    """top(n:)/bottom(n:) — per-table extrema, compiled onto the
+    sort|>limit rank machinery (desc resp. asc by _value with the
+    (_time, _value) tiebreak)."""
+    got = flux.compile_flux(
+        spark, 'from(bucket: "b") |> top(n: 2)', {"b": store}
+    ).collect()
+    raw = bkt.scan_bucket(spark, store, measurement="events").collect()
+    by_field: dict[str, list] = {}
+    for r in raw:
+        by_field.setdefault(r["_field"], []).append((r["_value"], r["_time"]))
+    per = {}
+    for r in got:
+        per.setdefault(r["_field"], []).append((r["_value"], r["_time"]))
+    assert set(per) == set(by_field)
+    for f, vals in by_field.items():
+        want = sorted(vals, key=lambda t: (-t[0], t[1]))[:2]
+        assert sorted(per[f]) == sorted(want), f
+    # bottom: ascending
+    got_b = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> bottom(n: 2) |> yield(name: "lows")',
+        {"b": store},
+    ).collect()
+    per_b = {}
+    for r in got_b:
+        per_b.setdefault(r["_field"], []).append((r["_value"], r["_time"]))
+    for f, vals in by_field.items():
+        want = sorted(vals, key=lambda t: (t[0], t[1]))[:2]
+        assert sorted(per_b[f]) == sorted(want), f
+    # equivalence with the explicit sort |> limit spelling
+    explicit = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> sort(columns: ["_value"], desc: true)'
+        " |> limit(n: 2)",
+        {"b": store},
+    ).collect()
+    key = lambda r: (r["_field"], r["_value"], r["_time"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, explicit))
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ('from(bucket: "b") |> top()', "positive int"),
+        ('from(bucket: "b") |> top(n: 0)', "positive int"),
+        ('from(bucket: "b") |> bottom(n: 2, foo: 1)', "unsupported args"),
+        ('from(bucket: "b") |> top(n: 2, columns: [])', "columns list is empty"),
+        (
+            'from(bucket: "b") |> top(n: 2) |> mean()',
+            "after a sort/limit",
+        ),
+    ],
+)
+def test_top_bottom_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

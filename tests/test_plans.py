@@ -264,3 +264,29 @@ def test_gap_fill_has_no_forced_broadcast(spark):
         logical = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in logical
         assert "UnresolvedHint" not in logical
+
+
+def test_flux_top_compiles_to_distributed_group_limit(spark):
+    """top(n:) must be a distributed per-key top-N: a PARTIAL
+    WindowGroupLimit before the key exchange (map-side pruning to n
+    rows per key per partition) and a Final one after — never a global
+    sort of raw rows."""
+    from time_series_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["flux_compiled_top"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_flux_join_overlay_plan_shape(spark):
+    """The multi-statement overlay join: both inputs are window
+    aggregates over partition-pruned scans (the week predicates reach
+    PartitionFilters), the join is never a cartesian product, and the
+    aggregated build side is small enough that AQE broadcasts it."""
+    from time_series_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["flux_compiled_join_overlay"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("PartitionFilters: [isnotnull(_measurement") == 2
+    assert "PushedFilters: [IsNotNull(_time)" in plan

@@ -36,6 +36,7 @@ stage):
                 | derivative | timedMovingAverage | movingAverage
                 | increase | stateDuration | pivot | elapsed
                 | sort | limit | keep | drop | fill | rename | timeShift
+                | top | bottom
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -837,7 +838,7 @@ def _compile_pipeline(
         "elapsed",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
-                   "timeShift")
+                   "timeShift", "top", "bottom")
     time_shifted = False  # a row-level timeShift has rewritten _time
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -1172,6 +1173,24 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"elapsed: unsupported args {sorted(extra)}")
             transform = ("elapsed", unit_s)
+        elif head in ("top", "bottom"):
+            # Flux top(n:, [columns:]) / bottom: the Data-Explorer
+            # per-series extrema buttons — exactly sort(desc/asc) |>
+            # limit(n), so they compile onto the same per-table rank
+            # machinery (WindowGroupLimit distributed top-N; a
+            # one-table frame becomes TakeOrderedAndProject)
+            a = _args(stage, head)
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"{head} n: positive int required, got {n!r}")
+            cols = _str_list(a.get("columns", '["_value"]'), f"{head} columns")
+            if not cols:
+                raise FluxError(f"{head}: columns list is empty")
+            extra = set(a) - {"n", "columns"}
+            if extra:
+                raise FluxError(f"{head}: unsupported args {sorted(extra)}")
+            post_ops.append(("sort", cols, head == "top"))
+            post_ops.append(("limit", n))
         elif head == "sort":
             a = _args(stage, "sort")
             cols = _str_list(a.get("columns", '["_value"]'), "sort columns")

@@ -1479,6 +1479,45 @@ def flux_compiled_join_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_top",
+    # Flux top(n: 3) — the Data-Explorer per-series extrema button:
+    # top-3 by _value per (_measurement, _field) table, compiled to the
+    # sort|>limit rank machinery (WindowGroupLimit distributed top-N).
+    # Tiebreak: the compiler always extends the order with (_time,
+    # _value) asc, so the oracle replays value DESC, ts ASC.
+    oracle="""
+    SELECT _measurement, _field, _time, _value FROM (
+      SELECT 'events' AS _measurement, event_type AS _field,
+             ts AS _time, value AS _value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts ASC) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn <= 3
+    """,
+)
+def flux_compiled_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top(n: 3)` through the Flux front-end — per-series extrema over
+    the scanned range; the rank filter compiles to a distributed
+    per-key top-N (WindowGroupLimit), never a global sort."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> top(n: 3)
+          |> keep(columns: ["_measurement", "_field", "_time", "_value"])
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_elapsed",
     # Flux elapsed() — whole-second gaps between subsequent records per
     # table, first row dropped (no predecessor). Truncation toward zero
