@@ -27,6 +27,14 @@ HEADLINE = (
     "window_5m_mean",
     "window_5m_mean_bucketed",
     "flux_pipeline_mean",
+    # round 10: the COMPILER path beside the hand-written plan —
+    # flux_pipeline_mean is the DataFrame form of the same panel;
+    # flux_compiled_mean runs the verbatim Flux text through
+    # compile_flux, so front-end translation overhead is a measured
+    # number (it should be driver-only: the compiled plan is
+    # bit-identical); the overlay join is the multi-statement shape
+    "flux_compiled_mean",
+    "flux_compiled_join_overlay",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
@@ -319,7 +327,12 @@ def main() -> None:
     cold["ingest_backfill"] = ingest_attempts[0]
     timings["ingest_backfill"] = min(ingest_attempts)
     _warm_stream_machinery(spark)
-    stream_attempts = [round(_bench_stream_chain(spark), 3) for _ in range(2)]
+    # min-of-3 (round 10): the chain runs LAST, after 45+ materialized
+    # queries — end-of-bench GC/cache pressure hit BOTH min-of-2
+    # attempts in the same run (6.8 s recorded for a chain that
+    # steady-states at 3.1 s in isolation); a third attempt makes one
+    # uncontended slice far more likely
+    stream_attempts = [round(_bench_stream_chain(spark), 3) for _ in range(3)]
     cold["ingest_stream_chain"] = stream_attempts[0]
     timings["ingest_stream_chain"] = min(stream_attempts)
     total = round(sum(timings.values()), 3)

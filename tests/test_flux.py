@@ -2083,3 +2083,44 @@ def test_top_bottom_per_series(spark, store):
 def test_top_bottom_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_duplicate_and_set_tail_stages(spark, store):
+    """duplicate(column:, as:) copies a column (overwriting an existing
+    target like upstream); set(key:, value:) assigns a string constant
+    — both in-plan column ops."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> last()'
+        ' |> duplicate(column: "_field", as: "series")'
+        ' |> set(key: "source", value: "grafana")',
+        {"b": store},
+    )
+    rows = got.collect()
+    assert "series" in got.columns and "source" in got.columns
+    assert all(r["series"] == r["_field"] for r in rows)
+    assert all(r["source"] == "grafana" for r in rows)
+    # duplicate overwrites an existing target (upstream semantics)
+    got2 = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> last()'
+        ' |> duplicate(column: "_measurement", as: "series")'
+        ' |> duplicate(column: "_field", as: "series")',
+        {"b": store},
+    ).collect()
+    assert all(r["series"] == r["_field"] for r in got2)
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ('from(bucket: "b") |> duplicate(column: "_field")', "requires column"),
+        ('from(bucket: "b") |> duplicate(column: "nope", as: "x") |> keep(columns: ["x"])', "unknown column"),
+        ('from(bucket: "b") |> set(key: "k")', "requires key"),
+        ('from(bucket: "b") |> set(key: "k", value: 5)', "expect strings"),
+        ('from(bucket: "b") |> duplicate(column: "_field", as: "x", foo: 1)', "unsupported args"),
+    ],
+)
+def test_duplicate_set_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

@@ -36,7 +36,7 @@ stage):
                 | derivative | timedMovingAverage | movingAverage
                 | increase | stateDuration | pivot | elapsed
                 | sort | limit | keep | drop | fill | rename | timeShift
-                | top | bottom
+                | top | bottom | duplicate | set
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -838,7 +838,7 @@ def _compile_pipeline(
         "elapsed",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
-                   "timeShift", "top", "bottom")
+                   "timeShift", "top", "bottom", "duplicate", "set")
     time_shifted = False  # a row-level timeShift has rewritten _time
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -1247,6 +1247,36 @@ def _compile_pipeline(
                 post_ops.append(("fill", [col], "previous", None))
             else:
                 post_ops.append(("fill", [col], "value", _resolve(a["value"], params)))
+        elif head == "duplicate":
+            # duplicate(column:, as:) — copy a column under a new name
+            # (upstream overwrites an existing `as` column)
+            a = _args(stage, "duplicate")
+            if "column" not in a or "as" not in a:
+                raise FluxError("duplicate requires column: and as:")
+            col = _resolve(a["column"], params)
+            new = _resolve(a["as"], params)
+            if not (isinstance(col, str) and isinstance(new, str)):
+                raise FluxError(
+                    f"duplicate column:/as: expect strings; got {stage!r}"
+                )
+            extra = set(a) - {"column", "as"}
+            if extra:
+                raise FluxError(f"duplicate: unsupported args {sorted(extra)}")
+            post_ops.append(("duplicate", [col], new))
+        elif head == "set":
+            # set(key:, value:) — assign a string constant column
+            # (Flux set values are always strings)
+            a = _args(stage, "set")
+            if "key" not in a or "value" not in a:
+                raise FluxError("set requires key: and value:")
+            k = _resolve(a["key"], params)
+            v = _resolve(a["value"], params)
+            if not (isinstance(k, str) and isinstance(v, str)):
+                raise FluxError(f"set key:/value: expect strings; got {stage!r}")
+            extra = set(a) - {"key", "value"}
+            if extra:
+                raise FluxError(f"set: unsupported args {sorted(extra)}")
+            post_ops.append(("set", [k], v))
         elif head == "rename":
             a = _args(stage, "rename")
             if "columns" not in a:
@@ -1323,7 +1353,7 @@ def _compile_pipeline(
             return [F.col(c).desc() if desc else F.col(c).asc() for c in cols], cols
 
         for op in post_ops:
-            if op[0] in ("sort", "keep", "drop", "fill"):
+            if op[0] in ("sort", "keep", "drop", "fill", "duplicate"):
                 missing = [c for c in op[1] if c not in out.columns]
                 if missing:
                     raise FluxError(
@@ -1436,6 +1466,12 @@ def _compile_pipeline(
                     out = out.withColumn(
                         col, F.last(col, ignorenulls=True).over(w)
                     )
+            elif op[0] == "duplicate":
+                # in-plan column copy (upstream overwrites an existing
+                # `as` target — same here via withColumn)
+                out = out.withColumn(op[2], F.col(op[1][0]))
+            elif op[0] == "set":
+                out = out.withColumn(op[1][0], F.lit(op[2]))
             elif op[0] == "timeshift":
                 # tail form: shift the output frame's time column(s) —
                 # the aggregated/windowed frame carries window_start,
