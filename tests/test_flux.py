@@ -2124,3 +2124,94 @@ def test_duplicate_and_set_tail_stages(spark, store):
 def test_duplicate_set_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_histogram_cumulative_per_table(spark, store):
+    """histogram(bins:): Flux's CUMULATIVE histogram — one row per
+    upper bound per table, _value = float count of rows ≤ le."""
+    raw = bkt.scan_bucket(spark, store, measurement="events").collect()
+    by_field: dict[str, list] = {}
+    for r in raw:
+        if r["_value"] is not None:
+            by_field.setdefault(r["_field"], []).append(r["_value"])
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> histogram(bins: [25.0, 50.0, 100.0])',
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "le", "_value"]
+    per: dict = {}
+    for r in got.collect():
+        per[(r["_field"], r["le"])] = r["_value"]
+    for f, vals in by_field.items():
+        for le in (25.0, 50.0, 100.0):
+            want = float(sum(1 for v in vals if v <= le))
+            assert per[(f, le)] == want, (f, le)
+    # linearBins with the +Inf tail: the last bucket counts everything
+    got_lin = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> histogram(bins: linearBins(start: 0.0, width: 100.0, count: 3))"
+        ' |> yield(name: "hist")',
+        {"b": store},
+    ).collect()
+    les = sorted(r["le"] for r in got_lin)
+    assert les == [0.0, 100.0, 200.0, float("inf")]
+    inf_count = next(r["hist"] for r in got_lin if r["le"] == float("inf"))
+    assert inf_count == float(len(by_field["click"]))
+    # group() |> histogram: keyless global aggregation (legal — partial
+    # agg, never a raw-row window)
+    got_g = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group() |> histogram(bins: [1000000.0])',
+        {"b": store},
+    ).collect()
+    assert len(got_g) == 1
+    assert got_g[0]["_value"] == float(sum(len(v) for v in by_field.values()))
+    # logarithmicBins expansion
+    got_log = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> histogram(bins: logarithmicBins(start: 1.0, factor: 4.0,"
+        " count: 3, infinity: false))",
+        {"b": store},
+    ).collect()
+    assert sorted(r["le"] for r in got_log) == [1.0, 4.0, 16.0]
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ('from(bucket: "b") |> histogram()', "requires bins"),
+        (
+            'from(bucket: "b") |> histogram(bins: [1.0], normalize: true)',
+            "normalize: false only",
+        ),
+        ('from(bucket: "b") |> histogram(bins: [])', "list is empty"),
+        (
+            'from(bucket: "b") |> histogram(bins: [2.0, 1.0])',
+            "strictly increasing",
+        ),
+        (
+            'from(bucket: "b") |> histogram(bins: linearBins(start: 0.0))',
+            "requires width",
+        ),
+        (
+            'from(bucket: "b") |> histogram(bins: linearBins(start: 0.0, '
+            "width: 1.0, count: 100000))",
+            "512",
+        ),
+        (
+            'from(bucket: "b") |> histogram(bins: logarithmicBins(start: 0.0,'
+            " factor: 2.0, count: 3))",
+            "start > 0",
+        ),
+        (
+            'from(bucket: "b") |> histogram(bins: [1.0]) |> mean()',
+            "second aggregation",
+        ),
+    ],
+)
+def test_histogram_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})

@@ -56,12 +56,13 @@ def test_new_and_changed_queries_lead_the_window():
     # spread / quantile get driver rows, timeShift / elapsed are new
     # stages), and the shared null-policy change re-attests the three
     # registered bare/windowed-aggregate + last() paths
-    assert set(_CHECKED_WINDOW[:10]) == {
+    assert set(_CHECKED_WINDOW[:11]) == {
         "flux_compiled_quantile", "flux_compiled_stddev",
         "flux_compiled_spread", "flux_compiled_timeshift",
         "flux_compiled_elapsed", "flux_compiled_join_overlay",
-        "flux_compiled_top", "flux_compiled_mean",
-        "flux_compiled_group_merge", "flux_compiled_gauge",
+        "flux_compiled_top", "flux_compiled_histogram",
+        "flux_compiled_mean", "flux_compiled_group_merge",
+        "flux_compiled_gauge",
     }
 
 

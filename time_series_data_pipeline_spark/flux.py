@@ -34,7 +34,7 @@ stage):
     stage      := range | filter | map | group | aggregateWindow | last
                 | yield
                 | derivative | timedMovingAverage | movingAverage
-                | increase | stateDuration | pivot | elapsed
+                | increase | stateDuration | pivot | elapsed | histogram
                 | sort | limit | keep | drop | fill | rename | timeShift
                 | top | bottom | duplicate | set
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
@@ -593,6 +593,72 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
     return out
 
 
+def _parse_bins(tok: str, params: dict[str, Any]) -> list[float]:
+    """histogram bins: a literal float list, or the upstream generator
+    helpers ``linearBins(start:, width:, count:, [infinity:])`` /
+    ``logarithmicBins(start:, factor:, count:, [infinity:])`` (both
+    default infinity: true, like upstream)."""
+    tok = tok.strip()
+    if tok.startswith("["):
+        if not tok.endswith("]"):
+            raise FluxError(f"histogram bins: malformed list {tok!r}")
+        vals: list[float] = []
+        inner = tok[1:-1].strip()
+        for p in inner.split(",") if inner else []:
+            v = _resolve(p.strip(), params)
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise FluxError(
+                    f"histogram bins: expected numbers, got {p.strip()!r}"
+                )
+            vals.append(float(v))
+        if not vals:
+            raise FluxError("histogram bins: list is empty")
+        if sorted(vals) != vals or len(set(vals)) != len(vals):
+            raise FluxError("histogram bins must be strictly increasing")
+        return vals
+    m = re.match(r"^(linearBins|logarithmicBins)\s*\(", tok)
+    if not m:
+        raise FluxError(
+            "histogram bins: expected a list, linearBins() or "
+            f"logarithmicBins(); got {tok!r}"
+        )
+    kind = m.group(1)
+    a = _args(tok, kind)
+    step_key = "width" if kind == "linearBins" else "factor"
+    for req in ("start", step_key, "count"):
+        if req not in a:
+            raise FluxError(f"{kind} requires {req}:")
+    extra = set(a) - {"start", step_key, "count", "infinity"}
+    if extra:
+        raise FluxError(f"{kind}: unsupported args {sorted(extra)}")
+    start = _resolve(a["start"], params)
+    step = _resolve(a[step_key], params)
+    count = _resolve(a["count"], params)
+    inf = _resolve(a["infinity"], params) if "infinity" in a else True
+    for nm, v in (("start", start), (step_key, step)):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise FluxError(f"{kind} {nm}: expected a number, got {v!r}")
+    if not isinstance(count, int) or isinstance(count, bool) or not (
+        0 < count <= 512
+    ):
+        raise FluxError(
+            f"{kind} count: positive int (≤ 512 bins) required, got {count!r}"
+        )
+    if not isinstance(inf, bool):
+        raise FluxError(f"{kind} infinity: expected a boolean, got {inf!r}")
+    if kind == "linearBins":
+        vals = [float(start) + i * float(step) for i in range(count)]
+    else:
+        if float(start) <= 0 or float(step) <= 1:
+            raise FluxError(
+                "logarithmicBins needs start > 0 and factor > 1"
+            )
+        vals = [float(start) * float(step) ** i for i in range(count)]
+    if inf:
+        vals.append(float("inf"))
+    return vals
+
+
 def _str_list(tok: str, where: str) -> list[str]:
     """Parse a Flux string-list literal: ["a", "b"]."""
     tok = tok.strip()
@@ -835,7 +901,7 @@ def _compile_pipeline(
         "max", "median", "derivative", "timedMovingAverage",
         "movingAverage", "increase", "stateDuration", "pivot",
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
-        "elapsed",
+        "elapsed", "histogram",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set")
@@ -1091,6 +1157,34 @@ def _compile_pipeline(
                 raise FluxError(f"malformed stateDuration fn: {a['fn']!r}")
             pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
             transform = ("state_duration", pred)
+        elif head == "histogram":
+            # histogram(bins: [...]) — Flux's CUMULATIVE histogram: one
+            # row per upper bound `le` per table, _value = float count
+            # of rows with value ≤ le. bins: a literal list or
+            # linearBins(start:, width:, count:, [infinity:]) /
+            # logarithmicBins(start:, factor:, count:, [infinity:]).
+            a = _args(stage, "histogram")
+            if "bins" not in a:
+                raise FluxError("histogram requires bins:")
+            col = _resolve(a["column"], params) if "column" in a else "_value"
+            ub = (
+                _resolve(a["upperBoundColumn"], params)
+                if "upperBoundColumn" in a
+                else "le"
+            )
+            norm = (
+                _resolve(a["normalize"], params) if "normalize" in a else False
+            )
+            if col != "_value" or not isinstance(ub, str) or norm is not False:
+                raise FluxError(
+                    "histogram ships column: \"_value\" and "
+                    f"normalize: false only; got {stage!r}"
+                )
+            extra = set(a) - {"bins", "column", "upperBoundColumn", "normalize"}
+            if extra:
+                raise FluxError(f"histogram: unsupported args {sorted(extra)}")
+            bounds = _parse_bins(a["bins"], params)
+            transform = ("histogram", bounds, ub)
         elif head in (
             "mean", "count", "sum", "min", "max", "median", "first",
             "spread", "stddev",
@@ -1522,6 +1616,49 @@ def _compile_pipeline(
         from pyspark.sql import Window
 
         kind = transform[0]
+        if kind == "histogram":
+            # Flux's CUMULATIVE histogram: B map-side-combinable
+            # conditional-count aggregates in ONE groupBy pass (a
+            # single tiny exchange on the table key — or the key-less
+            # group() merge form, equally safe: partial aggregation,
+            # never a raw-row window), then an in-row stack to the
+            # long (le, _value) frame Grafana's heatmap panel reads.
+            import math as _math
+
+            bounds, ub = transform[1], transform[2]
+            if not re.match(r"^\w+$", ub):
+                raise FluxError(
+                    f"histogram upperBoundColumn must be an identifier; "
+                    f"got {ub!r}"
+                )
+            src = df.filter(F.col("_value").isNotNull())
+            aggs = [
+                F.sum(
+                    F.when(F.col("_value") <= F.lit(b), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("double")
+                .alias(f"__h{i}")
+                for i, b in enumerate(bounds)
+            ]
+            g = src.groupBy(*keys).agg(*aggs)
+            pairs = ", ".join(
+                (
+                    "CAST('Infinity' AS DOUBLE)"
+                    if _math.isinf(b)
+                    else f"{b!r}D"
+                )
+                + f", __h{i}"
+                for i, b in enumerate(bounds)
+            )
+            out = g.selectExpr(
+                *keys,
+                f"stack({len(bounds)}, {pairs}) AS ({ub}, _value)",
+            )
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
+            return _finish(out)
         if not keys and kind != "pivot":
             # a per-point window transform over the merged-one-table key
             # is a single-partition window over raw rows — a scale trap,

@@ -86,10 +86,11 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 10: new or changed this round go first (10). Seven NEW
+    # --- round 10: new or changed this round go first (11). Eight NEW
     # compiled queries (VERDICT r9 items 1 + 5: the r9-implemented
     # stddev/spread/quantile aggregates get their driver rows, and
-    # timeShift/elapsed/top/multi-statement-join are new stages); quantile additionally changed
+    # timeShift/elapsed/top/histogram/multi-statement-join are new
+    # stages); quantile additionally changed
     # convention (ADVICE r9 medium: upstream round(q·n) rank, not
     # percentile_disc's ceil — q=0.25 diverges on this store, so the
     # hash pins the convention). The shared null policy (ADVICE r9
@@ -104,18 +105,20 @@ _CHECKED_WINDOW = [
     "flux_compiled_elapsed",
     "flux_compiled_join_overlay",
     "flux_compiled_top",
+    "flux_compiled_histogram",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
     # --- rotation (VERDICT r9 item 2, two rounds overdue), oldest-
-    # green first: 31 of the 36 r7-green singletons whose own rows are
+    # green first: 30 of the 36 r7-green singletons whose own rows are
     # now two rounds old. Left out (slots exhausted): pack_sequences
     # (arm-attested by the in-window suite_round5, which embeds its
     # oracle verbatim), the two multimodal queries (deterministic
     # codec stubs, code untouched since r7 — lowest real-user risk),
-    # winnow_fingerprints and weighted_sample_docs (r7 rows, in-row
-    # ops, untouched; sampling stays represented by sampling_splits);
-    # all five lead the next rotation. ---
+    # winnow_fingerprints, weighted_sample_docs and vocab_coverage
+    # (r7 rows, in-row ops, untouched; sampling/text stay represented
+    # by sampling_splits/top_ngrams); all six lead the next
+    # rotation. ---
     "asof_nearest_click",
     "bm25_search",
     "bpe_encode_stats",
@@ -146,7 +149,6 @@ _CHECKED_WINDOW = [
     "similar_part_names",
     "top_ngrams",
     "unpivot_lineitem",
-    "vocab_coverage",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",
     "flux_pipeline_mean",

@@ -1518,6 +1518,41 @@ def flux_compiled_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_histogram",
+    # Flux histogram(bins: linearBins(...)) — the Grafana heatmap
+    # panel's CUMULATIVE histogram: per table, one row per upper bound
+    # le with the float count of values ≤ le. Exact integer counts
+    # cast to double — no FP drift to absorb.
+    oracle="""
+    SELECT 'events' AS _measurement, e.event_type AS _field, b.le,
+           CAST(SUM(CASE WHEN e.value <= b.le THEN 1 ELSE 0 END)
+                AS DOUBLE) AS _value
+    FROM events e
+    CROSS JOIN (VALUES (0.0), (100.0), (200.0), (300.0), (400.0),
+                       (CAST('infinity' AS DOUBLE))) b(le)
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`histogram()` through the Flux front-end: B conditional-count
+    aggregates in ONE groupBy pass (map-side combinable, one tiny
+    exchange on the table key), stacked in-row to the (le, _value)
+    long frame — never a per-row bin explode."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> histogram(bins: linearBins(start: 0.0, width: 100.0, count: 5))
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_elapsed",
     # Flux elapsed() — whole-second gaps between subsequent records per
     # table, first row dropped (no predecessor). Truncation toward zero
