@@ -215,6 +215,15 @@ import pytest as _pytest
         ("flux_compiled_group_merge", 1),
         # three windows over ONE partitioning = one shuffle
         ("flux_compiled_state_duration", 1),
+        # round 10: bare aggs / rank / lag / conditional-count stack —
+        # each ONE exchange on the table key
+        ("flux_compiled_stddev", 1),
+        ("flux_compiled_spread", 1),
+        ("flux_compiled_quantile", 1),
+        ("flux_compiled_timeshift", 1),
+        ("flux_compiled_elapsed", 1),
+        ("flux_compiled_histogram", 1),
+        ("flux_compiled_top", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):
