@@ -2215,3 +2215,26 @@ def test_histogram_cumulative_per_table(spark, store):
 def test_histogram_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_trailing_pipe_formatting(spark, store):
+    """Both Flux pipe styles are legal: leading `|>` per line (the
+    Grafana editor) and trailing `|>` at line ends — the statement
+    splitter must not break the latter into two statements."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |>\n'
+        '  filter(fn: (r) => r["_field"] == "click") |>\n'
+        "  last()",
+        {"b": store},
+    ).collect()
+    assert len(got) == 1 and got[0]["_field"] == "click"
+    # and in multi-statement scripts
+    got2 = flux.compile_flux(
+        spark,
+        'a = from(bucket: "b") |>\n  last()\n'
+        'b = from(bucket: "b") |>\n  last()\n'
+        "union(tables: [a, b])",
+        {"b": store},
+    )
+    assert got2.count() == 10  # 5 fields x 2 identical pipelines

@@ -335,7 +335,15 @@ def _split_statements(body: str) -> list[tuple[str | None, str]]:
         if not line.strip():
             continue
         s = line.strip()
-        if depth <= 0 and cur and not s.startswith("|>"):
+        # a line continues the current statement when it starts with
+        # |>, when brackets are open, or when the previous line ended
+        # with a trailing |> (both pipe styles are legal Flux)
+        if (
+            depth <= 0
+            and cur
+            and not s.startswith("|>")
+            and not cur[-1].rstrip().endswith("|>")
+        ):
             flush()
         if not cur:
             m = _ASSIGN_RE.match(s)
