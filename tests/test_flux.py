@@ -2238,3 +2238,308 @@ def test_trailing_pipe_formatting(spark, store):
         {"b": store},
     )
     assert got2.count() == 10  # 5 fields x 2 identical pipelines
+
+
+# ---------------------------------------------------------------- round 10b
+
+
+def test_hour_selection(spark, store):
+    """hourSelection(start:, stop:): inclusive hour-of-day filter,
+    including the overnight wrap form (start > stop), replayed
+    value-by-value against the raw scan."""
+    src = [
+        r
+        for r in bkt.scan_bucket(spark, store, field="click").collect()
+        if r["_value"] is not None
+    ]
+
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> hourSelection(start: 9, stop: 17) |> count()",
+        {"b": store},
+    ).collect()
+    want = sum(1 for r in src if 9 <= r["_time"].hour <= 17)
+    assert got[0]["count"] == want
+
+    # overnight wrap: hour >= 22 OR hour <= 3
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> hourSelection(start: 22, stop: 3) |> count()",
+        {"b": store},
+    ).collect()
+    want = sum(1 for r in src if r["_time"].hour >= 22 or r["_time"].hour <= 3)
+    assert got[0]["count"] == want
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ('from(bucket: "b") |> hourSelection(start: 9)', "requires start"),
+        ('from(bucket: "b") |> hourSelection(start: 24, stop: 3)', r"\[0, 23\]"),
+        ('from(bucket: "b") |> hourSelection(start: 1.5, stop: 3)', r"\[0, 23\]"),
+        (
+            'from(bucket: "b") |> hourSelection(start: 1, stop: 3, '
+            'timeColumn: "_stop")',
+            "_time.*only",
+        ),
+        (
+            'from(bucket: "b") |> mean() |> hourSelection(start: 1, stop: 3)',
+            "after an aggregation",
+        ),
+    ],
+)
+def test_hour_selection_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_truncate_time_column(spark, store):
+    """truncateTimeColumn(unit:): epoch-aligned floor of _time, applied
+    BEFORE the terminal stage (Flux order) — a following
+    aggregateWindow buckets the truncated times."""
+    src = [
+        r
+        for r in bkt.scan_bucket(spark, store, field="click").collect()
+        if r["_value"] is not None
+    ]
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> truncateTimeColumn(unit: 1h) |> count()",
+        {"b": store},
+    ).collect()
+    assert got[0]["count"] == len(src)
+
+    # truncate to 1d then count per 1d window: every row lands exactly
+    # on its window start, so the distribution equals a plain 1d count
+    a = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> truncateTimeColumn(unit: 1d)"
+        " |> aggregateWindow(every: 1d, fn: count)",
+        {"b": store},
+    ).collect()
+    b = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 1d, fn: count)",
+        {"b": store},
+    ).collect()
+    assert {(r["window_start"], r["count"]) for r in a} == {
+        (r["window_start"], r["count"]) for r in b
+    }
+
+    with pytest.raises(flux.FluxError, match="range.*truncate|shifted|rewritten|REWRITTEN"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> truncateTimeColumn(unit: 1h)'
+            " |> range(start: v.s) |> count()",
+            {"b": store},
+            {"s": "2024-01-03T00:00:00Z"},
+        )
+    with pytest.raises(flux.FluxError, match="unit must be > 0"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> truncateTimeColumn(unit: 0s) |> count()',
+            {"b": store},
+        )
+
+
+def test_unique_and_distinct(spark, store):
+    """unique(): first row (table order) per distinct _value per table;
+    distinct(): the distinct values themselves, keys + _value only."""
+    src = [
+        (r["_time"], r["_value"])
+        for r in bkt.scan_bucket(spark, store, field="click").collect()
+        if r["_value"] is not None
+    ]
+    first_per_value: dict = {}
+    for t, v in sorted(src):
+        first_per_value.setdefault(v, t)
+
+    u = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> unique()",
+        {"b": store},
+    )
+    assert u.columns == ["_measurement", "_field", "_time", "_value"]
+    got = {r["_value"]: r["_time"] for r in u.collect()}
+    assert got == first_per_value
+
+    d = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> distinct() |> yield(name: "vals")',
+        {"b": store},
+    )
+    assert d.columns == ["_measurement", "_field", "vals"]
+    assert {r["vals"] for r in d.collect()} == set(first_per_value)
+
+    # key-less group() forms stay distributed and correct
+    dm = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group() |> distinct(column: "_field")',
+        {"b": store},
+    )
+    assert dm.columns == ["_value"]
+    assert {r["_value"] for r in dm.collect()} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    um = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group() |> unique(column: "_field")',
+        {"b": store},
+    )
+    assert um.count() == 5
+
+    with pytest.raises(flux.FluxError, match="unknown column"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> unique(column: "nope")', {"b": store}
+        )
+    with pytest.raises(flux.FluxError, match="unknown column"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> distinct(column: "nope")', {"b": store}
+        )
+
+
+def test_window_raw(spark, store):
+    """window(every:) without an aggregate: every raw row keeps its
+    (_start, _stop] tumbling bounds as columns — a narrow map, row
+    count unchanged."""
+    src = bkt.scan_bucket(spark, store, field="click").collect()
+    w = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> window(every: 1h)",
+        {"b": store},
+    )
+    assert w.columns == [
+        "_measurement", "_field", "_start", "_stop", "_time", "_value"
+    ]
+    rows = w.collect()
+    assert len(rows) == len(src)
+    for r in rows:
+        assert r["_start"] <= r["_time"] < r["_stop"]
+        assert r["_start"].minute == 0 and r["_start"].second == 0
+        assert (r["_stop"] - r["_start"]).total_seconds() == 3600
+
+    with pytest.raises(flux.FluxError, match="period/"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> window(every: 1h, period: 2h)',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="requires every"):
+        flux.compile_flux(spark, 'from(bucket: "b") |> window()', {"b": store})
+
+
+def test_integral(spark, store):
+    """integral(unit:): trapezoid area per table over subsequent
+    points, replayed with exact cent-integer arithmetic."""
+    import math
+
+    got = {
+        r["_field"]: (r["integral"], r["n"])
+        for r in flux.compile_flux(
+            spark, 'from(bucket: "b") |> integral(unit: 1m)', {"b": store}
+        ).collect()
+    }
+    src = bkt.scan_bucket(spark, store, measurement="events").collect()
+    by_field: dict = {}
+    for r in src:
+        if r["_value"] is not None:
+            by_field.setdefault(r["_field"], []).append(
+                (r["_time"], r["_value"])
+            )
+    for f, pts in by_field.items():
+        pts.sort()
+        total = 0  # Σ (cents_i + cents_{i-1}) · Δt_µs — exact int
+        for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+            c0, c1 = round(v0 * 100), round(v1 * 100)
+            dt_us = round((t1 - t0).total_seconds() * 1e6)
+            total += (c0 + c1) * dt_us
+        want = (total / 100.0) / (2.0 * 60.0 * 1e6)
+        v, n = got[f]
+        assert n == len(pts)
+        assert math.isclose(v, want, rel_tol=1e-12), f
+
+    with pytest.raises(flux.FluxError, match="interpolate"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> integral(unit: 1m, interpolate: "linear")',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="one partition"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> group() |> integral(unit: 1m)',
+            {"b": store},
+        )
+
+
+def test_exponential_moving_average(spark, store):
+    """exponentialMovingAverage(n:): first emitted point = mean of the
+    first n values; then y = (1−k)·y + k·x with k = 2/(n+1); first n−1
+    rows dropped — replayed with the exact same fold, bit-identical."""
+    src = sorted(
+        (r["_time"], r["_value"])
+        for r in bkt.scan_bucket(spark, store, field="click").collect()
+        if r["_value"] is not None
+    )
+    n = 5
+    k = 2.0 / (n + 1.0)
+    xs = [v for _, v in src]
+    acc = xs[0]
+    for x in xs[1:n]:
+        acc = acc + x
+    acc = acc / n
+    want = [acc]
+    for x in xs[n:]:
+        acc = (1.0 - k) * acc + k * x
+        want.append(acc)
+
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> exponentialMovingAverage(n: 5)",
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "_time", "_value"]
+    rows = sorted((r["_time"], r["_value"]) for r in got.collect())
+    assert [t for t, _ in rows] == [t for t, _ in src[n - 1:]]
+    assert [v for _, v in rows] == want  # exact double equality
+
+    # |> last(): the fold's final element
+    last = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> exponentialMovingAverage(n: 5) |> last()",
+        {"b": store},
+    ).collect()
+    assert len(last) == 1
+    assert last[0]["last_value"] == want[-1]
+    assert last[0]["last_ts"] == src[-1][0]
+
+    # a series shorter than n emits nothing
+    short = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> exponentialMovingAverage(n: 100000)",
+        {"b": store},
+    )
+    assert short.count() == 0
+
+    with pytest.raises(flux.FluxError, match="positive int"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> exponentialMovingAverage(n: 0)',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="one partition"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> group() |> exponentialMovingAverage(n: 5)',
+            {"b": store},
+        )

@@ -909,7 +909,8 @@ def _compile_pipeline(
         "max", "median", "derivative", "timedMovingAverage",
         "movingAverage", "increase", "stateDuration", "pivot",
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
-        "elapsed", "histogram",
+        "elapsed", "histogram", "unique", "distinct", "window",
+        "integral", "exponentialMovingAverage",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set")
@@ -931,7 +932,10 @@ def _compile_pipeline(
         # silently drop last() — the shipped subset supports row-level
         # stages strictly BEFORE one terminal aggregation/transform
         # stage, and raises on anything else rather than mis-compiling
-        if head in ("range", "filter", "group", "map") and terminal_seen:
+        if head in (
+            "range", "filter", "group", "map", "hourSelection",
+            "truncateTimeColumn",
+        ) and terminal_seen:
             raise FluxError(
                 f"{head}() after an aggregation/transform stage is outside "
                 f"the shipped subset (it would act on raw rows): {stage!r}"
@@ -940,7 +944,7 @@ def _compile_pipeline(
             if (
                 head == "last"
                 and transform is not None
-                and transform[0] in ("increase", "difference", "cumsum")
+                and transform[0] in ("increase", "difference", "cumsum", "ema")
                 and not take_last
             ):
                 # <value-series transform> |> last(): Flux's stat-panel
@@ -958,10 +962,12 @@ def _compile_pipeline(
         if head == "range":
             if time_shifted:
                 # the scan's pushed time bounds filter STORED
-                # timestamps; after a row-level timeShift they would
-                # filter SHIFTED ones — refuse rather than mis-prune
+                # timestamps; after a row-level timeShift or
+                # truncateTimeColumn they would filter REWRITTEN ones —
+                # refuse rather than mis-prune
                 raise FluxError(
-                    "range() after timeShift() is outside the shipped "
+                    "range() after a time-rewriting stage (timeShift/"
+                    "truncateTimeColumn) is outside the shipped "
                     "subset (the pushed bounds would filter shifted "
                     f"timestamps): {stage!r}"
                 )
@@ -1275,6 +1281,161 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"elapsed: unsupported args {sorted(extra)}")
             transform = ("elapsed", unit_s)
+        elif head == "hourSelection":
+            # hourSelection(start:, stop:) — keep rows whose hour of day
+            # (UTC, the store's clock — the reference stores naive UTC
+            # timestamps, SURVEY §1.1) falls in [start, stop] inclusive;
+            # start > stop wraps around midnight (upstream's overnight
+            # form). A row-level filter, so it composes with any
+            # terminal stage and pushes into the scan like filter().
+            a = _args(stage, "hourSelection")
+            if "start" not in a or "stop" not in a:
+                raise FluxError("hourSelection requires start: and stop:")
+            hs = _resolve(a["start"], params)
+            he = _resolve(a["stop"], params)
+            for v in (hs, he):
+                if not isinstance(v, int) or isinstance(v, bool) or not (
+                    0 <= v <= 23
+                ):
+                    raise FluxError(
+                        f"hourSelection start/stop: hour in [0, 23] "
+                        f"required, got {v!r}"
+                    )
+            if "timeColumn" in a and _resolve(a["timeColumn"], params) != "_time":
+                raise FluxError(
+                    'hourSelection ships timeColumn: "_time" only'
+                )
+            extra = set(a) - {"start", "stop", "timeColumn"}
+            if extra:
+                raise FluxError(
+                    f"hourSelection: unsupported args {sorted(extra)}"
+                )
+            h = F.hour("_time")
+            cond = (
+                (h >= hs) & (h <= he) if hs <= he else (h >= hs) | (h <= he)
+            )
+            row_ops.append(("filter", cond))
+        elif head == "truncateTimeColumn":
+            # truncateTimeColumn(unit:) — floor _time to the unit
+            # boundary (epoch-aligned, Flux's truncation). Row-level:
+            # a following aggregate windows the truncated times, the
+            # order Flux applies. Like timeShift, a later range()
+            # would push bounds against REWRITTEN times — refuse.
+            a = _args(stage, "truncateTimeColumn")
+            if "unit" not in a:
+                raise FluxError("truncateTimeColumn requires unit:")
+            unit = _resolve(a["unit"], params)
+            if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                raise FluxError(
+                    f"truncateTimeColumn unit: bad duration {unit!r}"
+                )
+            unit_s = _duration_seconds(unit)
+            if unit_s <= 0:
+                raise FluxError(
+                    f"truncateTimeColumn unit must be > 0: {unit!r}"
+                )
+            extra = set(a) - {"unit"}
+            if extra:
+                raise FluxError(
+                    f"truncateTimeColumn: unsupported args {sorted(extra)}"
+                )
+            row_ops.append(("truncate", unit_s))
+            time_shifted = True
+        elif head == "unique":
+            # unique(column:) — each table's FIRST row (table order:
+            # the compiler's universal (_time, _value) tiebreak) per
+            # distinct value of the column. Compiled as a row_number
+            # window partitioned by (table key, column) — distributed
+            # by value, never a single-partition sort.
+            a = _args(stage, "unique")
+            col = _resolve(a["column"], params) if "column" in a else "_value"
+            if not isinstance(col, str):
+                raise FluxError(f"unique column: expected a string, got {col!r}")
+            extra = set(a) - {"column"}
+            if extra:
+                raise FluxError(f"unique: unsupported args {sorted(extra)}")
+            transform = ("unique", col)
+        elif head == "distinct":
+            # distinct(column:) — the distinct values of the column per
+            # table, returned in _value (upstream drops every other
+            # non-key column). A hash-distinct: map-side combinable.
+            a = _args(stage, "distinct")
+            col = _resolve(a["column"], params) if "column" in a else "_value"
+            if not isinstance(col, str):
+                raise FluxError(
+                    f"distinct column: expected a string, got {col!r}"
+                )
+            extra = set(a) - {"column"}
+            if extra:
+                raise FluxError(f"distinct: unsupported args {sorted(extra)}")
+            transform = ("distinct", col)
+        elif head == "window":
+            # window(every:) NON-aggregated: assign each raw row its
+            # tumbling-window bounds as _start/_stop columns (the
+            # re-keyed Flux tables materialized as columns — this store
+            # carries window identity in columns, SURVEY §1.1). A
+            # narrow map — no shuffle; window |> <agg> is spelled
+            # aggregateWindow in the subset and raises here.
+            a = _args(stage, "window")
+            if "every" not in a:
+                raise FluxError("window requires every:")
+            every = _resolve(a["every"], params)
+            if not (isinstance(every, str) and _DUR_RE.match(every)):
+                raise FluxError(f"window every: bad duration {every!r}")
+            every_w = _duration_seconds(every)
+            if every_w <= 0:
+                raise FluxError(f"window every must be > 0: {every!r}")
+            extra = set(a) - {"every"}
+            if extra:
+                raise FluxError(
+                    f"window: unsupported args {sorted(extra)} (period/"
+                    "offset re-windowing is outside the shipped subset)"
+                )
+            transform = ("window", every_w)
+        elif head == "integral":
+            # integral(unit:) — area under the curve per table by the
+            # trapezoidal rule over subsequent non-null points (the
+            # upstream definition), divided into `unit` spans. One lag
+            # window + one map-side-combinable sum per table.
+            a = _args(stage, "integral")
+            unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+            if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                raise FluxError(f"integral unit: bad duration {unit!r}")
+            unit_s = _duration_seconds(unit)
+            if unit_s <= 0:
+                raise FluxError(f"integral unit must be > 0: {unit!r}")
+            if "interpolate" in a:
+                raise FluxError(
+                    "integral interpolate: (gap interpolation) is outside "
+                    "the shipped subset"
+                )
+            extra = set(a) - {"unit"}
+            if extra:
+                raise FluxError(f"integral: unsupported args {sorted(extra)}")
+            transform = ("integral", unit_s)
+        elif head == "exponentialMovingAverage":
+            # exponentialMovingAverage(n:) — upstream semantics: the
+            # first emitted point (at row n) is the algebraic mean of
+            # the first n values; each later point is
+            # y = (1−k)·y_prev + k·x with k = 2/(n+1); rows before the
+            # nth are dropped. Inherently sequential (each value
+            # depends on the full prefix) — compiled onto the
+            # sanctioned Arrow per-series kernel, like the engine's
+            # EWMA (operators/timeseries.py ewma).
+            a = _args(stage, "exponentialMovingAverage")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(
+                    f"exponentialMovingAverage n: positive int required, "
+                    f"got {n!r}"
+                )
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(
+                    f"exponentialMovingAverage: unsupported args "
+                    f"{sorted(extra)}"
+                )
+            transform = ("ema", n)
         elif head in ("top", "bottom"):
             # Flux top(n:, [columns:]) / bottom: the Data-Explorer
             # per-series extrema buttons — exactly sort(desc/asc) |>
@@ -1613,6 +1774,19 @@ def _compile_pipeline(
                 "_time",
                 F.timestamp_micros(F.unix_micros("_time") + F.lit(c * 1_000_000)),
             )
+        elif kind == "truncate":
+            # epoch-aligned floor in integer µs (F.floor handles the
+            # pre-epoch negative case; store times are post-epoch)
+            unit_us = c * 1_000_000
+            df = df.withColumn(
+                "_time",
+                F.timestamp_micros(
+                    (
+                        F.floor(F.unix_micros("_time") / F.lit(unit_us))
+                        * F.lit(unit_us)
+                    ).cast("long")
+                ),
+            )
         else:
             df = df.withColumn("_value", c)
 
@@ -1667,14 +1841,112 @@ def _compile_pipeline(
             if yield_name:
                 out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
-        if not keys and kind != "pivot":
+        if not keys and kind not in ("pivot", "distinct", "window", "unique"):
             # a per-point window transform over the merged-one-table key
             # is a single-partition window over raw rows — a scale trap,
-            # not a plan; raise rather than compile it
+            # not a plan; raise rather than compile it. distinct/window
+            # stay distributed key-less (hash-distinct / narrow map),
+            # and unique partitions by the deduped VALUE.
             raise FluxError(
                 f"group() (merge all series) before {kind} is outside the "
                 "subset: the per-point transform would run in one partition"
             )
+        if kind == "unique":
+            # first row per (table, value): row_number over a window
+            # partitioned by the VALUE too — distributed by value even
+            # in the key-less group() form, never one partition
+            col = transform[1]
+            if col not in df.columns:
+                raise FluxError(
+                    f"unique: unknown column {col!r}; frame has {df.columns}"
+                )
+            wu = Window.partitionBy(*keys, col).orderBy("_time", "_value")
+            out = (
+                df.withColumn("__rn", F.row_number().over(wu))
+                .filter(F.col("__rn") == 1)
+                .select(*keys, "_time", "_value")
+            )
+            return _finish(out)
+        if kind == "distinct":
+            # hash-distinct: partial (map-side) dedup, one exchange on
+            # (keys, value); output is keys + _value per upstream
+            col = transform[1]
+            if col not in df.columns:
+                raise FluxError(
+                    f"distinct: unknown column {col!r}; frame has "
+                    f"{df.columns}"
+                )
+            out = df.select(*keys, F.col(col).alias("_value")).distinct()
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
+            return _finish(out)
+        if kind == "window":
+            # narrow map: epoch-aligned tumbling bounds as columns
+            every_us = transform[1] * 1_000_000
+            start_us = (
+                F.floor(F.unix_micros("_time") / F.lit(every_us))
+                * F.lit(every_us)
+            ).cast("long")
+            out = df.select(
+                *keys,
+                F.timestamp_micros(start_us).alias("_start"),
+                F.timestamp_micros(start_us + F.lit(every_us)).alias("_stop"),
+                "_time",
+                "_value",
+            )
+            return _finish(out)
+        if kind == "integral":
+            # trapezoid area per table: Σ (vᵢ + vᵢ₋₁)·Δtᵢ over exact
+            # decimals (associative → deterministic across partition
+            # orders), ONE double division at the end. Lag window per
+            # table + map-side-combinable sum; single-point tables
+            # yield NULL (no segment), matching the SQL SUM-of-empty.
+            unit_s = transform[1]
+            src = df.filter(F.col("_value").isNotNull())
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            y = _dec("_value")
+            seg = (y + F.lag(y).over(w)) * (
+                F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w)
+            ).cast("decimal(18,0)")
+            out = (
+                src.select(*keys, seg.alias("__seg"))
+                .groupBy(*keys)
+                .agg(F.sum("__seg").alias("__a"), F.count(F.lit(1)).alias("n"))
+                .select(
+                    *keys,
+                    (
+                        F.col("__a").cast("double")
+                        / F.lit(2.0 * unit_s * 1_000_000.0)
+                    ).alias(yield_name or "integral"),
+                    "n",
+                )
+            )
+            return _finish(out)
+        if kind == "ema":
+            from .operators.timeseries import flux_ema
+
+            series = flux_ema(
+                df.filter(F.col("_value").isNotNull()),
+                "_time",
+                "_value",
+                keys,
+                transform[1],
+            )
+            if take_last:
+                # the fold's true final element: max_by(__seq), not
+                # max_by((_time, _value)) — on a tied final timestamp
+                # the greatest EMA value need not be the last one
+                out = series.groupBy(*keys).agg(
+                    F.max_by("_time", "__seq").alias("last_ts"),
+                    F.max_by("_value", "__seq").alias("last_value"),
+                )
+                if yield_name:
+                    out = out.withColumnRenamed("last_value", yield_name)
+                return _finish(out)
+            series = series.drop("__seq")
+            if yield_name:
+                series = series.withColumnRenamed("_value", yield_name)
+            return _finish(series)
         if kind == "derivative":
             from .operators.timeseries import rate
 

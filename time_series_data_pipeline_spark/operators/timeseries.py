@@ -377,6 +377,67 @@ def ewma(
     return narrowed.groupBy(*keys).applyInPandas(_ewm, schema=out_schema)
 
 
+def flux_ema(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n: int,
+) -> DataFrame:
+    """Flux ``exponentialMovingAverage(n:)`` semantics: the first
+    emitted point (at row n of each series, (ts, value) order) is the
+    algebraic mean of the first n values; every later point is
+    y = (1−k)·y_prev + k·x with k = 2/(n+1); the first n−1 rows are
+    dropped and series shorter than n emit nothing.
+
+    Sequential recurrence → the same sanctioned Arrow escape hatch as
+    ``ewma`` above (one shuffle on the series key, one pass per
+    series), but with an explicit left-fold loop instead of
+    ``pandas.ewm``: the seed mean is a left-to-right double sum ÷ n and
+    each step evaluates exactly ``(1.0 − k)·acc + k·x`` — the same
+    expression order DuckDB's ``list_reduce`` replay uses, so every
+    output value is bit-identical to the SQL oracle (pandas' ewm
+    divides by (old_wt + new_wt), which need not be exactly 1.0).
+
+    ``__seq`` is the per-series sequence number in table order: a
+    downstream last() selects max_by(__seq) — the fold's true final
+    element, which a (ts, value) max_by could miss on a tied final
+    timestamp.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cols = [*keys, ts_col]
+    narrowed = df.select(*cols, F.col(value_col).cast("double").alias(value_col))
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols]
+        + [StructField(value_col, DoubleType()), StructField("__seq", LongType())]
+    )
+    k = 2.0 / (n + 1.0)
+    omk = 1.0 - k
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        if len(xs) < n:
+            return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
+        acc = xs[0]
+        for x in xs[1:n]:
+            acc = acc + x
+        acc = acc / n
+        out = [acc]
+        for x in xs[n:]:
+            acc = omk * acc + k * x
+            out.append(acc)
+        kept = pdf.iloc[n - 1 :].copy()
+        kept[value_col] = out
+        kept["__seq"] = range(len(out))
+        return kept
+
+    return narrowed.groupBy(*keys).applyInPandas(_ema, schema=out_schema)
+
+
 def last_value_per_group(
     df: DataFrame, ts_col: str, value_col: str, keys: list[str]
 ) -> DataFrame:
