@@ -129,12 +129,16 @@ def test_no_row_python_anywhere(spark, name):
     # per-pair dots are the textbook Arrow-boundary case (~10x; kernel
     # equality vs the pure-SQL form is pinned in
     # test_extensions_selfcheck)
+    # ... and the Flux exponentialMovingAverage recurrence — the same
+    # inherently-sequential class as EWMA, Arrow-batched per series
+    # (operators/timeseries.py flux_ema)
     if not name.startswith("multimodal_") and name not in (
         "heavy_hitter_tokens",
         "heavy_hitter_verify",
         "bpe_encode_stats",
         "embedding_neardup_pairs",
         "embedding_lsh_ann",
+        "flux_compiled_ema",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
@@ -224,6 +228,19 @@ import pytest as _pytest
         ("flux_compiled_elapsed", 1),
         ("flux_compiled_histogram", 1),
         ("flux_compiled_top", 1),
+        # round 10b: hourSelection/truncateTimeColumn are narrow maps
+        # ahead of the windowed agg's one exchange
+        ("flux_compiled_hour_truncate", 1),
+        # hash-distinct: partial dedup + one exchange on (key, value)
+        ("flux_compiled_distinct", 1),
+        # row_number over ONE (key, value) partitioning
+        ("flux_compiled_unique", 1),
+        # non-aggregated window(): a narrow epoch-floor map — ZERO
+        ("flux_compiled_window_raw", 0),
+        # lag window + map-side-combined sum over ONE partitioning
+        ("flux_compiled_integral", 1),
+        # Arrow kernel's series-key shuffle + the last() agg reuses it
+        ("flux_compiled_ema", 2),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -52,15 +52,20 @@ def test_checked_window_is_first_50():
 def test_new_and_changed_queries_lead_the_window():
     # round-10 policy: queries that are new or whose implementation /
     # oracle changed this round go first so a driver cap tighter than
-    # 50 still reaches them — five new compiled queries (stddev /
-    # spread / quantile get driver rows, timeShift / elapsed are new
-    # stages), and the shared null-policy change re-attests the three
-    # registered bare/windowed-aggregate + last() paths
-    assert set(_CHECKED_WINDOW[:11]) == {
+    # 50 still reaches them — eleven new compiled queries (stddev /
+    # spread / quantile get driver rows; timeShift / elapsed /
+    # hourSelection+truncateTimeColumn / distinct / unique / window /
+    # integral / exponentialMovingAverage are new stages), and the
+    # shared null-policy change re-attests the three registered
+    # bare/windowed-aggregate + last() paths
+    assert set(_CHECKED_WINDOW[:17]) == {
         "flux_compiled_quantile", "flux_compiled_stddev",
         "flux_compiled_spread", "flux_compiled_timeshift",
         "flux_compiled_elapsed", "flux_compiled_join_overlay",
         "flux_compiled_top", "flux_compiled_histogram",
+        "flux_compiled_hour_truncate", "flux_compiled_distinct",
+        "flux_compiled_unique", "flux_compiled_window_raw",
+        "flux_compiled_integral", "flux_compiled_ema",
         "flux_compiled_mean", "flux_compiled_group_merge",
         "flux_compiled_gauge",
     }

@@ -106,33 +106,44 @@ _CHECKED_WINDOW = [
     "flux_compiled_join_overlay",
     "flux_compiled_top",
     "flux_compiled_histogram",
+    # six MORE new flux stages landed later in round 10 (hourSelection/
+    # truncateTimeColumn, distinct, unique, non-aggregated window,
+    # integral, exponentialMovingAverage) — new queries lead, so six
+    # rotation slots below moved to the next-round head
+    "flux_compiled_hour_truncate",
+    "flux_compiled_distinct",
+    "flux_compiled_unique",
+    "flux_compiled_window_raw",
+    "flux_compiled_integral",
+    "flux_compiled_ema",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
     # --- rotation (VERDICT r9 item 2, two rounds overdue), oldest-
-    # green first: 30 of the 36 r7-green singletons whose own rows are
+    # green first: 24 of the 36 r7-green singletons whose own rows are
     # now two rounds old. Left out (slots exhausted): pack_sequences
     # (arm-attested by the in-window suite_round5, which embeds its
     # oracle verbatim), the two multimodal queries (deterministic
     # codec stubs, code untouched since r7 — lowest real-user risk),
-    # winnow_fingerprints, weighted_sample_docs and vocab_coverage
-    # (r7 rows, in-row ops, untouched; sampling/text stay represented
-    # by sampling_splits/top_ngrams); all six lead the next
-    # rotation. ---
+    # winnow_fingerprints, weighted_sample_docs and vocab_coverage,
+    # plus — displaced by the six later-landed flux rows above, each
+    # family still in-window via a sibling or suite arm —
+    # bpe_token_stats (bpe_encode_stats stays), embedding_quantized_topk
+    # and embedding_neardup_pairs (topk/ivf/dedup_clusters stay; PQ via
+    # suite_round5), doc_repetition (doc_profile/doc_chunks stay),
+    # similar_part_names (ngram_jaccard_pairs stays), top_ngrams
+    # (trigram_familiarity is a suite_round5 arm); all twelve lead the
+    # next rotation. ---
     "asof_nearest_click",
     "bm25_search",
     "bpe_encode_stats",
-    "bpe_token_stats",
     "contamination_overlap",
     "dedup_clusters",
     "dedup_exact",
     "doc_chunks",
     "doc_profile",
-    "doc_repetition",
     "embedding_dedup_clusters",
     "embedding_ivf_topk",
-    "embedding_neardup_pairs",
-    "embedding_quantized_topk",
     "embedding_topk",
     "ewma_final",
     "heavy_hitter_verify",
@@ -146,8 +157,6 @@ _CHECKED_WINDOW = [
     "scrub_pii",
     "session_windows_5m",
     "simhash_verify",
-    "similar_part_names",
-    "top_ngrams",
     "unpivot_lineitem",
     # --- always-checked core: flagships + suites (9) ---
     "window_5m_mean",

@@ -1593,6 +1593,247 @@ def flux_compiled_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_hour_truncate",
+    # hourSelection(9–17) + truncateTimeColumn(1h) feeding a 30m
+    # aggregateWindow: every truncated row lands exactly on an hour
+    # boundary, so only :00 buckets appear — the hash pins BOTH new
+    # row-level stages (dropping truncation would re-populate :30
+    # buckets; dropping the hour filter would change every count).
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS mean,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      AND hour(ts) BETWEEN 9 AND 17
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_hour_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hourSelection()` + `truncateTimeColumn()` through the Flux
+    front-end — the business-hours dashboard filter and the timestamp
+    normalizer, both row-level stages applied BEFORE windowing (Flux
+    order). Narrow maps on the pruned scan: no extra exchange."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> hourSelection(start: 9, stop: 17)
+          |> truncateTimeColumn(unit: 1h)
+          |> aggregateWindow(every: 30m, fn: mean, createEmpty: false)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_distinct",
+    # Flux distinct() — the Data-Explorer's value-enumeration stage:
+    # per-table distinct _value, keys + _value only. Hash-distinct:
+    # map-side partial dedup, one exchange on (table key, value).
+    oracle="""
+    SELECT DISTINCT 'events' AS _measurement, event_type AS _field,
+           value AS _value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def flux_compiled_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`distinct()` through the Flux front-end."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> distinct()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_unique",
+    # Flux unique() — first row (table order: the compiler's universal
+    # (ts, value) tiebreak) per distinct value per table. Compiled as
+    # row_number over a window partitioned by (table key, VALUE) —
+    # distributed by value, never a single-partition sort.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value
+    FROM events WHERE event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY event_type, value
+                               ORDER BY ts, value) = 1
+    """,
+)
+def flux_compiled_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unique()` through the Flux front-end."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> unique()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_window_raw",
+    # NON-aggregated window(every: 6h): each raw row keeps its
+    # tumbling (_start, _stop] bounds as columns — the re-keyed Flux
+    # tables materialized columnar. A narrow epoch-floor map: zero
+    # shuffle (plan-pinned in tests/test_plans.py).
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           make_timestamp((epoch_us(ts)//21600000000)*21600000000)
+             AS _start,
+           make_timestamp((epoch_us(ts)//21600000000)*21600000000
+                          + 21600000000) AS _stop,
+           ts AS _time, value AS _value
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+    """,
+)
+def flux_compiled_window_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-aggregated `window()` through the Flux front-end — the raw
+    stage Flux users reach for before custom per-window logic."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-11T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> window(every: 6h)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_integral",
+    # Flux integral(unit: 1m) — trapezoid area under each series:
+    # Σ (vᵢ + vᵢ₋₁)·Δtᵢ over EXACT decimals (associative sum →
+    # deterministic across partition orders), ONE double division at
+    # the end: both engines round identically. 120000000.0 =
+    # 2 · 60 s · 1e6 µs.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, value,
+             lag(CAST(value AS DECIMAL(18,2))) OVER w AS pv,
+             lag(epoch_us(ts)) OVER w AS pt
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    )
+    SELECT 'events' AS _measurement, event_type AS _field,
+           CAST(SUM((CAST(value AS DECIMAL(18,2)) + pv)
+                    * CAST(epoch_us(ts) - pt AS DECIMAL(18,0)))
+                AS DOUBLE) / 120000000.0 AS integral,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def flux_compiled_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`integral()` through the Flux front-end — the area-under-curve
+    stat panel (energy from power, volume from flow). One lag window +
+    one map-side-combinable sum per table."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> integral(unit: 1m)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_ema",
+    # Flux exponentialMovingAverage(n: 10) |> last() — the smoothed
+    # stat panel. Upstream semantics: seed = mean of the first n
+    # values, then y = (1−k)·y + k·x with k = 2/(n+1), first n−1 rows
+    # dropped. The engine's Arrow kernel evaluates the EXACT expression
+    # order DuckDB's list_reduce replays here (left-fold sum ÷ n, then
+    # (1.0 − 2.0/11.0)·a + (2.0/11.0)·x), so the full ~2k-step fold is
+    # bit-identical — no rounding needed. last() selects the fold's
+    # true final element via max_by(__seq), not max_by((ts, value)).
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, value) AS rn
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, max(ts) AS last_ts, count(*) AS cnt,
+             list(value ORDER BY rn) AS vs
+      FROM ranked GROUP BY 1
+    )
+    SELECT 'events' AS _measurement, event_type AS _field, last_ts,
+           list_reduce(
+             list_prepend(
+               list_reduce(list_slice(vs, 1, 10), (a, x) -> a + x) / 10,
+               list_slice(vs, 11, length(vs))),
+             (a, x) -> (1.0 - 2.0/11.0) * a + (2.0/11.0) * x
+           ) AS last_value
+    FROM agg WHERE cnt >= 10
+    """,
+)
+def flux_compiled_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`exponentialMovingAverage()` through the Flux front-end: the
+    sequential recurrence runs in the sanctioned Arrow per-series
+    kernel (operators/timeseries.py flux_ema — same escape-hatch class
+    as ewma/LTTB/Holt), one shuffle on the series key; the per-row
+    form is value-pinned in tests/test_flux.py, this registered form
+    driver-attests the fold end-to-end via last()."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> exponentialMovingAverage(n: 10)
+          |> last()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
