@@ -559,9 +559,9 @@ def test_state_duration_stage_flux_convention(spark, store):
     "bad,msg",
     [
         ('from(bucket: "b") |> last(column: "tags")', "no arguments"),
-        ('from(bucket: "b") |> derivative(nonNegative: false)', "nonNegative"),
-        ('from(bucket: "b") |> derivative(unit: 5s, nonNegative: true)',
-         "unit"),
+        ('from(bucket: "b") |> derivative(nonNegative: 1)', "boolean"),
+        ('from(bucket: "b") |> derivative(unit: 5)', "bad duration"),
+        ('from(bucket: "b") |> derivative(unit: 0s)', "must be > 0"),
         ('from(bucket: "b") |> derivative(nonNegative: true, foo: 1)',
          "unsupported args"),
         ('from(bucket: "b") |> timedMovingAverage(every: 5m, period: 1h)',
@@ -2543,3 +2543,41 @@ def test_exponential_moving_average(spark, store):
             'from(bucket: "b") |> group() |> exponentialMovingAverage(n: 5)',
             {"b": store},
         )
+
+
+def test_derivative_signed_and_units(spark, store):
+    """The general derivative form (VERDICT subset gap): signed by
+    default (Flux's actual default), any positive unit — replayed
+    value-by-value; the counter form at a non-1s unit scales the
+    reset-aware delta identically."""
+    src = sorted(
+        (r["_time"], r["_value"])
+        for r in bkt.scan_bucket(spark, store, field="click").collect()
+        if r["_value"] is not None
+    )
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> derivative(unit: 1m)",
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "_time", "_value", "derivative"]
+    rows = {r["_time"]: r["derivative"] for r in got.collect()}
+    assert len(rows) == len(src) - 1  # first row dropped
+    for (t0, v0), (t1, v1) in zip(src, src[1:]):
+        us = round((t1 - t0).total_seconds() * 1e6)
+        want = (v1 - v0) / (us / 60_000_000.0)
+        assert rows[t1] == want, t1
+
+    # counter form, non-1s unit: reset-aware delta, scaled
+    got_nn = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> derivative(unit: 1m, nonNegative: true) |> yield(name: "rpm")',
+        {"b": store},
+    )
+    rows_nn = {r["_time"]: r["rpm"] for r in got_nn.collect()}
+    for (t0, v0), (t1, v1) in zip(src, src[1:]):
+        us = round((t1 - t0).total_seconds() * 1e6)
+        d = v1 - v0 if v1 >= v0 else v1
+        assert rows_nn[t1] == d / (us / 60_000_000.0), t1

@@ -241,6 +241,8 @@ import pytest as _pytest
         ("flux_compiled_integral", 1),
         # Arrow kernel's series-key shuffle + the last() agg reuses it
         ("flux_compiled_ema", 2),
+        # lag pair over ONE series-key partitioning
+        ("flux_compiled_derivative_signed", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -1053,23 +1053,27 @@ def _compile_pipeline(
                 )
             take_last = True
         elif head == "derivative":
+            # derivative([unit:], [nonNegative:]) — upstream: per pair,
+            # Δv ÷ (Δt/unit); nonNegative: true is the counter form (a
+            # decrease assumes the previous value should have been 0,
+            # i.e. delta = current value — the `rate` reset rule);
+            # nonNegative: false (the default) keeps signed rates.
             a = _args(stage, "derivative")
             unit = _resolve(a["unit"], params) if "unit" in a else "1s"
-            if not (isinstance(unit, str) and _duration_seconds(unit) == 1):
-                raise FluxError(
-                    f"derivative unit {unit!r} outside the subset (ships 1s)"
-                )
+            if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                raise FluxError(f"derivative unit: bad duration {unit!r}")
+            unit_s = _duration_seconds(unit)
+            if unit_s <= 0:
+                raise FluxError(f"derivative unit must be > 0: {unit!r}")
             nn = _resolve(a["nonNegative"], params) if "nonNegative" in a else False
-            if nn is not True:
-                # nonNegative: true is the counter form `rate` implements;
-                # the signed form would need different reset semantics
+            if not isinstance(nn, bool):
                 raise FluxError(
-                    "derivative ships nonNegative: true only (counter rate)"
+                    f"derivative nonNegative: expected a boolean, got {nn!r}"
                 )
             extra = set(a) - {"unit", "nonNegative"}
             if extra:
                 raise FluxError(f"derivative: unsupported args {sorted(extra)}")
-            transform = ("derivative",)
+            transform = ("derivative", unit_s, nn)
         elif head == "timedMovingAverage":
             a = _args(stage, "timedMovingAverage")
             if "every" in a:
@@ -1948,17 +1952,45 @@ def _compile_pipeline(
                 series = series.withColumnRenamed("_value", yield_name)
             return _finish(series)
         if kind == "derivative":
-            from .operators.timeseries import rate
+            unit_s, nonneg = transform[1], transform[2]
+            if nonneg and unit_s == 1:
+                from .operators.timeseries import rate
 
-            # Flux derivative drops each table's FIRST row (no
-            # predecessor → no rate); the filter also removes the
-            # degenerate zero-Δt duplicate-timestamp pairs a real
-            # InfluxDB series cannot contain (round 8, ADVICE r7)
-            out = rate(df, "_time", "_value", keys).filter(
-                F.col("rate_per_s").isNotNull()
+                # the counter form at 1s — the engine's `rate` operator
+                # verbatim (byte-stable with the r7-attested plan).
+                # Flux derivative drops each table's FIRST row (no
+                # predecessor → no rate); the filter also removes the
+                # degenerate zero-Δt duplicate-timestamp pairs a real
+                # InfluxDB series cannot contain (round 8, ADVICE r7)
+                out = rate(df, "_time", "_value", keys).filter(
+                    F.col("rate_per_s").isNotNull()
+                )
+                if yield_name:
+                    out = out.withColumnRenamed("rate_per_s", yield_name)
+                return _finish(out)
+            # general form: Δv ÷ (Δt/unit) per pair — signed by
+            # default, reset-aware when nonNegative. Shared null
+            # policy; try_divide nulls the zero-Δt duplicate pairs and
+            # the lag nulls the first row — both filtered, like the
+            # counter form. Same single series-key window shuffle.
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            src = df.filter(F.col("_value").isNotNull())
+            prev_v = F.lag("_value").over(w)
+            delta = (
+                F.when(F.col("_value") >= prev_v, F.col("_value") - prev_v)
+                .otherwise(F.col("_value"))
+                if nonneg
+                else F.col("_value") - prev_v
             )
-            if yield_name:
-                out = out.withColumnRenamed("rate_per_s", yield_name)
+            denom = (
+                F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w)
+            ) / F.lit(unit_s * 1_000_000.0)
+            out = src.select(
+                *keys,
+                "_time",
+                "_value",
+                F.try_divide(delta, denom).alias(yield_name or "derivative"),
+            ).filter(F.col(yield_name or "derivative").isNotNull())
             return _finish(out)
         if kind == "tma":
             # mirror the attested trailing_1h_mean form: TIME-distance

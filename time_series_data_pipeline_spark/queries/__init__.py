@@ -116,6 +116,11 @@ _CHECKED_WINDOW = [
     "flux_compiled_window_raw",
     "flux_compiled_integral",
     "flux_compiled_ema",
+    # + the generalized derivative (signed default / any unit — the
+    # last documented derivative subset gap); label_centroids rotates
+    # out to make the slot (label family stays in-window via the
+    # suite_round5 label_outliers arm)
+    "flux_compiled_derivative_signed",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
@@ -147,7 +152,6 @@ _CHECKED_WINDOW = [
     "embedding_topk",
     "ewma_final",
     "heavy_hitter_verify",
-    "label_centroids",
     "last_value_per_type",
     "minhash_lsh_verify",
     "ngram_jaccard_pairs",

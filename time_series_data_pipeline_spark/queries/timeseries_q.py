@@ -1834,6 +1834,50 @@ def flux_compiled_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_derivative_signed",
+    # derivative(unit: 1m) — Flux's ACTUAL default form (signed,
+    # nonNegative: false), previously a documented subset gap: per
+    # pair Δv ÷ (Δt/unit), first row dropped. Every op is the same
+    # IEEE tree in both engines (double sub; long Δµs cast-divided by
+    # the unit literal; one final division) — bit-identical, no
+    # rounding. NULLIF ≡ try_divide on the degenerate zero-Δt pair.
+    oracle="""
+    SELECT * FROM (
+      SELECT 'events' AS _measurement, event_type AS _field,
+             ts AS _time, value AS _value,
+             (value - lag(value) OVER w) /
+             NULLIF((epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                    / 60000000.0, 0) AS derivative
+      FROM events
+      WHERE event_type = 'error'
+        AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ) WHERE derivative IS NOT NULL
+    """,
+)
+def flux_compiled_derivative_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed `derivative(unit: 1m)` through the Flux front-end — the
+    trend panel (rate of change per minute, negative on falls). Same
+    single series-key window shuffle as the counter form."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> derivative(unit: 1m)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
