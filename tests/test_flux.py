@@ -2581,3 +2581,69 @@ def test_derivative_signed_and_units(spark, store):
         us = round((t1 - t0).total_seconds() * 1e6)
         d = v1 - v0 if v1 >= v0 else v1
         assert rows_nn[t1] == d / (us / 60_000_000.0), t1
+
+
+def test_pearsonr_combiner(spark, store):
+    """pearsonr(x:, y:, on:) — upstream cov(pearsonr: true): align two
+    pipelines on the time key, one Pearson correlation per series
+    pair, keyed by the suffixed table keys."""
+    import statistics
+
+    script = """
+a = from(bucket: "b")
+  |> filter(fn: (r) => r["_field"] == "click")
+  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+b = from(bucket: "b")
+  |> filter(fn: (r) => r["_field"] == "view")
+  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+pearsonr(x: a, y: b, on: ["window_start"])
+"""
+    got = flux.compile_flux(spark, script, {"b": store}).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["_field_x"], row["_field_y"]) == ("click", "view")
+
+    # replay: hourly means per side, correlate the intersection
+    def hourly(field):
+        vals = {}
+        for r in bkt.scan_bucket(spark, store, field=field).collect():
+            if r["_value"] is not None:
+                b = r["_time"].replace(minute=0, second=0, microsecond=0)
+                vals.setdefault(b, []).append(r["_value"])
+        return {k: sum(v) / len(v) for k, v in vals.items()}
+
+    ca, cb = hourly("click"), hourly("view")
+    common = sorted(set(ca) & set(cb))
+    want = statistics.correlation([ca[t] for t in common], [cb[t] for t in common])
+    assert abs(row["_value"] - want) < 1e-9
+
+    # self-correlation is exactly 1
+    self_script = """
+a = from(bucket: "b")
+  |> filter(fn: (r) => r["_field"] == "click")
+b = from(bucket: "b")
+  |> filter(fn: (r) => r["_field"] == "click")
+pearsonr(x: a, y: b, on: ["_time"])
+"""
+    srow = flux.compile_flux(spark, self_script, {"b": store}).collect()[0]
+    assert srow["_value"] == 1.0
+
+
+@pytest.mark.parametrize(
+    "final,msg",
+    [
+        ("pearsonr(x: a, y: b)", "requires x"),
+        ('pearsonr(x: a, y: b, on: ["_field"])', "alignment keys"),
+        ('pearsonr(x: a, y: nope, on: ["_time"])', "unknown pipeline"),
+        ('pearsonr(x: a, y: b, on: ["_time"], method: "spearman")',
+         "unsupported args"),
+    ],
+)
+def test_pearsonr_rejections(spark, store, final, msg):
+    script = (
+        'a = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")\n'
+        'b = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "view")\n'
+        + final
+    )
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, script, {"b": store})

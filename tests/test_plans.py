@@ -243,6 +243,9 @@ import pytest as _pytest
         ("flux_compiled_ema", 2),
         # lag pair over ONE series-key partitioning
         ("flux_compiled_derivative_signed", 1),
+        # two windowed aggs + the alignment join (one side broadcast
+        # at this scale) + a partial'd pair-key corr
+        ("flux_compiled_pearsonr", 3),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -850,8 +850,9 @@ def compile_flux(
             final = text
     if final is None:
         raise FluxError(
-            "multi-statement Flux needs a final join()/union() result "
-            "expression (a dangling assignment yields nothing)"
+            "multi-statement Flux needs a final join()/union()/"
+            "pearsonr() result expression (a dangling assignment "
+            "yields nothing)"
         )
     return _compile_combiner(spark, final, env, params)
 
@@ -2454,9 +2455,86 @@ def _compile_combiner(
         out = frames[0]
         for fr_ in frames[1:]:
             out = out.unionByName(fr_)
+    elif head == "pearsonr":
+        # pearsonr(x:, y:, on: ["_time" | "window_start"]) — upstream's
+        # cov(..., pearsonr: true): align the two pipelines on the time
+        # key, then one Pearson correlation per (x-series, y-series)
+        # pair, keyed by the suffixed logical table keys. Value column
+        # per input: "_value" if present, else the single numeric
+        # non-key column (an aggregateWindow/yield frame) — ambiguity
+        # raises. Scale: the join exchanges both (window-aggregated or
+        # raw) frames on the time key; the correlation is a
+        # map-side-combinable moment aggregate per pair key.
+        a = _args(stages[0], "pearsonr")
+        if "x" not in a or "y" not in a or "on" not in a:
+            raise FluxError(
+                "pearsonr requires x: <pipeline>, y: <pipeline> and "
+                "on: [time column]"
+            )
+        extra = set(a) - {"x", "y", "on"}
+        if extra:
+            raise FluxError(f"pearsonr: unsupported args {sorted(extra)}")
+        on = _str_list(a["on"], "pearsonr on")
+        if on not in (["_time"], ["window_start"]):
+            raise FluxError(
+                'pearsonr ships on: ["_time"] or ["window_start"] '
+                f"(the series alignment keys); got {on!r}"
+            )
+
+        def _narrow(label: str) -> tuple[DataFrame, list[str]]:
+            ref = a[label].strip()
+            if ref not in env:
+                raise FluxError(
+                    f"pearsonr references unknown pipeline {ref!r} "
+                    f"(defined: {sorted(env)})"
+                )
+            d = env[ref]
+            if on[0] not in d.columns:
+                raise FluxError(
+                    f"pearsonr on column {on[0]!r} missing from "
+                    f"{label}: {ref!r} (frame has {d.columns})"
+                )
+            keys_l = [c for c in ("_measurement", "_field") if c in d.columns]
+            vcands = (
+                ["_value"]
+                if "_value" in d.columns
+                else [
+                    c
+                    for c, t in d.dtypes
+                    if c not in (*keys_l, *on, "n", "tags", "_date")
+                    and t in ("double", "float", "bigint", "int")
+                ]
+            )
+            if len(vcands) != 1:
+                raise FluxError(
+                    f"pearsonr: cannot identify ONE value column in "
+                    f"{label}: {ref!r} (candidates {vcands}; frame has "
+                    f"{d.columns})"
+                )
+            out_keys = [f"{c}_{label}" for c in keys_l]
+            return (
+                d.select(
+                    *[
+                        F.col(c).alias(f"{c}_{label}")
+                        for c in keys_l
+                    ],
+                    *on,
+                    F.col(vcands[0]).alias(f"__v_{label}"),
+                ),
+                out_keys,
+            )
+
+        dx, kx = _narrow("x")
+        dy, ky = _narrow("y")
+        out = (
+            dx.join(dy, on=on, how="inner")
+            .groupBy(*kx, *ky)
+            .agg(F.corr("__v_x", "__v_y").alias("_value"))
+        )
     else:
         raise FluxError(
-            f"multi-statement result must be join() or union(); got {head!r}"
+            "multi-statement result must be join(), union() or "
+            f"pearsonr(); got {head!r}"
         )
     for stage in stages[1:]:
         shead = stage.split("(", 1)[0].strip()

@@ -121,6 +121,10 @@ _CHECKED_WINDOW = [
     # out to make the slot (label family stays in-window via the
     # suite_round5 label_outliers arm)
     "flux_compiled_derivative_signed",
+    # + the pearsonr() combiner (cross-series correlation);
+    # profile_columns rotates out (DQ family stays in-window via the
+    # suite_round5 dq_lineitem arm)
+    "flux_compiled_pearsonr",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
@@ -156,7 +160,6 @@ _CHECKED_WINDOW = [
     "minhash_lsh_verify",
     "ngram_jaccard_pairs",
     "pack_sequences_sharded",
-    "profile_columns",
     "sampling_splits",
     "scrub_pii",
     "session_windows_5m",

@@ -1878,6 +1878,67 @@ def flux_compiled_derivative_signed(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "flux_compiled_pearsonr",
+    # pearsonr(x:, y:, on: ["window_start"]) — upstream's
+    # cov(pearsonr: true): two aggregateWindow pipelines aligned on
+    # the window key, ONE sample Pearson correlation per series pair.
+    # Means are exact decimals (deterministic); the corr itself is a
+    # moment aggregate whose accumulation order differs between
+    # engines, so 9-dp rounding both sides (the rolling_stats policy —
+    # drift is ~1e-13 relative on ~300 windows, far inside 9 dp).
+    oracle="""
+    WITH a AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS w,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS m
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+    ), b AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS w,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS m
+      FROM events
+      WHERE event_type = 'view'
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+    )
+    SELECT 'events' AS _measurement_x, 'click' AS _field_x,
+           'events' AS _measurement_y, 'view' AS _field_y,
+           round(corr(a.m, b.m), 9) AS _value
+    FROM a JOIN b ON a.w = b.w
+    """,
+)
+def flux_compiled_pearsonr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pearsonr()` through the Flux front-end — the cross-series
+    correlation panel (does click volume track view volume?). The join
+    exchanges two bucket-spine-sized aggregated frames on the window
+    key; the correlation is a map-side-combinable moment aggregate."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    out = compile_flux(
+        spark,
+        """
+        a = from(bucket: "gas-quality")
+          |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        b = from(bucket: "gas-quality")
+          |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        pearsonr(x: a, y: b, on: ["window_start"])
+        """,
+        {"gas-quality": path},
+    )
+    return out.withColumn("_value", F.round("_value", 9))
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
