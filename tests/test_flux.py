@@ -2647,3 +2647,54 @@ def test_pearsonr_rejections(spark, store, final, msg):
     )
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, script, {"b": store})
+
+
+def test_formatting_invariance(spark, store):
+    """Every legal layout of the same script — leading pipes, trailing
+    pipes, one-liner, // comments, blank lines, arg whitespace — must
+    compile to the SAME plan (sameSemantics), not merely similar
+    results."""
+    canonical = (
+        'from(bucket: "b")\n'
+        '  |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")\n'
+        '  |> filter(fn: (r) => r["_measurement"] == "events")\n'
+        '  |> filter(fn: (r) => r["_field"] == "click")\n'
+        "  |> aggregateWindow(every: 5m, fn: mean, createEmpty: false)\n"
+        '  |> yield(name: "mean")'
+    )
+    variants = [
+        # trailing pipes
+        canonical.replace("\n  |> ", " |>\n  "),
+        # one-liner
+        " ".join(line.strip() for line in canonical.splitlines()),
+        # comments and blank lines interleaved
+        "// panel query\n"
+        + "\n\n".join(
+            line + "  // stage" for line in canonical.splitlines()
+        ),
+        # loose arg whitespace
+        canonical.replace(": ", ":  ").replace(", ", " ,  "),
+    ]
+    base = flux.compile_flux(spark, canonical, {"b": store})
+    for i, v in enumerate(variants):
+        got = flux.compile_flux(spark, v, {"b": store})
+        assert got.sameSemantics(base), f"variant {i} diverged:\n{v}"
+
+
+def test_multi_statement_formatting_invariance(spark, store):
+    """The statement splitter must be layout-stable too: the overlay
+    script in leading-pipe and trailing-pipe forms compiles to the
+    same plan."""
+    leading = (
+        'a = from(bucket: "b")\n'
+        '  |> filter(fn: (r) => r["_field"] == "click")\n'
+        "  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)\n"
+        'b = from(bucket: "b")\n'
+        '  |> filter(fn: (r) => r["_field"] == "view")\n'
+        "  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)\n"
+        'join(tables: {a: a, b: b}, on: ["window_start"])'
+    )
+    trailing = leading.replace("\n  |> ", " |>\n  ")
+    da = flux.compile_flux(spark, leading, {"b": store})
+    db = flux.compile_flux(spark, trailing, {"b": store})
+    assert db.sameSemantics(da)
