@@ -35,6 +35,11 @@ HEADLINE = (
     # bit-identical); the overlay join is the multi-statement shape
     "flux_compiled_mean",
     "flux_compiled_join_overlay",
+    # round 10b: the two new compiled shapes with nontrivial physical
+    # plans — the Arrow per-series EMA kernel (the sequential-recurrence
+    # escape hatch under measurement) and the pearsonr alignment join
+    "flux_compiled_ema",
+    "flux_compiled_pearsonr",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",

@@ -1752,7 +1752,7 @@ def test_timeshift_tail_shifts_output_frame(spark, store):
         (
             'from(bucket: "b") |> timeShift(duration: -7d) '
             '|> range(start: "2024-01-03 00:00:00")',
-            "range.*after timeShift",
+            "range.*after a time-rewriting stage",
         ),
         ('from(bucket: "b") |> timeShift()', "requires duration"),
         (

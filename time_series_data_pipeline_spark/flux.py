@@ -1780,17 +1780,14 @@ def _compile_pipeline(
                 F.timestamp_micros(F.unix_micros("_time") + F.lit(c * 1_000_000)),
             )
         elif kind == "truncate":
-            # epoch-aligned floor in integer µs (F.floor handles the
-            # pre-epoch negative case; store times are post-epoch)
+            # epoch-aligned floor in PURE integer µs (a float-division
+            # floor is exact only while t/unit stays under double
+            # half-ulp resolution; t − t % unit never drifts). Store
+            # times are post-epoch, where % floors.
             unit_us = c * 1_000_000
+            us = F.unix_micros("_time")
             df = df.withColumn(
-                "_time",
-                F.timestamp_micros(
-                    (
-                        F.floor(F.unix_micros("_time") / F.lit(unit_us))
-                        * F.lit(unit_us)
-                    ).cast("long")
-                ),
+                "_time", F.timestamp_micros(us - (us % F.lit(unit_us)))
             )
         else:
             df = df.withColumn("_value", c)
@@ -1886,12 +1883,11 @@ def _compile_pipeline(
                 out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
         if kind == "window":
-            # narrow map: epoch-aligned tumbling bounds as columns
+            # narrow map: epoch-aligned tumbling bounds as columns —
+            # pure integer µs arithmetic (see the truncate row op)
             every_us = transform[1] * 1_000_000
-            start_us = (
-                F.floor(F.unix_micros("_time") / F.lit(every_us))
-                * F.lit(every_us)
-            ).cast("long")
+            us = F.unix_micros("_time")
+            start_us = us - (us % F.lit(every_us))
             out = df.select(
                 *keys,
                 F.timestamp_micros(start_us).alias("_start"),
