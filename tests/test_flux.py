@@ -2698,3 +2698,86 @@ def test_multi_statement_formatting_invariance(spark, store):
     da = flux.compile_flux(spark, leading, {"b": store})
     db = flux.compile_flux(spark, trailing, {"b": store})
     assert db.sameSemantics(da)
+
+
+def test_derivative_unit_consistent_null_policy(spark, tmp_path):
+    """Review r10b: switching derivative's unit: must ONLY rescale —
+    same pairing (nulls skipped per the shared policy), same output
+    column — for both the signed and the counter form."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=2 * i), "events", "click", v)
+        for i, v in enumerate([10.0, None, 12.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "dnull")
+    bkt.write_bucket(df, path, mode="overwrite")
+    for nn in (True, False):
+        arg = ", nonNegative: true" if nn else ""
+        per_s = flux.compile_flux(
+            spark, f'from(bucket: "b") |> derivative(unit: 1s{arg})',
+            {"b": path},
+        ).collect()
+        per_m = flux.compile_flux(
+            spark, f'from(bucket: "b") |> derivative(unit: 1m{arg})',
+            {"b": path},
+        ).collect()
+        # ONE pair either way: (10, 12) across 240 s — the null row is
+        # skipped, never treated as a counter reset
+        assert [r["derivative"] for r in per_s] == [2.0 / 240.0], nn
+        assert [r["derivative"] for r in per_m] == [2.0 / 4.0], nn
+
+
+def test_window_then_timeshift_shifts_bounds(spark, store):
+    """Review r10b: a tail timeShift after window() moves _start/_stop
+    WITH _time (upstream's default columns) — the frame stays
+    internally consistent."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> window(every: 1h) |> timeShift(duration: 2h)",
+        {"b": store},
+    ).collect()
+    assert got
+    for r in got:
+        assert r["_start"] <= r["_time"] < r["_stop"]
+        assert r["_start"].minute == 0
+
+
+def test_unique_keeps_dedup_column_and_yield(spark, store):
+    """Review r10b: unique(column:) keeps the deduplicated column in
+    the output, and unique()/window() honor yield(name:) like every
+    other _value-producing transform."""
+    um = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group() |> unique(column: "_field")',
+        {"b": store},
+    )
+    assert "_field" in um.columns
+    assert {r["_field"] for r in um.collect()} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    uy = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> unique() |> yield(name: "val")',
+        {"b": store},
+    )
+    assert "val" in uy.columns and "_value" not in uy.columns
+    wy = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> window(every: 1h) |> yield(name: "val")',
+        {"b": store},
+    )
+    assert "val" in wy.columns and "_value" not in wy.columns

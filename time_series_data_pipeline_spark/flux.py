@@ -202,6 +202,18 @@ class FluxError(ValueError):
     """Unsupported or malformed Flux — always names the offending text."""
 
 
+def _epoch_floor_us(ts_col: str, unit_s: int) -> Column:
+    """Epoch-aligned floor of a timestamp column to whole `unit_s`
+    spans, in PURE integer µs (a float-division floor is exact only
+    while t/unit stays under double half-ulp resolution; t − t % unit
+    never drifts). Store times are post-epoch, where % floors. Shared
+    by truncateTimeColumn and the non-aggregated window() so the two
+    bucketing rules can never desynchronize."""
+    unit_us = unit_s * 1_000_000
+    us = F.unix_micros(ts_col)
+    return us - (us % F.lit(unit_us))
+
+
 def _duration_seconds(tok: str) -> int:
     m = _DUR_RE.match(tok)
     if not m:
@@ -1259,9 +1271,9 @@ def _compile_pipeline(
                 cols = _str_list(a["columns"], "timeShift columns")
                 if cols not in (["_time"], ["_start", "_stop", "_time"]):
                     raise FluxError(
-                        "timeShift ships the default columns: (or an "
-                        'explicit ["_time"]) — this store materializes '
-                        f"no _start/_stop columns to shift; got {stage!r}"
+                        "timeShift ships the default columns: — every "
+                        "of _start/_stop/_time present in the frame "
+                        f"shifts together; got {stage!r}"
                     )
             extra = set(a) - {"duration", "columns"}
             if extra:
@@ -1743,10 +1755,15 @@ def _compile_pipeline(
             elif op[0] == "timeshift":
                 # tail form: shift the output frame's time column(s) —
                 # the aggregated/windowed frame carries window_start,
-                # raw/transform frames carry _time
+                # raw/transform frames carry _time, and a window()
+                # frame carries _start/_stop bounds that MUST move with
+                # _time (upstream's default timeShift columns) or the
+                # frame turns internally inconsistent
                 shift_us = op[1] * 1_000_000
                 tcols = [
-                    c for c in ("_time", "window_start") if c in out.columns
+                    c
+                    for c in ("_start", "_stop", "_time", "window_start")
+                    if c in out.columns
                 ]
                 if not tcols:
                     raise FluxError(
@@ -1780,14 +1797,8 @@ def _compile_pipeline(
                 F.timestamp_micros(F.unix_micros("_time") + F.lit(c * 1_000_000)),
             )
         elif kind == "truncate":
-            # epoch-aligned floor in PURE integer µs (a float-division
-            # floor is exact only while t/unit stays under double
-            # half-ulp resolution; t − t % unit never drifts). Store
-            # times are post-epoch, where % floors.
-            unit_us = c * 1_000_000
-            us = F.unix_micros("_time")
             df = df.withColumn(
-                "_time", F.timestamp_micros(us - (us % F.lit(unit_us)))
+                "_time", F.timestamp_micros(_epoch_floor_us("_time", c))
             )
         else:
             df = df.withColumn("_value", c)
@@ -1863,11 +1874,23 @@ def _compile_pipeline(
                     f"unique: unknown column {col!r}; frame has {df.columns}"
                 )
             wu = Window.partitionBy(*keys, col).orderBy("_time", "_value")
+            # the deduplicated column stays in the output even when it
+            # is not part of the logical frame's standard columns (e.g.
+            # group() |> unique(column: "_field") must say WHICH field
+            # each kept row belongs to)
+            out_cols = [
+                *keys,
+                *([col] if col not in (*keys, "_time", "_value") else []),
+                "_time",
+                "_value",
+            ]
             out = (
                 df.withColumn("__rn", F.row_number().over(wu))
                 .filter(F.col("__rn") == 1)
-                .select(*keys, "_time", "_value")
+                .select(*out_cols)
             )
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
         if kind == "distinct":
             # hash-distinct: partial (map-side) dedup, one exchange on
@@ -1883,11 +1906,9 @@ def _compile_pipeline(
                 out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
         if kind == "window":
-            # narrow map: epoch-aligned tumbling bounds as columns —
-            # pure integer µs arithmetic (see the truncate row op)
+            # narrow map: epoch-aligned tumbling bounds as columns
             every_us = transform[1] * 1_000_000
-            us = F.unix_micros("_time")
-            start_us = us - (us % F.lit(every_us))
+            start_us = _epoch_floor_us("_time", transform[1])
             out = df.select(
                 *keys,
                 F.timestamp_micros(start_us).alias("_start"),
@@ -1895,6 +1916,8 @@ def _compile_pipeline(
                 "_time",
                 "_value",
             )
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
         if kind == "integral":
             # trapezoid area per table: Σ (vᵢ + vᵢ₋₁)·Δtᵢ over exact
@@ -1949,27 +1972,20 @@ def _compile_pipeline(
                 series = series.withColumnRenamed("_value", yield_name)
             return _finish(series)
         if kind == "derivative":
+            # ONE implementation for every (unit, nonNegative) combo —
+            # Δv ÷ (Δt/unit) per pair, reset-aware when nonNegative
+            # (a decrease assumes the previous value should have been
+            # 0, the `rate` rule) — so switching unit: rescales values
+            # and NEVER changes pairing or null semantics. Shared null
+            # policy: null _value filtered before the lag (pairs skip
+            # nulls), uniform with every other value-series transform;
+            # try_divide nulls the zero-Δt duplicate pairs and the lag
+            # nulls the first row — both filtered (Flux drops the
+            # per-table first row; round 8, ADVICE r7). On the store's
+            # null-free frames the (1s, nonNegative) counter form is
+            # the same IEEE tree as operators.timeseries.rate
+            # (value-pinned in tests). One series-key window shuffle.
             unit_s, nonneg = transform[1], transform[2]
-            if nonneg and unit_s == 1:
-                from .operators.timeseries import rate
-
-                # the counter form at 1s — the engine's `rate` operator
-                # verbatim (byte-stable with the r7-attested plan).
-                # Flux derivative drops each table's FIRST row (no
-                # predecessor → no rate); the filter also removes the
-                # degenerate zero-Δt duplicate-timestamp pairs a real
-                # InfluxDB series cannot contain (round 8, ADVICE r7)
-                out = rate(df, "_time", "_value", keys).filter(
-                    F.col("rate_per_s").isNotNull()
-                )
-                if yield_name:
-                    out = out.withColumnRenamed("rate_per_s", yield_name)
-                return _finish(out)
-            # general form: Δv ÷ (Δt/unit) per pair — signed by
-            # default, reset-aware when nonNegative. Shared null
-            # policy; try_divide nulls the zero-Δt duplicate pairs and
-            # the lag nulls the first row — both filtered, like the
-            # counter form. Same single series-key window shuffle.
             w = Window.partitionBy(*keys).orderBy("_time", "_value")
             src = df.filter(F.col("_value").isNotNull())
             prev_v = F.lag("_value").over(w)
@@ -2460,7 +2476,12 @@ def _compile_combiner(
         # non-key column (an aggregateWindow/yield frame) — ambiguity
         # raises. Scale: the join exchanges both (window-aggregated or
         # raw) frames on the time key; the correlation is a
-        # map-side-combinable moment aggregate per pair key.
+        # map-side-combinable moment aggregate per pair key. Duplicate
+        # timestamps WITHIN a series multiply join pairs and weight
+        # the correlation accordingly — the same many-to-many behavior
+        # upstream's join-based cov(pearsonr: true) exhibits; aligned
+        # (aggregateWindow) inputs, the dashboard form, are unique by
+        # construction.
         a = _args(stages[0], "pearsonr")
         if "x" not in a or "y" not in a or "on" not in a:
             raise FluxError(

@@ -125,6 +125,12 @@ _CHECKED_WINDOW = [
     # profile_columns rotates out (DQ family stays in-window via the
     # suite_round5 dq_lineitem arm)
     "flux_compiled_pearsonr",
+    # re-attest: derivative now has ONE implementation for every
+    # (unit, nonNegative) combo under the shared null policy (review
+    # r10b) — values bit-identical on the null-free store, but the
+    # plan changed; contamination_overlap rotates out (leakage family
+    # stays in-window via the suite_round5 split_leakage_guard arm)
+    "flux_compiled_derivative",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
@@ -146,7 +152,6 @@ _CHECKED_WINDOW = [
     "asof_nearest_click",
     "bm25_search",
     "bpe_encode_stats",
-    "contamination_overlap",
     "dedup_clusters",
     "dedup_exact",
     "doc_chunks",

