@@ -1226,7 +1226,7 @@ def test_two_measurement_transforms_key_per_measurement(spark, two_meas):
         {"b": two_meas},
     ).collect()
     assert len(der) == 160 - 4
-    assert all(r["rate_per_s"] < 1.0 for r in der)  # +1 per 7 min
+    assert all(r["derivative"] < 1.0 for r in der)  # +1 per 7 min
 
     # movingAverage: per-table frames; each table drops n−1 rows
     ma = flux.compile_flux(
