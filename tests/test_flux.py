@@ -2781,3 +2781,114 @@ def test_unique_keeps_dedup_column_and_yield(spark, store):
         {"b": store},
     )
     assert "val" in wy.columns and "_value" not in wy.columns
+
+
+def test_cov_combiner(spark, store):
+    """cov(x:, y:, on:) — sample covariance per aligned series pair;
+    cov(..., pearsonr: true) ≡ pearsonr()."""
+    import statistics
+
+    base = (
+        'a = from(bucket: "b")\n'
+        '  |> filter(fn: (r) => r["_field"] == "click")\n'
+        "  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)\n"
+        'b = from(bucket: "b")\n'
+        '  |> filter(fn: (r) => r["_field"] == "view")\n'
+        "  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)\n"
+    )
+    cov_row = flux.compile_flux(
+        spark, base + 'cov(x: a, y: b, on: ["window_start"])', {"b": store}
+    ).collect()[0]
+    corr_row = flux.compile_flux(
+        spark,
+        base + 'cov(x: a, y: b, on: ["window_start"], pearsonr: true)',
+        {"b": store},
+    ).collect()[0]
+    pr_row = flux.compile_flux(
+        spark, base + 'pearsonr(x: a, y: b, on: ["window_start"])',
+        {"b": store},
+    ).collect()[0]
+    # two separate jobs: F.corr's partial-merge order varies run to
+    # run, so the identity holds to moment-aggregate precision, not
+    # bitwise (the registered queries round to 9 dp for this reason)
+    assert abs(corr_row["_value"] - pr_row["_value"]) < 1e-12
+
+    def hourly(field):
+        vals = {}
+        for r in bkt.scan_bucket(spark, store, field=field).collect():
+            if r["_value"] is not None:
+                t = r["_time"].replace(minute=0, second=0, microsecond=0)
+                vals.setdefault(t, []).append(r["_value"])
+        return {k: sum(v) / len(v) for k, v in vals.items()}
+
+    ca, cb = hourly("click"), hourly("view")
+    common = sorted(set(ca) & set(cb))
+    want = statistics.covariance(
+        [ca[t] for t in common], [cb[t] for t in common]
+    )
+    assert abs(cov_row["_value"] - want) < 1e-9
+
+    with pytest.raises(flux.FluxError, match="boolean"):
+        flux.compile_flux(
+            spark,
+            base + 'cov(x: a, y: b, on: ["window_start"], pearsonr: 1)',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="unsupported args"):
+        flux.compile_flux(
+            spark,
+            base + 'pearsonr(x: a, y: b, on: ["window_start"], pearsonr: true)',
+            {"b": store},
+        )
+
+
+def test_tail_stage(spark, store):
+    """tail(n:) — each table's LAST n rows in table order; the mirror
+    of a bare limit; raises over a user-sorted frame."""
+    src = sorted(
+        (r["_time"], r["_value"])
+        for r in bkt.scan_bucket(spark, store, field="click").collect()
+    )
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> tail(n: 5)",
+        {"b": store},
+    ).collect()
+    assert sorted((r["_time"], r["_value"]) for r in got) == src[-5:]
+
+    # per-table: 5 fields x 2 rows
+    per_table = flux.compile_flux(
+        spark, 'from(bucket: "b") |> tail(n: 2)', {"b": store}
+    )
+    counts = {
+        r["_field"]: r["count"]
+        for r in per_table.groupBy("_field").count().collect()
+    }
+    assert counts == {f: 2 for f in ("click", "error", "purchase", "signup", "view")}
+
+    # composes after an aggregation: last 3 hourly means
+    agg_tail = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)"
+        " |> tail(n: 3)",
+        {"b": store},
+    ).collect()
+    assert len(agg_tail) == 3
+
+    # sort |> tail is rejected twice over: the unbounded-sort guard
+    # fires at parse time (tail is not a limit), and the tail executor
+    # refuses a pending sort as a belt-and-braces backstop
+    with pytest.raises(
+        flux.FluxError, match="sort without a following limit|tail after sort"
+    ):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> sort(columns: ["_value"]) |> tail(n: 3)',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="offset"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> tail(n: 3, offset: 1)', {"b": store}
+        )

@@ -246,6 +246,9 @@ import pytest as _pytest
         # two windowed aggs + the alignment join (one side broadcast
         # at this scale) + a partial'd pair-key corr
         ("flux_compiled_pearsonr", 3),
+        ("flux_compiled_cov", 3),
+        # per-table bottom-N: one series-key window shuffle
+        ("flux_compiled_tail", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

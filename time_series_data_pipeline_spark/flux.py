@@ -926,7 +926,8 @@ def _compile_pipeline(
         "integral", "exponentialMovingAverage",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
-                   "timeShift", "top", "bottom", "duplicate", "set")
+                   "timeShift", "top", "bottom", "duplicate", "set",
+                   "tail")
     time_shifted = False  # a row-level timeShift has rewritten _time
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -1492,6 +1493,23 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"limit: unsupported args {sorted(extra)}")
             post_ops.append(("limit", n))
+        elif head == "tail":
+            # tail(n:) — each table's LAST n rows in table order (the
+            # "latest N readings" panel): the mirror of a bare limit,
+            # compiled to the same distributed per-table rank machinery
+            # over the REVERSED order
+            a = _args(stage, "tail")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"tail n: positive int required, got {n!r}")
+            if "offset" in a:
+                raise FluxError(
+                    "tail offset: is outside the shipped subset"
+                )
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(f"tail: unsupported args {sorted(extra)}")
+            post_ops.append(("tail", n))
         elif head in ("keep", "drop"):
             a = _args(stage, head)
             if "columns" not in a:
@@ -1710,6 +1728,45 @@ def _compile_pipeline(
                 if pending_sort is not None:
                     sorted_limit_applied = True
                 pending_sort = None
+            elif op[0] == "tail":
+                n = op[1]
+                if pending_sort is not None or sorted_limit_applied:
+                    # tail's contract is the LAST rows in TABLE order;
+                    # over a user-sorted frame "last" would mean the
+                    # sort's bottom — raise rather than pick silently
+                    raise FluxError(
+                        "tail after sort is outside the shipped subset "
+                        "(tail keeps the last rows in table order; use "
+                        "sort |> limit for sorted extrema)"
+                    )
+                ordc = next(
+                    (c for c in ("_time", "window_start") if c in out.columns),
+                    None,
+                )
+                if ordc is None:
+                    raise FluxError(
+                        "tail needs a _time/window_start column to define "
+                        "the table order"
+                    )
+                order = [F.col(ordc).desc()] + [
+                    F.col(c).desc()
+                    for c in ("_value",)
+                    if c in out.columns and c != ordc
+                ]
+                group_keys = [
+                    c for c in ("_measurement", "_field") if c in out.columns
+                ]
+                if group_keys:
+                    w = Window.partitionBy(*group_keys).orderBy(*order)
+                    out = (
+                        out.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") <= n)
+                        .drop("__rn")
+                    )
+                else:
+                    # one-table frame: TakeOrderedAndProject — a
+                    # distributed top-N, never a single-partition sort
+                    out = out.orderBy(*order).limit(n)
             elif op[0] == "keep":
                 out = out.select(*op[1])
             elif op[0] == "drop":
@@ -2467,34 +2524,43 @@ def _compile_combiner(
         out = frames[0]
         for fr_ in frames[1:]:
             out = out.unionByName(fr_)
-    elif head == "pearsonr":
-        # pearsonr(x:, y:, on: ["_time" | "window_start"]) — upstream's
-        # cov(..., pearsonr: true): align the two pipelines on the time
-        # key, then one Pearson correlation per (x-series, y-series)
-        # pair, keyed by the suffixed logical table keys. Value column
-        # per input: "_value" if present, else the single numeric
-        # non-key column (an aggregateWindow/yield frame) — ambiguity
-        # raises. Scale: the join exchanges both (window-aggregated or
-        # raw) frames on the time key; the correlation is a
-        # map-side-combinable moment aggregate per pair key. Duplicate
-        # timestamps WITHIN a series multiply join pairs and weight
-        # the correlation accordingly — the same many-to-many behavior
-        # upstream's join-based cov(pearsonr: true) exhibits; aligned
-        # (aggregateWindow) inputs, the dashboard form, are unique by
-        # construction.
-        a = _args(stages[0], "pearsonr")
+    elif head in ("pearsonr", "cov"):
+        # cov(x:, y:, on:, [pearsonr:]) and its alias pearsonr(x:, y:,
+        # on:) ≡ cov(..., pearsonr: true): align the two pipelines on
+        # the time key, then one sample covariance — or Pearson
+        # correlation — per (x-series, y-series) pair, keyed by the
+        # suffixed logical table keys. Value column per input:
+        # "_value" if present, else the single numeric non-key column
+        # (an aggregateWindow/yield frame) — ambiguity raises. Scale:
+        # the join exchanges both (window-aggregated or raw) frames on
+        # the time key; the statistic is a map-side-combinable moment
+        # aggregate per pair key. Duplicate timestamps WITHIN a series
+        # multiply join pairs and weight the statistic accordingly —
+        # the same many-to-many behavior upstream's join-based cov
+        # exhibits; aligned (aggregateWindow) inputs, the dashboard
+        # form, are unique by construction.
+        a = _args(stages[0], head)
         if "x" not in a or "y" not in a or "on" not in a:
             raise FluxError(
-                "pearsonr requires x: <pipeline>, y: <pipeline> and "
+                f"{head} requires x: <pipeline>, y: <pipeline> and "
                 "on: [time column]"
             )
-        extra = set(a) - {"x", "y", "on"}
+        allowed = {"x", "y", "on"} | ({"pearsonr"} if head == "cov" else set())
+        extra = set(a) - allowed
         if extra:
-            raise FluxError(f"pearsonr: unsupported args {sorted(extra)}")
-        on = _str_list(a["on"], "pearsonr on")
+            raise FluxError(f"{head}: unsupported args {sorted(extra)}")
+        as_corr = head == "pearsonr"
+        if head == "cov" and "pearsonr" in a:
+            flag = _resolve(a["pearsonr"], params)
+            if not isinstance(flag, bool):
+                raise FluxError(
+                    f"cov pearsonr: expected a boolean, got {flag!r}"
+                )
+            as_corr = flag
+        on = _str_list(a["on"], f"{head} on")
         if on not in (["_time"], ["window_start"]):
             raise FluxError(
-                'pearsonr ships on: ["_time"] or ["window_start"] '
+                f'{head} ships on: ["_time"] or ["window_start"] '
                 f"(the series alignment keys); got {on!r}"
             )
 
@@ -2502,13 +2568,13 @@ def _compile_combiner(
             ref = a[label].strip()
             if ref not in env:
                 raise FluxError(
-                    f"pearsonr references unknown pipeline {ref!r} "
+                    f"{head} references unknown pipeline {ref!r} "
                     f"(defined: {sorted(env)})"
                 )
             d = env[ref]
             if on[0] not in d.columns:
                 raise FluxError(
-                    f"pearsonr on column {on[0]!r} missing from "
+                    f"{head} on column {on[0]!r} missing from "
                     f"{label}: {ref!r} (frame has {d.columns})"
                 )
             keys_l = [c for c in ("_measurement", "_field") if c in d.columns]
@@ -2524,7 +2590,7 @@ def _compile_combiner(
             )
             if len(vcands) != 1:
                 raise FluxError(
-                    f"pearsonr: cannot identify ONE value column in "
+                    f"{head}: cannot identify ONE value column in "
                     f"{label}: {ref!r} (candidates {vcands}; frame has "
                     f"{d.columns})"
                 )
@@ -2543,14 +2609,19 @@ def _compile_combiner(
 
         dx, kx = _narrow("x")
         dy, ky = _narrow("y")
+        stat = (
+            F.corr("__v_x", "__v_y")
+            if as_corr
+            else F.covar_samp("__v_x", "__v_y")
+        )
         out = (
             dx.join(dy, on=on, how="inner")
             .groupBy(*kx, *ky)
-            .agg(F.corr("__v_x", "__v_y").alias("_value"))
+            .agg(stat.alias("_value"))
         )
     else:
         raise FluxError(
-            "multi-statement result must be join(), union() or "
+            "multi-statement result must be join(), union(), cov() or "
             f"pearsonr(); got {head!r}"
         )
     for stage in stages[1:]:

@@ -131,6 +131,13 @@ _CHECKED_WINDOW = [
     # plan changed; contamination_overlap rotates out (leakage family
     # stays in-window via the suite_round5 split_leakage_guard arm)
     "flux_compiled_derivative",
+    # + cov() (the covariance sibling of pearsonr — same combiner
+    # machinery) and tail() (per-table last-N); bm25_search and
+    # embedding_dedup_clusters rotate out (search stays in-window via
+    # the suite_round5 hybrid_search_rrf arm; embedding family via
+    # embedding_topk/ivf + the PQ suite arms)
+    "flux_compiled_cov",
+    "flux_compiled_tail",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
@@ -150,13 +157,11 @@ _CHECKED_WINDOW = [
     # (trigram_familiarity is a suite_round5 arm); all twelve lead the
     # next rotation. ---
     "asof_nearest_click",
-    "bm25_search",
     "bpe_encode_stats",
     "dedup_clusters",
     "dedup_exact",
     "doc_chunks",
     "doc_profile",
-    "embedding_dedup_clusters",
     "embedding_ivf_topk",
     "embedding_topk",
     "ewma_final",

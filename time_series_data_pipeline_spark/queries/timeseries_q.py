@@ -1943,6 +1943,97 @@ def flux_compiled_pearsonr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_cov",
+    # cov(x:, y:, on: ["window_start"]) — sample covariance of the two
+    # aligned hourly-mean series (the un-normalized sibling of
+    # pearsonr, same join/moment-aggregate machinery). 9-dp rounding
+    # both sides per the shared moment-aggregate policy.
+    oracle="""
+    WITH a AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS w,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS m
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+    ), b AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS w,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS m
+      FROM events
+      WHERE event_type = 'view'
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+    )
+    SELECT 'events' AS _measurement_x, 'click' AS _field_x,
+           'events' AS _measurement_y, 'view' AS _field_y,
+           round(covar_samp(a.m, b.m), 9) AS _value
+    FROM a JOIN b ON a.w = b.w
+    """,
+)
+def flux_compiled_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cov()` through the Flux front-end — the covariance form of the
+    pearsonr combiner (cov(pearsonr: true) compiles to the identical
+    correlation plan, pinned in tests)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    out = compile_flux(
+        spark,
+        """
+        a = from(bucket: "gas-quality")
+          |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        b = from(bucket: "gas-quality")
+          |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        cov(x: a, y: b, on: ["window_start"])
+        """,
+        {"gas-quality": path},
+    )
+    return out.withColumn("_value", F.round("_value", 9))
+
+
+@query(
+    "flux_compiled_tail",
+    # tail(n: 4) — each table's LAST 4 rows in table order (the
+    # "latest readings" panel): per-table row_number over the REVERSED
+    # (ts, value) order, the mirror of the bare-limit machinery.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts DESC, value DESC) <= 4
+    """,
+)
+def flux_compiled_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tail()` through the Flux front-end — a distributed per-table
+    bottom-N (WindowGroupLimit), never a global sort."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> tail(n: 4)
+          |> keep(columns: ["_measurement", "_field", "_time", "_value"])
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "value_percentiles_approx",
     # driver-verified INVARIANT: each approx percentile's RANK lands
     # within the sketch's guaranteed rank-error band (eps = 1/accuracy,
