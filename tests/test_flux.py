@@ -208,7 +208,7 @@ def test_relative_range_needs_anchor_and_resolves(spark, store):
     [
         ('from(bucket: "nope") |> last()', "unknown bucket"),
         ('from(bucket: "b") |> union(tables: [])', "unsupported stage"),
-        ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: mode)',
+        ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: integral)',
          "unsupported aggregateWindow fn"),
         ('from(bucket: "b") |> quantile(q: 1.5)', "quantile q"),
         ('from(bucket: "b") |> quantile(method: "exact_selector")',
@@ -2892,3 +2892,441 @@ def test_tail_stage(spark, store):
         flux.compile_flux(
             spark, 'from(bucket: "b") |> tail(n: 3, offset: 1)', {"b": store}
         )
+
+
+# ---------------------------------------------------------------------------
+# round 10c: the technical-indicator / selector / conversion batch
+
+
+def _tiny_store(spark, tmp_path, values, field="click", minutes=1):
+    """One-series store with the given values, 1-minute spacing."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=minutes * i), "events", field, v)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "tiny")
+    bkt.write_bucket(df, path, mode="overwrite")
+    return path
+
+
+def test_mode_multi_and_null(spark, tmp_path):
+    """Upstream mode(): every most-frequent value (several rows when
+    tied), one NULL row when no value repeats."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # click: 5.0 ×2 and 7.0 ×2 tie as modes; 9.0 once
+    for i, v in enumerate([5.0, 7.0, 5.0, 7.0, 9.0]):
+        rows.append((t0 + datetime.timedelta(minutes=i), "events", "click", v))
+    # view: all unique -> NULL mode
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((t0 + datetime.timedelta(minutes=i), "events", "view", v))
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "modestore")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> mode()', {"b": path}
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["_field"], set()).add(r["mode"])
+    assert got == {"click": {5.0, 7.0}, "view": {None}}
+    # windowed form groups by (window, table key); a 2-minute window over
+    # click holds [5,7],[5,7],[9] -> all-unique windows -> NULL modes
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> aggregateWindow(every: 2m, fn: mode)",
+        {"b": path},
+    ).collect()
+    assert all(r["mode"] is None for r in out) and len(out) == 3
+    with pytest.raises(flux.FluxError, match="mode"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> mode(column: "x")', {"b": path}
+        )
+
+
+def test_skew_population_g1(spark, tmp_path):
+    """Flux skew() is population skewness g1 = sqrt(n)*M3/M2^1.5 —
+    pinned against a hand-computed value (NOT SQL's sample-corrected
+    skewness, which differs by sqrt(n(n-1))/(n-2))."""
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> skew()', {"b": path}
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 5
+    mu = sum(vals) / 5
+    m2 = sum((v - mu) ** 2 for v in vals)
+    m3 = sum((v - mu) ** 3 for v in vals)
+    expected = (5**0.5) * m3 / (m2 * m2**0.5)
+    assert abs(out[0]["skew"] - expected) < 1e-9
+    # constant series: zero variance -> NULL (documented; upstream NaN)
+    path2 = str(tmp_path / "flat")
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0, "events", "click", 4.0), (t0 + datetime.timedelta(minutes=1), "events", "click", 4.0)],
+        "t timestamp, m string, f string, v double",
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(df, path2, mode="overwrite")
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> skew()', {"b": path2}
+    ).collect()
+    assert out[0]["skew"] is None
+
+
+def test_state_count_runs(spark, tmp_path):
+    """stateCount: 1-based position within the current TRUE run, -1
+    where the predicate is false."""
+    path = _tiny_store(spark, tmp_path, [1.0, 5.0, 6.0, 2.0, 7.0])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> stateCount(fn: (r) => r._value > 4.0)',
+        {"b": path},
+    ).collect()
+    got = [r["stateCount"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == [-1, 1, 2, -1, 1]
+    with pytest.raises(flux.FluxError, match="stateCount requires fn"):
+        flux.compile_flux(spark, 'from(bucket: "b") |> stateCount()', {"b": path})
+
+
+def test_cmo_values(spark, tmp_path):
+    """chandeMomentumOscillator(n:) = 100·(ΣΔ⁺ − ΣΔ⁻)/(ΣΔ⁺ + ΣΔ⁻) over
+    the trailing n deltas; the first n rows are dropped."""
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> chandeMomentumOscillator(n: 3)',
+        {"b": path},
+    ).collect()
+    rows = sorted(out, key=lambda r: r["_time"])
+    # deltas: +2, -1, +4, -1, +4
+    # row 4 (0-based 3): window deltas (+2,-1,+4): up 6 dn 1 -> 500/7
+    # row 5: (-1,+4,-1): up 4 dn 2 -> 200/6; row 6: (+4,-1,+4): 700/9
+    assert len(rows) == 3
+    assert abs(rows[0]["_value"] - 500.0 / 7.0) < 1e-12
+    assert abs(rows[1]["_value"] - 200.0 / 6.0) < 1e-12
+    assert abs(rows[2]["_value"] - 700.0 / 9.0) < 1e-12
+    # last() composes (the stat-panel reduction)
+    last = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> chandeMomentumOscillator(n: 3) |> last()',
+        {"b": path},
+    ).collect()
+    assert len(last) == 1 and abs(last[0]["last_value"] - 700.0 / 9.0) < 1e-12
+
+
+def test_kaufmans_er_values(spark, tmp_path):
+    """kaufmansER(n:) = |net move over n deltas| / Σ|per-step move| —
+    1.0 on a straight trend, small on churn."""
+    vals = [10.0, 12.0, 11.0, 15.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> kaufmansER(n: 2)', {"b": path}
+    ).collect()
+    rows = sorted(out, key=lambda r: r["_time"])
+    # row 3: |11-10| / (2+1) = 1/3; row 4: |15-12| / (1+4) = 3/5
+    assert len(rows) == 2
+    assert abs(rows[0]["_value"] - 1.0 / 3.0) < 1e-12
+    assert abs(rows[1]["_value"] - 3.0 / 5.0) < 1e-12
+    # monotone series -> exactly 1.0
+    path2 = _tiny_store(spark, tmp_path / "m", [1.0, 2.0, 4.0, 9.0])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> kaufmansER(n: 3)', {"b": path2}
+    ).collect()
+    assert [r["_value"] for r in out] == [1.0]
+
+
+def test_sample_deterministic_positions(spark, tmp_path):
+    path = _tiny_store(spark, tmp_path, [float(i) for i in range(10)])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> sample(n: 3, pos: 1)', {"b": path}
+    ).collect()
+    got = sorted(r["_value"] for r in out)
+    assert got == [1.0, 4.0, 7.0]
+    for bad in ("sample(n: 3, pos: 3)", "sample(n: 3, pos: -1)", "sample(n: 1, pos: 0)"):
+        with pytest.raises(flux.FluxError):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
+def test_to_int_to_float_conversions(spark, tmp_path):
+    """toInt() truncates toward zero (Go's int64(float)); toFloat()
+    restores double; both are row stages composing with terminals."""
+    path = _tiny_store(spark, tmp_path, [2.7, -2.7, 5.2])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> toInt() |> keep(columns: ["_field", "_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [-2, 2, 5]
+    assert all(isinstance(r["_value"], int) for r in out)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> toInt() |> toFloat() |> sum()', {"b": path}
+    ).collect()
+    assert out[0]["sum"] == 5.0  # 2 + (-2) + 5
+    with pytest.raises(flux.FluxError, match="takes no arguments"):
+        flux.compile_flux(spark, 'from(bucket: "b") |> toInt(column: "x")', {"b": path})
+    with pytest.raises(flux.FluxError, match="after an aggregation"):
+        flux.compile_flux(spark, 'from(bucket: "b") |> mean() |> toInt()', {"b": path})
+
+
+def test_limit_offset(spark, tmp_path):
+    path = _tiny_store(spark, tmp_path, [float(i) for i in range(10)])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> limit(n: 3, offset: 4)', {"b": path}
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [4.0, 5.0, 6.0]
+    # offset past the end -> empty, never wraps
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> limit(n: 5, offset: 20)', {"b": path}
+    ).collect()
+    assert out == []
+    # sorted limit with offset: ranks 3..4 of the descending order
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> sort(columns: ["_value"], desc: true)'
+        " |> limit(n: 2, offset: 2)",
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [6.0, 7.0]
+    with pytest.raises(flux.FluxError, match="offset"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> limit(n: 3, offset: -1)', {"b": path}
+        )
+
+
+def test_extrema_selector_family(spark, two_meas):
+    """highestMax/lowestMin return the extremum RECORD of the n
+    highest/lowest tables; the Average/Current variants reduce per
+    table to mean / latest first. Tables key on the full
+    (_measurement, _field) key — m2 values sit +1000 above m1."""
+    q = 'from(bucket: "b") |> highestMax(n: 2)'
+    out = flux.compile_flux(spark, q, {"b": two_meas}).collect()
+    assert [(r["_measurement"], r["_field"]) for r in out] == [
+        ("m2", "view"), ("m2", "click"),
+    ]
+    assert out[0]["_value"] == 1049.0 and out[1]["_value"] == 1039.0
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> lowestMin(n: 1)', {"b": two_meas}
+    ).collect()
+    assert [(r["_measurement"], r["_field"], r["_value"]) for r in out] == [
+        ("m1", "click", 0.0)
+    ]
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> lowestAverage(n: 1)', {"b": two_meas}
+    ).collect()
+    assert [(r["_measurement"], r["_field"], r["_value"]) for r in out] == [
+        ("m1", "click", 19.5)
+    ]
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> highestCurrent(n: 1)', {"b": two_meas}
+    ).collect()
+    # every series ends at its own max (monotone ramps): m2/view last = 1049
+    assert [(r["_measurement"], r["_field"], r["_value"]) for r in out] == [
+        ("m2", "view", 1049.0)
+    ]
+    with pytest.raises(flux.FluxError, match="groupColumns"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> highestMax(n: 2, groupColumns: ["_field"])',
+            {"b": two_meas},
+        )
+
+
+def test_histogram_quantile_interpolation(spark, tmp_path):
+    """Fused histogram |> histogramQuantile: linear interpolation
+    within the first bucket whose cumulative count reaches q·total;
+    +Inf winning bucket yields its lower edge."""
+    # values: 4 in (0,10], 4 in (10,20], 2 above
+    vals = [2.0, 4.0, 6.0, 8.0, 12.0, 14.0, 16.0, 18.0, 25.0, 30.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        " |> histogram(bins: [10.0, 20.0])"
+        " |> histogramQuantile(quantile: 0.5)",
+        {"b": path},
+    ).collect()
+    # total = counts at last bound (<=20) = 8; rank = 4 -> first bucket
+    # (h0 = 4 >= 4): lower 0, upper 10 -> 0 + 10·(4-0)/(4-0) = 10
+    assert len(out) == 1 and abs(out[0]["_value"] - 10.0) < 1e-12
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        " |> histogram(bins: [10.0, 20.0])"
+        " |> histogramQuantile(quantile: 0.75)",
+        {"b": path},
+    ).collect()
+    # rank = 6 -> second bucket (h1 = 8): 10 + 10·(6-4)/(8-4) = 15
+    assert abs(out[0]["_value"] - 15.0) < 1e-12
+    # quantile landing in the +Inf bucket returns the lower edge
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        ' |> histogram(bins: linearBins(start: 10.0, width: 10.0, count: 2, infinity: true))'
+        " |> histogramQuantile(quantile: 0.95)",
+        {"b": path},
+    ).collect()
+    # bounds [10, 20, inf]: total = 10, rank = 9.5 -> inf bucket -> 20.0
+    assert abs(out[0]["_value"] - 20.0) < 1e-12
+    for bad, msg in (
+        ("histogramQuantile()", "requires quantile"),
+        ("histogramQuantile(quantile: 1.5)", "quantile"),
+        ('histogramQuantile(quantile: 0.5, onNonmonotonic: "drop")', "onNonmonotonic"),
+        ('histogramQuantile(quantile: 0.5, upperBoundColumn: "ub")', "fused histogram"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(
+                spark,
+                f'from(bucket: "b") |> histogram(bins: [10.0, 20.0]) |> {bad}',
+                {"b": path},
+            )
+
+
+def test_dema_tema_chained_ema_composition(spark, tmp_path):
+    """doubleEMA/tripleEMA equal the chained-EMA composition computed
+    in pure Python, including the per-level drop of n-1 rows."""
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]]
+    n = 3
+    k, omk = 2.0 / (n + 1.0), 1.0 - 2.0 / (n + 1.0)
+
+    def fold(xs):
+        if len(xs) < n:
+            return None
+        acc = xs[0]
+        for x in xs[1:n]:
+            acc += x
+        acc /= n
+        out = [acc]
+        for x in xs[n:]:
+            acc = omk * acc + k * x
+            out.append(acc)
+        return out
+
+    e1 = fold(vals)
+    e2 = fold(e1)
+    e3 = fold(e2)
+    dema = [2.0 * a - b for a, b in zip(e1[n - 1:], e2)]
+    tema = [3.0 * a - 3.0 * b + c for a, b, c in zip(e1[2 * (n - 1):], e2[n - 1:], e3)]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> doubleEMA(n: 3)', {"b": path}
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == dema and len(got) == len(vals) - 2 * (n - 1)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> tripleEMA(n: 3)', {"b": path}
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == tema and len(got) == len(vals) - 3 * (n - 1)
+    # too-short series emit nothing
+    short = _tiny_store(spark, tmp_path / "s", vals[: 2 * (n - 1)])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> doubleEMA(n: 3)', {"b": short}
+    ).collect()
+    assert out == []
+    # |> last() composes
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> tripleEMA(n: 3) |> last()', {"b": path}
+    ).collect()
+    assert len(out) == 1 and out[0]["last_value"] == tema[-1]
+
+
+def test_rsi_wilder_values(spark, tmp_path):
+    """relativeStrengthIndex: Wilder's smoothing pinned value-by-value,
+    100 on a pure up-trend, emission from row n+1."""
+    vals = [44.0, 44.25, 44.5, 43.75, 44.5, 44.0, 44.25, 45.75, 47.0, 46.5]
+    n = 3
+    path = _tiny_store(spark, tmp_path, vals)
+    au = ad = 0.0
+    for i in range(1, n + 1):
+        d = vals[i] - vals[i - 1]
+        if d > 0:
+            au += d
+        elif d < 0:
+            ad += -d
+    au /= n
+    ad /= n
+
+    def rsi(u, v):
+        return 100.0 if v == 0.0 else 100.0 - 100.0 / (1.0 + u / v)
+
+    expected = [rsi(au, ad)]
+    for i in range(n + 1, len(vals)):
+        d = vals[i] - vals[i - 1]
+        au = (au * (n - 1.0) + (d if d > 0 else 0.0)) / n
+        ad = (ad * (n - 1.0) + (-d if d < 0 else 0.0)) / n
+        expected.append(rsi(au, ad))
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> relativeStrengthIndex(n: 3)', {"b": path}
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == expected and len(got) == len(vals) - n
+    # pure up-trend -> constant 100
+    up = _tiny_store(spark, tmp_path / "up", [1.0, 2.0, 3.0, 4.0, 5.0])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> relativeStrengthIndex(n: 2)', {"b": up}
+    ).collect()
+    assert [r["_value"] for r in out] == [100.0, 100.0, 100.0]
+
+
+def test_round10c_two_measurement_keying(spark, two_meas):
+    """Each new per-table transform keys on the full
+    (_measurement, _field) table key — same-named fields in different
+    measurements never merge (the +1000 offset would be visible)."""
+    # cmo over monotone ramps = 100 everywhere; a cross-measurement
+    # merge would interleave +1000 jumps and break it
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> chandeMomentumOscillator(n: 3)',
+        {"b": two_meas},
+    ).collect()
+    assert len(out) == 4 * (40 - 3)
+    assert all(r["_value"] == 100.0 for r in out)
+    # mode: every ramp value is unique per table -> one NULL row per table
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> mode()', {"b": two_meas}
+    ).collect()
+    assert len(out) == 4 and all(r["mode"] is None for r in out)
+    # stateCount run positions restart per table
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> stateCount(fn: (r) => r._value >= 0.0)',
+        {"b": two_meas},
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["_measurement"], r["_field"]), []).append(r["stateCount"])
+    assert set(per) == {("m1", "click"), ("m1", "view"), ("m2", "click"), ("m2", "view")}
+    for counts in per.values():
+        assert sorted(counts) == list(range(1, 41))

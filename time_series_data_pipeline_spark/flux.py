@@ -194,7 +194,7 @@ _DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 #: aggregateWindow fns → (aggregate expression builder, needs decimal)
 _AGG_FNS = (
     "mean", "median", "min", "max", "sum", "count", "first", "last",
-    "spread", "stddev",
+    "spread", "stddev", "mode", "skew",
 )
 
 
@@ -924,6 +924,11 @@ def _compile_pipeline(
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
         "elapsed", "histogram", "unique", "distinct", "window",
         "integral", "exponentialMovingAverage",
+        # round 10c: the technical-indicator / selector batch
+        "mode", "skew", "stateCount", "chandeMomentumOscillator",
+        "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
+        "sample", "highestMax", "highestAverage", "highestCurrent",
+        "lowestMin", "lowestAverage", "lowestCurrent", "histogramQuantile",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
@@ -948,7 +953,7 @@ def _compile_pipeline(
         # stage, and raises on anything else rather than mis-compiling
         if head in (
             "range", "filter", "group", "map", "hourSelection",
-            "truncateTimeColumn",
+            "truncateTimeColumn", "toFloat", "toInt",
         ) and terminal_seen:
             raise FluxError(
                 f"{head}() after an aggregation/transform stage is outside "
@@ -956,9 +961,72 @@ def _compile_pipeline(
             )
         if head in _TERMINAL_HEADS and terminal_seen:
             if (
+                head == "histogramQuantile"
+                and transform is not None
+                and transform[0] == "histogram"
+            ):
+                # histogram(bins:) |> histogramQuantile(quantile:) — the
+                # Grafana heatmap-to-percentile panel. Fused into ONE
+                # aggregation: the quantile interpolates over the same
+                # B conditional counts the histogram pass computes, so
+                # no second shuffle exists. Standalone histogramQuantile
+                # (over a pre-built histogram table) stays out of subset
+                # — this store has no histogram tables to scan.
+                a = _args(stage, "histogramQuantile")
+                if "quantile" not in a:
+                    raise FluxError("histogramQuantile requires quantile:")
+                qv = _resolve(a["quantile"], params)
+                if isinstance(qv, bool) or not isinstance(qv, (int, float)) or not (
+                    0 < float(qv) <= 1
+                ):
+                    raise FluxError(
+                        f"histogramQuantile quantile: expected a number in "
+                        f"(0, 1], got {qv!r}"
+                    )
+                minv = _resolve(a["minValue"], params) if "minValue" in a else 0.0
+                if isinstance(minv, bool) or not isinstance(minv, (int, float)):
+                    raise FluxError(
+                        f"histogramQuantile minValue: expected a number, "
+                        f"got {minv!r}"
+                    )
+                if "onNonmonotonic" in a and _resolve(
+                    a["onNonmonotonic"], params
+                ) != "error":
+                    # the fused histogram is cumulative by construction —
+                    # only upstream's default error mode is meaningful
+                    raise FluxError(
+                        'histogramQuantile ships onNonmonotonic: "error" '
+                        f"only; got {stage!r}"
+                    )
+                for fixed, want in (
+                    ("countColumn", "_value"),
+                    ("upperBoundColumn", transform[2]),
+                    ("valueColumn", "_value"),
+                ):
+                    if fixed in a and _resolve(a[fixed], params) != want:
+                        raise FluxError(
+                            f"histogramQuantile {fixed}: must match the "
+                            f"fused histogram ({want!r}); got {stage!r}"
+                        )
+                extra = set(a) - {
+                    "quantile", "minValue", "onNonmonotonic",
+                    "countColumn", "upperBoundColumn", "valueColumn",
+                }
+                if extra:
+                    raise FluxError(
+                        f"histogramQuantile: unsupported args {sorted(extra)}"
+                    )
+                transform = (
+                    "histogram_quantile", transform[1], float(qv), float(minv)
+                )
+                continue
+            if (
                 head == "last"
                 and transform is not None
-                and transform[0] in ("increase", "difference", "cumsum", "ema")
+                and transform[0] in (
+                    "increase", "difference", "cumsum", "ema", "ema2",
+                    "ema3", "rsi", "cmo", "ker",
+                )
                 and not take_last
             ):
                 # <value-series transform> |> last(): Flux's stat-panel
@@ -1299,6 +1367,149 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"elapsed: unsupported args {sorted(extra)}")
             transform = ("elapsed", unit_s)
+        elif head in ("toFloat", "toInt"):
+            # type-conversion row stages. toInt() truncates toward zero
+            # (Go's int64(float) conversion — Spark's double→long cast
+            # does the same; SQL oracles must spell CAST(trunc(v) AS
+            # BIGINT) because DuckDB's bare cast ROUNDS). Row-level, so
+            # they compose with any terminal stage; toString() is NOT
+            # shipped — float→string formatting differs between
+            # engines (Go shortest-round-trip vs Java Double.toString),
+            # so it would be an attestation-hostile miscompile.
+            if _args(stage, head):
+                raise FluxError(f"{head}() takes no arguments: {stage!r}")
+            row_ops.append(
+                (
+                    "map",
+                    F.col("_value").cast(
+                        "double" if head == "toFloat" else "long"
+                    ),
+                )
+            )
+        elif head == "sample":
+            # sample(n:, pos:) — keep every n-th record per table
+            # starting at 0-based offset pos. Upstream's default
+            # pos: -1 picks the offset RANDOMLY — nondeterministic, so
+            # the subset requires an explicit pos in [0, n).
+            a = _args(stage, "sample")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 2:
+                raise FluxError(f"sample n: int >= 2 required, got {n!r}")
+            pos = _resolve(a["pos"], params) if "pos" in a else None
+            if (
+                not isinstance(pos, int)
+                or isinstance(pos, bool)
+                or not (0 <= pos < n)
+            ):
+                raise FluxError(
+                    "sample ships a deterministic pos: in [0, n) only "
+                    f"(upstream's default pos: -1 samples randomly); got {stage!r}"
+                )
+            extra = set(a) - {"n", "pos"}
+            if extra:
+                raise FluxError(f"sample: unsupported args {sorted(extra)}")
+            transform = ("sample", n, pos)
+        elif head == "stateCount":
+            # stateCount(fn: (r) => pred) — sibling of stateDuration:
+            # the 1-based position within the current TRUE run, −1
+            # where the predicate is false (upstream's convention)
+            a = _args(stage, "stateCount")
+            if "fn" not in a:
+                raise FluxError("stateCount requires fn: (r) => predicate")
+            extra = set(a) - {"fn"}
+            if extra:
+                raise FluxError(f"stateCount: unsupported args {sorted(extra)}")
+            m = re.match(r"^\(\s*r\s*\)\s*=>\s*(.*)$", a["fn"].strip(), re.DOTALL)
+            if not m:
+                raise FluxError(f"malformed stateCount fn: {a['fn']!r}")
+            pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
+            transform = ("state_count", pred)
+        elif head == "chandeMomentumOscillator":
+            a = _args(stage, "chandeMomentumOscillator")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(
+                    f"chandeMomentumOscillator n: positive int required, "
+                    f"got {n!r}"
+                )
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(
+                    f"chandeMomentumOscillator: unsupported args {sorted(extra)}"
+                )
+            transform = ("cmo", n)
+        elif head == "kaufmansER":
+            a = _args(stage, "kaufmansER")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"kaufmansER n: positive int required, got {n!r}")
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(f"kaufmansER: unsupported args {sorted(extra)}")
+            transform = ("ker", n)
+        elif head in ("doubleEMA", "tripleEMA"):
+            # DEMA = 2·EMA_n(x) − EMA_n(EMA_n(x)) (first 2(n−1) rows
+            # dropped); TEMA = 3·e1 − 3·e2 + e3 (first 3(n−1) dropped) —
+            # exactly the chained-EMA composition upstream Flux builds
+            # them from, so the emission offsets follow from EMA's own
+            # drop-the-first-(n−1) rule.
+            a = _args(stage, head)
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"{head} n: positive int required, got {n!r}")
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(f"{head}: unsupported args {sorted(extra)}")
+            transform = ("ema2" if head == "doubleEMA" else "ema3", n)
+        elif head == "relativeStrengthIndex":
+            a = _args(stage, "relativeStrengthIndex")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(
+                    f"relativeStrengthIndex n: positive int required, got {n!r}"
+                )
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(
+                    f"relativeStrengthIndex: unsupported args {sorted(extra)}"
+                )
+            transform = ("rsi", n)
+        elif head in (
+            "highestMax", "highestAverage", "highestCurrent",
+            "lowestMin", "lowestAverage", "lowestCurrent",
+        ):
+            # the table-level selector family: reduce each table to one
+            # record (its max/min record, its mean, or its latest
+            # record), then keep the n highest/lowest tables by value.
+            # The per-table reduce is a map-side-combinable aggregate;
+            # the cross-table top-N runs over one-row-per-table frames
+            # (TakeOrderedAndProject — never a raw-row sort).
+            a = _args(stage, head)
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(f"{head} n: positive int required, got {n!r}")
+            if "column" in a and _resolve(a["column"], params) != "_value":
+                raise FluxError(f'{head} ships column: "_value" only')
+            if "groupColumns" in a:
+                raise FluxError(
+                    f"{head} groupColumns: (re-keyed selection) is outside "
+                    "the shipped subset — group() first instead"
+                )
+            extra = set(a) - {"n", "column"}
+            if extra:
+                raise FluxError(f"{head}: unsupported args {sorted(extra)}")
+            transform = ("extrema", head, n)
+        elif head == "mode":
+            # bare mode(): all most-frequent values per table (several
+            # rows when tied), or one NULL row when every value is
+            # unique — upstream's convention
+            if _args(stage, "mode"):
+                raise FluxError(f"mode() takes no arguments in the subset: {stage!r}")
+            agg = (None, "mode", False, None)
+        elif head == "skew":
+            if _args(stage, "skew"):
+                raise FluxError(f"skew() takes no arguments in the subset: {stage!r}")
+            agg = (None, "skew", False, None)
         elif head == "hourSelection":
             # hourSelection(start:, stop:) — keep rows whose hour of day
             # (UTC, the store's clock — the reference stores naive UTC
@@ -1489,10 +1700,15 @@ def _compile_pipeline(
             n = _resolve(a["n"], params) if "n" in a else None
             if not isinstance(n, int) or isinstance(n, bool) or n < 1:
                 raise FluxError(f"limit n: positive int required, got {n!r}")
-            extra = set(a) - {"n"}
+            off = _resolve(a["offset"], params) if "offset" in a else 0
+            if not isinstance(off, int) or isinstance(off, bool) or off < 0:
+                raise FluxError(
+                    f"limit offset: non-negative int required, got {off!r}"
+                )
+            extra = set(a) - {"n", "offset"}
             if extra:
                 raise FluxError(f"limit: unsupported args {sorted(extra)}")
-            post_ops.append(("limit", n))
+            post_ops.append(("limit", n, off))
         elif head == "tail":
             # tail(n:) — each table's LAST n rows in table order (the
             # "latest N readings" panel): the mirror of a bare limit,
@@ -1684,6 +1900,7 @@ def _compile_pipeline(
                 pending_sort = op
             elif op[0] == "limit":
                 n = op[1]
+                off = op[2] if len(op) > 2 else 0
                 group_keys = [
                     c for c in ("_measurement", "_field") if c in out.columns
                 ]
@@ -1720,11 +1937,15 @@ def _compile_pipeline(
                     w = Window.partitionBy(*group_keys).orderBy(*order)
                     out = (
                         out.withColumn("__rn", F.row_number().over(w))
-                        .filter(F.col("__rn") <= n)
+                        .filter(
+                            (F.col("__rn") > off) & (F.col("__rn") <= off + n)
+                        )
                         .drop("__rn")
                     )
                 else:
-                    out = out.orderBy(*order).limit(n)
+                    # offset composes with the distributed top-(off+n):
+                    # GlobalLimit(off+n) then skip off — never a full sort
+                    out = out.orderBy(*order).offset(off).limit(n)
                 if pending_sort is not None:
                     sorted_limit_applied = True
                 pending_sort = None
@@ -1911,12 +2132,69 @@ def _compile_pipeline(
             if yield_name:
                 out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
-        if not keys and kind not in ("pivot", "distinct", "window", "unique"):
+        if kind == "histogram_quantile":
+            # fused histogram |> histogramQuantile: the SAME B
+            # conditional-count aggregates the histogram pass computes
+            # (one tiny exchange on the table key — or the key-less
+            # merge form, equally partial-aggregated), then an in-row
+            # first-bucket walk + linear interpolation. Upstream rules:
+            # the first upper bound whose cumulative count reaches
+            # q·total wins; its lower edge is the previous bound (or
+            # minValue for the first); a +Inf winning bucket yields its
+            # lower edge verbatim. The interpolation expression is
+            # written in exactly the order the SQL oracle replays
+            # (lower + (upper − lower) · (rank − lc) / (count − lc)),
+            # so outputs are bit-identical. The selected bucket always
+            # has count > previous count (monotone cumulative counts),
+            # so the denominator is never 0 while total > 0; an
+            # all-above-bounds table (total = 0) yields NULL.
+            import math as _math
+
+            bounds, qv, minv = transform[1], transform[2], transform[3]
+            src = df.filter(F.col("_value").isNotNull())
+            aggs = [
+                F.sum(
+                    F.when(F.col("_value") <= F.lit(b), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("double")
+                .alias(f"__h{i}")
+                for i, b in enumerate(bounds)
+            ]
+            g = src.groupBy(*keys).agg(*aggs)
+            total = F.col(f"__h{len(bounds) - 1}")
+            rank = F.lit(qv) * total
+            expr = F.lit(None).cast("double")
+            for i in reversed(range(len(bounds))):
+                lower = (
+                    F.lit(minv) if i == 0 else F.lit(float(bounds[i - 1]))
+                )
+                lcount = F.lit(0.0) if i == 0 else F.col(f"__h{i - 1}")
+                if _math.isinf(bounds[i]):
+                    val_i = lower
+                else:
+                    val_i = lower + (F.lit(float(bounds[i])) - lower) * (
+                        rank - lcount
+                    ) / (F.col(f"__h{i}") - lcount)
+                expr = F.when(F.col(f"__h{i}") >= rank, val_i).otherwise(expr)
+            out = g.select(
+                *keys,
+                F.when(total <= 0, F.lit(None).cast("double"))
+                .otherwise(expr)
+                .alias(yield_name or "_value"),
+            )
+            return _finish(out)
+        if not keys and kind not in (
+            "pivot", "distinct", "window", "unique", "extrema",
+            "histogram_quantile",
+        ):
             # a per-point window transform over the merged-one-table key
             # is a single-partition window over raw rows — a scale trap,
             # not a plan; raise rather than compile it. distinct/window
             # stay distributed key-less (hash-distinct / narrow map),
-            # and unique partitions by the deduped VALUE.
+            # unique partitions by the deduped VALUE, and extrema /
+            # histogram_quantile are partial-aggregations (safe global).
             raise FluxError(
                 f"group() (merge all series) before {kind} is outside the "
                 "subset: the per-point transform would run in one partition"
@@ -2003,16 +2281,19 @@ def _compile_pipeline(
                 )
             )
             return _finish(out)
-        if kind == "ema":
-            from .operators.timeseries import flux_ema
+        if kind in ("ema", "ema2", "ema3", "rsi"):
+            from .operators.timeseries import flux_ema, flux_ema_chain, flux_rsi
 
-            series = flux_ema(
-                df.filter(F.col("_value").isNotNull()),
-                "_time",
-                "_value",
-                keys,
-                transform[1],
-            )
+            src = df.filter(F.col("_value").isNotNull())
+            if kind == "ema":
+                series = flux_ema(src, "_time", "_value", keys, transform[1])
+            elif kind == "rsi":
+                series = flux_rsi(src, "_time", "_value", keys, transform[1])
+            else:
+                series = flux_ema_chain(
+                    src, "_time", "_value", keys, transform[1],
+                    level=2 if kind == "ema2" else 3,
+                )
             if take_last:
                 # the fold's true final element: max_by(__seq), not
                 # max_by((_time, _value)) — on a tied final timestamp
@@ -2062,6 +2343,163 @@ def _compile_pipeline(
                 F.try_divide(delta, denom).alias(yield_name or "derivative"),
             ).filter(F.col(yield_name or "derivative").isNotNull())
             return _finish(out)
+        if kind == "sample":
+            # every n-th record per table (deterministic pos) — one
+            # row_number window on the series key, the same per-table
+            # locality every per-point transform assumes
+            n, pos = transform[1], transform[2]
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            src = df.filter(F.col("_value").isNotNull())
+            out = (
+                src.select(
+                    *keys, "_time", "_value",
+                    F.row_number().over(w).alias("__rn"),
+                )
+                .filter((F.col("__rn") - 1) % n == pos)
+                .drop("__rn")
+            )
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
+            return _finish(out)
+        if kind in ("cmo", "ker"):
+            # the trailing-frame technical indicators — pure Catalyst:
+            # deltas via one lag, then a ROWS (−(n−1), 0) frame over
+            # EXACT decimals (sliding-frame sums replay identically in
+            # DuckDB's segment tree because integer-backed decimals are
+            # associative), ONE double division per row at the end.
+            # Flux emits nothing until n deltas exist → rows 1..n drop.
+            # A zero denominator (flat window) yields 0 — pinned
+            # explicitly on BOTH sides because IEEE 0/0 is engine-
+            # dependent (DuckDB returns NULL, Spark NaN).
+            n = transform[1]
+            wo = Window.partitionBy(*keys).orderBy("_time", "_value")
+            src = df.filter(F.col("_value").isNotNull())
+            y = _dec("_value")
+            zero = F.lit(0).cast("decimal(18,2)")
+            if kind == "cmo":
+                d = y - F.lag(y).over(wo)
+                base = src.select(
+                    *keys, "_time", "_value", d.alias("__d"),
+                    F.row_number().over(wo).alias("__rn"),
+                )
+                wf = (
+                    Window.partitionBy(*keys)
+                    .orderBy("_time", "_value")
+                    .rowsBetween(-(n - 1), 0)
+                )
+                up = F.sum(
+                    F.when(F.col("__d") > 0, F.col("__d")).otherwise(zero)
+                ).over(wf)
+                dn = F.sum(
+                    F.when(F.col("__d") < 0, -F.col("__d")).otherwise(zero)
+                ).over(wf)
+                point = F.when((up + dn) == 0, F.lit(0.0)).otherwise(
+                    ((up - dn) * 100).cast("double")
+                    / (up + dn).cast("double")
+                )
+            else:
+                # Kaufman's Efficiency Ratio: |net move over n deltas|
+                # ÷ Σ|per-step move| — 1.0 on a straight trend, → 0 on
+                # churn; the telescoping inequality caps it at 1.
+                d = F.abs(y - F.lag(y).over(wo))
+                base = src.select(
+                    *keys, "_time", "_value",
+                    F.abs(y - F.lag(y, n).over(wo)).alias("__num"),
+                    d.alias("__d"),
+                    F.row_number().over(wo).alias("__rn"),
+                )
+                wf = (
+                    Window.partitionBy(*keys)
+                    .orderBy("_time", "_value")
+                    .rowsBetween(-(n - 1), 0)
+                )
+                den = F.sum(F.col("__d")).over(wf)
+                point = F.when(den == 0, F.lit(0.0)).otherwise(
+                    F.col("__num").cast("double") / den.cast("double")
+                )
+            series = (
+                base.select(
+                    *keys, "_time", point.alias("_value"), "__rn"
+                )
+                .filter(F.col("__rn") >= n + 1)
+                .drop("__rn")
+            )
+            if take_last:
+                from .operators.timeseries import last_value_per_group
+
+                out = last_value_per_group(series, "_time", "_value", keys)
+                if yield_name:
+                    out = out.withColumnRenamed("last_value", yield_name)
+                return _finish(out)
+            if yield_name:
+                series = series.withColumnRenamed("_value", yield_name)
+            return _finish(series)
+        if kind == "extrema":
+            which, n = transform[1], transform[2]
+            src = df.filter(F.col("_value").isNotNull())
+            if which in ("highestMax", "lowestMin"):
+                # the extremum RECORD per table; value ties resolve to
+                # the later timestamp (the struct order — documented
+                # deterministic tie rule)
+                s = (
+                    F.max(F.struct(F.col("_value"), F.col("_time")))
+                    if which == "highestMax"
+                    else F.min(F.struct(F.col("_value"), F.col("_time")))
+                )
+                per = src.groupBy(*keys).agg(s.alias("__m")).select(
+                    *keys,
+                    F.col("__m._time").alias("_time"),
+                    F.col("__m._value").alias("_value"),
+                )
+            elif which in ("highestAverage", "lowestAverage"):
+                per = src.groupBy(*keys).agg(
+                    (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
+                    .alias("_value")
+                )
+            else:  # highestCurrent / lowestCurrent: the latest record
+                per = src.groupBy(*keys).agg(
+                    F.max(F.struct(F.col("_time"), F.col("_value")))
+                    .alias("__m")
+                ).select(
+                    *keys,
+                    F.col("__m._time").alias("_time"),
+                    F.col("__m._value").alias("_value"),
+                )
+            desc = which.startswith("highest")
+            order = [
+                F.col("_value").desc() if desc else F.col("_value").asc()
+            ] + [F.col(k).asc() for k in keys]
+            out = per.orderBy(*order).limit(n)
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
+            return _finish(out)
+        if kind == "state_count":
+            # stateCount: run ids via the same change detection as
+            # stateDuration; the value is the 1-based position within
+            # the current TRUE run, −1 where the predicate is false
+            pred = transform[1]
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
+            runs = df.select(
+                *keys,
+                "_time",
+                "_value",
+                pred.alias("state"),
+                F.sum(chg)
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .alias("run_id"),
+            )
+            wr = Window.partitionBy(*keys, "run_id").orderBy("_time", "_value")
+            cnt = F.row_number().over(wr).cast("long")
+            return _finish(runs.select(
+                *keys,
+                "_time",
+                "_value",
+                "state",
+                F.when(F.col("state"), cnt)
+                .otherwise(F.lit(-1).cast("long"))
+                .alias(yield_name or "stateCount"),
+            ))
         if kind == "tma":
             # mirror the attested trailing_1h_mean form: TIME-distance
             # RANGE frame over integer epoch µs, exact decimal sums
@@ -2330,6 +2768,105 @@ def _compile_pipeline(
             )
             out = ranked.filter(F.col("__rn") == target).select(
                 *keys, F.col("_value").alias(name), F.col("__n").alias("n")
+            )
+            return _finish(out)
+        if fn == "mode":
+            # upstream mode(): every most-frequent value per table (one
+            # row per tied mode), or a single NULL row when no value
+            # repeats. Two hash aggregations over (table, value) — the
+            # per-value counts are map-side combinable and the max-count
+            # window runs over DISTINCT VALUES per table, never raw
+            # rows. The key-less group() bare form would rank every
+            # distinct value of the whole store on one partition —
+            # raises as a scale trap (same rule as group()|>quantile());
+            # the WINDOWED key-less form keys on window_start and stays
+            # distributed.
+            from pyspark.sql import Window
+
+            if not keys and every_s is None:
+                raise FluxError(
+                    "group() |> mode() would rank every distinct value on "
+                    "one partition — outside the shipped subset"
+                )
+            src = df.filter(F.col("_value").isNotNull())
+            if every_s is None:
+                g = list(keys)
+                base = src
+            else:
+                base = src.select(
+                    F.timestamp_micros(
+                        _epoch_floor_us("_time", every_s)
+                    ).alias("window_start"),
+                    *keys,
+                    "_value",
+                )
+                g = ["window_start", *keys]
+            counts = base.groupBy(*g, "_value").agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            wk = Window.partitionBy(*g)
+            out = (
+                counts.withColumn("__mc", F.max("__c").over(wk))
+                .filter(F.col("__c") == F.col("__mc"))
+                .select(
+                    *g,
+                    F.when(F.col("__mc") > 1, F.col("_value")).alias(name),
+                )
+                .distinct()
+            )
+            return _finish(out)
+        if fn == "skew":
+            # Flux skew() is the POPULATION skewness g1 = √n·M3/M2^1.5
+            # (M2/M3 = central moment sums) — NOT SQL's sample-corrected
+            # skewness. Compiled from EXACT decimal power sums
+            # (Σv, Σv², Σv³ — associative, deterministic across
+            # partition orders, map-side combinable) with the moment
+            # algebra evaluated in ONE fixed double expression order,
+            # m2^1.5 spelled m2·√m2 (sqrt is correctly rounded IEEE in
+            # both engines; pow is not), and the shared round-9 policy
+            # (pearsonr's) absorbing the decimal→double conversion's
+            # last-ulp engine differences. Zero variance (constant or
+            # single-point table) yields NULL — documented, where
+            # upstream's 0/0 is NaN.
+            src = df.filter(F.col("_value").isNotNull())
+            d = F.col("_value").cast("decimal(12,2)")
+            aggs = [
+                F.sum(d).alias("__s1"),
+                F.sum(d * d).alias("__s2"),
+                F.sum(d * d * d).alias("__s3"),
+                F.count(F.lit(1)).alias("n"),
+            ]
+            if every_s is None:
+                grouped = src.groupBy(*keys).agg(*aggs)
+                lead: list[str] = list(keys)
+            else:
+                w = F.window("_time", f"{every_s} seconds").alias("w")
+                grouped = (
+                    src.groupBy(w, *keys)
+                    .agg(*aggs)
+                    .select(F.col("w.start").alias("window_start"), *keys,
+                            "__s1", "__s2", "__s3", "n")
+                )
+                lead = ["window_start", *keys]
+            nD = F.col("n").cast("double")
+            a1 = F.col("__s1").cast("double")
+            a2 = F.col("__s2").cast("double")
+            a3 = F.col("__s3").cast("double")
+            m2 = a2 - a1 * a1 / nD
+            m3 = (
+                a3
+                - F.lit(3.0) * a1 * a2 / nD
+                + F.lit(2.0) * a1 * a1 * a1 / (nD * nD)
+            )
+            skew_expr = F.round(
+                F.sqrt(nD) * m3 / (m2 * F.sqrt(m2)), 9
+            )
+            out = grouped.select(
+                *lead,
+                F.when(m2 <= 0, F.lit(None).cast("double"))
+                .otherwise(skew_expr)
+                .alias(name),
+                "n",
             )
             return _finish(out)
         if fn == "mean":

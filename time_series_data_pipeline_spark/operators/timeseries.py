@@ -438,6 +438,152 @@ def flux_ema(
     return narrowed.groupBy(*keys).applyInPandas(_ema, schema=out_schema)
 
 
+def flux_ema_chain(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n: int,
+    level: int,
+) -> DataFrame:
+    """Flux ``doubleEMA(n:)`` / ``tripleEMA(n:)``: DEMA = 2·e1 − e2 and
+    TEMA = 3·e1 − 3·e2 + e3, where e1 = EMA_n(x), e2 = EMA_n(e1),
+    e3 = EMA_n(e2) — exactly the chained-EMA composition upstream Flux
+    builds them from, so each chaining level drops a further n−1 rows
+    (DEMA emits from row 2(n−1), TEMA from 3(n−1); shorter series emit
+    nothing).
+
+    Same sanctioned Arrow escape hatch and the same bit-parity
+    discipline as ``flux_ema``: every fold seeds with a left-to-right
+    double sum ÷ n and steps ``(1−k)·acc + k·x``, and the combination
+    is evaluated ``2.0·a − b`` / ``3.0·a − 3.0·b + c`` — the exact
+    expression order the DuckDB oracle replays (recursive CTE +
+    list_reduce), so outputs are bit-identical. ``__seq`` serves the
+    downstream last() exactly as in ``flux_ema``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if level not in (2, 3):
+        raise ValueError(f"flux_ema_chain level must be 2 or 3, got {level}")
+    cols = [*keys, ts_col]
+    narrowed = df.select(*cols, F.col(value_col).cast("double").alias(value_col))
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols]
+        + [StructField(value_col, DoubleType()), StructField("__seq", LongType())]
+    )
+    k = 2.0 / (n + 1.0)
+    omk = 1.0 - k
+
+    def _fold(xs):
+        if len(xs) < n:
+            return None
+        acc = xs[0]
+        for x in xs[1:n]:
+            acc = acc + x
+        acc = acc / n
+        out = [acc]
+        for x in xs[n:]:
+            acc = omk * acc + k * x
+            out.append(acc)
+        return out
+
+    def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        xs = [float(x) for x in pdf[value_col].to_numpy(dtype="float64")]
+        e1 = _fold(xs)
+        e2 = _fold(e1) if e1 is not None else None
+        if e2 is None:
+            return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
+        if level == 2:
+            vals = [2.0 * a - b for a, b in zip(e1[n - 1 :], e2)]
+            drop = 2 * (n - 1)
+        else:
+            e3 = _fold(e2)
+            if e3 is None:
+                return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
+            vals = [
+                3.0 * a - 3.0 * b + c
+                for a, b, c in zip(e1[2 * (n - 1) :], e2[n - 1 :], e3)
+            ]
+            drop = 3 * (n - 1)
+        kept = pdf.iloc[drop:].copy()
+        kept[value_col] = vals
+        kept["__seq"] = range(len(vals))
+        return kept
+
+    return narrowed.groupBy(*keys).applyInPandas(_chain, schema=out_schema)
+
+
+def flux_rsi(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n: int,
+) -> DataFrame:
+    """Flux ``relativeStrengthIndex(n:)`` — Wilder's RSI, the
+    definition upstream's technical-indicator family uses: the average
+    gain/loss over the first n deltas seeds the recurrence, each later
+    step smooths ``avg = (avg·(n−1) + move)/n``, and
+    ``RSI = 100 − 100/(1 + avgGain/avgLoss)`` (100 where avgLoss is 0
+    — a pure up-trend). Emission starts once n deltas exist: the first
+    n rows of each table are dropped; shorter series emit nothing.
+
+    Sequential recurrence → the sanctioned Arrow per-series kernel.
+    Bit-parity discipline as ``flux_ema``: the seed is a left-to-right
+    sum of ``max(Δ, 0)`` / ``max(−Δ, 0)`` divided by n, and every step
+    is evaluated in exactly the expression order the DuckDB recursive
+    CTE replays, so outputs are bit-identical.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cols = [*keys, ts_col]
+    narrowed = df.select(*cols, F.col(value_col).cast("double").alias(value_col))
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols]
+        + [StructField(value_col, DoubleType()), StructField("__seq", LongType())]
+    )
+
+    def _rsi(au: float, ad: float) -> float:
+        if ad == 0.0:
+            return 100.0
+        return 100.0 - 100.0 / (1.0 + au / ad)
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        xs = [float(x) for x in pdf[value_col].to_numpy(dtype="float64")]
+        if len(xs) < n + 1:
+            return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
+        au = 0.0
+        ad = 0.0
+        for i in range(1, n + 1):
+            d = xs[i] - xs[i - 1]
+            if d > 0.0:
+                au = au + d
+            elif d < 0.0:
+                ad = ad + (-d)
+        au = au / n
+        ad = ad / n
+        out = [_rsi(au, ad)]
+        for i in range(n + 1, len(xs)):
+            d = xs[i] - xs[i - 1]
+            u = d if d > 0.0 else 0.0
+            v = -d if d < 0.0 else 0.0
+            au = (au * (n - 1.0) + u) / n
+            ad = (ad * (n - 1.0) + v) / n
+            out.append(_rsi(au, ad))
+        kept = pdf.iloc[n:].copy()
+        kept[value_col] = out
+        kept["__seq"] = range(len(out))
+        return kept
+
+    return narrowed.groupBy(*keys).applyInPandas(_f, schema=out_schema)
+
+
 def last_value_per_group(
     df: DataFrame, ts_col: str, value_col: str, keys: list[str]
 ) -> DataFrame:
