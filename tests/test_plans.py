@@ -131,7 +131,9 @@ def test_no_row_python_anywhere(spark, name):
     # test_extensions_selfcheck)
     # ... and the Flux exponentialMovingAverage recurrence — the same
     # inherently-sequential class as EWMA, Arrow-batched per series
-    # (operators/timeseries.py flux_ema)
+    # (operators/timeseries.py flux_ema) — plus its round-10c siblings
+    # doubleEMA/tripleEMA (flux_ema_chain) and Wilder RSI (flux_rsi),
+    # and the suite that unions those singletons verbatim
     if not name.startswith("multimodal_") and name not in (
         "heavy_hitter_tokens",
         "heavy_hitter_verify",
@@ -139,6 +141,10 @@ def test_no_row_python_anywhere(spark, name):
         "embedding_neardup_pairs",
         "embedding_lsh_ann",
         "flux_compiled_ema",
+        "flux_compiled_dema",
+        "flux_compiled_tema",
+        "flux_compiled_rsi",
+        "suite_flux_round10c",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
@@ -249,6 +255,31 @@ import pytest as _pytest
         ("flux_compiled_cov", 3),
         # per-table bottom-N: one series-key window shuffle
         ("flux_compiled_tail", 1),
+        # round 10c: per-value counts exchange + the max-count window
+        # over DISTINCT VALUES per table (never raw rows)
+        ("flux_compiled_mode", 2),
+        # one power-sum groupBy on the table key
+        ("flux_compiled_skew", 1),
+        # run-id + in-run windows share ONE key partitioning
+        ("flux_compiled_state_count", 1),
+        # lag + trailing frame over ONE series-key partitioning
+        ("flux_compiled_cmo", 1),
+        ("flux_compiled_kaufmans_er", 1),
+        # row_number rank filters: one series-key window shuffle
+        ("flux_compiled_sample", 1),
+        ("flux_compiled_limit_offset", 1),
+        # cast is in-plan; the windowed agg's one exchange only
+        ("flux_compiled_to_int", 1),
+        # per-table reduce (partial agg) + TakeOrderedAndProject top-N
+        ("flux_compiled_highest_max", 1),
+        ("flux_compiled_lowest_average", 1),
+        # fused: the histogram pass's single conditional-count exchange
+        ("flux_compiled_histogram_quantile", 1),
+        # Arrow kernel's series-key shuffle (full-series output)
+        ("flux_compiled_dema", 1),
+        ("flux_compiled_rsi", 1),
+        # kernel shuffle + the last() agg, same shape as flux_compiled_ema
+        ("flux_compiled_tema", 2),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

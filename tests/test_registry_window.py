@@ -57,8 +57,10 @@ def test_new_and_changed_queries_lead_the_window():
     # hourSelection+truncateTimeColumn / distinct / unique / window /
     # integral / exponentialMovingAverage are new stages), and the
     # shared null-policy change re-attests the three registered
-    # bare/windowed-aggregate + last() paths
-    assert set(_CHECKED_WINDOW[:22]) == {
+    # bare/windowed-aggregate + last() paths; the round-10c batch
+    # (16 new stages) leads through ONE suite slot whose oracle embeds
+    # all 14 new singletons verbatim
+    assert set(_CHECKED_WINDOW[:23]) == {
         "flux_compiled_quantile", "flux_compiled_stddev",
         "flux_compiled_spread", "flux_compiled_timeshift",
         "flux_compiled_elapsed", "flux_compiled_join_overlay",
@@ -68,7 +70,7 @@ def test_new_and_changed_queries_lead_the_window():
         "flux_compiled_integral", "flux_compiled_ema",
         "flux_compiled_derivative_signed", "flux_compiled_pearsonr",
         "flux_compiled_derivative", "flux_compiled_cov",
-        "flux_compiled_tail",
+        "flux_compiled_tail", "suite_flux_round10c",
         "flux_compiled_mean", "flux_compiled_group_merge",
         "flux_compiled_gauge",
     }

@@ -37,6 +37,12 @@ stage):
                 | increase | stateDuration | pivot | elapsed | histogram
                 | sort | limit | keep | drop | fill | rename | timeShift
                 | top | bottom | duplicate | set
+                | mode | skew | stateCount | chandeMomentumOscillator
+                | kaufmansER | doubleEMA | tripleEMA
+                | relativeStrengthIndex | sample | toFloat | toInt
+                | highestMax | highestAverage | highestCurrent
+                | lowestMin | lowestAverage | lowestCurrent
+                | histogramQuantile (fused after histogram)
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -175,6 +181,37 @@ that shape raises (outside the subset) rather than compiling a
 scale-trap; re-keying them onto a non-empty subset compiles fine.
 Grouping by anything else (tags don't exist in this store — SURVEY
 §1.1) raises.
+
+Round 10c adds the technical-indicator / selector / conversion batch
+(the remaining Flux universe stages a Grafana dashboard reaches for):
+
+* ``mode()`` / ``skew()`` — completing the aggregate dropdown beyond
+  round 9: all tied most-frequent values (NULL when nothing repeats),
+  and POPULATION skewness g1 = √n·M3/M2^1.5 from exact decimal power
+  sums (round-9-dp shared policy). Both accept the windowed
+  ``aggregateWindow(fn:)`` form.
+* ``stateCount(fn:)`` — the run-position sibling of stateDuration.
+* ``chandeMomentumOscillator(n:)`` / ``kaufmansER(n:)`` — trailing-
+  frame indicators, pure Catalyst over exact decimal delta sums.
+* ``doubleEMA(n:)`` / ``tripleEMA(n:)`` / ``relativeStrengthIndex(n:)``
+  — sequential recurrences on the same sanctioned Arrow per-series
+  kernel as exponentialMovingAverage (operators/timeseries.py
+  flux_ema_chain / flux_rsi), bit-identical to recursive-CTE oracles.
+* ``sample(n:, pos:)`` — deterministic decimation (upstream's random
+  default pos: -1 raises).
+* ``toFloat()`` / ``toInt()`` — row-level _value casts (toInt
+  truncates toward zero, the Go int64 conversion; toString is NOT
+  shipped — float formatting differs between engines).
+* ``limit(n:, offset:)`` — pagination on the per-table rank machinery.
+* ``highestMax/highestAverage/highestCurrent/lowestMin/lowestAverage/
+  lowestCurrent(n:)`` — table-level selectors: per-table reduce
+  (map-side combinable), then a top-N over one-row-per-table frames.
+* ``histogram(bins:) |> histogramQuantile(quantile:)`` — fused into
+  the histogram's single aggregation pass (in-row bucket walk +
+  linear interpolation; a +Inf winning bucket yields its lower edge).
+* ``holtWinters()`` and ``kaufmansAMA()`` remain outside the subset
+  (optimizer-fitted, resp. seed-convention-ambiguous) and raise
+  naming the stage.
 """
 
 from __future__ import annotations

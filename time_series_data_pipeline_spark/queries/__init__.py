@@ -69,6 +69,22 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "chunk_dedup_stats",
         "label_outliers",
     ),
+    "suite_flux_round10c": (
+        "flux_compiled_mode",
+        "flux_compiled_skew",
+        "flux_compiled_state_count",
+        "flux_compiled_cmo",
+        "flux_compiled_kaufmans_er",
+        "flux_compiled_sample",
+        "flux_compiled_limit_offset",
+        "flux_compiled_to_int",
+        "flux_compiled_highest_max",
+        "flux_compiled_lowest_average",
+        "flux_compiled_histogram_quantile",
+        "flux_compiled_dema",
+        "flux_compiled_tema",
+        "flux_compiled_rsi",
+    ),
 }
 
 # Rows-only queries (no SQL oracle by documented design) and the
@@ -138,6 +154,15 @@ _CHECKED_WINDOW = [
     # embedding_topk/ivf + the PQ suite arms)
     "flux_compiled_cov",
     "flux_compiled_tail",
+    # + the round-10c batch (16 new stages: mode/skew/stateCount/CMO/
+    # kaufmansER/sample/toFloat+toInt/limit-offset/highest*+lowest*/
+    # fused histogramQuantile/doubleEMA/tripleEMA/RSI), driver-attested
+    # through ONE suite whose oracle embeds all 14 new singletons'
+    # registered SQL verbatim (the suite_round5 precedent); ewma_final
+    # yields the slot — the Arrow per-series recurrence family it
+    # represents is freshly attested by the in-window flux_compiled_ema
+    # plus the three new kernel arms, and its own r7 row stays recorded
+    "suite_flux_round10c",
     "flux_compiled_mean",
     "flux_compiled_group_merge",
     "flux_compiled_gauge",
@@ -164,7 +189,6 @@ _CHECKED_WINDOW = [
     "doc_profile",
     "embedding_ivf_topk",
     "embedding_topk",
-    "ewma_final",
     "heavy_hitter_verify",
     "last_value_per_type",
     "minhash_lsh_verify",

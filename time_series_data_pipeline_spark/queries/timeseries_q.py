@@ -3004,3 +3004,874 @@ def suite_timeseries_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (mad, tr, twa, ci, js, fu, et, wr):
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round 10c: the Flux technical-indicator / selector / conversion batch.
+# Reference evidence: the Data-Explorer aggregate dropdown and the Flux
+# universe technical-indicator family the reference's Grafana panels
+# query through (photo/Influxdb-result.png, SURVEY.md §2.5 A3 / §8).
+
+
+@query(
+    "flux_compiled_mode",
+    # upstream mode(): every most-frequent value per table (ties ->
+    # several rows), ONE NULL row when no value repeats. Both branches
+    # are live across SFs: sf0.001 has unique-only fields (NULL rows),
+    # sf0.01 has repeated 2-decimal values.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, value, c,
+             max(c) OVER (PARTITION BY event_type) AS mc
+      FROM c
+    )
+    SELECT DISTINCT 'events' AS _measurement, event_type AS _field,
+           CASE WHEN mc > 1 THEN value END AS mode
+    FROM m WHERE c = mc
+    """,
+)
+def flux_compiled_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mode()` through the Flux front-end: two hash aggregations —
+    per-value counts (map-side combinable) and a max-count window over
+    DISTINCT VALUES per table, never raw rows."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> mode()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_skew",
+    # Flux skew() = POPULATION g1 = sqrt(n)*M3/M2^1.5 (NOT SQL's
+    # sample-corrected skewness). Exact decimal power sums -> one fixed
+    # double expression order (m2^1.5 spelled m2*sqrt(m2) — sqrt is
+    # correctly-rounded IEEE in both engines, pow is not), round-9
+    # shared policy absorbing decimal->double conversion ulps.
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(12,2))) AS s1,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+               AS s2,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                 * CAST(value AS DECIMAL(12,2))) AS s3,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS m2,
+             CAST(s3 AS DOUBLE)
+               - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / CAST(n AS DOUBLE)
+               + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m3
+      FROM s
+    )
+    SELECT 'events' AS _measurement, event_type AS _field,
+           CASE WHEN m2 <= 0 THEN NULL
+                ELSE round(sqrt(nd) * m3 / (m2 * sqrt(m2)), 9)
+           END AS skew,
+           n
+    FROM m
+    """,
+)
+def flux_compiled_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`skew()` through the Flux front-end — one map-side-combinable
+    power-sum aggregation per table (Σv, Σv², Σv³ over exact decimals),
+    moment algebra in-row."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> skew()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_state_count",
+    # stateCount(fn:) — 1-based position within the current TRUE run,
+    # -1 where false; run ids via lag change detection, identical to
+    # the attested stateDuration machinery.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, value, (value > 100.0) AS state,
+             CASE WHEN lag((value > 100.0)) OVER w
+                       IS DISTINCT FROM (value > 100.0)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY event_type ORDER BY ts, value
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s
+    )
+    SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+           value AS _value, state,
+           CASE WHEN state
+                THEN CAST(row_number() OVER (PARTITION BY event_type, run_id
+                                             ORDER BY ts, value) AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS "stateCount"
+    FROM r
+    """,
+)
+def flux_compiled_state_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stateCount()` through the Flux front-end — the "how many
+    readings has this alert condition persisted" panel."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> stateCount(fn: (r) => r._value > 100.0)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_cmo",
+    # Chande Momentum Oscillator over the trailing 10 deltas: EXACT
+    # decimal up/down sums in a ROWS frame (integer-backed — DuckDB's
+    # segment-tree merge and Spark's running frame agree exactly), ONE
+    # double division per row; first n rows dropped; flat-window 0/0
+    # pinned to 0 on both sides.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, value,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2))) OVER w AS d,
+             row_number() OVER w AS rn
+      FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ), f AS (
+      SELECT event_type, ts, rn,
+             SUM(CASE WHEN d > 0 THEN d
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) OVER wf AS up,
+             SUM(CASE WHEN d < 0 THEN -d
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) OVER wf AS dn
+      FROM s
+      WINDOW wf AS (PARTITION BY event_type ORDER BY ts, value
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+           CASE WHEN (up + dn) = 0 THEN 0.0
+                ELSE CAST((up - dn) * 100 AS DOUBLE)
+                     / CAST(up + dn AS DOUBLE) END AS _value
+    FROM f WHERE rn >= 11
+    """,
+)
+def flux_compiled_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`chandeMomentumOscillator()` through the Flux front-end."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> chandeMomentumOscillator(n: 10)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_kaufmans_er",
+    # Kaufman's Efficiency Ratio: |net move over n deltas| / Σ|step|
+    # over the same trailing frame — exact decimals, one division.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, value,
+             abs(CAST(value AS DECIMAL(18,2))
+                 - lag(CAST(value AS DECIMAL(18,2))) OVER w) AS d,
+             abs(CAST(value AS DECIMAL(18,2))
+                 - lag(CAST(value AS DECIMAL(18,2)), 10) OVER w) AS num,
+             row_number() OVER w AS rn
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    ), f AS (
+      SELECT event_type, ts, num, rn,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY ts, value
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS den
+      FROM s
+    )
+    SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+           CASE WHEN den = 0 THEN 0.0
+                ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS _value
+    FROM f WHERE rn >= 11
+    """,
+)
+def flux_compiled_kaufmans_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kaufmansER()` through the Flux front-end."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> kaufmansER(n: 10)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_sample",
+    # sample(n: 5, pos: 2) — every 5th record per table at offset 2
+    # (the deterministic form; upstream's default pos: -1 is random and
+    # raises).
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value
+    FROM (
+      SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, value) AS rn
+      FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE (rn - 1) % 5 = 2
+    """,
+)
+def flux_compiled_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sample()` through the Flux front-end — the decimation stage a
+    dashboard uses to thin a dense series."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> sample(n: 5, pos: 2)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_limit_offset",
+    # limit(n: 5, offset: 10) — Flux pagination: per-table ranks
+    # (10, 15] in _time table order.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value
+    FROM (
+      SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, value) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn > 10 AND rn <= 15
+    """,
+)
+def flux_compiled_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`limit(n:, offset:)` through the Flux front-end — pagination
+    compiled onto the same per-table rank machinery as bare limit."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> limit(n: 5, offset: 10)
+          |> keep(columns: ["_measurement", "_field", "_time", "_value"])
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_to_int",
+    # toInt() |> aggregateWindow(sum): the cast truncates toward zero
+    # (Go int64(float) == Spark double->long; DuckDB's bare cast ROUNDS,
+    # hence trunc() in this oracle), then the windowed exact-decimal sum
+    # runs over the integer values.
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(CAST(trunc(value) AS BIGINT) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`toInt()` through the Flux front-end, feeding a windowed sum —
+    the conversion stage composes with terminals like any row stage."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> toInt()
+          |> aggregateWindow(every: 1d, fn: sum)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_highest_max",
+    # highestMax(n: 3): the extremum RECORD per table (value ties ->
+    # later timestamp), then the 3 highest tables by value (ties ->
+    # key order) — a per-table aggregate plus a top-N over
+    # one-row-per-table frames.
+    oracle="""
+    WITH per AS (
+      SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts DESC) AS rn
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value
+    FROM per WHERE rn = 1
+    ORDER BY value DESC, event_type ASC LIMIT 3
+    """,
+)
+def flux_compiled_highest_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`highestMax()` through the Flux front-end — the "top N series
+    by peak" Grafana table panel."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> highestMax(n: 3)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_lowest_average",
+    # lowestAverage(n: 2): per-table exact-decimal mean, then the 2
+    # lowest tables.
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS _value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT 'events' AS _measurement, event_type AS _field, _value
+    FROM per ORDER BY _value ASC, event_type ASC LIMIT 2
+    """,
+)
+def flux_compiled_lowest_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lowestAverage()` through the Flux front-end."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> lowestAverage(n: 2)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_histogram_quantile",
+    # fused histogram |> histogramQuantile(0.9) over bounds
+    # [100, 200, 300, +Inf]: first cumulative count reaching 0.9·total
+    # wins; linear interpolation from the previous bound (minValue 0
+    # for the first); a +Inf winner yields its lower edge. The CASE
+    # replays the engine's expression order verbatim; unselected arms
+    # never evaluate (CASE is lazy in both engines), so the only
+    # denominators computed are the provably-positive ones.
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS h0,
+             CAST(SUM(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS h1,
+             CAST(SUM(CASE WHEN value <= 300.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS h2,
+             CAST(COUNT(*) AS DOUBLE) AS h3
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT 'events' AS _measurement, event_type AS _field,
+           CASE WHEN h3 <= 0 THEN NULL
+                WHEN h0 >= 0.9 * h3
+                  THEN 0.0 + (100.0 - 0.0) * (0.9 * h3 - 0.0) / (h0 - 0.0)
+                WHEN h1 >= 0.9 * h3
+                  THEN 100.0 + (200.0 - 100.0) * (0.9 * h3 - h0) / (h1 - h0)
+                WHEN h2 >= 0.9 * h3
+                  THEN 200.0 + (300.0 - 200.0) * (0.9 * h3 - h1) / (h2 - h1)
+                ELSE 300.0 END AS _value
+    FROM h
+    """,
+)
+def flux_compiled_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`histogram |> histogramQuantile` through the Flux front-end —
+    the Grafana heatmap-to-percentile panel, fused into ONE
+    aggregation pass (no second shuffle)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> histogram(bins: linearBins(start: 100.0, width: 100.0, count: 3, infinity: true))
+          |> histogramQuantile(quantile: 0.9)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_dema",
+    # doubleEMA(n: 10), full series: DEMA_j = 2·e1 − e2 aligned at the
+    # same original row, emission from row 2(n−1)+1. The oracle replays
+    # the e1 fold as a linear recursive CTE and the e2 fold as a second
+    # recursion over the collected e1 list — every step is the exact
+    # expression order the Arrow kernel evaluates ((1−k)·a + k·x, seed
+    # = left-fold sum ÷ n, combination 2.0·a − b), so the ~450-step
+    # chain is bit-identical with no rounding.
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT ts, value, row_number() OVER (ORDER BY ts, value) AS rn
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    base AS (
+      SELECT count(*) AS L, list(value ORDER BY rn) AS vs,
+             list(ts ORDER BY rn) AS tss
+      FROM ranked
+    ),
+    -- each recursion carries its input LIST in the working row: a
+    -- recursive step referencing another CTE would re-evaluate it per
+    -- iteration (O(n^2)); the list-walker stays linear
+    e1(rn, a, vs) AS (
+      SELECT 10, list_reduce(list_slice(vs, 1, 10), (a, x) -> a + x) / 10, vs
+      FROM base WHERE L >= 10
+      UNION ALL
+      SELECT rn + 1,
+             (1.0 - 2.0 / 11.0) * a + (2.0 / 11.0) * vs[rn + 1], vs
+      FROM e1 WHERE rn + 1 <= len(vs)
+    ),
+    b2 AS (SELECT count(*) AS L2, list(a ORDER BY rn) AS es FROM e1),
+    e2(i, a2, es) AS (
+      SELECT 10, list_reduce(list_slice(es, 1, 10), (a, x) -> a + x) / 10, es
+      FROM b2 WHERE L2 >= 10
+      UNION ALL
+      SELECT i + 1,
+             (1.0 - 2.0 / 11.0) * a2 + (2.0 / 11.0) * es[i + 1], es
+      FROM e2 WHERE i + 1 <= len(es)
+    )
+    SELECT 'events' AS _measurement, 'view' AS _field,
+           b.tss[e2.i + 9] AS _time,
+           2.0 * e2.es[e2.i] - e2.a2 AS _value
+    FROM e2, base b
+    """,
+)
+def flux_compiled_dema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doubleEMA()` through the Flux front-end — the chained-EMA
+    smoother, one Arrow per-series pass (operators/timeseries.py
+    flux_ema_chain)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> doubleEMA(n: 10)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_tema",
+    # tripleEMA(n: 6) |> last(): 3·e1 − 3·e2 + e3 at the fold's final
+    # element. e1/e2 replay as recursions; e3's LAST value needs only
+    # one list_reduce fold over the collected e2 list (the same shape
+    # the flux_compiled_ema oracle uses).
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT ts, value, row_number() OVER (ORDER BY ts, value) AS rn
+      FROM events
+      WHERE event_type = 'signup' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    base AS (
+      SELECT count(*) AS L, list(value ORDER BY rn) AS vs, max(ts) AS last_ts
+      FROM ranked
+    ),
+    e1(rn, a, vs) AS (
+      SELECT 6, list_reduce(list_slice(vs, 1, 6), (a, x) -> a + x) / 6, vs
+      FROM base WHERE L >= 6
+      UNION ALL
+      SELECT rn + 1, (1.0 - 2.0 / 7.0) * a + (2.0 / 7.0) * vs[rn + 1], vs
+      FROM e1 WHERE rn + 1 <= len(vs)
+    ),
+    b2 AS (SELECT count(*) AS L2, list(a ORDER BY rn) AS es FROM e1),
+    e2(i, a2, es) AS (
+      SELECT 6, list_reduce(list_slice(es, 1, 6), (a, x) -> a + x) / 6, es
+      FROM b2 WHERE L2 >= 6
+      UNION ALL
+      SELECT i + 1, (1.0 - 2.0 / 7.0) * a2 + (2.0 / 7.0) * es[i + 1], es
+      FROM e2 WHERE i + 1 <= len(es)
+    ),
+    b3 AS (SELECT count(*) AS L3, list(a2 ORDER BY i) AS e2s FROM e2)
+    SELECT 'events' AS _measurement, 'signup' AS _field,
+           b.last_ts,
+           3.0 * b2.es[b2.L2]
+             - 3.0 * b3.e2s[b3.L3]
+             + list_reduce(
+                 list_prepend(
+                   list_reduce(list_slice(b3.e2s, 1, 6), (a, x) -> a + x) / 6,
+                   list_slice(b3.e2s, 7, b3.L3)),
+                 (a, x) -> (1.0 - 2.0 / 7.0) * a + (2.0 / 7.0) * x
+               ) AS last_value
+    FROM base b, b2, b3
+    WHERE b3.L3 >= 6
+    """,
+)
+def flux_compiled_tema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tripleEMA() |> last()` through the Flux front-end — the
+    stat-panel form of the thrice-smoothed series."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "signup")
+          |> tripleEMA(n: 6)
+          |> last()
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_rsi",
+    # Wilder RSI, full series: the (avgGain, avgLoss) pair recursion
+    # seeded by the first-14-delta means; every step and the final
+    # 100 − 100/(1 + au/ad) are the exact expression order the kernel
+    # evaluates (adding 0.0 for a non-move is an exact identity, so the
+    # CASE-fold seed equals the kernel's skip-the-zeros loop).
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT ts, value, row_number() OVER (ORDER BY ts, value) AS rn,
+             value - lag(value) OVER (ORDER BY ts, value) AS d
+      FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    base AS (
+      SELECT count(*) AS L, list(d ORDER BY rn) AS ds,
+             list_reduce(list_prepend(0.0, list_transform(
+               list_slice(list(d ORDER BY rn), 2, 15),
+               x -> CASE WHEN x > 0 THEN x ELSE 0.0 END)),
+               (a, x) -> a + x) / 14 AS au0,
+             list_reduce(list_prepend(0.0, list_transform(
+               list_slice(list(d ORDER BY rn), 2, 15),
+               x -> CASE WHEN x < 0 THEN -x ELSE 0.0 END)),
+               (a, x) -> a + x) / 14 AS ad0
+      FROM ranked
+    ),
+    -- list-carrying recursion (a recursive step referencing ranked
+    -- would re-evaluate the windowed CTE per iteration — O(n^2))
+    r(rn, au, ad, ds) AS (
+      SELECT 15, au0, ad0, ds FROM base WHERE L >= 15
+      UNION ALL
+      SELECT rn + 1,
+             (au * 13.0 + CASE WHEN ds[rn + 1] > 0
+                               THEN ds[rn + 1] ELSE 0.0 END) / 14,
+             (ad * 13.0 + CASE WHEN ds[rn + 1] < 0
+                               THEN -ds[rn + 1] ELSE 0.0 END) / 14,
+             ds
+      FROM r WHERE rn + 1 <= len(ds)
+    )
+    SELECT 'events' AS _measurement, 'error' AS _field, x.ts AS _time,
+           CASE WHEN r.ad = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + r.au / r.ad) END AS _value
+    FROM r JOIN ranked x ON x.rn = r.rn
+    """,
+)
+def flux_compiled_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`relativeStrengthIndex()` through the Flux front-end — Wilder's
+    RSI in the sanctioned Arrow per-series kernel
+    (operators/timeseries.py flux_rsi)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> relativeStrengthIndex(n: 14)
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 14 new
+# flux stages — each arm embeds the singleton's registered oracle SQL
+# verbatim (pinned by tests/test_registry_window.py), so the suite
+# attests exactly what the singletons compute while they share one
+# driver window slot.
+_OR10C = {
+    n: ORACLE[n]
+    for n in (
+        "flux_compiled_mode", "flux_compiled_skew",
+        "flux_compiled_state_count", "flux_compiled_cmo",
+        "flux_compiled_kaufmans_er", "flux_compiled_sample",
+        "flux_compiled_limit_offset", "flux_compiled_to_int",
+        "flux_compiled_highest_max", "flux_compiled_lowest_average",
+        "flux_compiled_histogram_quantile", "flux_compiled_dema",
+        "flux_compiled_tema", "flux_compiled_rsi",
+    )
+}
+
+_SUITE_10C_SQL = f"""
+    SELECT 'flux_compiled_mode' AS sub, t._field AS k1,
+           CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS n,
+           t.mode AS value
+    FROM ({_OR10C["flux_compiled_mode"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_skew', t._field, CAST(NULL AS VARCHAR),
+           t.n, t.skew
+    FROM ({_OR10C["flux_compiled_skew"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_state_count', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR) || '|'
+             || CAST(t.state AS VARCHAR),
+           t."stateCount", t._value
+    FROM ({_OR10C["flux_compiled_state_count"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_cmo', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_cmo"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_kaufmans_er', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_kaufmans_er"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_sample', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_sample"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_limit_offset', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_limit_offset"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_to_int', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.sum
+    FROM ({_OR10C["flux_compiled_to_int"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_highest_max', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_highest_max"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_lowest_average', t._field,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), t._value
+    FROM ({_OR10C["flux_compiled_lowest_average"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_histogram_quantile', t._field,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), t._value
+    FROM ({_OR10C["flux_compiled_histogram_quantile"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_dema', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_dema"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_tema', t._field,
+           CAST(epoch_us(t.last_ts) AS VARCHAR), CAST(NULL AS BIGINT),
+           t.last_value
+    FROM ({_OR10C["flux_compiled_tema"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_rsi', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
+           t._value
+    FROM ({_OR10C["flux_compiled_rsi"]}) t
+"""
+
+
+@query("suite_flux_round10c", oracle=_SUITE_10C_SQL)
+def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10c Flux suite, one order-insensitive union hash: mode,
+    skew, stateCount, CMO, Kaufman's ER, sample, limit-offset, toInt,
+    highestMax, lowestAverage, fused histogramQuantile, doubleEMA,
+    tripleEMA, and Wilder RSI — all 14 new stages driver-attested in
+    one registry slot while the singletons sit below the cap."""
+
+    def _ns():
+        return F.lit(None).cast("string")
+
+    def _nl():
+        return F.lit(None).cast("long")
+
+    def _us(c):
+        return F.unix_micros(c).cast("string")
+
+    arms = [
+        flux_compiled_mode(spark, sf_dir).select(
+            F.lit("flux_compiled_mode").alias("sub"),
+            F.col("_field").alias("k1"), _ns().alias("k2"),
+            _nl().alias("n"), F.col("mode").alias("value"),
+        ),
+        flux_compiled_skew(spark, sf_dir).select(
+            F.lit("flux_compiled_skew").alias("sub"),
+            F.col("_field").alias("k1"), _ns().alias("k2"),
+            F.col("n"), F.col("skew").alias("value"),
+        ),
+        flux_compiled_state_count(spark, sf_dir).select(
+            F.lit("flux_compiled_state_count").alias("sub"),
+            F.col("_field").alias("k1"),
+            F.concat(
+                _us("_time"), F.lit("|"), F.col("state").cast("string")
+            ).alias("k2"),
+            F.col("stateCount").alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_cmo(spark, sf_dir).select(
+            F.lit("flux_compiled_cmo").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_kaufmans_er(spark, sf_dir).select(
+            F.lit("flux_compiled_kaufmans_er").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_sample(spark, sf_dir).select(
+            F.lit("flux_compiled_sample").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_limit_offset(spark, sf_dir).select(
+            F.lit("flux_compiled_limit_offset").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_to_int(spark, sf_dir).select(
+            F.lit("flux_compiled_to_int").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("sum").alias("value"),
+        ),
+        flux_compiled_highest_max(spark, sf_dir).select(
+            F.lit("flux_compiled_highest_max").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_lowest_average(spark, sf_dir).select(
+            F.lit("flux_compiled_lowest_average").alias("sub"),
+            F.col("_field").alias("k1"), _ns().alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_histogram_quantile(spark, sf_dir).select(
+            F.lit("flux_compiled_histogram_quantile").alias("sub"),
+            F.col("_field").alias("k1"), _ns().alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_dema(spark, sf_dir).select(
+            F.lit("flux_compiled_dema").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_tema(spark, sf_dir).select(
+            F.lit("flux_compiled_tema").alias("sub"),
+            F.col("_field").alias("k1"), _us("last_ts").alias("k2"),
+            _nl().alias("n"), F.col("last_value").alias("value"),
+        ),
+        flux_compiled_rsi(spark, sf_dir).select(
+            F.lit("flux_compiled_rsi").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
