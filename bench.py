@@ -40,6 +40,12 @@ HEADLINE = (
     # escape hatch under measurement) and the pearsonr alignment join
     "flux_compiled_ema",
     "flux_compiled_pearsonr",
+    # round 10c: the indicator batch's two heaviest shapes — the
+    # chained-EMA Arrow kernel (full-series doubleEMA output) and the
+    # trailing-frame CMO (exact-decimal sliding sums); mode's
+    # two-aggregation shape rides the suite below
+    "flux_compiled_dema",
+    "flux_compiled_cmo",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
