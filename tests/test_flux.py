@@ -3330,3 +3330,133 @@ def test_round10c_two_measurement_keying(spark, two_meas):
     assert set(per) == {("m1", "click"), ("m1", "view"), ("m2", "click"), ("m2", "view")}
     for counts in per.values():
         assert sorted(counts) == list(range(1, 41))
+
+
+def test_limit_offset_global_one_table_frame(spark, tmp_path):
+    """The one-table-frame limit path (after dropping the table key
+    columns): Spark offset().limit() — rows off+1..off+n of the sorted
+    order, a GlobalLimit, never a full sort."""
+    path = _tiny_store(spark, tmp_path, [float(i) for i in range(10)])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b")'
+        ' |> drop(columns: ["_measurement", "_field"])'
+        ' |> sort(columns: ["_value"], desc: true)'
+        " |> limit(n: 2, offset: 2)",
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [6.0, 7.0]
+
+
+def test_keyless_group_extrema_is_upstream_default(spark, two_meas):
+    """group() |> highestMax(n: 1) reproduces upstream's
+    groupColumns: [] merge-first default: ONE global extremum record."""
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group() |> highestMax(n: 1)',
+        {"b": two_meas},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["_value"] == 1049.0
+    assert "_field" not in out[0].asDict()
+
+
+def test_aggregate_window_sliding_period(spark, tmp_path):
+    """aggregateWindow(every:, period:) — each row lands in
+    period/every windows (Spark F.window slide semantics ≡ Flux)."""
+    import datetime
+
+    vals = [10.0, 20.0, 30.0, 40.0]
+    path = _tiny_store(spark, tmp_path, vals, minutes=2)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, period: 6m, fn: count)',
+        {"b": path},
+    ).collect()
+    # rows at :00 :02 :04 :06 — window [s, s+6m) every 2m; each row in 3
+    got = {(r["window_start"].minute + 60 * r["window_start"].hour) % 60: r["count"] for r in out}
+    # starts: -4,-2,0,2,4,6 minutes → counts 1,2,3,3,2,1
+    t0 = datetime.datetime(2024, 1, 1)
+    counts = {
+        (r["window_start"] - t0).total_seconds() / 60: r["count"] for r in out
+    }
+    assert counts == {-4.0: 1, -2.0: 2, 0.0: 3, 2.0: 3, 4.0: 2, 6.0: 1}
+    # total row-window memberships = rows × period/every
+    assert sum(r["count"] for r in out) == len(vals) * 3
+
+
+def test_aggregate_window_offset_alignment(spark, tmp_path):
+    """aggregateWindow(offset:) shifts window boundaries; negative
+    offsets normalize modulo every."""
+    import datetime
+
+    vals = [1.0, 2.0, 3.0, 4.0]  # at :00 :01 :02 :03
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, offset: 1m, fn: count)',
+        {"b": path},
+    ).collect()
+    t0 = datetime.datetime(2024, 1, 1)
+    counts = {
+        (r["window_start"] - t0).total_seconds() / 60: r["count"] for r in out
+    }
+    # windows [-1,1) [1,3) [3,5): counts 1, 2, 1
+    assert counts == {-1.0: 1, 1.0: 2, 3.0: 1}
+    # -1m ≡ +1m (mod 2m): identical frame
+    neg = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, offset: -1m, fn: count)',
+        {"b": path},
+    ).collect()
+    assert sorted(map(repr, neg)) == sorted(map(repr, out))
+
+
+def test_aggregate_window_calendar_month(spark, tmp_path):
+    """every: 1mo groups on calendar month boundaries (date_trunc),
+    which no fixed-seconds window can express (months differ in
+    length); truncateTimeColumn(unit: 1mo) is the row-level form."""
+    import datetime
+
+    rows = []
+    for mo, n in ((1, 3), (2, 2), (3, 4)):
+        for i in range(n):
+            rows.append(
+                (datetime.datetime(2024, mo, 5 + i), "events", "click", float(mo))
+            )
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "months")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 1mo, fn: count)',
+        {"b": path},
+    ).collect()
+    got = {r["window_start"].month: r["count"] for r in out}
+    assert got == {1: 3, 2: 2, 3: 4}
+    # calendar truncation feeding distinct: one _time per month
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> truncateTimeColumn(unit: 1mo)'
+        ' |> distinct(column: "_time")',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"].month for r in out) == [1, 2, 3]
+    assert all(r["_value"].day == 1 for r in out)
+    for bad, msg in (
+        ("aggregateWindow(every: 2mo, fn: count)", "unsupported value token|bad duration"),
+        ("aggregateWindow(every: 1mo, offset: 1h, fn: count)", "calendar"),
+        ("aggregateWindow(every: 1mo, fn: count, createEmpty: true)", "calendar"),
+        ("aggregateWindow(every: 2m, period: 3m, fn: mean)", "multiple of every"),
+        ("aggregateWindow(every: 2m, period: 4m, fn: mode)", "mode"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})

@@ -280,6 +280,11 @@ import pytest as _pytest
         ("flux_compiled_rsi", 1),
         # kernel shuffle + the last() agg, same shape as flux_compiled_ema
         ("flux_compiled_tema", 2),
+        # sliding/offset/calendar windows: still ONE windowed-agg
+        # exchange (the slide explode is a narrow map before it)
+        ("flux_compiled_sliding", 1),
+        ("flux_compiled_offset_window", 1),
+        ("flux_compiled_month", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -212,6 +212,15 @@ Round 10c adds the technical-indicator / selector / conversion batch
 * ``holtWinters()`` and ``kaufmansAMA()`` remain outside the subset
   (optimizer-fitted, resp. seed-convention-ambiguous) and raise
   naming the stage.
+* ``aggregateWindow(period:, offset:)`` — SLIDING windows (period a
+  positive multiple of every; each row lands in period/every windows —
+  Spark's F.window slide semantics 1:1) and alignment-shifted windows
+  (offset normalized into [0, every), negative offsets wrap); and
+  ``every: 1mo`` / ``1y`` — CALENDAR buckets via date_trunc (months
+  are not a fixed number of seconds), also accepted by
+  ``truncateTimeColumn(unit:)``. createEmpty / fn: mode do not compose
+  with the sliding/offset/calendar forms (gap_fill is tumbling-only;
+  mode's epoch-floor grouping can't explode rows) and raise.
 """
 
 from __future__ import annotations
@@ -251,6 +260,33 @@ def _epoch_floor_us(ts_col: str, unit_s: int) -> Column:
     return us - (us % F.lit(unit_us))
 
 
+def _window_grouping(every_s, period_s, offset_s):
+    """The windowed-aggregate grouping column: a calendar date_trunc
+    bucket (every_s = "month"/"year" — already aliased window_start),
+    or Spark's F.window struct — the plain tumbling one-arg form when
+    period/offset are absent (byte-stable plans for the attested
+    queries), else the sliding/offset form (period = windowDuration,
+    every = slideDuration, offset = startTime; a sliding window
+    EXPLODES each row into period/every buckets exactly as Flux does).
+    Returns (column, is_window_struct)."""
+    if every_s in ("month", "year"):
+        return (
+            F.date_trunc(every_s, F.col("_time")).alias("window_start"),
+            False,
+        )
+    if period_s is None and not offset_s:
+        return F.window("_time", f"{every_s} seconds").alias("w"), True
+    return (
+        F.window(
+            "_time",
+            f"{period_s or every_s} seconds",
+            f"{every_s} seconds",
+            f"{offset_s} seconds",
+        ).alias("w"),
+        True,
+    )
+
+
 def _duration_seconds(tok: str) -> int:
     m = _DUR_RE.match(tok)
     if not m:
@@ -280,8 +316,12 @@ def _resolve(tok: str, params: dict[str, Any]) -> Any:
             return str(params[name])
 
         return re.sub(r"\$\{(\w+)\}", _sub, s)
-    if _DUR_RE.match(tok):
-        return tok  # durations stay symbolic until their use site
+    if _DUR_RE.match(tok) or tok in ("1mo", "1y"):
+        # durations stay symbolic until their use site; the calendar
+        # anchors (1mo/1y) are valid ONLY where a use site handles them
+        # (aggregateWindow every:, truncateTimeColumn unit:) — every
+        # other duration site matches _DUR_RE and raises on them
+        return tok
     try:
         return int(tok)
     except ValueError:
@@ -1148,7 +1188,15 @@ def _compile_pipeline(
         elif head == "aggregateWindow":
             a = _args(stage, "aggregateWindow")
             every = _resolve(a.get("every", ""), params)
-            if not (isinstance(every, str) and _DUR_RE.match(every)):
+            calendar = None
+            if isinstance(every, str) and every in ("1mo", "1y"):
+                # calendar windows: month/year boundaries are not a
+                # fixed number of seconds — compiled to a date_trunc
+                # bucket instead of epoch-aligned tumbling windows.
+                # Only the 1-unit anchors ship (Nmo/Ny windows need
+                # upstream's anchor arithmetic — raise).
+                calendar = "month" if every == "1mo" else "year"
+            elif not (isinstance(every, str) and _DUR_RE.match(every)):
                 raise FluxError(f"aggregateWindow every: bad duration {every!r}")
             fn = a.get("fn", "mean").strip()
             if fn not in _AGG_FNS:
@@ -1162,7 +1210,78 @@ def _compile_pipeline(
                 create_empty = ce_raw.lower() == "true"
             else:
                 raise FluxError(f"createEmpty: expected a boolean, got {ce_raw!r}")
-            agg = (_duration_seconds(every), fn, create_empty, None)
+            # period:/offset: — SLIDING (each row in period/every
+            # windows) and alignment-shifted windows, Spark's
+            # F.window(period, every, startTime) 1:1. The shipped
+            # subset: period a positive multiple of every (upstream's
+            # dashboard smoothing shape); offset any duration,
+            # normalized into [0, every).
+            period_s = None
+            if "period" in a:
+                period = _resolve(a["period"], params)
+                if not (isinstance(period, str) and _DUR_RE.match(period)):
+                    raise FluxError(
+                        f"aggregateWindow period: bad duration {period!r}"
+                    )
+                period_s = _duration_seconds(period)
+            offset_s = 0
+            if "offset" in a:
+                off_tok = _resolve(a["offset"], params)
+                if not (isinstance(off_tok, str) and _DUR_RE.match(off_tok)):
+                    raise FluxError(
+                        f"aggregateWindow offset: bad duration {off_tok!r}"
+                    )
+                offset_s = _duration_seconds(off_tok)
+            extra = set(a) - {
+                "every", "fn", "createEmpty", "period", "offset",
+            }
+            if extra:
+                raise FluxError(
+                    f"aggregateWindow: unsupported args {sorted(extra)}"
+                )
+            if calendar is not None:
+                if period_s is not None or offset_s:
+                    raise FluxError(
+                        "aggregateWindow: period:/offset: do not compose "
+                        "with calendar every: (1mo/1y) in the subset"
+                    )
+                if create_empty:
+                    raise FluxError(
+                        "createEmpty with calendar windows is outside "
+                        "the shipped subset"
+                    )
+                agg = (calendar, fn, False, None, None, 0)
+            else:
+                every_s = _duration_seconds(every)
+                if every_s <= 0:
+                    raise FluxError(
+                        f"aggregateWindow every must be > 0: {every!r}"
+                    )
+                if period_s is not None and period_s != every_s:
+                    if period_s <= 0 or period_s % every_s != 0:
+                        raise FluxError(
+                            "aggregateWindow period: must be a positive "
+                            f"multiple of every: in the subset; got {stage!r}"
+                        )
+                    if create_empty:
+                        raise FluxError(
+                            "createEmpty with sliding windows (period != "
+                            "every) is outside the shipped subset"
+                        )
+                    if fn in ("mode",):
+                        raise FluxError(
+                            "aggregateWindow fn: mode with period != every "
+                            "is outside the shipped subset"
+                        )
+                else:
+                    period_s = None
+                offset_s %= every_s
+                if offset_s and (create_empty or fn in ("mode",)):
+                    raise FluxError(
+                        "aggregateWindow offset: composes with the plain "
+                        "aggregate fns only in the subset"
+                    )
+                agg = (every_s, fn, create_empty, None, period_s, offset_s)
         elif head == "last":
             if _args(stage, "last"):
                 # last(column: "tags") would silently compile as last on
@@ -1332,7 +1451,7 @@ def _compile_pipeline(
             a = _args(stage, head)
             if a:
                 raise FluxError(f"bare {head}() takes no arguments in the subset")
-            agg = (None, head, False, None)
+            agg = (None, head, False, None, None, 0)
         elif head == "quantile":
             # quantile(q:, [method: "exact_selector"]) — compiled as the
             # EXACT selector (the smallest data point with cumulative
@@ -1360,7 +1479,7 @@ def _compile_pipeline(
             extra = set(a) - {"q", "method"}
             if extra:
                 raise FluxError(f"quantile: unsupported args {sorted(extra)}")
-            agg = (None, "quantile", False, float(qv))
+            agg = (None, "quantile", False, float(qv), None, 0)
         elif head == "timeShift":
             # Grafana's period-comparison overlay: add duration to the
             # time column. Row-level before the terminal stage (Flux
@@ -1521,6 +1640,12 @@ def _compile_pipeline(
             # The per-table reduce is a map-side-combinable aggregate;
             # the cross-table top-N runs over one-row-per-table frames
             # (TakeOrderedAndProject — never a raw-row sort).
+            # Grouping note: upstream's groupColumns: [] DEFAULT merges
+            # every table first (one global record); the compiled form
+            # keys on the current table key — the Grafana "top N
+            # series" shape — and `group() |> highestMax(n:)`
+            # reproduces the upstream merge-first default exactly
+            # (key-less extrema are allowed: a global partial agg).
             a = _args(stage, head)
             n = _resolve(a["n"], params) if "n" in a else None
             if not isinstance(n, int) or isinstance(n, bool) or n < 1:
@@ -1542,11 +1667,11 @@ def _compile_pipeline(
             # unique — upstream's convention
             if _args(stage, "mode"):
                 raise FluxError(f"mode() takes no arguments in the subset: {stage!r}")
-            agg = (None, "mode", False, None)
+            agg = (None, "mode", False, None, None, 0)
         elif head == "skew":
             if _args(stage, "skew"):
                 raise FluxError(f"skew() takes no arguments in the subset: {stage!r}")
-            agg = (None, "skew", False, None)
+            agg = (None, "skew", False, None, None, 0)
         elif head == "hourSelection":
             # hourSelection(start:, stop:) — keep rows whose hour of day
             # (UTC, the store's clock — the reference stores naive UTC
@@ -1591,6 +1716,25 @@ def _compile_pipeline(
             if "unit" not in a:
                 raise FluxError("truncateTimeColumn requires unit:")
             unit = _resolve(a["unit"], params)
+            if isinstance(unit, str) and unit in ("1mo", "1y"):
+                # calendar truncation: month/year boundaries via
+                # date_trunc (not a fixed-seconds epoch floor)
+                extra = set(a) - {"unit"}
+                if extra:
+                    raise FluxError(
+                        f"truncateTimeColumn: unsupported args {sorted(extra)}"
+                    )
+                row_ops.append(
+                    (
+                        "map_time",
+                        F.date_trunc(
+                            "month" if unit == "1mo" else "year",
+                            F.col("_time"),
+                        ),
+                    )
+                )
+                time_shifted = True
+                continue
             if not (isinstance(unit, str) and _DUR_RE.match(unit)):
                 raise FluxError(
                     f"truncateTimeColumn unit: bad duration {unit!r}"
@@ -2115,6 +2259,9 @@ def _compile_pipeline(
             df = df.withColumn(
                 "_time", F.timestamp_micros(_epoch_floor_us("_time", c))
             )
+        elif kind == "map_time":
+            # calendar truncation: an in-plan _time rewrite
+            df = df.withColumn("_time", c)
         else:
             df = df.withColumn("_value", c)
 
@@ -2737,7 +2884,7 @@ def _compile_pipeline(
         ))
 
     if agg is not None:
-        every_s, fn, create_empty, agg_q = agg
+        every_s, fn, create_empty, agg_q, period_s, offset_s = agg
         if create_empty:
             # gap_fill's spine carries both the windowed mean and the
             # event count, so the two dashboard shapes that want empty
@@ -2830,10 +2977,13 @@ def _compile_pipeline(
                 g = list(keys)
                 base = src
             else:
+                bucket = (
+                    F.date_trunc(every_s, F.col("_time"))
+                    if every_s in ("month", "year")
+                    else F.timestamp_micros(_epoch_floor_us("_time", every_s))
+                )
                 base = src.select(
-                    F.timestamp_micros(
-                        _epoch_floor_us("_time", every_s)
-                    ).alias("window_start"),
+                    bucket.alias("window_start"),
                     *keys,
                     "_value",
                 )
@@ -2877,12 +3027,19 @@ def _compile_pipeline(
                 grouped = src.groupBy(*keys).agg(*aggs)
                 lead: list[str] = list(keys)
             else:
-                w = F.window("_time", f"{every_s} seconds").alias("w")
+                gcol, is_struct = _window_grouping(every_s, period_s, offset_s)
                 grouped = (
-                    src.groupBy(w, *keys)
+                    src.groupBy(gcol, *keys)
                     .agg(*aggs)
-                    .select(F.col("w.start").alias("window_start"), *keys,
-                            "__s1", "__s2", "__s3", "n")
+                    .select(
+                        (
+                            F.col("w.start").alias("window_start")
+                            if is_struct
+                            else F.col("window_start")
+                        ),
+                        *keys,
+                        "__s1", "__s2", "__s3", "n",
+                    )
                 )
                 lead = ["window_start", *keys]
             nD = F.col("n").cast("double")
@@ -2952,10 +3109,19 @@ def _compile_pipeline(
                 expr.alias(name), F.count(F.lit(1)).alias("n")
             )
         else:
-            w = F.window("_time", f"{every_s} seconds").alias("w")
-            out = src.groupBy(w, *keys).agg(
+            gcol, is_struct = _window_grouping(every_s, period_s, offset_s)
+            out = src.groupBy(gcol, *keys).agg(
                 expr.alias(name), F.count(F.lit(1)).alias("n")
-            ).select(F.col("w.start").alias("window_start"), *keys, name, "n")
+            ).select(
+                (
+                    F.col("w.start").alias("window_start")
+                    if is_struct
+                    else F.col("window_start")
+                ),
+                *keys,
+                name,
+                "n",
+            )
         if fn == "count":
             out = out.drop("n")
         return _finish(out)

@@ -84,6 +84,9 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_dema",
         "flux_compiled_tema",
         "flux_compiled_rsi",
+        "flux_compiled_sliding",
+        "flux_compiled_offset_window",
+        "flux_compiled_month",
     ),
 }
 

@@ -3691,7 +3691,114 @@ def flux_compiled_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 14 new
+@query(
+    "flux_compiled_sliding",
+    # aggregateWindow(every: 1h, period: 3h): SLIDING windows — each
+    # row in period/every = 3 windows (Spark F.window slide ≡ Flux).
+    # Replayed by unnesting k ∈ {0,1,2} window memberships per row.
+    oracle="""
+    WITH x AS (
+      SELECT ts, event_type, value, unnest([0, 1, 2]) AS k
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT make_timestamp(((epoch_us(ts) // 3600000000) - k) * 3600000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow(period:)` through the Flux front-end — the
+    Grafana smoothing form (3h windows every 1h)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "purchase")
+          |> aggregateWindow(every: 1h, period: 3h, fn: mean)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_offset_window",
+    # aggregateWindow(offset: 30m): boundary-shifted tumbling windows —
+    # window_start ≡ 30m (mod 1h).
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) - 1800000000) // 3600000000)
+                          * 3600000000 + 1800000000) AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow(offset:)` through the Flux front-end —
+    alignment-shifted windows (the business-day / timezone-anchor
+    form)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> aggregateWindow(every: 1h, offset: 30m, fn: count)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_month",
+    # aggregateWindow(every: 1mo): CALENDAR month buckets (date_trunc —
+    # months are not a fixed number of seconds, so no epoch-aligned
+    # window can express them).
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           MAX(value) AS max,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow(every: 1mo)` through the Flux front-end — the
+    calendar-month rollup panel."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> aggregateWindow(every: 1mo, fn: max)
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 17 new
 # flux stages — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
@@ -3706,6 +3813,8 @@ _OR10C = {
         "flux_compiled_highest_max", "flux_compiled_lowest_average",
         "flux_compiled_histogram_quantile", "flux_compiled_dema",
         "flux_compiled_tema", "flux_compiled_rsi",
+        "flux_compiled_sliding", "flux_compiled_offset_window",
+        "flux_compiled_month",
     )
 }
 
@@ -3776,6 +3885,19 @@ _SUITE_10C_SQL = f"""
            CAST(epoch_us(t._time) AS VARCHAR), CAST(NULL AS BIGINT),
            t._value
     FROM ({_OR10C["flux_compiled_rsi"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_sliding', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.mean
+    FROM ({_OR10C["flux_compiled_sliding"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_offset_window', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.count,
+           CAST(NULL AS DOUBLE)
+    FROM ({_OR10C["flux_compiled_offset_window"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_month', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.max
+    FROM ({_OR10C["flux_compiled_month"]}) t
 """
 
 
@@ -3869,6 +3991,21 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("flux_compiled_rsi").alias("sub"),
             F.col("_field").alias("k1"), _us("_time").alias("k2"),
             _nl().alias("n"), F.col("_value").alias("value"),
+        ),
+        flux_compiled_sliding(spark, sf_dir).select(
+            F.lit("flux_compiled_sliding").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("mean").alias("value"),
+        ),
+        flux_compiled_offset_window(spark, sf_dir).select(
+            F.lit("flux_compiled_offset_window").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("count").alias("n"), F.lit(None).cast("double").alias("value"),
+        ),
+        flux_compiled_month(spark, sf_dir).select(
+            F.lit("flux_compiled_month").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("max").alias("value"),
         ),
     ]
     out = arms[0]
