@@ -3460,3 +3460,51 @@ def test_aggregate_window_calendar_month(spark, tmp_path):
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
+def test_value_series_then_aggregate_window(spark, tmp_path):
+    """<value-series transform> |> aggregateWindow — the counter-to-
+    windowed-totals composition: the windowed aggregate runs over the
+    REWRITTEN series (difference drops each table's first row before
+    windowing, exactly Flux's order)."""
+    # two 2-minute windows: values at :00 :01 :02 :03
+    vals = [10.0, 13.0, 11.0, 16.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> difference()'
+        " |> aggregateWindow(every: 2m, fn: sum)",
+        {"b": path},
+    ).collect()
+    got = {r["window_start"].minute: (r["sum"], r["n"]) for r in out}
+    # deltas: +3 (at :01), -2 (:02), +5 (:03) -> window 0: +3 (1 row),
+    # window 2: +3 (2 rows). :00's row is dropped BEFORE windowing.
+    assert got == {0: (3.0, 1), 2: (3.0, 2)}
+    # increase |> windowed max == running total's high-water mark
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> increase()'
+        " |> aggregateWindow(every: 2m, fn: max)",
+        {"b": path},
+    ).collect()
+    got = {r["window_start"].minute: r["max"] for r in out}
+    # increase series: 0, 3, 14, 19 (the 13→11 decrease is a counter
+    # reset — the delta is the current VALUE, 11)
+    assert got == {0: 3.0, 2: 19.0}
+    # the kernel series compose too
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> exponentialMovingAverage(n: 2)'
+        " |> aggregateWindow(every: 2m, fn: count)",
+        {"b": path},
+    ).collect()
+    got = {r["window_start"].minute: r["count"] for r in out}
+    assert got == {0: 1, 2: 2}  # EMA drops the first n-1 = 1 row
+    # composed agg is still terminal: a further stage raises
+    for bad in (
+        "difference() |> aggregateWindow(every: 2m, fn: sum) |> last()",
+        "derivative() |> aggregateWindow(every: 2m, fn: mean)",
+        "mean() |> aggregateWindow(every: 2m, fn: sum)",
+    ):
+        with pytest.raises(flux.FluxError, match="outside the shipped subset"):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})

@@ -285,6 +285,10 @@ import pytest as _pytest
         ("flux_compiled_sliding", 1),
         ("flux_compiled_offset_window", 1),
         ("flux_compiled_month", 1),
+        # difference |> aggregateWindow: the windowed agg's partial
+        # aggregation rides the lag window's key partitioning — the
+        # composition costs ONE exchange total
+        ("flux_compiled_counter_window", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

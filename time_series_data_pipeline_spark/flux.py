@@ -243,6 +243,15 @@ _AGG_FNS = (
     "spread", "stddev", "mode", "skew",
 )
 
+#: transforms that REWRITE _value into a (keys, _time, _value) series —
+#: the shapes a following last() or aggregateWindow() composes over
+#: (derivative/elapsed/movingAverage keep the original _value beside a
+#: named column, so composing over them would be ambiguous — they raise)
+_VALUE_SERIES = (
+    "increase", "difference", "cumsum", "ema", "ema2", "ema3", "rsi",
+    "cmo", "ker",
+)
+
 
 class FluxError(ValueError):
     """Unsupported or malformed Flux — always names the offending text."""
@@ -1100,10 +1109,8 @@ def _compile_pipeline(
             if (
                 head == "last"
                 and transform is not None
-                and transform[0] in (
-                    "increase", "difference", "cumsum", "ema", "ema2",
-                    "ema3", "rsi", "cmo", "ker",
-                )
+                and transform[0] in _VALUE_SERIES
+                and agg is None
                 and not take_last
             ):
                 # <value-series transform> |> last(): Flux's stat-panel
@@ -1114,10 +1121,27 @@ def _compile_pipeline(
                     )
                 take_last = True
                 continue
-            raise FluxError(
-                f"second aggregation/transform stage {head!r} is outside "
-                "the shipped subset (compose in DataFrame land instead)"
-            )
+            if (
+                head == "aggregateWindow"
+                and transform is not None
+                and transform[0] in _VALUE_SERIES
+                and agg is None
+                and not take_last
+            ):
+                # <value-series transform> |> aggregateWindow(...) —
+                # the counter-to-windowed-totals dashboard composition
+                # (difference |> aggregateWindow(sum), rsi |>
+                # aggregateWindow(mean), ...): fall through to the
+                # aggregateWindow parse; execution runs the windowed
+                # aggregate over the transform's rewritten series.
+                # (createEmpty gap-fills the composed series the same
+                # way — the spine covers the series' own time range.)
+                pass
+            else:
+                raise FluxError(
+                    f"second aggregation/transform stage {head!r} is outside "
+                    "the shipped subset (compose in DataFrame land instead)"
+                )
         if head == "range":
             if time_shifted:
                 # the scan's pushed time bounds filter STORED
@@ -2269,6 +2293,254 @@ def _compile_pipeline(
     # (_measurement, _field) unless a group() stage re-keyed the tables
     keys = group_cols if group_cols is not None else ["_measurement", "_field"]
 
+    def _agg_over(frame: DataFrame) -> DataFrame:
+        # The aggregateWindow / bare-aggregate execution, generic over
+        # its source frame: the scan (plain pipelines) or a value-series
+        # transform's output (difference |> aggregateWindow — the
+        # counter-to-hourly-totals composition).
+        every_s, fn, create_empty, agg_q, period_s, offset_s = agg
+        if create_empty:
+            # gap_fill's spine carries both the windowed mean and the
+            # event count, so the two dashboard shapes that want empty
+            # buckets rendered — a line panel (mean, NULL in gaps) and
+            # a zero-filled count panel — compile off one operator
+            if fn not in ("mean", "count"):
+                raise FluxError(
+                    "createEmpty is shipped for fn: mean and count only"
+                )
+            from .operators import timeseries as ts_ops
+
+            filled = ts_ops.gap_fill(
+                frame, "_time", "_value", f"{every_s} seconds", every_s, keys
+            )
+            if fn == "count":
+                out = filled.select(
+                    F.col("bucket").alias("window_start"),
+                    *keys,
+                    F.col("n_events").cast("long").alias(yield_name or "count"),
+                )
+            else:
+                out = filled.select(
+                    F.col("bucket").alias("window_start"),
+                    *keys,
+                    F.col("avg_value").alias(yield_name or "mean"),
+                    F.col("n_events").alias("n"),
+                )
+            return _finish(out)
+        name = yield_name or fn
+        if fn == "quantile":
+            # exact_selector with UPSTREAM Flux's rank convention
+            # (ADVICE r9): Flux's getQuantileIndex picks the sorted
+            # index round(q·n) − 1 (half away from zero, clamped at 0)
+            # — i.e. 1-based rank max(round(q·n), 1) — which diverges
+            # from SQL percentile_disc (rank ceil(q·n)) whenever
+            # frac(q·n) ∈ (0, 0.5): n=5, q=0.25 → Flux's 1st smallest,
+            # percentile_disc's 2nd. Spark's F.round is HALF_UP on the
+            # identical IEEE product q·n, so the rank matches Go's
+            # math.Round bit-for-bit. Rank order needs each table's
+            # rows on one partition — the same per-table locality every
+            # per-point transform (derivative, movingAverage, …)
+            # already assumes; the key-less group() merge form would
+            # funnel ALL raw rows through a single partition and raises
+            # instead (scale trap, not a subset gap — same rule as
+            # group() |> derivative()).
+            if not keys:
+                raise FluxError(
+                    "group() |> quantile() would sort every raw row on "
+                    "one partition — outside the shipped subset"
+                )
+            from pyspark.sql import Window
+
+            src = frame.filter(F.col("_value").isNotNull())
+            wq = Window.partitionBy(*keys).orderBy("_value")
+            wk = Window.partitionBy(*keys)
+            ranked = src.select(
+                *keys,
+                "_value",
+                F.row_number().over(wq).alias("__rn"),
+                F.count(F.lit(1)).over(wk).alias("__n"),
+            )
+            target = F.greatest(
+                F.round(F.lit(float(agg_q)) * F.col("__n")).cast("long"),
+                F.lit(1).cast("long"),
+            )
+            out = ranked.filter(F.col("__rn") == target).select(
+                *keys, F.col("_value").alias(name), F.col("__n").alias("n")
+            )
+            return _finish(out)
+        if fn == "mode":
+            # upstream mode(): every most-frequent value per table (one
+            # row per tied mode), or a single NULL row when no value
+            # repeats. Two hash aggregations over (table, value) — the
+            # per-value counts are map-side combinable and the max-count
+            # window runs over DISTINCT VALUES per table, never raw
+            # rows. The key-less group() bare form would rank every
+            # distinct value of the whole store on one partition —
+            # raises as a scale trap (same rule as group()|>quantile());
+            # the WINDOWED key-less form keys on window_start and stays
+            # distributed.
+            from pyspark.sql import Window
+
+            if not keys and every_s is None:
+                raise FluxError(
+                    "group() |> mode() would rank every distinct value on "
+                    "one partition — outside the shipped subset"
+                )
+            src = frame.filter(F.col("_value").isNotNull())
+            if every_s is None:
+                g = list(keys)
+                base = src
+            else:
+                bucket = (
+                    F.date_trunc(every_s, F.col("_time"))
+                    if every_s in ("month", "year")
+                    else F.timestamp_micros(_epoch_floor_us("_time", every_s))
+                )
+                base = src.select(
+                    bucket.alias("window_start"),
+                    *keys,
+                    "_value",
+                )
+                g = ["window_start", *keys]
+            counts = base.groupBy(*g, "_value").agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            wk = Window.partitionBy(*g)
+            out = (
+                counts.withColumn("__mc", F.max("__c").over(wk))
+                .filter(F.col("__c") == F.col("__mc"))
+                .select(
+                    *g,
+                    F.when(F.col("__mc") > 1, F.col("_value")).alias(name),
+                )
+                .distinct()
+            )
+            return _finish(out)
+        if fn == "skew":
+            # Flux skew() is the POPULATION skewness g1 = √n·M3/M2^1.5
+            # (M2/M3 = central moment sums) — NOT SQL's sample-corrected
+            # skewness. Compiled from EXACT decimal power sums
+            # (Σv, Σv², Σv³ — associative, deterministic across
+            # partition orders, map-side combinable) with the moment
+            # algebra evaluated in ONE fixed double expression order,
+            # m2^1.5 spelled m2·√m2 (sqrt is correctly rounded IEEE in
+            # both engines; pow is not), and the shared round-9 policy
+            # (pearsonr's) absorbing the decimal→double conversion's
+            # last-ulp engine differences. Zero variance (constant or
+            # single-point table) yields NULL — documented, where
+            # upstream's 0/0 is NaN.
+            src = frame.filter(F.col("_value").isNotNull())
+            d = F.col("_value").cast("decimal(12,2)")
+            aggs = [
+                F.sum(d).alias("__s1"),
+                F.sum(d * d).alias("__s2"),
+                F.sum(d * d * d).alias("__s3"),
+                F.count(F.lit(1)).alias("n"),
+            ]
+            if every_s is None:
+                grouped = src.groupBy(*keys).agg(*aggs)
+                lead: list[str] = list(keys)
+            else:
+                gcol, is_struct = _window_grouping(every_s, period_s, offset_s)
+                grouped = (
+                    src.groupBy(gcol, *keys)
+                    .agg(*aggs)
+                    .select(
+                        (
+                            F.col("w.start").alias("window_start")
+                            if is_struct
+                            else F.col("window_start")
+                        ),
+                        *keys,
+                        "__s1", "__s2", "__s3", "n",
+                    )
+                )
+                lead = ["window_start", *keys]
+            nD = F.col("n").cast("double")
+            a1 = F.col("__s1").cast("double")
+            a2 = F.col("__s2").cast("double")
+            a3 = F.col("__s3").cast("double")
+            m2 = a2 - a1 * a1 / nD
+            m3 = (
+                a3
+                - F.lit(3.0) * a1 * a2 / nD
+                + F.lit(2.0) * a1 * a1 * a1 / (nD * nD)
+            )
+            skew_expr = F.round(
+                F.sqrt(nD) * m3 / (m2 * F.sqrt(m2)), 9
+            )
+            out = grouped.select(
+                *lead,
+                F.when(m2 <= 0, F.lit(None).cast("double"))
+                .otherwise(skew_expr)
+                .alias(name),
+                "n",
+            )
+            return _finish(out)
+        if fn == "mean":
+            expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
+        elif fn == "median":
+            expr = F.median("_value")
+        elif fn == "min":
+            expr = F.min("_value")
+        elif fn == "max":
+            expr = F.max("_value")
+        elif fn == "sum":
+            expr = F.sum(_dec("_value")).cast("double")
+        elif fn == "count":
+            expr = F.count(F.lit(1)).cast("long")
+        elif fn == "first":  # earliest _time wins, value tie-break
+            expr = F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
+        elif fn == "stddev":
+            # Flux stddev() default mode "sample" — central-moment
+            # merge aggregation (map-side combinable); NULL for a
+            # single-point table, exactly as Flux yields no value
+            expr = F.stddev_samp("_value")
+        elif fn == "spread":
+            # max − min over the table/window — two map-side-combinable
+            # extrema, exact on the store's doubles
+            expr = F.max("_value") - F.min("_value")
+        elif fn == "last":  # greatest _time wins, value tie-break
+            expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
+        else:
+            # structural backstop (VERDICT r8): an accepted-set name
+            # with no expression branch must raise, never silently
+            # compile to some other aggregate
+            raise FluxError(f"aggregate fn {fn!r} has no compiled form")
+        # shared null policy (ADVICE r9): Flux aggregates skip null
+        # values of the aggregated column, and the value-series
+        # transforms + quantile already filter them — the groupBy
+        # source does too, so `n` counts exactly the rows the
+        # aggregate saw (a null-carrying table would otherwise skew
+        # mean's sum/count split and over-count n for stddev/extrema)
+        src = frame.filter(F.col("_value").isNotNull())
+        if every_s is None:
+            # bare aggregate: one row per table over the whole range
+            # (keys == [] — the group() merge form — folds everything
+            # to ONE row: a partial-aggregated global agg, no shuffle
+            # wider than the partial results)
+            out = src.groupBy(*keys).agg(
+                expr.alias(name), F.count(F.lit(1)).alias("n")
+            )
+        else:
+            gcol, is_struct = _window_grouping(every_s, period_s, offset_s)
+            out = src.groupBy(gcol, *keys).agg(
+                expr.alias(name), F.count(F.lit(1)).alias("n")
+            ).select(
+                (
+                    F.col("w.start").alias("window_start")
+                    if is_struct
+                    else F.col("window_start")
+                ),
+                *keys,
+                name,
+                "n",
+            )
+        if fn == "count":
+            out = out.drop("n")
+        return _finish(out)
+
+
     if transform is not None:
         from pyspark.sql import Window
 
@@ -2478,6 +2750,10 @@ def _compile_pipeline(
                     src, "_time", "_value", keys, transform[1],
                     level=2 if kind == "ema2" else 3,
                 )
+            if agg is not None:
+                # <kernel transform> |> aggregateWindow: the windowed
+                # aggregate runs over the rewritten series
+                return _agg_over(series.drop("__seq"))
             if take_last:
                 # the fold's true final element: max_by(__seq), not
                 # max_by((_time, _value)) — on a tied final timestamp
@@ -2608,6 +2884,8 @@ def _compile_pipeline(
                 .filter(F.col("__rn") >= n + 1)
                 .drop("__rn")
             )
+            if agg is not None:
+                return _agg_over(series)
             if take_last:
                 from .operators.timeseries import last_value_per_group
 
@@ -2843,6 +3121,10 @@ def _compile_pipeline(
                         .filter(F.col("__prev").isNotNull())
                         .drop("__prev")
                     )
+            if agg is not None:
+                # difference()/increase()/cumulativeSum() |>
+                # aggregateWindow: the counter-to-windowed-totals panel
+                return _agg_over(series)
             if take_last:
                 from .operators.timeseries import last_value_per_group
 
@@ -2883,248 +3165,8 @@ def _compile_pipeline(
             .alias(yield_name or "stateDuration"),
         ))
 
-    if agg is not None:
-        every_s, fn, create_empty, agg_q, period_s, offset_s = agg
-        if create_empty:
-            # gap_fill's spine carries both the windowed mean and the
-            # event count, so the two dashboard shapes that want empty
-            # buckets rendered — a line panel (mean, NULL in gaps) and
-            # a zero-filled count panel — compile off one operator
-            if fn not in ("mean", "count"):
-                raise FluxError(
-                    "createEmpty is shipped for fn: mean and count only"
-                )
-            from .operators import timeseries as ts_ops
-
-            filled = ts_ops.gap_fill(
-                df, "_time", "_value", f"{every_s} seconds", every_s, keys
-            )
-            if fn == "count":
-                out = filled.select(
-                    F.col("bucket").alias("window_start"),
-                    *keys,
-                    F.col("n_events").cast("long").alias(yield_name or "count"),
-                )
-            else:
-                out = filled.select(
-                    F.col("bucket").alias("window_start"),
-                    *keys,
-                    F.col("avg_value").alias(yield_name or "mean"),
-                    F.col("n_events").alias("n"),
-                )
-            return _finish(out)
-        name = yield_name or fn
-        if fn == "quantile":
-            # exact_selector with UPSTREAM Flux's rank convention
-            # (ADVICE r9): Flux's getQuantileIndex picks the sorted
-            # index round(q·n) − 1 (half away from zero, clamped at 0)
-            # — i.e. 1-based rank max(round(q·n), 1) — which diverges
-            # from SQL percentile_disc (rank ceil(q·n)) whenever
-            # frac(q·n) ∈ (0, 0.5): n=5, q=0.25 → Flux's 1st smallest,
-            # percentile_disc's 2nd. Spark's F.round is HALF_UP on the
-            # identical IEEE product q·n, so the rank matches Go's
-            # math.Round bit-for-bit. Rank order needs each table's
-            # rows on one partition — the same per-table locality every
-            # per-point transform (derivative, movingAverage, …)
-            # already assumes; the key-less group() merge form would
-            # funnel ALL raw rows through a single partition and raises
-            # instead (scale trap, not a subset gap — same rule as
-            # group() |> derivative()).
-            if not keys:
-                raise FluxError(
-                    "group() |> quantile() would sort every raw row on "
-                    "one partition — outside the shipped subset"
-                )
-            from pyspark.sql import Window
-
-            src = df.filter(F.col("_value").isNotNull())
-            wq = Window.partitionBy(*keys).orderBy("_value")
-            wk = Window.partitionBy(*keys)
-            ranked = src.select(
-                *keys,
-                "_value",
-                F.row_number().over(wq).alias("__rn"),
-                F.count(F.lit(1)).over(wk).alias("__n"),
-            )
-            target = F.greatest(
-                F.round(F.lit(float(agg_q)) * F.col("__n")).cast("long"),
-                F.lit(1).cast("long"),
-            )
-            out = ranked.filter(F.col("__rn") == target).select(
-                *keys, F.col("_value").alias(name), F.col("__n").alias("n")
-            )
-            return _finish(out)
-        if fn == "mode":
-            # upstream mode(): every most-frequent value per table (one
-            # row per tied mode), or a single NULL row when no value
-            # repeats. Two hash aggregations over (table, value) — the
-            # per-value counts are map-side combinable and the max-count
-            # window runs over DISTINCT VALUES per table, never raw
-            # rows. The key-less group() bare form would rank every
-            # distinct value of the whole store on one partition —
-            # raises as a scale trap (same rule as group()|>quantile());
-            # the WINDOWED key-less form keys on window_start and stays
-            # distributed.
-            from pyspark.sql import Window
-
-            if not keys and every_s is None:
-                raise FluxError(
-                    "group() |> mode() would rank every distinct value on "
-                    "one partition — outside the shipped subset"
-                )
-            src = df.filter(F.col("_value").isNotNull())
-            if every_s is None:
-                g = list(keys)
-                base = src
-            else:
-                bucket = (
-                    F.date_trunc(every_s, F.col("_time"))
-                    if every_s in ("month", "year")
-                    else F.timestamp_micros(_epoch_floor_us("_time", every_s))
-                )
-                base = src.select(
-                    bucket.alias("window_start"),
-                    *keys,
-                    "_value",
-                )
-                g = ["window_start", *keys]
-            counts = base.groupBy(*g, "_value").agg(
-                F.count(F.lit(1)).alias("__c")
-            )
-            wk = Window.partitionBy(*g)
-            out = (
-                counts.withColumn("__mc", F.max("__c").over(wk))
-                .filter(F.col("__c") == F.col("__mc"))
-                .select(
-                    *g,
-                    F.when(F.col("__mc") > 1, F.col("_value")).alias(name),
-                )
-                .distinct()
-            )
-            return _finish(out)
-        if fn == "skew":
-            # Flux skew() is the POPULATION skewness g1 = √n·M3/M2^1.5
-            # (M2/M3 = central moment sums) — NOT SQL's sample-corrected
-            # skewness. Compiled from EXACT decimal power sums
-            # (Σv, Σv², Σv³ — associative, deterministic across
-            # partition orders, map-side combinable) with the moment
-            # algebra evaluated in ONE fixed double expression order,
-            # m2^1.5 spelled m2·√m2 (sqrt is correctly rounded IEEE in
-            # both engines; pow is not), and the shared round-9 policy
-            # (pearsonr's) absorbing the decimal→double conversion's
-            # last-ulp engine differences. Zero variance (constant or
-            # single-point table) yields NULL — documented, where
-            # upstream's 0/0 is NaN.
-            src = df.filter(F.col("_value").isNotNull())
-            d = F.col("_value").cast("decimal(12,2)")
-            aggs = [
-                F.sum(d).alias("__s1"),
-                F.sum(d * d).alias("__s2"),
-                F.sum(d * d * d).alias("__s3"),
-                F.count(F.lit(1)).alias("n"),
-            ]
-            if every_s is None:
-                grouped = src.groupBy(*keys).agg(*aggs)
-                lead: list[str] = list(keys)
-            else:
-                gcol, is_struct = _window_grouping(every_s, period_s, offset_s)
-                grouped = (
-                    src.groupBy(gcol, *keys)
-                    .agg(*aggs)
-                    .select(
-                        (
-                            F.col("w.start").alias("window_start")
-                            if is_struct
-                            else F.col("window_start")
-                        ),
-                        *keys,
-                        "__s1", "__s2", "__s3", "n",
-                    )
-                )
-                lead = ["window_start", *keys]
-            nD = F.col("n").cast("double")
-            a1 = F.col("__s1").cast("double")
-            a2 = F.col("__s2").cast("double")
-            a3 = F.col("__s3").cast("double")
-            m2 = a2 - a1 * a1 / nD
-            m3 = (
-                a3
-                - F.lit(3.0) * a1 * a2 / nD
-                + F.lit(2.0) * a1 * a1 * a1 / (nD * nD)
-            )
-            skew_expr = F.round(
-                F.sqrt(nD) * m3 / (m2 * F.sqrt(m2)), 9
-            )
-            out = grouped.select(
-                *lead,
-                F.when(m2 <= 0, F.lit(None).cast("double"))
-                .otherwise(skew_expr)
-                .alias(name),
-                "n",
-            )
-            return _finish(out)
-        if fn == "mean":
-            expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
-        elif fn == "median":
-            expr = F.median("_value")
-        elif fn == "min":
-            expr = F.min("_value")
-        elif fn == "max":
-            expr = F.max("_value")
-        elif fn == "sum":
-            expr = F.sum(_dec("_value")).cast("double")
-        elif fn == "count":
-            expr = F.count(F.lit(1)).cast("long")
-        elif fn == "first":  # earliest _time wins, value tie-break
-            expr = F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
-        elif fn == "stddev":
-            # Flux stddev() default mode "sample" — central-moment
-            # merge aggregation (map-side combinable); NULL for a
-            # single-point table, exactly as Flux yields no value
-            expr = F.stddev_samp("_value")
-        elif fn == "spread":
-            # max − min over the table/window — two map-side-combinable
-            # extrema, exact on the store's doubles
-            expr = F.max("_value") - F.min("_value")
-        elif fn == "last":  # greatest _time wins, value tie-break
-            expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
-        else:
-            # structural backstop (VERDICT r8): an accepted-set name
-            # with no expression branch must raise, never silently
-            # compile to some other aggregate
-            raise FluxError(f"aggregate fn {fn!r} has no compiled form")
-        # shared null policy (ADVICE r9): Flux aggregates skip null
-        # values of the aggregated column, and the value-series
-        # transforms + quantile already filter them — the groupBy
-        # source does too, so `n` counts exactly the rows the
-        # aggregate saw (a null-carrying table would otherwise skew
-        # mean's sum/count split and over-count n for stddev/extrema)
-        src = df.filter(F.col("_value").isNotNull())
-        if every_s is None:
-            # bare aggregate: one row per table over the whole range
-            # (keys == [] — the group() merge form — folds everything
-            # to ONE row: a partial-aggregated global agg, no shuffle
-            # wider than the partial results)
-            out = src.groupBy(*keys).agg(
-                expr.alias(name), F.count(F.lit(1)).alias("n")
-            )
-        else:
-            gcol, is_struct = _window_grouping(every_s, period_s, offset_s)
-            out = src.groupBy(gcol, *keys).agg(
-                expr.alias(name), F.count(F.lit(1)).alias("n")
-            ).select(
-                (
-                    F.col("w.start").alias("window_start")
-                    if is_struct
-                    else F.col("window_start")
-                ),
-                *keys,
-                name,
-                "n",
-            )
-        if fn == "count":
-            out = out.drop("n")
-        return _finish(out)
+    if agg is not None and transform is None:
+        return _agg_over(df)
 
     if take_last:
         # upstream last() selects the last record with a NON-NULL

@@ -87,6 +87,7 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_sliding",
         "flux_compiled_offset_window",
         "flux_compiled_month",
+        "flux_compiled_counter_window",
     ),
 }
 
@@ -157,10 +158,12 @@ _CHECKED_WINDOW = [
     # embedding_topk/ivf + the PQ suite arms)
     "flux_compiled_cov",
     "flux_compiled_tail",
-    # + the round-10c batch (16 new stages: mode/skew/stateCount/CMO/
+    # + the round-10c batch (20 new stages: mode/skew/stateCount/CMO/
     # kaufmansER/sample/toFloat+toInt/limit-offset/highest*+lowest*/
-    # fused histogramQuantile/doubleEMA/tripleEMA/RSI), driver-attested
-    # through ONE suite whose oracle embeds all 14 new singletons'
+    # fused histogramQuantile/doubleEMA/tripleEMA/RSI, plus
+    # aggregateWindow period:/offset:/calendar-1mo and the
+    # value-series |> aggregateWindow composition), driver-attested
+    # through ONE suite whose oracle embeds all 18 new singletons'
     # registered SQL verbatim (the suite_round5 precedent); ewma_final
     # yields the slot — the Arrow per-series recurrence family it
     # represents is freshly attested by the in-window flux_compiled_ema

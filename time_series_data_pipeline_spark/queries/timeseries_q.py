@@ -3798,7 +3798,60 @@ def flux_compiled_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 17 new
+@query(
+    "flux_compiled_counter_window",
+    # difference(nonNegative: true) |> aggregateWindow(every: 1d,
+    # fn: sum): the counter-to-daily-totals panel — the windowed
+    # aggregate runs over the REWRITTEN delta series (each table's
+    # first row drops BEFORE windowing, Flux's order). Exact decimal
+    # deltas and sums; the reset rule (decrease ⇒ delta = current
+    # value) replayed verbatim.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ts,
+             CASE WHEN lag(CAST(value AS DECIMAL(18,2))) OVER w IS NULL
+                  THEN NULL
+                  WHEN CAST(value AS DECIMAL(18,2))
+                       >= lag(CAST(value AS DECIMAL(18,2))) OVER w
+                  THEN CAST(value AS DECIMAL(18,2))
+                       - lag(CAST(value AS DECIMAL(18,2))) OVER w
+                  ELSE CAST(value AS DECIMAL(18,2)) END AS delta
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    )
+    SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(delta) AS DOUBLE) AS sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d WHERE delta IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_counter_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`difference(nonNegative:) |> aggregateWindow(sum)` through the
+    Flux front-end — the value-series-then-windowed-aggregate
+    composition (bytes-per-day from a counter)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> difference(nonNegative: true)
+          |> aggregateWindow(every: 1d, fn: sum)
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 18 new
 # flux stages — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
@@ -3814,7 +3867,7 @@ _OR10C = {
         "flux_compiled_histogram_quantile", "flux_compiled_dema",
         "flux_compiled_tema", "flux_compiled_rsi",
         "flux_compiled_sliding", "flux_compiled_offset_window",
-        "flux_compiled_month",
+        "flux_compiled_month", "flux_compiled_counter_window",
     )
 }
 
@@ -3898,6 +3951,10 @@ _SUITE_10C_SQL = f"""
     SELECT 'flux_compiled_month', t._field,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.max
     FROM ({_OR10C["flux_compiled_month"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_counter_window', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.sum
+    FROM ({_OR10C["flux_compiled_counter_window"]}) t
 """
 
 
@@ -4006,6 +4063,11 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("flux_compiled_month").alias("sub"),
             F.col("_field").alias("k1"), _us("window_start").alias("k2"),
             F.col("n"), F.col("max").alias("value"),
+        ),
+        flux_compiled_counter_window(spark, sf_dir).select(
+            F.lit("flux_compiled_counter_window").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("sum").alias("value"),
         ),
     ]
     out = arms[0]
