@@ -572,7 +572,7 @@ def test_state_duration_stage_flux_convention(spark, store):
         ('from(bucket: "b") |> increase(column: "x")', "no arguments"),
         ('from(bucket: "b") |> stateDuration(unit: 1s)', "requires fn"),
         ('from(bucket: "b") |> stateDuration(fn: (r) => r["_value"] > 1, '
-         "unit: 2s)", "unit"),
+         "unit: 0s)", "unit must be > 0"),
         ('from(bucket: "b") |> derivative(nonNegative: true) '
          "|> filter(fn: (r) => r._value > 1)", "subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: mean) '
@@ -3508,3 +3508,33 @@ def test_value_series_then_aggregate_window(spark, tmp_path):
     ):
         with pytest.raises(flux.FluxError, match="outside the shipped subset"):
             flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
+def test_state_duration_units(spark, tmp_path):
+    """stateDuration(unit:) — run durations in whole unit multiples,
+    truncated toward zero (Flux duration division); 1s remains the
+    default."""
+    # true-run spanning minutes 1..4 (values > 4)
+    path = _tiny_store(spark, tmp_path, [1.0, 5.0, 6.0, 7.0, 8.0, 2.0])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> stateDuration(fn: (r) => r._value > 4.0, unit: 2m)',
+        {"b": path},
+    ).collect()
+    got = [r["stateDuration"] for r in sorted(out, key=lambda r: r["_time"])]
+    # run starts at minute 1: elapsed 0,1,2,3 min -> //2m = 0,0,1,1
+    assert got == [-1, 0, 0, 1, 1, -1]
+    # default 1s unchanged
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> stateDuration(fn: (r) => r._value > 4.0)',
+        {"b": path},
+    ).collect()
+    got = [r["stateDuration"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == [-1, 0, 60, 120, 180, -1]
+    with pytest.raises(flux.FluxError, match="unit"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> stateDuration(fn: (r) => r._value > 4.0, unit: -1m)',
+            {"b": path},
+        )

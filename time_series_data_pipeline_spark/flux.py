@@ -221,6 +221,16 @@ Round 10c adds the technical-indicator / selector / conversion batch
   ``truncateTimeColumn(unit:)``. createEmpty / fn: mode do not compose
   with the sliding/offset/calendar forms (gap_fill is tumbling-only;
   mode's epoch-floor grouping can't explode rows) and raise.
+* ``<value-series transform> |> aggregateWindow(fn:)`` — difference /
+  increase / cumulativeSum / exponentialMovingAverage / doubleEMA /
+  tripleEMA / relativeStrengthIndex / chandeMomentumOscillator /
+  kaufmansER feeding a windowed aggregate: the
+  counter-to-windowed-totals panel (``difference(nonNegative) |>
+  aggregateWindow(every: 1d, fn: sum)`` = bytes per day). The windowed
+  aggregate runs over the REWRITTEN series — per-table first rows drop
+  BEFORE windowing, Flux's order — and costs one exchange total.
+  derivative/elapsed/movingAverage keep the original ``_value`` beside
+  a named column, so composing over them is ambiguous and raises.
 """
 
 from __future__ import annotations
@@ -1425,10 +1435,11 @@ def _compile_pipeline(
             if "fn" not in a:
                 raise FluxError("stateDuration requires fn: (r) => predicate")
             unit = _resolve(a["unit"], params) if "unit" in a else "1s"
-            if not (isinstance(unit, str) and _duration_seconds(unit) == 1):
-                raise FluxError(
-                    f"stateDuration unit {unit!r} outside the subset (ships 1s)"
-                )
+            if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                raise FluxError(f"stateDuration unit: bad duration {unit!r}")
+            sd_unit_s = _duration_seconds(unit)
+            if sd_unit_s <= 0:
+                raise FluxError(f"stateDuration unit must be > 0: {unit!r}")
             extra = set(a) - {"fn", "unit"}
             if extra:
                 raise FluxError(f"stateDuration: unsupported args {sorted(extra)}")
@@ -1436,7 +1447,7 @@ def _compile_pipeline(
             if not m:
                 raise FluxError(f"malformed stateDuration fn: {a['fn']!r}")
             pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
-            transform = ("state_duration", pred)
+            transform = ("state_duration", pred, sd_unit_s)
         elif head == "histogram":
             # histogram(bins: [...]) — Flux's CUMULATIVE histogram: one
             # row per upper bound `le` per table, _value = float count
@@ -3136,9 +3147,11 @@ def _compile_pipeline(
                 series = series.withColumnRenamed("_value", yield_name)
             return _finish(series)
         # state_duration: run ids via change detection, duration against
-        # the run's first timestamp; Flux convention — −1 where the
-        # predicate is false, 0 at each true-run's first point
-        pred = transform[1]
+        # the run's first timestamp in whole `unit` multiples (the long
+        # cast truncates toward zero — Flux duration division); Flux
+        # convention — −1 where the predicate is false, 0 at each
+        # true-run's first point
+        pred, sd_unit_s = transform[1], transform[2]
         w = Window.partitionBy(*keys).orderBy("_time", "_value")
         chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
         runs = df.select(
@@ -3153,7 +3166,7 @@ def _compile_pipeline(
         wr = Window.partitionBy(*keys, "run_id")
         dur = (
             (F.unix_micros("_time") - F.min(F.unix_micros("_time")).over(wr))
-            / F.lit(1_000_000)
+            / F.lit(sd_unit_s * 1_000_000)
         ).cast("long")
         return _finish(runs.select(
             *keys,
