@@ -3374,7 +3374,6 @@ def test_aggregate_window_sliding_period(spark, tmp_path):
         {"b": path},
     ).collect()
     # rows at :00 :02 :04 :06 — window [s, s+6m) every 2m; each row in 3
-    got = {(r["window_start"].minute + 60 * r["window_start"].hour) % 60: r["count"] for r in out}
     # starts: -4,-2,0,2,4,6 minutes → counts 1,2,3,3,2,1
     t0 = datetime.datetime(2024, 1, 1)
     counts = {
@@ -3538,3 +3537,118 @@ def test_state_duration_units(spark, tmp_path):
             'from(bucket: "b") |> stateDuration(fn: (r) => r._value > 4.0, unit: -1m)',
             {"b": path},
         )
+
+
+def _raw_store(spark, tmp_path, rows):
+    """rows: (dt, field, value-or-None) triples."""
+    df = spark.createDataFrame(
+        [(t, "events", f, v) for t, f, v in rows],
+        "t timestamp, m string, f string, v double",
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "raw")
+    bkt.write_bucket(df, path, mode="overwrite")
+    return path
+
+
+def test_cmo_last_tied_final_timestamp(spark, tmp_path):
+    """cmo/ker |> last() selects the fold's true final element via
+    max_by(row order), not max_by((_time, value)) — on a tied final
+    timestamp the greatest indicator value need not be the last one
+    (the same rule as the EMA kernel's __seq)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    tN = t0 + datetime.timedelta(minutes=2)
+    # table order at tN: (tN, 50.0) then (tN, 51.0) — 51.0 is the true
+    # last; its CMO window (−60, +1) is far NEGATIVE while the tied
+    # sibling's (+100, −60) is positive, so a (ts, value) max_by would
+    # return the WRONG row's indicator
+    rows = [
+        (t0, "click", 10.0),
+        (t0 + datetime.timedelta(minutes=1), "click", 110.0),
+        (tN, "click", 50.0),
+        (tN, "click", 51.0),
+    ]
+    path = _raw_store(spark, tmp_path, rows)
+    full = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> chandeMomentumOscillator(n: 2)',
+        {"b": path},
+    ).collect()
+    last = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> chandeMomentumOscillator(n: 2) |> last()',
+        {"b": path},
+    ).collect()
+    assert len(last) == 1
+    assert last[0]["last_ts"] == tN
+    # the true-last row's CMO: deltas (50→51 = +1, 110→50 = −60) →
+    # 100·(1−60)/61
+    assert abs(last[0]["last_value"] - 100.0 * (1.0 - 60.0) / 61.0) < 1e-12
+    # sanity: the tied sibling's CMO is LARGER — the old
+    # (ts, value)-ordered selection would have picked it
+    tied = [r["_value"] for r in full if r["_time"] == tN]
+    assert len(tied) == 2 and max(tied) > last[0]["last_value"]
+
+
+def test_lowest_min_tie_takes_later_timestamp(spark, tmp_path):
+    """The documented extrema tie rule — value ties resolve to the
+    LATER timestamp — holds for lowestMin too (min_by over a negated
+    time component), not just highestMax."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = t0 + datetime.timedelta(minutes=5)
+    rows = [
+        (t0, "click", 1.0),
+        (t0 + datetime.timedelta(minutes=1), "click", 7.0),
+        (t1, "click", 1.0),  # tied minimum, later
+    ]
+    path = _raw_store(spark, tmp_path, rows)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> lowestMin(n: 1)', {"b": path}
+    ).collect()
+    assert [(r["_time"], r["_value"]) for r in out] == [(t1, 1.0)]
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> highestMax(n: 1)', {"b": path}
+    ).collect()
+    assert out[0]["_value"] == 7.0
+
+
+def test_sample_indexes_raw_records_incl_nulls(spark, tmp_path):
+    """sample() is a SELECTOR: null _value rows count toward positions
+    exactly like limit()/tail() and upstream — no null pre-filter."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.0, None, 3.0, 4.0, 5.0]
+    rows = [
+        (t0 + datetime.timedelta(minutes=i), "click", v)
+        for i, v in enumerate(vals)
+    ]
+    path = _raw_store(spark, tmp_path, rows)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> sample(n: 2, pos: 0)', {"b": path}
+    ).collect()
+    got = sorted((r["_value"] for r in out), key=repr)
+    # positions 1, 3, 5 (1-based) = values 1.0, 3.0, 5.0 — a null
+    # pre-filter would have returned 1.0, 4.0
+    assert got == [1.0, 3.0, 5.0]
+
+
+def test_skew_out_of_domain_value_yields_null(spark, tmp_path):
+    """A value outside the decimal(12,2) power-sum domain (|v| >= 1e10)
+    turns the table's skew NULL (count-mismatch guard) — never a
+    silently-wrong moment over a different population than n."""
+    path = _tiny_store(spark, tmp_path, [1.0, 2.0, 3.0, 1.0e12])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> skew()', {"b": path}
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["skew"] is None and out[0]["n"] == 4

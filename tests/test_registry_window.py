@@ -58,8 +58,8 @@ def test_new_and_changed_queries_lead_the_window():
     # integral / exponentialMovingAverage are new stages), and the
     # shared null-policy change re-attests the three registered
     # bare/windowed-aggregate + last() paths; the round-10c batch
-    # (16 new stages) leads through ONE suite slot whose oracle embeds
-    # all 14 new singletons verbatim
+    # leads through ONE suite slot whose oracle embeds all 18 new
+    # singletons verbatim
     assert set(_CHECKED_WINDOW[:23]) == {
         "flux_compiled_quantile", "flux_compiled_stddev",
         "flux_compiled_spread", "flux_compiled_timeshift",

@@ -306,6 +306,25 @@ def _window_grouping(every_s, period_s, offset_s):
     )
 
 
+def _state_runs(df: DataFrame, keys: list[str], pred: Column) -> DataFrame:
+    """The run-id frame shared by stateDuration and stateCount: change
+    detection via a null-safe lag compare, run ids as the running sum
+    of change flags — both windows ride ONE series-key partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("_time", "_value")
+    chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
+    return df.select(
+        *keys,
+        "_time",
+        "_value",
+        pred.alias("state"),
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+
+
 def _duration_seconds(tok: str) -> int:
     m = _DUR_RE.match(tok)
     if not m:
@@ -2441,11 +2460,19 @@ def _compile_pipeline(
             # single-point table) yields NULL — documented, where
             # upstream's 0/0 is NaN.
             src = frame.filter(F.col("_value").isNotNull())
-            d = F.col("_value").cast("decimal(12,2)")
+            # decimal(12,2), not the shared (18,2): the CUBE must stay
+            # inside both engines' 38-digit decimal cap (DuckDB errors
+            # on a product wider than 38). try_cast nulls an
+            # out-of-domain value (|v| >= 1e10) under any ANSI setting,
+            # and the __nc/n count mismatch turns the whole table's
+            # skew NULL — never a silently-wrong moment computed over a
+            # different population than n reports.
+            d = F.col("_value").try_cast("decimal(12,2)")
             aggs = [
                 F.sum(d).alias("__s1"),
                 F.sum(d * d).alias("__s2"),
                 F.sum(d * d * d).alias("__s3"),
+                F.count(d).alias("__nc"),
                 F.count(F.lit(1)).alias("n"),
             ]
             if every_s is None:
@@ -2463,7 +2490,7 @@ def _compile_pipeline(
                             else F.col("window_start")
                         ),
                         *keys,
-                        "__s1", "__s2", "__s3", "n",
+                        "__s1", "__s2", "__s3", "__nc", "n",
                     )
                 )
                 lead = ["window_start", *keys]
@@ -2482,7 +2509,10 @@ def _compile_pipeline(
             )
             out = grouped.select(
                 *lead,
-                F.when(m2 <= 0, F.lit(None).cast("double"))
+                F.when(
+                    (m2 <= 0) | (F.col("__nc") != F.col("n")),
+                    F.lit(None).cast("double"),
+                )
                 .otherwise(skew_expr)
                 .alias(name),
                 "n",
@@ -2817,12 +2847,15 @@ def _compile_pipeline(
         if kind == "sample":
             # every n-th record per table (deterministic pos) — one
             # row_number window on the series key, the same per-table
-            # locality every per-point transform assumes
+            # locality every per-point transform assumes. A SELECTOR,
+            # not an aggregate: it indexes RAW records (null _value
+            # rows count toward positions, exactly like limit()/tail()
+            # and upstream sample) — the shared null policy applies to
+            # value arithmetic, not record selection.
             n, pos = transform[1], transform[2]
             w = Window.partitionBy(*keys).orderBy("_time", "_value")
-            src = df.filter(F.col("_value").isNotNull())
             out = (
-                src.select(
+                df.select(
                     *keys, "_time", "_value",
                     F.row_number().over(w).alias("__rn"),
                 )
@@ -2888,22 +2921,25 @@ def _compile_pipeline(
                 point = F.when(den == 0, F.lit(0.0)).otherwise(
                     F.col("__num").cast("double") / den.cast("double")
                 )
-            series = (
-                base.select(
-                    *keys, "_time", point.alias("_value"), "__rn"
-                )
-                .filter(F.col("__rn") >= n + 1)
-                .drop("__rn")
-            )
+            series = base.select(
+                *keys, "_time", point.alias("_value"), "__rn"
+            ).filter(F.col("__rn") >= n + 1)
             if agg is not None:
-                return _agg_over(series)
+                return _agg_over(series.drop("__rn"))
             if take_last:
-                from .operators.timeseries import last_value_per_group
-
-                out = last_value_per_group(series, "_time", "_value", keys)
+                # the fold's true final element via max_by(__rn) — a
+                # (_time, _value) max_by could pick the wrong row on a
+                # tied final timestamp (the rewritten indicator value
+                # need not order like the table order; same rule as the
+                # EMA kernel's __seq)
+                out = series.groupBy(*keys).agg(
+                    F.max_by("_time", "__rn").alias("last_ts"),
+                    F.max_by("_value", "__rn").alias("last_value"),
+                )
                 if yield_name:
                     out = out.withColumnRenamed("last_value", yield_name)
                 return _finish(out)
+            series = series.drop("__rn")
             if yield_name:
                 series = series.withColumnRenamed("_value", yield_name)
             return _finish(series)
@@ -2912,12 +2948,21 @@ def _compile_pipeline(
             src = df.filter(F.col("_value").isNotNull())
             if which in ("highestMax", "lowestMin"):
                 # the extremum RECORD per table; value ties resolve to
-                # the later timestamp (the struct order — documented
-                # deterministic tie rule)
+                # the LATER timestamp for both directions (the
+                # documented deterministic tie rule) — min_by/max_by
+                # over an ordering struct whose time component is
+                # negated on the min side, map-side combinable
+                rec = F.struct(F.col("_time"), F.col("_value"))
                 s = (
-                    F.max(F.struct(F.col("_value"), F.col("_time")))
+                    F.max_by(
+                        rec,
+                        F.struct(F.col("_value"), F.unix_micros("_time")),
+                    )
                     if which == "highestMax"
-                    else F.min(F.struct(F.col("_value"), F.col("_time")))
+                    else F.min_by(
+                        rec,
+                        F.struct(F.col("_value"), -F.unix_micros("_time")),
+                    )
                 )
                 per = src.groupBy(*keys).agg(s.alias("__m")).select(
                     *keys,
@@ -2951,17 +2996,7 @@ def _compile_pipeline(
             # stateDuration; the value is the 1-based position within
             # the current TRUE run, −1 where the predicate is false
             pred = transform[1]
-            w = Window.partitionBy(*keys).orderBy("_time", "_value")
-            chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
-            runs = df.select(
-                *keys,
-                "_time",
-                "_value",
-                pred.alias("state"),
-                F.sum(chg)
-                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-                .alias("run_id"),
-            )
+            runs = _state_runs(df, keys, pred)
             wr = Window.partitionBy(*keys, "run_id").orderBy("_time", "_value")
             cnt = F.row_number().over(wr).cast("long")
             return _finish(runs.select(
@@ -3152,17 +3187,7 @@ def _compile_pipeline(
         # convention — −1 where the predicate is false, 0 at each
         # true-run's first point
         pred, sd_unit_s = transform[1], transform[2]
-        w = Window.partitionBy(*keys).orderBy("_time", "_value")
-        chg = (~F.lag(pred).over(w).eqNullSafe(pred)).cast("long")
-        runs = df.select(
-            *keys,
-            "_time",
-            "_value",
-            pred.alias("state"),
-            F.sum(chg)
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .alias("run_id"),
-        )
+        runs = _state_runs(df, keys, pred)
         wr = Window.partitionBy(*keys, "run_id")
         dur = (
             (F.unix_micros("_time") - F.min(F.unix_micros("_time")).over(wr))

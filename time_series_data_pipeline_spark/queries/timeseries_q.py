@@ -3061,15 +3061,17 @@ def flux_compiled_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT event_type,
-             SUM(CAST(value AS DECIMAL(12,2))) AS s1,
-             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
-               AS s2,
-             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
-                 * CAST(value AS DECIMAL(12,2))) AS s3,
+             SUM(TRY_CAST(value AS DECIMAL(12,2))) AS s1,
+             SUM(TRY_CAST(value AS DECIMAL(12,2))
+                 * TRY_CAST(value AS DECIMAL(12,2))) AS s2,
+             SUM(TRY_CAST(value AS DECIMAL(12,2))
+                 * TRY_CAST(value AS DECIMAL(12,2))
+                 * TRY_CAST(value AS DECIMAL(12,2))) AS s3,
+             CAST(COUNT(TRY_CAST(value AS DECIMAL(12,2))) AS BIGINT) AS nc,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events WHERE value IS NOT NULL GROUP BY 1
     ), m AS (
-      SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+      SELECT event_type, n, nc, CAST(n AS DOUBLE) AS nd,
              CAST(s2 AS DOUBLE)
                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
                AS m2,
@@ -3082,7 +3084,7 @@ def flux_compiled_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT 'events' AS _measurement, event_type AS _field,
-           CASE WHEN m2 <= 0 THEN NULL
+           CASE WHEN m2 <= 0 OR nc != n THEN NULL
                 ELSE round(sqrt(nd) * m3 / (m2 * sqrt(m2)), 9)
            END AS skew,
            n
@@ -3258,7 +3260,8 @@ def flux_compiled_kaufmans_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flux_compiled_sample",
     # sample(n: 5, pos: 2) — every 5th record per table at offset 2
     # (the deterministic form; upstream's default pos: -1 is random and
-    # raises).
+    # raises). A SELECTOR: positions index RAW records — no null
+    # pre-filter, exactly like limit()/tail().
     oracle="""
     SELECT 'events' AS _measurement, event_type AS _field,
            ts AS _time, value AS _value
@@ -3267,7 +3270,7 @@ def flux_compiled_kaufmans_er(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, value) AS rn
       FROM events
-      WHERE event_type = 'error' AND value IS NOT NULL
+      WHERE event_type = 'error'
         AND ts >= TIMESTAMP '2024-01-08 00:00:00'
         AND ts <  TIMESTAMP '2024-01-15 00:00:00'
     ) WHERE (rn - 1) % 5 = 2
@@ -3963,8 +3966,10 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10c Flux suite, one order-insensitive union hash: mode,
     skew, stateCount, CMO, Kaufman's ER, sample, limit-offset, toInt,
     highestMax, lowestAverage, fused histogramQuantile, doubleEMA,
-    tripleEMA, and Wilder RSI — all 14 new stages driver-attested in
-    one registry slot while the singletons sit below the cap."""
+    tripleEMA, Wilder RSI, sliding/offset/calendar aggregateWindow
+    forms, and the value-series |> aggregateWindow composition — all
+    18 new singletons driver-attested in one registry slot while they
+    sit below the cap."""
 
     def _ns():
         return F.lit(None).cast("string")
