@@ -2184,8 +2184,8 @@ def test_histogram_cumulative_per_table(spark, store):
     [
         ('from(bucket: "b") |> histogram()', "requires bins"),
         (
-            'from(bucket: "b") |> histogram(bins: [1.0], normalize: true)',
-            "normalize: false only",
+            'from(bucket: "b") |> histogram(bins: [1.0], normalize: "yes")',
+            "boolean",
         ),
         ('from(bucket: "b") |> histogram(bins: [])', "list is empty"),
         (
@@ -3652,3 +3652,121 @@ def test_skew_out_of_domain_value_yields_null(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert out[0]["skew"] is None and out[0]["n"] == 4
+
+
+def test_group_mode_except(spark, two_meas):
+    """group(mode: "except", columns:) keys on the complement of the
+    listed columns — over this store's two-column key, except
+    ["_field"] ≡ by ["_measurement"]."""
+    a = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group(columns: ["_field"], mode: "except")'
+        " |> mean()",
+        {"b": two_meas},
+    ).collect()
+    b = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group(columns: ["_measurement"]) |> mean()',
+        {"b": two_meas},
+    ).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b)) and len(a) == 2
+    # except-everything == merge-all (group())
+    c = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group(columns: ["_measurement", "_field"],'
+        ' mode: "except") |> mean()',
+        {"b": two_meas},
+    ).collect()
+    d = flux.compile_flux(
+        spark, 'from(bucket: "b") |> group() |> mean()', {"b": two_meas}
+    ).collect()
+    assert sorted(map(repr, c)) == sorted(map(repr, d)) and len(c) == 1
+    with pytest.raises(flux.FluxError, match="group ships"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> group(columns: [], mode: "drop")',
+            {"b": two_meas},
+        )
+
+
+def test_histogram_normalize(spark, tmp_path):
+    """histogram(normalize: true): each cumulative count divided by the
+    table's total record count — proportions in [0, 1], the top finite
+    bound < 1 when values exceed every bound."""
+    vals = [2.0, 4.0, 12.0, 14.0, 25.0]  # 2 <= 10, 4 <= 20, 1 above
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> histogram(bins: [10.0, 20.0], normalize: true)',
+        {"b": path},
+    ).collect()
+    got = {r["le"]: r["_value"] for r in out}
+    assert got == {10.0: 2.0 / 5.0, 20.0: 4.0 / 5.0}
+    # un-normalized default unchanged
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> histogram(bins: [10.0, 20.0])',
+        {"b": path},
+    ).collect()
+    assert {r["le"]: r["_value"] for r in out} == {10.0: 2.0, 20.0: 4.0}
+    with pytest.raises(flux.FluxError, match="normalize"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> histogram(bins: [10.0], normalize: 3)',
+            {"b": path},
+        )
+
+
+def test_post_aggregate_filter_threshold(spark, tmp_path):
+    """filter() AFTER an aggregation/transform — the Grafana alert
+    threshold shape: a row-wise predicate over the OUTPUT frame, with
+    r._value mapped onto the aggregate's value column."""
+    vals = [1.0, 2.0, 30.0, 40.0]  # two 2-minute windows: means 1.5, 35
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, fn: mean)'
+        " |> filter(fn: (r) => r._value > 10.0)",
+        {"b": path},
+    ).collect()
+    assert [r["mean"] for r in out] == [35.0]
+    # explicit output-column reference works too
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, fn: mean)'
+        ' |> filter(fn: (r) => r["mean"] <= 10.0 and r["n"] == 2)',
+        {"b": path},
+    ).collect()
+    assert [r["mean"] for r in out] == [1.5]
+    # transforms keep _value, so the reference passes straight through
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> difference()'
+        " |> filter(fn: (r) => r._value > 5.0)",
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [10.0, 28.0]
+    # tail composition: sort |> limit |> filter
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> sort(columns: ["_value"], desc: true)'
+        " |> limit(n: 3) |> filter(fn: (r) => r._value < 35.0)",
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [2.0, 30.0]
+    # unknown column raises naming it
+    with pytest.raises(flux.FluxError, match="unknown column"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 2m, fn: mean)'
+            " |> filter(fn: (r) => r.bogus > 1.0)",
+            {"b": path},
+        ).collect()
+    # range() after a terminal still raises (pushed bounds on raw rows)
+    with pytest.raises(flux.FluxError, match="range"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> mean()'
+            ' |> range(start: "2024-01-01 00:00:00")',
+            {"b": path},
+        )

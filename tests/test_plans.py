@@ -289,6 +289,9 @@ import pytest as _pytest
         # aggregation rides the lag window's key partitioning — the
         # composition costs ONE exchange total
         ("flux_compiled_counter_window", 1),
+        # post-aggregate filter is a row filter over the windowed
+        # frame: the windowed agg's one exchange only
+        ("flux_compiled_alert_filter", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

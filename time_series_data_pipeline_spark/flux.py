@@ -171,7 +171,8 @@ cardinality is 1 after pushdown), and the output frame carries the
 ``_measurement`` column exactly as a Flux record does.
 
 ``group(columns: [...])`` RE-KEYS the tables (Flux regrouping): the
-subset ships any subset of {``_measurement``, ``_field``} — including
+subset ships any subset of {``_measurement``, ``_field``} — in the
+``mode: "by"`` form or its complement ``mode: "except"`` — including
 ``group()`` / ``group(columns: [])``, the Data-Explorer "merge all
 series into one table" form, which compiles aggregations to their
 key-less global forms (one row / one row per window over everything).
@@ -1047,7 +1048,7 @@ def _compile_pipeline(
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
-                   "tail")
+                   "tail", "filter")
     time_shifted = False  # a row-level timeShift has rewritten _time
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -1067,7 +1068,7 @@ def _compile_pipeline(
         # stages strictly BEFORE one terminal aggregation/transform
         # stage, and raises on anything else rather than mis-compiling
         if head in (
-            "range", "filter", "group", "map", "hourSelection",
+            "range", "group", "map", "hourSelection",
             "truncateTimeColumn", "toFloat", "toInt",
         ) and terminal_seen:
             raise FluxError(
@@ -1190,6 +1191,16 @@ def _compile_pipeline(
                 stop = _bound(a["stop"])
         elif head == "filter":
             toks = _tokenize_pred(_filter_extract(stage))
+            if terminal_seen or post_ops:
+                # POST-stage filter — the Grafana alert/threshold shape
+                # (aggregateWindow |> filter(fn: (r) => r._value > X)):
+                # a row-wise predicate over the OUTPUT frame, applied in
+                # user order among the tail stages. Column references
+                # resolve against the output frame at build time, with
+                # r._value mapped onto the aggregate's value column
+                # (this subset's attested frames name it after the fn).
+                post_ops.append(("postfilter", toks, stage))
+                continue
 
             def _pure_eq(col: str):
                 # `r["col"] == lit` / `r.col == lit` as the WHOLE stage
@@ -1485,16 +1496,18 @@ def _compile_pipeline(
             norm = (
                 _resolve(a["normalize"], params) if "normalize" in a else False
             )
-            if col != "_value" or not isinstance(ub, str) or norm is not False:
+            if col != "_value" or not isinstance(ub, str) or not isinstance(
+                norm, bool
+            ):
                 raise FluxError(
-                    "histogram ships column: \"_value\" and "
-                    f"normalize: false only; got {stage!r}"
+                    "histogram ships column: \"_value\" and a boolean "
+                    f"normalize: only; got {stage!r}"
                 )
             extra = set(a) - {"bins", "column", "upperBoundColumn", "normalize"}
             if extra:
                 raise FluxError(f"histogram: unsupported args {sorted(extra)}")
             bounds = _parse_bins(a["bins"], params)
-            transform = ("histogram", bounds, ub)
+            transform = ("histogram", bounds, ub, norm)
         elif head in (
             "mean", "count", "sum", "min", "max", "median", "first",
             "spread", "stddev",
@@ -2052,12 +2065,22 @@ def _compile_pipeline(
             extra = set(a) - {"columns", "mode"}
             mode = _resolve(a["mode"], params) if "mode" in a else "by"
             bad = [c for c in cols if c not in ("_measurement", "_field")]
-            if extra or mode != "by" or bad or len(cols) != len(set(cols)):
+            if (
+                extra
+                or mode not in ("by", "except")
+                or bad
+                or len(cols) != len(set(cols))
+            ):
                 raise FluxError(
-                    "group ships only mode: \"by\" over a subset of the "
-                    "table key columns [\"_measurement\", \"_field\"] "
+                    "group ships mode: \"by\"/\"except\" over a subset of "
+                    "the table key columns [\"_measurement\", \"_field\"] "
                     f"(incl. the empty list — merge all series); got {stage!r}"
                 )
+            if mode == "except":
+                # upstream's complement form: key on every group column
+                # EXCEPT the listed ones — over this store's two-column
+                # key that is exactly the complement subset
+                cols = [c for c in ("_measurement", "_field") if c not in cols]
             # canonical key order keeps output column order deterministic
             group_cols = [c for c in ("_measurement", "_field") if c in cols]
         elif head == "yield":
@@ -2131,7 +2154,48 @@ def _compile_pipeline(
                         f"rename: target column(s) {clash} already exist "
                         "or collide"
                     )
-            if op[0] == "sort":
+            if op[0] == "postfilter":
+                # threshold filter over the output frame: map r._value
+                # onto the frame's value column (aggregated frames name
+                # it after the fn — the attested shape), validate every
+                # reference against the frame, then a plain row filter
+                toks, src_stage = op[1], op[2]
+                valcol = "_value"
+                if valcol not in out.columns:
+                    cand = [
+                        c
+                        for c in (
+                            yield_name,
+                            agg[1] if agg is not None else None,
+                            "last_value",
+                        )
+                        if c and c in out.columns
+                    ]
+                    if not cand:
+                        raise FluxError(
+                            f"filter after this stage needs a value "
+                            f"column; frame has {out.columns}: {src_stage!r}"
+                        )
+                    valcol = cand[0]
+                new_toks = [
+                    f'r["{valcol}"]'
+                    if t in ('r["_value"]', "r._value")
+                    else t
+                    for t in toks
+                ]
+                refs = [
+                    t[3:-2] if t.startswith('r["') else t[2:]
+                    for t in new_toks
+                    if t.startswith('r["') or t.startswith("r.")
+                ]
+                missing = sorted({c for c in refs if c not in out.columns})
+                if missing:
+                    raise FluxError(
+                        f"filter: unknown column(s) {missing}; frame has "
+                        f"{out.columns}: {src_stage!r}"
+                    )
+                out = out.filter(_parse_pred(new_toks, params))
+            elif op[0] == "sort":
                 pending_sort = op
             elif op[0] == "limit":
                 n = op[1]
@@ -2595,7 +2659,7 @@ def _compile_pipeline(
             # long (le, _value) frame Grafana's heatmap panel reads.
             import math as _math
 
-            bounds, ub = transform[1], transform[2]
+            bounds, ub, norm = transform[1], transform[2], transform[3]
             if not re.match(r"^\w+$", ub):
                 raise FluxError(
                     f"histogram upperBoundColumn must be an identifier; "
@@ -2612,7 +2676,22 @@ def _compile_pipeline(
                 .alias(f"__h{i}")
                 for i, b in enumerate(bounds)
             ]
+            if norm:
+                # normalize: true — each cumulative count ÷ the table's
+                # total record count (upstream's proportion form; values
+                # above every bound keep the top proportion < 1). One
+                # extra count cell in the SAME aggregation pass, one
+                # IEEE division per bound.
+                aggs.append(F.count(F.lit(1)).cast("double").alias("__tot"))
             g = src.groupBy(*keys).agg(*aggs)
+            if norm:
+                g = g.select(
+                    *keys,
+                    *[
+                        (F.col(f"__h{i}") / F.col("__tot")).alias(f"__h{i}")
+                        for i in range(len(bounds))
+                    ],
+                )
             pairs = ", ".join(
                 (
                     "CAST('Infinity' AS DOUBLE)"

@@ -3854,7 +3854,48 @@ def flux_compiled_counter_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 18 new
+@query(
+    "flux_compiled_alert_filter",
+    # aggregateWindow(mean) |> filter(r._value > 60): the Grafana alert
+    # threshold shape — a post-aggregate row filter over the windowed
+    # frame, r._value mapped onto the aggregate's value column.
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type = 'signup' AND value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           > 60.0
+    """,
+)
+def flux_compiled_alert_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow |> filter` through the Flux front-end — the
+    alert/threshold panel (windows whose mean exceeds the line)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "signup")
+          |> aggregateWindow(every: 1h, fn: mean)
+          |> filter(fn: (r) => r._value > 60.0)
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 19 new
 # flux stages — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
@@ -3871,6 +3912,7 @@ _OR10C = {
         "flux_compiled_tema", "flux_compiled_rsi",
         "flux_compiled_sliding", "flux_compiled_offset_window",
         "flux_compiled_month", "flux_compiled_counter_window",
+        "flux_compiled_alert_filter",
     )
 }
 
@@ -3958,6 +4000,10 @@ _SUITE_10C_SQL = f"""
     SELECT 'flux_compiled_counter_window', t._field,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.sum
     FROM ({_OR10C["flux_compiled_counter_window"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_alert_filter', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.mean
+    FROM ({_OR10C["flux_compiled_alert_filter"]}) t
 """
 
 
@@ -3967,9 +4013,10 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew, stateCount, CMO, Kaufman's ER, sample, limit-offset, toInt,
     highestMax, lowestAverage, fused histogramQuantile, doubleEMA,
     tripleEMA, Wilder RSI, sliding/offset/calendar aggregateWindow
-    forms, and the value-series |> aggregateWindow composition — all
-    18 new singletons driver-attested in one registry slot while they
-    sit below the cap."""
+    forms, the value-series |> aggregateWindow composition, and the
+    post-aggregate alert filter — all 19 new singletons
+    driver-attested in one registry slot while they sit below the
+    cap."""
 
     def _ns():
         return F.lit(None).cast("string")
@@ -4073,6 +4120,11 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("flux_compiled_counter_window").alias("sub"),
             F.col("_field").alias("k1"), _us("window_start").alias("k2"),
             F.col("n"), F.col("sum").alias("value"),
+        ),
+        flux_compiled_alert_filter(spark, sf_dir).select(
+            F.lit("flux_compiled_alert_filter").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("mean").alias("value"),
         ),
     ]
     out = arms[0]
