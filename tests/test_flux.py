@@ -169,7 +169,7 @@ def test_create_empty_false_string_does_not_gap_fill(spark, store):
 def test_stage_order_violations_raise(spark, store):
     for bad in (
         'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) |> last()',
-        'from(bucket: "b") |> last() |> filter(fn: (r) => r["_value"] > 1)',
+        'from(bucket: "b") |> last() |> map(fn: (r) => ({ r with _value: r._value }))',
         'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
         '|> range(start: "2024-01-03 00:00:00")',
         'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
@@ -574,7 +574,7 @@ def test_state_duration_stage_flux_convention(spark, store):
         ('from(bucket: "b") |> stateDuration(fn: (r) => r["_value"] > 1, '
          "unit: 0s)", "unit must be > 0"),
         ('from(bucket: "b") |> derivative(nonNegative: true) '
-         "|> filter(fn: (r) => r._value > 1)", "subset"),
+         "|> filter(fn: (r) => r._value > 1)", "ambiguous"),
         ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: mean) '
          "|> derivative(nonNegative: true)", "subset"),
         ('from(bucket: "b") |> increase() |> increase()', "subset"),
@@ -766,8 +766,6 @@ def test_limit_without_sort_keeps_first_rows_per_series(spark, store):
          "unknown column"),
         ('from(bucket: "b") |> sort(columns: ["_value"], desc: "yes") '
          "|> limit(n: 1)", "boolean"),
-        ('from(bucket: "b") |> limit(n: 3) '
-         '|> filter(fn: (r) => r["_value"] > 1)', "tail"),
         ('from(bucket: "b") |> limit(n: 3) |> last()', "tail"),
         ('from(bucket: "b") |> keep()', "requires columns"),
         ('from(bucket: "b") |> sort(columns: ["_value"]) '
@@ -933,9 +931,9 @@ def test_group_by_field_rekeys_tables(spark, store):
     )
     for bad, msg in (
         ('from(bucket: "b") |> group(columns: ["tags"]) |> mean()',
-         "group ships only"),
-        ('from(bucket: "b") |> group(columns: ["_field"], mode: "except") '
-         "|> mean()", "group ships only"),
+         "group ships"),
+        ('from(bucket: "b") |> group(columns: ["_field"], mode: "keep") '
+         "|> mean()", "group ships"),
         ('from(bucket: "b") |> mean() |> group(columns: ["_field"])',
          "subset"),
     ):
@@ -3754,6 +3752,30 @@ def test_post_aggregate_filter_threshold(spark, tmp_path):
         {"b": path},
     ).collect()
     assert sorted(r["_value"] for r in out) == [2.0, 30.0]
+    # the gauge threshold: last() |> filter maps r._value -> last_value
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> last() |> filter(fn: (r) => r._value > 35.0)',
+        {"b": path},
+    ).collect()
+    assert [r["last_value"] for r in out] == [40.0]
+    # ambiguous frames (original _value kept beside the named column)
+    # refuse a _value filter instead of silently testing the wrong series
+    with pytest.raises(flux.FluxError, match="ambiguous"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> derivative()'
+            " |> filter(fn: (r) => r._value > 1.0)",
+            {"b": path},
+        ).collect()
+    # ... but the named result column works
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> movingAverage(n: 2)'
+        " |> filter(fn: (r) => r.moving_avg > 10.0)",
+        {"b": path},
+    ).collect()
+    assert len(out) == 2  # means 1.5, 16, 35 -> two above 10
     # unknown column raises naming it
     with pytest.raises(flux.FluxError, match="unknown column"):
         flux.compile_flux(

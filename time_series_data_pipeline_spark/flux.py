@@ -2160,6 +2160,23 @@ def _compile_pipeline(
                 # it after the fn — the attested shape), validate every
                 # reference against the frame, then a plain row filter
                 toks, src_stage = op[1], op[2]
+                if transform is not None and transform[0] in (
+                    "derivative", "elapsed", "tma", "ma",
+                ) and any(
+                    t in ('r["_value"]', "r._value") for t in toks
+                ):
+                    # these attested frames KEEP the original _value
+                    # beside the named result column, while upstream
+                    # REWRITES _value — a filter on r._value here would
+                    # silently test the wrong series; demand the named
+                    # column instead of mis-compiling
+                    raise FluxError(
+                        f"filter on _value after {transform[0]} is "
+                        "ambiguous in this subset (the frame keeps the "
+                        "original _value beside the named result column "
+                        "— upstream rewrites _value): reference the "
+                        f"result column explicitly: {src_stage!r}"
+                    )
                 valcol = "_value"
                 if valcol not in out.columns:
                     cand = [
