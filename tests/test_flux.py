@@ -3792,3 +3792,35 @@ def test_post_aggregate_filter_threshold(spark, tmp_path):
             ' |> range(start: "2024-01-01 00:00:00")',
             {"b": path},
         )
+
+
+def test_columns_stage(spark, store):
+    """columns(): each table's record labels — this store's records
+    carry exactly the four standard columns; one row per label per
+    table, exploded over the DISTINCT table keys."""
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> columns()', {"b": store}
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["_field"], []).append(r["_value"])
+    assert set(per) == {"click", "view", "purchase", "signup", "error"}
+    for labels in per.values():
+        assert sorted(labels) == ["_field", "_measurement", "_time", "_value"]
+    # custom output column name
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        ' |> columns(column: "label")',
+        {"b": store},
+    ).collect()
+    assert sorted(r["label"] for r in out) == [
+        "_field", "_measurement", "_time", "_value"
+    ]
+    for bad, msg in (
+        ('columns(column: "my col")', "identifier"),
+        ("group() |> columns()", "subset"),
+        ("mean() |> columns()", "subset"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": store})

@@ -292,6 +292,8 @@ import pytest as _pytest
         # post-aggregate filter is a row filter over the windowed
         # frame: the windowed agg's one exchange only
         ("flux_compiled_alert_filter", 1),
+        # label introspection: distinct over table keys, labels in-row
+        ("flux_compiled_columns", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

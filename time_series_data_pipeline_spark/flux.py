@@ -1045,6 +1045,7 @@ def _compile_pipeline(
         "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
         "sample", "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent", "histogramQuantile",
+        "columns",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
@@ -1728,6 +1729,24 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"{head}: unsupported args {sorted(extra)}")
             transform = ("extrema", head, n)
+        elif head == "columns":
+            # columns([column:]) — each table's record labels, one row
+            # per label in the named output column. This store's
+            # records carry exactly the four standard columns (tags
+            # are empty by reference semantics, SURVEY §1.1), so the
+            # labels are compile-time constants exploded over the
+            # DISTINCT table keys — a keys-only aggregate, never a
+            # raw-row pass.
+            a = _args(stage, "columns")
+            outcol = _resolve(a["column"], params) if "column" in a else "_value"
+            if not isinstance(outcol, str) or not re.match(r"^\w+$", outcol):
+                raise FluxError(
+                    f"columns column: expected an identifier, got {outcol!r}"
+                )
+            extra = set(a) - {"column"}
+            if extra:
+                raise FluxError(f"columns: unsupported args {sorted(extra)}")
+            transform = ("columns", outcol)
         elif head == "mode":
             # bare mode(): all most-frequent values per table (several
             # rows when tied), or one NULL row when every value is
@@ -2780,7 +2799,7 @@ def _compile_pipeline(
             return _finish(out)
         if not keys and kind not in (
             "pivot", "distinct", "window", "unique", "extrema",
-            "histogram_quantile",
+            "histogram_quantile", "columns",
         ):
             # a per-point window transform over the merged-one-table key
             # is a single-partition window over raw rows — a scale trap,
@@ -2792,6 +2811,22 @@ def _compile_pipeline(
                 f"group() (merge all series) before {kind} is outside the "
                 "subset: the per-point transform would run in one partition"
             )
+        if kind == "columns":
+            if not keys:
+                raise FluxError(
+                    "group() |> columns() is outside the shipped subset "
+                    "(merge all series first, then ask for labels?)"
+                )
+            outcol = transform[1]
+            labels = F.array(
+                *[F.lit(c) for c in ("_measurement", "_field", "_time", "_value")]
+            )
+            out = (
+                df.select(*keys)
+                .distinct()
+                .select(*keys, F.explode(labels).alias(outcol))
+            )
+            return _finish(out)
         if kind == "unique":
             # first row per (table, value): row_number over a window
             # partitioned by the VALUE too — distributed by value even

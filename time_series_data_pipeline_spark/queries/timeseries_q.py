@@ -3895,6 +3895,34 @@ def flux_compiled_alert_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flux_compiled_columns",
+    # columns() — record-label introspection per table: compile-time
+    # constant labels exploded over the DISTINCT table keys.
+    oracle="""
+    SELECT DISTINCT 'events' AS _measurement, event_type AS _field,
+           unnest(['_measurement', '_field', '_time', '_value'])
+             AS _value
+    FROM events
+    """,
+)
+def flux_compiled_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`columns()` through the Flux front-end — the remaining
+    introspection stage beside the schema.* variable queries."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> columns()
+        """,
+        {"gas-quality": path},
+    )
+
+
 # The round-10c suite: one order-insensitive union hash over all 19 new
 # flux stages — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
@@ -3912,7 +3940,7 @@ _OR10C = {
         "flux_compiled_tema", "flux_compiled_rsi",
         "flux_compiled_sliding", "flux_compiled_offset_window",
         "flux_compiled_month", "flux_compiled_counter_window",
-        "flux_compiled_alert_filter",
+        "flux_compiled_alert_filter", "flux_compiled_columns",
     )
 }
 
@@ -4004,6 +4032,10 @@ _SUITE_10C_SQL = f"""
     SELECT 'flux_compiled_alert_filter', t._field,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.mean
     FROM ({_OR10C["flux_compiled_alert_filter"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_columns', t._field, t._value,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_OR10C["flux_compiled_columns"]}) t
 """
 
 
@@ -4013,10 +4045,10 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew, stateCount, CMO, Kaufman's ER, sample, limit-offset, toInt,
     highestMax, lowestAverage, fused histogramQuantile, doubleEMA,
     tripleEMA, Wilder RSI, sliding/offset/calendar aggregateWindow
-    forms, the value-series |> aggregateWindow composition, and the
-    post-aggregate alert filter — all 19 new singletons
-    driver-attested in one registry slot while they sit below the
-    cap."""
+    forms, the value-series |> aggregateWindow composition, the
+    post-aggregate alert filter, and columns() introspection — all 20
+    new singletons driver-attested in one registry slot while they sit
+    below the cap."""
 
     def _ns():
         return F.lit(None).cast("string")
@@ -4125,6 +4157,11 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("flux_compiled_alert_filter").alias("sub"),
             F.col("_field").alias("k1"), _us("window_start").alias("k2"),
             F.col("n"), F.col("mean").alias("value"),
+        ),
+        flux_compiled_columns(spark, sf_dir).select(
+            F.lit("flux_compiled_columns").alias("sub"),
+            F.col("_field").alias("k1"), F.col("_value").alias("k2"),
+            _nl().alias("n"), F.lit(None).cast("double").alias("value"),
         ),
     ]
     out = arms[0]
