@@ -3824,3 +3824,53 @@ def test_columns_stage(spark, store):
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": store})
+
+
+def test_post_filter_formatting_and_transform_columns(spark, tmp_path):
+    """Review r10c-2: the postfilter must be layout-invariant (spaced
+    bracket references normalize before the ambiguity guard / remap),
+    elapsed() keeps _value upstream too (passthrough, not ambiguous),
+    and integral() maps r._value onto its named result column."""
+    path = _tiny_store(spark, tmp_path, [1.0, 2.0, 30.0, 40.0])
+    # spaced layout must behave EXACTLY like the canonical one:
+    # the aggregate remap applies...
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, fn: mean)'
+        ' |> filter(fn: (r) => r[ "_value" ] > 10.0)',
+        {"b": path},
+    ).collect()
+    assert [r["mean"] for r in out] == [35.0]
+    # ...and the derivative ambiguity guard fires for BOTH layouts
+    for ref in ('r._value', 'r[ "_value" ]', 'r["_value"]'):
+        with pytest.raises(flux.FluxError, match="ambiguous"):
+            flux.compile_flux(
+                spark,
+                'from(bucket: "b") |> derivative()'
+                f" |> filter(fn: (r) => {ref} > 1.0)",
+                {"b": path},
+            ).collect()
+    # elapsed keeps _value upstream as well — plain passthrough filter
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> elapsed()'
+        " |> filter(fn: (r) => r._value > 25.0)",
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [30.0, 40.0]
+    # integral rewrites _value upstream and drops it here — the named
+    # result column is the unambiguous target
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> integral(unit: 1m)'
+        " |> filter(fn: (r) => r._value > 0.0)",
+        {"b": path},
+    ).collect()
+    assert len(out) == 1 and out[0]["integral"] > 0.0
+    # columns(column:) colliding with a key column raises at compile
+    with pytest.raises(flux.FluxError, match="collides"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> columns(column: "_field")',
+            {"b": path},
+        )

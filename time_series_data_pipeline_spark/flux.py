@@ -2179,8 +2179,22 @@ def _compile_pipeline(
                 # it after the fn — the attested shape), validate every
                 # reference against the frame, then a plain row filter
                 toks, src_stage = op[1], op[2]
+                # normalize the bracketed reference layout FIRST:
+                # r[ "_value" ] tokenizes with the whitespace kept, and
+                # an exact-string match would let formatting bypass the
+                # ambiguity guard / remap / validation below (the
+                # formatting-invariance property: all legal layouts
+                # compile to one plan)
+                toks = [
+                    re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t)
+                    for t in toks
+                ]
                 if transform is not None and transform[0] in (
-                    "derivative", "elapsed", "tma", "ma",
+                    # these frames KEEP the original _value beside the
+                    # named result column while upstream REWRITES it;
+                    # elapsed/stateDuration/stateCount keep _value
+                    # upstream too, so they pass through unguarded
+                    "derivative", "tma", "ma",
                 ) and any(
                     t in ('r["_value"]', "r._value") for t in toks
                 ):
@@ -2203,6 +2217,11 @@ def _compile_pipeline(
                         for c in (
                             yield_name,
                             agg[1] if agg is not None else None,
+                            # transforms that rewrite _value upstream
+                            # but emit a NAMED column here (and drop
+                            # _value entirely — no ambiguity)
+                            "integral" if transform is not None
+                            and transform[0] == "integral" else None,
                             "last_value",
                         )
                         if c and c in out.columns
@@ -2818,6 +2837,14 @@ def _compile_pipeline(
                     "(merge all series first, then ask for labels?)"
                 )
             outcol = transform[1]
+            if outcol in keys:
+                # the exploded label column would sit beside a
+                # same-named key column — every later reference turns
+                # AMBIGUOUS_REFERENCE; raise at compile time instead
+                raise FluxError(
+                    f"columns column: {outcol!r} collides with a table "
+                    f"key column; pick another name"
+                )
             labels = F.array(
                 *[F.lit(c) for c in ("_measurement", "_field", "_time", "_value")]
             )

@@ -3923,8 +3923,8 @@ def flux_compiled_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 19 new
-# flux stages — each arm embeds the singleton's registered oracle SQL
+# The round-10c suite: one order-insensitive union hash over all 20 new
+# flux singletons — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
 # driver window slot.
