@@ -3874,3 +3874,45 @@ def test_post_filter_formatting_and_transform_columns(spark, tmp_path):
             'from(bucket: "b") |> columns(column: "_field")',
             {"b": path},
         )
+
+
+def test_key_values_stage(spark, two_meas):
+    """keyValues(keyColumns:): one (_key, _value) row per requested key
+    column per table — the generic Grafana variable query."""
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> keyValues(keyColumns: ["_field"])',
+        {"b": two_meas},
+    ).collect()
+    got = {(r["_measurement"], r["_key"], r["_value"]) for r in out}
+    assert got == {
+        ("m1", "_field", "click"), ("m1", "_field", "view"),
+        ("m2", "_field", "click"), ("m2", "_field", "view"),
+    }
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group(columns: ["_measurement"])'
+        ' |> keyValues(keyColumns: ["_measurement"])',
+        {"b": two_meas},
+    ).collect()
+    assert {(r["_key"], r["_value"]) for r in out} == {
+        ("_measurement", "m1"), ("_measurement", "m2"),
+    }
+    # a requested column that the group() re-key dropped raises — a
+    # silent partial listing would misrepresent the request
+    with pytest.raises(flux.FluxError, match="not in the current table key"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> group(columns: ["_measurement"])'
+            ' |> keyValues(keyColumns: ["_measurement", "_field"])',
+            {"b": two_meas},
+        )
+    for bad, msg in (
+        ("keyValues()", "requires keyColumns"),
+        ('keyValues(keyColumns: ["tags"])', "table key"),
+        ('group() |> keyValues(keyColumns: ["_field"])', "subset"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(
+                spark, f'from(bucket: "b") |> {bad}', {"b": two_meas}
+            )

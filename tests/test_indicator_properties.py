@@ -228,3 +228,43 @@ def test_cmo_matches_python_reference(spark, cents, n, dup_ts, tmp_path_factory)
         for r in sorted(out, key=lambda r: (r["_time"], r["_value"]))
     ]
     assert sorted(got) == sorted(expected)
+
+
+@given(cents=SERIES, n=st.sampled_from([2, 3]), dup_ts=st.booleans())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kaufmans_er_matches_python_reference(
+    spark, cents, n, dup_ts, tmp_path_factory
+):
+    """kaufmansER over exact decimals equals the cent-integer Python
+    reference with the engine's IEEE operand shapes — |net| / Σ|step|
+    with the flat-window 0 convention."""
+    from hypothesis import assume
+
+    from time_series_data_pipeline_spark import flux
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+
+    assume(cents)
+    xs = _table_order(cents, dup_ts)
+    deltas = [round((b - a) * 100) for a, b in zip(xs, xs[1:])]
+    expected = []
+    for i in range(n, len(deltas) + 1):
+        win = deltas[i - n : i]
+        den = sum(abs(d) for d in win)
+        num = abs(sum(win))  # telescoping |v_i − v_{i−n}| in cents
+        # engine: CAST(num_dollars AS DOUBLE) / CAST(den_dollars AS
+        # DOUBLE) — both correctly-rounded doubles of cents/100
+        expected.append(0.0 if den == 0 else (num / 100) / (den / 100))
+    df = _series_df(spark, cents, dup_ts).select(
+        "_time", "_measurement", "_field", "_value",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path_factory.mktemp("kerprop") / "bucket")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark,
+        f'from(bucket: "b") |> kaufmansER(n: {n})',
+        {"b": path},
+    ).collect()
+    got = [r["_value"] for r in out]
+    assert sorted(got) == sorted(expected)

@@ -294,6 +294,7 @@ import pytest as _pytest
         ("flux_compiled_alert_filter", 1),
         # label introspection: distinct over table keys, labels in-row
         ("flux_compiled_columns", 1),
+        ("flux_compiled_key_values", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -1045,7 +1045,7 @@ def _compile_pipeline(
         "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
         "sample", "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent", "histogramQuantile",
-        "columns",
+        "columns", "keyValues",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
@@ -1747,6 +1747,27 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"columns: unsupported args {sorted(extra)}")
             transform = ("columns", outcol)
+        elif head == "keyValues":
+            # keyValues(keyColumns:) — the generic Grafana variable
+            # query: one (_key, _value) row per requested key column
+            # per table. Over this store's two-column table key each
+            # table contributes exactly its own key values — a
+            # distinct-keys aggregate stacked in-row, never a raw pass.
+            a = _args(stage, "keyValues")
+            if "keyColumns" not in a:
+                raise FluxError("keyValues requires keyColumns:")
+            kv_cols = _str_list(a["keyColumns"], "keyValues keyColumns")
+            bad = [c for c in kv_cols if c not in ("_measurement", "_field")]
+            if not kv_cols or bad or len(kv_cols) != len(set(kv_cols)):
+                raise FluxError(
+                    "keyValues ships keyColumns: over the table key "
+                    "columns [\"_measurement\", \"_field\"] (tags don't "
+                    f"exist in this store — SURVEY §1.1); got {stage!r}"
+                )
+            extra = set(a) - {"keyColumns"}
+            if extra:
+                raise FluxError(f"keyValues: unsupported args {sorted(extra)}")
+            transform = ("key_values", kv_cols)
         elif head == "mode":
             # bare mode(): all most-frequent values per table (several
             # rows when tied), or one NULL row when every value is
@@ -2818,7 +2839,7 @@ def _compile_pipeline(
             return _finish(out)
         if not keys and kind not in (
             "pivot", "distinct", "window", "unique", "extrema",
-            "histogram_quantile", "columns",
+            "histogram_quantile", "columns", "key_values",
         ):
             # a per-point window transform over the merged-one-table key
             # is a single-partition window over raw rows — a scale trap,
@@ -2852,6 +2873,29 @@ def _compile_pipeline(
                 df.select(*keys)
                 .distinct()
                 .select(*keys, F.explode(labels).alias(outcol))
+            )
+            return _finish(out)
+        if kind == "key_values":
+            if not keys:
+                raise FluxError(
+                    "group() |> keyValues() is outside the shipped subset "
+                    "(the merged table has no key columns to list)"
+                )
+            kv_cols = transform[1]
+            gone = [c for c in kv_cols if c not in keys]
+            if gone:
+                # after a group() re-key the dropped key columns are
+                # ordinary value columns; listing their per-table
+                # distinct values is outside the subset — raise rather
+                # than silently listing a subset of the request
+                raise FluxError(
+                    f"keyValues: column(s) {gone} are not in the current "
+                    f"table key {keys} (re-keyed by group()?)"
+                )
+            base = df.select(*keys).distinct()
+            pairs = ", ".join(f"'{c}', {c}" for c in kv_cols)
+            out = base.selectExpr(
+                *keys, f"stack({len(kv_cols)}, {pairs}) AS (_key, _value)"
             )
             return _finish(out)
         if kind == "unique":

@@ -3923,7 +3923,33 @@ def flux_compiled_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 20 new
+@query(
+    "flux_compiled_key_values",
+    # keyValues(keyColumns:) — the generic Grafana variable query: one
+    # (_key, _value) row per requested key column per table.
+    oracle="""
+    SELECT DISTINCT 'events' AS _measurement, event_type AS _field,
+           '_field' AS _key, event_type AS _value
+    FROM events
+    """,
+)
+def flux_compiled_key_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`keyValues()` through the Flux front-end."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> keyValues(keyColumns: ["_field"])
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 21 new
 # flux singletons — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
@@ -3941,6 +3967,7 @@ _OR10C = {
         "flux_compiled_sliding", "flux_compiled_offset_window",
         "flux_compiled_month", "flux_compiled_counter_window",
         "flux_compiled_alert_filter", "flux_compiled_columns",
+        "flux_compiled_key_values",
     )
 }
 
@@ -4036,6 +4063,11 @@ _SUITE_10C_SQL = f"""
     SELECT 'flux_compiled_columns', t._field, t._value,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM ({_OR10C["flux_compiled_columns"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_key_values', t._field,
+           t._key || '|' || t._value, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({_OR10C["flux_compiled_key_values"]}) t
 """
 
 
@@ -4046,9 +4078,9 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     highestMax, lowestAverage, fused histogramQuantile, doubleEMA,
     tripleEMA, Wilder RSI, sliding/offset/calendar aggregateWindow
     forms, the value-series |> aggregateWindow composition, the
-    post-aggregate alert filter, and columns() introspection — all 20
-    new singletons driver-attested in one registry slot while they sit
-    below the cap."""
+    post-aggregate alert filter, and columns()/keyValues()
+    introspection — all 21 new singletons driver-attested in one
+    registry slot while they sit below the cap."""
 
     def _ns():
         return F.lit(None).cast("string")
@@ -4161,6 +4193,12 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
         flux_compiled_columns(spark, sf_dir).select(
             F.lit("flux_compiled_columns").alias("sub"),
             F.col("_field").alias("k1"), F.col("_value").alias("k2"),
+            _nl().alias("n"), F.lit(None).cast("double").alias("value"),
+        ),
+        flux_compiled_key_values(spark, sf_dir).select(
+            F.lit("flux_compiled_key_values").alias("sub"),
+            F.col("_field").alias("k1"),
+            F.concat(F.col("_key"), F.lit("|"), F.col("_value")).alias("k2"),
             _nl().alias("n"), F.lit(None).cast("double").alias("value"),
         ),
     ]
