@@ -3916,3 +3916,43 @@ def test_key_values_stage(spark, two_meas):
             flux.compile_flux(
                 spark, f'from(bucket: "b") |> {bad}', {"b": two_meas}
             )
+
+
+def test_map_math_functions(spark, tmp_path):
+    """map() math.<fn> — the correctly-rounded IEEE set (abs, sqrt,
+    floor, ceil, round, trunc, mMax, mMin) with Flux named args;
+    exp/log/pow raise (libm last-ulp engine divergence)."""
+    path = _tiny_store(spark, tmp_path, [-2.7, 2.5, 4.0])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " math.mMax(x: math.abs(x: r._value) - 2.0, y: 0.0) }))"
+        ' |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [
+        max(abs(2.5) - 2.0, 0.0),
+        max(abs(-2.7) - 2.0, 0.0),  # 0.7000000000000002 — IEEE exact
+        max(abs(4.0) - 2.0, 0.0),
+    ]
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " math.round(x: r._value) })) |> sum()",
+        {"b": path},
+    ).collect()
+    # round half away from zero: -3 + 3 + 4
+    assert out[0]["sum"] == 4.0
+    for bad, msg in (
+        ("math.exp(x: r._value)", "outside the shipped subset"),
+        ("math.mMax(x: r._value)", "takes 2"),
+        ("math.abs(x: r._value, y: 1.0)", "takes 1"),
+        ("math.abs r._value", "requires"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(
+                spark,
+                'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+                f" {bad} }}))",
+                {"b": path},
+            )

@@ -295,6 +295,8 @@ import pytest as _pytest
         # label introspection: distinct over table keys, labels in-row
         ("flux_compiled_columns", 1),
         ("flux_compiled_key_values", 1),
+        # in-plan math rewrite + the windowed agg's one exchange
+        ("flux_compiled_map_math", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -643,11 +643,29 @@ _ARITH_TOKEN_RE = re.compile(
                                  # here made "r._value-1" tokenize as
                                  # [r._value, -1] and reject valid
                                  # subtraction, ADVICE r8)
+      | math\.\w+                # math.<fn> (the correctly-rounded set)
       | v\.\w+                   # dashboard variable
-      | [+\-*/()]
+      | \w+:                     # named-argument label (math.abs(x: ...))
+      | [+\-*/(),]
     )""",
     re.VERBOSE,
 )
+
+#: map() math functions restricted to operations that are CORRECTLY
+#: ROUNDED IEEE in both engines (so oracles replay bit-for-bit):
+#: abs/sqrt/floor/ceil/round and the trunc cast. exp/log/pow are libm
+#: calls whose last ulp differs between JVM and C runtimes — excluded
+#: (raise naming the fn) rather than shipping attestation-hostile math.
+_MATH_FNS: dict[str, Any] = {
+    "abs": F.abs,
+    "sqrt": F.sqrt,
+    "floor": lambda c: F.floor(c).cast("double"),
+    "ceil": lambda c: F.ceil(c).cast("double"),
+    "round": lambda c: F.round(c, 0),
+    "trunc": lambda c: c.cast("long").cast("double"),
+    "mMax": F.greatest,
+    "mMin": F.least,
+}
 
 
 def _parse_arith(src: str, params: dict[str, Any]) -> Column:
@@ -686,6 +704,38 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
             return e
         if t == "-":
             return -factor()
+        if t.startswith("math."):
+            fn_name = t[5:]
+            fn = _MATH_FNS.get(fn_name)
+            if fn is None:
+                raise FluxError(
+                    f"map math.{fn_name} is outside the shipped subset "
+                    "(only the correctly-rounded IEEE set ships: "
+                    f"{sorted(_MATH_FNS)} — exp/log/pow differ in the "
+                    "last ulp between engines)"
+                )
+            if eat() != "(":
+                raise FluxError(f"math.{fn_name} requires (args)")
+            # Flux math fns take named args (x:, y:) — accepted and
+            # ignored (position carries the meaning); bare positional
+            # expressions work too
+            def _arg() -> Column:
+                if peek() is not None and re.match(r"^\w+:$", peek()):
+                    eat()
+                return expr()
+
+            args = [_arg()]
+            while peek() == ",":
+                eat()
+                args.append(_arg())
+            if eat() != ")":
+                raise FluxError(f"unbalanced parens in math.{fn_name}()")
+            want = 2 if fn_name in ("mMax", "mMin") else 1
+            if len(args) != want:
+                raise FluxError(
+                    f"math.{fn_name} takes {want} argument(s), got {len(args)}"
+                )
+            return fn(*args)
         if t.startswith("r["):
             return F.col(re.match(r'r\[\s*"([^"]+)"\s*\]', t).group(1)).cast(
                 "double"

@@ -3949,7 +3949,48 @@ def flux_compiled_key_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 21 new
+@query(
+    "flux_compiled_map_math",
+    # map(math.mMax(x: r._value - 100.0, y: 0.0)) |> aggregateWindow(
+    # sum): the "daily excess over threshold" panel — in-plan math
+    # from the correctly-rounded IEEE set (greatest + subtraction),
+    # then exact-decimal daily sums. value − 100.0 and greatest are
+    # exact on the store's 2-decimal doubles, so the decimal cast
+    # loses nothing and both engines agree bit-for-bit.
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(GREATEST(value - 100.0, 0.0) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_map_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`map()` with math.* through the Flux front-end — threshold
+    excess summed per day."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> map(fn: (r) => ({ r with _value: math.mMax(x: r._value - 100.0, y: 0.0) }))
+          |> aggregateWindow(every: 1d, fn: sum)
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 22 new
 # flux singletons — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
@@ -3967,7 +4008,7 @@ _OR10C = {
         "flux_compiled_sliding", "flux_compiled_offset_window",
         "flux_compiled_month", "flux_compiled_counter_window",
         "flux_compiled_alert_filter", "flux_compiled_columns",
-        "flux_compiled_key_values",
+        "flux_compiled_key_values", "flux_compiled_map_math",
     )
 }
 
@@ -4068,6 +4109,10 @@ _SUITE_10C_SQL = f"""
            t._key || '|' || t._value, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM ({_OR10C["flux_compiled_key_values"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_map_math', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.sum
+    FROM ({_OR10C["flux_compiled_map_math"]}) t
 """
 
 
@@ -4078,8 +4123,8 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     highestMax, lowestAverage, fused histogramQuantile, doubleEMA,
     tripleEMA, Wilder RSI, sliding/offset/calendar aggregateWindow
     forms, the value-series |> aggregateWindow composition, the
-    post-aggregate alert filter, and columns()/keyValues()
-    introspection — all 21 new singletons driver-attested in one
+    post-aggregate alert filter, columns()/keyValues() introspection,
+    and map() math.* — all 22 new singletons driver-attested in one
     registry slot while they sit below the cap."""
 
     def _ns():
@@ -4200,6 +4245,11 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_field").alias("k1"),
             F.concat(F.col("_key"), F.lit("|"), F.col("_value")).alias("k2"),
             _nl().alias("n"), F.lit(None).cast("double").alias("value"),
+        ),
+        flux_compiled_map_math(spark, sf_dir).select(
+            F.lit("flux_compiled_map_math").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("sum").alias("value"),
         ),
     ]
     out = arms[0]
