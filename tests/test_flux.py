@@ -3956,3 +3956,39 @@ def test_map_math_functions(spark, tmp_path):
                 f" {bad} }}))",
                 {"b": path},
             )
+
+
+def test_map_conditional_expressions(spark, tmp_path):
+    """map() if/then/else — the classify/clamp pattern, compiled to
+    when/otherwise (lazy in both engines); conditions compare
+    arithmetic expressions and join with and/or; else is mandatory
+    (Flux conditionals are total)."""
+    path = _tiny_store(spark, tmp_path, [-2.0, 5.0, 150.0])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " if r._value < 0.0 then 0.0 else if r._value > 100.0 then 100.0"
+        ' else r._value })) |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [0.0, 5.0, 100.0]
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " if r._value > 0.0 and r._value < 100.0 then 1.0 else 0.0 }))"
+        " |> sum()",
+        {"b": path},
+    ).collect()
+    assert out[0]["sum"] == 1.0
+    for bad, msg in (
+        ("if r._value then 1.0 else 0.0", "comparison"),
+        ("if r._value > 1.0 then 2.0", "else|unexpected end"),
+        ("r._value > 1.0", "trailing|comparison"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(
+                spark,
+                'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+                f" {bad} }}))",
+                {"b": path},
+            )

@@ -297,6 +297,7 @@ import pytest as _pytest
         ("flux_compiled_key_values", 1),
         # in-plan math rewrite + the windowed agg's one exchange
         ("flux_compiled_map_math", 1),
+        ("flux_compiled_map_conditional", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

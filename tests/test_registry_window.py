@@ -58,7 +58,7 @@ def test_new_and_changed_queries_lead_the_window():
     # integral / exponentialMovingAverage are new stages), and the
     # shared null-policy change re-attests the three registered
     # bare/windowed-aggregate + last() paths; the round-10c batch
-    # leads through ONE suite slot whose oracle embeds all 22 new
+    # leads through ONE suite slot whose oracle embeds all 23 new
     # singletons verbatim
     assert set(_CHECKED_WINDOW[:23]) == {
         "flux_compiled_quantile", "flux_compiled_stddev",

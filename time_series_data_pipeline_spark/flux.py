@@ -646,6 +646,8 @@ _ARITH_TOKEN_RE = re.compile(
       | math\.\w+                # math.<fn> (the correctly-rounded set)
       | v\.\w+                   # dashboard variable
       | \w+:                     # named-argument label (math.abs(x: ...))
+      | if|then|else|and|or      # conditional expression keywords
+      | >=|<=|==|!=|>|<          # comparison operators (conditions)
       | [+\-*/(),]
     )""",
     re.VERBOSE,
@@ -764,7 +766,7 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
                 e = e / factor()
         return e
 
-    def expr() -> Column:
+    def arith_expr() -> Column:
         e = term()
         while peek() in ("+", "-"):
             if eat() == "+":
@@ -772,6 +774,49 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
             else:
                 e = e - term()
         return e
+
+    def cond() -> Column:
+        # cmp (and/or cmp)* — comparisons between arithmetic
+        # expressions; both engines replay CASE WHEN lazily
+        def cmp() -> Column:
+            left = arith_expr()
+            op = peek()
+            if op not in (">", "<", ">=", "<=", "==", "!="):
+                raise FluxError(
+                    f"map if-condition needs a comparison, got {op!r}"
+                )
+            eat()
+            right = arith_expr()
+            return {
+                ">": left > right, "<": left < right,
+                ">=": left >= right, "<=": left <= right,
+                "==": left == right, "!=": left != right,
+            }[op]
+
+        e = cmp()
+        while peek() in ("and", "or"):
+            if eat() == "and":
+                e = e & cmp()
+            else:
+                e = e | cmp()
+        return e
+
+    def expr() -> Column:
+        # Flux conditional expression: if <cond> then <e> else <e> —
+        # compiled to F.when/otherwise (lazy in both engines, so only
+        # the taken branch's arithmetic evaluates)
+        if peek() == "if":
+            eat()
+            c = cond()
+            if eat() != "then":
+                raise FluxError("map if-expression needs then")
+            a = expr()
+            if eat() != "else":
+                raise FluxError("map if-expression needs else (Flux "
+                                "conditionals are total)")
+            b = expr()
+            return F.when(c, a).otherwise(b)
+        return arith_expr()
 
     out = expr()
     if pos != len(tokens):

@@ -92,6 +92,7 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_columns",
         "flux_compiled_key_values",
         "flux_compiled_map_math",
+        "flux_compiled_map_conditional",
     ),
 }
 
@@ -167,7 +168,7 @@ _CHECKED_WINDOW = [
     # fused histogramQuantile/doubleEMA/tripleEMA/RSI, plus
     # aggregateWindow period:/offset:/calendar-1mo and the
     # value-series |> aggregateWindow composition), driver-attested
-    # through ONE suite whose oracle embeds all 22 new singletons'
+    # through ONE suite whose oracle embeds all 23 new singletons'
     # registered SQL verbatim (the suite_round5 precedent); ewma_final
     # yields the slot — the Arrow per-series recurrence family it
     # represents is freshly attested by the in-window flux_compiled_ema

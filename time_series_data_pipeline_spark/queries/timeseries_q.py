@@ -3990,7 +3990,47 @@ def flux_compiled_map_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round-10c suite: one order-insensitive union hash over all 22 new
+@query(
+    "flux_compiled_map_conditional",
+    # map(if r._value > 100 then 1 else 0) |> aggregateWindow(sum):
+    # the "daily threshold-breach count" panel — a CASE rewrite (lazy
+    # in both engines) into exact-decimal daily sums.
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_map_conditional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`map()` with if/then/else through the Flux front-end —
+    threshold breaches counted per day."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> map(fn: (r) => ({ r with _value: if r._value > 100.0 then 1.0 else 0.0 }))
+          |> aggregateWindow(every: 1d, fn: sum)
+        """,
+        {"gas-quality": path},
+    )
+
+
+# The round-10c suite: one order-insensitive union hash over all 23 new
 # flux singletons — each arm embeds the singleton's registered oracle SQL
 # verbatim (pinned by tests/test_registry_window.py), so the suite
 # attests exactly what the singletons compute while they share one
@@ -4009,6 +4049,7 @@ _OR10C = {
         "flux_compiled_month", "flux_compiled_counter_window",
         "flux_compiled_alert_filter", "flux_compiled_columns",
         "flux_compiled_key_values", "flux_compiled_map_math",
+        "flux_compiled_map_conditional",
     )
 }
 
@@ -4113,6 +4154,10 @@ _SUITE_10C_SQL = f"""
     SELECT 'flux_compiled_map_math', t._field,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.sum
     FROM ({_OR10C["flux_compiled_map_math"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_map_conditional', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.n, t.sum
+    FROM ({_OR10C["flux_compiled_map_conditional"]}) t
 """
 
 
@@ -4124,8 +4169,9 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripleEMA, Wilder RSI, sliding/offset/calendar aggregateWindow
     forms, the value-series |> aggregateWindow composition, the
     post-aggregate alert filter, columns()/keyValues() introspection,
-    and map() math.* — all 22 new singletons driver-attested in one
-    registry slot while they sit below the cap."""
+    and map() math.*/conditionals — all 23 new singletons
+    driver-attested in one registry slot while they sit below the
+    cap."""
 
     def _ns():
         return F.lit(None).cast("string")
@@ -4248,6 +4294,11 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         flux_compiled_map_math(spark, sf_dir).select(
             F.lit("flux_compiled_map_math").alias("sub"),
+            F.col("_field").alias("k1"), _us("window_start").alias("k2"),
+            F.col("n"), F.col("sum").alias("value"),
+        ),
+        flux_compiled_map_conditional(spark, sf_dir).select(
+            F.lit("flux_compiled_map_conditional").alias("sub"),
             F.col("_field").alias("k1"), _us("window_start").alias("k2"),
             F.col("n"), F.col("sum").alias("value"),
         ),
