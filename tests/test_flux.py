@@ -3992,3 +3992,122 @@ def test_map_conditional_expressions(spark, tmp_path):
                 f" {bad} }}))",
                 {"b": path},
             )
+
+
+def test_map_condition_precedence_parens_and_keywords(spark, tmp_path):
+    """Review r10c-3: `and` binds tighter than `or` (Flux precedence —
+    the flat left fold computed (a or b) and c), parenthesized
+    conditions parse (checkpointed against arithmetic parens), and
+    keyword tokens require word boundaries (and2.0 must not tokenize
+    as `and` + 2.0)."""
+    path = _tiny_store(spark, tmp_path, [-5.0, 15.0, 30.0])
+    # a or (b and c): for -5.0 → true or (false and false) = true;
+    # the wrong grouping (a or b) and c gives false
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " if r._value < 0.0 or r._value > 10.0 and r._value > 20.0"
+        ' then 1.0 else 0.0 })) |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [0.0, 1.0, 1.0]
+    # explicit grouping flips it: (a or b) and c → -5.0 fails c
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " if (r._value < 0.0 or r._value > 10.0) and r._value > 20.0"
+        ' then 1.0 else 0.0 })) |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [0.0, 0.0, 1.0]
+    # a parenthesized ARITHMETIC expression inside a condition still
+    # parses (the checkpoint falls back)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " if (r._value - 20.0) > 0.0 then 1.0 else 0.0 }))"
+        ' |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [0.0, 0.0, 1.0]
+    # keyword-prefixed junk raises instead of silently re-tokenizing
+    with pytest.raises(flux.FluxError):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+            " if r._value > 1.0 and2.0 < 3.0 then 1.0 else 0.0 }))",
+            {"b": path},
+        )
+    # wrong/swapped argument labels raise (positional meaning is fixed)
+    with pytest.raises(flux.FluxError, match="label"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+            " math.mMax(y: r._value, x: 0.0) }))",
+            {"b": path},
+        )
+    with pytest.raises(flux.FluxError, match="twice"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> keyValues(keyColumns: ["_field", "_field"])',
+            {"b": path},
+        )
+
+
+def test_map_math_null_nan_semantics(spark, tmp_path):
+    """Review r10c-3: NULL _value stays NULL through map (greatest /
+    when-otherwise would otherwise manufacture non-null constants the
+    aggregates then over-count); math fns avoid the long round-trip
+    (trunc/floor/ceil propagate NaN, huge magnitudes pass through);
+    mMax/mMin propagate NaN like Go, never skip to the other arg."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(t0, "click", -4.0), (t0 + datetime.timedelta(minutes=1), "click", None)]
+    path = _raw_store(spark, tmp_path, rows)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " math.mMax(x: r._value, y: 0.0) }))"
+        ' |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    assert sorted((r["_value"] for r in out), key=repr) == [0.0, None]
+    # ... and the windowed count sees ONE row, not two
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " math.mMax(x: r._value, y: 0.0) })) |> count()",
+        {"b": path},
+    ).collect()
+    assert out[0]["count"] == 1
+    # NaN propagation: sqrt of a negative then mMin must stay NaN
+    import math as _m
+
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        " math.mMin(x: math.sqrt(x: r._value), y: 1.0) }))"
+        ' |> keep(columns: ["_value"])',
+        {"b": path},
+    ).collect()
+    vals = [r["_value"] for r in out]
+    assert any(v is not None and _m.isnan(v) for v in vals)
+    # trunc/floor/ceil: no long round-trip — NaN in, NaN out; huge
+    # magnitudes unchanged
+    path2 = _tiny_store(spark, tmp_path / "big", [-2.7, 2.7, 1.0e20])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        ' math.trunc(x: r._value) })) |> keep(columns: ["_value"])',
+        {"b": path2},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [-2.0, 2.0, 1.0e20]
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> map(fn: (r) => ({ r with _value:'
+        ' math.floor(x: r._value) + math.ceil(x: r._value) }))'
+        ' |> keep(columns: ["_value"])',
+        {"b": path2},
+    ).collect()
+    assert sorted(r["_value"] for r in out) == [-5.0, 5.0, 2.0e20]

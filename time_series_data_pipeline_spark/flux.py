@@ -646,7 +646,7 @@ _ARITH_TOKEN_RE = re.compile(
       | math\.\w+                # math.<fn> (the correctly-rounded set)
       | v\.\w+                   # dashboard variable
       | \w+:                     # named-argument label (math.abs(x: ...))
-      | if|then|else|and|or      # conditional expression keywords
+      | (?:if|then|else|and|or)\b   # conditional expression keywords
       | >=|<=|==|!=|>|<          # comparison operators (conditions)
       | [+\-*/(),]
     )""",
@@ -658,15 +658,48 @@ _ARITH_TOKEN_RE = re.compile(
 #: abs/sqrt/floor/ceil/round and the trunc cast. exp/log/pow are libm
 #: calls whose last ulp differs between JVM and C runtimes — excluded
 #: (raise naming the fn) rather than shipping attestation-hostile math.
+def _f_trunc(c: Column) -> Column:
+    # truncation toward zero WITHOUT a long round-trip: x − x % 1.0 —
+    # NaN/null propagate (a long cast maps NaN to 0 and clamps beyond
+    # ±2⁶³), and |x| ≥ 2⁵³ already has no fraction (x % 1.0 == 0)
+    return c - c % F.lit(1.0)
+
+
+def _f_floor(c: Column) -> Column:
+    return _f_trunc(c) - F.when(
+        (c < 0) & (c % F.lit(1.0) != 0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+
+
+def _f_ceil(c: Column) -> Column:
+    return _f_trunc(c) + F.when(
+        (c > 0) & (c % F.lit(1.0) != 0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+
+
+def _f_mmax(a: Column, b: Column) -> Column:
+    # Go math.Max propagates NaN from either side; Spark greatest
+    # orders NaN above everything and SKIPS nulls — pin Go semantics
+    return F.when(F.isnan(a) | F.isnan(b), F.lit(float("nan"))).otherwise(
+        F.greatest(a, b)
+    )
+
+
+def _f_mmin(a: Column, b: Column) -> Column:
+    return F.when(F.isnan(a) | F.isnan(b), F.lit(float("nan"))).otherwise(
+        F.least(a, b)
+    )
+
+
 _MATH_FNS: dict[str, Any] = {
     "abs": F.abs,
     "sqrt": F.sqrt,
-    "floor": lambda c: F.floor(c).cast("double"),
-    "ceil": lambda c: F.ceil(c).cast("double"),
+    "floor": _f_floor,
+    "ceil": _f_ceil,
     "round": lambda c: F.round(c, 0),
-    "trunc": lambda c: c.cast("long").cast("double"),
-    "mMax": F.greatest,
-    "mMin": F.least,
+    "trunc": _f_trunc,
+    "mMax": _f_mmax,
+    "mMin": _f_mmin,
 }
 
 
@@ -721,15 +754,21 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
             # Flux math fns take named args (x:, y:) — accepted and
             # ignored (position carries the meaning); bare positional
             # expressions work too
-            def _arg() -> Column:
+            def _arg(label: str) -> Column:
                 if peek() is not None and re.match(r"^\w+:$", peek()):
-                    eat()
+                    got_label = eat()
+                    if got_label != label:
+                        raise FluxError(
+                            f"math.{fn_name}: argument label "
+                            f"{got_label!r} must be {label!r} (positional "
+                            "meaning is fixed)"
+                        )
                 return expr()
 
-            args = [_arg()]
+            args = [_arg("x:")]
             while peek() == ",":
                 eat()
-                args.append(_arg())
+                args.append(_arg("y:"))
             if eat() != ")":
                 raise FluxError(f"unbalanced parens in math.{fn_name}()")
             want = 2 if fn_name in ("mMax", "mMin") else 1
@@ -776,9 +815,23 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
         return e
 
     def cond() -> Column:
-        # cmp (and/or cmp)* — comparisons between arithmetic
-        # expressions; both engines replay CASE WHEN lazily
+        # or_expr := and_expr ('or' and_expr)* ; and_expr := cmp
+        # ('and' cmp)* — `and` binds tighter, exactly like Flux and
+        # this file's predicate parser. A cmp may be a parenthesized
+        # condition: '(' is ambiguous with an arithmetic paren, so the
+        # parse CHECKPOINTS and falls back to the arithmetic reading.
         def cmp() -> Column:
+            nonlocal pos
+            if peek() == "(":
+                save = pos
+                eat()
+                try:
+                    inner = cond()
+                    if eat() != ")":
+                        raise FluxError("unbalanced parens in map condition")
+                    return inner
+                except FluxError:
+                    pos = save  # an arithmetic paren: (a + b) > c
             left = arith_expr()
             op = peek()
             if op not in (">", "<", ">=", "<=", "==", "!="):
@@ -793,12 +846,17 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
                 "==": left == right, "!=": left != right,
             }[op]
 
-        e = cmp()
-        while peek() in ("and", "or"):
-            if eat() == "and":
+        def and_expr() -> Column:
+            e = cmp()
+            while peek() == "and":
+                eat()
                 e = e & cmp()
-            else:
-                e = e | cmp()
+            return e
+
+        e = and_expr()
+        while peek() == "or":
+            eat()
+            e = e | and_expr()
         return e
 
     def expr() -> Column:
@@ -1344,7 +1402,22 @@ def _compile_pipeline(
                     f"map ships only the _value rewrite; got {target!r} "
                     "(rewriting keys/time would change table semantics)"
                 )
-            row_ops.append(("map", _parse_arith(m.group(2), params)))
+            # NULL-preserving rewrite: arithmetic already propagates
+            # null, but greatest/least and when/otherwise (math.mMax,
+            # if/then/else) would turn a NULL _value into a non-null
+            # constant BEFORE the shared null policy filters it —
+            # diverging from the oracles' WHERE value IS NOT NULL and
+            # over-counting n. A null input stays null through map.
+            mapped = _parse_arith(m.group(2), params)
+            row_ops.append(
+                (
+                    "map",
+                    F.when(
+                        F.col("_value").isNull(),
+                        F.lit(None).cast("double"),
+                    ).otherwise(mapped),
+                )
+            )
         elif head == "aggregateWindow":
             a = _args(stage, "aggregateWindow")
             every = _resolve(a.get("every", ""), params)
@@ -1853,11 +1926,15 @@ def _compile_pipeline(
                 raise FluxError("keyValues requires keyColumns:")
             kv_cols = _str_list(a["keyColumns"], "keyValues keyColumns")
             bad = [c for c in kv_cols if c not in ("_measurement", "_field")]
-            if not kv_cols or bad or len(kv_cols) != len(set(kv_cols)):
+            if not kv_cols or bad:
                 raise FluxError(
                     "keyValues ships keyColumns: over the table key "
                     "columns [\"_measurement\", \"_field\"] (tags don't "
                     f"exist in this store — SURVEY §1.1); got {stage!r}"
+                )
+            if len(kv_cols) != len(set(kv_cols)):
+                raise FluxError(
+                    f"keyValues keyColumns: lists a column twice: {stage!r}"
                 )
             extra = set(a) - {"keyColumns"}
             if extra:
