@@ -1,0 +1,310 @@
+"""Tag-dimension support (round 11, VERDICT r10 item 1): tags are the
+InfluxDB data model's primary series dimension — these tests pin the
+whole chain: promoted-column storage (to_long/write_bucket), scan
+pushdown (scan/scan_bucket tags=), the compiled table key
+(_measurement, _field, tags...), group()/keyValues re-keying over tag
+columns, schema.tagKeys/tagValues over a tagged store, and the
+refusal semantics on untagged stores.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.flux import FluxError, compile_flux
+from time_series_data_pipeline_spark.queries.timeseries_q import (
+    _event_bucket_path,
+    _tagged_bucket_path,
+)
+from time_series_data_pipeline_spark.sources import bucket as bkt
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def wide_plan_strings(spark):
+    # PushedFilters renders through maxMetadataStringLength (default
+    # 100) — too short to show a tag predicate behind the time bounds
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    yield
+    if prev is None:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    else:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+@pytest.fixture(scope="module")
+def tagged(spark) -> str:
+    return _tagged_bucket_path(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def untagged(spark) -> str:
+    return _event_bucket_path(spark, SF_SMOKE)
+
+
+RANGE = {
+    "timeRangeStart": "2024-01-08T00:00:00Z",
+    "timeRangeStop": "2024-01-15T00:00:00Z",
+}
+
+
+# -- storage: to_long tag promotion ------------------------------------
+
+
+def test_to_long_promotes_tags_and_mirrors_map(spark):
+    wide = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0, 2.0)],
+        "t string, h string, x double, y double",
+    ).select(F.col("t").cast("timestamp").alias("t"), "h", "x", "y")
+    out = bkt.to_long(wide, "m", time_col="t", tag_cols=["h"])
+    rows = out.collect()
+    assert sorted(r["_field"] for r in rows) == ["x", "y"]
+    for r in rows:
+        assert r["h"] == "a"
+        assert dict(r["tags"]) == {"h": "a"}
+    # promoted tag columns sit between _value and tags
+    assert out.columns == ["_time", "_measurement", "_field", "_value", "h", "tags"]
+
+
+def test_to_long_rejects_tag_value_overlap_and_reserved_names(spark):
+    wide = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0)], "t string, h string, x double"
+    ).select(F.col("t").cast("timestamp").alias("t"), "h", "x")
+    with pytest.raises(ValueError, match="overlap"):
+        bkt.to_long(wide, "m", time_col="t", value_cols=["x"], tag_cols=["x"])
+    with pytest.raises(ValueError, match="collide"):
+        bkt.to_long(
+            wide.withColumnRenamed("h", "_field"),
+            "m",
+            time_col="t",
+            value_cols=["x"],
+            tag_cols=["_field"],
+        )
+
+
+def test_tag_columns_contract(spark, tagged):
+    df = bkt.read_bucket(spark, tagged)
+    assert bkt.tag_columns(df) == ["host", "dc"]
+
+
+# -- scan: tag predicates ----------------------------------------------
+
+
+def test_scan_tag_equality_promoted_and_map_fallback(spark, tagged):
+    df = bkt.read_bucket(spark, tagged)
+    promoted = bkt.scan(df, tags={"host": "h1"})
+    assert promoted.filter(F.col("host") != "h1").count() == 0
+    # same rows via the map-only fallback (drop the promoted column)
+    map_only = bkt.scan(df.drop("host"), tags={"host": "h1"})
+    assert map_only.count() == promoted.count() > 0
+
+
+def test_scan_bucket_tag_pushdown_reaches_parquet(spark, tagged, wide_plan_strings):
+    df = bkt.scan_bucket(
+        spark,
+        tagged,
+        measurement="events",
+        field="click",
+        tags={"host": "h1"},
+        start="2024-01-08 00:00:00",
+        stop="2024-01-15 00:00:00",
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:2000]
+    assert "EqualTo(host,h1)" in pushed
+
+
+# -- compiled table key ------------------------------------------------
+
+
+def test_tagged_aggregate_keys_on_full_series_key(spark, tagged):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1d, fn: mean, createEmpty: false)
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    assert out.columns == [
+        "window_start", "_measurement", "_field", "host", "dc", "mean", "n",
+    ]
+    # every (host, dc) combination forms its own series
+    assert out.select("host", "dc").distinct().count() == 12
+
+
+def test_group_except_drops_listed_tag(spark, tagged):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> group(columns: ["dc"], mode: "except")
+          |> mean()
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    assert out.columns == ["_measurement", "_field", "host", "mean", "n"]
+    assert out.count() == 4  # one row per host
+
+
+def test_keyvalues_over_tag_columns(spark, tagged):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> keyValues(keyColumns: ["host", "dc"])
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    keys = {(r["_key"], r["_value"]) for r in out.collect()}
+    assert {k for k, _ in keys} == {"host", "dc"}
+    assert {v for k, v in keys if k == "host"} == {"h0", "h1", "h2", "h3"}
+
+
+def test_columns_lists_tag_labels(spark, tagged):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> group(columns: ["_field"])
+          |> columns(column: "label")
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    labels = {r["label"] for r in out.collect()}
+    assert labels == {"_measurement", "_field", "host", "dc", "_time", "_value"}
+
+
+def test_tag_filter_pushdown_in_compiled_plan(spark, tagged, wide_plan_strings):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["host"] == "h1")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    plan = plan_of(out)
+    assert "EqualTo(host,h1)" in plan.split("PushedFilters")[1][:2000]
+
+
+def test_two_pins_on_same_tag_conjoin(spark, tagged):
+    # second equality on an already-pinned tag stays a residual row
+    # filter — the conjunction is empty, never the second value
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["host"] == "h1")
+          |> filter(fn: (r) => r["host"] == "h2")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> mean()
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    assert out.count() == 0
+
+
+# -- schema queries -----------------------------------------------------
+
+
+def test_schema_tag_keys_tagged_store(spark, tagged):
+    out = compile_flux(
+        spark,
+        'import "influxdata/influxdb/schema"\n'
+        'schema.tagKeys(bucket: "tagged")',
+        {"tagged": tagged},
+    )
+    assert {r["_value"] for r in out.collect()} == {"host", "dc"}
+
+
+def test_schema_tag_values_dc(spark, tagged):
+    out = compile_flux(
+        spark,
+        'import "influxdata/influxdb/schema"\n'
+        'schema.tagValues(bucket: "tagged", tag: "dc")',
+        {"tagged": tagged},
+    )
+    assert {r["_value"] for r in out.collect()} == {"d0", "d1", "d2"}
+
+
+# -- untagged stores: unchanged + clean refusals ------------------------
+
+
+def test_untagged_store_rejects_tag_group(spark, untagged):
+    with pytest.raises(FluxError, match="group ships"):
+        compile_flux(
+            spark,
+            """
+            from(bucket: "b")
+              |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+              |> filter(fn: (r) => r["_measurement"] == "events")
+              |> group(columns: ["host"])
+              |> mean()
+            """,
+            {"b": untagged},
+            params=dict(RANGE),
+        )
+
+
+def test_untagged_store_rejects_unknown_tag_filter(spark, untagged):
+    with pytest.raises(FluxError, match="unknown column.*host"):
+        compile_flux(
+            spark,
+            """
+            from(bucket: "b")
+              |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+              |> filter(fn: (r) => r["_measurement"] == "events")
+              |> filter(fn: (r) => r["host"] =~ /h[12]/)
+              |> mean()
+            """,
+            {"b": untagged},
+            params=dict(RANGE),
+        )
+
+
+def test_untagged_natural_key_unchanged(spark, untagged):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1d, fn: mean, createEmpty: false)
+        """,
+        {"b": untagged},
+        params=dict(RANGE),
+    )
+    assert out.columns == ["window_start", "_measurement", "_field", "mean", "n"]

@@ -50,29 +50,21 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-10 policy: queries that are new or whose implementation /
-    # oracle changed this round go first so a driver cap tighter than
-    # 50 still reaches them — eleven new compiled queries (stddev /
-    # spread / quantile get driver rows; timeShift / elapsed /
-    # hourSelection+truncateTimeColumn / distinct / unique / window /
-    # integral / exponentialMovingAverage are new stages), and the
-    # shared null-policy change re-attests the three registered
-    # bare/windowed-aggregate + last() paths; the round-10c batch
-    # leads through ONE suite slot whose oracle embeds all 23 new
-    # singletons verbatim
-    assert set(_CHECKED_WINDOW[:23]) == {
-        "flux_compiled_quantile", "flux_compiled_stddev",
-        "flux_compiled_spread", "flux_compiled_timeshift",
-        "flux_compiled_elapsed", "flux_compiled_join_overlay",
-        "flux_compiled_top", "flux_compiled_histogram",
-        "flux_compiled_hour_truncate", "flux_compiled_distinct",
-        "flux_compiled_unique", "flux_compiled_window_raw",
-        "flux_compiled_integral", "flux_compiled_ema",
-        "flux_compiled_derivative_signed", "flux_compiled_pearsonr",
-        "flux_compiled_derivative", "flux_compiled_cov",
-        "flux_compiled_tail", "suite_flux_round10c",
-        "flux_compiled_mean", "flux_compiled_group_merge",
-        "flux_compiled_gauge",
+    # round-11 policy: new queries go first so a driver cap tighter
+    # than 50 still reaches them — the tag-dimension batch (VERDICT
+    # r10 item 1) — followed by the twelve r7-row singletons the r10
+    # rotation displaced (VERDICT r10 item 2: "all twelve lead the
+    # next rotation")
+    assert set(_CHECKED_WINDOW[:4]) == {
+        "flux_compiled_tag_filter", "flux_compiled_tag_group",
+        "flux_compiled_tag_regex", "flux_schema_tag_values",
+    }
+    assert set(_CHECKED_WINDOW[4:16]) == {
+        "bm25_search", "bpe_token_stats", "doc_repetition",
+        "embedding_neardup_pairs", "embedding_quantized_topk",
+        "multimodal_features", "multimodal_frame_sample",
+        "similar_part_names", "top_ngrams", "vocab_coverage",
+        "weighted_sample_docs", "winnow_fingerprints",
     }
 
 

@@ -159,29 +159,38 @@ Round 10 adds the period-comparison stages (VERDICT r8 item 6):
       join(tables: {a: a, b: b}, on: ["window_start", "_field"])
         |> map(fn: (r) => ({ r with _value: r.mean_a - r.mean_b }))
 
-Series keying (round 8, VERDICT r7 item 1): Flux tables key on
-``(_measurement, _field)``, and EVERY compiled aggregation/transform
+Series keying (round 8, VERDICT r7 item 1; tags round 11): Flux
+tables key on ``(_measurement, tag set, _field)``. The compiler
+discovers the store's PROMOTED TAG COLUMNS from its schema
+(sources/bucket.py ``tag_columns`` — every non-core column is a tag
+by the storage contract) and EVERY compiled aggregation/transform
 partitions/groups on that full table key — a pipeline with no
 ``_measurement`` filter over a store holding several measurements
 aggregates each measurement's series separately instead of silently
-merging same-named fields (the tail ``limit`` already did this; the
-aggregations now match). When the filter pins ``_measurement`` to a
-constant the extra key is constant-cost (one more group column whose
-cardinality is 1 after pushdown), and the output frame carries the
-``_measurement`` column exactly as a Flux record does.
+merging same-named fields, and a tagged store's series split per tag
+combination exactly as InfluxDB's do. When filters pin key columns to
+constants the extra keys are constant-cost (group columns whose
+cardinality is 1 after pushdown), and the output frame carries them
+exactly as a Flux record does. A whole-stage tag equality
+(``filter(fn: (r) => r["host"] == "a")``) pushes into the scan like
+the ``_measurement``/``_field`` forms — partition/manifest/row-group
+pruning over the promoted column; regex/compound tag predicates stay
+residual row filters on the same pushdown-capable columns. The
+reference's own store writes zero tags (SURVEY §1.1) and compiles to
+the classic two-column key, byte-identical plans.
 
 ``group(columns: [...])`` RE-KEYS the tables (Flux regrouping): the
-subset ships any subset of {``_measurement``, ``_field``} — in the
-``mode: "by"`` form or its complement ``mode: "except"`` — including
-``group()`` / ``group(columns: [])``, the Data-Explorer "merge all
-series into one table" form, which compiles aggregations to their
-key-less global forms (one row / one row per window over everything).
-Re-keying a per-point window transform (derivative, movingAverage, …)
-onto the EMPTY key would funnel every raw row through one partition —
-that shape raises (outside the subset) rather than compiling a
-scale-trap; re-keying them onto a non-empty subset compiles fine.
-Grouping by anything else (tags don't exist in this store — SURVEY
-§1.1) raises.
+subset ships any subset of the store's table-key columns
+(``_measurement``, ``_field``, promoted tags) — in the ``mode: "by"``
+form or its complement ``mode: "except"`` — including ``group()`` /
+``group(columns: [])``, the Data-Explorer "merge all series into one
+table" form, which compiles aggregations to their key-less global
+forms (one row / one row per window over everything). Re-keying a
+per-point window transform (derivative, movingAverage, …) onto the
+EMPTY key would funnel every raw row through one partition — that
+shape raises (outside the subset) rather than compiling a scale-trap;
+re-keying them onto a non-empty subset compiles fine. Grouping by a
+column the store does not carry raises naming the store's key.
 
 Round 10c adds the technical-indicator / selector / conversion batch
 (the remaining Flux universe stages a Grafana dashboard reaches for):
@@ -1066,14 +1075,31 @@ def _compile_schema_query(
         tag = _resolve(a["tag"], params)
         if not isinstance(tag, str):
             raise FluxError(f"schema.tagValues tag: expected a string, got {tag!r}")
-        out = df.select(
-            F.element_at(F.col("tags"), F.lit(tag)).alias("_value")
-        ).filter(F.col("_value").isNotNull())
-    else:  # tagKeys — this store writes zero tags (SURVEY §1.1), but
-        # the map column is real, so the query is too
+        if tag in bkt.tag_columns(df):
+            # promoted tag column: a single dictionary-encoded column
+            # scan with partial (map-side) distinct — never a map
+            # traversal over every row
+            out = df.select(F.col(tag).alias("_value")).filter(
+                F.col("_value").isNotNull()
+            )
+        else:
+            out = df.select(
+                F.element_at(F.col("tags"), F.lit(tag)).alias("_value")
+            ).filter(F.col("_value").isNotNull())
+    else:  # tagKeys — promoted tag columns are schema metadata (a
+        # driver-side constant list, no scan); the map explode covers
+        # stores that carry map-only tags. The reference's own store
+        # writes zero tags (SURVEY §1.1) and returns the empty set.
+        promoted = bkt.tag_columns(df)
         out = df.select(
             F.explode(F.map_keys(F.col("tags"))).alias("_value")
         )
+        if promoted:
+            out = out.unionByName(
+                spark.createDataFrame(
+                    [(c,) for c in promoted], "_value string"
+                )
+            )
     return out.distinct()
 
 
@@ -1155,8 +1181,21 @@ def _compile_pipeline(
         raise FluxError(f"unknown bucket {bucket_name!r}")
     path = bucket_paths[bucket_name]
 
+    # Tag-dimension discovery (round 11): the store's promoted tag
+    # columns (sources/bucket.py ``tag_columns``) extend the Flux
+    # table key — InfluxDB's series key is (_measurement, tag set,
+    # _field), and every aggregation/transform below partitions on
+    # it. One driver-side schema read per compile (a production
+    # deployment resolves this from the catalog); untagged stores
+    # yield the classic two-column key, byte-identical plans.
+    store_tag_cols = bkt.tag_columns(bkt.read_bucket(spark, path))
+    natural_key = ["_measurement", "_field", *store_tag_cols]
+
     start = stop = None
     measurement = field = None
+    # pure tag-equality predicates pushed into the scan (partition/
+    # file/row-group pruning on the promoted columns)
+    tag_eqs: dict[str, str] = {}
     # residual row-level stages in USER ORDER: ("filter", pred) and
     # ("map", value_expr) interleave — a _value filter after a map sees
     # mapped values. (_measurement/_field equality pushdown commutes
@@ -1167,8 +1206,9 @@ def _compile_pipeline(
     transform = None  # ("derivative",) | ("tma", period_s) | ("increase",) | ("state_duration", Column)
     post_ops: list[tuple] = []  # sort/limit/keep/drop, in user order
     yield_name = None
-    # Flux table key: (_measurement, _field). A group() stage re-keys;
-    # None = the natural key (no regrouping requested).
+    # Flux table key: (_measurement, _field, promoted tags) — the
+    # natural_key above. A group() stage re-keys; None = the natural
+    # key (no regrouping requested).
     group_cols: list[str] | None = None
 
     def _bound(tok: str) -> str:
@@ -1367,11 +1407,45 @@ def _compile_pipeline(
                 return None
 
             m_eq, f_eq = _pure_eq("_measurement"), _pure_eq("_field")
+            tag_hit = None
+            for tc in store_tag_cols:
+                v = _pure_eq(tc)
+                if v is not None:
+                    tag_hit = (tc, v)
+                    break
             if m_eq is not None and measurement is None:
                 measurement = m_eq
             elif f_eq is not None and field is None:
                 field = f_eq
+            elif tag_hit is not None and tag_hit[0] not in tag_eqs:
+                # tag equality → scan pushdown: commutes with _value
+                # maps/time rewrites exactly like the _measurement/
+                # _field extraction (stored tag values are untouched
+                # by every row-level stage)
+                tag_eqs[tag_hit[0]] = str(tag_hit[1])
             else:
+                # residual row predicate (regex/range/compound tag or
+                # value conditions). Validate references against the
+                # STORE's record columns first: a predicate on a
+                # column the store does not carry raises a FluxError
+                # naming it, not a Spark analysis error downstream.
+                norm = [
+                    re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t)
+                    for t in toks
+                ]
+                refs = {
+                    t[3:-2] if t.startswith('r["') else t[2:]
+                    for t in norm
+                    if t.startswith('r["') or t.startswith("r.")
+                }
+                known = {*natural_key, "_time", "_value", "tags", "_date"}
+                missing = sorted(refs - known)
+                if missing:
+                    raise FluxError(
+                        f"filter: unknown column(s) {missing}; the "
+                        f"store's record columns are {sorted(known)}: "
+                        f"{stage!r}"
+                    )
                 row_ops.append(("filter", _parse_pred(toks, params)))
         elif head == "map":
             # map(fn: (r) => ({ r with _value: <arith> })) — the Data
@@ -1925,12 +1999,11 @@ def _compile_pipeline(
             if "keyColumns" not in a:
                 raise FluxError("keyValues requires keyColumns:")
             kv_cols = _str_list(a["keyColumns"], "keyValues keyColumns")
-            bad = [c for c in kv_cols if c not in ("_measurement", "_field")]
+            bad = [c for c in kv_cols if c not in natural_key]
             if not kv_cols or bad:
                 raise FluxError(
-                    "keyValues ships keyColumns: over the table key "
-                    "columns [\"_measurement\", \"_field\"] (tags don't "
-                    f"exist in this store — SURVEY §1.1); got {stage!r}"
+                    "keyValues ships keyColumns: over the store's table "
+                    f"key columns {natural_key}; got {stage!r}"
                 )
             if len(kv_cols) != len(set(kv_cols)):
                 raise FluxError(
@@ -2264,11 +2337,11 @@ def _compile_pipeline(
             post_ops.append(("rename", mapping))
         elif head == "group":
             # Flux regrouping: re-key the tables. The subset ships any
-            # subset of the store's table-key columns — including the
-            # empty key (group(): merge all series into one table, the
+            # subset of the store's table-key columns (_measurement,
+            # _field, promoted tags) — including the empty key
+            # (group(): merge all series into one table, the
             # Data-Explorer "one value over everything" form) — and
-            # raises on anything else (tags don't exist in this store,
-            # SURVEY §1.1). Grafana's inserted
+            # raises on anything else. Grafana's inserted
             # group(columns: ["_field"]) re-keys on _field alone:
             # same values as the natural key when the filter pins
             # _measurement, minus the _measurement output column.
@@ -2276,7 +2349,7 @@ def _compile_pipeline(
             cols = _str_list(a.get("columns", "[]"), "group columns")
             extra = set(a) - {"columns", "mode"}
             mode = _resolve(a["mode"], params) if "mode" in a else "by"
-            bad = [c for c in cols if c not in ("_measurement", "_field")]
+            bad = [c for c in cols if c not in natural_key]
             if (
                 extra
                 or mode not in ("by", "except")
@@ -2285,16 +2358,15 @@ def _compile_pipeline(
             ):
                 raise FluxError(
                     "group ships mode: \"by\"/\"except\" over a subset of "
-                    "the table key columns [\"_measurement\", \"_field\"] "
+                    f"the store's table key columns {natural_key} "
                     f"(incl. the empty list — merge all series); got {stage!r}"
                 )
             if mode == "except":
-                # upstream's complement form: key on every group column
-                # EXCEPT the listed ones — over this store's two-column
-                # key that is exactly the complement subset
-                cols = [c for c in ("_measurement", "_field") if c not in cols]
+                # upstream's complement form: key on every table-key
+                # column EXCEPT the listed ones
+                cols = [c for c in natural_key if c not in cols]
             # canonical key order keeps output column order deterministic
-            group_cols = [c for c in ("_measurement", "_field") if c in cols]
+            group_cols = [c for c in natural_key if c in cols]
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
@@ -2449,7 +2521,7 @@ def _compile_pipeline(
                 n = op[1]
                 off = op[2] if len(op) > 2 else 0
                 group_keys = [
-                    c for c in ("_measurement", "_field") if c in out.columns
+                    c for c in natural_key if c in out.columns
                 ]
                 if pending_sort is not None:
                     gone = [c for c in pending_sort[1] if c not in out.columns]
@@ -2522,7 +2594,7 @@ def _compile_pipeline(
                     if c in out.columns and c != ordc
                 ]
                 group_keys = [
-                    c for c in ("_measurement", "_field") if c in out.columns
+                    c for c in natural_key if c in out.columns
                 ]
                 if group_keys:
                     w = Window.partitionBy(*group_keys).orderBy(*order)
@@ -2552,7 +2624,7 @@ def _compile_pipeline(
                     # bucket-spine-sized (or pruned) rows per series —
                     # bounded by range/step, not raw volume.
                     gk = [
-                        c for c in ("_measurement", "_field") if c in out.columns
+                        c for c in natural_key if c in out.columns
                     ]
                     ordc = next(
                         (c for c in ("_time", "window_start") if c in out.columns),
@@ -2608,7 +2680,13 @@ def _compile_pipeline(
         return out
 
     df = bkt.scan_bucket(
-        spark, path, measurement=measurement, field=field, start=start, stop=stop
+        spark,
+        path,
+        measurement=measurement,
+        field=field,
+        start=start,
+        stop=stop,
+        tags=tag_eqs or None,
     )
     for kind, c in row_ops:
         if kind == "filter":
@@ -2632,8 +2710,9 @@ def _compile_pipeline(
             df = df.withColumn("_value", c)
 
     # the Flux table key every aggregation/transform partitions on:
-    # (_measurement, _field) unless a group() stage re-keyed the tables
-    keys = group_cols if group_cols is not None else ["_measurement", "_field"]
+    # (_measurement, _field, tags...) unless a group() stage re-keyed
+    # the tables
+    keys = group_cols if group_cols is not None else list(natural_key)
 
     def _agg_over(frame: DataFrame) -> DataFrame:
         # The aggregateWindow / bare-aggregate execution, generic over
@@ -3039,7 +3118,16 @@ def _compile_pipeline(
                     f"key column; pick another name"
                 )
             labels = F.array(
-                *[F.lit(c) for c in ("_measurement", "_field", "_time", "_value")]
+                *[
+                    F.lit(c)
+                    for c in (
+                        "_measurement",
+                        "_field",
+                        *store_tag_cols,
+                        "_time",
+                        "_value",
+                    )
+                ]
             )
             out = (
                 df.select(*keys)
@@ -3435,7 +3523,9 @@ def _compile_pipeline(
                     "Data-Explorer emits pivot over the natural table key)"
                 )
             return _finish(
-                df.groupBy("_measurement", "_time")
+                df.groupBy(
+                    *[c for c in natural_key if c != "_field"], "_time"
+                )
                 .pivot("_field")
                 .agg(F.max("_value"))
             )
@@ -3771,7 +3861,14 @@ def _compile_combiner(
                     f"{head} on column {on[0]!r} missing from "
                     f"{label}: {ref!r} (frame has {d.columns})"
                 )
-            keys_l = [c for c in ("_measurement", "_field") if c in d.columns]
+            # every string-typed record column is a logical table-key
+            # column (promoted tags included) — the pair statistic keys
+            # on the full series identity of each side
+            keys_l = [
+                c
+                for c, t in d.dtypes
+                if t == "string" and c not in (*on, "tags", "_date")
+            ]
             vcands = (
                 ["_value"]
                 if "_value" in d.columns

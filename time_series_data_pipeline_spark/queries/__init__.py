@@ -111,106 +111,75 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 10: new or changed this round go first (11). Eight NEW
-    # compiled queries (VERDICT r9 items 1 + 5: the r9-implemented
-    # stddev/spread/quantile aggregates get their driver rows, and
-    # timeShift/elapsed/top/histogram/multi-statement-join are new
-    # stages); quantile additionally changed
-    # convention (ADVICE r9 medium: upstream round(q·n) rank, not
-    # percentile_disc's ceil — q=0.25 diverges on this store, so the
-    # hash pins the convention). The shared null policy (ADVICE r9
-    # low: null _value filtered before the aggregate groupBy, and
-    # last() skips nulls like upstream selectors) changed the compiled
-    # plan of every bare/windowed aggregate — mean, group_merge and
-    # gauge re-attest as the three registered queries on those paths.
-    "flux_compiled_quantile",
-    "flux_compiled_stddev",
-    "flux_compiled_spread",
-    "flux_compiled_timeshift",
-    "flux_compiled_elapsed",
-    "flux_compiled_join_overlay",
-    "flux_compiled_top",
-    "flux_compiled_histogram",
-    # six MORE new flux stages landed later in round 10 (hourSelection/
-    # truncateTimeColumn, distinct, unique, non-aggregated window,
-    # integral, exponentialMovingAverage) — new queries lead, so six
-    # rotation slots below moved to the next-round head
-    "flux_compiled_hour_truncate",
-    "flux_compiled_distinct",
-    "flux_compiled_unique",
-    "flux_compiled_window_raw",
-    "flux_compiled_integral",
-    "flux_compiled_ema",
-    # + the generalized derivative (signed default / any unit — the
-    # last documented derivative subset gap); label_centroids rotates
-    # out to make the slot (label family stays in-window via the
-    # suite_round5 label_outliers arm)
-    "flux_compiled_derivative_signed",
-    # + the pearsonr() combiner (cross-series correlation);
-    # profile_columns rotates out (DQ family stays in-window via the
-    # suite_round5 dq_lineitem arm)
-    "flux_compiled_pearsonr",
-    # re-attest: derivative now has ONE implementation for every
-    # (unit, nonNegative) combo under the shared null policy (review
-    # r10b) — values bit-identical on the null-free store, but the
-    # plan changed; contamination_overlap rotates out (leakage family
-    # stays in-window via the suite_round5 split_leakage_guard arm)
-    "flux_compiled_derivative",
-    # + cov() (the covariance sibling of pearsonr — same combiner
-    # machinery) and tail() (per-table last-N); bm25_search and
-    # embedding_dedup_clusters rotate out (search stays in-window via
-    # the suite_round5 hybrid_search_rrf arm; embedding family via
-    # embedding_topk/ivf + the PQ suite arms)
-    "flux_compiled_cov",
-    "flux_compiled_tail",
-    # + the round-10c batch (20 new stages: mode/skew/stateCount/CMO/
-    # kaufmansER/sample/toFloat+toInt/limit-offset/highest*+lowest*/
-    # fused histogramQuantile/doubleEMA/tripleEMA/RSI, plus
-    # aggregateWindow period:/offset:/calendar-1mo and the
-    # value-series |> aggregateWindow composition), driver-attested
-    # through ONE suite whose oracle embeds all 23 new singletons'
-    # registered SQL verbatim (the suite_round5 precedent); ewma_final
-    # yields the slot — the Arrow per-series recurrence family it
-    # represents is freshly attested by the in-window flux_compiled_ema
-    # plus the three new kernel arms, and its own r7 row stays recorded
-    "suite_flux_round10c",
-    "flux_compiled_mean",
-    "flux_compiled_group_merge",
-    "flux_compiled_gauge",
-    # --- rotation (VERDICT r9 item 2, two rounds overdue), oldest-
-    # green first: 24 of the 36 r7-green singletons whose own rows are
-    # now two rounds old. Left out (slots exhausted): pack_sequences
-    # (arm-attested by the in-window suite_round5, which embeds its
-    # oracle verbatim), the two multimodal queries (deterministic
-    # codec stubs, code untouched since r7 — lowest real-user risk),
-    # winnow_fingerprints, weighted_sample_docs and vocab_coverage,
-    # plus — displaced by the six later-landed flux rows above, each
-    # family still in-window via a sibling or suite arm —
-    # bpe_token_stats (bpe_encode_stats stays), embedding_quantized_topk
-    # and embedding_neardup_pairs (topk/ivf/dedup_clusters stay; PQ via
-    # suite_round5), doc_repetition (doc_profile/doc_chunks stay),
-    # similar_part_names (ngram_jaccard_pairs stays), top_ngrams
-    # (trigram_familiarity is a suite_round5 arm); all twelve lead the
-    # next rotation. ---
-    "asof_nearest_click",
-    "bpe_encode_stats",
-    "dedup_clusters",
-    "dedup_exact",
-    "doc_chunks",
-    "doc_profile",
-    "embedding_ivf_topk",
-    "embedding_topk",
-    "heavy_hitter_verify",
-    "last_value_per_type",
-    "minhash_lsh_verify",
-    "ngram_jaccard_pairs",
-    "pack_sequences_sharded",
-    "sampling_splits",
-    "scrub_pii",
-    "session_windows_5m",
-    "simhash_verify",
-    "unpivot_lineitem",
-    # --- always-checked core: flagships + suites (9) ---
+    # --- round 11: new queries go first. Tag-dimension support
+    # (VERDICT r10 item 1): tag-equality scan pushdown + the full
+    # tagged table key through a windowed aggregate; a one-tag
+    # group() re-key; a regex tag filter + two-tag re-key; and the
+    # schema.tagValues dropdown off the promoted column — all over
+    # the deterministic tagged fixture store (host/dc derived from
+    # user_id residues so DuckDB re-derives them from the raw table).
+    "flux_compiled_tag_filter",
+    "flux_compiled_tag_group",
+    "flux_compiled_tag_regex",
+    "flux_schema_tag_values",
+    # --- the twelve r7-row singletons the r10 rotation displaced
+    # (VERDICT r10 item 2: "all twelve lead the next rotation") ---
+    "bm25_search",
+    "bpe_token_stats",
+    "doc_repetition",
+    "embedding_neardup_pairs",
+    "embedding_quantized_topk",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "similar_part_names",
+    "top_ngrams",
+    "vocab_coverage",
+    "weighted_sample_docs",
+    "winnow_fingerprints",
+    # --- rotation: r9-green singletons (own rows now two rounds old),
+    # prioritizing those with no in-window suite/sibling coverage.
+    # Left out (families fresh via in-window suites/siblings):
+    # the seven suite_timeseries_stats arms (counter_increase,
+    # event_transitions, funnel_view_click_purchase, time_weighted_avg,
+    # value_percentiles, value_trend_per_type, weekly_retention),
+    # value_percentiles_approx + distinct_users_two_phase
+    # (approx_distinct_users carries the sketch family),
+    # flux_compiled_increase_total / _row_moving_avg (increase /
+    # moving_avg siblings stay), sql_surface_top_part_types +
+    # salted_join_segment_counts (relational/join families via
+    # suite_scans/joins/grouping), pricing_summary (same) — all keep
+    # their recorded r9 rows and lead the r12 rotation. ---
+    "approx_distinct_users",
+    "asof_error_click",
+    "counter_rate",
+    "decimate_minmax_15m",
+    "events_pivot_counts",
+    "flux_compiled_cumulative_sum",
+    "flux_compiled_difference",
+    "flux_compiled_fill_previous",
+    "flux_compiled_increase",
+    "flux_compiled_map_units",
+    "flux_compiled_moving_avg",
+    "flux_compiled_state_duration",
+    "flux_schema_field_keys",
+    "flux_schema_measurements",
+    "gap_fill_5m",
+    "lsh_ann_verify",
+    "merge_value_intervals",
+    "range_join_clicks_before_error",
+    "resample_hourly",
+    "rolling_stats_zscore",
+    "value_histogram",
+    "window_sliding_15m_5m",
+    # two placeholder rotation slots — yielded to the round-11
+    # holtWinters / to(bucket:) queries when they land
+    # (rollup_day_from_hour also rotated out: the rollup family's
+    # fresh row this round is the compiled to(bucket:) write-back)
+    "pricing_summary",
+    "salted_join_segment_counts",
+    # --- always-checked core: flagships + suites (10;
+    # suite_flux_round10c joins — it is the sole attestation path for
+    # its 23 round-10c singleton arms, so it stays in-window) ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
@@ -220,7 +189,9 @@ _CHECKED_WINDOW = [
     "suite_window_fns",
     "suite_round5",
     "suite_timeseries_stats",
+    "suite_flux_round10c",
 ]
+
 
 
 def _reorder() -> None:

@@ -4307,3 +4307,217 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tagged bucket store (round 11, VERDICT r10 item 1): tags are the
+# InfluxDB data model's primary series dimension (README.md:155-161) —
+# the reference's own store writes zero tags (the
+# data_frame_tag_columns=['Temperature'] mismatch, transform.py:64),
+# but any real line-protocol corpus keys its series on them. This
+# fixture derives two DETERMINISTIC tags from the events table —
+# host = 'h' || user_id % 4 and dc = 'd' || user_id % 3 (independent
+# residues: all 12 combinations occur) — so every DuckDB oracle can
+# re-derive the tag from the raw table and the driver's value-hash
+# gate covers the tagged path end to end.
+
+_TAGGED_BUCKET_VERSION = "tagged-v1"
+
+
+def _tagged_bucket_path(spark: SparkSession, sf_dir: str) -> str:
+    """Events materialized ONCE into a TAGGED bucket store: promoted
+    string tag columns (host, dc) + the mirrored ``tags`` map
+    (sources/bucket.py module doc), day-partitioned and series-key
+    sorted (_field, host, dc, _time) so tag predicates prune row
+    groups; the stats manifest additionally harvests ``host`` for
+    file-level skipping. Same build-once/atomic-publish discipline as
+    ``_event_bucket_path``."""
+    import os
+
+    from ..operators._util import cached_store
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+
+    def _build(scratch: str) -> None:
+        ev = table(spark, sf_dir, "events")
+        host = F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string"))
+        dc = F.concat(F.lit("d"), (F.col("user_id") % 3).cast("string"))
+        long_df = ev.select(
+            F.col("ts").alias("_time"),
+            F.lit("events").alias("_measurement"),
+            F.col("event_type").alias("_field"),
+            F.col("value").alias("_value"),
+            host.alias("host"),
+            dc.alias("dc"),
+            F.create_map(
+                F.lit("host"), host, F.lit("dc"), dc
+            ).alias("tags"),
+        )
+        bkt.write_bucket(long_df, scratch, mode="overwrite")
+        bkt.refresh_bucket_manifest(
+            spark, scratch, columns=("_field", "_time", "host")
+        )
+
+    return cached_store(
+        _build,
+        "tsdp_tagged_bucket",
+        f"{os.path.abspath(sf_dir)}:{mtime}:{_TAGGED_BUCKET_VERSION}",
+    )
+
+
+_TAG_RANGE = {
+    "timeRangeStart": "2024-01-08T00:00:00Z",
+    "timeRangeStop": "2024-01-15T00:00:00Z",
+}
+_TAG_RANGE_SQL = (
+    "ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-15 00:00:00'"
+)
+
+
+@query(
+    "flux_compiled_tag_filter",
+    # tag equality pushed into the scan (partition/manifest/row-group
+    # pruning over the promoted host column) + the FULL tagged table
+    # key (_measurement, _field, host, dc) carried through the windowed
+    # aggregate — host is pinned, dc still splits the series
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           'h1' AS host, 'd' || CAST(user_id % 3 AS VARCHAR) AS dc,
+           {_AVG} AS mean,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click' AND user_id % 4 = 1 AND {_TAG_RANGE_SQL}
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def flux_compiled_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tagged-panel shape every real InfluxDB dashboard uses —
+    ``filter(fn: (r) => r["host"] == "h1")`` on a tag key: the pure
+    equality compiles into the SAME scan pushdown tier as
+    _measurement/_field (flux.py tag_eqs → scan_bucket tags=), and the
+    windowed mean keys on the store's full series key, so the unpinned
+    ``dc`` tag still splits tables exactly as upstream Flux does."""
+    from ..flux import compile_flux
+
+    path = _tagged_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["host"] == "h1")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+          |> yield(name: "mean")
+        """,
+        {"tagged": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+@query(
+    "flux_compiled_tag_group",
+    oracle=f"""
+    SELECT 'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+           {_AVG} AS mean,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click' AND {_TAG_RANGE_SQL}
+    GROUP BY 1
+    """,
+)
+def flux_compiled_tag_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``group(columns: ["host"])`` re-keys the tagged tables onto ONE
+    tag — the Grafana "per-host series" overlay: the bare mean then
+    merges measurements/fields/dc within each host, one map-side-
+    combinable aggregate keyed on the promoted tag column."""
+    from ..flux import compile_flux
+
+    path = _tagged_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> group(columns: ["host"])
+          |> mean()
+          |> yield(name: "mean")
+        """,
+        {"tagged": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+@query(
+    "flux_compiled_tag_regex",
+    # regex tag predicate (residual row filter over the promoted
+    # column) + two-tag re-key: the compiled count groups on exactly
+    # (host, dc)
+    oracle=f"""
+    SELECT 'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+           'd' || CAST(user_id % 3 AS VARCHAR) AS dc,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM events
+    WHERE event_type = 'error' AND user_id % 4 IN (1, 2)
+      AND {_TAG_RANGE_SQL}
+    GROUP BY 1, 2
+    """,
+)
+def flux_compiled_tag_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana's multi-select tag variable compiles to a regex tag
+    filter (``r["host"] =~ /^h[12]$/``) — a residual row predicate
+    over the promoted column (parquet-pushdown-capable storage, rlike
+    row filter) — composed with a TWO-tag ``group(columns: ["host",
+    "dc"])`` re-key, proving multi-tag table keying end to end."""
+    from ..flux import compile_flux
+
+    path = _tagged_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["host"] =~ /^h[12]$/)
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> group(columns: ["host", "dc"])
+          |> count()
+          |> yield(name: "count")
+        """,
+        {"tagged": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+@query(
+    "flux_schema_tag_values",
+    oracle="""
+    SELECT DISTINCT 'h' || CAST(user_id % 4 AS VARCHAR) AS _value
+    FROM events
+    """,
+)
+def flux_schema_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tag-variable dropdown (``schema.tagValues(tag: "host")``)
+    over the TAGGED store: served from the promoted column — a single
+    dictionary-encoded column scan with partial distinct, never a map
+    traversal (flux.py _compile_schema_query promoted-first path)."""
+    from ..flux import compile_flux
+
+    path = _tagged_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        import "influxdata/influxdb/schema"
+        schema.tagValues(bucket: "tagged", tag: "host")
+        """,
+        {"tagged": path},
+    )

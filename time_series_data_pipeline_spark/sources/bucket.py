@@ -17,7 +17,14 @@ InfluxDB's TSM engine provides via code:
 Tags: the reference's ``data_frame_tag_columns=['Temperature']`` matches
 no real column, so zero tags are ever written ("No tag keys found",
 photo/Influxdb-result.png) — we carry an empty ``map<string,string>``
-to keep the schema honest without replicating the bug.
+to keep the schema honest without replicating the bug. A REAL
+line-protocol corpus keys its series on tags (README.md:155-161), so
+the store supports them first-class (round 11): declared tag keys are
+PROMOTED to top-level string columns (parquet predicate pushdown +
+dictionary/RLE encoding — the columnar analog of InfluxDB's
+dictionary-encoded tag sets) AND mirrored into the ``tags`` map (the
+generic schema.tagKeys/tagValues surface). Every non-core column of a
+bucket frame is, by contract, a promoted tag column.
 
 Scale: the unpivot is narrow (each wide row expands to 19 long rows in
 place); the only wide operation in ingestion is the optional
@@ -39,6 +46,14 @@ from ..operators import timeseries as ts_ops
 
 BUCKET_COLS = ("_time", "_measurement", "_field", "_value", "tags")
 
+
+def tag_columns(df: DataFrame) -> list[str]:
+    """The frame's promoted tag columns — by the storage contract,
+    every column beyond the bucket core (+ the ``_date`` partition
+    column) is a promoted series tag (module doc). Order is the
+    frame's column order (the write-time declaration order)."""
+    return [c for c in df.columns if c not in BUCKET_COLS and c != "_date"]
+
 #: Serializes the session-global parquet timestamp-type conf mutation
 #: in write_bucket — unlike partitionOverwriteMode, that conf has no
 #: per-write DataFrameWriter option, so concurrent writers in one
@@ -52,6 +67,7 @@ def to_long(
     time_col: str = "_time",
     value_cols: list[str] | None = None,
     field_labels: dict[str, str] | None = None,
+    tag_cols: list[str] | None = None,
 ) -> DataFrame:
     """Wide → long unpivot into the bucket schema (the InfluxDB client's
     implicit reshape, transform.py:72-73). ``unpivot`` is a Catalyst
@@ -60,27 +76,57 @@ def to_long(
     ``field_labels`` maps in-flight safe column names back to their
     public field labels (gas_csv.FIELD_LABELS) via a literal map lookup
     — constant-folded per Expand branch, zero per-row cost in practice.
-    """
+
+    ``tag_cols`` names wide columns carried as SERIES TAGS (the
+    InfluxDB client's ``data_frame_tag_columns``): each becomes a
+    promoted top-level string column (pushdown-capable) AND an entry in
+    the ``tags`` map — the dual representation the module doc
+    describes. Tag columns ride the unpivot's id side, so the reshape
+    stays a single narrow Expand."""
+    tag_cols = list(tag_cols or [])
     if value_cols is None:
         value_cols = [
-            c for c, t in df.dtypes if t == "double" and c != time_col
+            c
+            for c, t in df.dtypes
+            if t == "double" and c != time_col and c not in tag_cols
         ]
+    overlap = set(tag_cols) & set(value_cols)
+    if overlap:
+        raise ValueError(f"tag_cols overlap value_cols: {sorted(overlap)}")
+    reserved = set(tag_cols) & set(BUCKET_COLS)
+    if reserved:
+        raise ValueError(
+            f"tag_cols collide with bucket schema columns: {sorted(reserved)}"
+        )
     field = F.col("_field")
     if field_labels:
         lookup = F.create_map(
             *[F.lit(x) for kv in field_labels.items() for x in kv]
         )
         field = F.coalesce(lookup.getItem(F.col("_field")), F.col("_field"))
+    tag_exprs = [F.col(c).cast("string").alias(c) for c in tag_cols]
+    tags_map = (
+        F.create_map(
+            *[
+                x
+                for c in tag_cols
+                for x in (F.lit(c), F.col(c).cast("string"))
+            ]
+        )
+        if tag_cols
+        else F.create_map().cast("map<string,string>")
+    )
     return (
         df.unpivot(
-            ids=[time_col], values=list(value_cols), variableColumnName="_field", valueColumnName="_value"
+            ids=[time_col, *tag_cols], values=list(value_cols), variableColumnName="_field", valueColumnName="_value"
         )
         .select(
             F.col(time_col).alias("_time"),
             F.lit(measurement).alias("_measurement"),
             field.alias("_field"),
             "_value",
-            F.create_map().cast("map<string,string>").alias("tags"),
+            *tag_exprs,
+            tags_map.alias("tags"),
         )
     )
 
@@ -139,8 +185,13 @@ def write_bucket(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
         try:
+            # series-key sort: (_field, tags..., _time) — one series'
+            # rows are contiguous inside each file, so row-group
+            # min/max stats are tight for field AND tag predicates
+            # (the per-series TSM block layout, README.md:173-178)
+            sort_cols = ["_field", *tag_columns(df), "_time"]
             out = (
-                dated.sortWithinPartitions("_field", "_time")
+                dated.sortWithinPartitions(*sort_cols)
                 .write.mode(mode)
                 .partitionBy("_measurement", "_date")
             )
@@ -280,6 +331,7 @@ def scan(
     field: str | None = None,
     start: str | Column | None = None,
     stop: str | Column | None = None,
+    tags: dict[str, str] | None = None,
 ) -> DataFrame:
     """The Flux pipeline prefix (reference photo/use-variable.png lines
     1-4): ``from(bucket) |> range(start, stop) |> filter(_measurement)
@@ -294,6 +346,12 @@ def scan(
     turns the range into PartitionFilters (directory pruning at
     planning time) instead of a row-level filter evaluated after every
     partition has been listed and opened.
+
+    ``tags`` adds per-tag equality predicates: on a PROMOTED tag
+    column they are plain pushed comparisons (parquet row-group
+    skipping over the series-key sort); a key with no promoted column
+    falls back to a ``tags`` map lookup — row-level only (maps carry
+    no parquet stats), documented as the slow path.
     """
     out = bucket
     has_date = "_date" in bucket.columns
@@ -313,6 +371,11 @@ def scan(
             out = out.filter(F.col("_date") <= F.to_date(as_col(stop)))
     if field is not None:
         out = out.filter(F.col("_field") == field)
+    for k, v in (tags or {}).items():
+        if k in bucket.columns:
+            out = out.filter(F.col(k) == v)
+        else:
+            out = out.filter(F.element_at(F.col("tags"), F.lit(k)) == v)
     return out
 
 
@@ -376,6 +439,7 @@ def scan_bucket(
     field: str | None = None,
     start: str | None = None,
     stop: str | None = None,
+    tags: dict[str, str] | None = None,
 ) -> DataFrame:
     """Manifest-aware ``scan``: beyond ``_date`` directory pruning, the
     file-level stats manifest (``refresh_bucket_manifest``) skips
@@ -394,7 +458,9 @@ def scan_bucket(
 
     man = os.path.join(path, MANIFEST_SUBDIR)
     if not os.path.isdir(man):
-        return scan(read_bucket(spark, path), measurement, field, start, stop)
+        return scan(
+            read_bucket(spark, path), measurement, field, start, stop, tags
+        )
     constraints: dict[str, tuple] = {}
     if field is not None:
         constraints["_field"] = (field, field)
@@ -402,12 +468,20 @@ def scan_bucket(
         # file granularity keeps the half-open stop bound inclusive —
         # conservative; scan()'s _time < stop row filter finishes it
         constraints["_time"] = (start, stop)
+    for k, v in (tags or {}).items():
+        # promoted-tag equality joins the file-level skip when the
+        # manifest harvested that column; an uncovered column is a
+        # no-op constraint (prune_files is conservative by design) and
+        # scan()'s row filter still applies it
+        constraints[k] = (v, v)
     if not constraints:
-        return scan(read_bucket(spark, path), measurement, field, start, stop)
+        return scan(
+            read_bucket(spark, path), measurement, field, start, stop, tags
+        )
     pruned = mf.scan_pruned(
         spark, path, man, constraints=constraints, base_path=path
     )
-    return scan(pruned, measurement, field, start, stop)
+    return scan(pruned, measurement, field, start, stop, tags)
 
 
 def window_mean(scanned: DataFrame, every: str = "5 minutes") -> DataFrame:
