@@ -47,8 +47,11 @@ HEADLINE = (
     "flux_compiled_dema",
     "flux_compiled_cmo",
     # round 11: the tagged-store panel — tag-equality pushdown over the
-    # promoted column + full-series-key windowed aggregate
+    # promoted column + full-series-key windowed aggregate — and the
+    # compiled continuous-query task (each attempt re-executes the
+    # idempotent downsample refresh: the steady-state rollup cost)
     "flux_compiled_tag_filter",
+    "flux_compiled_to_rollup",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
@@ -140,9 +143,7 @@ def _calibration_workload(spark) -> float:
         open(marker, "w").close()
     from pyspark.sql import functions as F
 
-    attempts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    def _run() -> None:
         (
             spark.read.parquet(os.path.join(path, "cal.parquet"))
             .groupBy("k")
@@ -151,6 +152,16 @@ def _calibration_workload(spark) -> float:
             .mode("overwrite")
             .save()
         )
+
+    # one untimed warm-up: the anchor must measure the BOX, so its own
+    # one-time costs (page-cache fill of the cal file, agg codegen)
+    # stay out of the timed attempts — measured 1.05 s first-touch vs
+    # 0.22 s steady for identical work
+    _run()
+    attempts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run()
         attempts.append(time.perf_counter() - t0)
     return round(min(attempts), 3)
 

@@ -55,11 +55,12 @@ def test_new_and_changed_queries_lead_the_window():
     # r10 item 1) — followed by the twelve r7-row singletons the r10
     # rotation displaced (VERDICT r10 item 2: "all twelve lead the
     # next rotation")
-    assert set(_CHECKED_WINDOW[:4]) == {
+    assert set(_CHECKED_WINDOW[:6]) == {
         "flux_compiled_tag_filter", "flux_compiled_tag_group",
         "flux_compiled_tag_regex", "flux_schema_tag_values",
+        "flux_compiled_holt_winters", "flux_compiled_to_rollup",
     }
-    assert set(_CHECKED_WINDOW[4:16]) == {
+    assert set(_CHECKED_WINDOW[6:18]) == {
         "bm25_search", "bpe_token_stats", "doc_repetition",
         "embedding_neardup_pairs", "embedding_quantized_topk",
         "multimodal_features", "multimodal_frame_sample",

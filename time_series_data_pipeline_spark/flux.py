@@ -219,9 +219,24 @@ Round 10c adds the technical-indicator / selector / conversion batch
 * ``histogram(bins:) |> histogramQuantile(quantile:)`` — fused into
   the histogram's single aggregation pass (in-row bucket walk +
   linear interpolation; a +Inf winning bucket yields its lower edge).
-* ``holtWinters()`` and ``kaufmansAMA()`` remain outside the subset
-  (optimizer-fitted, resp. seed-convention-ambiguous) and raise
-  naming the stage.
+* ``holtWinters(n:, interval:, seasonality: 0)`` (round 11) — the
+  forecast panel: upstream's interval normalization (floor, first
+  point per slot) + the additive Holt recurrence + n forecast points
+  ``l + i·b`` at interval spacing after the last slot. Upstream fits
+  α/β/γ per series with a Nelder-Mead SSE search (gonum) whose float
+  trajectory no other engine can replay; the subset pins the
+  DOCUMENTED DYADIC constants α=0.5, β=0.25 (the attested
+  holt_linear_final fold) so outputs replay bit-for-bit in the
+  recursive-CTE oracle. ``seasonality != 0`` / ``withFit: true``
+  raise naming the gap; ``kaufmansAMA()`` remains outside the subset
+  (seed-convention-ambiguous) and raises naming the stage.
+* ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
+  write-back: the pipeline's output frame maps back into the bucket
+  schema (window_start → ``_time`` under the engine's start-labeled
+  window convention; promoted tags ride along, mirrored into the
+  ``tags`` map) and lands through the idempotent dynamic-partition-
+  overwrite writer, so re-running the task rewrites exactly its own
+  partitions. Final-stage only; writing a bucket into itself raises.
 * ``aggregateWindow(period:, offset:)`` — SLIDING windows (period a
   positive multiple of every; each row lands in period/every windows —
   Spark's F.window slide semantics 1:1) and alignment-shifted windows
@@ -245,6 +260,7 @@ Round 10c adds the technical-indicator / selector / conversion batch
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any
 
@@ -1134,7 +1150,11 @@ def compile_flux(
         return _compile_schema_query(spark, body, bucket_paths, params)
     stmts = _split_statements(body)
     if len(stmts) == 1 and stmts[0][0] is None:
-        return _compile_pipeline(spark, stmts[0][1], bucket_paths, params, now)
+        pipe, to_path, src_path = _strip_to(stmts[0][1], bucket_paths, params)
+        out = _compile_pipeline(spark, pipe, bucket_paths, params, now)
+        if to_path is not None:
+            return _write_to_bucket(spark, out, to_path, src_path)
+        return out
     # MULTI-STATEMENT form (round 10): named from-pipelines feeding one
     # final join()/union() — the Grafana period-comparison overlay
     # (`a = from |> … |> timeShift |> …; join(tables: {a:, b:}, …)`)
@@ -1162,6 +1182,105 @@ def compile_flux(
             "yields nothing)"
         )
     return _compile_combiner(spark, final, env, params)
+
+
+def _strip_to(
+    body: str, bucket_paths: dict[str, str], params: dict[str, Any]
+) -> tuple[str, str | None, str | None]:
+    """Detach a trailing ``|> to(bucket:)`` stage (round 11): returns
+    (pipeline-without-to, target store path or None, source store
+    path). ``to()`` anywhere but the tail is rejected by the pipeline
+    compiler's stage loop; writing a bucket into itself is refused
+    here (the scan would race its own dynamic-partition overwrite)."""
+    stages = _split_stages(body)
+    if stages[-1].split("(", 1)[0].strip() != "to":
+        return body, None, None
+    a = _args(stages[-1], "to")
+    if "bucket" not in a:
+        raise FluxError("to() requires bucket:")
+    extra = set(a) - {"bucket"}
+    if extra:
+        raise FluxError(f"to: unsupported args {sorted(extra)}")
+    target = _resolve(a["bucket"], params)
+    if target not in bucket_paths:
+        raise FluxError(f"to(): unknown bucket {target!r}")
+    fr = _args(stages[0], "from")
+    src = (
+        bucket_paths.get(_resolve(fr["bucket"], params))
+        if "bucket" in fr
+        else None
+    )
+    to_path = bucket_paths[target]
+    if src is not None and os.path.abspath(src) == os.path.abspath(to_path):
+        raise FluxError(
+            "to(): writing a bucket into itself is outside the subset "
+            "(the scan would race its own partition overwrite)"
+        )
+    return "\n|> ".join(stages[:-1]), to_path, src
+
+
+def _write_to_bucket(
+    spark: SparkSession, out: DataFrame, path: str, src_path: str | None
+) -> DataFrame:
+    """Execute a compiled pipeline's ``to(bucket:)`` write-back — the
+    InfluxDB task / continuous-query loop (query → write to a
+    downsample bucket) in the store's own layout discipline: the
+    output frame is mapped back into the bucket schema (the engine's
+    aggregateWindow frames label windows by START time — that
+    convention carries into the written ``_time``; promoted tag
+    columns ride along and are mirrored into the ``tags`` map) and
+    written with the idempotent dynamic-partition overwrite
+    ``write_bucket`` path, so re-running the task rewrites exactly the
+    partitions it produces (sources/bucket.py write_bucket). Returns
+    the written rows — Flux's ``to()`` passes its tables through."""
+    tcol = next(
+        (c for c in ("_time", "window_start") if c in out.columns), None
+    )
+    if tcol is None:
+        raise FluxError(
+            f"to(): frame has no _time/window_start column; has {out.columns}"
+        )
+    missing = [c for c in ("_measurement", "_field") if c not in out.columns]
+    if missing:
+        raise FluxError(
+            f"to(): frame lacks bucket key column(s) {missing} — re-keyed "
+            "by group()? The bucket schema needs the full series key"
+        )
+    tag_cols = [
+        c
+        for c, t in out.dtypes
+        if t == "string"
+        and c not in ("_measurement", "_field")
+    ]
+    value_cands = [
+        c
+        for c, t in out.dtypes
+        if c not in (tcol, "_measurement", "_field", "n", "tags", "_date")
+        and c not in tag_cols
+        and t in ("double", "float", "bigint", "int")
+    ]
+    if len(value_cands) != 1:
+        raise FluxError(
+            f"to(): cannot identify ONE value column (candidates "
+            f"{value_cands}; frame has {out.columns})"
+        )
+    tags_map = (
+        F.create_map(
+            *[x for c in tag_cols for x in (F.lit(c), F.col(c))]
+        )
+        if tag_cols
+        else F.create_map().cast("map<string,string>")
+    )
+    long_df = out.select(
+        F.col(tcol).alias("_time"),
+        "_measurement",
+        "_field",
+        F.col(value_cands[0]).cast("double").alias("_value"),
+        *tag_cols,
+        tags_map.alias("tags"),
+    )
+    bkt.write_bucket(long_df, path, mode="overwrite")
+    return long_df
 
 
 def _compile_pipeline(
@@ -1238,7 +1357,7 @@ def _compile_pipeline(
         "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
         "sample", "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent", "histogramQuantile",
-        "columns", "keyValues",
+        "columns", "keyValues", "holtWinters",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
@@ -1875,6 +1994,59 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"sample: unsupported args {sorted(extra)}")
             transform = ("sample", n, pos)
+        elif head == "holtWinters":
+            # holtWinters(n:, interval:, [seasonality: 0]) — the
+            # Grafana forecast panel. Upstream's STRUCTURE is
+            # preserved exactly — timestamps floored to interval
+            # multiples with the FIRST point per slot kept, the
+            # additive recurrence folded over the slot series, n
+            # forecast points emitted at interval spacing after the
+            # last slot — but upstream fits α/β/γ per series with a
+            # Nelder-Mead SSE search (gonum), whose float trajectory
+            # is not reproducible across engines; the subset pins the
+            # DOCUMENTED DYADIC constants α=0.5, β=0.25 (the engine's
+            # attested holt_linear_final fold) so every output value
+            # is bit-replayable by the SQL oracle. seasonality != 0
+            # (the seasonal init conventions) and withFit: true are
+            # outside the subset and raise naming the gap.
+            a = _args(stage, "holtWinters")
+            hw_n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(hw_n, int) or isinstance(hw_n, bool) or hw_n < 1:
+                raise FluxError(
+                    f"holtWinters n: positive int required, got {hw_n!r}"
+                )
+            interval = _resolve(a["interval"], params) if "interval" in a else None
+            if not (isinstance(interval, str) and _DUR_RE.match(interval)):
+                raise FluxError(
+                    f"holtWinters interval: bad duration {interval!r}"
+                )
+            hw_int_s = _duration_seconds(interval)
+            if hw_int_s <= 0:
+                raise FluxError(
+                    f"holtWinters interval must be > 0: {interval!r}"
+                )
+            if "seasonality" in a and _resolve(a["seasonality"], params) != 0:
+                raise FluxError(
+                    "holtWinters seasonality: only 0 (non-seasonal) is in "
+                    "the shipped subset — the seasonal form needs "
+                    "upstream's seasonal-init conventions"
+                )
+            if "withFit" in a and _resolve(a["withFit"], params) is not False:
+                raise FluxError(
+                    "holtWinters withFit: true is outside the shipped "
+                    "subset (forecast points only)"
+                )
+            if "column" in a and _resolve(a["column"], params) != "_value":
+                raise FluxError('holtWinters ships column: "_value" only')
+            if "timeColumn" in a and _resolve(a["timeColumn"], params) != "_time":
+                raise FluxError('holtWinters ships timeColumn: "_time" only')
+            extra = set(a) - {
+                "n", "interval", "seasonality", "withFit", "column",
+                "timeColumn",
+            }
+            if extra:
+                raise FluxError(f"holtWinters: unsupported args {sorted(extra)}")
+            transform = ("holt_winters", hw_n, hw_int_s)
         elif head == "stateCount":
             # stateCount(fn: (r) => pred) — sibling of stateDuration:
             # the 1-based position within the current TRUE run, −1
@@ -2371,6 +2543,13 @@ def _compile_pipeline(
             a = _args(stage, "yield")
             if "name" in a:
                 yield_name = _resolve(a["name"], params)
+        elif head == "to":
+            # _strip_to detaches a TRAILING to(); reaching the loop
+            # means it sits mid-pipeline — stages after the write
+            # would act on the pass-through frame, outside the subset
+            raise FluxError(
+                "to() ships only as the final stage of the pipeline"
+            )
         else:
             raise FluxError(f"unsupported stage {head!r}")
 
@@ -3405,6 +3584,69 @@ def _compile_pipeline(
             if yield_name:
                 series = series.withColumnRenamed("_value", yield_name)
             return _finish(series)
+        if kind == "holt_winters":
+            # Interval-normalize (floor to interval, FIRST point per
+            # slot — upstream's rule), fold the additive Holt
+            # recurrence per table as a JVM struct-accumulator over the
+            # sorted slot array (the attested holt_linear_final
+            # pattern: every smoothing constant dyadic, one fixed
+            # expression order, bit-identical to the recursive-CTE
+            # oracle), then emit n forecast rows l + i·b at interval
+            # spacing after the last slot. The per-table array is
+            # bounded by range/interval (slots, not raw rows) — the
+            # same attestation/diagnostic tier as holt_linear_final;
+            # the slot-first aggregation is map-side combinable.
+            hw_n, hw_int_s = transform[1], transform[2]
+            unit_us = hw_int_s * 1_000_000
+            src = df.filter(F.col("_value").isNotNull())
+            per_slot = src.groupBy(
+                *keys,
+                F.timestamp_micros(_epoch_floor_us("_time", hw_int_s)).alias(
+                    "__slot"
+                ),
+            ).agg(
+                F.min_by(
+                    "_value", F.struct(F.col("_time"), F.col("_value"))
+                ).alias("__x")
+            )
+            g = per_slot.groupBy(*keys).agg(
+                F.max("__slot").alias("__last"),
+                F.sort_array(
+                    F.collect_list(F.struct("__slot", "__x"))
+                ).alias("__s"),
+            )
+            xs = F.transform(F.col("__s"), lambda s: s["__x"].cast("double"))
+
+            def _hw_step(acc, x):
+                l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+                b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+                return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+            hw = F.aggregate(
+                F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+                F.struct(
+                    F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
+                ),
+                _hw_step,
+            )
+            fc = F.transform(
+                F.sequence(F.lit(1), F.lit(hw_n)),
+                lambda i: F.struct(
+                    F.timestamp_micros(
+                        F.unix_micros("__last")
+                        + i.cast("long") * F.lit(unit_us)
+                    ).alias("_time"),
+                    (hw["l"] + i.cast("double") * hw["b"]).alias("_value"),
+                ),
+            )
+            out = g.select(*keys, F.explode(fc).alias("__f")).select(
+                *keys,
+                F.col("__f._time").alias("_time"),
+                F.col("__f._value").alias("_value"),
+            )
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
+            return _finish(out)
         if kind == "extrema":
             which, n = transform[1], transform[2]
             src = df.filter(F.col("_value").isNotNull())

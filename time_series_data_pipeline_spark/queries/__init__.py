@@ -122,6 +122,11 @@ _CHECKED_WINDOW = [
     "flux_compiled_tag_group",
     "flux_compiled_tag_regex",
     "flux_schema_tag_values",
+    # + holtWinters (the forecast panel: pinned-dyadic additive Holt,
+    # VERDICT r10 item 4) and the to(bucket:) write-back task closing
+    # the ingest→store→query→rollup loop in Flux (item 5)
+    "flux_compiled_holt_winters",
+    "flux_compiled_to_rollup",
     # --- the twelve r7-row singletons the r10 rotation displaced
     # (VERDICT r10 item 2: "all twelve lead the next rotation") ---
     "bm25_search",
@@ -147,8 +152,10 @@ _CHECKED_WINDOW = [
     # flux_compiled_increase_total / _row_moving_avg (increase /
     # moving_avg siblings stay), sql_surface_top_part_types +
     # salted_join_segment_counts (relational/join families via
-    # suite_scans/joins/grouping), pricing_summary (same) — all keep
-    # their recorded r9 rows and lead the r12 rotation. ---
+    # suite_scans/joins/grouping), pricing_summary (same), and
+    # rollup_day_from_hour (the rollup family's fresh row this round
+    # is the compiled to(bucket:) write-back) — all keep their
+    # recorded r9 rows and lead the r12 rotation. ---
     "approx_distinct_users",
     "asof_error_click",
     "counter_rate",
@@ -171,12 +178,6 @@ _CHECKED_WINDOW = [
     "rolling_stats_zscore",
     "value_histogram",
     "window_sliding_15m_5m",
-    # two placeholder rotation slots — yielded to the round-11
-    # holtWinters / to(bucket:) queries when they land
-    # (rollup_day_from_hour also rotated out: the rollup family's
-    # fresh row this round is the compiled to(bucket:) write-back)
-    "pricing_summary",
-    "salted_join_segment_counts",
     # --- always-checked core: flagships + suites (10;
     # suite_flux_round10c joins — it is the sole attestation path for
     # its 23 round-10c singleton arms, so it stays in-window) ---

@@ -4521,3 +4521,132 @@ def flux_schema_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"tagged": path},
     )
+
+
+@query(
+    "flux_compiled_holt_winters",
+    # the forecast recurrence replayed with the holt_linear_final
+    # technique: interval-normalize (floor to 1h, FIRST point per slot
+    # by (ts, value) order — exactly min_by), recursive-CTE Holt fold
+    # over the slot sequence (coupled l/b recurrences step a row index
+    # — NOT list_reduce, whose struct accumulator evaluates 'b' against
+    # the already-updated 'l' in DuckDB), then 6 forecast rows
+    # l + k·b at 1h spacing after the last slot via range(1, 7)
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS slot,
+             ts, value
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    firsts AS (
+      SELECT event_type, slot,
+             (ARRAY_AGG(CAST(value AS DOUBLE) ORDER BY ts, value))[1] AS x
+      FROM src GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, slot, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot) AS i
+      FROM firsts
+    ),
+    hw(event_type, i, l, b) AS (
+      SELECT event_type, 1, x, CAST(0 AS DOUBLE) FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+             0.5 * s.x + 0.5 * (h.l + h.b),
+             0.25 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+      FROM hw h JOIN seq s
+        ON s.event_type = h.event_type AND s.i = h.i + 1
+    ),
+    fin AS (
+      SELECT h.event_type, h.l, h.b, m.last_slot
+      FROM hw h
+      JOIN (SELECT event_type, MAX(i) AS n, MAX(slot) AS last_slot
+            FROM seq GROUP BY 1) m
+        ON m.event_type = h.event_type AND h.i = m.n
+    )
+    SELECT 'events' AS _measurement, fin.event_type AS _field,
+           make_timestamp(epoch_us(last_slot) + k * 3600000000) AS _time,
+           l + CAST(k AS DOUBLE) * b AS forecast
+    FROM fin, range(1, 7) t(k)
+    """,
+)
+def flux_compiled_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Grafana forecast panel compiled from Flux text
+    (``holtWinters(n: 6, interval: 1h)``): interval normalization +
+    additive Holt with the documented dyadic constants + 6 forecast
+    points per series (flux.py holtWinters bullet — upstream's
+    Nelder-Mead parameter search is not cross-engine replayable, the
+    pinned-constant fold is)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> holtWinters(n: 6, interval: 1h, seasonality: 0)
+          |> yield(name: "forecast")
+        """,
+        {"gas-quality": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+def _downsample_target(sf_dir: str) -> str:
+    """Deterministic per-corpus target store for the compiled
+    continuous-query write-back — the task always refreshes the SAME
+    downsample bucket (idempotent dynamic-partition overwrite), like
+    an InfluxDB task writing its destination bucket."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"tsdp_downsample_{key}")
+
+
+@query(
+    "flux_compiled_to_rollup",
+    # the written rows ARE the returned rows (Flux to() passes tables
+    # through): hourly means, start-labeled windows — the same decimal
+    # sum / count expression every mean in the engine compiles to
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS _time,
+           'events' AS _measurement, event_type AS _field,
+           {_AVG} AS _value
+    FROM events
+    WHERE {_TAG_RANGE_SQL}
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_to_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full ingest→store→query→rollup loop closed in
+    its own language (VERDICT r10 item 5): a compiled Flux task —
+    ``aggregateWindow(1h, mean) |> to(bucket: "downsample")`` —
+    materializes the downsample bucket through the idempotent
+    dynamic-partition-overwrite writer; every run (driver correctness,
+    bench attempts) re-executes the refresh, which is the operation's
+    real steady-state cost. Returns the written rows (the ``tags``
+    map is dropped for the driver's hash compare — maps don't order)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+          |> to(bucket: "downsample")
+        """,
+        {"gas-quality": path, "downsample": _downsample_target(sf_dir)},
+        params=dict(_TAG_RANGE),
+    )
+    return out.drop("tags")
