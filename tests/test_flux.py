@@ -1615,7 +1615,8 @@ def test_schema_variable_queries(spark, store):
         ('schema.fieldKeys(bucket: "nope")', "unknown bucket"),
         ('schema.tagValues(bucket: "b")', "requires tag"),
         ('schema.buckets()', "unsupported schema"),
-        ('schema.fieldKeys(bucket: "b", start: -7d)', "unsupported args"),
+        ('schema.fieldKeys(bucket: "b", start: -7d)', "now= anchor"),
+        ('schema.fieldKeys(bucket: "b", foo: 1)', "unsupported args"),
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, bad, {"b": store})
@@ -4184,7 +4185,7 @@ def test_holt_winters_empty_range_emits_nothing(spark, hw_store):
 @pytest.mark.parametrize(
     "stage, err",
     [
-        ("holtWinters(n: 2, interval: 1h, seasonality: 4)", "seasonality"),
+        ("holtWinters(n: 2, interval: 1h, seasonality: -2)", "non-negative"),
         ("holtWinters(n: 2, interval: 1h, withFit: true)", "withFit"),
         ("holtWinters(n: 0, interval: 1h)", "positive int"),
         ("holtWinters(n: 2)", "bad duration"),
@@ -4356,4 +4357,80 @@ def test_to_bucket_refusals(spark, store, tmp_path):
               |> to(bucket: "down")
             """,
             {"b": store, "down": str(tmp_path / "d2")},
+        )
+
+
+@pytest.fixture(scope="module")
+def hws_store(spark, tmp_path_factory):
+    """Seasonal hand fixture: m=2 alternating series with trend —
+    x = [10, 20, 12, 22, 14, 24] at hourly slots."""
+    path = str(tmp_path_factory.mktemp("hwsstore") / "bucket")
+    rows = [
+        ("2024-01-01 00:00:00", 10.0),
+        ("2024-01-01 01:00:00", 20.0),
+        ("2024-01-01 02:00:00", 12.0),
+        ("2024-01-01 03:00:00", 22.0),
+        ("2024-01-01 04:00:00", 14.0),
+        ("2024-01-01 05:00:00", 24.0),
+    ]
+    long_df = spark.createDataFrame(rows, "t string, _value double").select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("m").alias("_measurement"),
+        F.lit("f1").alias("_field"),
+        "_value",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(long_df, path, mode="overwrite")
+    return path
+
+
+def test_holt_winters_seasonal_golden(spark, hws_store):
+    # hand fold (alpha=.5, beta=.25, gamma=.25, m=2):
+    #   init l0=15, b0=1, s=[-5, 5]; after x=[12,22,14,24]:
+    #   l=19.4033203125, b=1.030029296875, s=[-4.810546875, 4.840576171875]
+    # all-dyadic, so equality is exact
+    out = flux.compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "m")
+          |> holtWinters(n: 3, interval: 1h, seasonality: 2)
+        """,
+        {"b": hws_store},
+    )
+    got = {str(r["_time"]): r["_value"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 06:00:00": 15.622802734375,
+        "2024-01-01 07:00:00": 26.303955078125,
+        "2024-01-01 08:00:00": 17.682861328125,
+    }
+
+
+def test_holt_winters_seasonal_short_series_emits_nothing(spark, hw_store):
+    # f1 has 3 slots, f2 has 1 — both under two full seasons of m=2
+    out = flux.compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "m")
+          |> holtWinters(n: 2, interval: 1h, seasonality: 2)
+        """,
+        {"b": hw_store},
+    )
+    assert out.count() == 0
+
+
+def test_holt_winters_seasonality_one_rejected(spark, hw_store):
+    with pytest.raises(flux.FluxError, match="degenerate"):
+        flux.compile_flux(
+            spark,
+            """
+            from(bucket: "b")
+              |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+              |> filter(fn: (r) => r["_measurement"] == "m")
+              |> holtWinters(n: 2, interval: 1h, seasonality: 1)
+            """,
+            {"b": hw_store},
         )

@@ -308,3 +308,85 @@ def test_untagged_natural_key_unchanged(spark, untagged):
         params=dict(RANGE),
     )
     assert out.columns == ["window_start", "_measurement", "_field", "mean", "n"]
+
+
+# -- schema query family: predicate / bounds / measurement* (round 11) --
+
+
+def _schema(spark, store, text):
+    return compile_flux(
+        spark,
+        'import "influxdata/influxdb/schema"\n' + text,
+        {"tagged": store},
+    )
+
+
+def test_measurement_tag_values_equals_predicate_form(spark, tagged):
+    sugar = _schema(
+        spark,
+        tagged,
+        'schema.measurementTagValues(bucket: "tagged", '
+        'measurement: "events", tag: "dc")',
+    )
+    assert {r["_value"] for r in sugar.collect()} == {"d0", "d1", "d2"}
+
+
+def test_measurement_field_keys(spark, tagged):
+    out = _schema(
+        spark,
+        tagged,
+        'schema.measurementFieldKeys(bucket: "tagged", measurement: "events")',
+    )
+    vals = {r["_value"] for r in out.collect()}
+    assert "click" in vals and len(vals) >= 3
+
+
+def test_measurement_tag_keys_filtered_by_range(spark, tagged):
+    out = _schema(
+        spark,
+        tagged,
+        'schema.measurementTagKeys(bucket: "tagged", '
+        'measurement: "events", '
+        'start: "2024-01-08 00:00:00", stop: "2024-01-15 00:00:00")',
+    )
+    assert {r["_value"] for r in out.collect()} == {"host", "dc"}
+
+
+def test_schema_tag_keys_empty_range_lists_nothing(spark, tagged):
+    # filtered form: promoted keys are listed only when the filtered
+    # frame holds values — an empty range yields the empty key set
+    out = _schema(
+        spark,
+        tagged,
+        'schema.tagKeys(bucket: "tagged", '
+        'start: "2030-01-01 00:00:00", stop: "2030-01-02 00:00:00")',
+    )
+    assert out.count() == 0
+
+
+def test_schema_predicate_unknown_column_raises(spark, tagged):
+    with pytest.raises(FluxError, match="unknown column"):
+        _schema(
+            spark,
+            tagged,
+            'schema.fieldKeys(bucket: "tagged", '
+            'predicate: (r) => r["rack"] == "r1")',
+        )
+
+
+def test_schema_relative_bound_needs_now(spark, tagged):
+    with pytest.raises(FluxError, match="now= anchor"):
+        _schema(
+            spark,
+            tagged,
+            'schema.fieldKeys(bucket: "tagged", start: -30d)',
+        )
+
+
+def test_schema_measurement_form_requires_measurement(spark, tagged):
+    with pytest.raises(FluxError, match="requires measurement"):
+        _schema(
+            spark,
+            tagged,
+            'schema.measurementTagKeys(bucket: "tagged")',
+        )

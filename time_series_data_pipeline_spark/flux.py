@@ -219,16 +219,20 @@ Round 10c adds the technical-indicator / selector / conversion batch
 * ``histogram(bins:) |> histogramQuantile(quantile:)`` — fused into
   the histogram's single aggregation pass (in-row bucket walk +
   linear interpolation; a +Inf winning bucket yields its lower edge).
-* ``holtWinters(n:, interval:, seasonality: 0)`` (round 11) — the
+* ``holtWinters(n:, interval:, seasonality: m)`` (round 11) — the
   forecast panel: upstream's interval normalization (floor, first
   point per slot) + the additive Holt recurrence + n forecast points
-  ``l + i·b`` at interval spacing after the last slot. Upstream fits
-  α/β/γ per series with a Nelder-Mead SSE search (gonum) whose float
-  trajectory no other engine can replay; the subset pins the
-  DOCUMENTED DYADIC constants α=0.5, β=0.25 (the attested
-  holt_linear_final fold) so outputs replay bit-for-bit in the
-  recursive-CTE oracle. ``seasonality != 0`` / ``withFit: true``
-  raise naming the gap; ``kaufmansAMA()`` remains outside the subset
+  at interval spacing after the last slot. Upstream fits α/β/γ per
+  series with a Nelder-Mead SSE search (gonum) whose float trajectory
+  no other engine can replay; the subset pins the DOCUMENTED DYADIC
+  constants α=0.5, β=0.25, γ=0.25 (the attested holt_linear_final
+  fold) so outputs replay bit-for-bit in the recursive-CTE oracles.
+  ``seasonality: m > 1`` compiles the additive-SEASONAL triple
+  recurrence (classic first-cycle init: l₀ = cycle-1 mean, b₀ = mean
+  cross-cycle slope, s = cycle-1 deviations; the seasonal index
+  advances per slot; series under two full seasons emit nothing;
+  forecast h = l + h·b + s[(h−1) mod m + 1]). ``withFit: true``
+  raises naming the gap; ``kaufmansAMA()`` remains outside the subset
   (seed-convention-ambiguous) and raises naming the stage.
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
@@ -1041,19 +1045,33 @@ def _compile_schema_query(
     body: str,
     bucket_paths: dict[str, str],
     params: dict[str, Any],
+    now: str | None = None,
 ) -> DataFrame:
-    """Compile a Grafana variable query: ``schema.fieldKeys(bucket:)`` /
-    ``schema.measurements(bucket:)`` / ``schema.tagKeys(bucket:)`` —
-    each returns the distinct key set as a one-column ``_value`` frame
-    (the column Grafana reads dropdown options from).
+    """Compile a Grafana variable query — the full upstream schema
+    family: ``fieldKeys`` / ``measurements`` / ``tagKeys`` /
+    ``tagValues(tag:)`` plus the measurement-scoped sugar
+    ``measurementFieldKeys`` / ``measurementTagKeys`` /
+    ``measurementTagValues`` (``measurement:`` required) — each
+    returning the distinct key set as a one-column ``_value`` frame
+    (the column Grafana reads dropdown options from). All accept
+    ``start:``/``stop:`` bounds (explicit only — upstream defaults
+    start to wall-clock −30d, which would break replayability; same
+    rule as range()); the plain forms accept ``predicate: (r) => …``,
+    the Grafana filtered-dropdown shape, validated against the store's
+    record columns.
 
     Scale shape: ``measurements`` reads only the partition column
     (`_measurement` is a directory name — the scan's ReadSchema is
     empty, no parquet pages); ``fieldKeys`` is a single-column
     dictionary-encoded scan (and the field-clustered layout keeps it
-    one tiny column chunk per file); ``tagKeys`` explodes the tag map's
-    keys. An optional trailing ``yield`` is accepted; any other piped
-    stage raises (variable queries are standalone)."""
+    one tiny column chunk per file); ``measurement``/bounds prune
+    partitions exactly like a pipeline's from |> range |> filter
+    prefix; ``tagValues`` on a promoted tag is one dictionary-encoded
+    column scan; ``tagKeys`` explodes the tag map's keys (promoted
+    keys are driver-side metadata on an unfiltered store, an in-row
+    stack over the pruned scan under filters). An optional trailing
+    ``yield`` is accepted; any other piped stage raises (variable
+    queries are standalone)."""
     from .sources import bucket as bkt
 
     stages = _split_stages(body, require_from=False)
@@ -1063,7 +1081,9 @@ def _compile_schema_query(
                 f"schema queries take no pipeline stages: {extra_stage!r}"
             )
     m = re.match(
-        r"^schema\.(fieldKeys|measurements|tagKeys|tagValues)\s*\((.*)\)\s*$",
+        r"^schema\.(fieldKeys|measurements|tagKeys|tagValues|"
+        r"measurementFieldKeys|measurementTagKeys|measurementTagValues)"
+        r"\s*\((.*)\)\s*$",
         stages[0].strip(),
         re.DOTALL,
     )
@@ -1073,7 +1093,22 @@ def _compile_schema_query(
     a = _args(f"schema.{fn}({inner})", re.escape(f"schema.{fn}"))
     if "bucket" not in a:
         raise FluxError(f"schema.{fn} requires bucket:")
-    allowed = {"bucket", "tag"} if fn == "tagValues" else {"bucket"}
+    # upstream schema.* signatures: every function takes start:/stop:
+    # (upstream DEFAULTS start to -30d off the wall clock — the subset
+    # takes explicit bounds only, same replayability rule as range());
+    # the plain forms take predicate: (the Grafana filtered-dropdown
+    # shape); the measurement* forms take measurement: sugar instead.
+    allowed = {"bucket", "start", "stop"}
+    if fn in ("fieldKeys", "tagKeys", "tagValues"):
+        allowed.add("predicate")
+    if fn in (
+        "measurementFieldKeys", "measurementTagKeys", "measurementTagValues"
+    ):
+        allowed.add("measurement")
+        if "measurement" not in a:
+            raise FluxError(f"schema.{fn} requires measurement:")
+    if fn in ("tagValues", "measurementTagValues"):
+        allowed.add("tag")
     extra = set(a) - allowed
     if extra:
         raise FluxError(f"schema.{fn}: unsupported args {sorted(extra)}")
@@ -1081,16 +1116,76 @@ def _compile_schema_query(
     if bucket_name not in bucket_paths:
         raise FluxError(f"unknown bucket {bucket_name!r}")
     df = bkt.read_bucket(spark, bucket_paths[bucket_name])
+
+    measurement = None
+    if "measurement" in a:
+        measurement = _resolve(a["measurement"], params)
+        if not isinstance(measurement, str):
+            raise FluxError(
+                f"schema.{fn} measurement: expected a string, got "
+                f"{measurement!r}"
+            )
+
+    def _schema_bound(label: str) -> str | None:
+        if label not in a:
+            return None
+        v = _resolve(a[label], params)
+        if isinstance(v, str) and _DUR_RE.match(v):
+            if now is None:
+                raise FluxError(
+                    f"schema.{fn} {label}: relative bound {v!r} needs an "
+                    "explicit now= anchor"
+                )
+            import datetime
+
+            base = datetime.datetime.fromisoformat(now.replace("Z", "+00:00"))
+            out_ts = base + datetime.timedelta(seconds=_duration_seconds(v))
+            return out_ts.strftime("%Y-%m-%d %H:%M:%S")
+        return str(v).replace("T", " ").replace("Z", "")
+
+    # measurement + time bounds push into the scan exactly like a
+    # pipeline's from |> range |> filter prefix (partition pruning)
+    df = bkt.scan(
+        df,
+        measurement=measurement,
+        start=_schema_bound("start"),
+        stop=_schema_bound("stop"),
+    )
+    if "predicate" in a:
+        pm = re.match(
+            r"^\(\s*r\s*\)\s*=>\s*(.*)$", a["predicate"].strip(), re.DOTALL
+        )
+        if not pm:
+            raise FluxError(
+                f"schema.{fn} predicate: expected (r) => <predicate>; got "
+                f"{a['predicate']!r}"
+            )
+        toks = _tokenize_pred(pm.group(1).strip())
+        refs = {
+            t[3:-2] if t.startswith('r["') else t[2:]
+            for t in (
+                re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t) for t in toks
+            )
+            if t.startswith('r["') or t.startswith("r.")
+        }
+        known = set(df.columns) | set(bkt.BUCKET_COLS)
+        missing = sorted(refs - known)
+        if missing:
+            raise FluxError(
+                f"schema.{fn} predicate: unknown column(s) {missing}; the "
+                f"store's record columns are {sorted(known)}"
+            )
+        df = df.filter(_parse_pred(toks, params))
     if fn == "measurements":
         out = df.select(F.col("_measurement").alias("_value"))
-    elif fn == "fieldKeys":
+    elif fn in ("fieldKeys", "measurementFieldKeys"):
         out = df.select(F.col("_field").alias("_value"))
-    elif fn == "tagValues":
+    elif fn in ("tagValues", "measurementTagValues"):
         if "tag" not in a:
-            raise FluxError("schema.tagValues requires tag:")
+            raise FluxError(f"schema.{fn} requires tag:")
         tag = _resolve(a["tag"], params)
         if not isinstance(tag, str):
-            raise FluxError(f"schema.tagValues tag: expected a string, got {tag!r}")
+            raise FluxError(f"schema.{fn} tag: expected a string, got {tag!r}")
         if tag in bkt.tag_columns(df):
             # promoted tag column: a single dictionary-encoded column
             # scan with partial (map-side) distinct — never a map
@@ -1102,20 +1197,38 @@ def _compile_schema_query(
             out = df.select(
                 F.element_at(F.col("tags"), F.lit(tag)).alias("_value")
             ).filter(F.col("_value").isNotNull())
-    else:  # tagKeys — promoted tag columns are schema metadata (a
-        # driver-side constant list, no scan); the map explode covers
-        # stores that carry map-only tags. The reference's own store
-        # writes zero tags (SURVEY §1.1) and returns the empty set.
+    else:  # tagKeys / measurementTagKeys — on an UNfiltered store the
+        # promoted tag columns are schema metadata (a driver-side
+        # constant list, no scan); under measurement/predicate/range
+        # filters a promoted key is listed only when the filtered
+        # frame holds a non-null value for it (upstream: keys of the
+        # MATCHING series) — one in-row stack over the already-pruned
+        # scan. The map explode covers stores with map-only tags; the
+        # reference's own store writes zero tags (SURVEY §1.1) and
+        # returns the empty set.
         promoted = bkt.tag_columns(df)
         out = df.select(
             F.explode(F.map_keys(F.col("tags"))).alias("_value")
         )
         if promoted:
-            out = out.unionByName(
-                spark.createDataFrame(
-                    [(c,) for c in promoted], "_value string"
-                )
+            filtered = bool(
+                {"predicate", "start", "stop", "measurement"} & set(a)
             )
+            if filtered:
+                pairs = ", ".join(f"'{c}', `{c}`" for c in promoted)
+                out = out.unionByName(
+                    df.selectExpr(
+                        f"stack({len(promoted)}, {pairs}) AS (_value, __v)"
+                    )
+                    .filter(F.col("__v").isNotNull())
+                    .select("_value")
+                )
+            else:
+                out = out.unionByName(
+                    spark.createDataFrame(
+                        [(c,) for c in promoted], "_value string"
+                    )
+                )
     return out.distinct()
 
 
@@ -1147,7 +1260,7 @@ def compile_flux(
         flags=re.MULTILINE,
     )
     if re.match(r"^\s*schema\.", body.lstrip()):
-        return _compile_schema_query(spark, body, bucket_paths, params)
+        return _compile_schema_query(spark, body, bucket_paths, params, now)
     stmts = _split_statements(body)
     if len(stmts) == 1 and stmts[0][0] is None:
         pipe, to_path, src_path = _strip_to(stmts[0][1], bucket_paths, params)
@@ -1995,7 +2108,7 @@ def _compile_pipeline(
                 raise FluxError(f"sample: unsupported args {sorted(extra)}")
             transform = ("sample", n, pos)
         elif head == "holtWinters":
-            # holtWinters(n:, interval:, [seasonality: 0]) — the
+            # holtWinters(n:, interval:, [seasonality: m]) — the
             # Grafana forecast panel. Upstream's STRUCTURE is
             # preserved exactly — timestamps floored to interval
             # multiples with the FIRST point per slot kept, the
@@ -2004,11 +2117,13 @@ def _compile_pipeline(
             # last slot — but upstream fits α/β/γ per series with a
             # Nelder-Mead SSE search (gonum), whose float trajectory
             # is not reproducible across engines; the subset pins the
-            # DOCUMENTED DYADIC constants α=0.5, β=0.25 (the engine's
-            # attested holt_linear_final fold) so every output value
-            # is bit-replayable by the SQL oracle. seasonality != 0
-            # (the seasonal init conventions) and withFit: true are
-            # outside the subset and raise naming the gap.
+            # DOCUMENTED DYADIC constants α=0.5, β=0.25, γ=0.25 (the
+            # engine's attested holt_linear_final fold) so every
+            # output value is bit-replayable by the SQL oracle.
+            # seasonality: m > 1 compiles the additive-seasonal
+            # triple recurrence (classic first-cycle init; series
+            # shorter than two seasons emit nothing); withFit: true
+            # is outside the subset and raises naming the gap.
             a = _args(stage, "holtWinters")
             hw_n = _resolve(a["n"], params) if "n" in a else None
             if not isinstance(hw_n, int) or isinstance(hw_n, bool) or hw_n < 1:
@@ -2025,11 +2140,18 @@ def _compile_pipeline(
                 raise FluxError(
                     f"holtWinters interval must be > 0: {interval!r}"
                 )
-            if "seasonality" in a and _resolve(a["seasonality"], params) != 0:
+            hw_m = (
+                _resolve(a["seasonality"], params) if "seasonality" in a else 0
+            )
+            if not isinstance(hw_m, int) or isinstance(hw_m, bool) or hw_m < 0:
                 raise FluxError(
-                    "holtWinters seasonality: only 0 (non-seasonal) is in "
-                    "the shipped subset — the seasonal form needs "
-                    "upstream's seasonal-init conventions"
+                    "holtWinters seasonality: non-negative int (points per "
+                    f"season) required, got {hw_m!r}"
+                )
+            if hw_m == 1:
+                raise FluxError(
+                    "holtWinters seasonality: 1 is degenerate (every point "
+                    "its own season) — use 0 for the non-seasonal form"
                 )
             if "withFit" in a and _resolve(a["withFit"], params) is not False:
                 raise FluxError(
@@ -2046,7 +2168,7 @@ def _compile_pipeline(
             }
             if extra:
                 raise FluxError(f"holtWinters: unsupported args {sorted(extra)}")
-            transform = ("holt_winters", hw_n, hw_int_s)
+            transform = ("holt_winters", hw_n, hw_int_s, hw_m)
         elif head == "stateCount":
             # stateCount(fn: (r) => pred) — sibling of stateDuration:
             # the 1-based position within the current TRUE run, −1
@@ -3596,7 +3718,7 @@ def _compile_pipeline(
             # bounded by range/interval (slots, not raw rows) — the
             # same attestation/diagnostic tier as holt_linear_final;
             # the slot-first aggregation is map-side combinable.
-            hw_n, hw_int_s = transform[1], transform[2]
+            hw_n, hw_int_s, hw_m = transform[1], transform[2], transform[3]
             unit_us = hw_int_s * 1_000_000
             src = df.filter(F.col("_value").isNotNull())
             per_slot = src.groupBy(
@@ -3617,18 +3739,86 @@ def _compile_pipeline(
             )
             xs = F.transform(F.col("__s"), lambda s: s["__x"].cast("double"))
 
-            def _hw_step(acc, x):
-                l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
-                b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
-                return F.struct(l_new.alias("l"), b_new.alias("b"))
+            if hw_m:
+                # SEASONAL additive form: classic init over the first
+                # season (l₀ = mean of cycle 1, b₀ = mean cross-cycle
+                # slope Σ(x_{m+i}−x_i)/m², s_i = x_i − l₀), then the
+                # triple recurrence with the same dyadic constants
+                # (γ = 0.25); the seasonal index advances per SLOT in
+                # the table's slot sequence. Series shorter than TWO
+                # full seasons emit nothing (the init needs both
+                # cycles). Forecast h = l + h·b + s[(h−1) mod m + 1]
+                # over the final season window. Every expression is
+                # spelled in the exact order the list-carrying
+                # recursive-CTE oracle replays (the doubleEMA oracle
+                # technique), so outputs are bit-identical.
+                m = hw_m
+                g = g.filter(F.size(F.col("__s")) >= 2 * m)
+                head = F.slice(xs, 1, m)
+                l0 = F.aggregate(
+                    F.slice(head, 2, m - 1),
+                    F.element_at(head, 1),
+                    lambda a, x: a + x,
+                ) / F.lit(float(m))
+                diffs = F.transform(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    lambda i: F.element_at(xs, i + m) - F.element_at(xs, i),
+                )
+                b0 = F.aggregate(
+                    F.slice(diffs, 2, m - 1),
+                    F.element_at(diffs, 1),
+                    lambda a, x: a + x,
+                ) / F.lit(float(m * m))
+                s0 = F.transform(head, lambda x: x - l0)
 
-            hw = F.aggregate(
-                F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-                F.struct(
-                    F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
-                ),
-                _hw_step,
-            )
+                def _hws_step(acc, x):
+                    s_old = F.element_at(acc["s"], 1)
+                    l_new = F.lit(0.5) * (x - s_old) + F.lit(0.5) * (
+                        acc["l"] + acc["b"]
+                    )
+                    b_new = (
+                        F.lit(0.25) * (l_new - acc["l"])
+                        + F.lit(0.75) * acc["b"]
+                    )
+                    s_new = F.lit(0.25) * (x - l_new) + F.lit(0.75) * s_old
+                    return F.struct(
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                        F.concat(
+                            F.slice(acc["s"], 2, m - 1), F.array(s_new)
+                        ).alias("s"),
+                    )
+
+                hw = F.aggregate(
+                    F.slice(
+                        xs, m + 1, F.greatest(F.size(xs) - m, F.lit(0))
+                    ),
+                    F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s")),
+                    _hws_step,
+                )
+                value_of = lambda i: (  # noqa: E731
+                    hw["l"]
+                    + i.cast("double") * hw["b"]
+                    + F.element_at(
+                        hw["s"], ((i - F.lit(1)) % F.lit(m) + F.lit(1)).cast("int")
+                    )
+                )
+            else:
+
+                def _hw_step(acc, x):
+                    l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+                    b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+                    return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+                hw = F.aggregate(
+                    F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+                    F.struct(
+                        F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
+                    ),
+                    _hw_step,
+                )
+                value_of = lambda i: hw["l"] + i.cast("double") * hw["b"]  # noqa: E731
+
             fc = F.transform(
                 F.sequence(F.lit(1), F.lit(hw_n)),
                 lambda i: F.struct(
@@ -3636,7 +3826,7 @@ def _compile_pipeline(
                         F.unix_micros("__last")
                         + i.cast("long") * F.lit(unit_us)
                     ).alias("_time"),
-                    (hw["l"] + i.cast("double") * hw["b"]).alias("_value"),
+                    value_of(i).alias("_value"),
                 ),
             )
             out = g.select(*keys, F.explode(fc).alias("__f")).select(

@@ -69,6 +69,10 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "chunk_dedup_stats",
         "label_outliers",
     ),
+    "suite_flux_round11": (
+        "flux_compiled_holt_winters",
+        "flux_compiled_holt_winters_seasonal",
+    ),
     "suite_flux_round10c": (
         "flux_compiled_mode",
         "flux_compiled_skew",
@@ -123,9 +127,11 @@ _CHECKED_WINDOW = [
     "flux_compiled_tag_regex",
     "flux_schema_tag_values",
     # + holtWinters (the forecast panel: pinned-dyadic additive Holt,
-    # VERDICT r10 item 4) and the to(bucket:) write-back task closing
-    # the ingest→store→query→rollup loop in Flux (item 5)
-    "flux_compiled_holt_winters",
+    # VERDICT r10 item 4 — non-seasonal AND seasonal, attested through
+    # the one-slot suite whose oracle embeds both singletons verbatim)
+    # and the to(bucket:) write-back task closing the
+    # ingest→store→query→rollup loop in Flux (item 5)
+    "suite_flux_round11",
     "flux_compiled_to_rollup",
     # --- the twelve r7-row singletons the r10 rotation displaced
     # (VERDICT r10 item 2: "all twelve lead the next rotation") ---

@@ -1017,14 +1017,25 @@ def flux_compiled_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flux_schema_field_keys",
     # the Grafana VARIABLE query that populates the reference's
     # ${Resistances} dropdown (photo/use-variable.png): schema.fieldKeys
-    # over the bucket — distinct field keys as a _value column.
-    oracle="SELECT DISTINCT event_type AS _value FROM events",
+    # over the bucket — distinct field keys as a _value column. Round
+    # 11: the FILTERED-dropdown form (upstream's predicate: +
+    # start:/stop: signature) — the predicate and the pruned range both
+    # change the result set, so the hash pins those paths too.
+    oracle="""
+    SELECT DISTINCT event_type AS _value FROM events
+    WHERE event_type <> 'view'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
 )
 def flux_schema_field_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 8: the dashboard-variable surface. A reference user's
-    variable definition (`import "influxdata/influxdb/schema"` +
-    `schema.fieldKeys(bucket:)`) compiles to a distinct single-column
-    scan — the dropdown Grafana builds every panel filter from."""
+    """Round 8 (predicate/bounds round 11): the dashboard-variable
+    surface. A reference user's variable definition
+    (`import "influxdata/influxdb/schema"` + `schema.fieldKeys(bucket:,
+    predicate:, start:, stop:)`) compiles to a distinct single-column
+    scan over the range-pruned store — the dropdown Grafana builds
+    every panel filter from, filtered exactly as Grafana's variable
+    editor emits it."""
     from ..flux import compile_flux
 
     path = _event_bucket_path(spark, sf_dir)
@@ -1033,7 +1044,12 @@ def flux_schema_field_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         import "influxdata/influxdb/schema"
 
-        schema.fieldKeys(bucket: "gas-quality")
+        schema.fieldKeys(
+          bucket: "gas-quality",
+          predicate: (r) => r["_field"] != "view",
+          start: "2024-01-08 00:00:00",
+          stop: "2024-01-15 00:00:00"
+        )
         """,
         {"gas-quality": path},
     )
@@ -4500,16 +4516,23 @@ def flux_compiled_tag_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "flux_schema_tag_values",
+    # the predicate prunes h0 out of the dropdown — if the compiled
+    # predicate path were a no-op the hash would catch the extra value
     oracle="""
     SELECT DISTINCT 'h' || CAST(user_id % 4 AS VARCHAR) AS _value
     FROM events
+    WHERE user_id % 4 <> 0
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
     """,
 )
 def flux_schema_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tag-variable dropdown (``schema.tagValues(tag: "host")``)
-    over the TAGGED store: served from the promoted column — a single
-    dictionary-encoded column scan with partial distinct, never a map
-    traversal (flux.py _compile_schema_query promoted-first path)."""
+    """The tag-variable dropdown (``schema.tagValues(tag: "host",
+    predicate:, start:, stop:)``) over the TAGGED store: served from
+    the promoted column — a single dictionary-encoded column scan over
+    the range-pruned store with partial distinct, never a map
+    traversal (flux.py _compile_schema_query promoted-first path);
+    the predicate is Grafana's filtered-dropdown shape."""
     from ..flux import compile_flux
 
     path = _tagged_bucket_path(spark, sf_dir)
@@ -4517,7 +4540,13 @@ def flux_schema_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         """
         import "influxdata/influxdb/schema"
-        schema.tagValues(bucket: "tagged", tag: "host")
+        schema.tagValues(
+          bucket: "tagged",
+          tag: "host",
+          predicate: (r) => r["host"] != "h0",
+          start: "2024-01-08 00:00:00",
+          stop: "2024-01-15 00:00:00"
+        )
         """,
         {"tagged": path},
     )
@@ -4650,3 +4679,135 @@ def flux_compiled_to_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         params=dict(_TAG_RANGE),
     )
     return out.drop("tags")
+
+
+@query(
+    "flux_compiled_holt_winters_seasonal",
+    # the SEASONAL triple recurrence replayed with a LIST-CARRYING
+    # recursive CTE (the doubleEMA oracle technique): the row carries
+    # (l, b, seasonal window s[1..m]) and each step consumes s[1] and
+    # appends the refreshed index; init = classic first-cycle
+    # conventions (l0 = cycle-1 left-fold mean, b0 = cross-cycle slope
+    # sum / m², s0 = cycle-1 deviations); forecasts join range(1, n+1)
+    # with the (h-1) mod m seasonal lookup. m=24 hourly slots = a
+    # daily season over the one-week range.
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS slot,
+             ts, value
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    firsts AS (
+      SELECT event_type, slot,
+             (ARRAY_AGG(CAST(value AS DOUBLE) ORDER BY ts, value))[1] AS x
+      FROM src GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, MAX(slot) AS last_slot,
+             CAST(COUNT(*) AS BIGINT) AS nn,
+             list(x ORDER BY slot) AS xs
+      FROM firsts GROUP BY 1
+      HAVING COUNT(*) >= 48
+    ),
+    init AS (
+      SELECT event_type, nn, last_slot, xs,
+             list_reduce(list_slice(xs, 1, 24), (a, b) -> a + b) / 24.0 AS l0
+      FROM base
+    ),
+    init2 AS (
+      SELECT event_type, nn, last_slot, xs, l0,
+             list_reduce(
+               list_transform(generate_series(1, 24),
+                              i -> xs[24 + i] - xs[i]),
+               (a, b) -> a + b) / 576.0 AS b0,
+             list_transform(list_slice(xs, 1, 24), x -> x - l0) AS s0
+      FROM init
+    ),
+    hw(event_type, i, l, b, s, nn, last_slot, xs) AS (
+      SELECT event_type, CAST(24 AS BIGINT), l0, b0, s0, nn, last_slot, xs
+      FROM init2
+      UNION ALL
+      SELECT event_type, i + 1,
+             0.5 * (xs[i + 1] - s[1]) + 0.5 * (l + b),
+             0.25 * ((0.5 * (xs[i + 1] - s[1]) + 0.5 * (l + b)) - l)
+               + 0.75 * b,
+             list_append(
+               list_slice(s, 2, 24),
+               0.25 * (xs[i + 1]
+                       - (0.5 * (xs[i + 1] - s[1]) + 0.5 * (l + b)))
+                 + 0.75 * s[1]),
+             nn, last_slot, xs
+      FROM hw WHERE i < nn
+    ),
+    fin AS (SELECT * FROM hw WHERE i = nn)
+    SELECT 'events' AS _measurement, fin.event_type AS _field,
+           make_timestamp(epoch_us(last_slot) + k * 3600000000) AS _time,
+           l + CAST(k AS DOUBLE) * b
+             + s[CAST((k - 1) % 24 AS INT) + 1] AS forecast
+    FROM fin, range(1, 7) t(k)
+    """,
+)
+def flux_compiled_holt_winters_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The seasonal forecast panel (``holtWinters(n: 6, interval: 1h,
+    seasonality: 24)`` — a daily season over hourly slots): the
+    additive-seasonal triple recurrence with the documented dyadic
+    constants, classic first-cycle init, per-slot seasonal index
+    (flux.py holtWinters bullet)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> holtWinters(n: 6, interval: 1h, seasonality: 24)
+          |> yield(name: "forecast")
+        """,
+        {"gas-quality": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+_SUITE_11_SQL = f"""
+    SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
+           CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
+    FROM ({ORACLE["flux_compiled_holt_winters"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_holt_winters_seasonal', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), t.forecast
+    FROM ({ORACLE["flux_compiled_holt_winters_seasonal"]}) t
+"""
+
+
+@query("suite_flux_round11", oracle=_SUITE_11_SQL)
+def suite_flux_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 Flux suite (the round-10c one-slot pattern): both
+    holtWinters forms — non-seasonal and the seasonal triple
+    recurrence — driver-attested through one order-insensitive union
+    hash whose oracle embeds each singleton's registered SQL verbatim
+    (pinned by tests/test_registry_window.py)."""
+
+    def _us(c):
+        return F.unix_micros(c).cast("string")
+
+    arms = [
+        flux_compiled_holt_winters(spark, sf_dir).select(
+            F.lit("flux_compiled_holt_winters").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            F.col("forecast").alias("value"),
+        ),
+        flux_compiled_holt_winters_seasonal(spark, sf_dir).select(
+            F.lit("flux_compiled_holt_winters_seasonal").alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            F.col("forecast").alias("value"),
+        ),
+    ]
+    return arms[0].unionByName(arms[1])
