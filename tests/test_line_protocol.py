@@ -1,0 +1,177 @@
+"""Line-protocol source (round 11): InfluxDB's native wire format
+parsed JVM-side — escapes, field typing, timestamp units, tag
+promotion, the dead-letter contract, and streaming==batch equality."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.sources import bucket as bkt
+from time_series_data_pipeline_spark.sources import line_protocol as lp
+
+LINES = [
+    "weather,city=SF,unit=C temp=21.5,hum=40i 1704067200123456789",
+    r"m\ x,k\,1=a\ b temp=1i 1704067200000000000",
+    "weather temp=9.5 1704067200123456789",
+    "bad",
+    'weather note="hi" 1704067200123456789',
+    "weather temp=1.0",
+    "weather temp=2.0 notanumber",
+    "# comment",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    return spark.createDataFrame([(x,) for x in LINES], "value string")
+
+
+def test_parse_golden(spark, lines):
+    rows = {
+        (r["_measurement"], r["_field"], str(r["_time"])): (
+            r["_value"],
+            dict(r["tags"]),
+            r["city"],
+        )
+        for r in lp.parse_line_protocol(lines, tag_keys=["city"]).collect()
+    }
+    assert rows == {
+        # ns truncates toward zero to µs; int field '40i' → 40.0
+        ("weather", "temp", "2024-01-01 00:00:00.123456"): (
+            21.5, {"city": "SF", "unit": "C"}, "SF",
+        ),
+        ("weather", "hum", "2024-01-01 00:00:00.123456"): (
+            40.0, {"city": "SF", "unit": "C"}, "SF",
+        ),
+        # escaped space in measurement, escaped comma in tag key,
+        # escaped space in tag value — all unescaped
+        ("m x", "temp", "2024-01-01 00:00:00"): (1.0, {"k,1": "a b"}, None),
+        # tagless line: empty map, promoted column NULL
+        ("weather", "temp", "2024-01-01 00:00:00.123456"): (9.5, {}, None),
+    }
+
+
+def test_rejects_named_reasons(spark, lines):
+    got = {
+        (r["line"], r["reason"])
+        for r in lp.line_protocol_rejects(lines).collect()
+    }
+    assert got == {
+        ("bad", "malformed_line"),
+        ('weather note="hi" 1704067200123456789', "non_numeric_field"),
+        ("weather temp=1.0", "missing_timestamp"),
+        ("weather temp=2.0 notanumber", "bad_timestamp"),
+    }
+
+
+def test_good_plus_rejected_cover_every_line(spark, lines):
+    good_raw = (
+        lp._parsed(lines, "ns")
+        .filter(F.col("_reject").isNull())
+        .select("_raw")
+        .distinct()
+        .count()
+    )
+    bad = lp.line_protocol_rejects(lines).select("line").distinct().count()
+    # 9 input lines − 1 comment − 1 blank = 7 accounted lines
+    assert good_raw + bad == 7
+
+
+def test_time_units(spark):
+    us = 1704067200123456
+    frames = {
+        "ns": str(us * 1000),
+        "us": str(us),
+        "ms": str(us // 1000),
+        "s": str(us // 1_000_000),
+    }
+    for unit, ts in frames.items():
+        df = spark.createDataFrame([(f"m f=1.0 {ts}",)], "value string")
+        got = str(
+            lp.parse_line_protocol(df, time_unit=unit).collect()[0]["_time"]
+        )
+        if unit == "ns":
+            assert got == "2024-01-01 00:00:00.123456", unit
+        elif unit == "us":
+            assert got == "2024-01-01 00:00:00.123456", unit
+        elif unit == "ms":
+            assert got == "2024-01-01 00:00:00.123000", unit
+        else:
+            assert got == "2024-01-01 00:00:00", unit
+    with pytest.raises(ValueError, match="time_unit"):
+        lp.parse_line_protocol(
+            spark.createDataFrame([("m f=1 1",)], "value string"),
+            time_unit="m",
+        )
+
+
+def test_ns_precision_no_double_detour(spark):
+    # 1704067200123456789 ns → 1704067200123456 µs EXACTLY; a double
+    # division would land ±µs off for epochs beyond 2^53
+    df = spark.createDataFrame(
+        [("m f=1.0 1704067200123456789",)], "value string"
+    )
+    got = (
+        lp.parse_line_protocol(df)
+        .select(F.unix_micros("_time").alias("us"))
+        .collect()[0]["us"]
+    )
+    assert got == 1704067200123456
+
+
+def test_parsed_store_roundtrip_through_bucket(spark, lines, tmp_path):
+    path = str(tmp_path / "lp_bucket")
+    parsed = lp.parse_line_protocol(lines, tag_keys=["city"])
+    bkt.write_bucket(parsed, path, mode="overwrite")
+    back = bkt.read_bucket(spark, path)
+    assert bkt.tag_columns(back) == ["city"]
+    assert back.count() == parsed.count() == 4
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    src = tmp_path / "lp_src"
+    src.mkdir()
+    (src / "a.lp").write_text("\n".join(LINES[:3]) + "\n")
+    (src / "b.lp").write_text("\n".join(LINES[3:]) + "\n")
+    out = str(tmp_path / "lp_out")
+    ckpt = str(tmp_path / "lp_ckpt")
+    stream = lp.stream_line_protocol(
+        spark, str(src), tag_keys=["city"], max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        tuple(map(str, r))
+        for r in spark.read.parquet(out)
+        .select("_time", "_measurement", "_field", "_value", "city")
+        .collect()
+    }
+    batch = {
+        tuple(map(str, r))
+        for r in lp.parse_line_protocol(
+            spark.read.text(str(src)), tag_keys=["city"]
+        )
+        .select("_time", "_measurement", "_field", "_value", "city")
+        .collect()
+    }
+    assert streamed == batch and len(batch) == 4
+
+
+def test_no_python_in_parse_plan(spark, lines):
+    plan = (
+        lp.parse_line_protocol(lines, tag_keys=["city"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan

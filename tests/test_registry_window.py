@@ -58,7 +58,7 @@ def test_new_and_changed_queries_lead_the_window():
     assert set(_CHECKED_WINDOW[:6]) == {
         "flux_compiled_tag_filter", "flux_compiled_tag_group",
         "flux_compiled_tag_regex", "flux_schema_tag_values",
-        "suite_flux_round11", "flux_compiled_to_rollup",
+        "suite_round11", "flux_compiled_to_rollup",
     }
     assert set(_CHECKED_WINDOW[6:18]) == {
         "bm25_search", "bpe_token_stats", "doc_repetition",

@@ -69,9 +69,10 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "chunk_dedup_stats",
         "label_outliers",
     ),
-    "suite_flux_round11": (
+    "suite_round11": (
         "flux_compiled_holt_winters",
         "flux_compiled_holt_winters_seasonal",
+        "lineprotocol_window_mean",
     ),
     "suite_flux_round10c": (
         "flux_compiled_mode",
@@ -131,7 +132,7 @@ _CHECKED_WINDOW = [
     # the one-slot suite whose oracle embeds both singletons verbatim)
     # and the to(bucket:) write-back task closing the
     # ingest→store→query→rollup loop in Flux (item 5)
-    "suite_flux_round11",
+    "suite_round11",
     "flux_compiled_to_rollup",
     # --- the twelve r7-row singletons the r10 rotation displaced
     # (VERDICT r10 item 2: "all twelve lead the next rotation") ---

@@ -4776,6 +4776,96 @@ def flux_compiled_holt_winters_seasonal(
     )
 
 
+
+
+_LP_CORPUS_VERSION = "lp-v1"
+
+
+def _lineprotocol_corpus_path(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-serialized ONCE as InfluxDB line protocol (the wire
+    format a real corpus arrives in): one line per non-null event —
+    ``events,host=hX,dc=dY <event_type>=<value> <ns epoch>`` — in
+    event_id order, 64k lines per file (several input splits at bench
+    scale). Deterministic byte-for-byte, so the parse path is
+    hash-attestable against the raw parquet."""
+    import os
+
+    from ..operators._util import cached_store
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+
+    def _build(scratch: str) -> None:
+        import duckdb
+
+        os.makedirs(scratch, exist_ok=True)
+        rows = duckdb.sql(
+            f"""
+            SELECT epoch_us(ts) * 1000, user_id % 4, user_id % 3,
+                   event_type, value
+            FROM '{src}' WHERE value IS NOT NULL ORDER BY event_id
+            """
+        ).fetchall()
+        per_file = 65536
+        for i in range(0, len(rows), per_file):
+            with open(
+                os.path.join(scratch, f"part-{i // per_file:05d}.lp"), "w"
+            ) as fh:
+                for ts_ns, h, d, field, value in rows[i : i + per_file]:
+                    fh.write(
+                        f"events,host=h{h},dc=d{d} {field}={value!r} {ts_ns}\n"
+                    )
+
+    return cached_store(
+        _build,
+        "tsdp_lp_corpus",
+        f"{os.path.abspath(sf_dir)}:{mtime}:{_LP_CORPUS_VERSION}",
+    )
+
+
+@query(
+    "lineprotocol_window_mean",
+    # the parse path is attested END TO END against the raw parquet:
+    # the corpus serializer and the oracle read the same rows, so a
+    # parse defect (escaping, ns truncation, field typing, tag
+    # promotion) breaks the hash
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+           {_AVG} AS avg_value,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL AND {_TAG_RANGE_SQL}
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def lineprotocol_window_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB's native wire format end to end: the line-protocol
+    corpus (events re-serialized, tags host/dc) parsed JVM-side
+    (sources/line_protocol.py — split/transform/explode, no Python),
+    host promoted at parse time, hourly mean per (field, host) over
+    the week — the full switching story for a user whose data arrives
+    as line protocol rather than the reference's CSVs."""
+    import os
+
+    from ..sources import line_protocol as lp
+
+    path = _lineprotocol_corpus_path(spark, sf_dir)
+    parsed = lp.read_line_protocol(
+        spark, os.path.join(path, "*.lp"), tag_keys=["host"], time_unit="ns"
+    ).filter(
+        (F.col("_time") >= "2024-01-08 00:00:00")
+        & (F.col("_time") < "2024-01-15 00:00:00")
+    )
+    return ts_ops.tumbling_agg(
+        parsed, "_time", "_value", ["_measurement", "_field", "host"], "1 hour"
+    )
+
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -4784,16 +4874,21 @@ _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters_seasonal', t._field,
            CAST(epoch_us(t._time) AS VARCHAR), t.forecast
     FROM ({ORACLE["flux_compiled_holt_winters_seasonal"]}) t
+    UNION ALL
+    SELECT 'lineprotocol_window_mean', t._field || '|' || t.host,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.avg_value
+    FROM ({ORACLE["lineprotocol_window_mean"]}) t
 """
 
 
-@query("suite_flux_round11", oracle=_SUITE_11_SQL)
-def suite_flux_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-11 Flux suite (the round-10c one-slot pattern): both
+@query("suite_round11", oracle=_SUITE_11_SQL)
+def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 suite (the round-10c one-slot pattern): both
     holtWinters forms — non-seasonal and the seasonal triple
-    recurrence — driver-attested through one order-insensitive union
-    hash whose oracle embeds each singleton's registered SQL verbatim
-    (pinned by tests/test_registry_window.py)."""
+    recurrence — plus the line-protocol parse path, driver-attested
+    through one order-insensitive union hash whose oracle embeds each
+    singleton's registered SQL verbatim (pinned by
+    tests/test_registry_window.py)."""
 
     def _us(c):
         return F.unix_micros(c).cast("string")
@@ -4809,5 +4904,14 @@ def suite_flux_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_field").alias("k1"), _us("_time").alias("k2"),
             F.col("forecast").alias("value"),
         ),
+        lineprotocol_window_mean(spark, sf_dir).select(
+            F.lit("lineprotocol_window_mean").alias("sub"),
+            F.concat(F.col("_field"), F.lit("|"), F.col("host")).alias("k1"),
+            _us("window_start").alias("k2"),
+            F.col("avg_value").alias("value"),
+        ),
     ]
-    return arms[0].unionByName(arms[1])
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -1,0 +1,215 @@
+"""InfluxDB line-protocol source — the reference store's NATIVE wire
+format, parsed entirely JVM-side into the bucket schema.
+
+The reference's own ingest arrives as CSV (dags/ETL.py), but the
+engine claims the InfluxDB data model (README.md:155-161) and every
+real InfluxDB corpus ships as line protocol::
+
+    measurement[,tag1=v1,tag2=v2] field1=1.5[,field2=2i] [timestamp]
+
+Grammar subset (documented; everything else lands in the dead-letter
+frame with a named reason, the ``read_wide_csv_tolerant`` discipline):
+
+* escapes: ``\\,`` ``\\=`` ``\\  `` (backslash-comma/equals/space) in
+  measurement, tag keys/values and field keys — handled via
+  fixed-width negative-lookbehind splits (``(?<!\\\\)``), then
+  unescaped;
+* field values: floats and ``NNNi`` integers (both → double ``_value``
+  — the bucket's one value type). Quoted strings / booleans / uints
+  are structurally recognized and quarantined (reason
+  ``non_numeric_field``), never silently coerced;
+* timestamps: integer epoch in ``ns`` (upstream default), ``us``,
+  ``ms`` or ``s``; a line WITHOUT a timestamp is quarantined
+  (``missing_timestamp``) — upstream stamps server wall-clock arrival
+  time, which would break replayability (the same explicit-bounds
+  rule as range()).
+
+Everything is built-in-function Catalyst (split/transform/
+map_from_entries/explode) — one narrow map per line, no Python, no
+shuffle; parsing throughput scales with input splits like any text
+scan. Declared ``tag_keys`` become PROMOTED columns (missing on a
+line → NULL) with the full map mirrored in ``tags`` — the storage
+contract of sources/bucket.py; undeclared tag keys still ride the
+map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: negative-lookbehind delimiters: split on a delimiter NOT preceded
+#: by a backslash (Java regex, fixed-width lookbehind)
+_SP = r"(?<!\\) "
+_COMMA = r"(?<!\\),"
+_EQ = r"(?<!\\)="
+
+#: epoch-integer scale to microseconds per declared input unit
+_UNIT_DIV = {"ns": 1000, "us": 1, "ms": None, "s": None}
+_UNIT_MUL = {"ms": 1000, "s": 1_000_000}
+
+
+def _unescape(col):
+    return F.regexp_replace(col, r"\\([,= ])", "$1")
+
+
+def _kv_map(col):
+    """``k1=v1,k2=v2`` → map<string,string> (unescaped keys/values)."""
+    entries = F.transform(
+        F.split(col, _COMMA),
+        lambda kv: F.struct(
+            _unescape(F.split(kv, _EQ, 2).getItem(0)).alias("key"),
+            _unescape(F.try_element_at(F.split(kv, _EQ, 2), F.lit(2))).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
+    """Shared shredding: one row per FIELD per line, with raw value and
+    a NULL ``_reject`` for good rows / a named reason otherwise."""
+    if time_unit not in _UNIT_DIV:
+        raise ValueError(f"time_unit must be one of {sorted(_UNIT_DIV)}")
+    parts = F.split(F.trim(F.col("value")), _SP)
+    ident = F.try_element_at(parts, F.lit(1))
+    df = (
+        lines.filter(F.length(F.trim(F.col("value"))) > 0)
+        .filter(~F.col("value").startswith("#"))  # upstream comments
+        .select(
+            F.col("value").alias("_raw"),
+            F.size(parts).alias("__n"),
+            ident.alias("__ident"),
+            F.try_element_at(parts, F.lit(2)).alias("__fieldset"),
+            F.when(F.size(parts) >= 3, F.try_element_at(parts, F.lit(3))).alias("__ts"),
+        )
+    )
+    ident_parts = F.split(F.col("__ident"), _COMMA)
+    measurement = _unescape(F.try_element_at(ident_parts, F.lit(1)))
+    tag_pairs = F.slice(
+        ident_parts, 2, F.greatest(F.size(ident_parts) - 1, F.lit(0))
+    )
+    tags = F.map_from_entries(
+        F.transform(
+            tag_pairs,
+            lambda kv: F.struct(
+                _unescape(F.split(kv, _EQ, 2).getItem(0)).alias("key"),
+                _unescape(F.try_element_at(F.split(kv, _EQ, 2), F.lit(2))).alias("value"),
+            ),
+        )
+    )
+    if time_unit in _UNIT_MUL:
+        ts_us = F.try_multiply(
+            F.col("__ts").try_cast("long"), F.lit(_UNIT_MUL[time_unit])
+        )
+    else:
+        # integer DIV, never a double detour: a ns epoch (~1.7e18) is
+        # beyond double's 53-bit mantissa — float division would move
+        # timestamps by whole microseconds. TRY_CAST: a malformed
+        # timestamp quarantines (bad_timestamp), never throws mid-scan
+        ts_us = F.expr(
+            f"TRY_CAST(__ts AS BIGINT) DIV {_UNIT_DIV[time_unit]}"
+        )
+    shredded = df.select(
+        "_raw",
+        "__n",
+        measurement.alias("_measurement"),
+        tags.alias("tags"),
+        F.col("__fieldset"),
+        F.col("__ts"),
+        ts_us.alias("__ts_us"),
+    ).select(
+        "*",
+        F.explode_outer(_kv_map(F.col("__fieldset"))).alias(
+            "_field", "__rawval"
+        ),
+    )
+    int_form = F.col("__rawval").rlike(r"^-?\d+i$")
+    num = F.when(
+        int_form,
+        F.regexp_replace(F.col("__rawval"), "i$", "").cast("double"),
+    ).otherwise(F.col("__rawval").try_cast("double"))
+    reject = (
+        F.when(F.col("__n") < 2, F.lit("malformed_line"))
+        .when(F.col("__n") > 3, F.lit("malformed_line"))
+        .when(F.col("__ts").isNull(), F.lit("missing_timestamp"))
+        .when(
+            F.col("__ts_us").isNull(), F.lit("bad_timestamp")
+        )
+        .when(F.col("_field").isNull(), F.lit("malformed_line"))
+        .when(num.isNull(), F.lit("non_numeric_field"))
+    )
+    return shredded.select(
+        "_raw",
+        F.timestamp_micros(F.col("__ts_us")).alias("_time"),
+        "_measurement",
+        "_field",
+        num.alias("_value"),
+        "tags",
+        reject.alias("_reject"),
+    )
+
+
+def parse_line_protocol(
+    lines: DataFrame,
+    tag_keys: list[str] | None = None,
+    time_unit: str = "ns",
+) -> DataFrame:
+    """Good rows in the bucket schema (one row per field per line),
+    with each declared ``tag_keys`` promoted to a top-level string
+    column (NULL where a line lacks it). ``lines`` is any one-column
+    text frame (``spark.read.text`` / ``readStream.text``)."""
+    p = _parsed(lines, time_unit).filter(F.col("_reject").isNull())
+    tag_cols = [
+        F.try_element_at(F.col("tags"), F.lit(k)).alias(k)
+        for k in (tag_keys or [])
+    ]
+    return p.select(
+        "_time", "_measurement", "_field", "_value", *tag_cols, "tags"
+    )
+
+
+def line_protocol_rejects(
+    lines: DataFrame, time_unit: str = "ns"
+) -> DataFrame:
+    """The dead-letter frame: (raw line, reason) for every shredded
+    row the subset refuses — quarantine-and-continue, never silent
+    coercion (the CSV tolerant-scan discipline)."""
+    return (
+        _parsed(lines, time_unit)
+        .filter(F.col("_reject").isNotNull())
+        .select(F.col("_raw").alias("line"), F.col("_reject").alias("reason"))
+        .distinct()
+    )
+
+
+def read_line_protocol(
+    spark: SparkSession,
+    path: str,
+    tag_keys: list[str] | None = None,
+    time_unit: str = "ns",
+) -> DataFrame:
+    """Batch scan: line-protocol text file(s)/glob → bucket-schema
+    frame, ready for ``bucket.write_bucket``."""
+    return parse_line_protocol(
+        spark.read.text(path), tag_keys=tag_keys, time_unit=time_unit
+    )
+
+
+def stream_line_protocol(
+    spark: SparkSession,
+    path: str,
+    tag_keys: list[str] | None = None,
+    time_unit: str = "ns",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source: file-arrival line-protocol directory → the
+    same parsed frame (identical plan per micro-batch); pair with the
+    exactly-once bucket sink (streaming/ingest) exactly like the CSV
+    stream — the source's checkpointed file log provides the
+    at-most-once file accounting."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_line_protocol(
+        reader.text(path), tag_keys=tag_keys, time_unit=time_unit
+    )
