@@ -175,3 +175,61 @@ def test_no_python_in_parse_plan(spark, lines):
         .toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_duplicate_keys_quarantine_never_abort(spark):
+    # under ANSI, map_from_entries THROWS on duplicate keys — a single
+    # hostile line must quarantine, never abort the scan
+    lines = spark.createDataFrame(
+        [
+            ("m,a=1,a=2 f=1.0 1704067200000000000",),
+            ("m f=1.0,f=2.0 1704067200000000000",),
+            ("m,a=1 f=1.0 1704067200000000000",),
+        ],
+        "value string",
+    )
+    good = lp.parse_line_protocol(lines).collect()
+    assert len(good) == 1 and dict(good[0]["tags"]) == {"a": "1"}
+    rejects = {
+        (r["line"], r["reason"])
+        for r in lp.line_protocol_rejects(lines).collect()
+    }
+    assert rejects == {
+        ("m,a=1,a=2 f=1.0 1704067200000000000", "duplicate_key"),
+        ("m f=1.0,f=2.0 1704067200000000000", "duplicate_key"),
+    }
+
+
+def test_exactly_once_lineprotocol_ingest(spark, tmp_path):
+    """The exactly-once chain over the wire format: drain, re-drain (a
+    restarted job must not double-ingest), then late arrival of a new
+    file ingests exactly its lines."""
+    from time_series_data_pipeline_spark.streaming import ingest as sti
+
+    src = tmp_path / "lp_in"
+    src.mkdir()
+    (src / "a.lp").write_text(
+        "m,host=a f=1.0 1704067200000000000\n"
+        "m,host=b f=2.0 1704067260000000000\n"
+    )
+    bucket = str(tmp_path / "lp_bucket")
+    ckpt = str(tmp_path / "lp_ckpt")
+    q = sti.start_lineprotocol_ingest(
+        spark, str(src), bucket, ckpt, tag_keys=["host"]
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(bucket).count() == 2
+    # restart over the same checkpoint: nothing new → no double-ingest
+    q = sti.start_lineprotocol_ingest(
+        spark, str(src), bucket, ckpt, tag_keys=["host"]
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(bucket).count() == 2
+    (src / "b.lp").write_text("m,host=a f=3.0 1704067320000000000\n")
+    q = sti.start_lineprotocol_ingest(
+        spark, str(src), bucket, ckpt, tag_keys=["host"]
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(bucket)
+    assert got.count() == 3
+    assert {r["host"] for r in got.collect()} == {"a", "b"}

@@ -1297,6 +1297,21 @@ def compile_flux(
     return _compile_combiner(spark, final, env, params)
 
 
+#: per-(session, store) promoted-tag-column cache — see the discovery
+#: comment in _compile_pipeline. Keyed by id(spark) so a new session
+#: (new catalog state) never reads a stale entry.
+_TAG_COLS_CACHE: dict[tuple[int, str], list[str]] = {}
+
+
+def _store_tag_cols(spark: SparkSession, path: str) -> list[str]:
+    key = (id(spark), os.path.abspath(path))
+    if key not in _TAG_COLS_CACHE:
+        _TAG_COLS_CACHE[key] = bkt.tag_columns(bkt.read_bucket(spark, path))
+        if len(_TAG_COLS_CACHE) > 256:
+            _TAG_COLS_CACHE.pop(next(iter(_TAG_COLS_CACHE)))
+    return _TAG_COLS_CACHE[key]
+
+
 def _strip_to(
     body: str, bucket_paths: dict[str, str], params: dict[str, Any]
 ) -> tuple[str, str | None, str | None]:
@@ -1417,10 +1432,13 @@ def _compile_pipeline(
     # columns (sources/bucket.py ``tag_columns``) extend the Flux
     # table key — InfluxDB's series key is (_measurement, tag set,
     # _field), and every aggregation/transform below partitions on
-    # it. One driver-side schema read per compile (a production
-    # deployment resolves this from the catalog); untagged stores
-    # yield the classic two-column key, byte-identical plans.
-    store_tag_cols = bkt.tag_columns(bkt.read_bucket(spark, path))
+    # it. The schema read lists the store's files — a real driver
+    # cost at large partition counts — so it is cached per (session,
+    # store): a store's TAG SET is its schema identity (changing it
+    # is a new store version, like any table-format schema change); a
+    # production deployment resolves this from the catalog. Untagged
+    # stores yield the classic two-column key, byte-identical plans.
+    store_tag_cols = _store_tag_cols(spark, path)
     natural_key = ["_measurement", "_field", *store_tag_cols]
 
     start = stop = None

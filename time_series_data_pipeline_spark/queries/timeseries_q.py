@@ -4776,8 +4776,6 @@ def flux_compiled_holt_winters_seasonal(
     )
 
 
-
-
 _LP_CORPUS_VERSION = "lp-v1"
 
 

@@ -22,7 +22,12 @@ frame with a named reason, the ``read_wide_csv_tolerant`` discipline):
   ``ms`` or ``s``; a line WITHOUT a timestamp is quarantined
   (``missing_timestamp``) — upstream stamps server wall-clock arrival
   time, which would break replayability (the same explicit-bounds
-  rule as range()).
+  rule as range());
+* a line with DUPLICATE tag or field keys quarantines
+  (``duplicate_key``): it is invalid upstream, and under ANSI a
+  duplicate key in ``map_from_entries`` would otherwise abort the
+  whole scan (the map build itself dedupes keep-first so the
+  expression stays total).
 
 Everything is built-in-function Catalyst (split/transform/
 map_from_entries/explode) — one narrow map per line, no Python, no
@@ -53,16 +58,40 @@ def _unescape(col):
     return F.regexp_replace(col, r"\\([,= ])", "$1")
 
 
-def _kv_map(col):
-    """``k1=v1,k2=v2`` → map<string,string> (unescaped keys/values)."""
-    entries = F.transform(
-        F.split(col, _COMMA),
+def _kv_entries(pairs):
+    """k=v pair array → struct<key, value> array (unescaped)."""
+    return F.transform(
+        pairs,
         lambda kv: F.struct(
             _unescape(F.split(kv, _EQ, 2).getItem(0)).alias("key"),
-            _unescape(F.try_element_at(F.split(kv, _EQ, 2), F.lit(2))).alias("value"),
+            _unescape(
+                F.try_element_at(F.split(kv, _EQ, 2), F.lit(2))
+            ).alias("value"),
         ),
     )
-    return F.map_from_entries(entries)
+
+
+def _kv_keys(entries):
+    return F.transform(entries, lambda e: e["key"])
+
+
+def _kv_map(entries):
+    """Entries → map, keep-FIRST on duplicate keys: under ANSI,
+    map_from_entries THROWS on a duplicate key (DUPLICATED_MAP_KEY) —
+    one hostile line must never abort the scan; duplicate-key lines
+    are additionally quarantined (``duplicate_key``), the dedup here
+    only keeps the expression total."""
+    keys = _kv_keys(entries)
+    deduped = F.filter(
+        entries,
+        lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1),
+    )
+    return F.map_from_entries(deduped)
+
+
+def _has_dup_keys(entries):
+    keys = _kv_keys(entries)
+    return F.size(F.array_distinct(keys)) != F.size(keys)
 
 
 def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
@@ -88,15 +117,9 @@ def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
     tag_pairs = F.slice(
         ident_parts, 2, F.greatest(F.size(ident_parts) - 1, F.lit(0))
     )
-    tags = F.map_from_entries(
-        F.transform(
-            tag_pairs,
-            lambda kv: F.struct(
-                _unescape(F.split(kv, _EQ, 2).getItem(0)).alias("key"),
-                _unescape(F.try_element_at(F.split(kv, _EQ, 2), F.lit(2))).alias("value"),
-            ),
-        )
-    )
+    tag_entries = _kv_entries(tag_pairs)
+    tags = _kv_map(tag_entries)
+    dup_tag = _has_dup_keys(tag_entries)
     if time_unit in _UNIT_MUL:
         ts_us = F.try_multiply(
             F.col("__ts").try_cast("long"), F.lit(_UNIT_MUL[time_unit])
@@ -109,17 +132,19 @@ def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
         ts_us = F.expr(
             f"TRY_CAST(__ts AS BIGINT) DIV {_UNIT_DIV[time_unit]}"
         )
+    field_entries = _kv_entries(F.split(F.col("__fieldset"), _COMMA))
     shredded = df.select(
         "_raw",
         "__n",
         measurement.alias("_measurement"),
         tags.alias("tags"),
+        (dup_tag | _has_dup_keys(field_entries)).alias("__dup"),
         F.col("__fieldset"),
         F.col("__ts"),
         ts_us.alias("__ts_us"),
     ).select(
         "*",
-        F.explode_outer(_kv_map(F.col("__fieldset"))).alias(
+        F.explode_outer(_kv_map(field_entries)).alias(
             "_field", "__rawval"
         ),
     )
@@ -135,6 +160,7 @@ def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
         .when(
             F.col("__ts_us").isNull(), F.lit("bad_timestamp")
         )
+        .when(F.col("__dup"), F.lit("duplicate_key"))
         .when(F.col("_field").isNull(), F.lit("malformed_line"))
         .when(num.isNull(), F.lit("non_numeric_field"))
     )

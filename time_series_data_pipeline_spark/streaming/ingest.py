@@ -269,3 +269,40 @@ def start_rollup_maintenance(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_lineprotocol_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    bucket_path: str,
+    checkpoint: str,
+    tag_keys: list[str] | None = None,
+    time_unit: str = "ns",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Line-protocol arrivals → parse (sources/line_protocol — JVM-only
+    shredding, declared tags promoted) → partitioned Parquet bucket,
+    exactly once: the file source's processed-file log gives
+    at-most-once per file, the sink's transaction log gives atomic
+    batches — the same two-sided contract as ``start_bucket_ingest``,
+    over InfluxDB's native wire format instead of the reference's
+    CSVs. Rejected lines are dropped here (the parse keeps only good
+    rows); run ``line_protocol_rejects`` over the same directory in
+    batch for the quarantine report — the parse is deterministic, so
+    the split is exactly reproducible."""
+    from ..sources import line_protocol as lp
+
+    parsed = lp.stream_line_protocol(
+        spark, src_dir, tag_keys=tag_keys, time_unit=time_unit
+    ).withColumn("_date", F.to_date("_time"))
+
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", bucket_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("_measurement", "_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
