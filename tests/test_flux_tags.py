@@ -390,3 +390,84 @@ def test_schema_measurement_form_requires_measurement(spark, tagged):
             tagged,
             'schema.measurementTagKeys(bucket: "tagged")',
         )
+
+
+def test_exists_predicate_on_sparse_tag(spark, tmp_path):
+    # a line-protocol-style store where some series lack a tag: the
+    # promoted column is NULL there — `exists` / `not exists` select
+    # exactly the tagged/untagged rows (upstream's missing-column
+    # semantics)
+    src = str(tmp_path / "sparse")
+    rows = [
+        ("2024-01-01 00:10:00", "f", 1.0, "a"),
+        ("2024-01-01 00:20:00", "f", 3.0, None),
+        ("2024-01-01 00:40:00", "f", 5.0, "b"),
+    ]
+    long_df = spark.createDataFrame(
+        rows, "t string, _field string, _value double, host string"
+    ).select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("m").alias("_measurement"),
+        "_field",
+        "_value",
+        "host",
+        F.when(
+            F.col("host").isNotNull(),
+            F.create_map(F.lit("host"), F.col("host")),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+    )
+    bkt.write_bucket(long_df, src, mode="overwrite")
+    tagged_only = compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => exists r["host"])
+          |> group(columns: ["host"])
+          |> count()
+        """,
+        {"b": src},
+    )
+    assert {(r["host"], r["count"]) for r in tagged_only.collect()} == {
+        ("a", 1), ("b", 1),
+    }
+    untagged_only = compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => not exists r.host)
+          |> group()
+          |> count()
+        """,
+        {"b": src},
+    )
+    assert [r["count"] for r in untagged_only.collect()] == [1]
+
+
+def test_create_empty_gap_fill_over_tagged_key(spark, tagged):
+    out = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> filter(fn: (r) => r["host"] == "h1")
+          |> aggregateWindow(every: 6h, fn: count, createEmpty: true)
+        """,
+        {"tagged": tagged},
+        params=dict(RANGE),
+    )
+    rows = out.collect()
+    # the gap-fill spine covers every 6h bucket in each series' range
+    # per full (measurement, field, host, dc) key; zero-count buckets
+    # are materialized
+    assert out.columns == [
+        "window_start", "_measurement", "_field", "host", "dc", "count",
+    ]
+    keys = {(r["host"], r["dc"]) for r in rows}
+    assert keys == {("h1", d) for d in ("d0", "d1", "d2")}
+    assert all(r["count"] >= 0 for r in rows)

@@ -177,7 +177,10 @@ the ``_measurement``/``_field`` forms — partition/manifest/row-group
 pruning over the promoted column; regex/compound tag predicates stay
 residual row filters on the same pushdown-capable columns. The
 reference's own store writes zero tags (SURVEY §1.1) and compiles to
-the classic two-column key, byte-identical plans.
+the classic two-column key, byte-identical plans. ``exists r["tag"]``
+/ ``not exists`` test column presence (a promoted tag column is NULL
+where the series lacks the tag — upstream's missing-column
+semantics).
 
 ``group(columns: [...])`` RE-KEYS the tables (Flux regrouping): the
 subset ships any subset of the store's table-key columns
@@ -555,7 +558,7 @@ _TOKEN_RE = re.compile(
         r\[\s*"(?:[^"]+)"\s*\]   # r["col"]
       | r\.\w+                   # r.col
       | ==|!=|<=|>=|=~|!~|<|>
-      | and\b|or\b
+      | and\b|or\b|exists\b|not\b
       | \(|\)
       | "(?:[^"]*)"
       | '(?:[^']*)'
@@ -609,6 +612,18 @@ def _parse_pred(tokens: list[str], params: dict[str, Any]) -> Column:
             e = or_expr()
             eat(")")
             return e
+        if peek() == "not":
+            # Flux unary not — in practice `not exists r.tag` (rows
+            # missing the tag); general negation composes recursively
+            eat("not")
+            return ~cmp()
+        if peek() == "exists":
+            # Flux `exists r["host"]` — column-presence test: a tagged
+            # record carries NULL in a promoted tag column when the
+            # series lacks that tag, exactly upstream's missing-column
+            # semantics
+            eat("exists")
+            return ref_or_fail(eat()).isNotNull()
         left = ref_or_fail(eat())
         op = eat()
         if op in ("=~", "!~"):
