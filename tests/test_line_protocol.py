@@ -233,3 +233,85 @@ def test_exactly_once_lineprotocol_ingest(spark, tmp_path):
     got = spark.read.parquet(bucket)
     assert got.count() == 3
     assert {r["host"] for r in got.collect()} == {"a", "b"}
+
+
+# -- property: serialize → parse round-trip ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# upstream's escape model: backslash is LITERAL except immediately
+# before a delimiter — so an identifier whose literal backslash
+# precedes a delimiter is unrepresentable in the wire format itself
+# (upstream's documented limitation); the property alphabet therefore
+# exercises every delimiter but keeps backslash out
+_IDENT = st.text(
+    alphabet="abcz019_-, =",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: s.strip(" ") == s and s and not s.startswith("#"))
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace(",", "\\,")
+        .replace(" ", "\\ ")
+        .replace("=", "\\=")
+    )
+
+
+@st.composite
+def _lp_line(draw):
+    measurement = draw(_IDENT)
+    n_tags = draw(st.integers(0, 3))
+    tags = {}
+    while len(tags) < n_tags:
+        tags[draw(_IDENT)] = draw(_IDENT)
+    n_fields = draw(st.integers(1, 3))
+    fields = {}
+    while len(fields) < n_fields:
+        fields[draw(_IDENT)] = draw(
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=64,
+                min_value=-1e12, max_value=1e12,
+            )
+        )
+    ts_ns = draw(st.integers(0, 2_000_000_000_000_000_000))
+    ident = _esc(measurement)
+    if tags:
+        ident += "," + ",".join(
+            f"{_esc(k)}={_esc(v)}" for k, v in tags.items()
+        )
+    fieldset = ",".join(f"{_esc(k)}={v!r}" for k, v in fields.items())
+    return (measurement, tags, fields, ts_ns,
+            f"{ident} {fieldset} {ts_ns}")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_lp_line(), min_size=1, max_size=5))
+def test_serialize_parse_roundtrip_property(spark, cases):
+    """Any measurement/tag/field strings over the escape alphabet
+    (incl. backslashes, commas, spaces, equals), serialized with
+    upstream escaping, parse back to EXACTLY the original values —
+    the property the escape-handling lookbehind splits must hold."""
+    df = spark.createDataFrame(
+        [(c[4],) for c in cases], "value string"
+    )
+    got = {}
+    for r in lp.parse_line_protocol(df).collect():
+        key = (r["_measurement"], tuple(sorted(dict(r["tags"]).items())))
+        got.setdefault(key, {})[r["_field"]] = (
+            r["_value"],
+            r["_time"],
+        )
+    from collections import defaultdict
+    want = defaultdict(dict)
+    import datetime
+    for measurement, tags, fields, ts_ns, _line in cases:
+        key = (measurement, tuple(sorted(tags.items())))
+        ts = datetime.datetime.utcfromtimestamp(0) + datetime.timedelta(
+            microseconds=ts_ns // 1000
+        )
+        for k, v in fields.items():
+            want[key][k] = (v, ts)
+    assert got == dict(want)

@@ -13,7 +13,11 @@ frame with a named reason, the ``read_wide_csv_tolerant`` discipline):
 * escapes: ``\\,`` ``\\=`` ``\\  `` (backslash-comma/equals/space) in
   measurement, tag keys/values and field keys — handled via
   fixed-width negative-lookbehind splits (``(?<!\\\\)``), then
-  unescaped;
+  unescaped. Backslash itself is LITERAL except immediately before a
+  delimiter (upstream's model) — an identifier whose literal
+  backslash precedes a delimiter is unrepresentable in the wire
+  format itself, upstream's documented limitation (property-tested:
+  every delimiter round-trips, tests/test_line_protocol.py);
 * field values: floats and ``NNNi`` integers (both → double ``_value``
   — the bucket's one value type). Quoted strings / booleans / uints
   are structurally recognized and quarantined (reason
