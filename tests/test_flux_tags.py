@@ -471,3 +471,73 @@ def test_create_empty_gap_fill_over_tagged_key(spark, tagged):
     keys = {(r["host"], r["dc"]) for r in rows}
     assert keys == {("h1", d) for d in ("d0", "d1", "d2")}
     assert all(r["count"] >= 0 for r in rows)
+
+
+def test_to_long_rejects_duplicate_and_date_tags(spark):
+    wide = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0)], "t string, h string, x double"
+    ).select(F.col("t").cast("timestamp").alias("t"), "h", "x")
+    with pytest.raises(ValueError, match="twice"):
+        bkt.to_long(wide, "m", time_col="t", value_cols=["x"], tag_cols=["h", "h"])
+    with pytest.raises(ValueError, match="collide"):
+        bkt.to_long(
+            wide.withColumnRenamed("h", "_date"),
+            "m",
+            time_col="t",
+            value_cols=["x"],
+            tag_cols=["_date"],
+        )
+
+
+def test_write_bucket_tags_clustering_skips_files(spark, tmp_path):
+    """cluster="tags": each file covers ~one tag combination, so the
+    manifest skips whole files for a tag-equality query — the measured
+    SCALE §23 layout as a first-class write option."""
+    import os
+
+    from time_series_data_pipeline_spark.sources import manifest as mf
+
+    rows = [
+        (f"2024-01-01 0{h}:00:00", "f", float(i), f"h{i % 4}")
+        for h in range(4)
+        for i in range(8)
+    ]
+    long_df = spark.createDataFrame(
+        rows, "t string, _field string, _value double, host string"
+    ).select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("m").alias("_measurement"),
+        "_field",
+        "_value",
+        "host",
+        F.create_map(F.lit("host"), F.col("host")).alias("tags"),
+    )
+    path = str(tmp_path / "tagclustered")
+    bkt.write_bucket(long_df, path, mode="overwrite", cluster="tags")
+    man = os.path.join(path, bkt.MANIFEST_SUBDIR)
+    mf.write_manifest(
+        mf.build_stats_manifest(spark, path, ["_field", "_time", "host"]), man
+    )
+    total = len(mf.prune_files(spark, path, man, constraints={"host": (None, None)}))
+    kept = len(
+        mf.prune_files(spark, path, man, constraints={"host": ("h1", "h1")})
+    )
+    assert 0 < kept < total
+    # row-level result unchanged by the layout
+    got = bkt.scan_bucket(spark, path, tags={"host": "h1"}).count()
+    assert got == long_df.filter(F.col("host") == "h1").count()
+
+
+def test_write_bucket_tags_clustering_requires_tags(spark):
+    long_df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "f", 1.0)],
+        "t string, _field string, _value double",
+    ).select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("m").alias("_measurement"),
+        "_field",
+        "_value",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    with pytest.raises(ValueError, match="promoted tag columns"):
+        bkt.write_bucket(long_df, "/tmp/never", cluster="tags")
