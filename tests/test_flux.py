@@ -4434,3 +4434,109 @@ def test_holt_winters_seasonality_one_rejected(spark, hw_store):
             """,
             {"b": hw_store},
         )
+
+
+# -- compiler robustness fuzz (round 11) ---------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_STAGE_POOL = [
+    'range(start: "2024-01-03 00:00:00", stop: "2024-01-06 00:00:00")',
+    'range(start: -7d)',
+    'filter(fn: (r) => r["_measurement"] == "events")',
+    'filter(fn: (r) => r["_field"] == "click")',
+    'filter(fn: (r) => r["host"] == "h1")',
+    'filter(fn: (r) => r._value > 100)',
+    'filter(fn: (r) => exists r.host)',
+    'filter(fn: (r) => r["_field"] =~ /cl.*/)',
+    "map(fn: (r) => ({ r with _value: r._value * 2.0 }))",
+    "map(fn: (r) => ({ r with _time: 5 }))",
+    "aggregateWindow(every: 1h, fn: mean, createEmpty: false)",
+    "aggregateWindow(every: 1mo, fn: sum)",
+    "aggregateWindow(every: 0s, fn: mean)",
+    "aggregateWindow(every: 1h, fn: bogus)",
+    "mean()",
+    "median()",
+    "quantile(q: 0.9)",
+    "quantile(q: 9)",
+    "last()",
+    "first()",
+    "derivative(unit: 1s, nonNegative: true)",
+    "derivative(unit: -1s)",
+    "difference()",
+    "cumulativeSum()",
+    "increase()",
+    "movingAverage(n: 5)",
+    "movingAverage(n: 0)",
+    "exponentialMovingAverage(n: 3)",
+    "holtWinters(n: 3, interval: 1h)",
+    "holtWinters(n: 3, interval: 1h, seasonality: 4)",
+    "holtWinters(n: 3)",
+    "histogram(bins: [10.0, 100.0])",
+    "histogramQuantile(quantile: 0.9)",
+    "stateDuration(fn: (r) => r._value > 50)",
+    "stateCount(fn: (r) => r._value > 50)",
+    "elapsed()",
+    "integral(unit: 1s)",
+    "window(every: 30m)",
+    "unique()",
+    "distinct()",
+    'pivot(rowKey: ["_time"], columnKey: ["_field"], valueColumn: "_value")',
+    "group()",
+    'group(columns: ["_field"])',
+    'group(columns: ["host"])',
+    'group(columns: ["nope"])',
+    'keyValues(keyColumns: ["_field"])',
+    'columns(column: "label")',
+    "top(n: 3)",
+    "bottom(n: 2)",
+    "tail(n: 4)",
+    'sort(columns: ["_value"], desc: true)',
+    "limit(n: 5)",
+    "limit(n: 5, offset: 2)",
+    'keep(columns: ["_time", "_value"])',
+    'keep(columns: ["nope"])',
+    'drop(columns: ["_measurement"])',
+    'fill(column: "_value", value: 0.0)',
+    "fill(usePrevious: true)",
+    'rename(columns: {_value: "reading"})',
+    "timeShift(duration: 1d)",
+    'duplicate(column: "_value", as: "copy")',
+    'set(key: "source", value: "fuzz")',
+    "toFloat()",
+    "toInt()",
+    "sample(n: 3, pos: 1)",
+    "relativeStrengthIndex(n: 5)",
+    "chandeMomentumOscillator(n: 5)",
+    "kaufmansER(n: 5)",
+    "doubleEMA(n: 3)",
+    "highestMax(n: 2)",
+    "lowestAverage(n: 2)",
+    'to(bucket: "nowhere")',
+    'yield(name: "out")',
+    "bogusStage(x: 1)",
+    "mean(",  # unbalanced
+]
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.sampled_from(_STAGE_POOL), min_size=1, max_size=5))
+def test_compiler_total_over_stage_compositions(spark, store, stages):
+    """Robustness contract: EVERY composition of grammar-adjacent
+    stage strings either compiles to a DataFrame or raises FluxError
+    naming the problem — never an internal Py4J/analysis error, never
+    a silent None. (The attested-correctness tests pin what valid
+    pipelines compute; this pins how invalid ones fail.)"""
+    text = 'from(bucket: "b")\n  |> ' + "\n  |> ".join(stages)
+    try:
+        out = flux.compile_flux(
+            spark, text, {"b": store}, now="2024-01-06T00:00:00Z"
+        )
+    except flux.FluxError:
+        return
+    assert out is not None and out.columns
