@@ -315,3 +315,43 @@ def test_serialize_parse_roundtrip_property(spark, cases):
         for k, v in fields.items():
             want[key][k] = (v, ts)
     assert got == dict(want)
+
+
+def test_review_fixes_round11(spark):
+    """Review-pass pins: malformed k=v quarantines (bare key, = inside
+    a tag value), indented comments are ignored, pre-epoch timestamps
+    FLOOR to µs, and core-colliding tag_keys raise."""
+    lines = spark.createDataFrame(
+        [
+            ("m,t=a=b f=1.0 1704067200000000000",),   # = inside tag value
+            ("m,t f=1.0 1704067200000000000",),        # bare tag key
+            ("m f 1704067200000000000",),              # bare field key
+            ("   # indented comment",),
+            ("m f=1.0 -1500",),                        # pre-epoch ns
+            ("m f=2.0 1704067200000000000",),
+        ],
+        "value string",
+    )
+    rejects = {
+        (r["line"], r["reason"])
+        for r in lp.line_protocol_rejects(lines).collect()
+    }
+    assert rejects == {
+        ("m,t=a=b f=1.0 1704067200000000000", "malformed_kv"),
+        ("m,t f=1.0 1704067200000000000", "malformed_kv"),
+        ("m f 1704067200000000000", "malformed_kv"),
+    }
+    good = {
+        (r["_value"], str(r["_time"]))
+        for r in lp.parse_line_protocol(lines).collect()
+    }
+    # -1500 ns floors to -2 µs = 1969-12-31 23:59:59.999998 (DIV alone
+    # would round toward zero to .999999)
+    assert good == {
+        (1.0, "1969-12-31 23:59:59.999998"),
+        (2.0, "2024-01-01 00:00:00"),
+    }
+    with pytest.raises(ValueError, match="collide"):
+        lp.parse_line_protocol(lines, tag_keys=["_field"])
+    with pytest.raises(ValueError, match="twice"):
+        lp.parse_line_protocol(lines, tag_keys=["h", "h"])

@@ -1055,6 +1055,51 @@ def _filter_extract(stage: str) -> str:
     return m.group(1).strip()
 
 
+def _resolve_bound(
+    tok: str, params: dict[str, Any], now: str | None, where: str
+) -> str:
+    """Shared range/schema bound resolution: a relative duration
+    (-7d) anchors at the explicit ``now`` (wall-clock defaults would
+    break replayability); an absolute RFC3339-ish literal normalizes
+    its T/Z decorations. ONE implementation for pipelines and schema
+    queries — the two sites must never diverge (review r11)."""
+    v = _resolve(tok, params)
+    if isinstance(v, str) and _DUR_RE.match(v):
+        if now is None:
+            raise FluxError(
+                f"{where}: relative bound {v!r} needs an explicit "
+                "now= anchor"
+            )
+        import datetime
+
+        base = datetime.datetime.fromisoformat(now.replace("Z", "+00:00"))
+        out = base + datetime.timedelta(seconds=_duration_seconds(v))
+        return out.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v).replace("T", " ").replace("Z", "")
+
+
+def _validate_refs(
+    toks: list[str], known: set[str], where: str
+) -> None:
+    """Shared r-reference validation: normalize the bracketed layout
+    (formatting-invariance), extract every ``r[...]``/``r.col``
+    reference, and raise a FluxError NAMING unknown columns instead of
+    leaking a Spark analysis error downstream."""
+    refs = {
+        t[3:-2] if t.startswith('r["') else t[2:]
+        for t in (
+            re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t) for t in toks
+        )
+        if t.startswith('r["') or t.startswith("r.")
+    }
+    missing = sorted(refs - known)
+    if missing:
+        raise FluxError(
+            f"{where}: unknown column(s) {missing}; the store's record "
+            f"columns are {sorted(known)}"
+        )
+
+
 def _compile_schema_query(
     spark: SparkSession,
     body: str,
@@ -1141,30 +1186,21 @@ def _compile_schema_query(
                 f"{measurement!r}"
             )
 
-    def _schema_bound(label: str) -> str | None:
-        if label not in a:
-            return None
-        v = _resolve(a[label], params)
-        if isinstance(v, str) and _DUR_RE.match(v):
-            if now is None:
-                raise FluxError(
-                    f"schema.{fn} {label}: relative bound {v!r} needs an "
-                    "explicit now= anchor"
-                )
-            import datetime
-
-            base = datetime.datetime.fromisoformat(now.replace("Z", "+00:00"))
-            out_ts = base + datetime.timedelta(seconds=_duration_seconds(v))
-            return out_ts.strftime("%Y-%m-%d %H:%M:%S")
-        return str(v).replace("T", " ").replace("Z", "")
-
     # measurement + time bounds push into the scan exactly like a
     # pipeline's from |> range |> filter prefix (partition pruning)
     df = bkt.scan(
         df,
         measurement=measurement,
-        start=_schema_bound("start"),
-        stop=_schema_bound("stop"),
+        start=(
+            _resolve_bound(a["start"], params, now, f"schema.{fn} start")
+            if "start" in a
+            else None
+        ),
+        stop=(
+            _resolve_bound(a["stop"], params, now, f"schema.{fn} stop")
+            if "stop" in a
+            else None
+        ),
     )
     if "predicate" in a:
         pm = re.match(
@@ -1176,20 +1212,11 @@ def _compile_schema_query(
                 f"{a['predicate']!r}"
             )
         toks = _tokenize_pred(pm.group(1).strip())
-        refs = {
-            t[3:-2] if t.startswith('r["') else t[2:]
-            for t in (
-                re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t) for t in toks
-            )
-            if t.startswith('r["') or t.startswith("r.")
-        }
-        known = set(df.columns) | set(bkt.BUCKET_COLS)
-        missing = sorted(refs - known)
-        if missing:
-            raise FluxError(
-                f"schema.{fn} predicate: unknown column(s) {missing}; the "
-                f"store's record columns are {sorted(known)}"
-            )
+        _validate_refs(
+            toks,
+            set(df.columns) | set(bkt.BUCKET_COLS),
+            f"schema.{fn} predicate",
+        )
         df = df.filter(_parse_pred(toks, params))
     if fn == "measurements":
         out = df.select(F.col("_measurement").alias("_value"))
@@ -1312,14 +1339,28 @@ def compile_flux(
     return _compile_combiner(spark, final, env, params)
 
 
-#: per-(session, store) promoted-tag-column cache — see the discovery
-#: comment in _compile_pipeline. Keyed by id(spark) so a new session
-#: (new catalog state) never reads a stale entry.
-_TAG_COLS_CACHE: dict[tuple[int, str], list[str]] = {}
+#: per-(session, store, generation) promoted-tag-column cache — see
+#: the discovery comment in _compile_pipeline. The session component
+#: is the Spark applicationId (stable for a session's lifetime; a
+#: recycled python object id would not be — review r11). The store
+#: generation is the root directory's mtime — BEST-EFFORT staleness
+#: protection: it changes whenever the root's direct children change
+#: (first build, a new measurement, a plain-overwrite rewrite), which
+#: covers how tag-set changes land in practice; a dynamic-partition
+#: overwrite that swaps a store's tag set IN PLACE inside one session
+#: stays outside the contract (a tag set is the store's schema
+#: identity — changing it is a new store version, like any
+#: table-format schema change).
+_TAG_COLS_CACHE: dict[tuple[str, str, float], list[str]] = {}
 
 
 def _store_tag_cols(spark: SparkSession, path: str) -> list[str]:
-    key = (id(spark), os.path.abspath(path))
+    root = os.path.abspath(path)
+    try:
+        gen = os.path.getmtime(root)
+    except OSError:
+        gen = -1.0
+    key = (spark.sparkContext.applicationId, root, gen)
     if key not in _TAG_COLS_CACHE:
         _TAG_COLS_CACHE[key] = bkt.tag_columns(bkt.read_bucket(spark, path))
         if len(_TAG_COLS_CACHE) > 256:
@@ -1422,6 +1463,13 @@ def _write_to_bucket(
         *tag_cols,
         tags_map.alias("tags"),
     )
+    # materialize ONCE: the write is an action and the returned
+    # pass-through frame gets consumed by the caller — without the
+    # checkpoint the full pipeline (scan + shuffle) would execute
+    # twice per invocation, and a source change between the two runs
+    # could make the returned rows diverge from the written ones
+    # (review r11)
+    long_df = long_df.localCheckpoint(eager=True)
     bkt.write_bucket(long_df, path, mode="overwrite")
     return long_df
 
@@ -1477,19 +1525,7 @@ def _compile_pipeline(
     group_cols: list[str] | None = None
 
     def _bound(tok: str) -> str:
-        v = _resolve(tok, params)
-        if isinstance(v, str) and _DUR_RE.match(v):
-            if now is None:
-                raise FluxError(
-                    f"relative bound {v!r} needs an explicit now= anchor"
-                )
-            secs = _duration_seconds(v)
-            import datetime
-
-            base = datetime.datetime.fromisoformat(now.replace("Z", "+00:00"))
-            out = base + datetime.timedelta(seconds=secs)
-            return out.strftime("%Y-%m-%d %H:%M:%S")
-        return str(v).replace("T", " ").replace("Z", "")
+        return _resolve_bound(tok, params, now, "range")
 
     _TERMINAL_HEADS = (
         "aggregateWindow", "last", "first", "mean", "count", "sum", "min",
@@ -1694,23 +1730,11 @@ def _compile_pipeline(
                 # STORE's record columns first: a predicate on a
                 # column the store does not carry raises a FluxError
                 # naming it, not a Spark analysis error downstream.
-                norm = [
-                    re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t)
-                    for t in toks
-                ]
-                refs = {
-                    t[3:-2] if t.startswith('r["') else t[2:]
-                    for t in norm
-                    if t.startswith('r["') or t.startswith("r.")
-                }
-                known = {*natural_key, "_time", "_value", "tags", "_date"}
-                missing = sorted(refs - known)
-                if missing:
-                    raise FluxError(
-                        f"filter: unknown column(s) {missing}; the "
-                        f"store's record columns are {sorted(known)}: "
-                        f"{stage!r}"
-                    )
+                _validate_refs(
+                    toks,
+                    {*natural_key, "_time", "_value", "tags", "_date"},
+                    "filter",
+                )
                 row_ops.append(("filter", _parse_pred(toks, params)))
         elif head == "map":
             # map(fn: (r) => ({ r with _value: <arith> })) — the Data

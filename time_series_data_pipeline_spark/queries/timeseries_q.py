@@ -4337,16 +4337,22 @@ def suite_flux_round10c(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-derive the tag from the raw table and the driver's value-hash
 # gate covers the tagged path end to end.
 
-_TAGGED_BUCKET_VERSION = "tagged-v1"
+_TAGGED_BUCKET_VERSION = "tagged-v2"
 
 
 def _tagged_bucket_path(spark: SparkSession, sf_dir: str) -> str:
     """Events materialized ONCE into a TAGGED bucket store: promoted
     string tag columns (host, dc) + the mirrored ``tags`` map
     (sources/bucket.py module doc), day-partitioned and series-key
-    sorted (_field, host, dc, _time) so tag predicates prune row
-    groups; the stats manifest additionally harvests ``host`` for
-    file-level skipping. Same build-once/atomic-publish discipline as
+    sorted (_field, host, dc, _time) so tag predicates prune ROW
+    GROUPS via the pushed filters. The manifest harvests the standard
+    (_field, _time) only: with the day-clustered default every file
+    holds all hosts, so a host column in the manifest could never
+    skip a file (review r11) — FILE-level tag skipping needs the
+    ``cluster="tags"`` layout, measured in SCALE §23 and pinned by
+    test_write_bucket_tags_clustering_skips_files (kept out of this
+    hot fixture: ~12 tag combos × days of tiny files would tax every
+    test scan). Same build-once/atomic-publish discipline as
     ``_event_bucket_path``."""
     import os
 
@@ -4374,9 +4380,7 @@ def _tagged_bucket_path(spark: SparkSession, sf_dir: str) -> str:
             ).alias("tags"),
         )
         bkt.write_bucket(long_df, scratch, mode="overwrite")
-        bkt.refresh_bucket_manifest(
-            spark, scratch, columns=("_field", "_time", "host")
-        )
+        bkt.refresh_bucket_manifest(spark, scratch)
 
     return cached_store(
         _build,
@@ -4397,10 +4401,11 @@ _TAG_RANGE_SQL = (
 
 @query(
     "flux_compiled_tag_filter",
-    # tag equality pushed into the scan (partition/manifest/row-group
-    # pruning over the promoted host column) + the FULL tagged table
-    # key (_measurement, _field, host, dc) carried through the windowed
-    # aggregate — host is pinned, dc still splits the series
+    # tag equality pushed into the scan (row-group pruning over the
+    # promoted host column; file-level skipping additionally applies
+    # under the cluster="tags" layout, SCALE §23) + the FULL tagged
+    # table key (_measurement, _field, host, dc) carried through the
+    # windowed aggregate — host is pinned, dc still splits the series
     oracle=f"""
     SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
            'events' AS _measurement, event_type AS _field,

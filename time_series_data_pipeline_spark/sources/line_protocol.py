@@ -19,9 +19,16 @@ frame with a named reason, the ``read_wide_csv_tolerant`` discipline):
   format itself, upstream's documented limitation (property-tested:
   every delimiter round-trips, tests/test_line_protocol.py);
 * field values: floats and ``NNNi`` integers (both → double ``_value``
-  — the bucket's one value type). Quoted strings / booleans / uints
-  are structurally recognized and quarantined (reason
-  ``non_numeric_field``), never silently coerced;
+  — the bucket's one value type). Non-numeric values are quarantined,
+  never silently coerced: space-free quoted strings / booleans / uints
+  reject as ``non_numeric_field``; a quoted string carrying an
+  unescaped space or ``=`` rejects structurally (``malformed_line`` /
+  ``malformed_kv`` — the splitter sees extra parts before the value
+  type is ever examined);
+* a bare tag/field key with no ``=``, or an unescaped ``=`` inside a
+  tag value (both parse errors upstream), quarantine as
+  ``malformed_kv`` — the limit-2 key/value split alone would silently
+  swallow the extra ``=``;
 * timestamps: integer epoch in ``ns`` (upstream default), ``us``,
   ``ms`` or ``s``; a line WITHOUT a timestamp is quarantined
   (``missing_timestamp``) — upstream stamps server wall-clock arrival
@@ -75,6 +82,16 @@ def _kv_entries(pairs):
     )
 
 
+def _has_bad_kv(pairs):
+    """True when any pair is not EXACTLY one unescaped ``=`` between a
+    key and a value: a bare key (``t``), or an unescaped ``=`` inside
+    a value (``t=a=b``) — both parse errors upstream; the limit-2
+    split alone would silently swallow the latter (review r11)."""
+    return F.exists(
+        pairs, lambda kv: F.size(F.split(kv, _EQ)) != F.lit(2)
+    )
+
+
 def _kv_keys(entries):
     return F.transform(entries, lambda e: e["key"])
 
@@ -107,7 +124,9 @@ def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
     ident = F.try_element_at(parts, F.lit(1))
     df = (
         lines.filter(F.length(F.trim(F.col("value"))) > 0)
-        .filter(~F.col("value").startswith("#"))  # upstream comments
+        # upstream comments — trimmed like the emptiness check, so an
+        # indented comment never pollutes the dead-letter frame
+        .filter(~F.trim(F.col("value")).startswith("#"))
         .select(
             F.col("value").alias("_raw"),
             F.size(parts).alias("__n"),
@@ -129,20 +148,33 @@ def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
             F.col("__ts").try_cast("long"), F.lit(_UNIT_MUL[time_unit])
         )
     else:
-        # integer DIV, never a double detour: a ns epoch (~1.7e18) is
-        # beyond double's 53-bit mantissa — float division would move
-        # timestamps by whole microseconds. TRY_CAST: a malformed
-        # timestamp quarantines (bad_timestamp), never throws mid-scan
+        # integer FLOOR division, never a double detour: a ns epoch
+        # (~1.7e18) is beyond double's 53-bit mantissa — float division
+        # would move timestamps by whole microseconds. DIV truncates
+        # toward ZERO, so pre-epoch (negative) timestamps need the
+        # floor correction or they shift up 1 µs (review r11).
+        # TRY_CAST: a malformed timestamp quarantines (bad_timestamp),
+        # never throws mid-scan.
+        d = _UNIT_DIV[time_unit]
         ts_us = F.expr(
-            f"TRY_CAST(__ts AS BIGINT) DIV {_UNIT_DIV[time_unit]}"
+            f"TRY_CAST(__ts AS BIGINT) DIV {d} - "
+            f"(CASE WHEN TRY_CAST(__ts AS BIGINT) % {d} < 0 "
+            f"THEN 1 ELSE 0 END)"
         )
-    field_entries = _kv_entries(F.split(F.col("__fieldset"), _COMMA))
+    field_pairs = F.split(F.col("__fieldset"), _COMMA)
+    field_entries = _kv_entries(field_pairs)
     shredded = df.select(
         "_raw",
         "__n",
         measurement.alias("_measurement"),
         tags.alias("tags"),
-        (dup_tag | _has_dup_keys(field_entries)).alias("__dup"),
+        F.coalesce(
+            dup_tag | _has_dup_keys(field_entries), F.lit(False)
+        ).alias("__dup"),
+        F.coalesce(
+            _has_bad_kv(tag_pairs) | _has_bad_kv(field_pairs),
+            F.lit(False),
+        ).alias("__badkv"),
         F.col("__fieldset"),
         F.col("__ts"),
         ts_us.alias("__ts_us"),
@@ -164,6 +196,7 @@ def _parsed(lines: DataFrame, time_unit: str) -> DataFrame:
         .when(
             F.col("__ts_us").isNull(), F.lit("bad_timestamp")
         )
+        .when(F.col("__badkv"), F.lit("malformed_kv"))
         .when(F.col("__dup"), F.lit("duplicate_key"))
         .when(F.col("_field").isNull(), F.lit("malformed_line"))
         .when(num.isNull(), F.lit("non_numeric_field"))
@@ -188,6 +221,18 @@ def parse_line_protocol(
     with each declared ``tag_keys`` promoted to a top-level string
     column (NULL where a line lacks it). ``lines`` is any one-column
     text frame (``spark.read.text`` / ``readStream.text``)."""
+    from .bucket import BUCKET_COLS
+
+    tag_keys = list(tag_keys or [])
+    if len(tag_keys) != len(set(tag_keys)):
+        raise ValueError(f"tag_keys lists a key twice: {tag_keys}")
+    reserved = set(tag_keys) & ({*BUCKET_COLS, "_date"})
+    if reserved:
+        # a promoted tag named like a core column would silently
+        # produce duplicate column names (same contract as to_long)
+        raise ValueError(
+            f"tag_keys collide with bucket schema columns: {sorted(reserved)}"
+        )
     p = _parsed(lines, time_unit).filter(F.col("_reject").isNull())
     tag_cols = [
         F.try_element_at(F.col("tags"), F.lit(k)).alias(k)
