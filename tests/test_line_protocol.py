@@ -355,3 +355,56 @@ def test_review_fixes_round11(spark):
         lp.parse_line_protocol(lines, tag_keys=["_field"])
     with pytest.raises(ValueError, match="twice"):
         lp.parse_line_protocol(lines, tag_keys=["h", "h"])
+
+
+def test_serializer_parser_roundtrip_on_tagged_store(spark, tmp_path):
+    """to_line_protocol is the parser's exact inverse over a tagged
+    bucket frame — export, re-ingest, compare row sets."""
+    rows = [
+        ("2024-01-01 00:10:00.123456", "temp c", 1.5, "a,1", "x y"),
+        ("2024-01-01 00:20:00", "hum=2", -3.25, None, "x y"),
+        ("2024-01-01 00:40:00", "temp c", 1e12, "b", None),
+    ]
+    frame = spark.createDataFrame(
+        rows, "t string, _field string, _value double, host string, dc string"
+    ).select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("m, 1").alias("_measurement"),
+        "_field",
+        "_value",
+        "host",
+        "dc",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    text = lp.to_line_protocol(frame)
+    back = lp.parse_line_protocol(text, tag_keys=["host", "dc"])
+    assert lp.line_protocol_rejects(text).count() == 0
+
+    def key(df):
+        return {
+            (
+                str(r["_time"]), r["_measurement"], r["_field"],
+                r["_value"], r["host"], r["dc"],
+            )
+            for r in df.collect()
+        }
+
+    assert key(back) == key(frame.drop("tags"))
+
+
+def test_serializer_unit_and_null_value(spark):
+    frame = spark.createDataFrame(
+        [("2024-01-01 00:00:00.123", "f", 2.0), ("2024-01-01 00:00:00", "f", None)],
+        "t string, _field string, _value double",
+    ).select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("m").alias("_measurement"),
+        "_field",
+        "_value",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    lines = [r["value"] for r in lp.to_line_protocol(frame, time_unit="ms").collect()]
+    # null _value rows are unrepresentable (and meaningless) — skipped
+    assert lines == ["m f=2.0 1704067200123"]
+    with pytest.raises(ValueError, match="time_unit"):
+        lp.to_line_protocol(frame, time_unit="m")

@@ -288,3 +288,55 @@ def stream_line_protocol(
     return parse_line_protocol(
         reader.text(path), tag_keys=tag_keys, time_unit=time_unit
     )
+
+
+def _escape(col):
+    return F.regexp_replace(col, r"([,= ])", r"\\$1")
+
+
+def to_line_protocol(df: DataFrame, time_unit: str = "ns") -> DataFrame:
+    """Bucket frame → line-protocol text, one line per row (the
+    export / replication / InfluxDB-write-API path — a reference user
+    can round-trip a store back into their old system). Pure Catalyst
+    string formatting: delimiters in measurement/tag/field identifiers
+    are backslash-escaped (the parser's inverse — round-trip pinned by
+    a property test), tags come from the frame's PROMOTED columns in
+    column order with NULL tags omitted (a missing tag is absence, not
+    an empty value), ``_value`` renders via the JVM's round-trip
+    double formatting, and timestamps render as integer epochs in
+    ``time_unit``. Returns a one-column ``value`` frame for
+    ``df.write.text`` / any text sink."""
+    from .bucket import tag_columns
+
+    if time_unit not in _UNIT_DIV:
+        raise ValueError(f"time_unit must be one of {sorted(_UNIT_DIV)}")
+    if time_unit in _UNIT_MUL:
+        # integer floor division back to the coarser unit
+        m = _UNIT_MUL[time_unit]
+        ts = F.expr(
+            f"unix_micros(_time) DIV {m} - "
+            f"(CASE WHEN unix_micros(_time) % {m} < 0 THEN 1 ELSE 0 END)"
+        )
+    else:
+        ts = F.unix_micros("_time") * F.lit(_UNIT_DIV[time_unit])
+    ident = _escape(F.col("_measurement"))
+    for k in tag_columns(df):
+        ident = F.concat(
+            ident,
+            F.when(
+                F.col(k).isNotNull(),
+                F.concat(
+                    F.lit(","), _escape(F.lit(k)), F.lit("="), _escape(F.col(k))
+                ),
+            ).otherwise(F.lit("")),
+        )
+    line = F.concat(
+        ident,
+        F.lit(" "),
+        _escape(F.col("_field")),
+        F.lit("="),
+        F.col("_value").cast("string"),
+        F.lit(" "),
+        ts.cast("string"),
+    )
+    return df.filter(F.col("_value").isNotNull()).select(line.alias("value"))
