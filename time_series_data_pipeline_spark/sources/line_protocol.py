@@ -236,7 +236,7 @@ def parse_line_protocol(
     p = _parsed(lines, time_unit).filter(F.col("_reject").isNull())
     tag_cols = [
         F.try_element_at(F.col("tags"), F.lit(k)).alias(k)
-        for k in (tag_keys or [])
+        for k in tag_keys
     ]
     return p.select(
         "_time", "_measurement", "_field", "_value", *tag_cols, "tags"
@@ -294,22 +294,61 @@ def _escape(col):
     return F.regexp_replace(col, r"([,= ])", r"\\$1")
 
 
+def _unexportable(df: DataFrame):
+    """Rows the wire format CANNOT represent (review r11): an
+    identifier ending in a literal backslash would make the emitted
+    structural delimiter after it look escaped (the parser's
+    lookbehind cannot distinguish them — the format's own documented
+    ambiguity), and a measurement starting with ``#`` would re-import
+    as a comment. Interior backslashes round-trip fine (the escape
+    pass never creates an ambiguous pair for them)."""
+    from .bucket import tag_columns
+
+    bad = (
+        F.col("_measurement").endswith("\\")
+        | F.col("_measurement").startswith("#")
+        | F.col("_field").endswith("\\")
+    )
+    for k in tag_columns(df):
+        bad = bad | F.coalesce(
+            F.col(k).endswith("\\"), F.lit(False)
+        )
+    return bad
+
+
+def line_protocol_unexportable(df: DataFrame) -> DataFrame:
+    """The export-side dead-letter frame: rows ``to_line_protocol``
+    excludes because the wire format cannot represent them — the
+    mirror of ``line_protocol_rejects`` (account for every row, never
+    silently corrupt or vanish one)."""
+    return df.filter(_unexportable(df))
+
+
 def to_line_protocol(df: DataFrame, time_unit: str = "ns") -> DataFrame:
     """Bucket frame → line-protocol text, one line per row (the
     export / replication / InfluxDB-write-API path — a reference user
     can round-trip a store back into their old system). Pure Catalyst
     string formatting: delimiters in measurement/tag/field identifiers
-    are backslash-escaped (the parser's inverse — round-trip pinned by
-    a property test), tags come from the frame's PROMOTED columns in
-    column order with NULL tags omitted (a missing tag is absence, not
-    an empty value), ``_value`` renders via the JVM's round-trip
-    double formatting, and timestamps render as integer epochs in
-    ``time_unit``. Returns a one-column ``value`` frame for
-    ``df.write.text`` / any text sink."""
+    are backslash-escaped (the parser's inverse over every
+    REPRESENTABLE row — round-trip pinned by a property test over the
+    delimiter alphabet; rows the wire format cannot represent are
+    excluded, see ``line_protocol_unexportable``), tags come from the
+    frame's PROMOTED columns in column order with NULL tags omitted
+    (a missing tag is absence, not an empty value), ``_value`` renders
+    via the JVM's round-trip double formatting, and timestamps render
+    as integer epochs in ``time_unit``. Returns a one-column ``value``
+    frame for ``df.write.text`` / any text sink."""
     from .bucket import tag_columns
 
     if time_unit not in _UNIT_DIV:
         raise ValueError(f"time_unit must be one of {sorted(_UNIT_DIV)}")
+    bad_keys = [k for k in tag_columns(df) if k.endswith("\\")]
+    if bad_keys:
+        # a tag KEY is a schema decision, not data — raise, don't drop
+        raise ValueError(
+            f"tag column name(s) {bad_keys} end in a backslash — "
+            "unrepresentable before the wire format's '=' delimiter"
+        )
     if time_unit in _UNIT_MUL:
         # integer floor division back to the coarser unit
         m = _UNIT_MUL[time_unit]
@@ -339,4 +378,11 @@ def to_line_protocol(df: DataFrame, time_unit: str = "ns") -> DataFrame:
         F.lit(" "),
         ts.cast("string"),
     )
-    return df.filter(F.col("_value").isNotNull()).select(line.alias("value"))
+    return (
+        df.filter(F.col("_value").isNotNull())
+        # unrepresentable rows (trailing-backslash identifiers,
+        # '#'-leading measurements) are EXCLUDED, never emitted as
+        # corrupt lines — read them back via line_protocol_unexportable
+        .filter(~_unexportable(df))
+        .select(line.alias("value"))
+    )
