@@ -4436,6 +4436,226 @@ def test_holt_winters_seasonality_one_rejected(spark, hw_store):
         )
 
 
+# -- round 11b: TRIX / kaufmansAMA / events.duration / interpolate ------
+
+
+def test_trix_chained_ema_derivative(spark, tmp_path):
+    """tripleExponentialDerivative equals the chained-EMA composition's
+    one-lag percent derivative computed in pure Python; emission from
+    row 3(n−1)+1, shorter series emit nothing, |> last() composes."""
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]]
+    n = 3
+    k, omk = 2.0 / (n + 1.0), 1.0 - 2.0 / (n + 1.0)
+
+    def fold(xs):
+        if xs is None or len(xs) < n:
+            return None
+        acc = xs[0]
+        for x in xs[1:n]:
+            acc += x
+        acc /= n
+        out = [acc]
+        for x in xs[n:]:
+            acc = omk * acc + k * x
+            out.append(acc)
+        return out
+
+    e3 = fold(fold(fold(vals)))
+    expected = [(a - b) / b * 100.0 for b, a in zip(e3, e3[1:])]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> tripleExponentialDerivative(n: 3)',
+        {"b": path},
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == expected and len(got) == len(vals) - (3 * (n - 1) + 1)
+    # shorter than 3n−1 points → nothing (e3 has <2 elements)
+    short = _tiny_store(spark, tmp_path / "s", vals[: 3 * (n - 1) + 1])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> tripleExponentialDerivative(n: 3)',
+        {"b": short},
+    ).collect()
+    assert out == []
+    # |> last() composes on the __seq machinery
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> tripleExponentialDerivative(n: 3) |> last()',
+        {"b": path},
+    ).collect()
+    assert len(out) == 1 and out[0]["last_value"] == expected[-1]
+
+
+def test_kama_values(spark, tmp_path):
+    """kaufmansAMA: the pinned identity-seed recurrence value-by-value;
+    a flat window takes the ER=0 branch (output still equals prev on a
+    flat series); emission from row n, shorter series emit nothing."""
+    vals = [float(v) for v in [10, 11, 13, 12, 15, 14, 18, 17, 19, 22, 20]]
+    n = 4
+    c1, c2 = 2.0 / 3.0 - 2.0 / 31.0, 2.0 / 31.0
+    prev = vals[n - 1]
+    expected = []
+    for t in range(n, len(vals)):
+        dsum = 0.0
+        for i in range(t - n + 1, t + 1):
+            dsum += abs(vals[i] - vals[i - 1])
+        num = abs(vals[t] - vals[t - n])
+        er = 0.0 if dsum == 0.0 else num / dsum
+        m = er * c1 + c2
+        prev = (vals[t] - prev) * (m * m) + prev
+        expected.append(prev)
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> kaufmansAMA(n: 4)', {"b": path}
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == expected and len(got) == len(vals) - n
+    # flat series: every window has dsum == 0 → ER pinned to 0, and the
+    # update is (x − prev)·sc + prev = prev = the constant
+    flat = _tiny_store(spark, tmp_path / "f", [5.0] * 8)
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> kaufmansAMA(n: 3)', {"b": flat}
+    ).collect()
+    assert [r["_value"] for r in out] == [5.0] * 5
+    # series shorter than n+1 emit nothing
+    short = _tiny_store(spark, tmp_path / "sh", vals[:n])
+    out = flux.compile_flux(
+        spark, 'from(bucket: "b") |> kaufmansAMA(n: 4)', {"b": short}
+    ).collect()
+    assert out == []
+
+
+def test_events_duration_values(spark, tmp_path):
+    """events.duration: gap to the next record per table, the last
+    record closed by stop: (explicit or the range stop); unit
+    truncates toward zero; every record keeps its row."""
+    # rows at minutes 0, 3, 4, 10 (values irrelevant)
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=m), "events", "click", float(m))
+        for m in [0, 3, 4, 10]
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "evd")
+    bkt.write_bucket(df, path, mode="overwrite")
+    # explicit stop at minute 15 → last duration 5 minutes = 300 s
+    out = flux.compile_flux(
+        spark,
+        'import "contrib/tomhollingworth/events"\n'
+        'from(bucket: "b")\n'
+        '  |> events.duration(unit: 1s, stop: "2024-01-01T00:15:00Z")',
+        {"b": path},
+    ).collect()
+    got = {r["_value"]: r["duration"] for r in out}
+    assert got == {0.0: 180, 3.0: 60, 4.0: 360, 10.0: 300}
+    # range stop is the default stop; unit: 1m divides; columnName
+    out = flux.compile_flux(
+        spark,
+        'import "contrib/tomhollingworth/events"\n'
+        'from(bucket: "b")\n'
+        '  |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-01T00:30:00Z")\n'
+        '  |> events.duration(unit: 1m, columnName: "span")',
+        {"b": path},
+    ).collect()
+    got = {r["_value"]: r["span"] for r in out}
+    assert got == {0.0: 3, 3.0: 1, 4.0: 6, 10.0: 20}
+    # no stop anywhere → raises naming the need
+    with pytest.raises(flux.FluxError, match="stop"):
+        flux.compile_flux(
+            spark,
+            'import "contrib/tomhollingworth/events"\n'
+            'from(bucket: "b") |> events.duration(unit: 1s)',
+            {"b": path},
+        )
+    # stopColumn is outside the subset (no _stop column materialized)
+    with pytest.raises(flux.FluxError, match="stopColumn"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> events.duration(stopColumn: "_stop")',
+            {"b": path},
+        )
+
+
+def test_interpolate_linear_values(spark, tmp_path):
+    """interpolate.linear: raw rows unchanged; epoch-aligned grid rows
+    strictly inside the span interpolate between brackets; grid points
+    colliding with raw timestamps are NOT duplicated; duplicate raw
+    timestamps interpolate off the MAX value (the documented tie)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=m), "events", "click", v)
+        for m, v in [(0, 10.0), (5, 20.0), (6, 21.0), (13, 41.0)]
+    ]
+    # duplicate timestamp at minute 5 with a LOWER value — the MAX (20)
+    # must drive interpolation while both raw rows pass through
+    rows.append((t0 + datetime.timedelta(minutes=5), "events", "click", 2.0))
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "itp")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark,
+        'import "interpolate"\n'
+        'from(bucket: "b") |> interpolate.linear(every: 2m)',
+        {"b": path},
+    ).collect()
+    got = sorted((r["_time"].minute, r["_value"]) for r in out)
+    # raw rows: 0, 5(×2), 6, 13; grid 2m marks inside (0, 13): 2, 4, 8,
+    # 10, 12 (0 and 6 collide with raw rows; 13 is not a mark)
+    assert got == [
+        (0, 10.0),
+        (2, 14.0),           # 10 + (20−10)·(2/5)
+        (4, 18.0),
+        (5, 2.0),
+        (5, 20.0),
+        (6, 21.0),
+        (8, 21.0 + 20.0 * (2.0 / 7.0)),
+        (10, 21.0 + 20.0 * (4.0 / 7.0)),
+        (12, 21.0 + 20.0 * (6.0 / 7.0)),
+        (13, 41.0),
+    ]
+    # a single-point series has no interior — passes through untouched
+    single = _tiny_store(spark, tmp_path / "one", [7.0])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> interpolate.linear(every: 1m)',
+        {"b": single},
+    ).collect()
+    assert len(out) == 1 and out[0]["_value"] == 7.0
+    # every: is required; composing a second transform raises
+    with pytest.raises(flux.FluxError, match="every"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> interpolate.linear()', {"b": path}
+        )
+    with pytest.raises(flux.FluxError, match="outside"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> interpolate.linear(every: 2m) '
+            "|> aggregateWindow(every: 1h, fn: mean)",
+            {"b": path},
+        )
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings
@@ -4511,6 +4731,13 @@ _STAGE_POOL = [
     "chandeMomentumOscillator(n: 5)",
     "kaufmansER(n: 5)",
     "doubleEMA(n: 3)",
+    "tripleExponentialDerivative(n: 3)",
+    "tripleExponentialDerivative(n: 0)",
+    "kaufmansAMA(n: 4)",
+    "events.duration(unit: 1m)",
+    'events.duration(unit: 1m, stop: "2024-01-06 00:00:00")',
+    "interpolate.linear(every: 30m)",
+    "interpolate.linear(every: 0s)",
     "highestMax(n: 2)",
     "lowestAverage(n: 2)",
     'to(bucket: "nowhere")',

@@ -43,6 +43,8 @@ stage):
                 | highestMax | highestAverage | highestCurrent
                 | lowestMin | lowestAverage | lowestCurrent
                 | histogramQuantile (fused after histogram)
+                | tripleExponentialDerivative | kaufmansAMA
+                | events.duration | interpolate.linear
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -235,8 +237,27 @@ Round 10c adds the technical-indicator / selector / conversion batch
   cross-cycle slope, s = cycle-1 deviations; the seasonal index
   advances per slot; series under two full seasons emit nothing;
   forecast h = l + h·b + s[(h−1) mod m + 1]). ``withFit: true``
-  raises naming the gap; ``kaufmansAMA()`` remains outside the subset
-  (seed-convention-ambiguous) and raises naming the stage.
+  raises naming the gap.
+* Round 11b — the contrib / interpolate / remaining-indicator batch:
+  ``tripleExponentialDerivative(n:)`` (TRIX — the chained-EMA
+  composition's one-lag percent derivative, emission from row 3n−2)
+  and ``kaufmansAMA(n:)`` (the published KAMA recurrence with
+  upstream's fixed (2, 30) smoothing periods and a PINNED identity
+  seed at row n−1 — the holtWinters-constants precedent; the seed
+  difference decays geometrically and the pin replays exactly in the
+  oracles), both on the sanctioned Arrow per-series kernel class
+  (operators/timeseries.py flux_trix / flux_kama);
+  ``events.duration(unit:, [columnName:], [stop:])`` — per-record
+  duration until the next record, the last record closed by ``stop:``
+  or the pipeline's range stop (upstream's ``_stop`` column carries
+  exactly that value; an explicit ``stopColumn:`` raises since this
+  store materializes none); and ``interpolate.linear(every:)`` — raw
+  rows unchanged plus rows at epoch-aligned every-multiples strictly
+  inside each table's span, linearly interpolated between the
+  bracketing points of the per-timestamp-MAX-deduped series (pivot's
+  documented tie rule). The ``import "interpolate"`` /
+  ``import "contrib/tomhollingworth/events"`` lines are accepted and
+  stripped like the schema import.
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
@@ -292,7 +313,7 @@ _AGG_FNS = (
 #: named column, so composing over them would be ambiguous — they raise)
 _VALUE_SERIES = (
     "increase", "difference", "cumsum", "ema", "ema2", "ema3", "rsi",
-    "cmo", "ker",
+    "cmo", "ker", "trix", "kama",
 )
 
 
@@ -1295,8 +1316,12 @@ def compile_flux(
     # the reference's ${Resistances} variable is defined by exactly
     # this shape): `import "influxdata/influxdb/schema"` followed by a
     # schema.* call. Handled before the pipeline grammar.
+    # the shipped stage namespaces: schema.* (variable queries),
+    # interpolate.linear, events.duration — their import lines are
+    # grammar noise once the stage itself is recognized
     body = re.sub(
-        r'^\s*import\s+"influxdata/influxdb/schema"\s*$',
+        r'^\s*import\s+"(influxdata/influxdb/schema|interpolate|'
+        r'contrib/tomhollingworth/events)"\s*$',
         "",
         flux,
         flags=re.MULTILINE,
@@ -1540,6 +1565,9 @@ def _compile_pipeline(
         "sample", "highestMax", "highestAverage", "highestCurrent",
         "lowestMin", "lowestAverage", "lowestCurrent", "histogramQuantile",
         "columns", "keyValues", "holtWinters",
+        # round 11b: the contrib / interpolate / remaining-indicator batch
+        "tripleExponentialDerivative", "kaufmansAMA", "events.duration",
+        "interpolate.linear",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
@@ -2291,6 +2319,107 @@ def _compile_pipeline(
                     f"relativeStrengthIndex: unsupported args {sorted(extra)}"
                 )
             transform = ("rsi", n)
+        elif head == "tripleExponentialDerivative":
+            # TRIX — the one-lag percent derivative of the thrice-
+            # smoothed EMA chain (operators/timeseries.py flux_trix)
+            a = _args(stage, "tripleExponentialDerivative")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(
+                    f"tripleExponentialDerivative n: positive int "
+                    f"required, got {n!r}"
+                )
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(
+                    f"tripleExponentialDerivative: unsupported args "
+                    f"{sorted(extra)}"
+                )
+            transform = ("trix", n)
+        elif head == "kaufmansAMA":
+            # Kaufman's Adaptive Moving Average with the pinned
+            # identity-seed convention (operators/timeseries.py
+            # flux_kama documents the pin — the holtWinters-constants
+            # precedent)
+            a = _args(stage, "kaufmansAMA")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(
+                    f"kaufmansAMA n: positive int required, got {n!r}"
+                )
+            if "column" in a and _resolve(a["column"], params) != "_value":
+                raise FluxError('kaufmansAMA ships column: "_value" only')
+            extra = set(a) - {"n", "column"}
+            if extra:
+                raise FluxError(f"kaufmansAMA: unsupported args {sorted(extra)}")
+            transform = ("kama", n)
+        elif head == "events.duration":
+            # contrib/tomhollingworth/events.duration() — per-record
+            # duration until the NEXT record; the last record closes
+            # against stop: (explicit, or the pipeline's range stop).
+            # Upstream's stopColumn default reads the table's _stop
+            # column, which this store does not materialize — the
+            # subset maps that default onto the range stop (the same
+            # value upstream's _stop carries) and raises on an explicit
+            # stopColumn.
+            a = _args(stage, "events.duration")
+            ev_unit_s = 1
+            if "unit" in a:
+                u = _resolve(a["unit"], params)
+                if (
+                    not (isinstance(u, str) and _DUR_RE.match(u))
+                    or _duration_seconds(u) <= 0
+                ):
+                    raise FluxError(f"events.duration unit: bad duration {u!r}")
+                ev_unit_s = _duration_seconds(u)
+            ev_col = "duration"
+            if "columnName" in a:
+                ev_col = _resolve(a["columnName"], params)
+                if not isinstance(ev_col, str) or not re.match(r"^\w+$", ev_col):
+                    raise FluxError(
+                        f"events.duration columnName: expected an "
+                        f"identifier, got {ev_col!r}"
+                    )
+            ev_stop = (
+                _resolve_bound(a["stop"], params, now, "events.duration stop")
+                if "stop" in a
+                else None
+            )
+            if "timeColumn" in a and _resolve(a["timeColumn"], params) != "_time":
+                raise FluxError('events.duration ships timeColumn: "_time" only')
+            if "stopColumn" in a:
+                raise FluxError(
+                    "events.duration stopColumn: this store materializes "
+                    "no _stop column — pass stop: explicitly (or set "
+                    "range(stop:))"
+                )
+            extra = set(a) - {"unit", "columnName", "stop", "timeColumn"}
+            if extra:
+                raise FluxError(
+                    f"events.duration: unsupported args {sorted(extra)}"
+                )
+            transform = ("events_duration", ev_unit_s, ev_stop, ev_col)
+        elif head == "interpolate.linear":
+            # interpolate.linear(every:) — fill gaps with rows at
+            # epoch-aligned every-multiples, linearly interpolated
+            # between the bracketing raw points
+            a = _args(stage, "interpolate.linear")
+            if "every" not in a:
+                raise FluxError("interpolate.linear requires every:")
+            ev = _resolve(a["every"], params)
+            if (
+                not (isinstance(ev, str) and _DUR_RE.match(ev))
+                or _duration_seconds(ev) <= 0
+            ):
+                raise FluxError(
+                    f"interpolate.linear every: bad duration {ev!r}"
+                )
+            extra = set(a) - {"every"}
+            if extra:
+                raise FluxError(
+                    f"interpolate.linear: unsupported args {sorted(extra)}"
+                )
+            transform = ("interpolate", _duration_seconds(ev))
         elif head in (
             "highestMax", "highestAverage", "highestCurrent",
             "lowestMin", "lowestAverage", "lowestCurrent",
@@ -3598,14 +3727,24 @@ def _compile_pipeline(
                 )
             )
             return _finish(out)
-        if kind in ("ema", "ema2", "ema3", "rsi"):
-            from .operators.timeseries import flux_ema, flux_ema_chain, flux_rsi
+        if kind in ("ema", "ema2", "ema3", "rsi", "trix", "kama"):
+            from .operators.timeseries import (
+                flux_ema,
+                flux_ema_chain,
+                flux_kama,
+                flux_rsi,
+                flux_trix,
+            )
 
             src = df.filter(F.col("_value").isNotNull())
             if kind == "ema":
                 series = flux_ema(src, "_time", "_value", keys, transform[1])
             elif kind == "rsi":
                 series = flux_rsi(src, "_time", "_value", keys, transform[1])
+            elif kind == "trix":
+                series = flux_trix(src, "_time", "_value", keys, transform[1])
+            elif kind == "kama":
+                series = flux_kama(src, "_time", "_value", keys, transform[1])
             else:
                 series = flux_ema_chain(
                     src, "_time", "_value", keys, transform[1],
@@ -4047,6 +4186,117 @@ def _compile_pipeline(
                     .alias(yield_name or "elapsed"),
                 )
             )
+            return _finish(out)
+        if kind == "events_duration":
+            # per-record duration until the NEXT record (one lead
+            # window on the table key); the last record closes against
+            # the stop bound. Same truncation convention as elapsed():
+            # integer-µs diff, double-divided by the unit, long cast
+            # (toward zero on the non-negative diff). EVERY record
+            # keeps its row — unlike elapsed(), which drops the first.
+            unit_us = transform[1] * 1_000_000
+            eff_stop = transform[2] if transform[2] is not None else stop
+            if eff_stop is None:
+                raise FluxError(
+                    "events.duration needs a stop bound: pass stop: or "
+                    "set range(stop:)"
+                )
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            src = df.filter(F.col("_value").isNotNull())
+            stop_us = F.unix_micros(F.to_timestamp(F.lit(eff_stop)))
+            nxt_us = F.lead(F.unix_micros("_time")).over(w)
+            out = src.select(
+                *keys,
+                "_time",
+                "_value",
+                (
+                    (F.coalesce(nxt_us, stop_us) - F.unix_micros("_time"))
+                    / F.lit(unit_us)
+                )
+                .cast("long")
+                .alias(yield_name or transform[3]),
+            )
+            return _finish(out)
+        if kind == "interpolate":
+            # interpolate.linear(every:): per table, insert rows at
+            # epoch-aligned every-multiples strictly inside the series'
+            # (min, max) span that have no raw row at that exact
+            # timestamp, linearly interpolated between the bracketing
+            # raw points; raw rows pass through unchanged. When several
+            # raw rows share a timestamp the interpolation inputs take
+            # the MAX value (pivot's documented tie rule — upstream
+            # assumes unique times per table). ONE exchange on the
+            # table key (the dedup groupBy, the grid join, and both
+            # bracket windows co-partition); the per-table grid is
+            # bounded by span/every rows.
+            ev_us = transform[1] * 1_000_000
+            src = df.filter(F.col("_value").isNotNull()).select(
+                *keys, "_time", "_value"
+            )
+            uniq = src.groupBy(*keys, "_time").agg(
+                F.max("_value").alias("_value")
+            )
+            lit_ev = F.lit(ev_us).cast("long")
+            bounds = uniq.groupBy(*keys).agg(
+                F.min(F.unix_micros("_time")).alias("__mn"),
+                F.max(F.unix_micros("_time")).alias("__mx"),
+            )
+            # ceil/floor alignment via pmod — correct for pre-epoch
+            # (negative µs) bounds too, where a DIV would shift
+            lo = F.col("__mn") + F.pmod(
+                lit_ev - F.pmod(F.col("__mn"), lit_ev), lit_ev
+            )
+            hi = F.col("__mx") - F.pmod(F.col("__mx"), lit_ev)
+            grid = (
+                bounds.select(*keys, lo.alias("__lo"), hi.alias("__hi"))
+                .filter(F.col("__lo") <= F.col("__hi"))
+                .select(
+                    *keys,
+                    F.explode(
+                        F.sequence(F.col("__lo"), F.col("__hi"), lit_ev)
+                    ).alias("__us"),
+                )
+                .select(*keys, F.timestamp_micros("__us").alias("_time"))
+                .join(uniq.select(*keys, "_time"), [*keys, "_time"], "left_anti")
+            )
+            frame = uniq.unionByName(
+                grid.withColumn("_value", F.lit(None).cast("double"))
+            )
+            wp = (
+                Window.partitionBy(*keys)
+                .orderBy("_time")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            wn = (
+                Window.partitionBy(*keys)
+                .orderBy("_time")
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            known = F.when(
+                F.col("_value").isNotNull(),
+                F.struct(
+                    F.unix_micros("_time").alias("t"),
+                    F.col("_value").alias("x"),
+                ),
+            )
+            pv = F.last(known, ignorenulls=True).over(wp)
+            nx = F.first(known, ignorenulls=True).over(wn)
+            t_us = F.unix_micros("_time")
+            # pinned expression order (the oracle replays it verbatim):
+            # pv + (nx − pv) · ((t − pt) / (nt − pt)), deltas exact in
+            # int64 µs then cast to double for ONE division
+            interp = pv["x"] + (nx["x"] - pv["x"]) * (
+                (t_us - pv["t"]).cast("double")
+                / (nx["t"] - pv["t"]).cast("double")
+            )
+            filled = (
+                frame.select(*keys, "_time", "_value", interp.alias("__iv"))
+                .filter(F.col("_value").isNull())
+                .select(*keys, "_time", F.col("__iv").alias("_value"))
+            )
+            out = src.unionByName(filled)
+            if yield_name:
+                out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
         if kind in ("increase", "difference", "cumsum"):
             # The VALUE-SERIES transforms: each rewrites _value per

@@ -584,6 +584,142 @@ def flux_rsi(
     return narrowed.groupBy(*keys).applyInPandas(_f, schema=out_schema)
 
 
+def flux_trix(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n: int,
+) -> DataFrame:
+    """Flux ``tripleExponentialDerivative(n:)`` — TRIX: the one-lag
+    percent derivative of the thrice-smoothed EMA chain. e3 =
+    EMA_n(EMA_n(EMA_n(x))) with ``flux_ema``'s seed/drop rule at each
+    level (e3 emits from row 3(n−1), 0-based), and
+    TRIX_t = (e3_t − e3_{t−1}) / e3_{t−1} · 100 — the derivative needs
+    a previous e3, so emission starts at row 3(n−1)+1 = 3n−2; series
+    shorter than 3n−1 points emit nothing. The emission offset follows
+    mechanically from the chained-EMA composition upstream builds the
+    indicator from (tripleEMA's 3(n−1) plus one lag).
+
+    Same sanctioned Arrow escape hatch and bit-parity discipline as
+    ``flux_ema_chain``: every fold seeds with a left-to-right double
+    sum ÷ n and steps ``(1−k)·acc + k·x``; the derivative is evaluated
+    ``(a − b) / b · 100.0`` — the exact expression order the DuckDB
+    oracle replays, so outputs are bit-identical. ``__seq`` serves a
+    downstream last() exactly as in ``flux_ema``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cols = [*keys, ts_col]
+    narrowed = df.select(*cols, F.col(value_col).cast("double").alias(value_col))
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols]
+        + [StructField(value_col, DoubleType()), StructField("__seq", LongType())]
+    )
+    k = 2.0 / (n + 1.0)
+    omk = 1.0 - k
+
+    def _fold(xs):
+        if xs is None or len(xs) < n:
+            return None
+        acc = xs[0]
+        for x in xs[1:n]:
+            acc = acc + x
+        acc = acc / n
+        out = [acc]
+        for x in xs[n:]:
+            acc = omk * acc + k * x
+            out.append(acc)
+        return out
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        xs = [float(x) for x in pdf[value_col].to_numpy(dtype="float64")]
+        e3 = _fold(_fold(_fold(xs)))
+        if e3 is None or len(e3) < 2:
+            return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
+        vals = [(a - b) / b * 100.0 for b, a in zip(e3, e3[1:])]
+        kept = pdf.iloc[3 * (n - 1) + 1 :].copy()
+        kept[value_col] = vals
+        kept["__seq"] = range(len(vals))
+        return kept
+
+    return narrowed.groupBy(*keys).applyInPandas(_f, schema=out_schema)
+
+
+def flux_kama(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n: int,
+) -> DataFrame:
+    """Flux ``kaufmansAMA(n:)`` — Kaufman's Adaptive Moving Average:
+    the published KAMA recurrence with the fixed fast/slow smoothing
+    periods (2, 30) upstream hard-codes. Per step t:
+
+        ER  = |x_t − x_{t−n}| / Σ_{i=t−n+1..t} |x_i − x_{i−1}|
+              (0 when the denominator is 0 — a flat window; the output
+              is prev either way, so the pin is unobservable there)
+        sc  = (ER·(2/(2+1) − 2/(30+1)) + 2/(30+1))²
+        AMA = (x_t − AMA_prev)·sc + AMA_prev
+
+    SEED CONVENTION (pinned + documented, the holtWinters-constants
+    precedent): AMA seeds with the IDENTITY value at the row before
+    first emission (AMA_{n−1} = x_{n−1}) and emits from row n
+    (0-based) — the first row with a full n-delta window, the same
+    emission offset as relativeStrengthIndex. Published KAMA
+    implementations differ only in this seed; the difference decays
+    geometrically (every step multiplies it by 1−sc) and the pinned
+    form replays exactly in the DuckDB recursive-CTE oracle. Series
+    shorter than n+1 points emit nothing.
+
+    Bit-parity discipline as ``flux_ema``: the ER numerator/denominator
+    are left-to-right double folds over the trailing window
+    (recomputed per step — n is a dashboard constant, and a running
+    add/subtract sum would drift from the oracle's fresh fold), sc is
+    an explicit ``m·m``, and the step is ``(x − prev)·sc + prev``.
+    ``__seq`` serves a downstream last() exactly as in ``flux_ema``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cols = [*keys, ts_col]
+    narrowed = df.select(*cols, F.col(value_col).cast("double").alias(value_col))
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols]
+        + [StructField(value_col, DoubleType()), StructField("__seq", LongType())]
+    )
+    c_fast_slow = 2.0 / 3.0 - 2.0 / 31.0
+    c_slow = 2.0 / 31.0
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        xs = [float(x) for x in pdf[value_col].to_numpy(dtype="float64")]
+        if len(xs) < n + 1:
+            return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
+        prev = xs[n - 1]
+        out = []
+        for t in range(n, len(xs)):
+            dsum = 0.0
+            for i in range(t - n + 1, t + 1):
+                dsum = dsum + abs(xs[i] - xs[i - 1])
+            num = abs(xs[t] - xs[t - n])
+            er = 0.0 if dsum == 0.0 else num / dsum
+            m = er * c_fast_slow + c_slow
+            prev = (xs[t] - prev) * (m * m) + prev
+            out.append(prev)
+        kept = pdf.iloc[n:].copy()
+        kept[value_col] = out
+        kept["__seq"] = range(len(out))
+        return kept
+
+    return narrowed.groupBy(*keys).applyInPandas(_f, schema=out_schema)
+
+
 def last_value_per_group(
     df: DataFrame, ts_col: str, value_col: str, keys: list[str]
 ) -> DataFrame:

@@ -73,6 +73,11 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_holt_winters",
         "flux_compiled_holt_winters_seasonal",
         "lineprotocol_window_mean",
+        # round 11b: the contrib / interpolate / remaining-indicator batch
+        "flux_compiled_trix",
+        "flux_compiled_kama",
+        "flux_compiled_events_duration",
+        "flux_compiled_interpolate",
     ),
     "suite_flux_round10c": (
         "flux_compiled_mode",

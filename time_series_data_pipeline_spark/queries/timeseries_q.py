@@ -4869,6 +4869,267 @@ def lineprotocol_window_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flux_compiled_trix",
+    # tripleExponentialDerivative(n: 6) — TRIX, the full series: three
+    # chained EMA recursions (each fold replayed exactly as the Arrow
+    # kernel evaluates it: left-fold seed sum ÷ 6, then
+    # (1 − 2/7)·a + (2/7)·x), then the one-lag percent derivative
+    # (a − b)/b·100 at source row 3(n−1)+1+j. Bit-identical — no
+    # rounding. Two-day range keeps the three list-carrying recursions
+    # O(few hundred) steps.
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT ts, value, row_number() OVER (ORDER BY ts, value) AS rn
+      FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    ),
+    base AS (
+      SELECT count(*) AS L, list(value ORDER BY rn) AS vs FROM ranked
+    ),
+    e1(rn, a, vs) AS (
+      SELECT 6, list_reduce(list_slice(vs, 1, 6), (a, x) -> a + x) / 6, vs
+      FROM base WHERE L >= 6
+      UNION ALL
+      SELECT rn + 1, (1.0 - 2.0 / 7.0) * a + (2.0 / 7.0) * vs[rn + 1], vs
+      FROM e1 WHERE rn + 1 <= len(vs)
+    ),
+    b2 AS (SELECT count(*) AS L2, list(a ORDER BY rn) AS es FROM e1),
+    e2(i, a2, es) AS (
+      SELECT 6, list_reduce(list_slice(es, 1, 6), (a, x) -> a + x) / 6, es
+      FROM b2 WHERE L2 >= 6
+      UNION ALL
+      SELECT i + 1, (1.0 - 2.0 / 7.0) * a2 + (2.0 / 7.0) * es[i + 1], es
+      FROM e2 WHERE i + 1 <= len(es)
+    ),
+    b3 AS (SELECT count(*) AS L3, list(a2 ORDER BY i) AS e2s FROM e2),
+    e3(i, a3, e2s) AS (
+      SELECT 6, list_reduce(list_slice(e2s, 1, 6), (a, x) -> a + x) / 6, e2s
+      FROM b3 WHERE L3 >= 6
+      UNION ALL
+      SELECT i + 1, (1.0 - 2.0 / 7.0) * a3 + (2.0 / 7.0) * e2s[i + 1], e2s
+      FROM e3 WHERE i + 1 <= len(e2s)
+    ),
+    b4 AS (SELECT count(*) AS L4, list(a3 ORDER BY i) AS e3s FROM e3),
+    js AS (
+      SELECT unnest(generate_series(2, L4)) AS j, e3s FROM b4 WHERE L4 >= 2
+    )
+    SELECT 'events' AS _measurement, 'click' AS _field, x.ts AS _time,
+           (js.e3s[js.j] - js.e3s[js.j - 1]) / js.e3s[js.j - 1] * 100.0
+             AS _value
+    FROM js JOIN ranked x ON x.rn = 15 + js.j
+    """,
+)
+def flux_compiled_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tripleExponentialDerivative()` through the Flux front-end —
+    TRIX, the momentum panel: the thrice-smoothed EMA chain's one-lag
+    percent derivative in the sanctioned Arrow per-series kernel
+    (operators/timeseries.py flux_trix), one shuffle on the series
+    key."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-10T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> tripleExponentialDerivative(n: 6)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_kama",
+    # kaufmansAMA(n: 10), full series, the pinned identity-seed
+    # convention (operators/timeseries.py flux_kama): seed = vs[10],
+    # then per step ER = |vs[p] − vs[p−10]| / Σ|Δ| (0 on a flat
+    # window), m = ER·(2/3 − 2/31) + 2/31, kama = (vs[p] − prev)·m² +
+    # prev — every fold and every expression in the exact order the
+    # kernel evaluates, so the recursion is bit-identical.
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT ts, value, row_number() OVER (ORDER BY ts, value) AS rn,
+             value - lag(value) OVER (ORDER BY ts, value) AS d
+      FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    ),
+    base AS (
+      SELECT count(*) AS L, list(value ORDER BY rn) AS vs,
+             list(d ORDER BY rn) AS ds
+      FROM ranked
+    ),
+    k(p, kama, vs, ds) AS (
+      SELECT 10, vs[10], vs, ds FROM base WHERE L >= 11
+      UNION ALL
+      SELECT p + 1, (vs[p + 1] - kama) * (m * m) + kama, vs, ds
+      FROM (
+        SELECT p, kama, vs, ds,
+               CASE WHEN dsum = 0.0 THEN 0.0 ELSE num / dsum END
+                 * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0 AS m
+        FROM (
+          SELECT p, kama, vs, ds,
+                 abs(vs[p + 1] - vs[p + 1 - 10]) AS num,
+                 list_reduce(list_prepend(0.0, list_transform(
+                   list_slice(ds, p - 8, p + 1), x -> abs(x))),
+                   (a, x) -> a + x) AS dsum
+          FROM k WHERE p + 1 <= len(vs)
+        )
+      )
+    )
+    SELECT 'events' AS _measurement, 'error' AS _field, x.ts AS _time,
+           k.kama AS _value
+    FROM k JOIN ranked x ON x.rn = k.p
+    WHERE k.p > 10
+    """,
+)
+def flux_compiled_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kaufmansAMA()` through the Flux front-end — Kaufman's Adaptive
+    Moving Average (the noise-adaptive smoothing panel) in the
+    sanctioned Arrow per-series kernel (operators/timeseries.py
+    flux_kama), identity-seed convention pinned and documented there."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-10T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> kaufmansAMA(n: 10)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_events_duration",
+    # events.duration(unit: 1m) — whole-minute span until the next
+    # record per table, the LAST record closed by the range stop
+    # (upstream's _stop column carries exactly this value). Every
+    # record keeps its row (unlike elapsed, which drops the first);
+    # // on the non-negative µs diff ≡ the engine's toward-zero cast.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           ts AS _time, value AS _value,
+           CAST((coalesce(lead(epoch_us(ts)) OVER w,
+                          epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+                 - epoch_us(ts)) // 60000000 AS BIGINT) AS duration
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    """,
+)
+def flux_compiled_events_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.duration()` through the Flux front-end — the
+    state-dashboard idiom (how long each reading was current), one
+    lead window per table: one exchange."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        import "contrib/tomhollingworth/events"
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "purchase")
+          |> events.duration(unit: 1m)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_interpolate",
+    # interpolate.linear(every: 10m): raw rows pass through; grid rows
+    # at epoch-aligned 10-minute marks strictly inside each table's
+    # (min, max) span — and absent from the raw set — interpolate
+    # between the bracketing points of the per-timestamp-MAX-deduped
+    # series. Pinned expression order pv + (nv − pv)·((t−pt)/(nt−pt)),
+    # int64-µs deltas cast to double for ONE division: bit-identical.
+    oracle="""
+    WITH raw AS (
+      SELECT ts, value FROM events
+      WHERE event_type = 'signup' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    uniq AS (
+      SELECT epoch_us(ts) AS us, max(value) AS v FROM raw GROUP BY 1
+    ),
+    b AS (SELECT min(us) AS mn, max(us) AS mx FROM uniq),
+    g AS (
+      SELECT unnest(range(mn + (600000000 - mn % 600000000) % 600000000,
+                          mx - mx % 600000000 + 1, 600000000)) AS gus
+      FROM b
+    ),
+    g2 AS (
+      SELECT gus FROM g
+      WHERE NOT EXISTS (SELECT 1 FROM uniq u WHERE u.us = g.gus)
+    ),
+    m AS (
+      SELECT us, v FROM uniq
+      UNION ALL SELECT gus, NULL FROM g2
+    ),
+    f AS (
+      SELECT us, v,
+             last_value(CASE WHEN v IS NOT NULL
+                             THEN {'t': us, 'x': v} END IGNORE NULLS)
+               OVER (ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+             first_value(CASE WHEN v IS NOT NULL
+                              THEN {'t': us, 'x': v} END IGNORE NULLS)
+               OVER (ORDER BY us
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+      FROM m
+    )
+    SELECT 'events' AS _measurement, 'signup' AS _field,
+           ts AS _time, value AS _value
+    FROM raw
+    UNION ALL
+    SELECT 'events', 'signup', make_timestamp(us),
+           p.x + (nx.x - p.x)
+               * (CAST(us - p.t AS DOUBLE) / CAST(nx.t - p.t AS DOUBLE))
+    FROM f WHERE v IS NULL
+    """,
+)
+def flux_compiled_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`interpolate.linear()` through the Flux front-end — the
+    gap-filling panel option for irregular series: raw rows unchanged
+    plus linearly interpolated rows at aligned 10-minute marks. One
+    exchange on the table key (dedup, grid anti-join, and both bracket
+    windows co-partition)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        import "interpolate"
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "signup")
+          |> interpolate.linear(every: 10m)
+        """,
+        {"gas-quality": path},
+    )
+
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -4881,6 +5142,22 @@ _SUITE_11_SQL = f"""
     SELECT 'lineprotocol_window_mean', t._field || '|' || t.host,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.avg_value
     FROM ({ORACLE["lineprotocol_window_mean"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_trix', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), t._value
+    FROM ({ORACLE["flux_compiled_trix"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_kama', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), t._value
+    FROM ({ORACLE["flux_compiled_kama"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_events_duration', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), CAST(t.duration AS DOUBLE)
+    FROM ({ORACLE["flux_compiled_events_duration"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_interpolate', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), t._value
+    FROM ({ORACLE["flux_compiled_interpolate"]}) t
 """
 
 
@@ -4888,13 +5165,21 @@ _SUITE_11_SQL = f"""
 def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 suite (the round-10c one-slot pattern): both
     holtWinters forms — non-seasonal and the seasonal triple
-    recurrence — plus the line-protocol parse path, driver-attested
-    through one order-insensitive union hash whose oracle embeds each
-    singleton's registered SQL verbatim (pinned by
+    recurrence — plus the line-protocol parse path, and the round-11b
+    batch (TRIX, kaufmansAMA, events.duration, interpolate.linear),
+    driver-attested through one order-insensitive union hash whose
+    oracle embeds each singleton's registered SQL verbatim (pinned by
     tests/test_registry_window.py)."""
 
     def _us(c):
         return F.unix_micros(c).cast("string")
+
+    def _series_arm(fn, name, value_col="_value"):
+        return fn(spark, sf_dir).select(
+            F.lit(name).alias("sub"),
+            F.col("_field").alias("k1"), _us("_time").alias("k2"),
+            F.col(value_col).cast("double").alias("value"),
+        )
 
     arms = [
         flux_compiled_holt_winters(spark, sf_dir).select(
@@ -4913,6 +5198,13 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             _us("window_start").alias("k2"),
             F.col("avg_value").alias("value"),
         ),
+        _series_arm(flux_compiled_trix, "flux_compiled_trix"),
+        _series_arm(flux_compiled_kama, "flux_compiled_kama"),
+        _series_arm(
+            flux_compiled_events_duration, "flux_compiled_events_duration",
+            value_col="duration",
+        ),
+        _series_arm(flux_compiled_interpolate, "flux_compiled_interpolate"),
     ]
     out = arms[0]
     for a in arms[1:]:
