@@ -4656,6 +4656,83 @@ def test_interpolate_linear_values(spark, tmp_path):
         )
 
 
+def test_reduce_additive_fold(spark, tmp_path):
+    """reduce(): the additive subset folds identity + Σ poly(r) per
+    accumulator field — sum, sum of squares, count in one pass; both
+    accumulator positions parse; self-reference and cross-field
+    accumulator expressions raise."""
+    vals = [1.0, 2.0, 4.0, 3.0, 5.5]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> reduce(fn: (r, accumulator) => ({'
+        " total: accumulator.total + r._value,"
+        " sq: r._value * r._value + accumulator.sq,"
+        " cnt: accumulator.cnt + 1.0"
+        " }), identity: {total: 10.0, sq: 0.0, cnt: 0.0})",
+        {"b": path},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["total"] == 10.0 + sum(vals)
+    assert r["sq"] == sum(v * v for v in vals)
+    assert r["cnt"] == float(len(vals))
+    assert r["_measurement"] == "events" and r["_field"] == "click"
+    # rejections: incremental-mean idiom (cross-field accumulator),
+    # non-additive fold, identity/fn field mismatch, division factor
+    for bad, msg in [
+        (
+            "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value,"
+            " avg: (accumulator.s + r._value) / accumulator.n }),"
+            " identity: {s: 0.0, avg: 0.0})",
+            "additive",
+        ),
+        (
+            "reduce(fn: (r, accumulator) => ({ p: accumulator.p * r._value }),"
+            " identity: {p: 1.0})",
+            "additive",
+        ),
+        (
+            "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value }),"
+            " identity: {other: 0.0})",
+            "identity fields must match",
+        ),
+        (
+            "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value /"
+            " 2.0 }), identity: {s: 0.0})",
+            "factors",
+        ),
+    ]:
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
+def test_timed_moving_average_windowed_emission(spark, tmp_path):
+    """timedMovingAverage(every:, period:) — upstream's window |> mean
+    composition — equals the sliding aggregateWindow(mean) plan
+    exactly; a period that is not a multiple of every raises."""
+    vals = [float(v) for v in range(1, 13)]
+    path = _tiny_store(spark, tmp_path, vals)
+    a = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> timedMovingAverage(every: 2m, period: 6m)',
+        {"b": path},
+    )
+    b = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, period: 6m, fn: mean)',
+        {"b": path},
+    )
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    with pytest.raises(flux.FluxError, match="multiple of every"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> timedMovingAverage(every: 3m, period: 4m)',
+            {"b": path},
+        )
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings
@@ -4738,6 +4815,11 @@ _STAGE_POOL = [
     'events.duration(unit: 1m, stop: "2024-01-06 00:00:00")',
     "interpolate.linear(every: 30m)",
     "interpolate.linear(every: 0s)",
+    "timedMovingAverage(every: 1h, period: 2h)",
+    "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value }), "
+    "identity: {s: 0.0})",
+    "reduce(fn: (r, accumulator) => ({ s: accumulator.t + 1 }), "
+    "identity: {s: 0.0})",
     "highestMax(n: 2)",
     "lowestAverage(n: 2)",
     'to(bucket: "nowhere")',

@@ -44,7 +44,7 @@ stage):
                 | lowestMin | lowestAverage | lowestCurrent
                 | histogramQuantile (fused after histogram)
                 | tripleExponentialDerivative | kaufmansAMA
-                | events.duration | interpolate.linear
+                | events.duration | interpolate.linear | reduce
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -257,7 +257,17 @@ Round 10c adds the technical-indicator / selector / conversion batch
   bracketing points of the per-timestamp-MAX-deduped series (pivot's
   documented tie rule). The ``import "interpolate"`` /
   ``import "contrib/tomhollingworth/events"`` lines are accepted and
-  stripped like the schema import.
+  stripped like the schema import. Also:
+  ``timedMovingAverage(every:, period:)`` — the WINDOWED-emission
+  form (upstream's ``window |> mean`` composition) compiles onto the
+  sliding aggregateWindow machinery, start-labeled windows; and
+  ``reduce(fn: (r, accumulator) => ({f: accumulator.f + <poly>, …}),
+  identity: {f: <num>, …})`` — the ADDITIVE subset of Flux's custom
+  aggregation (each field folds identity + Σ poly(r), poly a product
+  of ``r._value`` factors and ≤2-dp numeric literals, ≤3 value
+  factors): exactly the map-side-combinable fragment, over exact
+  decimal(12,2) sums; cross-field accumulator expressions (the docs'
+  incremental-mean idiom) are order-dependent per-row folds and raise.
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
@@ -1567,7 +1577,7 @@ def _compile_pipeline(
         "columns", "keyValues", "holtWinters",
         # round 11b: the contrib / interpolate / remaining-indicator batch
         "tripleExponentialDerivative", "kaufmansAMA", "events.duration",
-        "interpolate.linear",
+        "interpolate.linear", "reduce",
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
@@ -1939,11 +1949,44 @@ def _compile_pipeline(
         elif head == "timedMovingAverage":
             a = _args(stage, "timedMovingAverage")
             if "every" in a:
-                raise FluxError(
-                    "timedMovingAverage every: (windowed emission) is outside "
-                    "the subset — the shipped form is the per-point trailing "
-                    "mean over period:"
+                # the WINDOWED-EMISSION form (round 11b): upstream
+                # defines timedMovingAverage(every:, period:) as
+                # window(every:, period:) |> mean() — exactly the
+                # sliding aggregateWindow(mean) machinery (start-
+                # labeled windows, the engine-wide convention), so it
+                # compiles to the same agg tuple and inherits the
+                # sliding path's plan (each row lands in period/every
+                # windows, one exchange). period must be a positive
+                # multiple of every, the sliding subset's constraint.
+                tma_every = _resolve(a["every"], params)
+                tma_period = _resolve(a.get("period", ""), params)
+                for nm, v in (("every", tma_every), ("period", tma_period)):
+                    if (
+                        not (isinstance(v, str) and _DUR_RE.match(v))
+                        or _duration_seconds(v) <= 0
+                    ):
+                        raise FluxError(
+                            f"timedMovingAverage {nm}: bad duration {v!r}"
+                        )
+                extra = set(a) - {"every", "period"}
+                if extra:
+                    raise FluxError(
+                        f"timedMovingAverage: unsupported args {sorted(extra)}"
+                    )
+                tma_every_s = _duration_seconds(tma_every)
+                tma_period_s = _duration_seconds(tma_period)
+                if tma_period_s != tma_every_s and (
+                    tma_period_s % tma_every_s != 0
+                ):
+                    raise FluxError(
+                        "timedMovingAverage period: must be a positive "
+                        f"multiple of every: in the subset; got {stage!r}"
+                    )
+                agg = (
+                    tma_every_s, "mean", False, None,
+                    tma_period_s if tma_period_s != tma_every_s else None, 0,
                 )
+                continue
             period = _resolve(a.get("period", ""), params)
             if not (isinstance(period, str) and _DUR_RE.match(period)):
                 raise FluxError(
@@ -2353,6 +2396,124 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"kaufmansAMA: unsupported args {sorted(extra)}")
             transform = ("kama", n)
+        elif head == "reduce":
+            # reduce(fn: (r, accumulator) => ({ f: accumulator.f +
+            # <poly>, ... }), identity: {f: <num>, ...}) — the ADDITIVE
+            # subset: each accumulator field folds identity + Σ poly(r)
+            # where poly is a product of r._value factors and numeric
+            # literals (≤ 3 value factors — the exact-decimal cube cap,
+            # skew's rule; ≤ 2 decimal places so every literal is exact
+            # in decimal(12,2)). This is precisely the map-side-
+            # combinable fragment of Flux reduce — sums, counts, sums
+            # of squares/cubes, weighted counts. A field referencing
+            # ANOTHER accumulator field (the docs' incremental-mean
+            # idiom) is order-dependent per-row folding and raises —
+            # divide with map() after the fold instead.
+            a = _args(stage, "reduce")
+            for req in ("fn", "identity"):
+                if req not in a:
+                    raise FluxError(f"reduce requires {req}:")
+            extra = set(a) - {"fn", "identity"}
+            if extra:
+                raise FluxError(f"reduce: unsupported args {sorted(extra)}")
+            m = re.match(
+                r"^\(\s*r\s*,\s*accumulator\s*\)\s*=>\s*"
+                r"\(\s*\{\s*(.*?)\s*\}\s*\)\s*$",
+                a["fn"].strip(),
+                re.DOTALL,
+            )
+            if not m:
+                raise FluxError(
+                    "reduce ships fn: (r, accumulator) => ({ field: "
+                    "accumulator.field + <expr>, ... }); got "
+                    f"{a['fn']!r}"
+                )
+            num_re = r"-?\d+(?:\.\d{1,2})?"
+            rd_fields: list[tuple[str, list[tuple[str, ...]]]] = []
+            for entry in m.group(1).split(","):
+                nm_part, _, expr = entry.partition(":")
+                fname, expr = nm_part.strip().strip('"'), expr.strip()
+                if not re.fullmatch(r"\w+", fname):
+                    raise FluxError(
+                        f"reduce: bad accumulator field name {fname!r}"
+                    )
+                pm = re.match(
+                    r"^accumulator\.(\w+)\s*\+\s*(.*)$", expr, re.DOTALL
+                )
+                if pm:
+                    acc_f, poly_src = pm.group(1), pm.group(2)
+                else:
+                    sm = re.match(
+                        r"^(.*?)\s*\+\s*accumulator\.(\w+)\s*$",
+                        expr,
+                        re.DOTALL,
+                    )
+                    if not sm:
+                        raise FluxError(
+                            "reduce ships the additive fold only "
+                            "(accumulator.f + <expr> or <expr> + "
+                            f"accumulator.f); got {expr!r}"
+                        )
+                    poly_src, acc_f = sm.group(1), sm.group(2)
+                if acc_f != fname:
+                    raise FluxError(
+                        f"reduce: field {fname!r} must fold ITSELF "
+                        f"(accumulator.{fname}); got accumulator.{acc_f}"
+                    )
+                if "accumulator" in poly_src:
+                    raise FluxError(
+                        "reduce: a field referencing another accumulator "
+                        "field is order-dependent per-row folding — "
+                        f"outside the additive subset: {expr!r}"
+                    )
+                factors: list[tuple[str, ...]] = []
+                nval = 0
+                for fac in poly_src.split("*"):
+                    fac = fac.strip()
+                    if fac in ("r._value", 'r["_value"]'):
+                        factors.append(("val",))
+                        nval += 1
+                    elif re.fullmatch(num_re, fac):
+                        factors.append(("lit", fac))
+                    else:
+                        raise FluxError(
+                            "reduce: poly factors are r._value or a "
+                            "numeric literal (≤ 2 decimal places); got "
+                            f"{fac!r}"
+                        )
+                if nval > 3:
+                    raise FluxError(
+                        "reduce: at most 3 r._value factors per term "
+                        "(the exact-decimal 38-digit cap)"
+                    )
+                rd_fields.append((fname, factors))
+            if not rd_fields:
+                raise FluxError("reduce: empty accumulator record")
+            if len({f for f, _ in rd_fields}) != len(rd_fields):
+                raise FluxError("reduce: duplicate accumulator field")
+            im = re.match(r"^\{\s*(.*?)\s*\}$", a["identity"].strip(), re.DOTALL)
+            if not im:
+                raise FluxError(
+                    f"reduce identity: expected {{f: <num>, ...}}; got "
+                    f"{a['identity']!r}"
+                )
+            rd_identity: dict[str, str] = {}
+            for entry in im.group(1).split(","):
+                nm_part, _, val = entry.partition(":")
+                iname, val = nm_part.strip().strip('"'), val.strip()
+                if not re.fullmatch(num_re, val):
+                    raise FluxError(
+                        "reduce identity: values are numeric literals "
+                        f"(≤ 2 decimal places); got {val!r}"
+                    )
+                rd_identity[iname] = val
+            if set(rd_identity) != {f for f, _ in rd_fields}:
+                raise FluxError(
+                    "reduce: identity fields must match the fn record "
+                    f"fields exactly; got {sorted(rd_identity)} vs "
+                    f"{sorted(f for f, _ in rd_fields)}"
+                )
+            transform = ("reduce", rd_fields, rd_identity)
         elif head == "events.duration":
             # contrib/tomhollingworth/events.duration() — per-record
             # duration until the NEXT record; the last record closes
@@ -4297,6 +4458,46 @@ def _compile_pipeline(
             out = src.unionByName(filled)
             if yield_name:
                 out = out.withColumnRenamed("_value", yield_name)
+            return _finish(out)
+        if kind == "reduce":
+            # the additive fold: identity + Σ poly(r) per accumulator
+            # field over EXACT decimals (skew's decimal(12,2) domain —
+            # sums/products associative, deterministic across partition
+            # orders, map-side combinable; try_cast nulls out-of-domain
+            # values ≥ 1e10 instead of silently overflowing), ONE
+            # double conversion per field at the end. One tiny exchange
+            # on the table key — or the key-less group() merge form,
+            # equally safe (partial aggregation).
+            rd_fields, rd_identity = transform[1], transform[2]
+            src = df.filter(F.col("_value").isNotNull())
+            d = F.col("_value").try_cast("decimal(12,2)")
+            aggs = []
+            for fname, factors in rd_fields:
+                term = None
+                for fac in factors:
+                    c = (
+                        d
+                        if fac[0] == "val"
+                        else F.lit(fac[1]).cast("decimal(12,2)")
+                    )
+                    term = c if term is None else term * c
+                aggs.append(F.sum(term).alias(f"__{fname}"))
+            out = (
+                src.groupBy(*keys)
+                .agg(*aggs)
+                .select(
+                    *keys,
+                    *[
+                        (
+                            F.lit(rd_identity[fname]).cast("decimal(12,2)")
+                            + F.col(f"__{fname}")
+                        )
+                        .cast("double")
+                        .alias(fname)
+                        for fname, _ in rd_fields
+                    ],
+                )
+            )
             return _finish(out)
         if kind in ("increase", "difference", "cumsum"):
             # The VALUE-SERIES transforms: each rewrites _value per

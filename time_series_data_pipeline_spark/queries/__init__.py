@@ -78,6 +78,8 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_kama",
         "flux_compiled_events_duration",
         "flux_compiled_interpolate",
+        "flux_compiled_reduce",
+        "flux_compiled_tma_windowed",
     ),
     "suite_flux_round10c": (
         "flux_compiled_mode",

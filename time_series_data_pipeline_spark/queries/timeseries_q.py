@@ -5130,6 +5130,97 @@ def flux_compiled_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flux_compiled_reduce",
+    # reduce() — the additive-fold subset: identity + Σ poly(r) per
+    # accumulator field over exact decimal(12,2) sums/products (skew's
+    # domain: associative, map-side combinable, try_cast nulling
+    # out-of-domain values), ONE double conversion per field at the
+    # end. Sum, sum of squares, and a literal-term count in one pass.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           CAST(CAST(0.0 AS DECIMAL(12,2))
+                + SUM(TRY_CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(CAST(0.0 AS DECIMAL(12,2))
+                + SUM(TRY_CAST(value AS DECIMAL(12,2))
+                      * TRY_CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+           CAST(CAST(0.0 AS DECIMAL(12,2))
+                + SUM(CAST(1.0 AS DECIMAL(12,2))) AS DOUBLE) AS cnt
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def flux_compiled_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`reduce()` through the Flux front-end — the custom-aggregation
+    escape hatch, shipped as its map-side-combinable additive fragment
+    (sums / sums of squares / counts in one pass; one tiny exchange on
+    the table key)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> reduce(fn: (r, accumulator) => ({
+               total: accumulator.total + r._value,
+               sq: r._value * r._value + accumulator.sq,
+               cnt: accumulator.cnt + 1.0
+             }), identity: {total: 0.0, sq: 0.0, cnt: 0.0})
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
+    "flux_compiled_tma_windowed",
+    # timedMovingAverage(every: 1h, period: 3h) — the WINDOWED-emission
+    # form, upstream's window |> mean composition ≡ the sliding
+    # aggregateWindow(mean) machinery: each row in period/every = 3
+    # windows, replayed by unnesting k ∈ {0,1,2} memberships per row.
+    oracle="""
+    WITH x AS (
+      SELECT ts, event_type, value, unnest([0, 1, 2]) AS k
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT make_timestamp(((epoch_us(ts) // 3600000000) - k) * 3600000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_tma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`timedMovingAverage(every:, period:)` through the Flux
+    front-end — the windowed-emission smoothing panel, compiled onto
+    the sliding aggregateWindow machinery (one exchange, partial
+    aggregation per window membership)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> timedMovingAverage(every: 1h, period: 3h)
+        """,
+        {"gas-quality": path},
+    )
+
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -5158,6 +5249,15 @@ _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_interpolate', t._field,
            CAST(epoch_us(t._time) AS VARCHAR), t._value
     FROM ({ORACLE["flux_compiled_interpolate"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_reduce', t._field, u.fname, u.fval
+    FROM ({ORACLE["flux_compiled_reduce"]}) t,
+         LATERAL (VALUES ('total', t.total), ('sq', t.sq), ('cnt', t.cnt))
+           AS u(fname, fval)
+    UNION ALL
+    SELECT 'flux_compiled_tma_windowed', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.mean
+    FROM ({ORACLE["flux_compiled_tma_windowed"]}) t
 """
 
 
@@ -5206,6 +5306,23 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _series_arm(flux_compiled_interpolate, "flux_compiled_interpolate"),
     ]
+    rd = flux_compiled_reduce(spark, sf_dir)
+    arms += [
+        rd.select(
+            F.lit("flux_compiled_reduce").alias("sub"),
+            F.col("_field").alias("k1"), F.lit(fname).alias("k2"),
+            F.col(fname).alias("value"),
+        )
+        for fname in ("total", "sq", "cnt")
+    ]
+    arms.append(
+        flux_compiled_tma_windowed(spark, sf_dir).select(
+            F.lit("flux_compiled_tma_windowed").alias("sub"),
+            F.col("_field").alias("k1"),
+            _us("window_start").alias("k2"),
+            F.col("mean").alias("value"),
+        )
+    )
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
