@@ -4733,6 +4733,82 @@ def test_timed_moving_average_windowed_emission(spark, tmp_path):
         )
 
 
+def test_downsample_then_rate_composition(spark, tmp_path):
+    """aggregateWindow(fn: <selector>) |> derivative/difference/
+    cumulativeSum/increase — the downsample-then-rate idiom: the
+    selector aggregate runs first, the transform over its
+    (window_start, value) series; computed aggregates and non-tumbling
+    windows raise."""
+    # counter with a reset at index 7
+    vals = [0.0, 10.0, 25.0, 30.0, 42.0, 50.0, 61.0, 5.0, 18.0, 30.0, 44.0, 58.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, fn: last)'
+        " |> derivative(unit: 1s, nonNegative: true)",
+        {"b": path},
+    ).collect()
+    got = [
+        (r["_time"].minute, r["_value"], r["derivative"])
+        for r in sorted(out, key=lambda r: r["_time"])
+    ]
+    # hourly... window lasts: win(0-2)=10, win(2-4)=30, win(4-6)=50,
+    # win(6-8)=5 (reset), win(8-10)=30, win(10-12)=58; first dropped
+    assert got == [
+        (2, 30.0, (30.0 - 10.0) / 120.0),
+        (4, 50.0, (50.0 - 30.0) / 120.0),
+        (6, 5.0, 5.0 / 120.0),  # reset: delta = current value
+        (8, 30.0, (30.0 - 5.0) / 120.0),
+        (10, 58.0, (58.0 - 30.0) / 120.0),
+    ]
+    # increase keeps the first window with 0 (initialZero)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, fn: last)'
+        " |> increase()",
+        {"b": path},
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == [0.0, 20.0, 40.0, 45.0, 70.0, 98.0]
+    # difference over window maxes drops the first window
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 2m, fn: max)'
+        " |> difference()",
+        {"b": path},
+    ).collect()
+    got = [r["_value"] for r in sorted(out, key=lambda r: r["_time"])]
+    assert got == [20.0, 20.0, 11.0, -31.0, 28.0]
+    # computed aggregates / non-tumbling forms / a trailing last() raise
+    for bad, msg in [
+        (
+            "aggregateWindow(every: 2m, fn: mean) |> derivative(unit: 1s)",
+            "selector fns",
+        ),
+        (
+            "aggregateWindow(every: 2m, fn: last, createEmpty: true)"
+            " |> increase()",
+            "tumbling",
+        ),
+        (
+            "aggregateWindow(every: 2m, period: 4m, fn: last)"
+            " |> difference()",
+            "tumbling",
+        ),
+        (
+            "aggregateWindow(every: 1mo, fn: last) |> difference()",
+            "tumbling",
+        ),
+        (
+            "aggregateWindow(every: 2m, fn: last) |> derivative(unit: 1s)"
+            " |> last()",
+            "outside",
+        ),
+    ]:
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings
@@ -4816,6 +4892,8 @@ _STAGE_POOL = [
     "interpolate.linear(every: 30m)",
     "interpolate.linear(every: 0s)",
     "timedMovingAverage(every: 1h, period: 2h)",
+    "aggregateWindow(every: 1h, fn: last)",
+    "aggregateWindow(every: 1h, fn: max)",
     "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value }), "
     "identity: {s: 0.0})",
     "reduce(fn: (r, accumulator) => ({ s: accumulator.t + 1 }), "

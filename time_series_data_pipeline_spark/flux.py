@@ -268,6 +268,16 @@ Round 10c adds the technical-indicator / selector / conversion batch
   factors): exactly the map-side-combinable fragment, over exact
   decimal(12,2) sums; cross-field accumulator expressions (the docs'
   incremental-mean idiom) are order-dependent per-row folds and raise.
+* ``aggregateWindow(fn:) |> derivative/difference/cumulativeSum/
+  increase`` (round 11b) — the DOWNSAMPLE-THEN-RATE idiom
+  (``aggregateWindow(every: 1h, fn: last) |> derivative(nonNegative:
+  true)``: counter rate from downsampled counters): the windowed
+  aggregate runs first, the transform over its (window_start, value)
+  series reshaped to the value-series frame. Shipped over SELECTOR
+  fns (first/last/min/max — window values stay in the store's
+  exact-decimal domain, so the transforms' delta machinery is exactly
+  as attested on raw scans); computed aggregates (mean/sum/…) would
+  round through the decimal re-cast and raise; tumbling windows only.
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
@@ -1551,6 +1561,10 @@ def _compile_pipeline(
     row_ops: list[tuple[str, Column]] = []
     agg = None  # (every_s, fn, create_empty)
     take_last = False
+    # aggregateWindow |> <value-series transform> (the downsample-then-
+    # rate idiom): the transform runs over the windowed aggregate's
+    # output series instead of the raw scan
+    transform_post_agg = False
     transform = None  # ("derivative",) | ("tma", period_s) | ("increase",) | ("state_duration", Column)
     post_ops: list[tuple] = []  # sort/limit/keep/drop, in user order
     yield_name = None
@@ -1685,6 +1699,43 @@ def _compile_pipeline(
                 take_last = True
                 continue
             if (
+                head
+                in ("derivative", "difference", "cumulativeSum", "increase")
+                and agg is not None
+                and transform is None
+                and not take_last
+            ):
+                # <aggregateWindow> |> <value-series transform> — the
+                # DOWNSAMPLE-THEN-RATE dashboard idiom
+                # (aggregateWindow(fn: last) |> derivative(nonNegative:
+                # true): counter rate from downsampled counters; fn:
+                # max |> difference(): per-window deltas). Shipped over
+                # SELECTOR aggregates (first/last/min/max — window
+                # values drawn from the store's exact-decimal domain,
+                # so the transforms' delta machinery stays exact); a
+                # COMPUTED aggregate (mean/sum/median/...) re-cast to
+                # decimal would silently round — raises naming the
+                # reason. Tumbling windows only; execution runs the
+                # windowed aggregate FIRST, then the transform over the
+                # (window_start, value) series reshaped to the
+                # value-series frame.
+                if agg[1] not in ("first", "last", "min", "max"):
+                    raise FluxError(
+                        f"aggregateWindow(fn: {agg[1]}) |> {head}(): the "
+                        "composition ships over selector fns (first/last/"
+                        "min/max), whose window values stay in the store's "
+                        "exact-decimal domain; a computed aggregate would "
+                        "round — compose in DataFrame land instead"
+                    )
+                if not isinstance(agg[0], int) or agg[2] or agg[4] is not None:
+                    raise FluxError(
+                        f"aggregateWindow |> {head}(): tumbling windows "
+                        "only (no createEmpty/sliding/calendar) in the "
+                        "shipped subset"
+                    )
+                transform_post_agg = True
+                # fall through to the transform's own parse branch
+            elif (
                 head == "aggregateWindow"
                 and transform is not None
                 and transform[0] in _VALUE_SERIES
@@ -3362,11 +3413,14 @@ def _compile_pipeline(
     # the tables
     keys = group_cols if group_cols is not None else list(natural_key)
 
-    def _agg_over(frame: DataFrame) -> DataFrame:
+    def _agg_over(frame: DataFrame, raw: bool = False) -> DataFrame:
         # The aggregateWindow / bare-aggregate execution, generic over
         # its source frame: the scan (plain pipelines) or a value-series
         # transform's output (difference |> aggregateWindow — the
-        # counter-to-hourly-totals composition).
+        # counter-to-hourly-totals composition). raw=True returns the
+        # bare aggregate frame (fn-named value column, no tail stages,
+        # no yield rename) — the downsample-then-rate composition's
+        # input, where tails and yield apply to the TRANSFORM's output.
         every_s, fn, create_empty, agg_q, period_s, offset_s = agg
         if create_empty:
             # gap_fill's spine carries both the windowed mean and the
@@ -3396,7 +3450,7 @@ def _compile_pipeline(
                     F.col("n_events").alias("n"),
                 )
             return _finish(out)
-        name = yield_name or fn
+        name = fn if raw else (yield_name or fn)
         if fn == "quantile":
             # exact_selector with UPSTREAM Flux's rank convention
             # (ADVICE r9): Flux's getQuantileIndex picks the sorted
@@ -3618,13 +3672,31 @@ def _compile_pipeline(
             )
         if fn == "count":
             out = out.drop("n")
-        return _finish(out)
+        return out if raw else _finish(out)
 
 
     if transform is not None:
         from pyspark.sql import Window
 
         kind = transform[0]
+        if transform_post_agg:
+            # the downsample-then-rate composition: the windowed
+            # SELECTOR aggregate runs first (raw frame — no tails, no
+            # yield), then its (window_start, value) series reshapes to
+            # the value-series frame (_time, _value) and the transform
+            # branches below run over it unchanged — the selector
+            # output stays in the store's exact-decimal domain, so the
+            # transforms' delta machinery is exactly as attested on raw
+            # scans. One window-key exchange for the aggregate; the
+            # per-table transform window reuses that partitioning.
+            base = _agg_over(df, raw=True)
+            df = (
+                base.withColumnRenamed("window_start", "_time")
+                .withColumnRenamed(agg[1], "_value")
+                .drop("n")
+            )
+            agg = None  # consumed — the increase/difference branches
+            # below must not re-aggregate
         if kind == "histogram":
             # Flux's CUMULATIVE histogram: B map-side-combinable
             # conditional-count aggregates in ONE groupBy pass (a

@@ -80,6 +80,7 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_interpolate",
         "flux_compiled_reduce",
         "flux_compiled_tma_windowed",
+        "flux_compiled_downsample_rate",
     ),
     "suite_flux_round10c": (
         "flux_compiled_mode",

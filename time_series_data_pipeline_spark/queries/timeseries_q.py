@@ -5221,6 +5221,66 @@ def flux_compiled_tma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flux_compiled_downsample_rate",
+    # aggregateWindow(every: 1h, fn: last) |> derivative(unit: 1s,
+    # nonNegative: true) — the DOWNSAMPLE-THEN-RATE idiom (counter rate
+    # from hourly-downsampled counters). The windowed last replays as a
+    # QUALIFY row_number over the hour bucket; the derivative then runs
+    # over (window_start, value) in doubles exactly like the row-level
+    # form (same IEEE tree, reset-aware delta, first row dropped).
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS t,
+             value
+      FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      QUALIFY row_number() OVER (
+        PARTITION BY event_type, epoch_us(ts) // 3600000000
+        ORDER BY ts DESC, value DESC) = 1
+    ),
+    d AS (
+      SELECT event_type, t, value,
+             lag(value) OVER w2 AS pv,
+             lag(epoch_us(t)) OVER w2 AS pt
+      FROM w
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY t, value)
+    )
+    SELECT * FROM (
+      SELECT 'events' AS _measurement, event_type AS _field, t AS _time,
+             value AS _value,
+             CASE WHEN value >= pv THEN value - pv ELSE value END
+               / NULLIF((epoch_us(t) - pt) / 1000000.0, 0) AS derivative
+      FROM d
+    ) WHERE derivative IS NOT NULL
+    """,
+)
+def flux_compiled_downsample_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow(fn: last) |> derivative(nonNegative: true)`
+    through the Flux front-end — the counter-rate-from-downsampled-
+    counters panel (round 11b: the aggregate-then-transform
+    composition). One window-key exchange for the selector aggregate;
+    the per-table derivative window reuses that partitioning."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: last)
+          |> derivative(unit: 1s, nonNegative: true)
+        """,
+        {"gas-quality": path},
+    )
+
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -5258,6 +5318,10 @@ _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_tma_windowed', t._field,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.mean
     FROM ({ORACLE["flux_compiled_tma_windowed"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_downsample_rate', t._field,
+           CAST(epoch_us(t._time) AS VARCHAR), t.derivative
+    FROM ({ORACLE["flux_compiled_downsample_rate"]}) t
 """
 
 
@@ -5321,6 +5385,12 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_field").alias("k1"),
             _us("window_start").alias("k2"),
             F.col("mean").alias("value"),
+        )
+    )
+    arms.append(
+        _series_arm(
+            flux_compiled_downsample_rate, "flux_compiled_downsample_rate",
+            value_col="derivative",
         )
     )
     out = arms[0]
