@@ -4809,6 +4809,96 @@ def test_downsample_then_rate_composition(spark, tmp_path):
             flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
 
 
+def test_contains_predicate(spark, tmp_path):
+    """contains(value:, set:): the multi-select variable idiom — IN
+    semantics, list-literal and whole-list v.NAME forms, In() pushed
+    into the parquet scan; empty sets and wrong arg order raise."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for fld, n in [("click", 5), ("view", 3), ("error", 4)]:
+        rows += [
+            (t0 + datetime.timedelta(minutes=i), "events", fld, float(i))
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path / "cst")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => '
+        'contains(value: r["_field"], set: ["click", "view"])) |> count()',
+        {"b": path},
+    ).collect()
+    assert {(r["_field"], r["count"]) for r in out} == {("click", 5), ("view", 3)}
+    # whole-list dashboard variable
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => '
+        "contains(value: r._field, set: v.fields)) |> count()",
+        {"b": path},
+        {"fields": ["error"]},
+    ).collect()
+    assert {(r["_field"], r["count"]) for r in out} == {("error", 4)}
+    # the In predicate reaches the parquet scan
+    plan = (
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> filter(fn: (r) => '
+            'contains(value: r["_field"], set: ["click", "view"]))',
+            {"b": path},
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(_field" in plan
+    for bad, msg in [
+        ('contains(value: r["_field"], set: [])', "empty"),
+        ('contains(set: ["a"], value: r["_field"])', "value"),
+        ('contains(value: r["_field"], set: v.fields)', "list param"),
+    ]:
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(
+                spark,
+                f'from(bucket: "b") |> filter(fn: (r) => {bad})',
+                {"b": path},
+                {"fields": "notalist"},
+            )
+
+
+def test_join_method_left_right_full(spark, tmp_path):
+    """join(method:): left/right/full map onto Spark's outer joins —
+    the unmatched side carries nulls; an unknown method raises."""
+    vals = [float(v) for v in range(1, 9)]
+    path = _tiny_store(spark, tmp_path, vals)
+    script = """
+    a = from(bucket: "b") |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-01T00:08:00Z") |> aggregateWindow(every: 2m, fn: mean)
+    b = from(bucket: "b") |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-01T00:04:00Z") |> aggregateWindow(every: 2m, fn: mean)
+    join(tables: {a: a, b: b}, on: ["window_start"], method: "%s")
+    """
+    left = flux.compile_flux(spark, script % "left", {"b": path}).collect()
+    assert len(left) == 4  # every a window kept
+    assert sum(1 for r in left if r["mean_b"] is None) == 2
+    inner = flux.compile_flux(spark, script % "inner", {"b": path}).collect()
+    assert len(inner) == 2
+    full = flux.compile_flux(spark, script % "full", {"b": path}).collect()
+    assert len(full) == 4  # b ⊂ a windows
+    right = flux.compile_flux(spark, script % "right", {"b": path}).collect()
+    assert len(right) == 2
+    with pytest.raises(flux.FluxError, match="method"):
+        flux.compile_flux(spark, script % "cross", {"b": path})
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings
@@ -4823,6 +4913,8 @@ _STAGE_POOL = [
     'filter(fn: (r) => r._value > 100)',
     'filter(fn: (r) => exists r.host)',
     'filter(fn: (r) => r["_field"] =~ /cl.*/)',
+    'filter(fn: (r) => contains(value: r["_field"], set: ["click", "view"]))',
+    'filter(fn: (r) => contains(value: r["_field"], set: []))',
     "map(fn: (r) => ({ r with _value: r._value * 2.0 }))",
     "map(fn: (r) => ({ r with _time: 5 }))",
     "aggregateWindow(every: 1h, fn: mean, createEmpty: false)",

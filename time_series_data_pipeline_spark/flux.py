@@ -278,6 +278,14 @@ Round 10c adds the technical-indicator / selector / conversion batch
   exact-decimal domain, so the transforms' delta machinery is exactly
   as attested on raw scans); computed aggregates (mean/sum/…) would
   round through the decimal re-cast and raise; tumbling windows only.
+* ``contains(value: r["col"], set: [...])`` in the filter grammar
+  (round 11b) — the Grafana MULTI-SELECT variable idiom: an IN
+  predicate Catalyst pushes into the parquet scan (In() in
+  PushedFilters, so field-clustered row groups still skip); a
+  ``set: v.NAME`` whole-set variable splices a list param. And
+  ``join(method: "left" | "right" | "full")`` — the join-package
+  outer forms, 1:1 onto Spark's join types (same one-exchange-per-
+  side shape as inner).
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
@@ -600,7 +608,8 @@ _TOKEN_RE = re.compile(
       | r\.\w+                   # r.col
       | ==|!=|<=|>=|=~|!~|<|>
       | and\b|or\b|exists\b|not\b
-      | \(|\)
+      | contains\b|value\b|set\b     # contains(value: r[...], set: [...])
+      | \(|\)|\[|\]|,|:
       | "(?:[^"]*)"
       | '(?:[^']*)'
       | -?\d+\.\d+|-?\d+
@@ -665,6 +674,54 @@ def _parse_pred(tokens: list[str], params: dict[str, Any]) -> Column:
             # semantics
             eat("exists")
             return ref_or_fail(eat()).isNotNull()
+        if peek() == "contains":
+            # Flux contains(value: r["col"], set: [...]) — the
+            # multi-select dashboard variable idiom (field/tag IN a
+            # selection). Compiles to an IN predicate; Catalyst pushes
+            # an In() filter into the parquet scan on the promoted
+            # columns, so row-group stats still skip. A v.NAME set
+            # resolving to a list splices (the Grafana multi-value
+            # variable shape).
+            eat("contains")
+            eat("(")
+            if eat() != "value":
+                raise FluxError("contains needs value: r[...] first")
+            eat(":")
+            col = ref_or_fail(eat())
+            eat(",")
+            if eat() != "set":
+                raise FluxError("contains needs set: [...] second")
+            eat(":")
+            vals: list[Any] = []
+            if (peek() or "").startswith("v."):
+                # whole-set dashboard variable: set: v.fields with a
+                # LIST param — the Grafana multi-value variable shape
+                v = _resolve(eat(), params)
+                if not isinstance(v, list) or not v:
+                    raise FluxError(
+                        "contains set: a v.NAME set needs a non-empty "
+                        f"list param; got {v!r}"
+                    )
+                vals.extend(v)
+            else:
+                eat("[")
+                if peek() == "]":
+                    raise FluxError("contains set: list is empty")
+                while True:
+                    v = _resolve(eat(), params)
+                    if isinstance(v, list):
+                        vals.extend(v)
+                    else:
+                        vals.append(v)
+                    nxt = eat()
+                    if nxt == "]":
+                        break
+                    if nxt != ",":
+                        raise FluxError(
+                            f"contains set: expected , or ], got {nxt!r}"
+                        )
+            eat(")")
+            return col.isin(*vals)
         left = ref_or_fail(eat())
         op = eat()
         if op in ("=~", "!~"):
@@ -4742,11 +4799,15 @@ def _compile_combiner(
                 "join requires tables: {a: <pipeline>, b: <pipeline>} "
                 "and an explicit on: [columns]"
             )
+        # method: — Flux's universe join ships inner (the default);
+        # the `join` package adds left/right/full (missing side →
+        # null columns), which map 1:1 onto Spark's join types. Same
+        # scale shape for all four: one hash exchange per side on on:.
         method = _resolve(a["method"], params) if "method" in a else "inner"
-        if method != "inner":
+        if method not in ("inner", "left", "right", "full"):
             raise FluxError(
-                f'join ships method: "inner" (Flux\'s default) only; '
-                f"got {method!r}"
+                'join ships method: "inner" | "left" | "right" | '
+                f'"full"; got {method!r}'
             )
         extra = set(a) - {"tables", "on", "method"}
         if extra:
@@ -4784,7 +4845,7 @@ def _compile_combiner(
         for c in sorted((set(dfa.columns) & set(dfb.columns)) - set(on)):
             dfa = dfa.withColumnRenamed(c, f"{c}_{la}")
             dfb = dfb.withColumnRenamed(c, f"{c}_{lb}")
-        out = dfa.join(dfb, on=on, how="inner")
+        out = dfa.join(dfb, on=on, how=method)
     elif head == "union":
         a = _args(stages[0], "union")
         if "tables" not in a:

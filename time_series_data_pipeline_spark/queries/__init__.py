@@ -81,6 +81,8 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_reduce",
         "flux_compiled_tma_windowed",
         "flux_compiled_downsample_rate",
+        "flux_compiled_contains",
+        "flux_compiled_left_join",
     ),
     "suite_flux_round10c": (
         "flux_compiled_mode",

@@ -5281,6 +5281,112 @@ def flux_compiled_downsample_rate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "flux_compiled_contains",
+    # filter(fn: (r) => contains(value: r["_field"], set: [...])) — the
+    # Grafana MULTI-SELECT variable idiom: an IN predicate Catalyst
+    # pushes into the parquet scan (In(_field) in PushedFilters, so
+    # field-clustered row groups still skip), feeding an hourly mean.
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+             AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`contains()` in the filter grammar — the multi-select dashboard
+    variable (field IN a selection), compiled to an In() scan filter +
+    the hourly windowed mean per matching table."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => contains(value: r["_field"], set: v.fields))
+          |> aggregateWindow(every: 1h, fn: mean)
+        """,
+        {"gas-quality": path},
+        {"fields": ["click", "view"]},
+    )
+
+
+@query(
+    "flux_compiled_left_join",
+    # join(method: "left") — the join-package outer form: this week's
+    # hourly click means keep every window; view means (restricted to
+    # the first three days) attach where present, null columns where
+    # not. Conflicting non-key columns suffix _<label> like upstream.
+    oracle="""
+    WITH a AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+               AS window_start,
+             'events' AS _measurement_a, event_type AS _field_a,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS mean_a,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2, 3
+    ), b AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+               AS window_start,
+             'events' AS _measurement_b, event_type AS _field_b,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS mean_b,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.window_start, a._measurement_a, a._field_a, a.mean_a, a.n_a,
+           b._measurement_b, b._field_b, b.mean_b, b.n_b
+    FROM a LEFT JOIN b ON a.window_start = b.window_start
+    """,
+)
+def flux_compiled_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join(method: "left")` — the join-package outer form through
+    the multi-statement combiner: every left window kept, right
+    columns null where the restricted right side has no bucket. One
+    hash exchange per side on the join key (both sides already
+    window-aggregated)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        a = from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: mean)
+        b = from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-11T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> aggregateWindow(every: 1h, fn: mean)
+        join(tables: {a: a, b: b}, on: ["window_start"], method: "left")
+        """,
+        {"gas-quality": path},
+    )
+
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -5322,6 +5428,17 @@ _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_downsample_rate', t._field,
            CAST(epoch_us(t._time) AS VARCHAR), t.derivative
     FROM ({ORACLE["flux_compiled_downsample_rate"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_contains', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.mean
+    FROM ({ORACLE["flux_compiled_contains"]}) t
+    UNION ALL
+    SELECT 'flux_compiled_left_join',
+           t._field_a || '|' || coalesce(t._field_b, ''),
+           CAST(epoch_us(t.window_start) AS VARCHAR) || '|' || u.side,
+           u.m
+    FROM ({ORACLE["flux_compiled_left_join"]}) t,
+         LATERAL (VALUES ('a', t.mean_a), ('b', t.mean_b)) AS u(side, m)
 """
 
 
@@ -5393,6 +5510,27 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             value_col="derivative",
         )
     )
+    arms.append(
+        flux_compiled_contains(spark, sf_dir).select(
+            F.lit("flux_compiled_contains").alias("sub"),
+            F.col("_field").alias("k1"),
+            _us("window_start").alias("k2"),
+            F.col("mean").alias("value"),
+        )
+    )
+    lj = flux_compiled_left_join(spark, sf_dir)
+    arms += [
+        lj.select(
+            F.lit("flux_compiled_left_join").alias("sub"),
+            F.concat(
+                F.col("_field_a"), F.lit("|"),
+                F.coalesce(F.col("_field_b"), F.lit("")),
+            ).alias("k1"),
+            F.concat(_us("window_start"), F.lit("|" + side)).alias("k2"),
+            F.col(f"mean_{side}").alias("value"),
+        )
+        for side in ("a", "b")
+    ]
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)
