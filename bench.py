@@ -52,6 +52,14 @@ HEADLINE = (
     # idempotent downsample refresh: the steady-state rollup cost)
     "flux_compiled_tag_filter",
     "flux_compiled_to_rollup",
+    # round 11b: the new compiled shapes with distinct physical plans —
+    # the triple-recursion TRIX kernel, the gap-interpolation grid
+    # join (sequence + anti-join + two bracket windows), and the
+    # downsample-then-rate composition (selector aggregate exchange +
+    # per-table derivative window)
+    "flux_compiled_trix",
+    "flux_compiled_interpolate",
+    "flux_compiled_downsample_rate",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
