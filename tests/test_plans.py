@@ -298,6 +298,29 @@ import pytest as _pytest
         # in-plan math rewrite + the windowed agg's one exchange
         ("flux_compiled_map_math", 1),
         ("flux_compiled_map_conditional", 1),
+        # round 11b: the Arrow kernel indicators shuffle once on the
+        # series key like every per-point transform
+        ("flux_compiled_trix", 1),
+        ("flux_compiled_kama", 1),
+        # lead-window duration / additive reduce: one table-key exchange
+        ("flux_compiled_events_duration", 1),
+        ("flux_compiled_reduce", 1),
+        # gap interpolation (pair-explode plan): dedup + pairing are
+        # two window passes over ONE table-key exchange; the grid
+        # explodes per pair — no bounds aggregate, no anti-join (the
+        # naive grid-union-window form costs 4)
+        ("flux_compiled_interpolate", 1),
+        # downsample-then-rate: the windowed selector agg exchanges on
+        # (window, key) AFTER map-side partial aggregation (shuffling
+        # window rows, not raw rows), then the derivative window
+        # re-keys the aggregated frame — 2 small exchanges by design;
+        # collapsing to 1 would shuffle RAW rows on the series key
+        ("flux_compiled_downsample_rate", 2),
+        # multi-select IN filter pushes into the scan; the windowed
+        # agg's one exchange only
+        ("flux_compiled_contains", 1),
+        # windowed tma ≡ the sliding aggregateWindow plan
+        ("flux_compiled_tma_windowed", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

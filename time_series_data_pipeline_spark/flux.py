@@ -4515,74 +4515,75 @@ def _compile_pipeline(
             # raw points; raw rows pass through unchanged. When several
             # raw rows share a timestamp the interpolation inputs take
             # the MAX value (pivot's documented tie rule — upstream
-            # assumes unique times per table). ONE exchange on the
-            # table key (the dedup groupBy, the grid join, and both
-            # bracket windows co-partition); the per-table grid is
-            # bounded by span/every rows.
+            # assumes unique times per table).
+            #
+            # PAIR-EXPLODE plan (round 11b review): dedup and the
+            # consecutive-point pairing are two window passes over ONE
+            # hash exchange on the table key (the first pass's
+            # (time asc, value desc) sort makes first-per-timestamp ≡
+            # per-timestamp MAX; the second reuses the partitioning);
+            # each pair then EXPLODES exactly the aligned marks
+            # strictly between its endpoints — no grid/bounds
+            # aggregate, no anti-join (a mark strictly inside a
+            # consecutive pair cannot collide with any raw timestamp).
+            # The naive grid-union-window form costs 4 exchanges; this
+            # is the same output in 1 + the pruned rescan for the
+            # pass-through rows.
             ev_us = transform[1] * 1_000_000
+            lit_ev = F.lit(ev_us).cast("long")
             src = df.filter(F.col("_value").isNotNull()).select(
                 *keys, "_time", "_value"
             )
-            uniq = src.groupBy(*keys, "_time").agg(
-                F.max("_value").alias("_value")
+            t_us = F.unix_micros("_time")
+            wd = Window.partitionBy(*keys).orderBy(
+                "_time", F.col("_value").desc()
             )
-            lit_ev = F.lit(ev_us).cast("long")
-            bounds = uniq.groupBy(*keys).agg(
-                F.min(F.unix_micros("_time")).alias("__mn"),
-                F.max(F.unix_micros("_time")).alias("__mx"),
+            dd = src.select(
+                *keys, "_time", "_value", F.lag(t_us).over(wd).alias("__lt")
             )
-            # ceil/floor alignment via pmod — correct for pre-epoch
-            # (negative µs) bounds too, where a DIV would shift
-            lo = F.col("__mn") + F.pmod(
-                lit_ev - F.pmod(F.col("__mn"), lit_ev), lit_ev
-            )
-            hi = F.col("__mx") - F.pmod(F.col("__mx"), lit_ev)
-            grid = (
-                bounds.select(*keys, lo.alias("__lo"), hi.alias("__hi"))
+            uniq = dd.filter(
+                F.col("__lt").isNull() | (F.col("__lt") != t_us)
+            ).drop("__lt")
+            w2 = Window.partitionBy(*keys).orderBy("_time")
+            pairs = uniq.select(
+                *keys,
+                t_us.alias("__t"),
+                F.col("_value").alias("__v"),
+                F.lag(t_us).over(w2).alias("__pt"),
+                F.lag("_value").over(w2).alias("__pv"),
+            ).filter(F.col("__pt").isNotNull())
+            # aligned marks strictly inside (__pt, __t):
+            # floor_al(__pt) + ev .. floor_al(__t − 1); pmod keeps the
+            # floor alignment correct for pre-epoch (negative µs) times
+            lo = F.col("__pt") - F.pmod(F.col("__pt"), lit_ev) + lit_ev
+            hi = (F.col("__t") - 1) - F.pmod(F.col("__t") - 1, lit_ev)
+            # pinned expression order (the oracle replays it verbatim):
+            # pv + (nv − pv) · ((t − pt) / (nt − pt)), deltas exact in
+            # int64 µs then cast to double for ONE division
+            filled = (
+                pairs.select(
+                    *keys, "__pt", "__pv", "__t", "__v",
+                    lo.alias("__lo"), hi.alias("__hi"),
+                )
                 .filter(F.col("__lo") <= F.col("__hi"))
                 .select(
-                    *keys,
+                    *keys, "__pt", "__pv", "__t", "__v",
                     F.explode(
                         F.sequence(F.col("__lo"), F.col("__hi"), lit_ev)
                     ).alias("__us"),
                 )
-                .select(*keys, F.timestamp_micros("__us").alias("_time"))
-                .join(uniq.select(*keys, "_time"), [*keys, "_time"], "left_anti")
-            )
-            frame = uniq.unionByName(
-                grid.withColumn("_value", F.lit(None).cast("double"))
-            )
-            wp = (
-                Window.partitionBy(*keys)
-                .orderBy("_time")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            wn = (
-                Window.partitionBy(*keys)
-                .orderBy("_time")
-                .rowsBetween(1, Window.unboundedFollowing)
-            )
-            known = F.when(
-                F.col("_value").isNotNull(),
-                F.struct(
-                    F.unix_micros("_time").alias("t"),
-                    F.col("_value").alias("x"),
-                ),
-            )
-            pv = F.last(known, ignorenulls=True).over(wp)
-            nx = F.first(known, ignorenulls=True).over(wn)
-            t_us = F.unix_micros("_time")
-            # pinned expression order (the oracle replays it verbatim):
-            # pv + (nx − pv) · ((t − pt) / (nt − pt)), deltas exact in
-            # int64 µs then cast to double for ONE division
-            interp = pv["x"] + (nx["x"] - pv["x"]) * (
-                (t_us - pv["t"]).cast("double")
-                / (nx["t"] - pv["t"]).cast("double")
-            )
-            filled = (
-                frame.select(*keys, "_time", "_value", interp.alias("__iv"))
-                .filter(F.col("_value").isNull())
-                .select(*keys, "_time", F.col("__iv").alias("_value"))
+                .select(
+                    *keys,
+                    F.timestamp_micros("__us").alias("_time"),
+                    (
+                        F.col("__pv")
+                        + (F.col("__v") - F.col("__pv"))
+                        * (
+                            (F.col("__us") - F.col("__pt")).cast("double")
+                            / (F.col("__t") - F.col("__pt")).cast("double")
+                        )
+                    ).alias("_value"),
+                )
             )
             out = src.unionByName(filled)
             if yield_name:
