@@ -4899,6 +4899,61 @@ def test_join_method_left_right_full(spark, tmp_path):
         flux.compile_flux(spark, script % "cross", {"b": path})
 
 
+def test_windowed_quantile_lambda(spark, tmp_path):
+    """aggregateWindow(fn: (column, tables=<-) => tables |> quantile(q:))
+    — the p99-per-window lambda: exact_selector with Flux's rank
+    convention per (window, table); sliding/offset/exact_mean raise."""
+    vals = [5.0, 9.0, 1.0, 7.0, 3.0, 20.0, 24.0, 22.0, 28.0, 26.0]
+    path = _tiny_store(spark, tmp_path, vals)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 5m, '
+        "fn: (column, tables=<-) => tables |> quantile(q: 0.5))",
+        {"b": path},
+    ).collect()
+    got = {
+        (r["window_start"].minute, r["quantile"], r["n"]) for r in out
+    }
+    # p50 rank = max(round(0.5·5), 1) = 3 → 3rd smallest per window
+    assert got == {(0, 5.0, 5), (5, 24.0, 5)}
+    # q0.9 rank = round(4.5) = 5 half-away-from-zero → the max
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 5m, '
+        'fn: (column, tables=<-) => tables |> quantile(q: 0.9, '
+        'method: "exact_selector"))',
+        {"b": path},
+    ).collect()
+    assert {(r["window_start"].minute, r["quantile"]) for r in out} == {
+        (0, 9.0),
+        (5, 28.0),
+    }
+    for bad, msg in [
+        (
+            "aggregateWindow(every: 5m, fn: (column, tables=<-) => "
+            'tables |> quantile(q: 0.5, method: "exact_mean"))',
+            "exact_selector",
+        ),
+        (
+            "aggregateWindow(every: 5m, period: 10m, fn: (column, "
+            "tables=<-) => tables |> quantile(q: 0.5))",
+            "period",
+        ),
+        (
+            "aggregateWindow(every: 5m, offset: 1m, fn: (column, "
+            "tables=<-) => tables |> quantile(q: 0.5))",
+            "offset",
+        ),
+        (
+            "aggregateWindow(every: 5m, fn: (column, tables=<-) => "
+            "tables |> quantile(q: 1.5))",
+            "0, 1",
+        ),
+    ]:
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings
@@ -4986,6 +5041,8 @@ _STAGE_POOL = [
     "timedMovingAverage(every: 1h, period: 2h)",
     "aggregateWindow(every: 1h, fn: last)",
     "aggregateWindow(every: 1h, fn: max)",
+    "aggregateWindow(every: 1h, fn: (column, tables=<-) => tables "
+    "|> quantile(q: 0.99))",
     "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value }), "
     "identity: {s: 0.0})",
     "reduce(fn: (r, accumulator) => ({ s: accumulator.t + 1 }), "

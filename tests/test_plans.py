@@ -321,6 +321,10 @@ import pytest as _pytest
         ("flux_compiled_contains", 1),
         # windowed tma ≡ the sliding aggregateWindow plan
         ("flux_compiled_tma_windowed", 1),
+        # windowed quantile: ONE raw-row exchange on (window, key) —
+        # an exact rank has no map-side partial form, so this is the
+        # floor for the semantics
+        ("flux_compiled_windowed_quantile", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -286,6 +286,14 @@ Round 10c adds the technical-indicator / selector / conversion batch
   ``join(method: "left" | "right" | "full")`` — the join-package
   outer forms, 1:1 onto Spark's join types (same one-exchange-per-
   side shape as inner).
+* ``aggregateWindow(fn: (column, tables=<-) => tables |> quantile(q:))``
+  (round 11b) — the WINDOWED QUANTILE lambda, upstream's documented
+  parameterized-fn idiom (the p99-per-hour latency panel): the same
+  exact_selector + Flux rank convention as the bare ``quantile()``
+  stage, ranked per (window bucket, table key) — one raw-row
+  compound-key exchange, the floor for exact-rank semantics. The
+  stage splitter is bracket-aware so the lambda's embedded ``|>`` is
+  not a stage boundary. Sliding/offset/exact_mean forms raise.
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
@@ -474,10 +482,14 @@ def _strip_comment(line: str) -> str:
 
 
 def _split_stages(flux: str, require_from: bool = True) -> list[str]:
-    # strip line comments, then split the pipeline on |> (quote-aware:
-    # a "|>" inside a string literal is data, not a stage separator)
+    # strip line comments, then split the pipeline on |> (quote- AND
+    # bracket-aware: a "|>" inside a string literal is data, and one
+    # inside parens belongs to an embedded lambda — the windowed-
+    # quantile form `aggregateWindow(fn: (column, tables=<-) =>
+    # tables |> quantile(q: 0.99))`)
     body = "\n".join(_strip_comment(l) for l in flux.splitlines())
     stages, part, quote = [], [], None
+    depth = 0
     i = 0
     while i < len(body):
         ch = body[i]
@@ -488,7 +500,13 @@ def _split_stages(flux: str, require_from: bool = True) -> list[str]:
         elif ch in "\"'":
             quote = ch
             part.append(ch)
-        elif ch == "|" and body[i : i + 2] == "|>":
+        elif ch in "([{":
+            depth += 1
+            part.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            part.append(ch)
+        elif ch == "|" and depth == 0 and body[i : i + 2] == "|>":
             stages.append("".join(part))
             part = []
             i += 1
@@ -1941,7 +1959,52 @@ def _compile_pipeline(
             elif not (isinstance(every, str) and _DUR_RE.match(every)):
                 raise FluxError(f"aggregateWindow every: bad duration {every!r}")
             fn = a.get("fn", "mean").strip()
-            if fn not in _AGG_FNS:
+            agg_q = None
+            lm = re.match(
+                r"^\(\s*column\s*,\s*tables\s*=\s*<-\s*\)\s*=>\s*tables\s*"
+                r"\|>\s*(quantile\s*\(.*\))\s*$",
+                fn,
+                re.DOTALL,
+            )
+            if lm:
+                # the WINDOWED QUANTILE lambda (round 11b) — upstream's
+                # documented idiom for parameterized aggregateWindow
+                # fns: `fn: (column, tables=<-) => tables |> quantile(
+                # q: 0.99)` — the p99-per-window latency panel. Same
+                # exact_selector semantics and Flux rank convention as
+                # the bare quantile() stage; parsed with the same
+                # validation.
+                qa = _args(lm.group(1).strip(), "quantile")
+                if "q" not in qa:
+                    raise FluxError("aggregateWindow quantile requires q:")
+                qv = _resolve(qa["q"], params)
+                if (
+                    isinstance(qv, bool)
+                    or not isinstance(qv, (int, float))
+                    or not (0 < float(qv) <= 1)
+                ):
+                    raise FluxError(
+                        f"quantile q: expected a number in (0, 1], got {qv!r}"
+                    )
+                qmethod = (
+                    _resolve(qa["method"], params)
+                    if "method" in qa
+                    else "exact_selector"
+                )
+                if qmethod not in ("exact_selector", "estimate_tdigest"):
+                    raise FluxError(
+                        "quantile ships the exact_selector method (also "
+                        "answering estimate_tdigest exactly); got method "
+                        f"{qmethod!r}"
+                    )
+                qextra = set(qa) - {"q", "method"}
+                if qextra:
+                    raise FluxError(
+                        f"quantile: unsupported args {sorted(qextra)}"
+                    )
+                fn = "quantile"
+                agg_q = float(qv)
+            elif fn not in _AGG_FNS:
                 raise FluxError(f"unsupported aggregateWindow fn {fn!r}")
             ce_raw = _resolve(a.get("createEmpty", "false"), params)
             # explicit boolean mapping: bool("false") is True, so a
@@ -1992,7 +2055,7 @@ def _compile_pipeline(
                         "createEmpty with calendar windows is outside "
                         "the shipped subset"
                     )
-                agg = (calendar, fn, False, None, None, 0)
+                agg = (calendar, fn, False, agg_q, None, 0)
             else:
                 every_s = _duration_seconds(every)
                 if every_s <= 0:
@@ -2010,20 +2073,20 @@ def _compile_pipeline(
                             "createEmpty with sliding windows (period != "
                             "every) is outside the shipped subset"
                         )
-                    if fn in ("mode",):
+                    if fn in ("mode", "quantile"):
                         raise FluxError(
-                            "aggregateWindow fn: mode with period != every "
+                            f"aggregateWindow fn: {fn} with period != every "
                             "is outside the shipped subset"
                         )
                 else:
                     period_s = None
                 offset_s %= every_s
-                if offset_s and (create_empty or fn in ("mode",)):
+                if offset_s and (create_empty or fn in ("mode", "quantile")):
                     raise FluxError(
                         "aggregateWindow offset: composes with the plain "
                         "aggregate fns only in the subset"
                     )
-                agg = (every_s, fn, create_empty, None, period_s, offset_s)
+                agg = (every_s, fn, create_empty, agg_q, period_s, offset_s)
         elif head == "last":
             if _args(stage, "last"):
                 # last(column: "tags") would silently compile as last on
@@ -3524,7 +3587,7 @@ def _compile_pipeline(
             # funnel ALL raw rows through a single partition and raises
             # instead (scale trap, not a subset gap — same rule as
             # group() |> derivative()).
-            if not keys:
+            if not keys and every_s is None:
                 raise FluxError(
                     "group() |> quantile() would sort every raw row on "
                     "one partition — outside the shipped subset"
@@ -3532,10 +3595,28 @@ def _compile_pipeline(
             from pyspark.sql import Window
 
             src = frame.filter(F.col("_value").isNotNull())
-            wq = Window.partitionBy(*keys).orderBy("_value")
-            wk = Window.partitionBy(*keys)
-            ranked = src.select(
-                *keys,
+            if every_s is None:
+                g = list(keys)
+                base = src
+            else:
+                # the WINDOWED form (the p99-per-window panel): the
+                # rank runs per (window bucket, table key) — raw rows
+                # shuffle once on that compound key (an exact rank has
+                # no map-side partial form), and the key-less group()
+                # windowed form stays distributed keyed on the bucket
+                bucket = (
+                    F.date_trunc(every_s, F.col("_time"))
+                    if every_s in ("month", "year")
+                    else F.timestamp_micros(_epoch_floor_us("_time", every_s))
+                )
+                base = src.select(
+                    bucket.alias("window_start"), *keys, "_value"
+                )
+                g = ["window_start", *keys]
+            wq = Window.partitionBy(*g).orderBy("_value")
+            wk = Window.partitionBy(*g)
+            ranked = base.select(
+                *g,
                 "_value",
                 F.row_number().over(wq).alias("__rn"),
                 F.count(F.lit(1)).over(wk).alias("__n"),
@@ -3545,7 +3626,7 @@ def _compile_pipeline(
                 F.lit(1).cast("long"),
             )
             out = ranked.filter(F.col("__rn") == target).select(
-                *keys, F.col("_value").alias(name), F.col("__n").alias("n")
+                *g, F.col("_value").alias(name), F.col("__n").alias("n")
             )
             return _finish(out)
         if fn == "mode":

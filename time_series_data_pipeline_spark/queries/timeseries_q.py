@@ -5387,6 +5387,56 @@ def flux_compiled_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flux_compiled_windowed_quantile",
+    # aggregateWindow(fn: (column, tables=<-) => tables |> quantile(q:
+    # 0.9)) — the p90-PER-HOUR panel, upstream's parameterized-fn
+    # lambda idiom. Same exact_selector + Flux rank convention
+    # (round(q·n) half away from zero, clamped at 1) as the bare
+    # quantile row, ranked per (hour bucket, table key).
+    oracle="""
+    SELECT window_start, _measurement, _field, _value AS quantile,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+               AS window_start,
+             'events' AS _measurement, event_type AS _field,
+             value AS _value,
+             row_number() OVER (PARTITION BY event_type,
+                                             epoch_us(ts)//3600000000
+                                ORDER BY value) AS rn,
+             count(value) OVER (PARTITION BY event_type,
+                                             epoch_us(ts)//3600000000)
+               AS n
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = greatest(CAST(round(0.9 * n) AS BIGINT), 1)
+    """,
+)
+def flux_compiled_windowed_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed quantile lambda through the Flux front-end — p90
+    per hour per table. Raw rows shuffle once on (window bucket, table
+    key); an exact rank has no map-side partial form, so that single
+    compound-key exchange IS the floor for these semantics."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> aggregateWindow(every: 1h, fn: (column, tables=<-) =>
+               tables |> quantile(q: 0.9))
+        """,
+        {"gas-quality": path},
+    )
+
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -5439,6 +5489,10 @@ _SUITE_11_SQL = f"""
            u.m
     FROM ({ORACLE["flux_compiled_left_join"]}) t,
          LATERAL (VALUES ('a', t.mean_a), ('b', t.mean_b)) AS u(side, m)
+    UNION ALL
+    SELECT 'flux_compiled_windowed_quantile', t._field,
+           CAST(epoch_us(t.window_start) AS VARCHAR), t.quantile
+    FROM ({ORACLE["flux_compiled_windowed_quantile"]}) t
 """
 
 
@@ -5516,6 +5570,14 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_field").alias("k1"),
             _us("window_start").alias("k2"),
             F.col("mean").alias("value"),
+        )
+    )
+    arms.append(
+        flux_compiled_windowed_quantile(spark, sf_dir).select(
+            F.lit("flux_compiled_windowed_quantile").alias("sub"),
+            F.col("_field").alias("k1"),
+            _us("window_start").alias("k2"),
+            F.col("quantile").alias("value"),
         )
     )
     lj = flux_compiled_left_join(spark, sf_dir)
