@@ -53,8 +53,9 @@ HEADLINE = (
     "flux_compiled_tag_filter",
     "flux_compiled_to_rollup",
     # round 11b: the new compiled shapes with distinct physical plans —
-    # the triple-recursion TRIX kernel, the gap-interpolation grid
-    # join (sequence + anti-join + two bracket windows), and the
+    # the triple-recursion TRIX kernel, the gap-interpolation
+    # pair-explode plan (two window passes over one table-key
+    # exchange, marks exploded per consecutive pair), and the
     # downsample-then-rate composition (selector aggregate exchange +
     # per-table derivative window)
     "flux_compiled_trix",

@@ -4954,6 +4954,96 @@ def test_windowed_quantile_lambda(spark, tmp_path):
             flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
 
 
+def test_round11b_review_fixes(spark, tmp_path):
+    """The round-11b structured-review findings, each pinned:
+    (a) TRIX over an all-zero series yields NULLs, not a kernel crash;
+    (b) group() |> reduce() compiles (a safe key-less partial agg);
+    (c) a /regex/ with an unbalanced bracket does not eat the next
+        stage boundary (regex-aware splitting);
+    (d) reduce literals beyond the decimal(12,2) domain raise, and a
+        duplicate identity field raises;
+    (e) events.duration keeps null-_value records (record-based)."""
+    # (a) zero series: e3 is identically 0 → every TRIX denominator 0
+    zeros = _tiny_store(spark, tmp_path / "z", [0.0] * 10)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> tripleExponentialDerivative(n: 2)',
+        {"b": zeros},
+    ).collect()
+    assert len(out) == 10 - (3 * 1 + 1) and all(r["_value"] is None for r in out)
+    # (b) key-less reduce
+    path = _tiny_store(spark, tmp_path / "r", [1.0, 2.0, 3.0])
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> group() |> reduce(fn: (r, accumulator) => '
+        "({ s: accumulator.s + r._value }), identity: {s: 0.0})",
+        {"b": path},
+    ).collect()
+    assert len(out) == 1 and out[0]["s"] == 6.0
+    # (c) unbalanced bracket CHARACTER inside a regex literal (a valid
+    # Java regex — the bracket is escaped regex syntax, but the raw
+    # source character used to poison the splitter's depth counter)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /^\\[/)'
+        " |> count()",
+        {"b": path},
+    ).collect()
+    assert out == []  # no field starts with '[' — but it COMPILED
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] =~ /^\\[?cl/)'
+        " |> count()",
+        {"b": path},
+    ).collect()
+    assert [r["count"] for r in out] == [3]
+    # (d) out-of-domain literal and duplicate identity
+    with pytest.raises(flux.FluxError, match="decimal"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> reduce(fn: (r, accumulator) => '
+            "({ s: accumulator.s + r._value * 100000000000.0 }), "
+            "identity: {s: 0.0})",
+            {"b": path},
+        )
+    with pytest.raises(flux.FluxError, match="duplicate"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> reduce(fn: (r, accumulator) => '
+            "({ s: accumulator.s + r._value }), "
+            "identity: {s: 0.0, s: 100.0})",
+            {"b": path},
+        )
+    # (e) a null-_value record keeps its row and its duration
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=m), "events", "click", v)
+        for m, v in [(0, 1.0), (2, None), (5, 2.0)]
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    npath = str(tmp_path / "nulls")
+    bkt.write_bucket(df, npath, mode="overwrite")
+    out = flux.compile_flux(
+        spark,
+        'import "contrib/tomhollingworth/events"\n'
+        'from(bucket: "b")\n'
+        '  |> events.duration(unit: 1m, stop: "2024-01-01T00:10:00Z")',
+        {"b": npath},
+    ).collect()
+    got = sorted((r["_time"].minute, r["_value"], r["duration"]) for r in out)
+    assert got == [(0, 1.0, 2), (2, None, 3), (5, 2.0, 5)]
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings

@@ -481,12 +481,36 @@ def _strip_comment(line: str) -> str:
     return line
 
 
+def _regex_literal_end(body: str, i: int) -> int | None:
+    """If ``body[i:]`` starts a ``/regex/`` literal in a position where
+    the grammar allows one (the scanner calls this right after ``=~`` /
+    ``!~``), return the index ONE PAST the closing unescaped ``/``;
+    None when no closing ``/`` exists on the same line. Brackets and
+    quotes inside the literal are regex syntax, not structure — the
+    depth/quote scanners must skip them (review r11b: an unbalanced
+    ``[`` inside a regex otherwise poisons the bracket depth and eats
+    every following stage boundary)."""
+    j = i + 1
+    while j < len(body):
+        ch = body[j]
+        if ch == "\n":
+            return None
+        if ch == "\\":
+            j += 2
+            continue
+        if ch == "/":
+            return j + 1
+        j += 1
+    return None
+
+
 def _split_stages(flux: str, require_from: bool = True) -> list[str]:
-    # strip line comments, then split the pipeline on |> (quote- AND
-    # bracket-aware: a "|>" inside a string literal is data, and one
-    # inside parens belongs to an embedded lambda — the windowed-
-    # quantile form `aggregateWindow(fn: (column, tables=<-) =>
-    # tables |> quantile(q: 0.99))`)
+    # strip line comments, then split the pipeline on |> (quote-,
+    # bracket- AND regex-aware: a "|>" inside a string literal is
+    # data; one inside parens belongs to an embedded lambda — the
+    # windowed-quantile form `aggregateWindow(fn: (column, tables=<-)
+    # => tables |> quantile(q: 0.99))`; and a /regex/ after =~ / !~ is
+    # an opaque token whose brackets/quotes are regex syntax)
     body = "\n".join(_strip_comment(l) for l in flux.splitlines())
     stages, part, quote = [], [], None
     depth = 0
@@ -500,6 +524,21 @@ def _split_stages(flux: str, require_from: bool = True) -> list[str]:
         elif ch in "\"'":
             quote = ch
             part.append(ch)
+        elif ch == "~" and i > 0 and body[i - 1] in "=!":
+            # `=~` / `!~`: the next non-space char may open a /regex/
+            part.append(ch)
+            j = i + 1
+            while j < len(body) and body[j] in " \t":
+                part.append(body[j])
+                j += 1
+            if j < len(body) and body[j] == "/":
+                end = _regex_literal_end(body, j)
+                if end is not None:
+                    part.append(body[j:end])
+                    i = end
+                    continue
+            i = j
+            continue
         elif ch in "([{":
             depth += 1
             part.append(ch)
@@ -521,19 +560,34 @@ def _split_stages(flux: str, require_from: bool = True) -> list[str]:
 
 
 def _paren_delta(line: str) -> int:
-    """Net bracket depth change of a line, quote-aware (parens inside
-    string literals are data)."""
+    """Net bracket depth change of a line, quote- and regex-aware
+    (parens inside string literals are data; brackets inside a
+    ``=~ /regex/`` literal are regex syntax — review r11b)."""
     depth, quote = 0, None
-    for ch in line:
+    i = 0
+    while i < len(line):
+        ch = line[i]
         if quote:
             if ch == quote:
                 quote = None
         elif ch in "\"'":
             quote = ch
+        elif ch == "~" and i > 0 and line[i - 1] in "=!":
+            j = i + 1
+            while j < len(line) and line[j] in " \t":
+                j += 1
+            if j < len(line) and line[j] == "/":
+                end = _regex_literal_end(line, j)
+                if end is not None:
+                    i = end
+                    continue
+            i = j
+            continue
         elif ch in "([{":
             depth += 1
         elif ch in ")]}":
             depth -= 1
+        i += 1
     return depth
 
 
@@ -2599,7 +2653,12 @@ def _compile_pipeline(
                     "accumulator.field + <expr>, ... }); got "
                     f"{a['fn']!r}"
                 )
-            num_re = r"-?\d+(?:\.\d{1,2})?"
+            # ≤ 10 integer digits AND ≤ 2 decimal places: every literal
+            # is exactly representable in decimal(12,2) — a wider one
+            # would silently cast to NULL under non-ANSI Spark and null
+            # the whole accumulator field (review r11b), so it raises
+            # at compile time instead
+            num_re = r"-?\d{1,10}(?:\.\d{1,2})?"
             rd_fields: list[tuple[str, list[tuple[str, ...]]]] = []
             for entry in m.group(1).split(","):
                 nm_part, _, expr = entry.partition(":")
@@ -2649,8 +2708,9 @@ def _compile_pipeline(
                     else:
                         raise FluxError(
                             "reduce: poly factors are r._value or a "
-                            "numeric literal (≤ 2 decimal places); got "
-                            f"{fac!r}"
+                            "numeric literal (≤ 10 integer digits, ≤ 2 "
+                            "decimal places — the decimal(12,2) domain); "
+                            f"got {fac!r}"
                         )
                 if nval > 3:
                     raise FluxError(
@@ -2675,7 +2735,12 @@ def _compile_pipeline(
                 if not re.fullmatch(num_re, val):
                     raise FluxError(
                         "reduce identity: values are numeric literals "
-                        f"(≤ 2 decimal places); got {val!r}"
+                        "(≤ 10 integer digits, ≤ 2 decimal places — the "
+                        f"decimal(12,2) domain); got {val!r}"
+                    )
+                if iname in rd_identity:
+                    raise FluxError(
+                        f"reduce identity: duplicate field {iname!r}"
                     )
                 rd_identity[iname] = val
             if set(rd_identity) != {f for f, _ in rd_fields}:
@@ -3948,14 +4013,17 @@ def _compile_pipeline(
             return _finish(out)
         if not keys and kind not in (
             "pivot", "distinct", "window", "unique", "extrema",
-            "histogram_quantile", "columns", "key_values",
+            "histogram_quantile", "columns", "key_values", "reduce",
         ):
             # a per-point window transform over the merged-one-table key
             # is a single-partition window over raw rows — a scale trap,
             # not a plan; raise rather than compile it. distinct/window
             # stay distributed key-less (hash-distinct / narrow map),
             # unique partitions by the deduped VALUE, and extrema /
-            # histogram_quantile are partial-aggregations (safe global).
+            # histogram_quantile / reduce are partial-aggregations
+            # (safe global — review r11b: the guard previously raised
+            # on group() |> reduce() although its own branch documents
+            # the key-less merge form as safe).
             raise FluxError(
                 f"group() (merge all series) before {kind} is outside the "
                 "subset: the per-point transform would run in one partition"
@@ -4564,7 +4632,14 @@ def _compile_pipeline(
             # the stop bound. Same truncation convention as elapsed():
             # integer-µs diff, double-divided by the unit, long cast
             # (toward zero on the non-negative diff). EVERY record
-            # keeps its row — unlike elapsed(), which drops the first.
+            # keeps its row — unlike elapsed(), which drops the first —
+            # and upstream events.duration is RECORD-based, so
+            # null-_value records keep their rows and their durations
+            # too (the sample()/limit() record-selection rule, review
+            # r11b: the value-null policy governs value arithmetic, and
+            # duration is time arithmetic). Null ordering on a tied
+            # timestamp is nulls-first, the engine's asc default —
+            # pinned in the oracle with NULLS FIRST.
             unit_us = transform[1] * 1_000_000
             eff_stop = transform[2] if transform[2] is not None else stop
             if eff_stop is None:
@@ -4573,7 +4648,7 @@ def _compile_pipeline(
                     "set range(stop:)"
                 )
             w = Window.partitionBy(*keys).orderBy("_time", "_value")
-            src = df.filter(F.col("_value").isNotNull())
+            src = df
             stop_us = F.unix_micros(F.to_timestamp(F.lit(eff_stop)))
             nxt_us = F.lead(F.unix_micros("_time")).over(w)
             out = src.select(

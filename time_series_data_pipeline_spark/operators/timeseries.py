@@ -438,6 +438,26 @@ def flux_ema(
     return narrowed.groupBy(*keys).applyInPandas(_ema, schema=out_schema)
 
 
+def _flux_ema_fold(xs, n: int, k: float, omk: float):
+    """The shared EMA fold every chained-EMA kernel composes from
+    (flux_ema_chain, flux_trix): seed = left-to-right sum of the first
+    n values ÷ n, then acc = omk·acc + k·x — the exact expression
+    order the DuckDB recursive-CTE oracles replay. None when the
+    series is shorter than n. ONE implementation: a seed/step change
+    here reaches every kernel in the family at once (review r11b)."""
+    if xs is None or len(xs) < n:
+        return None
+    acc = xs[0]
+    for x in xs[1:n]:
+        acc = acc + x
+    acc = acc / n
+    out = [acc]
+    for x in xs[n:]:
+        acc = omk * acc + k * x
+        out.append(acc)
+    return out
+
+
 def flux_ema_chain(
     df: DataFrame,
     ts_col: str,
@@ -477,17 +497,7 @@ def flux_ema_chain(
     omk = 1.0 - k
 
     def _fold(xs):
-        if len(xs) < n:
-            return None
-        acc = xs[0]
-        for x in xs[1:n]:
-            acc = acc + x
-        acc = acc / n
-        out = [acc]
-        for x in xs[n:]:
-            acc = omk * acc + k * x
-            out.append(acc)
-        return out
+        return _flux_ema_fold(xs, n, k, omk)
 
     def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, value_col])
@@ -602,10 +612,14 @@ def flux_trix(
     indicator from (tripleEMA's 3(n−1) plus one lag).
 
     Same sanctioned Arrow escape hatch and bit-parity discipline as
-    ``flux_ema_chain``: every fold seeds with a left-to-right double
-    sum ÷ n and steps ``(1−k)·acc + k·x``; the derivative is evaluated
-    ``(a − b) / b · 100.0`` — the exact expression order the DuckDB
-    oracle replays, so outputs are bit-identical. ``__seq`` serves a
+    ``flux_ema_chain``: every fold is the SHARED ``_flux_ema_fold``
+    (left-to-right double seed sum ÷ n, ``(1−k)·acc + k·x`` steps);
+    the derivative is evaluated ``(a − b) / b · 100.0`` — the exact
+    expression order the DuckDB oracle replays, so outputs are
+    bit-identical. A zero previous e3 (e.g. an all-zero idle series)
+    yields NULL — pinned explicitly on both sides because float x/0
+    is engine-dependent (Go +Inf/NaN, DuckDB NULL, Python raises;
+    the cmo zero-denominator precedent). ``__seq`` serves a
     downstream last() exactly as in ``flux_ema``.
     """
     import pandas as pd
@@ -621,28 +635,23 @@ def flux_trix(
     k = 2.0 / (n + 1.0)
     omk = 1.0 - k
 
-    def _fold(xs):
-        if xs is None or len(xs) < n:
-            return None
-        acc = xs[0]
-        for x in xs[1:n]:
-            acc = acc + x
-        acc = acc / n
-        out = [acc]
-        for x in xs[n:]:
-            acc = omk * acc + k * x
-            out.append(acc)
-        return out
-
     def _f(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, value_col])
         xs = [float(x) for x in pdf[value_col].to_numpy(dtype="float64")]
-        e3 = _fold(_fold(_fold(xs)))
+        e3 = _flux_ema_fold(
+            _flux_ema_fold(_flux_ema_fold(xs, n, k, omk), n, k, omk),
+            n, k, omk,
+        )
         if e3 is None or len(e3) < 2:
             return pdf.iloc[0:0].assign(__seq=pd.Series(dtype="int64"))
-        vals = [(a - b) / b * 100.0 for b, a in zip(e3, e3[1:])]
+        vals = [
+            None if b == 0.0 else (a - b) / b * 100.0
+            for b, a in zip(e3, e3[1:])
+        ]
         kept = pdf.iloc[3 * (n - 1) + 1 :].copy()
-        kept[value_col] = vals
+        # nullable Float64 extension array: a None stays a true NULL
+        # through Arrow (a float64 ndarray would coerce it to NaN)
+        kept[value_col] = pd.array(vals, dtype="Float64")
         kept["__seq"] = range(len(vals))
         return kept
 

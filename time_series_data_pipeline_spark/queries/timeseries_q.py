@@ -4917,8 +4917,10 @@ def lineprotocol_window_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(generate_series(2, L4)) AS j, e3s FROM b4 WHERE L4 >= 2
     )
     SELECT 'events' AS _measurement, 'click' AS _field, x.ts AS _time,
-           (js.e3s[js.j] - js.e3s[js.j - 1]) / js.e3s[js.j - 1] * 100.0
-             AS _value
+           CASE WHEN js.e3s[js.j - 1] = 0.0 THEN NULL
+                ELSE (js.e3s[js.j] - js.e3s[js.j - 1])
+                     / js.e3s[js.j - 1] * 100.0
+           END AS _value
     FROM js JOIN ranked x ON x.rn = 15 + js.j
     """,
 )
@@ -5016,7 +5018,11 @@ def flux_compiled_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.duration(unit: 1m) — whole-minute span until the next
     # record per table, the LAST record closed by the range stop
     # (upstream's _stop column carries exactly this value). Every
-    # record keeps its row (unlike elapsed, which drops the first);
+    # record keeps its row (unlike elapsed, which drops the first),
+    # INCLUDING null-_value records: upstream events.duration is
+    # record-based — the value-null policy governs value arithmetic,
+    # not record selection (the sample()/limit() rule). NULLS FIRST
+    # pins DuckDB's tied-timestamp ordering to Spark's asc default.
     # // on the non-negative µs diff ≡ the engine's toward-zero cast.
     oracle="""
     SELECT 'events' AS _measurement, event_type AS _field,
@@ -5028,8 +5034,7 @@ def flux_compiled_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_type = 'purchase'
       AND ts >= TIMESTAMP '2024-01-08 00:00:00'
       AND ts <  TIMESTAMP '2024-01-15 00:00:00'
-      AND value IS NOT NULL
-    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value NULLS FIRST)
     """,
 )
 def flux_compiled_events_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
