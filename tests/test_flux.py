@@ -564,8 +564,10 @@ def test_state_duration_stage_flux_convention(spark, store):
         ('from(bucket: "b") |> derivative(unit: 0s)', "must be > 0"),
         ('from(bucket: "b") |> derivative(nonNegative: true, foo: 1)',
          "unsupported args"),
-        ('from(bucket: "b") |> timedMovingAverage(every: 5m, period: 1h)',
-         "every"),
+        # the windowed-emission form now ships (round 11b) — only a
+        # period that is not a multiple of every rejects
+        ('from(bucket: "b") |> timedMovingAverage(every: 7m, period: 1h)',
+         "multiple of every"),
         ('from(bucket: "b") |> timedMovingAverage(period: oops)', "oops"),
         ('from(bucket: "b") |> timedMovingAverage(period: 5)',
          "bad duration"),
@@ -575,8 +577,10 @@ def test_state_duration_stage_flux_convention(spark, store):
          "unit: 0s)", "unit must be > 0"),
         ('from(bucket: "b") |> derivative(nonNegative: true) '
          "|> filter(fn: (r) => r._value > 1)", "ambiguous"),
+        # the downsample-then-rate composition ships over SELECTOR fns
+        # (round 11b) — a computed aggregate still rejects
         ('from(bucket: "b") |> aggregateWindow(every: 5m, fn: mean) '
-         "|> derivative(nonNegative: true)", "subset"),
+         "|> derivative(nonNegative: true)", "selector fns"),
         ('from(bucket: "b") |> increase() |> increase()', "subset"),
     ],
 )
@@ -1966,10 +1970,12 @@ def test_multi_pipeline_union(spark, store):
             'join(tables: {a: a, b: nope}, on: ["_field"])',
             "unknown pipeline",
         ),
+        # left/right/full ship since round 11b — only an unknown
+        # method rejects
         (
             'a = from(bucket: "b") |> last()\n'
             'b = from(bucket: "b") |> last()\n'
-            'join(tables: {a: a, b: b}, on: ["_field"], method: "left")',
+            'join(tables: {a: a, b: b}, on: ["_field"], method: "cross")',
             "inner",
         ),
         (

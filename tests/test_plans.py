@@ -145,6 +145,13 @@ def test_no_row_python_anywhere(spark, name):
         "flux_compiled_tema",
         "flux_compiled_rsi",
         "suite_flux_round10c",
+        # round 11b: TRIX and kaufmansAMA are the same inherently-
+        # sequential Arrow recurrence class (flux_trix / flux_kama),
+        # and suite_round11 unions their singletons verbatim (it also
+        # carries holtWinters' struct-accumulator fold)
+        "flux_compiled_trix",
+        "flux_compiled_kama",
+        "suite_round11",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
