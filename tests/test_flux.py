@@ -5055,6 +5055,77 @@ def test_round11b_review_fixes(spark, tmp_path):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    minutes=st.lists(
+        st.integers(0, 120), min_size=1, max_size=12, unique=True
+    ),
+    cents=st.data(),
+    every_m=st.sampled_from([1, 3, 7]),
+)
+def test_interpolate_linear_properties(spark, tmp_path_factory, minutes,
+                                       cents, every_m):
+    """interpolate.linear invariants on arbitrary gappy series: every
+    raw row passes through untouched; every inserted row sits on an
+    every-aligned mark strictly inside the span, absent from the raw
+    timestamps, with a value exactly on the bracketing segment; a
+    dense series (gap == every) inserts nothing."""
+    import datetime
+
+    vals = [
+        cents.draw(st.integers(-10_000, 10_000)) / 100.0 for _ in minutes
+    ]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=m), "events", "click", v)
+        for m, v in zip(minutes, vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"),
+        F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path_factory.mktemp("itpprop") / "bucket")
+    bkt.write_bucket(df, path, mode="overwrite")
+    out = flux.compile_flux(
+        spark,
+        f'from(bucket: "b") |> interpolate.linear(every: {every_m}m)',
+        {"b": path},
+    ).collect()
+    raw = dict(zip(minutes, vals))
+    got_raw = [(r["_time"], r["_value"]) for r in out
+               if r["_time"].minute + 60 * r["_time"].hour in raw
+               and r["_value"] == raw[r["_time"].minute + 60 * r["_time"].hour]]
+    assert len(got_raw) == len(minutes)  # every raw row passes through
+    srt = sorted(raw.items())
+    for r in out:
+        m = r["_time"].minute + 60 * r["_time"].hour
+        if m in raw and r["_value"] == raw[m]:
+            continue
+        # inserted row: EPOCH-aligned (2024-01-01 00:00 is not a
+        # multiple of e.g. 7 minutes from the epoch — alignment is on
+        # absolute every-multiples, exactly as the oracle replays),
+        # interior, not a raw timestamp, exactly on the bracketing
+        # segment
+        epoch_min = int(
+            (r["_time"] - datetime.datetime(1970, 1, 1)).total_seconds()
+            // 60
+        )
+        assert epoch_min % every_m == 0 and m not in raw
+        assert srt[0][0] < m < srt[-1][0]
+        pt, pv = max((t, v) for t, v in srt if t < m)
+        nt, nv = min((t, v) for t, v in srt if t > m)
+        assert r["_value"] == pv + (nv - pv) * ((m - pt) / (nt - pt))
+
 _STAGE_POOL = [
     'range(start: "2024-01-03 00:00:00", stop: "2024-01-06 00:00:00")',
     'range(start: -7d)',

@@ -268,3 +268,72 @@ def test_kaufmans_er_matches_python_reference(
     ).collect()
     got = [r["_value"] for r in out]
     assert sorted(got) == sorted(expected)
+
+
+@given(cents=SERIES, n=st.sampled_from([2, 3]), dup_ts=st.booleans())
+@settings(**CFG)
+def test_trix_matches_python_fold(spark, cents, n, dup_ts):
+    """flux_trix ≡ the triple chained fold's one-lag percent
+    derivative; a zero previous e3 is a pinned NULL (round 11b)."""
+    from time_series_data_pipeline_spark.operators.timeseries import flux_trix
+
+    xs = _table_order(cents, dup_ts)
+    e1 = _fold(xs, n)
+    e2 = _fold(e1, n) if e1 is not None else None
+    e3 = _fold(e2, n) if e2 is not None else None
+    expected = (
+        []
+        if e3 is None or len(e3) < 2
+        else [
+            None if b == 0.0 else (a - b) / b * 100.0
+            for b, a in zip(e3, e3[1:])
+        ]
+    )
+    got = [
+        r["_value"]
+        for r in sorted(
+            flux_trix(
+                _series_df(spark, cents, dup_ts),
+                "_time", "_value", ["_measurement", "_field"], n,
+            ).collect(),
+            key=lambda r: r["__seq"],
+        )
+    ]
+    assert got == expected
+
+
+@given(cents=SERIES, n=st.sampled_from([2, 4]), dup_ts=st.booleans())
+@settings(**CFG)
+def test_kama_matches_python_recurrence(spark, cents, n, dup_ts):
+    """flux_kama ≡ the pinned identity-seed KAMA recurrence (ER from
+    left-to-right |Δ| folds, sc = m·m, (x−prev)·sc + prev), exactly —
+    including the flat-window ER=0 branch."""
+    from time_series_data_pipeline_spark.operators.timeseries import flux_kama
+
+    xs = _table_order(cents, dup_ts)
+    if len(xs) < n + 1:
+        expected = []
+    else:
+        c1, c2 = 2.0 / 3.0 - 2.0 / 31.0, 2.0 / 31.0
+        prev = xs[n - 1]
+        expected = []
+        for t in range(n, len(xs)):
+            dsum = 0.0
+            for i in range(t - n + 1, t + 1):
+                dsum = dsum + abs(xs[i] - xs[i - 1])
+            num = abs(xs[t] - xs[t - n])
+            er = 0.0 if dsum == 0.0 else num / dsum
+            m = er * c1 + c2
+            prev = (xs[t] - prev) * (m * m) + prev
+            expected.append(prev)
+    got = [
+        r["_value"]
+        for r in sorted(
+            flux_kama(
+                _series_df(spark, cents, dup_ts),
+                "_time", "_value", ["_measurement", "_field"], n,
+            ).collect(),
+            key=lambda r: r["__seq"],
+        )
+    ]
+    assert got == expected
