@@ -5050,6 +5050,68 @@ def test_round11b_review_fixes(spark, tmp_path):
     assert got == [(0, 1.0, 2), (2, None, 3), (5, 2.0, 5)]
 
 
+def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
+    """compile_flux_stream: the SAME dashboard text over a file-arrival
+    stream emits windows bit-identical to the batch compiler (append
+    mode, availableNow drain; the final open window — whose end the
+    watermark never passes — is the one legitimate difference).
+    Raw (no-aggregate) form passes records through; out-of-subset
+    stages raise naming the streaming subset."""
+    text = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+    """
+    live = flux.compile_flux_stream(
+        spark, text, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_live").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] < max_t  # the final window stays open
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # the raw live-table form is a record stream
+    raw = flux.compile_flux_stream(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")',
+        {"b": store},
+    )
+    assert raw.isStreaming and set(raw.columns) == {
+        "_measurement", "_field", "_time", "_value",
+    }
+    # out-of-subset stages raise naming the streaming subset
+    for bad, msg in [
+        ('from(bucket: "b") |> derivative(unit: 1s)', "STREAMING subset"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',
+         "STREAMING subset"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean, '
+         "createEmpty: true)", "append mode"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean)',
+         "calendar"),
+    ]:
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": store})
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings

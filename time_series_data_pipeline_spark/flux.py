@@ -294,6 +294,14 @@ Round 10c adds the technical-indicator / selector / conversion batch
   compound-key exchange, the floor for exact-rank semantics. The
   stage splitter is bracket-aware so the lambda's embedded ``|>`` is
   not a stage boundary. Sliding/offset/exact_mean forms raise.
+* ``compile_flux_stream`` (round 11b) — the LIVE-PANEL entry point:
+  the same dashboard text compiled onto a file-arrival stream over
+  the bucket store (watermarked append-mode windows, exactly-once
+  emission), with emitted windows bit-identical to the batch
+  compiler's. Subset: range/filter prefix + one
+  ``aggregateWindow(mean/count/sum/min/max)`` or the raw record
+  stream; everything needing whole-series state per trigger raises,
+  pointing at the batch entry point.
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
@@ -1511,6 +1519,179 @@ def compile_flux(
             "yields nothing)"
         )
     return _compile_combiner(spark, final, env, params)
+
+
+def compile_flux_stream(
+    spark: SparkSession,
+    flux: str,
+    bucket_paths: dict[str, str],
+    params: dict[str, Any] | None = None,
+    now: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """The LIVE-PANEL form of ``compile_flux`` (round 11b): the same
+    dashboard text compiled onto a FILE-ARRIVAL STREAM over the bucket
+    store — a Grafana panel's auto-refresh loop as ONE Structured
+    Streaming query instead of repeated batch queries. New files landed
+    by the ingest stream (``start_bucket_ingest`` / the idempotent
+    writers) are picked up incrementally; windowed aggregates emit
+    exactly once per window in append mode when the ``watermark``
+    passes the window end (the reference's unit of arrival is a whole
+    day file, so the 1-day default finalizes yesterday's windows on
+    today's arrival).
+
+    STREAMING subset — the dashboard pipeline shapes Structured
+    Streaming can run incrementally: ``from |> range |> filter* |>
+    aggregateWindow(every:, fn: mean/count/sum/min/max[, createEmpty:
+    false]) [|> yield]``, or the same prefix with NO aggregation (a
+    raw live-table panel). Everything else raises naming the stage —
+    per-point transforms, selectors, and rank aggregates need the
+    whole series per trigger, which is a batch query's job (run
+    ``compile_flux`` on the store instead).
+
+    The aggregate expressions are the BATCH compiler's own (exact
+    decimal sums, one double division), and tumbling ``F.window``
+    starts equal the batch path's epoch floor — so an emitted window
+    is bit-identical to the batch result for the same range (pinned in
+    tests/test_flux.py streaming==batch equality).
+    """
+    params = dict(params or {})
+    body = re.sub(
+        r'^\s*import\s+"(influxdata/influxdb/schema|interpolate|'
+        r'contrib/tomhollingworth/events)"\s*$',
+        "",
+        flux,
+        flags=re.MULTILINE,
+    )
+    stages = _split_stages(body)
+    fr = _args(stages[0], "from")
+    if "bucket" not in fr:
+        raise FluxError("from() requires bucket:")
+    bucket_name = _resolve(fr["bucket"], params)
+    if bucket_name not in bucket_paths:
+        raise FluxError(f"unknown bucket {bucket_name!r}")
+    path = bucket_paths[bucket_name]
+
+    store_tag_cols = _store_tag_cols(spark, path)
+    natural_key = ["_measurement", "_field", *store_tag_cols]
+    # the stream source needs an explicit schema — the store's own
+    # (one batch-side footer read; the partition _date column rides in)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+
+    start = stop = None
+    preds: list[Column] = []
+    agg = None  # (every_s, fn)
+    yield_name = None
+    for stage in stages[1:]:
+        head = stage.split("(", 1)[0].strip()
+        if head == "range":
+            if agg is not None:
+                raise FluxError(
+                    "range() after aggregateWindow is outside the subset"
+                )
+            a = _args(stage, "range")
+            if "start" in a:
+                start = _resolve_bound(a["start"], params, now, "range")
+            if "stop" in a:
+                stop = _resolve_bound(a["stop"], params, now, "range")
+        elif head == "filter":
+            if agg is not None:
+                raise FluxError(
+                    "filter() after aggregateWindow is outside the "
+                    "STREAMING subset (post-aggregate alert filters are "
+                    "a batch query's job)"
+                )
+            toks = _tokenize_pred(_filter_extract(stage))
+            _validate_refs(
+                toks,
+                {*natural_key, "_time", "_value", "tags", "_date"},
+                "filter",
+            )
+            preds.append(_parse_pred(toks, params))
+        elif head == "aggregateWindow":
+            if agg is not None:
+                raise FluxError(
+                    "a second aggregateWindow is outside the subset"
+                )
+            a = _args(stage, "aggregateWindow")
+            every = _resolve(a.get("every", ""), params)
+            if not (isinstance(every, str) and _DUR_RE.match(every)):
+                raise FluxError(
+                    f"aggregateWindow every: bad duration {every!r} "
+                    "(calendar windows are outside the streaming subset)"
+                )
+            every_s = _duration_seconds(every)
+            if every_s <= 0:
+                raise FluxError(f"aggregateWindow every must be > 0: {every!r}")
+            fn = a.get("fn", "mean").strip()
+            if fn not in ("mean", "count", "sum", "min", "max"):
+                raise FluxError(
+                    f"aggregateWindow fn: {fn!r} is outside the STREAMING "
+                    "subset (mean/count/sum/min/max — incremental, "
+                    "map-side-combinable state)"
+                )
+            if "createEmpty" in a and _resolve(a["createEmpty"], params) is not False:
+                raise FluxError(
+                    "createEmpty: true is outside the streaming subset "
+                    "(append mode emits observed windows)"
+                )
+            extra = set(a) - {"every", "fn", "createEmpty"}
+            if extra:
+                raise FluxError(
+                    f"aggregateWindow: unsupported args {sorted(extra)} "
+                    "in the streaming subset"
+                )
+            agg = (every_s, fn)
+        elif head == "yield":
+            a = _args(stage, "yield")
+            if "name" in a:
+                yield_name = _resolve(a["name"], params)
+        else:
+            raise FluxError(
+                f"{head}() is outside the STREAMING subset (per-point "
+                "transforms/selectors need the whole series per trigger "
+                "— run compile_flux on the store instead)"
+            )
+
+    out = bkt.scan(stream, start=start, stop=stop)
+    for p in preds:
+        out = out.filter(p)
+    if agg is None:
+        # the raw live-table panel: the filtered record stream
+        return out.select(*natural_key, "_time", "_value")
+    every_s, fn = agg
+    name = yield_name or fn
+    if fn == "mean":
+        exprs = [
+            (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1))).alias(name),
+            F.count(F.lit(1)).alias("n"),
+        ]
+    elif fn == "sum":
+        exprs = [
+            F.sum(_dec("_value")).cast("double").alias(name),
+            F.count(F.lit(1)).alias("n"),
+        ]
+    elif fn == "count":
+        exprs = [F.count(F.lit(1)).cast("long").alias(name)]
+    else:  # min / max
+        exprs = [
+            (F.min("_value") if fn == "min" else F.max("_value")).alias(name),
+            F.count(F.lit(1)).alias("n"),
+        ]
+    # the shared null policy: aggregates skip null values, and n counts
+    # exactly the rows the aggregate saw — identical to the batch path
+    return (
+        out.filter(F.col("_value").isNotNull())
+        .withWatermark("_time", watermark)
+        .groupBy(
+            F.window("_time", f"{every_s} seconds").alias("w"), *natural_key
+        )
+        .agg(*exprs)
+        .select(F.col("w.start").alias("window_start"), *natural_key, *[
+            e for e in ([name, "n"] if fn != "count" else [name])
+        ])
+    )
 
 
 #: per-(session, store, generation) promoted-tag-column cache — see
