@@ -1410,3 +1410,40 @@ def lsh_tuning(
         )
     _, r, b = best
     return r * b, b
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "blas",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): drop every vector whose embedding is
+    near-duplicate (cosine ≥ threshold) of a CANONICAL earlier one —
+    the keep-lowest-id rule. Returns the KEPT rows, all columns.
+
+    Semantics pin (documented divergence from the paper's greedy
+    chain): a row is dropped iff ANY lower-id row scores ≥ threshold
+    against it — whether or not that row was itself dropped. The
+    greedy variant (compare only against KEPT rows) is an inherently
+    sequential chain over each similarity cluster; the any-lower-id
+    rule is order-free, distributes as one anti-join, and is stricter
+    only on chains A~B~C where A~C fails — at dedup thresholds
+    (≥0.9) the difference is marginal and the rule is exactly
+    SQL-replayable (the driver-attested form).
+
+    Scale shape: pair generation is the grid-decomposed exact
+    ``cosine_pairs`` here (the attestation path — bit-exact against
+    the DuckDB oracle); at 100 TB swap the pair source for the
+    banded ``lsh_ann`` candidates or the persisted IVF cells (the
+    paper's k-means clusters ≡ the engine's IVF partitioning) and
+    keep the same anti-join — detect/act split, like every dedup
+    family member. The anti-join itself shuffles ids only.
+    """
+    pairs = cosine_pairs(
+        vectors, threshold, id_col=id_col, vec_col=vec_col, kernel=kernel
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(dropped, id_col, "left_anti")

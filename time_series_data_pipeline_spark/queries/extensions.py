@@ -253,6 +253,24 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+# the oracle SQL lives in timeseries_q (suite_round11 embeds it
+# verbatim at that module's import time); registered here with the
+# X-tier it belongs to
+from .timeseries_q import SEMANTIC_DEDUP_SQL  # noqa: E402  isort: skip
+
+
+@query("semantic_dedup_apply", oracle=SEMANTIC_DEDUP_SQL)
+def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3 SemDeDup-style semantic dedup (Abbas et al., 2023),
+    APPLY form: keep rows no LOWER-id row scores cosine ≥ 0.35
+    against (the order-free any-lower-id pin documented in
+    operators/similarity.py semantic_dedup); pair generation is the
+    grid-decomposed exact kernel here, the LSH/IVF candidate path at
+    100 TB (detect/act split)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, threshold=0.35).select("vec_id", "label")
+
+
 @query(
     "label_centroids",
     oracle="""

@@ -5442,6 +5442,20 @@ def flux_compiled_windowed_quantile(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# registered in queries/extensions.py (the X-tier module); the SQL
+# lives HERE because suite_round11's oracle must embed it verbatim at
+# THIS module's import time (extensions imports after timeseries_q —
+# the f-string below cannot reference its ORACLE entry yet)
+SEMANTIC_DEDUP_SQL = """
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings a
+      WHERE a.vec_id < e.vec_id
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]), 6) >= 0.35
+    )
+    """
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -5498,6 +5512,10 @@ _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_windowed_quantile', t._field,
            CAST(epoch_us(t.window_start) AS VARCHAR), t.quantile
     FROM ({ORACLE["flux_compiled_windowed_quantile"]}) t
+    UNION ALL
+    SELECT 'semantic_dedup_apply', CAST(t.label AS VARCHAR),
+           CAST(t.vec_id AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM ({SEMANTIC_DEDUP_SQL}) t
 """
 
 
@@ -5583,6 +5601,16 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_field").alias("k1"),
             _us("window_start").alias("k2"),
             F.col("quantile").alias("value"),
+        )
+    )
+    from .extensions import semantic_dedup_apply  # registered post-import
+
+    arms.append(
+        semantic_dedup_apply(spark, sf_dir).select(
+            F.lit("semantic_dedup_apply").alias("sub"),
+            F.col("label").cast("string").alias("k1"),
+            F.col("vec_id").cast("string").alias("k2"),
+            F.lit(None).cast("double").alias("value"),
         )
     )
     lj = flux_compiled_left_join(spark, sf_dir)
