@@ -140,6 +140,9 @@ def test_no_row_python_anywhere(spark, name):
         "bpe_encode_stats",
         "embedding_neardup_pairs",
         "embedding_lsh_ann",
+        # SemDeDup apply rides the same sanctioned BLAS cogroup kernel
+        # as embedding_neardup_pairs (its pair source)
+        "semantic_dedup_apply",
         "flux_compiled_ema",
         "flux_compiled_dema",
         "flux_compiled_tema",
