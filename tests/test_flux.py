@@ -5112,6 +5112,77 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
             flux.compile_flux_stream(spark, bad, {"b": store})
 
 
+def test_start_flux_task_runs_to_script(spark, store, tmp_path):
+    """start_flux_task: the InfluxDB task loop as a ticker stream —
+    one availableNow tick executes the to() script and the target
+    bucket equals the batch compiler's write-back; a second run is
+    idempotent; relative bounds need a now anchor; a sink-less script
+    raises pointing at compile_flux_stream."""
+    script = """
+    from(bucket: "src")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-05T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 1h, fn: mean)
+      |> to(bucket: "dst")
+    """
+    dst = str(tmp_path / "dst_bucket")
+    paths = {"src": store, "dst": dst}
+
+    def run_once(ck):
+        q = flux.start_flux_task(
+            spark, script, paths, checkpoint=str(tmp_path / ck),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run_once("ck1")
+    got = sorted(
+        map(tuple, bkt.read_bucket(spark, dst)
+            .select("_time", "_field", "_value").collect())
+    )
+    # the batch write-back produces the same store content
+    batch_rows = flux.compile_flux(spark, script, {"src": store,
+                                                   "dst": str(tmp_path / "dst2")})
+    expected = sorted(
+        map(tuple, batch_rows.select("_time", "_field", "_value").collect())
+    )
+    assert got == expected and len(got) > 0
+    # idempotent re-run (fresh checkpoint — a re-submitted task)
+    run_once("ck2")
+    again = sorted(
+        map(tuple, bkt.read_bucket(spark, dst)
+            .select("_time", "_field", "_value").collect())
+    )
+    assert again == got
+    # relative bounds demand an anchor
+    rel = script.replace(
+        'start: "2024-01-03T00:00:00Z", stop: "2024-01-05T00:00:00Z"',
+        "start: -2d",
+    )
+    with pytest.raises(flux.FluxError, match="now"):
+        flux.start_flux_task(
+            spark, rel, paths, checkpoint=str(tmp_path / "ck3"),
+            available_now=True,
+        )
+    # ... and run with one (per-tick anchor)
+    q = flux.start_flux_task(
+        spark, rel, paths, checkpoint=str(tmp_path / "ck4"),
+        now_fn=lambda: "2024-01-05T00:00:00Z", available_now=True,
+    )
+    q.awaitTermination(180)
+    anchored = bkt.read_bucket(spark, dst).count()
+    assert anchored > 0
+    # a sink-less script raises pointing at the live-panel entry
+    with pytest.raises(flux.FluxError, match="compile_flux_stream"):
+        flux.start_flux_task(
+            spark,
+            'from(bucket: "src") |> last()',
+            paths,
+            checkpoint=str(tmp_path / "ck5"),
+        )
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings

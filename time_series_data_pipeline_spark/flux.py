@@ -1694,6 +1694,79 @@ def compile_flux_stream(
     )
 
 
+def start_flux_task(
+    spark: SparkSession,
+    flux: str,
+    bucket_paths: dict[str, str],
+    checkpoint: str,
+    params: dict[str, Any] | None = None,
+    now: str | None = None,
+    now_fn=None,
+    tick_seconds: int = 60,
+    available_now: bool = True,
+):
+    """The InfluxDB TASK object (round 11b): a Flux script ending in
+    ``|> to(bucket:)``, re-executed on a schedule — upstream's task
+    scheduler is exactly a cron re-run of the script with
+    last-write-wins, and this runs it as ONE long-lived Structured
+    Streaming ticker instead of an external cron (the
+    ``start_rollup_maintenance`` pattern, generalized to any compiled
+    Flux text). Each tick recompiles and re-executes the pipeline and
+    lands the result through the IDEMPOTENT dynamic-partition-
+    overwrite writer (``_write_to_bucket``) — a replayed or crashed
+    tick rewrites exactly the same partitions, so the loop is
+    exactly-once in effect without any sink-side dedup state.
+
+    ``now_fn`` — a zero-arg callable returning the RFC3339 anchor for
+    RELATIVE range bounds (``range(start: -1d)``), resolved PER TICK:
+    the task idiom upstream writes as ``-task.every``. The
+    replayability rule stands: with neither ``now`` nor ``now_fn``,
+    relative bounds raise (wall-clock never enters silently).
+    ``available_now=True`` runs one tick and stops (the test/backfill
+    trigger); ``False`` ticks every ``tick_seconds``.
+
+    Scale: each tick costs one compiled pipeline over the pruned scan
+    — bound the recomputed range with a relative ``range(start:)`` so
+    a tick touches only recent partitions (the §20 maintenance-floor
+    discipline), and size ``tick_seconds`` to the dashboard's
+    freshness SLA, not lower.
+    """
+    params = dict(params or {})
+    # validate the script SHAPE once at start (fail fast, not at tick
+    # 1): must be a single pipeline with a trailing to()
+    pipe, to_path, src_path = _strip_to(flux, bucket_paths, params)
+    if to_path is None:
+        raise FluxError(
+            "start_flux_task needs a script ending in |> to(bucket:) — "
+            "for a sink-less live panel use compile_flux_stream"
+        )
+    if now is None and now_fn is None:
+        # compile-check with a fixed anchor only when the script has
+        # no relative bounds (raises here otherwise — by design)
+        _compile_pipeline(spark, pipe, bucket_paths, params, None)
+
+    def _tick(batch_df: DataFrame, epoch_id: int) -> None:
+        anchor = now_fn() if now_fn is not None else now
+        out = _compile_pipeline(spark, pipe, bucket_paths, dict(params), anchor)
+        _write_to_bucket(spark, out, to_path, src_path)
+
+    ticker = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+    )
+    writer = (
+        ticker.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{tick_seconds} seconds")
+    return writer.start()
+
+
 #: per-(session, store, generation) promoted-tag-column cache — see
 #: the discovery comment in _compile_pipeline. The session component
 #: is the Spark applicationId (stable for a session's lifetime; a
