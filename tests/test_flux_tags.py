@@ -541,3 +541,45 @@ def test_write_bucket_tags_clustering_requires_tags(spark):
     )
     with pytest.raises(ValueError, match="promoted tag columns"):
         bkt.write_bucket(long_df, "/tmp/never", cluster="tags")
+
+
+def test_compile_flux_stream_keys_on_tags(spark, tagged, tmp_path):
+    """The LIVE-PANEL compiler discovers the tagged store's promoted
+    columns exactly like the batch path: the streaming windowed mean
+    keys on (_measurement, _field, host, dc) and emitted windows equal
+    the batch compiler's for the same text (final open window aside)."""
+    from time_series_data_pipeline_spark.flux import compile_flux_stream
+
+    text = """
+    from(bucket: "b")
+      |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-12T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> filter(fn: (r) => r["host"] == "h1")
+      |> aggregateWindow(every: 12h, fn: mean)
+    """
+    live = compile_flux_stream(
+        spark, text, {"b": tagged}, watermark="0 seconds"
+    )
+    assert {"host", "dc"} <= set(live.columns)
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_live_tags")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["host"], r["dc"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_live_tags").collect()
+    }
+    batch = compile_flux(spark, text, {"b": tagged}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["host"], r["dc"]): (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] < max_t
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    assert all(k[1] == "h1" for k in got)  # the tag filter held
