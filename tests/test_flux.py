@@ -5183,6 +5183,46 @@ def test_start_flux_task_runs_to_script(spark, store, tmp_path):
         )
 
 
+def test_round11b_second_review_fixes(spark, store, tmp_path):
+    """Second structured-review pass, each finding pinned:
+    (a) a task script with an import header compiles and runs;
+    (b) a malformed task script fails AT START even with an anchor;
+    (c) compile_flux_stream with to() points at start_flux_task."""
+    script = """
+    import "interpolate"
+    from(bucket: "src")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-04T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> interpolate.linear(every: 30m)
+      |> to(bucket: "dst")
+    """
+    dst = str(tmp_path / "itp_dst")
+    q = flux.start_flux_task(
+        spark, script, {"src": store, "dst": dst},
+        checkpoint=str(tmp_path / "ck_imp"), available_now=True,
+    )
+    q.awaitTermination(180)
+    assert bkt.read_bucket(spark, dst).count() > 0
+    # (b) bogus stage + an anchor: synchronous FluxError, no query starts
+    with pytest.raises(flux.FluxError, match="bogusStage"):
+        flux.start_flux_task(
+            spark,
+            'from(bucket: "src") |> range(start: -1d) |> bogusStage() '
+            '|> to(bucket: "dst")',
+            {"src": store, "dst": dst},
+            checkpoint=str(tmp_path / "ck_bogus"),
+            now_fn=lambda: "2024-01-05T00:00:00Z",
+        )
+    # (c) a sink-bearing script to the live-panel entry names the task
+    with pytest.raises(flux.FluxError, match="start_flux_task"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "src") |> aggregateWindow(every: 1h, fn: mean) '
+            '|> to(bucket: "dst")',
+            {"src": store, "dst": dst},
+        )
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings

@@ -1473,16 +1473,7 @@ def compile_flux(
     # the reference's ${Resistances} variable is defined by exactly
     # this shape): `import "influxdata/influxdb/schema"` followed by a
     # schema.* call. Handled before the pipeline grammar.
-    # the shipped stage namespaces: schema.* (variable queries),
-    # interpolate.linear, events.duration — their import lines are
-    # grammar noise once the stage itself is recognized
-    body = re.sub(
-        r'^\s*import\s+"(influxdata/influxdb/schema|interpolate|'
-        r'contrib/tomhollingworth/events)"\s*$',
-        "",
-        flux,
-        flags=re.MULTILINE,
-    )
+    body = _strip_imports(flux)
     if re.match(r"^\s*schema\.", body.lstrip()):
         return _compile_schema_query(spark, body, bucket_paths, params, now)
     stmts = _split_statements(body)
@@ -1521,6 +1512,40 @@ def compile_flux(
     return _compile_combiner(spark, final, env, params)
 
 
+def _strip_imports(flux: str) -> str:
+    """Drop the shipped stage namespaces' import lines (schema.*
+    variable queries, interpolate.linear, events.duration) — grammar
+    noise once the stage itself is recognized. ONE implementation for
+    every entry point (compile_flux / compile_flux_stream /
+    start_flux_task — review r11b: the task entry point forgot the
+    strip and rejected any script with an import header)."""
+    return re.sub(
+        r'^\s*import\s+"(influxdata/influxdb/schema|interpolate|'
+        r'contrib/tomhollingworth/events)"\s*$',
+        "",
+        flux,
+        flags=re.MULTILINE,
+    )
+
+
+def _plain_agg_expr(fn: str) -> Column:
+    """The five incremental (map-side-combinable) aggregate value
+    expressions, shared VERBATIM by the batch window path and
+    ``compile_flux_stream`` — one definition, so the pinned
+    streaming==batch bit-identity cannot drift (review r11b)."""
+    if fn == "mean":
+        return F.sum(_dec("_value")).cast("double") / F.count(F.lit(1))
+    if fn == "sum":
+        return F.sum(_dec("_value")).cast("double")
+    if fn == "count":
+        return F.count(F.lit(1)).cast("long")
+    if fn == "min":
+        return F.min("_value")
+    if fn == "max":
+        return F.max("_value")
+    raise FluxError(f"no incremental aggregate expression for {fn!r}")
+
+
 def compile_flux_stream(
     spark: SparkSession,
     flux: str,
@@ -1556,14 +1581,7 @@ def compile_flux_stream(
     tests/test_flux.py streaming==batch equality).
     """
     params = dict(params or {})
-    body = re.sub(
-        r'^\s*import\s+"(influxdata/influxdb/schema|interpolate|'
-        r'contrib/tomhollingworth/events)"\s*$',
-        "",
-        flux,
-        flags=re.MULTILINE,
-    )
-    stages = _split_stages(body)
+    stages = _split_stages(_strip_imports(flux))
     fr = _args(stages[0], "from")
     if "bucket" not in fr:
         raise FluxError("from() requires bucket:")
@@ -1647,6 +1665,12 @@ def compile_flux_stream(
             a = _args(stage, "yield")
             if "name" in a:
                 yield_name = _resolve(a["name"], params)
+        elif head == "to":
+            raise FluxError(
+                "to(bucket:) in a streaming pipeline is the TASK loop — "
+                "run it with start_flux_task (compile_flux_stream returns "
+                "the live frame for a panel sink)"
+            )
         else:
             raise FluxError(
                 f"{head}() is outside the STREAMING subset (per-point "
@@ -1662,23 +1686,11 @@ def compile_flux_stream(
         return out.select(*natural_key, "_time", "_value")
     every_s, fn = agg
     name = yield_name or fn
-    if fn == "mean":
-        exprs = [
-            (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1))).alias(name),
-            F.count(F.lit(1)).alias("n"),
-        ]
-    elif fn == "sum":
-        exprs = [
-            F.sum(_dec("_value")).cast("double").alias(name),
-            F.count(F.lit(1)).alias("n"),
-        ]
-    elif fn == "count":
-        exprs = [F.count(F.lit(1)).cast("long").alias(name)]
-    else:  # min / max
-        exprs = [
-            (F.min("_value") if fn == "min" else F.max("_value")).alias(name),
-            F.count(F.lit(1)).alias("n"),
-        ]
+    # the value expression is the batch compiler's own (_plain_agg_expr
+    # — ONE definition), so emitted windows replay bit-identically
+    exprs = [_plain_agg_expr(fn).alias(name)]
+    if fn != "count":
+        exprs.append(F.count(F.lit(1)).alias("n"))
     # the shared null policy: aggregates skip null values, and n counts
     # exactly the rows the aggregate saw — identical to the batch path
     return (
@@ -1732,18 +1744,25 @@ def start_flux_task(
     freshness SLA, not lower.
     """
     params = dict(params or {})
-    # validate the script SHAPE once at start (fail fast, not at tick
-    # 1): must be a single pipeline with a trailing to()
-    pipe, to_path, src_path = _strip_to(flux, bucket_paths, params)
+    # validate the WHOLE script once at start (fail fast, not at tick
+    # 1): must be a single pipeline with a trailing to(), and the
+    # pipeline must compile — with the per-tick anchor source when one
+    # is given, so a relative-bounds script without any anchor still
+    # raises here by design (review r11b: the check previously skipped
+    # whenever an anchor existed, deferring a malformed script's error
+    # to an async StreamingQueryException at tick 1)
+    pipe, to_path, src_path = _strip_to(
+        _strip_imports(flux), bucket_paths, params
+    )
     if to_path is None:
         raise FluxError(
             "start_flux_task needs a script ending in |> to(bucket:) — "
             "for a sink-less live panel use compile_flux_stream"
         )
-    if now is None and now_fn is None:
-        # compile-check with a fixed anchor only when the script has
-        # no relative bounds (raises here otherwise — by design)
-        _compile_pipeline(spark, pipe, bucket_paths, params, None)
+    _compile_pipeline(
+        spark, pipe, bucket_paths, dict(params),
+        now_fn() if now_fn is not None else now,
+    )
 
     def _tick(batch_df: DataFrame, epoch_id: int) -> None:
         anchor = now_fn() if now_fn is not None else now
@@ -4068,18 +4087,13 @@ def _compile_pipeline(
                 "n",
             )
             return _finish(out)
-        if fn == "mean":
-            expr = (F.sum(_dec("_value")).cast("double") / F.count(F.lit(1)))
+        if fn in ("mean", "sum", "count", "min", "max"):
+            # the five incremental fns share ONE expression definition
+            # with compile_flux_stream (_plain_agg_expr) — the pinned
+            # streaming==batch bit-identity hangs on it
+            expr = _plain_agg_expr(fn)
         elif fn == "median":
             expr = F.median("_value")
-        elif fn == "min":
-            expr = F.min("_value")
-        elif fn == "max":
-            expr = F.max("_value")
-        elif fn == "sum":
-            expr = F.sum(_dec("_value")).cast("double")
-        elif fn == "count":
-            expr = F.count(F.lit(1)).cast("long")
         elif fn == "first":  # earliest _time wins, value tie-break
             expr = F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
         elif fn == "stddev":
