@@ -61,6 +61,9 @@ HEADLINE = (
     "flux_compiled_trix",
     "flux_compiled_interpolate",
     "flux_compiled_downsample_rate",
+    # the exact windowed rank: one raw-row compound-key exchange —
+    # the only new shape whose cost scales with RAW rows per window
+    "flux_compiled_windowed_quantile",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
