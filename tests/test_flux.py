@@ -4591,6 +4591,20 @@ def test_events_duration_values(spark, tmp_path):
             'from(bucket: "b") |> events.duration(stopColumn: "_stop")',
             {"b": path},
         )
+    # an explicit stop BEFORE the last record: the last duration is
+    # negative, truncated TOWARD ZERO (upstream Flux's int duration
+    # division) — −90 s at unit 1m is −1, not floor's −2. The
+    # registered oracle's `//` is floor and coincides with this only
+    # on non-negative durations, which its range-stop bound guarantees.
+    out = flux.compile_flux(
+        spark,
+        'import "contrib/tomhollingworth/events"\n'
+        'from(bucket: "b")\n'
+        '  |> events.duration(unit: 1m, stop: "2024-01-01T00:08:30Z")',
+        {"b": path},
+    ).collect()
+    got = {r["_value"]: r["duration"] for r in out}
+    assert got[10.0] == -1  # (8.5 − 10) min → −1.5 min → toward zero
 
 
 def test_interpolate_linear_values(spark, tmp_path):
@@ -5394,6 +5408,26 @@ _STAGE_POOL = [
     "bogusStage(x: 1)",
     "mean(",  # unbalanced
 ]
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.sampled_from(_STAGE_POOL), min_size=1, max_size=4))
+def test_stream_compiler_total_over_stage_compositions(spark, store, stages):
+    """The STREAMING compiler's totality contract, same pool: every
+    composition either compiles to a streaming DataFrame or raises
+    FluxError naming the problem — never an internal error."""
+    text = 'from(bucket: "b")\n  |> ' + "\n  |> ".join(stages)
+    try:
+        out = flux.compile_flux_stream(
+            spark, text, {"b": store}, now="2024-01-06T00:00:00Z"
+        )
+    except flux.FluxError:
+        return
+    assert out is not None and out.isStreaming
 
 
 @settings(
