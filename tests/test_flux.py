@@ -5237,6 +5237,62 @@ def test_round11b_second_review_fixes(spark, store, tmp_path):
         )
 
 
+def test_compile_flux_stream_multi_statement_union(spark, store, tmp_path):
+    """Multi-statement streaming: two named pipelines |> union() — the
+    live multi-series panel; a streaming join raises naming the batch
+    entry; the union's emitted windows equal the batch union."""
+    script = """
+    a = from(bucket: "b")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 12h, fn: mean)
+    b = from(bucket: "b")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "view")
+      |> aggregateWindow(every: 12h, fn: mean)
+    union(tables: [a, b])
+    """
+    live = flux.compile_flux_stream(
+        spark, script, {"b": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_live_union")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cku"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_live_union").collect()
+    }
+    batch = flux.compile_flux(spark, script, {"b": store}).collect()
+    per_field_max = {}
+    for r in batch:
+        f = r["_field"]
+        per_field_max[f] = max(per_field_max.get(f, r["window_start"]),
+                               r["window_start"])
+    expected = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] < per_field_max[r["_field"]]
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    assert {k[1] for k in got} == {"click", "view"}
+    # a streaming join names the batch entry point
+    with pytest.raises(flux.FluxError, match="batch query"):
+        flux.compile_flux_stream(
+            spark,
+            'a = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'b = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'join(tables: {a: a, b: b}, on: ["window_start"])',
+            {"b": store},
+        )
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings

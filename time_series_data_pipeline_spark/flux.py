@@ -1581,7 +1581,79 @@ def compile_flux_stream(
     tests/test_flux.py streaming==batch equality).
     """
     params = dict(params or {})
-    stages = _split_stages(_strip_imports(flux))
+    body = _strip_imports(flux)
+    stmts = _split_statements(body)
+    if len(stmts) > 1 or stmts[0][0] is not None:
+        # MULTI-STATEMENT live panel: named pipelines feeding one
+        # final union() — streaming union is exchange-free and each
+        # side keeps its own watermarked window state. join() needs
+        # stream-stream join watermark gymnastics and stays a batch
+        # query's job (raise naming it).
+        env: dict[str, DataFrame] = {}
+        final: str | None = None
+        for nm, text in stmts:
+            if nm is not None:
+                env[nm] = compile_flux_stream(
+                    spark, text, bucket_paths, params, now, watermark
+                )
+            elif final is not None:
+                raise FluxError(
+                    "the subset ships exactly ONE result expression "
+                    "(union) after the named pipelines"
+                )
+            else:
+                final = text
+        if final is None:
+            raise FluxError(
+                "multi-statement streaming Flux needs a final union() "
+                "result expression"
+            )
+        fstages = _split_stages(final, require_from=False)
+        fhead = fstages[0].split("(", 1)[0].strip()
+        if fhead != "union":
+            raise FluxError(
+                f"{fhead}() is outside the STREAMING combiner subset "
+                "(union only — a stream-stream join is a batch query's "
+                "job: run compile_flux instead)"
+            )
+        a = _args(fstages[0], "union")
+        if "tables" not in a:
+            raise FluxError("union requires tables: [a, b, ...]")
+        extra = set(a) - {"tables"}
+        if extra:
+            raise FluxError(f"union: unsupported args {sorted(extra)}")
+        toks = a["tables"].strip()
+        if not re.match(r"^\[\s*\w+(?:\s*,\s*\w+)*\s*\]$", toks):
+            raise FluxError(
+                f"union tables: expected [a, b, ...]; got {toks!r}"
+            )
+        names = [t.strip() for t in toks[1:-1].split(",")]
+        missing = [n for n in names if n not in env]
+        if missing:
+            raise FluxError(
+                f"union references unknown pipeline(s) {missing} "
+                f"(defined: {sorted(env)})"
+            )
+        if len(names) < 2:
+            raise FluxError("union needs at least two tables")
+        frames = [env[n] for n in names]
+        cols0 = frames[0].columns
+        for n, f in zip(names[1:], frames[1:]):
+            if set(f.columns) != set(cols0):
+                raise FluxError(
+                    f"union: table {n!r} columns {sorted(f.columns)} != "
+                    f"{sorted(cols0)} (identical column sets required)"
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        if len(fstages) > 1:
+            raise FluxError(
+                "stages after the streaming union() are outside the "
+                f"subset: {fstages[1]!r}"
+            )
+        return out
+    stages = _split_stages(body)
     fr = _args(stages[0], "from")
     if "bucket" not in fr:
         raise FluxError("from() requires bucket:")
