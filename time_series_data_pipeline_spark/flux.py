@@ -300,8 +300,13 @@ Round 10c adds the technical-indicator / selector / conversion batch
   emission), with emitted windows bit-identical to the batch
   compiler's. Subset: range/filter prefix + one
   ``aggregateWindow(mean/count/sum/min/max)`` or the raw record
-  stream; everything needing whole-series state per trigger raises,
-  pointing at the batch entry point.
+  stream, and multi-statement scripts with a final ``union()`` (the
+  live multi-series panel — exchange-free; a stream-stream ``join()``
+  raises naming the batch entry point); everything needing
+  whole-series state per trigger raises, pointing at the batch entry
+  point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
+  as the InfluxDB task loop (a ticker stream; per-tick ``now_fn``
+  anchoring for relative bounds).
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
   write-back: the pipeline's output frame maps back into the bucket
   schema (window_start → ``_time`` under the engine's start-labeled
