@@ -5293,6 +5293,63 @@ def test_compile_flux_stream_multi_statement_union(spark, store, tmp_path):
         )
 
 
+def test_start_flux_task_picks_up_new_data(spark, tmp_path):
+    """The task loop's freshness contract: a tick AFTER new source
+    data arrives recomputes and lands the new windows (the idempotent
+    overwrite rewrites exactly the touched partitions)."""
+    import datetime
+
+    def _mk_rows(day, n):
+        t0 = datetime.datetime(2024, 1, day)
+        return [
+            (t0 + datetime.timedelta(minutes=30 * i), "events", "click",
+             float(i))
+            for i in range(n)
+        ]
+
+    def _write(rows, mode):
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    src = str(tmp_path / "task_src")
+    dst = str(tmp_path / "task_dst")
+    _write(_mk_rows(1, 8), "overwrite")
+    script = """
+    from(bucket: "src")
+      |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-09T00:00:00Z")
+      |> aggregateWindow(every: 1h, fn: mean)
+      |> to(bucket: "dst")
+    """
+    paths = {"src": src, "dst": dst}
+
+    def tick(ck):
+        q = flux.start_flux_task(
+            spark, script, paths, checkpoint=str(tmp_path / ck),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    tick("t1")
+    first = bkt.read_bucket(spark, dst).count()
+    assert first > 0
+    # day-2 data arrives; the next tick lands its windows too
+    _write(_mk_rows(2, 6), "append")
+    tick("t2")
+    after = bkt.read_bucket(spark, dst)
+    assert after.count() > first
+    days = {r["d"] for r in after.select(
+        F.to_date("_time").alias("d")).distinct().collect()}
+    assert len(days) == 2
+
+
 # -- compiler robustness fuzz (round 11) ---------------------------------
 
 from hypothesis import HealthCheck, given, settings
