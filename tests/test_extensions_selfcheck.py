@@ -196,3 +196,33 @@ def test_approx_percentile_accuracy(spark):
     for r in rows:
         assert abs(r.approx_p50 - r.exact_p50) / abs(r.exact_p50) <= 0.02
         assert abs(r.approx_p90 - r.exact_p90) / abs(r.exact_p90) <= 0.02
+
+
+def test_semantic_dedup_lsh_keeps_superset_of_exact(spark):
+    """The LSH pair source can only MISS pairs, so its kept set is a
+    superset of the exact kept set — dedup's safe direction (a miss
+    keeps an extra near-duplicate; it never drops a unique doc). Both
+    variants are hash-attested; this pins their relationship."""
+    from time_series_data_pipeline_spark.catalog import table
+    from time_series_data_pipeline_spark.operators import similarity as sim
+
+    from .conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        r["vec_id"]
+        for r in sim.semantic_dedup(emb, threshold=0.35).select("vec_id").collect()
+    }
+    lsh = {
+        r["vec_id"]
+        for r in sim.semantic_dedup(
+            emb, threshold=0.35, method="lsh", kernel="sql"
+        ).select("vec_id").collect()
+    }
+    assert exact <= lsh
+    assert len(exact) > 0
+    # and the unknown method raises
+    import pytest
+
+    with pytest.raises(ValueError, match="exact|lsh"):
+        sim.semantic_dedup(emb, threshold=0.35, method="kmeans")

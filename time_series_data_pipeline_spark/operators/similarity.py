@@ -1418,6 +1418,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "blas",
+    method: str = "exact",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): drop every vector whose embedding is
@@ -1434,16 +1435,27 @@ def semantic_dedup(
     (≥0.9) the difference is marginal and the rule is exactly
     SQL-replayable (the driver-attested form).
 
-    Scale shape: pair generation is the grid-decomposed exact
-    ``cosine_pairs`` here (the attestation path — bit-exact against
-    the DuckDB oracle); at 100 TB swap the pair source for the
-    banded ``lsh_ann`` candidates or the persisted IVF cells (the
-    paper's k-means clusters ≡ the engine's IVF partitioning) and
-    keep the same anti-join — detect/act split, like every dedup
-    family member. The anti-join itself shuffles ids only.
+    Scale shape: ``method="exact"`` generates pairs with the
+    grid-decomposed exact ``cosine_pairs`` (the ground-truth
+    attestation path — bit-exact against the DuckDB oracle);
+    ``method="lsh"`` swaps the pair source for the banded ``lsh_ann``
+    candidates (derived banding, verify over unit-vector dots — ALSO
+    exactly oracle-able via the generated plane-literal replay), the
+    100-TB form: missed candidates keep extra rows, never drop extra
+    (kept_lsh ⊇ kept_exact — the safe direction for dedup). The
+    paper's k-means clusters ≡ the engine's persisted IVF cells; the
+    anti-join itself shuffles ids only either way.
     """
-    pairs = cosine_pairs(
-        vectors, threshold, id_col=id_col, vec_col=vec_col, kernel=kernel
-    )
+    if method == "lsh":
+        pairs = lsh_ann(
+            vectors, threshold, id_col=id_col, vec_col=vec_col,
+            verify_kernel=kernel if kernel in ("blas", "sql") else "sql",
+        )
+    elif method == "exact":
+        pairs = cosine_pairs(
+            vectors, threshold, id_col=id_col, vec_col=vec_col, kernel=kernel
+        )
+    else:
+        raise ValueError(f"semantic_dedup method must be exact|lsh, got {method!r}")
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(dropped, id_col, "left_anti")

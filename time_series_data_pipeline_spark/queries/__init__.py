@@ -85,6 +85,7 @@ SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
         "flux_compiled_left_join",
         "flux_compiled_windowed_quantile",
         "semantic_dedup_apply",
+        "semantic_dedup_lsh",
     ),
     "suite_flux_round10c": (
         "flux_compiled_mode",

@@ -256,7 +256,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle SQL lives in timeseries_q (suite_round11 embeds it
 # verbatim at that module's import time); registered here with the
 # X-tier it belongs to
-from .timeseries_q import SEMANTIC_DEDUP_SQL  # noqa: E402  isort: skip
+from .timeseries_q import (  # noqa: E402  isort: skip
+    SEMANTIC_DEDUP_LSH_SQL,
+    SEMANTIC_DEDUP_SQL,
+)
 
 
 @query("semantic_dedup_apply", oracle=SEMANTIC_DEDUP_SQL)
@@ -269,6 +272,20 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (detect/act split)."""
     emb = table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, threshold=0.35).select("vec_id", "label")
+
+
+@query("semantic_dedup_lsh", oracle=SEMANTIC_DEDUP_LSH_SQL)
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of semantic dedup: the banded-LSH pair source
+    (derived banding, plane-literal-replayable verify) feeding the
+    same keep-no-lower-id-partner anti-join. Missed candidates keep
+    extra rows, never drop extra — kept_lsh ⊇ kept_exact, the safe
+    direction for dedup; both variants hash-attested side by side in
+    suite_round11, so the approximation's effect is driver-visible."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, threshold=0.35, method="lsh", kernel="sql"
+    ).select("vec_id", "label")
 
 
 @query(

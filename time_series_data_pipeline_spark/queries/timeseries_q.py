@@ -5456,6 +5456,25 @@ SEMANTIC_DEDUP_SQL = """
     )
     """
 
+
+def _semantic_dedup_lsh_sql() -> str:
+    # the 100-TB variant's oracle: the generated plane-literal LSH
+    # replay (similarity.lsh_ann_oracle_sql — the same seeded planes /
+    # derived banding / unit-vector verify the engine runs) wrapped in
+    # the keep-no-lower-id-partner rule
+    from ..operators.similarity import lsh_ann_oracle_sql
+
+    return f"""
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({lsh_ann_oracle_sql(threshold=0.35)}) p
+      WHERE p.id_b = e.vec_id
+    )
+    """
+
+
+SEMANTIC_DEDUP_LSH_SQL = _semantic_dedup_lsh_sql()
+
 _SUITE_11_SQL = f"""
     SELECT 'flux_compiled_holt_winters' AS sub, t._field AS k1,
            CAST(epoch_us(t._time) AS VARCHAR) AS k2, t.forecast AS value
@@ -5516,6 +5535,10 @@ _SUITE_11_SQL = f"""
     SELECT 'semantic_dedup_apply', CAST(t.label AS VARCHAR),
            CAST(t.vec_id AS VARCHAR), CAST(NULL AS DOUBLE)
     FROM ({SEMANTIC_DEDUP_SQL}) t
+    UNION ALL
+    SELECT 'semantic_dedup_lsh', CAST(t.label AS VARCHAR),
+           CAST(t.vec_id AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM ({SEMANTIC_DEDUP_LSH_SQL}) t
 """
 
 
@@ -5603,16 +5626,23 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quantile").alias("value"),
         )
     )
-    from .extensions import semantic_dedup_apply  # registered post-import
-
-    arms.append(
-        semantic_dedup_apply(spark, sf_dir).select(
-            F.lit("semantic_dedup_apply").alias("sub"),
-            F.col("label").cast("string").alias("k1"),
-            F.col("vec_id").cast("string").alias("k2"),
-            F.lit(None).cast("double").alias("value"),
-        )
+    from .extensions import (  # registered post-import
+        semantic_dedup_apply,
+        semantic_dedup_lsh,
     )
+
+    for fn_arm, nm_arm in (
+        (semantic_dedup_apply, "semantic_dedup_apply"),
+        (semantic_dedup_lsh, "semantic_dedup_lsh"),
+    ):
+        arms.append(
+            fn_arm(spark, sf_dir).select(
+                F.lit(nm_arm).alias("sub"),
+                F.col("label").cast("string").alias("k1"),
+                F.col("vec_id").cast("string").alias("k2"),
+                F.lit(None).cast("double").alias("value"),
+            )
+        )
     lj = flux_compiled_left_join(spark, sf_dir)
     arms += [
         lj.select(
