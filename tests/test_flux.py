@@ -4662,16 +4662,37 @@ def test_interpolate_linear_values(spark, tmp_path):
         {"b": single},
     ).collect()
     assert len(out) == 1 and out[0]["_value"] == 7.0
-    # every: is required; composing a second transform raises
+    # every: is required
     with pytest.raises(flux.FluxError, match="every"):
         flux.compile_flux(
             spark, 'from(bucket: "b") |> interpolate.linear()', {"b": path}
         )
+    # interpolate |> aggregateWindow: the regularize-then-window chain
+    # runs over the densified series — the 4m-window means include the
+    # inserted 2m marks
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> interpolate.linear(every: 2m) '
+        "|> aggregateWindow(every: 4m, fn: count)",
+        {"b": path},
+    ).collect()
+    # densified rows per 4m window: [0,4): 0,2(i); [4,8): 4(i),5,5,6;
+    # [8,12): 8(i),10(i); [12,16): 12(i),13
+    got = {r["window_start"].minute: r["count"] for r in out}
+    assert got == {0: 2, 4: 4, 8: 2, 12: 2}
+    # ... and |> last() selects the final densified point
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> interpolate.linear(every: 2m) |> last()',
+        {"b": path},
+    ).collect()
+    assert len(out) == 1 and out[0]["last_value"] == 41.0
+    # a second TRANSFORM still raises
     with pytest.raises(flux.FluxError, match="outside"):
         flux.compile_flux(
             spark,
             'from(bucket: "b") |> interpolate.linear(every: 2m) '
-            "|> aggregateWindow(every: 1h, fn: mean)",
+            "|> derivative(unit: 1s)",
             {"b": path},
         )
 

@@ -255,7 +255,9 @@ Round 10c adds the technical-indicator / selector / conversion batch
   rows unchanged plus rows at epoch-aligned every-multiples strictly
   inside each table's span, linearly interpolated between the
   bracketing points of the per-timestamp-MAX-deduped series (pivot's
-  documented tie rule). The ``import "interpolate"`` /
+  documented tie rule); as a value-series rewrite it composes with
+  ``|> aggregateWindow`` (regularize-then-window) and ``|> last()``.
+  The ``import "interpolate"`` /
   ``import "contrib/tomhollingworth/events"`` lines are accepted and
   stripped like the schema import. Also:
   ``timedMovingAverage(every:, period:)`` — the WINDOWED-emission
@@ -362,7 +364,7 @@ _AGG_FNS = (
 #: named column, so composing over them would be ambiguous — they raise)
 _VALUE_SERIES = (
     "increase", "difference", "cumsum", "ema", "ema2", "ema3", "rsi",
-    "cmo", "ker", "trix", "kama",
+    "cmo", "ker", "trix", "kama", "interpolate",
 )
 
 
@@ -5087,6 +5089,19 @@ def _compile_pipeline(
                 )
             )
             out = src.unionByName(filled)
+            if agg is not None:
+                # interpolate.linear |> aggregateWindow — the
+                # regularize-then-window panel chain: the windowed
+                # aggregate runs over the densified series (raw +
+                # inserted rows), exactly Flux's composition order
+                return _agg_over(out)
+            if take_last:
+                from .operators.timeseries import last_value_per_group
+
+                res = last_value_per_group(out, "_time", "_value", keys)
+                if yield_name:
+                    res = res.withColumnRenamed("last_value", yield_name)
+                return _finish(res)
             if yield_name:
                 out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
