@@ -31,6 +31,35 @@ from .registry import ORACLE, QUERIES
 # Registered singletons whose results are hash-verified as arms of an
 # in-window suite (the suite oracle embeds ORACLE[name] verbatim).
 SUITE_CONSTITUENTS: dict[str, tuple[str, ...]] = {
+    # round 12 (VERDICT r11 "ledger hygiene"): the relational suites'
+    # constituents are registered singletons again, so the attestation
+    # map is single-source — the suites compose the singleton functions
+    # AND embed their registered oracle SQL verbatim (f-string
+    # interpolation of the shared _*_SQL constants).
+    "suite_joins": (
+        "top_revenue_orders",
+        "region_nation_revenue",
+        "customers_without_orders",
+        "parts_ordered_by_brand",
+    ),
+    "suite_grouping": (
+        "cube_status_priority",
+        "grouping_sets_flag_status",
+        "rollup_region_nation",
+        "distinct_counts",
+        "median_price_by_priority",
+    ),
+    "suite_window_fns": (
+        "top3_orders_per_customer",
+        "running_total_per_customer",
+        "order_gap_days",
+    ),
+    "suite_scans": (
+        "filter_project_pushdown",
+        "scalar_functions",
+        "set_except_intersect",
+        "topk_orders",
+    ),
     "suite_timeseries_stats": (
         "value_percentiles",
         "anomaly_mad",

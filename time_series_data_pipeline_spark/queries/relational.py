@@ -191,6 +191,7 @@ _TOP_REVENUE_SQL = """
 """
 
 
+@query("top_revenue_orders", oracle=_TOP_REVENUE_SQL)
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filtered 3-way join + agg + top-k. Customer side
     is filter-reduced; exact-decimal revenue makes the top-k cut
@@ -229,6 +230,7 @@ _REGION_NATION_SQL = """
 """
 
 
+@query("region_nation_revenue", oracle=_REGION_NATION_SQL)
 def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicitly broadcast dimensions (nation/region are
     fixed-cardinality — broadcastable at any data scale)."""
@@ -255,6 +257,7 @@ _CUSTOMERS_WO_SQL = """
 """
 
 
+@query("customers_without_orders", oracle=_CUSTOMERS_WO_SQL)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 anti-join — the reference's new-files = discovered ∖ processed
     semantics (ETL.py:37–55) as a declarative left_anti."""
@@ -273,6 +276,7 @@ _PARTS_BY_BRAND_SQL = """
 """
 
 
+@query("parts_ordered_by_brand", oracle=_PARTS_BY_BRAND_SQL)
 def parts_ordered_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS) then aggregate."""
     p = table(spark, sf_dir, "part")
@@ -294,6 +298,7 @@ _CUBE_SQL = """
 """
 
 
+@query("cube_status_priority", oracle=_CUBE_SQL)
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with grouping_id disambiguating subtotal rows."""
     return (
@@ -318,6 +323,7 @@ _GROUPING_SETS_SQL = """
 """
 
 
+@query("grouping_sets_flag_status", oracle=_GROUPING_SETS_SQL)
 def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind cube/rollup)."""
     return (
@@ -348,6 +354,7 @@ _ROLLUP_SQL = """
 """
 
 
+@query("rollup_region_nation", oracle=_ROLLUP_SQL)
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over a broadcast-joined hierarchy."""
     s = table(spark, sf_dir, "supplier")
@@ -375,6 +382,7 @@ _DISTINCT_COUNTS_SQL = """
 """
 
 
+@query("distinct_counts", oracle=_DISTINCT_COUNTS_SQL)
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column distinct aggregation (Spark expands to partial
     aggregates, one shuffle per distinct key set)."""
@@ -395,6 +403,7 @@ _MEDIAN_SQL = """
 """
 
 
+@query("median_price_by_priority", oracle=_MEDIAN_SQL)
 def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (A3 — the InfluxDB aggregate menu offers it). Both
     engines interpolate even-count medians over 2-decimal inputs →
@@ -421,6 +430,7 @@ _TOP3_SQL = """
 """
 
 
+@query("top3_orders_per_customer", oracle=_TOP3_SQL)
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window function; orderkey tiebreak keeps it deterministic."""
     w = Window.partitionBy("o_custkey").orderBy(
@@ -445,6 +455,7 @@ _RUNNING_TOTAL_SQL = """
 """
 
 
+@query("running_total_per_customer", oracle=_RUNNING_TOTAL_SQL)
 def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative analytic window (exact-decimal running sum)."""
     w = (
@@ -470,6 +481,7 @@ _ORDER_GAP_SQL = """
 """
 
 
+@query("order_gap_days", oracle=_ORDER_GAP_SQL)
 def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics: days between consecutive orders per customer."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -493,6 +505,7 @@ _FILTER_PROJECT_SQL = """
 """
 
 
+@query("filter_project_pushdown", oracle=_FILTER_PROJECT_SQL)
 def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P5/P6: range + equality predicates and column pruning — both
     reach the parquet scan (PushedFilters / 3-column ReadSchema)."""
@@ -522,6 +535,7 @@ _SET_OPS_SQL = """
 """
 
 
+@query("set_except_intersect", oracle=_SET_OPS_SQL)
 def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT / INTERSECT (distinct set semantics), union-tagged."""
     rich = (
@@ -566,6 +580,7 @@ _SCALAR_SQL = """
 """
 
 
+@query("scalar_functions", oracle=_SCALAR_SQL)
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1–F6 scalar parity: regex extract, case, date parts, formatting,
     concat, substring, length — all codegen'd built-ins."""
@@ -592,6 +607,7 @@ _TOPK_SQL = """
 """
 
 
+@query("topk_orders", oracle=_TOPK_SQL)
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition
     heaps, no full sort, no full shuffle."""
