@@ -5147,6 +5147,59 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
             flux.compile_flux_stream(spark, bad, {"b": store})
 
 
+def test_compile_flux_stream_gauge_last_equals_batch(spark, store, tmp_path):
+    """The live stat-panel GAUGE (round 12): ``aggregateWindow(fn:
+    last)`` streams as an append-mode max_by selector under the
+    watermark, and every finalized window is bit-identical to the
+    batch compiler — the expression is _plain_agg_expr's, ONE
+    definition for both paths. A BARE last() raises pointing at the
+    windowed gauge form (unwindowed aggregates never finalize in
+    append mode)."""
+    text = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> aggregateWindow(every: 6h, fn: last)
+      |> yield(name: "gauge")
+    """
+    live = flux.compile_flux_stream(
+        spark, text, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_gauge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_gauge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["gauge"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_gauge").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["_field"]): (r["gauge"], r["n"])
+        for r in batch
+        if r["window_start"] < max_t  # the final window stays open
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # several distinct gauge values must exist (a constant series
+    # would let a wrong selector pass by accident)
+    assert len({v[0] for v in expected.values()}) > 1
+    # bare last() points at the windowed gauge form
+    with pytest.raises(flux.FluxError, match=r"aggregateWindow\(every:, fn: last\)"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+            "|> last()",
+            {"b": store},
+        )
+
+
 def test_start_flux_task_runs_to_script(spark, store, tmp_path):
     """start_flux_task: the InfluxDB task loop as a ticker stream —
     one availableNow tick executes the to() script and the target

@@ -1536,10 +1536,16 @@ def _strip_imports(flux: str) -> str:
 
 
 def _plain_agg_expr(fn: str) -> Column:
-    """The five incremental (map-side-combinable) aggregate value
+    """The seven incremental (map-side-combinable) aggregate value
     expressions, shared VERBATIM by the batch window path and
     ``compile_flux_stream`` — one definition, so the pinned
-    streaming==batch bit-identity cannot drift (review r11b)."""
+    streaming==batch bit-identity cannot drift (review r11b).
+
+    ``first``/``last`` (round 12 — the live stat-panel gauge) are the
+    selector pair: a (time, value) extremum struct folded by
+    min_by/max_by, whose merge is an associative max — exactly as
+    incremental as min/max, so streaming append mode runs them with
+    bounded per-window state."""
     if fn == "mean":
         return F.sum(_dec("_value")).cast("double") / F.count(F.lit(1))
     if fn == "sum":
@@ -1550,6 +1556,10 @@ def _plain_agg_expr(fn: str) -> Column:
         return F.min("_value")
     if fn == "max":
         return F.max("_value")
+    if fn == "first":  # earliest _time wins, value tie-break
+        return F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
+    if fn == "last":  # greatest _time wins, value tie-break
+        return F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
     raise FluxError(f"no incremental aggregate expression for {fn!r}")
 
 
@@ -1574,9 +1584,12 @@ def compile_flux_stream(
 
     STREAMING subset — the dashboard pipeline shapes Structured
     Streaming can run incrementally: ``from |> range |> filter* |>
-    aggregateWindow(every:, fn: mean/count/sum/min/max[, createEmpty:
-    false]) [|> yield]``, or the same prefix with NO aggregation (a
-    raw live-table panel). Everything else raises naming the stage —
+    aggregateWindow(every:, fn: mean/count/sum/min/max/first/last[,
+    createEmpty: false]) [|> yield]``, or the same prefix with NO
+    aggregation (a raw live-table panel). ``fn: last`` is the live
+    stat-panel GAUGE (round 12 — the reference dashboard's two gauge
+    panels): the windowed latest record as an append-mode max_by
+    selector under the watermark. Everything else raises naming the stage —
     per-point transforms, selectors, and rank aggregates need the
     whole series per trigger, which is a batch query's job (run
     ``compile_flux`` on the store instead).
@@ -1722,11 +1735,11 @@ def compile_flux_stream(
             if every_s <= 0:
                 raise FluxError(f"aggregateWindow every must be > 0: {every!r}")
             fn = a.get("fn", "mean").strip()
-            if fn not in ("mean", "count", "sum", "min", "max"):
+            if fn not in ("mean", "count", "sum", "min", "max", "first", "last"):
                 raise FluxError(
                     f"aggregateWindow fn: {fn!r} is outside the STREAMING "
-                    "subset (mean/count/sum/min/max — incremental, "
-                    "map-side-combinable state)"
+                    "subset (mean/count/sum/min/max/first/last — "
+                    "incremental, map-side-combinable state)"
                 )
             if "createEmpty" in a and _resolve(a["createEmpty"], params) is not False:
                 raise FluxError(
@@ -1749,6 +1762,18 @@ def compile_flux_stream(
                 "to(bucket:) in a streaming pipeline is the TASK loop — "
                 "run it with start_flux_task (compile_flux_stream returns "
                 "the live frame for a panel sink)"
+            )
+        elif head in ("last", "first"):
+            # the live stat-panel gauge: a BARE selector is an
+            # unwindowed aggregate, which append mode cannot finalize
+            # (no watermark ever passes an unbounded group) — the
+            # streaming gauge is the WINDOWED selector, emitted once
+            # per panel-refresh window
+            raise FluxError(
+                f"bare {head}() is outside the STREAMING subset — the "
+                f"live gauge is aggregateWindow(every:, fn: {head}) "
+                "(append-mode selector state under the watermark; the "
+                "panel reads the latest emitted window)"
             )
         else:
             raise FluxError(
@@ -4166,15 +4191,13 @@ def _compile_pipeline(
                 "n",
             )
             return _finish(out)
-        if fn in ("mean", "sum", "count", "min", "max"):
-            # the five incremental fns share ONE expression definition
+        if fn in ("mean", "sum", "count", "min", "max", "first", "last"):
+            # the seven incremental fns share ONE expression definition
             # with compile_flux_stream (_plain_agg_expr) — the pinned
             # streaming==batch bit-identity hangs on it
             expr = _plain_agg_expr(fn)
         elif fn == "median":
             expr = F.median("_value")
-        elif fn == "first":  # earliest _time wins, value tie-break
-            expr = F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
         elif fn == "stddev":
             # Flux stddev() default mode "sample" — central-moment
             # merge aggregation (map-side combinable); NULL for a
@@ -4184,8 +4207,6 @@ def _compile_pipeline(
             # max − min over the table/window — two map-side-combinable
             # extrema, exact on the store's doubles
             expr = F.max("_value") - F.min("_value")
-        elif fn == "last":  # greatest _time wins, value tie-break
-            expr = F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
         else:
             # structural backstop (VERDICT r8): an accepted-set name
             # with no expression branch must raise, never silently
