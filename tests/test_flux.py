@@ -2015,9 +2015,25 @@ def test_multi_pipeline_union(spark, store):
             "unknown column",
         ),
         (
+            # a named combiner is legal since round 12 — but a script
+            # of assignments alone still yields nothing
             'a = from(bucket: "b") |> last()\n'
             "a2 = union(tables: [a, a])",
+            "dangling assignment",
+        ),
+        (
+            # an assignment must bind a from() pipeline or a combiner
+            'a = range(start: -1d)\n'
+            'from(bucket: "b") |> last()',
             "must bind a from",
+        ),
+        (
+            # nested combiners evaluate top-down: no forward references
+            'a = from(bucket: "b") |> last()\n'
+            "u = union(tables: [a, c])\n"
+            'c = from(bucket: "b") |> last()\n'
+            'join(tables: {u: u, c: c}, on: ["_field"])',
+            "unknown pipeline",
         ),
         (
             'from(bucket: "b") |> last()\n'
@@ -2220,6 +2236,39 @@ def test_histogram_cumulative_per_table(spark, store):
 def test_histogram_rejections(spark, store, bad, msg):
     with pytest.raises(flux.FluxError, match=msg):
         flux.compile_flux(spark, bad, {"b": store})
+
+
+def test_nested_combiner_union_of_joins(spark, store):
+    """Round-12 nesting, the other direction: two named JOINS unioned
+    by the final result expression. Each nested join equals the same
+    join compiled standalone (the nesting only routes frames — no
+    semantic change), and the union is their bag concat."""
+    def one_join(f1, f2):
+        return flux.compile_flux(
+            spark,
+            f'a = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "{f1}") |> last()\n'
+            f'b = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "{f2}") |> last()\n'
+            'join(tables: {a: a, b: b}, on: ["_measurement"])',
+            {"b": store},
+        )
+
+    nested = flux.compile_flux(
+        spark,
+        'a = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") |> last()\n'
+        'b = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "error") |> last()\n'
+        'c = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "view") |> last()\n'
+        'd = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "purchase") |> last()\n'
+        'j1 = join(tables: {a: a, b: b}, on: ["_measurement"])\n'
+        'j2 = join(tables: {a: c, b: d}, on: ["_measurement"])\n'
+        "union(tables: [j1, j2])",
+        {"b": store},
+    )
+    j1 = one_join("click", "error").collect()
+    j2 = one_join("view", "purchase").collect()
+    got = sorted(map(tuple, nested.collect()))
+    assert len(got) == len(j1) + len(j2) == 2
+    expect = sorted(map(tuple, j1) ) + sorted(map(tuple, j2))
+    assert got == sorted(expect)
 
 
 def test_trailing_pipe_formatting(spark, store):

@@ -335,6 +335,11 @@ import pytest as _pytest
         # an exact rank has no map-side partial form, so this is the
         # floor for the semantics
         ("flux_compiled_windowed_quantile", 1),
+        # round 12 nested combiner: exactly the three constituent
+        # window aggregates' exchanges — the union is a bag concat and
+        # the join broadcasts the aggregated build side (the nesting
+        # itself adds NO exchange; VERDICT r11 item 5 plan pin)
+        ("flux_compiled_nested_overlay", 3),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):
@@ -410,3 +415,17 @@ def test_flux_join_overlay_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("PartitionFilters: [isnotnull(_measurement") == 2
     assert "PushedFilters: [IsNotNull(_time)" in plan
+
+
+def test_flux_nested_overlay_joins_by_broadcast(spark):
+    """The round-12 nested combiner (union feeding a join): the final
+    join must broadcast the window-aggregated build side — never a
+    cartesian/nested-loop — so the nesting's only exchanges are the
+    three constituent window aggregates' own (counted in the shuffle
+    budget above)."""
+    from time_series_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["flux_compiled_nested_overlay"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan

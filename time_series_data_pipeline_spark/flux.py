@@ -1492,17 +1492,39 @@ def compile_flux(
         return out
     # MULTI-STATEMENT form (round 10): named from-pipelines feeding one
     # final join()/union() — the Grafana period-comparison overlay
-    # (`a = from |> … |> timeShift |> …; join(tables: {a:, b:}, …)`)
+    # (`a = from |> … |> timeShift |> …; join(tables: {a:, b:}, …)`).
+    # Round 12 adds NESTED combiners: an assignment may bind a
+    # combiner of earlier names, so the final expression can join a
+    # union (or union joins) — still exactly ONE unnamed result.
     env: dict[str, DataFrame] = {}
     final: str | None = None
     for nm, text in stmts:
         if nm is not None:
-            if not text.lstrip().startswith("from"):
-                raise FluxError(
-                    f"assignment {nm!r} must bind a from() pipeline; "
-                    f"got {text.lstrip()[:40]!r}"
+            body_ = text.lstrip()
+            head = body_.split("(", 1)[0].strip()
+            if body_.startswith("from"):
+                env[nm] = _compile_pipeline(
+                    spark, text, bucket_paths, params, now
                 )
-            env[nm] = _compile_pipeline(spark, text, bucket_paths, params, now)
+            elif head in ("join", "union", "cov", "pearsonr"):
+                # NESTED combiners (round 12, VERDICT r11 item 5): a
+                # named pipeline may BE a combiner result — the
+                # three-series overlay math a dashboard composes
+                # (join of a union, union of two joins). References
+                # must already be bound (top-down evaluation, no
+                # forward references), so depth is the script's own
+                # assignment order. Scale shape: the nesting adds NO
+                # exchange of its own — each constituent combiner
+                # costs exactly the exchanges it costs standalone
+                # (union stays a bag concat; join shuffles on its on:
+                # key) — plan-pinned in tests/test_plans.py.
+                env[nm] = _compile_combiner(spark, text, env, params)
+            else:
+                raise FluxError(
+                    f"assignment {nm!r} must bind a from() pipeline or "
+                    "a join()/union()/cov()/pearsonr() combiner of "
+                    f"earlier names; got {body_[:40]!r}"
+                )
         else:
             if final is not None:
                 raise FluxError(

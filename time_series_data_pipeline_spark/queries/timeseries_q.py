@@ -4781,6 +4781,68 @@ def flux_compiled_holt_winters_seasonal(
     )
 
 
+@query(
+    "flux_compiled_nested_overlay",
+    # the nested combiner replayed relationally: one shared hourly
+    # window CTE (the engine's exact-decimal mean), the union as an IN
+    # filter over it, the final join on the window spine with
+    # upstream's _<label> suffixing of conflicting non-key columns
+    oracle=f"""
+    WITH win AS (
+      SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+               AS window_start,
+             'events' AS _measurement, event_type AS _field,
+             {_AVG} AS mean, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE value IS NOT NULL AND {_TAG_RANGE_SQL}
+      GROUP BY 1, 2, 3
+    )
+    SELECT u.window_start,
+           u._measurement AS _measurement_u, u._field AS _field_u,
+           u.mean AS mean_u, u.n AS n_u,
+           v._measurement AS _measurement_v, v._field AS _field_v,
+           v.mean AS mean_v, v.n AS n_v
+    FROM (SELECT * FROM win WHERE _field IN ('error', 'click')) u
+    JOIN (SELECT * FROM win WHERE _field = 'view') v
+      USING (window_start)
+    """,
+)
+def flux_compiled_nested_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-series overlay panel (VERDICT r11 item 5): a NESTED
+    multi-statement Flux script — two windowed series unioned, the
+    union joined against a third on the window spine. The nesting adds
+    no exchange of its own: the union is a bag concat of the two
+    window aggregates, the join shuffles exactly its on: key
+    (flux.py nested-combiner branch; plan-pinned in test_plans.py)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        errors = from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "error")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        clicks = from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        u = union(tables: [errors, clicks])
+        views = from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+        join(tables: {u: u, v: views}, on: ["window_start"])
+        """,
+        {"gas-quality": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
 _LP_CORPUS_VERSION = "lp-v1"
 
 
