@@ -4223,6 +4223,88 @@ def test_holt_winters_golden(spark, hw_store):
     }
 
 
+def test_holt_winters_with_fit_golden(spark, hw_store):
+    """withFit: true (round 12) — the PINNED fit convention: the
+    one-step-ahead value l_{i-1} + b_{i-1} at each slot with a prior
+    state, then the n forecasts. Hand fold over f1 = [10, 14, 12]:
+    fit(1h) = 10 (seed l=10, b=0), fit(2h) = 12.5 (l=12, b=0.5);
+    forecasts unchanged. Single-slot f2 emits no fits (no prior
+    state), forecasts only."""
+    out = flux.compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "m")
+          |> holtWinters(n: 2, interval: 1h, withFit: true)
+        """,
+        {"b": hw_store},
+    )
+    got = {
+        (r["_field"], str(r["_time"])): r["_value"] for r in out.collect()
+    }
+    assert got == {
+        ("f1", "2024-01-01 01:00:00"): 10.0,
+        ("f1", "2024-01-01 02:00:00"): 12.5,
+        ("f1", "2024-01-01 03:00:00"): 12.6875,
+        ("f1", "2024-01-01 04:00:00"): 13.125,
+        ("f2", "2024-01-01 01:00:00"): 7.0,
+        ("f2", "2024-01-01 02:00:00"): 7.0,
+    }
+    # withFit: false is byte-identical to omitting it
+    base = flux.compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "m")
+          |> holtWinters(n: 2, interval: 1h, withFit: false)
+        """,
+        {"b": hw_store},
+    )
+    plain = flux.compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "m")
+          |> holtWinters(n: 2, interval: 1h)
+        """,
+        {"b": hw_store},
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_holt_winters_seasonal_with_fit_golden(spark, hws_store):
+    """Seasonal withFit: fits start at slot m+1 — the one-step-ahead
+    l + b + s[1] BEFORE each update. Hand fold (m=2, x=[10,20,12,22,
+    14,24], init l0=15, b0=1, s=[-5,5]): fit(2h)=11, fit(3h)=22.625,
+    fit(4h)=13.484375, fit(5h)=24.650390625; forecasts as the
+    non-fit golden. All-dyadic — equality is exact."""
+    out = flux.compile_flux(
+        spark,
+        """
+        from(bucket: "b")
+          |> range(start: "2024-01-01 00:00:00", stop: "2024-01-02 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "m")
+          |> holtWinters(n: 3, interval: 1h, seasonality: 2, withFit: true)
+        """,
+        {"b": hws_store},
+    )
+    got = {str(r["_time"]): r["_value"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 02:00:00": 11.0,
+        "2024-01-01 03:00:00": 22.625,
+        "2024-01-01 04:00:00": 13.484375,
+        "2024-01-01 05:00:00": 24.650390625,
+        "2024-01-01 06:00:00": 15.622802734375,
+        "2024-01-01 07:00:00": 26.303955078125,
+        "2024-01-01 08:00:00": 17.682861328125,
+    }
+
+
 def test_holt_winters_empty_range_emits_nothing(spark, hw_store):
     out = flux.compile_flux(
         spark,
@@ -4241,7 +4323,7 @@ def test_holt_winters_empty_range_emits_nothing(spark, hw_store):
     "stage, err",
     [
         ("holtWinters(n: 2, interval: 1h, seasonality: -2)", "non-negative"),
-        ("holtWinters(n: 2, interval: 1h, withFit: true)", "withFit"),
+        ("holtWinters(n: 2, interval: 1h, withFit: 3)", "withFit"),
         ("holtWinters(n: 0, interval: 1h)", "positive int"),
         ("holtWinters(n: 2)", "bad duration"),
         ('holtWinters(n: 2, interval: 1h, column: "other")', "_value"),

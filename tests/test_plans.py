@@ -340,6 +340,13 @@ import pytest as _pytest
         # the join broadcasts the aggregated build side (the nesting
         # itself adds NO exchange; VERDICT r11 item 5 plan pin)
         ("flux_compiled_nested_overlay", 3),
+        # holtWinters: slot normalization (window, key) partial agg +
+        # the per-table array fold — 2 exchanges of SLOT rows, not raw
+        # rows; withFit re-emits from the same fold, so the fit forms
+        # must cost exactly the same plan as the forecast-only form
+        ("flux_compiled_holt_winters", 2),
+        ("flux_compiled_holt_winters_fit", 2),
+        ("flux_compiled_holt_winters_seasonal_fit", 2),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

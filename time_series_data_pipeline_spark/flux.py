@@ -237,7 +237,11 @@ Round 10c adds the technical-indicator / selector / conversion batch
   cross-cycle slope, s = cycle-1 deviations; the seasonal index
   advances per slot; series under two full seasons emit nothing;
   forecast h = l + h·b + s[(h−1) mod m + 1]). ``withFit: true``
-  raises naming the gap.
+  (round 12) emits the PINNED fit convention — the one-step-ahead
+  value l_{i−1} + b_{i−1} (+ s[1]) at each slot that has a prior
+  state (i ≥ 2 non-seasonal, i ≥ m+1 seasonal) — before the n
+  forecasts; upstream's gonum fit trajectory is not cross-engine
+  replayable, this fold is (the Grafana forecast-with-fit overlay).
 * Round 11b — the contrib / interpolate / remaining-indicator batch:
   ``tripleExponentialDerivative(n:)`` (TRIX — the chained-EMA
   composition's one-lag percent derivative, emission from row 3n−2)
@@ -2875,7 +2879,8 @@ def _compile_pipeline(
             # seasonality: m > 1 compiles the additive-seasonal
             # triple recurrence (classic first-cycle init; series
             # shorter than two seasons emit nothing); withFit: true
-            # is outside the subset and raises naming the gap.
+            # emits the pinned one-step-ahead fit convention before
+            # the forecasts (see the execution branch).
             a = _args(stage, "holtWinters")
             hw_n = _resolve(a["n"], params) if "n" in a else None
             if not isinstance(hw_n, int) or isinstance(hw_n, bool) or hw_n < 1:
@@ -2905,11 +2910,14 @@ def _compile_pipeline(
                     "holtWinters seasonality: 1 is degenerate (every point "
                     "its own season) — use 0 for the non-seasonal form"
                 )
-            if "withFit" in a and _resolve(a["withFit"], params) is not False:
-                raise FluxError(
-                    "holtWinters withFit: true is outside the shipped "
-                    "subset (forecast points only)"
-                )
+            hw_fit = False
+            if "withFit" in a:
+                flag = _resolve(a["withFit"], params)
+                if not isinstance(flag, bool):
+                    raise FluxError(
+                        f"holtWinters withFit: expected a boolean, got {flag!r}"
+                    )
+                hw_fit = flag
             if "column" in a and _resolve(a["column"], params) != "_value":
                 raise FluxError('holtWinters ships column: "_value" only')
             if "timeColumn" in a and _resolve(a["timeColumn"], params) != "_time":
@@ -2920,7 +2928,7 @@ def _compile_pipeline(
             }
             if extra:
                 raise FluxError(f"holtWinters: unsupported args {sorted(extra)}")
-            transform = ("holt_winters", hw_n, hw_int_s, hw_m)
+            transform = ("holt_winters", hw_n, hw_int_s, hw_m, hw_fit)
         elif head == "stateCount":
             # stateCount(fn: (r) => pred) — sibling of stateDuration:
             # the 1-based position within the current TRUE run, −1
@@ -4744,6 +4752,18 @@ def _compile_pipeline(
             # same attestation/diagnostic tier as holt_linear_final;
             # the slot-first aggregation is map-side combinable.
             hw_n, hw_int_s, hw_m = transform[1], transform[2], transform[3]
+            hw_fit = transform[4]
+            # withFit: true (round 12) — the fit-emission convention is
+            # PINNED (the holtWinters-constants / KAMA-seed precedent):
+            # the fitted value at slot i is the ONE-STEP-AHEAD forecast
+            # the recurrence held before consuming x_i — l_{i−1} +
+            # b_{i−1} (+ s[1], the about-to-be-consumed seasonal index)
+            # — emitted at the slot's own timestamp for every slot that
+            # has a prior state (i ≥ 2 non-seasonal, i ≥ m+1 seasonal),
+            # followed by the n forecasts. Upstream emits its gonum
+            # fit trajectory, which is not cross-engine replayable; the
+            # pinned fold is, and the recursive-CTE oracle re-emits the
+            # same per-slot values bit-for-bit.
             unit_us = hw_int_s * 1_000_000
             src = df.filter(F.col("_value").isNotNull())
             per_slot = src.groupBy(
@@ -4806,19 +4826,33 @@ def _compile_pipeline(
                         + F.lit(0.75) * acc["b"]
                     )
                     s_new = F.lit(0.25) * (x - l_new) + F.lit(0.75) * s_old
-                    return F.struct(
+                    fields = [
                         l_new.alias("l"),
                         b_new.alias("b"),
                         F.concat(
                             F.slice(acc["s"], 2, m - 1), F.array(s_new)
                         ).alias("s"),
-                    )
+                    ]
+                    if hw_fit:
+                        # the one-step-ahead value BEFORE consuming x
+                        fields.append(
+                            F.concat(
+                                acc["fits"],
+                                F.array(acc["l"] + acc["b"] + s_old),
+                            ).alias("fits")
+                        )
+                    return F.struct(*fields)
 
+                init_fields = [l0.alias("l"), b0.alias("b"), s0.alias("s")]
+                if hw_fit:
+                    init_fields.append(
+                        F.array().cast("array<double>").alias("fits")
+                    )
                 hw = F.aggregate(
                     F.slice(
                         xs, m + 1, F.greatest(F.size(xs) - m, F.lit(0))
                     ),
-                    F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s")),
+                    F.struct(*init_fields),
                     _hws_step,
                 )
                 value_of = lambda i: (  # noqa: E731
@@ -4833,13 +4867,25 @@ def _compile_pipeline(
                 def _hw_step(acc, x):
                     l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
                     b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
-                    return F.struct(l_new.alias("l"), b_new.alias("b"))
+                    fields = [l_new.alias("l"), b_new.alias("b")]
+                    if hw_fit:
+                        fields.append(
+                            F.concat(
+                                acc["fits"], F.array(acc["l"] + acc["b"])
+                            ).alias("fits")
+                        )
+                    return F.struct(*fields)
 
+                init_fields = [
+                    F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
+                ]
+                if hw_fit:
+                    init_fields.append(
+                        F.array().cast("array<double>").alias("fits")
+                    )
                 hw = F.aggregate(
                     F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-                    F.struct(
-                        F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("b")
-                    ),
+                    F.struct(*init_fields),
                     _hw_step,
                 )
                 value_of = lambda i: hw["l"] + i.cast("double") * hw["b"]  # noqa: E731
@@ -4854,6 +4900,26 @@ def _compile_pipeline(
                     value_of(i).alias("_value"),
                 ),
             )
+            if hw_fit:
+                # fitted rows at the input slots' own timestamps: slot
+                # i ≥ skip+1 pairs with fits[i − skip] (the fold pushed
+                # one fit per consumed slot, in slot order)
+                skip = hw_m if hw_m else 1
+                slot_times = F.transform(
+                    F.col("__s"), lambda s: s["__slot"]
+                )
+                fit_rows = F.zip_with(
+                    F.slice(
+                        slot_times,
+                        skip + 1,
+                        F.greatest(F.size(xs) - skip, F.lit(0)),
+                    ),
+                    hw["fits"],
+                    lambda t, v: F.struct(
+                        t.alias("_time"), v.alias("_value")
+                    ),
+                )
+                fc = F.concat(fit_rows, fc)
             out = g.select(*keys, F.explode(fc).alias("__f")).select(
                 *keys,
                 F.col("__f._time").alias("_time"),

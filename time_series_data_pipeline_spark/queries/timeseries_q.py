@@ -4782,6 +4782,190 @@ def flux_compiled_holt_winters_seasonal(
 
 
 @query(
+    "flux_compiled_holt_winters_seasonal_fit",
+    # the seasonal list-carrying recursive CTE, now also emitting the
+    # pinned per-slot fit: fit at step i (i > m) = l + b + s[1] from
+    # the PARENT row (the one-step-ahead value with the
+    # about-to-be-consumed seasonal index); slot timestamps join a
+    # row_number spine over the normalized slots
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS slot,
+             ts, value
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    firsts AS (
+      SELECT event_type, slot,
+             (ARRAY_AGG(CAST(value AS DOUBLE) ORDER BY ts, value))[1] AS x
+      FROM src GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, slot,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot) AS i
+      FROM firsts
+    ),
+    base AS (
+      SELECT event_type, MAX(slot) AS last_slot,
+             CAST(COUNT(*) AS BIGINT) AS nn,
+             list(x ORDER BY slot) AS xs
+      FROM firsts GROUP BY 1
+      HAVING COUNT(*) >= 48
+    ),
+    init AS (
+      SELECT event_type, nn, last_slot, xs,
+             list_reduce(list_slice(xs, 1, 24), (a, b) -> a + b) / 24.0 AS l0
+      FROM base
+    ),
+    init2 AS (
+      SELECT event_type, nn, last_slot, xs, l0,
+             list_reduce(
+               list_transform(generate_series(1, 24),
+                              i -> xs[24 + i] - xs[i]),
+               (a, b) -> a + b) / 576.0 AS b0,
+             list_transform(list_slice(xs, 1, 24), x -> x - l0) AS s0
+      FROM init
+    ),
+    hw(event_type, i, l, b, s, fit, nn, last_slot, xs) AS (
+      SELECT event_type, CAST(24 AS BIGINT), l0, b0, s0,
+             CAST(NULL AS DOUBLE), nn, last_slot, xs
+      FROM init2
+      UNION ALL
+      SELECT event_type, i + 1,
+             0.5 * (xs[i + 1] - s[1]) + 0.5 * (l + b),
+             0.25 * ((0.5 * (xs[i + 1] - s[1]) + 0.5 * (l + b)) - l)
+               + 0.75 * b,
+             list_append(
+               list_slice(s, 2, 24),
+               0.25 * (xs[i + 1]
+                       - (0.5 * (xs[i + 1] - s[1]) + 0.5 * (l + b)))
+                 + 0.75 * s[1]),
+             l + b + s[1],
+             nn, last_slot, xs
+      FROM hw WHERE i < nn
+    ),
+    fin AS (SELECT * FROM hw WHERE i = nn)
+    SELECT 'events' AS _measurement, h.event_type AS _field,
+           sq.slot AS _time, h.fit AS forecast
+    FROM hw h JOIN seq sq
+      ON sq.event_type = h.event_type AND sq.i = h.i
+    WHERE h.i >= 25
+    UNION ALL
+    SELECT 'events', fin.event_type,
+           make_timestamp(epoch_us(last_slot) + k * 3600000000),
+           l + CAST(k AS DOUBLE) * b
+             + s[CAST((k - 1) % 24 AS INT) + 1]
+    FROM fin, range(1, 7) t(k)
+    """,
+)
+def flux_compiled_holt_winters_seasonal_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SEASONAL forecast-with-fit overlay (``holtWinters(n: 6,
+    interval: 1h, seasonality: 24, withFit: true)``): pinned per-slot
+    fits from slot m+1 (one-step-ahead l + b + s[1]) before the 6
+    seasonal forecasts (flux.py holtWinters bullet)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> holtWinters(n: 6, interval: 1h, seasonality: 24, withFit: true)
+          |> yield(name: "forecast")
+        """,
+        {"gas-quality": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+@query(
+    "flux_compiled_holt_winters_fit",
+    # the SAME Holt recursive CTE as flux_compiled_holt_winters, now
+    # carrying the pinned per-slot fit: fit_i = l_{i-1} + b_{i-1}
+    # (the one-step-ahead value from the PARENT recursive row, before
+    # consuming x_i) — emitted at each slot's own timestamp for i >= 2,
+    # unioned with the n forecast rows after the last slot
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS slot,
+             ts, value
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    firsts AS (
+      SELECT event_type, slot,
+             (ARRAY_AGG(CAST(value AS DOUBLE) ORDER BY ts, value))[1] AS x
+      FROM src GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, slot, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot) AS i
+      FROM firsts
+    ),
+    hw(event_type, i, l, b, fit) AS (
+      SELECT event_type, 1, x, CAST(0 AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+             0.5 * s.x + 0.5 * (h.l + h.b),
+             0.25 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+             h.l + h.b
+      FROM hw h JOIN seq s
+        ON s.event_type = h.event_type AND s.i = h.i + 1
+    ),
+    fin AS (
+      SELECT h.event_type, h.l, h.b, m.last_slot
+      FROM hw h
+      JOIN (SELECT event_type, MAX(i) AS n, MAX(slot) AS last_slot
+            FROM seq GROUP BY 1) m
+        ON m.event_type = h.event_type AND h.i = m.n
+    )
+    SELECT 'events' AS _measurement, h.event_type AS _field,
+           s.slot AS _time, h.fit AS forecast
+    FROM hw h JOIN seq s
+      ON s.event_type = h.event_type AND s.i = h.i
+    WHERE h.i >= 2
+    UNION ALL
+    SELECT 'events', fin.event_type,
+           make_timestamp(epoch_us(last_slot) + k * 3600000000),
+           l + CAST(k AS DOUBLE) * b
+    FROM fin, range(1, 7) t(k)
+    """,
+)
+def flux_compiled_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast-with-fit overlay panel (VERDICT r11 item 2):
+    ``holtWinters(n: 6, interval: 1h, withFit: true)`` — the pinned
+    fit-emission convention (one-step-ahead l+b at each slot with a
+    prior state) before the 6 forecast points, replayed per slot by
+    the recursive-CTE oracle (flux.py holtWinters bullet)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> holtWinters(n: 6, interval: 1h, withFit: true)
+          |> yield(name: "forecast")
+        """,
+        {"gas-quality": path},
+        params=dict(_TAG_RANGE),
+    )
+
+
+@query(
     "flux_compiled_nested_overlay",
     # the nested combiner replayed relationally: one shared hourly
     # window CTE (the engine's exact-decimal mean), the union as an IN
