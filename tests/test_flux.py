@@ -4850,19 +4850,16 @@ def test_reduce_additive_fold(spark, tmp_path):
     assert r["sq"] == sum(v * v for v in vals)
     assert r["cnt"] == float(len(vals))
     assert r["_measurement"] == "events" and r["_field"] == "click"
-    # rejections: incremental-mean idiom (cross-field accumulator),
-    # non-additive fold, identity/fn field mismatch, division factor
+    # rejections: a cross-field reference to a field OUTSIDE the
+    # record, identity/fn field mismatch, and — in a structurally-
+    # ADDITIVE record (every field folds itself) — the strict
+    # exact-decimal factor rule (review r11b pins)
     for bad, msg in [
         (
             "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value,"
             " avg: (accumulator.s + r._value) / accumulator.n }),"
             " identity: {s: 0.0, avg: 0.0})",
-            "additive",
-        ),
-        (
-            "reduce(fn: (r, accumulator) => ({ p: accumulator.p * r._value }),"
-            " identity: {p: 1.0})",
-            "additive",
+            "unknown accumulator field",
         ),
         (
             "reduce(fn: (r, accumulator) => ({ s: accumulator.s + r._value }),"
@@ -4877,6 +4874,101 @@ def test_reduce_additive_fold(spark, tmp_path):
     ]:
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+
+
+def test_reduce_cross_field_fold(spark, tmp_path):
+    """reduce() cross-field fragment (round 12, VERDICT r11 item 3):
+    record-constructor semantics — every field evaluates against the
+    PREVIOUS accumulator — folded per table in (_time, _value) order
+    on the Arrow kernel. Pins: (a) the incremental-mean idiom; (b)
+    OLD-accumulator evaluation (lagsum sums the PRE-increment counter);
+    (c) a multiplicative self-fold (non-additive structure routes to
+    the fold); (d) SQL NULL propagation — x/0 → NULL and NULL op x →
+    NULL, DuckDB's own double semantics; (e) keyless group() raises;
+    (f) grammar rejections name the token."""
+    vals = [1.0, 2.0, 4.0, 3.0, 5.5]
+    path = _tiny_store(spark, tmp_path, vals)
+    # (a) incremental mean + (b) old-accumulator proof in one record
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> reduce(fn: (r, accumulator) => ({'
+        " cnt: accumulator.cnt + 1.0,"
+        " avg: (accumulator.avg * accumulator.cnt + r._value)"
+        " / (accumulator.cnt + 1.0),"
+        " lagsum: accumulator.lagsum + accumulator.cnt"
+        " }), identity: {cnt: 0.0, avg: 0.0, lagsum: 0.0})",
+        {"b": path},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cnt"] == 5.0
+    assert r["avg"] == pytest.approx(sum(vals) / 5.0)
+    # lagsum adds the PRE-increment counter: 0+1+2+3+4 = 10 (15 would
+    # mean the NEW record leaked into the same row's evaluation)
+    assert r["lagsum"] == 10.0
+    # (c) multiplicative self-fold
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> reduce(fn: (r, accumulator) => '
+        "({ p: accumulator.p * r._value }), identity: {p: 1.0})",
+        {"b": path},
+    ).collect()
+    assert out[0]["p"] == 1.0 * 2.0 * 4.0 * 3.0 * 5.5
+    # (d) division by zero → NULL, and NULL propagates to the end
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> reduce(fn: (r, accumulator) => '
+        "({ q: accumulator.q / 0.0 }), identity: {q: 1.0})",
+        {"b": path},
+    ).collect()
+    assert out[0]["q"] is None
+    # (e) keyless: a global sequential fold is a scale trap
+    with pytest.raises(flux.FluxError, match="outside the subset"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> group() |> reduce(fn: (r, accumulator)'
+            " => ({ a: accumulator.b, b: accumulator.a }),"
+            " identity: {a: 0.0, b: 1.0})",
+            {"b": path},
+        )
+    # (f) grammar rejections
+    for bad, msg in [
+        (
+            "reduce(fn: (r, accumulator) => ({ a: -accumulator.a }),"
+            " identity: {a: 0.0})",
+            "unary minus|cannot parse|expected a value",
+        ),
+        (
+            "reduce(fn: (r, accumulator) => ({ a: exp(accumulator.a) }),"
+            " identity: {a: 0.0})",
+            "cannot parse",
+        ),
+        (
+            "reduce(fn: (r, accumulator) => ({ a: accumulator.a * r._time }),"
+            " identity: {a: 0.0})",
+            "cannot parse",
+        ),
+        (
+            # the dangling paren first poisons the arg splitter —
+            # either failure mode is a named compile error, never a
+            # runtime crash
+            "reduce(fn: (r, accumulator) => ({ a: (accumulator.a * 2.0 }),"
+            " identity: {a: 0.0})",
+            "unbalanced|requires identity",
+        ),
+    ]:
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, f'from(bucket: "b") |> {bad}', {"b": path})
+    # swap fold: a reads OLD b, b reads OLD a — after 5 rows the pair
+    # swapped 5 times (odd → reversed identity)
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> reduce(fn: (r, accumulator) => '
+        "({ a: accumulator.b, b: accumulator.a }),"
+        " identity: {a: 0.0, b: 1.0})",
+        {"b": path},
+    ).collect()
+    assert (out[0]["a"], out[0]["b"]) == (1.0, 0.0)
 
 
 def test_timed_moving_average_windowed_emission(spark, tmp_path):
@@ -5719,6 +5811,11 @@ _STAGE_POOL = [
     "identity: {s: 0.0})",
     "reduce(fn: (r, accumulator) => ({ s: accumulator.t + 1 }), "
     "identity: {s: 0.0})",
+    # round 12: the cross-field fold (legal per-series; raises after
+    # group() and in streams — either way the compiler stays total)
+    "reduce(fn: (r, accumulator) => ({ c: accumulator.c + 1.0, "
+    "a: (accumulator.a * accumulator.c + r._value) / "
+    "(accumulator.c + 1.0) }), identity: {c: 0.0, a: 0.0})",
     "highestMax(n: 2)",
     "lowestAverage(n: 2)",
     'to(bucket: "nowhere")',

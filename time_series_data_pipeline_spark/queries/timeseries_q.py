@@ -4782,6 +4782,72 @@ def flux_compiled_holt_winters_seasonal(
 
 
 @query(
+    "flux_compiled_reduce_fold",
+    # the cross-field fold replayed row-by-row: a recursive CTE steps
+    # a row index per table in the engine's table order (ts, value),
+    # evaluating each accumulator field against the PARENT row's state
+    # (Flux record-constructor semantics) — the docs' incremental-mean
+    # idiom, bit-identical in IEEE double. 2-day range bounds the
+    # recursion depth (the flux_compiled_kama precedent).
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, value)
+               AS i
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+    ),
+    n AS (SELECT event_type, MAX(i) AS nn FROM src GROUP BY 1),
+    fold(event_type, i, count_f, total_f, avg_f) AS (
+      SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS DOUBLE),
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM n
+      UNION ALL
+      SELECT s.event_type, s.i,
+             f.count_f + 1.0,
+             f.total_f + s.v,
+             (f.total_f + s.v) / (f.count_f + 1.0)
+      FROM fold f JOIN src s
+        ON s.event_type = f.event_type AND s.i = f.i + 1
+    )
+    SELECT 'events' AS _measurement, f.event_type AS _field,
+           f.count_f AS "count", f.total_f AS "total", f.avg_f AS "avg"
+    FROM fold f JOIN n ON n.event_type = f.event_type AND f.i = n.nn
+    """,
+)
+def flux_compiled_reduce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flux docs' incremental-mean ``reduce()`` idiom (VERDICT r11
+    item 3): a cross-field accumulator fold — count, running total,
+    and a mean recomputed per row from the PREVIOUS accumulator — on
+    the sanctioned Arrow per-series kernel class (flux.py reduce_fold
+    branch; the additive fragment remains the map-side-combinable
+    default for self-folding records)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: v.timeRangeStart, stop: v.timeRangeStop)
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> reduce(fn: (r, accumulator) => ({
+               count: accumulator.count + 1.0,
+               total: accumulator.total + r._value,
+               avg: (accumulator.total + r._value) / (accumulator.count + 1.0)
+             }), identity: {count: 0.0, total: 0.0, avg: 0.0})
+        """,
+        {"gas-quality": path},
+        params={
+            "timeRangeStart": "2024-01-08T00:00:00Z",
+            "timeRangeStop": "2024-01-10T00:00:00Z",
+        },
+    )
+
+
+@query(
     "flux_compiled_holt_winters_seasonal_fit",
     # the seasonal list-carrying recursive CTE, now also emitting the
     # pinned per-slot fit: fit at step i (i > m) = l + b + s[1] from
