@@ -50,23 +50,34 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-11 policy: new queries go first so a driver cap tighter
-    # than 50 still reaches them — the tag-dimension batch (VERDICT
-    # r10 item 1) — followed by the twelve r7-row singletons the r10
-    # rotation displaced (VERDICT r10 item 2: "all twelve lead the
-    # next rotation")
-    assert set(_CHECKED_WINDOW[:6]) == {
-        "flux_compiled_tag_filter", "flux_compiled_tag_group",
-        "flux_compiled_tag_regex", "flux_schema_tag_values",
-        "suite_round11", "flux_compiled_to_rollup",
+    # round-12 policy: the never-rowed round-12 queries go first so a
+    # driver cap tighter than 50 still reaches them, followed by the
+    # fifteen rotation heads VERDICT r11 item 1 enumerated (the
+    # r9-green singletons the r11 window deliberately left out), then
+    # the five suite_round5 arms that have never had their own row
+    assert set(_CHECKED_WINDOW[:4]) == {
+        "flux_compiled_holt_winters_fit",
+        "flux_compiled_holt_winters_seasonal_fit",
+        "flux_compiled_reduce_fold",
+        "flux_compiled_nested_overlay",
     }
-    assert set(_CHECKED_WINDOW[6:18]) == {
-        "bm25_search", "bpe_token_stats", "doc_repetition",
-        "embedding_neardup_pairs", "embedding_quantized_topk",
-        "multimodal_features", "multimodal_frame_sample",
-        "similar_part_names", "top_ngrams", "vocab_coverage",
-        "weighted_sample_docs", "winnow_fingerprints",
+    assert set(_CHECKED_WINDOW[4:19]) == {
+        "counter_increase", "event_transitions",
+        "funnel_view_click_purchase", "time_weighted_avg",
+        "value_percentiles", "value_trend_per_type", "weekly_retention",
+        "value_percentiles_approx", "distinct_users_two_phase",
+        "flux_compiled_increase_total", "flux_compiled_row_moving_avg",
+        "sql_surface_top_part_types", "salted_join_segment_counts",
+        "pricing_summary", "rollup_day_from_hour",
     }
+    assert set(_CHECKED_WINDOW[19:24]) == {
+        "holt_linear_final", "decimate_lttb", "trailing_1h_mean",
+        "state_duration", "series_correlation",
+    }
+    # the round-12 code changes (holtWinters fold, reduce dispatch)
+    # re-attest through suite_round11's embedded arms — it must stay
+    # in-window
+    assert "suite_round11" in _CHECKED_WINDOW
 
 
 def test_oracles_subset_of_queries():

@@ -158,78 +158,62 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 
 # The 50 queries the driver will verify this round, in order.
 _CHECKED_WINDOW = [
-    # --- round 11: new queries go first. Tag-dimension support
-    # (VERDICT r10 item 1): tag-equality scan pushdown + the full
-    # tagged table key through a windowed aggregate; a one-tag
-    # group() re-key; a regex tag filter + two-tag re-key; and the
-    # schema.tagValues dropdown off the promoted column — all over
-    # the deterministic tagged fixture store (host/dc derived from
-    # user_id residues so DuckDB re-derives them from the raw table).
-    "flux_compiled_tag_filter",
-    "flux_compiled_tag_group",
-    "flux_compiled_tag_regex",
-    "flux_schema_tag_values",
-    # + holtWinters (the forecast panel: pinned-dyadic additive Holt,
-    # VERDICT r10 item 4 — non-seasonal AND seasonal, attested through
-    # the one-slot suite whose oracle embeds both singletons verbatim)
-    # and the to(bucket:) write-back task closing the
-    # ingest→store→query→rollup loop in Flux (item 5)
-    "suite_round11",
-    "flux_compiled_to_rollup",
-    # --- the twelve r7-row singletons the r10 rotation displaced
-    # (VERDICT r10 item 2: "all twelve lead the next rotation") ---
-    "bm25_search",
-    "bpe_token_stats",
-    "doc_repetition",
-    "embedding_neardup_pairs",
-    "embedding_quantized_topk",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "similar_part_names",
-    "top_ngrams",
-    "vocab_coverage",
-    "weighted_sample_docs",
-    "winnow_fingerprints",
-    # --- rotation: r9-green singletons (own rows now two rounds old),
-    # prioritizing those with no in-window suite/sibling coverage.
-    # Left out (families fresh via in-window suites/siblings):
-    # the seven suite_timeseries_stats arms (counter_increase,
-    # event_transitions, funnel_view_click_purchase, time_weighted_avg,
-    # value_percentiles, value_trend_per_type, weekly_retention),
-    # value_percentiles_approx + distinct_users_two_phase
-    # (approx_distinct_users carries the sketch family),
-    # flux_compiled_increase_total / _row_moving_avg (increase /
-    # moving_avg siblings stay), sql_surface_top_part_types +
-    # salted_join_segment_counts (relational/join families via
-    # suite_scans/joins/grouping), pricing_summary (same), and
-    # rollup_day_from_hour (the rollup family's fresh row this round
-    # is the compiled to(bucket:) write-back) — all keep their
-    # recorded r9 rows and lead the r12 rotation. ---
-    "approx_distinct_users",
-    "asof_error_click",
-    "counter_rate",
-    "decimate_minmax_15m",
-    "events_pivot_counts",
-    "flux_compiled_cumulative_sum",
-    "flux_compiled_difference",
-    "flux_compiled_fill_previous",
-    "flux_compiled_increase",
-    "flux_compiled_map_units",
-    "flux_compiled_moving_avg",
-    "flux_compiled_state_duration",
-    "flux_schema_field_keys",
-    "flux_schema_measurements",
-    "gap_fill_5m",
-    "lsh_ann_verify",
-    "merge_value_intervals",
-    "range_join_clicks_before_error",
-    "resample_hourly",
-    "rolling_stats_zscore",
-    "value_histogram",
-    "window_sliding_15m_5m",
-    # --- always-checked core: flagships + suites (10;
-    # suite_flux_round10c joins — it is the sole attestation path for
-    # its 23 round-10c singleton arms, so it stays in-window) ---
+    # --- round 12: new queries go first (never had a row) — the
+    # holtWinters withFit pair (VERDICT r11 item 2), the reduce()
+    # cross-field fold (item 3), the nested combiner overlay (item 5)
+    "flux_compiled_holt_winters_fit",
+    "flux_compiled_holt_winters_seasonal_fit",
+    "flux_compiled_reduce_fold",
+    "flux_compiled_nested_overlay",
+    # --- the enumerated r12 rotation heads (VERDICT r11 item 1: the
+    # r9-green singletons the r11 window deliberately left out) ---
+    "counter_increase",
+    "event_transitions",
+    "funnel_view_click_purchase",
+    "time_weighted_avg",
+    "value_percentiles",
+    "value_trend_per_type",
+    "weekly_retention",
+    "value_percentiles_approx",
+    "distinct_users_two_phase",
+    "flux_compiled_increase_total",
+    "flux_compiled_row_moving_avg",
+    "sql_surface_top_part_types",
+    "salted_join_segment_counts",
+    "pricing_summary",
+    "rollup_day_from_hour",
+    # --- suite_round5 arms that have NEVER had their own row (always
+    # suite-attested; cross-round audit shows no recorded singleton
+    # hash) — they outrank the r6-green arms ---
+    "holt_linear_final",
+    "decimate_lttb",
+    "trailing_1h_mean",
+    "state_duration",
+    "series_correlation",
+    # --- r6-green suite_round5 arm singletons, in registry order
+    # (VERDICT r11 item 1 tail: "as slots allow"). Left out this
+    # round (still suite-covered via in-window suite_round5, own rows
+    # r6/r7): mixture_plan, corpus_drift, chunk_dedup_stats,
+    # label_outliers, pack_sequences. ---
+    "source_cap_docs",
+    "trigram_familiarity",
+    "split_leakage_guard",
+    "embedding_pq_topk",
+    "embedding_pq_rerank",
+    "window_percentiles_15m",
+    "day_over_day_delta",
+    "dedup_apply",
+    "dq_lineitem",
+    "negative_pairs",
+    "dsir_weights",
+    "duplicate_spans",
+    "hybrid_search_rrf",
+    "curation_pipeline",
+    "span_dedup_apply",
+    # --- always-checked core: flagships + suites (11; suite_round11
+    # and suite_flux_round10c are the sole attestation paths for
+    # their singleton arms, and the round-12 holtWinters/reduce code
+    # changes re-attest through suite_round11's embedded arms) ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
@@ -240,8 +224,8 @@ _CHECKED_WINDOW = [
     "suite_round5",
     "suite_timeseries_stats",
     "suite_flux_round10c",
+    "suite_round11",
 ]
-
 
 
 def _reorder() -> None:
