@@ -5579,15 +5579,80 @@ def test_compile_flux_stream_multi_statement_union(spark, store, tmp_path):
     }
     assert expected and all(got[k] == v for k, v in expected.items())
     assert {k[1] for k in got} == {"click", "view"}
-    # a streaming join names the batch entry point
-    with pytest.raises(flux.FluxError, match="batch query"):
+    # a RAW-frame streaming join (no window to pair on) names the
+    # batch entry point; mismatched window sizes cannot pair
+    with pytest.raises(flux.FluxError, match="WINDOWED aggregates only"):
         flux.compile_flux_stream(
             spark,
-            'a = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'a = from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")\n'
             'b = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
             'join(tables: {a: a, b: b}, on: ["window_start"])',
             {"b": store},
         )
+    with pytest.raises(flux.FluxError, match="window sizes differ"):
+        flux.compile_flux_stream(
+            spark,
+            'a = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'b = from(bucket: "b") |> aggregateWindow(every: 2h, fn: mean)\n'
+            'join(tables: {a: a, b: b}, on: ["window_start"])',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="window_start"):
+        flux.compile_flux_stream(
+            spark,
+            'a = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'b = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'join(tables: {a: a, b: b}, on: ["_field"])',
+            {"b": store},
+        )
+
+
+def test_compile_flux_stream_windowed_join_overlay(spark, store, tmp_path):
+    """The LIVE OVERLAY (round 12): two windowed aggregate streams
+    joined on the window spine — Spark's multiple-stateful-operator
+    window join. Every finalized pair is bit-identical to the batch
+    multi-statement join of the same text (same suffixing, same
+    expressions); the final open window never pairs."""
+    script = """
+    a = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+    b = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "error")
+      |> aggregateWindow(every: 6h, fn: mean)
+    join(tables: {a: a, b: b}, on: ["window_start"])
+    """
+    live = flux.compile_flux_stream(
+        spark, script, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_overlay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ovl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM flux_overlay").collect()
+    got = {r["window_start"]: (r["mean_a"], r["n_a"], r["mean_b"], r["n_b"])
+           for r in rows}
+    batch = flux.compile_flux(
+        spark, script, {"gas-quality": store}
+    ).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        r["window_start"]: (r["mean_a"], r["n_a"], r["mean_b"], r["n_b"])
+        for r in batch
+        if r["window_start"] < max_t  # the final window stays open
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    assert len({v[0] for v in expected.values()}) > 1
 
 
 def test_start_flux_task_picks_up_new_data(spark, tmp_path):

@@ -1787,6 +1787,17 @@ def compile_flux_stream(
     whole series per trigger, which is a batch query's job (run
     ``compile_flux`` on the store instead).
 
+    MULTI-STATEMENT live panels: named pipelines feeding one final
+    ``union(tables: [...])`` (exchange-free; each side keeps its own
+    watermarked window state) or — round 12 — one final
+    ``join(tables: {a:, b:}, on: ["window_start", ...])`` of exactly
+    two WINDOWED aggregates with the same ``every``: Spark's
+    multiple-stateful-operator support joins the two append-mode
+    window states on the window struct itself, so the overlay panel
+    (error rate vs click rate, period comparison) runs live. Raw-frame
+    stream-stream joins (which need per-side time-range conditions)
+    stay a batch query's job and raise naming it.
+
     The aggregate expressions are the BATCH compiler's own (exact
     decimal sums, one double division), and tumbling ``F.window``
     starts equal the batch path's epoch floor — so an emitted window
@@ -1796,38 +1807,37 @@ def compile_flux_stream(
     params = dict(params or {})
     body = _strip_imports(flux)
     stmts = _split_statements(body)
-    if len(stmts) > 1 or stmts[0][0] is not None:
-        # MULTI-STATEMENT live panel: named pipelines feeding one
-        # final union() — streaming union is exchange-free and each
-        # side keeps its own watermarked window state. join() needs
-        # stream-stream join watermark gymnastics and stays a batch
-        # query's job (raise naming it).
-        env: dict[str, DataFrame] = {}
-        final: str | None = None
-        for nm, text in stmts:
-            if nm is not None:
-                env[nm] = compile_flux_stream(
-                    spark, text, bucket_paths, params, now, watermark
-                )
-            elif final is not None:
-                raise FluxError(
-                    "the subset ships exactly ONE result expression "
-                    "(union) after the named pipelines"
-                )
-            else:
-                final = text
-        if final is None:
+    if len(stmts) == 1 and stmts[0][0] is None:
+        out, _every = _compile_stream_single(
+            spark, stmts[0][1], bucket_paths, params, now, watermark
+        )
+        return out
+    # MULTI-STATEMENT live panel: named pipelines feeding one final
+    # union() or windowed join().
+    texts: dict[str, str] = {}
+    final: str | None = None
+    for nm, text in stmts:
+        if nm is not None:
+            texts[nm] = text
+        elif final is not None:
             raise FluxError(
-                "multi-statement streaming Flux needs a final union() "
-                "result expression"
+                "the subset ships exactly ONE result expression "
+                "(union/join) after the named pipelines"
             )
-        fstages = _split_stages(final, require_from=False)
-        fhead = fstages[0].split("(", 1)[0].strip()
-        if fhead != "union":
+        else:
+            final = text
+    if final is None:
+        raise FluxError(
+            "multi-statement streaming Flux needs a final union()/join() "
+            "result expression"
+        )
+    fstages = _split_stages(final, require_from=False)
+    fhead = fstages[0].split("(", 1)[0].strip()
+    if fhead == "union":
+        if len(fstages) > 1:
             raise FluxError(
-                f"{fhead}() is outside the STREAMING combiner subset "
-                "(union only — a stream-stream join is a batch query's "
-                "job: run compile_flux instead)"
+                "stages after the streaming union() are outside the "
+                f"subset: {fstages[1]!r}"
             )
         a = _args(fstages[0], "union")
         if "tables" not in a:
@@ -1841,15 +1851,20 @@ def compile_flux_stream(
                 f"union tables: expected [a, b, ...]; got {toks!r}"
             )
         names = [t.strip() for t in toks[1:-1].split(",")]
-        missing = [n for n in names if n not in env]
+        missing = [n for n in names if n not in texts]
         if missing:
             raise FluxError(
                 f"union references unknown pipeline(s) {missing} "
-                f"(defined: {sorted(env)})"
+                f"(defined: {sorted(texts)})"
             )
         if len(names) < 2:
             raise FluxError("union needs at least two tables")
-        frames = [env[n] for n in names]
+        frames = [
+            _compile_stream_single(
+                spark, texts[n], bucket_paths, params, now, watermark
+            )[0]
+            for n in names
+        ]
         cols0 = frames[0].columns
         for n, f in zip(names[1:], frames[1:]):
             if set(f.columns) != set(cols0):
@@ -1860,12 +1875,125 @@ def compile_flux_stream(
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
+        return out
+    if fhead == "join":
+        # the LIVE OVERLAY (round 12): exactly two WINDOWED aggregate
+        # streams joined on the window spine — Spark joins the two
+        # append-mode window states on the window STRUCT (the
+        # multiple-stateful-operators path), so finalized windows pair
+        # exactly once. Scale shape: state per side is (window, key)
+        # partial aggregates — the same state the union form keeps —
+        # plus the join's window-keyed buffers, all pruned as the
+        # watermark passes; nothing buffers raw rows.
         if len(fstages) > 1:
             raise FluxError(
-                "stages after the streaming union() are outside the "
+                "stages after the streaming join() are outside the "
                 f"subset: {fstages[1]!r}"
             )
-        return out
+        a = _args(fstages[0], "join")
+        if "tables" not in a or "on" not in a:
+            raise FluxError(
+                "join requires tables: {a: <pipeline>, b: <pipeline>} "
+                "and an explicit on: [columns]"
+            )
+        if "method" in a and _resolve(a["method"], params) != "inner":
+            raise FluxError(
+                "streaming join ships method: \"inner\" only (outer "
+                "emission timing under two watermarked states is a "
+                "batch query's job)"
+            )
+        extra = set(a) - {"tables", "on", "method"}
+        if extra:
+            raise FluxError(f"join: unsupported args {sorted(extra)}")
+        m = re.match(
+            r"^\{\s*(\w+)\s*:\s*(\w+)\s*,\s*(\w+)\s*:\s*(\w+)\s*\}$",
+            a["tables"].strip(),
+        )
+        if not m:
+            raise FluxError(
+                "join ships exactly two named tables "
+                f"{{a: <pipeline>, b: <pipeline>}}; got {a['tables']!r}"
+            )
+        la, ra, lb, rb = m.groups()
+        if la == lb:
+            raise FluxError(f"join table labels collide: {la!r}")
+        for ref in (ra, rb):
+            if ref not in texts:
+                raise FluxError(
+                    f"join references unknown pipeline {ref!r} "
+                    f"(defined: {sorted(texts)})"
+                )
+        on = _str_list(a["on"], "join on")
+        if "window_start" not in on:
+            raise FluxError(
+                'streaming join on: must include "window_start" — the '
+                "live overlay joins finalized windows (a raw-frame "
+                "stream-stream join is a batch query's job: run "
+                "compile_flux instead)"
+            )
+        dfa, ea = _compile_stream_single(
+            spark, texts[ra], bucket_paths, params, now, watermark,
+            keep_window=True,
+        )
+        dfb, eb = _compile_stream_single(
+            spark, texts[rb], bucket_paths, params, now, watermark,
+            keep_window=True,
+        )
+        for label, ref, ev in ((la, ra, ea), (lb, rb, eb)):
+            if ev is None:
+                raise FluxError(
+                    f"streaming join input {ref!r} ({label}) has no "
+                    "aggregateWindow — the live overlay joins WINDOWED "
+                    "aggregates only"
+                )
+        if ea != eb:
+            raise FluxError(
+                f"streaming join window sizes differ ({ea}s vs {eb}s) — "
+                "windows must align to pair"
+            )
+        extra_on = [c for c in on if c != "window_start"]
+        for label, d in ((la, dfa), (lb, dfb)):
+            missing = [c for c in extra_on if c not in d.columns]
+            if missing:
+                raise FluxError(
+                    f"join on column(s) {missing} missing from table "
+                    f"{label!r} (frame has {d.columns})"
+                )
+        # upstream join suffixes CONFLICTING non-key columns _<label>
+        join_keys = ["__w", *extra_on]
+        for c in sorted(
+            (set(dfa.columns) & set(dfb.columns)) - set(join_keys)
+        ):
+            dfa = dfa.withColumnRenamed(c, f"{c}_{la}")
+            dfb = dfb.withColumnRenamed(c, f"{c}_{lb}")
+        joined = dfa.join(dfb, on=join_keys, how="inner")
+        rest = [c for c in joined.columns if c != "__w"]
+        return joined.select(
+            F.col("__w.start").alias("window_start"), *rest
+        )
+    raise FluxError(
+        f"{fhead}() is outside the STREAMING combiner subset "
+        "(union, or a windowed join on window_start — anything else "
+        "is a batch query's job: run compile_flux instead)"
+    )
+
+
+def _compile_stream_single(
+    spark: SparkSession,
+    body: str,
+    bucket_paths: dict[str, str],
+    params: dict[str, Any],
+    now: str | None,
+    watermark: str,
+    keep_window: bool = False,
+) -> tuple[DataFrame, int | None]:
+    """Compile ONE streaming from-pipeline (the single-statement body
+    of ``compile_flux_stream``); returns (frame, every_s|None).
+    ``keep_window`` keeps the aggregate's window STRUCT as ``__w``
+    instead of projecting ``window_start`` — the streaming join needs
+    the struct itself as the join key (Spark's multiple-stateful-
+    operator window join propagates the event-time watermark through
+    it)."""
     stages = _split_stages(body)
     fr = _args(stages[0], "from")
     if "bucket" not in fr:
@@ -1980,7 +2108,7 @@ def compile_flux_stream(
         out = out.filter(p)
     if agg is None:
         # the raw live-table panel: the filtered record stream
-        return out.select(*natural_key, "_time", "_value")
+        return out.select(*natural_key, "_time", "_value"), None
     every_s, fn = agg
     name = yield_name or fn
     # the value expression is the batch compiler's own (_plain_agg_expr
@@ -1990,16 +2118,31 @@ def compile_flux_stream(
         exprs.append(F.count(F.lit(1)).alias("n"))
     # the shared null policy: aggregates skip null values, and n counts
     # exactly the rows the aggregate saw — identical to the batch path
-    return (
+    agged = (
         out.filter(F.col("_value").isNotNull())
         .withWatermark("_time", watermark)
         .groupBy(
             F.window("_time", f"{every_s} seconds").alias("w"), *natural_key
         )
         .agg(*exprs)
-        .select(F.col("w.start").alias("window_start"), *natural_key, *[
-            e for e in ([name, "n"] if fn != "count" else [name])
-        ])
+    )
+    value_cols = [name, "n"] if fn != "count" else [name]
+    if keep_window:
+        # the streaming join keys on the window STRUCT itself — the
+        # event-time watermark rides through it (Spark's multiple-
+        # stateful-operator window join)
+        return (
+            agged.select(
+                F.col("w").alias("__w"), *natural_key, *value_cols
+            ),
+            every_s,
+        )
+    return (
+        agged.select(
+            F.col("w.start").alias("window_start"), *natural_key,
+            *value_cols,
+        ),
+        every_s,
     )
 
 
