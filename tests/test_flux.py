@@ -5655,6 +5655,70 @@ def test_compile_flux_stream_windowed_join_overlay(spark, store, tmp_path):
     assert len({v[0] for v in expected.values()}) > 1
 
 
+def test_compile_flux_stream_map_timeshift(spark, store, tmp_path):
+    """Round 12: map() and timeShift() are STATELESS row ops — they
+    join the streaming subset. The live PERIOD-COMPARISON overlay
+    (today's windows joined against yesterday's shifted series, with a
+    unit conversion on one side) must emit windows bit-identical to
+    the batch compiler on the same text; post-aggregate forms raise."""
+    script = """
+    now = from(bucket: "gas-quality")
+      |> range(start: "2024-01-04T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> map(fn: (r) => ({ r with _value: r._value * 2.0 }))
+      |> aggregateWindow(every: 6h, fn: mean)
+    prev = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-05T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> timeShift(duration: 24h)
+      |> map(fn: (r) => ({ r with _value: r._value * 2.0 }))
+      |> aggregateWindow(every: 6h, fn: mean)
+    join(tables: {now: now, prev: prev}, on: ["window_start"])
+    """
+    live = flux.compile_flux_stream(
+        spark, script, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_period_cmp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_pc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["mean_now"], r["n_now"],
+                            r["mean_prev"], r["n_prev"])
+        for r in spark.sql("SELECT * FROM flux_period_cmp").collect()
+    }
+    batch = flux.compile_flux(
+        spark, script, {"gas-quality": store}
+    ).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        r["window_start"]: (r["mean_now"], r["n_now"],
+                            r["mean_prev"], r["n_prev"])
+        for r in batch
+        if r["window_start"] < max_t
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # the shifted side genuinely differs from the unshifted one
+    assert any(v[0] != v[2] for v in expected.values())
+    # post-aggregate forms raise naming the subset
+    for bad in (
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        "|> map(fn: (r) => ({ r with _value: r._value * 2.0 }))",
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        "|> timeShift(duration: 1h)",
+    ):
+        with pytest.raises(flux.FluxError, match="STREAMING subset"):
+            flux.compile_flux_stream(spark, bad, {"b": store})
+
+
 def test_start_flux_task_picks_up_new_data(spark, tmp_path):
     """The task loop's freshness contract: a tick AFTER new source
     data arrives recomputes and lands the new windows (the idempotent

@@ -2011,7 +2011,10 @@ def _compile_stream_single(
     stream = spark.readStream.schema(schema).parquet(path)
 
     start = stop = None
-    preds: list[Column] = []
+    # filters / map rewrites / time shifts apply IN SCRIPT ORDER — all
+    # stateless row ops, so they stream trivially (a filter after map
+    # must see the rewritten value, exactly as in batch)
+    row_ops: list[tuple[str, Any]] = []
     agg = None  # (every_s, fn)
     yield_name = None
     for stage in stages[1:]:
@@ -2039,7 +2042,66 @@ def _compile_stream_single(
                 {*natural_key, "_time", "_value", "tags", "_date"},
                 "filter",
             )
-            preds.append(_parse_pred(toks, params))
+            row_ops.append(("filter", _parse_pred(toks, params)))
+        elif head == "map":
+            # round 12: map's _value rewrite is a STATELESS row op —
+            # unit conversion on a live panel streams trivially (the
+            # same grammar + NULL-preserving wrap as the batch stage)
+            if agg is not None:
+                raise FluxError(
+                    "map() after aggregateWindow is outside the "
+                    "STREAMING subset (post-aggregate rewrites are a "
+                    "batch query's job)"
+                )
+            a = _args(stage, "map")
+            if "fn" not in a or set(a) - {"fn"}:
+                raise FluxError(
+                    "map requires exactly fn: (r) => ({ r with ... })"
+                )
+            m2 = _MAP_FN_RE.match(a["fn"].strip())
+            if not m2:
+                raise FluxError(
+                    "map ships only fn: (r) => ({ r with _value: "
+                    f"<arith> }}); got {a['fn']!r}"
+                )
+            if m2.group(1).strip('"') != "_value":
+                raise FluxError(
+                    "map ships only the _value rewrite; got "
+                    f"{m2.group(1)!r} (rewriting keys/time would change "
+                    "table semantics)"
+                )
+            mapped = _parse_arith(m2.group(2), params)
+            row_ops.append(
+                (
+                    "map",
+                    F.when(
+                        F.col("_value").isNull(),
+                        F.lit(None).cast("double"),
+                    ).otherwise(mapped),
+                )
+            )
+        elif head == "timeShift":
+            # round 12: the period-comparison shift — pure timestamp
+            # arithmetic per row, stateless, so the live overlay can
+            # join today's windows against yesterday's shifted series
+            if agg is not None:
+                raise FluxError(
+                    "timeShift() after aggregateWindow is outside the "
+                    "STREAMING subset (shift before windowing — Flux "
+                    "shifts THEN windows)"
+                )
+            a = _args(stage, "timeShift")
+            if "duration" not in a:
+                raise FluxError("timeShift requires duration:")
+            dur = _resolve(a["duration"], params)
+            if not (isinstance(dur, str) and _DUR_RE.match(dur)):
+                raise FluxError(f"timeShift duration: bad duration {dur!r}")
+            if set(a) - {"duration"}:
+                raise FluxError(
+                    "streaming timeShift ships duration: only "
+                    f"(got {sorted(set(a) - {'duration'})})"
+                )
+            row_ops.append(("timeshift", _duration_seconds(dur)))
         elif head == "aggregateWindow":
             if agg is not None:
                 raise FluxError(
@@ -2104,8 +2166,18 @@ def _compile_stream_single(
             )
 
     out = bkt.scan(stream, start=start, stop=stop)
-    for p in preds:
-        out = out.filter(p)
+    for op, val in row_ops:
+        if op == "filter":
+            out = out.filter(val)
+        elif op == "map":
+            out = out.withColumn("_value", val)
+        else:  # timeshift
+            out = out.withColumn(
+                "_time",
+                F.timestamp_micros(
+                    F.unix_micros("_time") + F.lit(val * 1_000_000)
+                ),
+            )
     if agg is None:
         # the raw live-table panel: the filtered record stream
         return out.select(*natural_key, "_time", "_value"), None
