@@ -304,13 +304,17 @@ Round 10c adds the technical-indicator / selector / conversion batch
   the same dashboard text compiled onto a file-arrival stream over
   the bucket store (watermarked append-mode windows, exactly-once
   emission), with emitted windows bit-identical to the batch
-  compiler's. Subset: range/filter prefix + one
-  ``aggregateWindow(mean/count/sum/min/max)`` or the raw record
-  stream, and multi-statement scripts with a final ``union()`` (the
-  live multi-series panel — exchange-free; a stream-stream ``join()``
-  raises naming the batch entry point); everything needing
-  whole-series state per trigger raises, pointing at the batch entry
-  point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
+  compiler's. Subset: range/filter/map/timeShift prefix (the latter
+  two are stateless row ops — round 12) + one
+  ``aggregateWindow(mean/count/sum/min/max/first/last)`` (first/last
+  — the live stat-panel gauge, round 12) or the raw record stream,
+  and multi-statement scripts with a final ``union()`` (the live
+  multi-series panel — exchange-free) or — round 12 — a final
+  ``join()`` of exactly two same-``every`` windowed aggregates on the
+  window spine (the live overlay / period comparison: a stream-stream
+  join on the window STRUCT via Spark's multiple-stateful-operator
+  path); everything needing whole-series state per trigger raises,
+  pointing at the batch entry point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
   as the InfluxDB task loop (a ticker stream; per-tick ``now_fn``
   anchoring for relative bounds).
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
