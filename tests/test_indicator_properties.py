@@ -337,3 +337,59 @@ def test_kama_matches_python_recurrence(spark, cents, n, dup_ts):
         )
     ]
     assert got == expected
+
+
+@given(cents=SERIES, dup_ts=st.booleans())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_reduce_fold_matches_python_fold(spark, cents, dup_ts, tmp_path_factory):
+    """The round-12 reduce() cross-field fold equals an INDEPENDENT
+    pure-Python fold (hand-written per idiom, not the compiler's own
+    evaluator) in table order — bit-exact: the kernel promises the
+    same IEEE op sequence as the expression text. Three shapes: the
+    incremental mean (add + divide), a multiplicative self-fold, and
+    the old-accumulator swap."""
+    from hypothesis import assume
+
+    from time_series_data_pipeline_spark import flux
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+
+    assume(cents)
+    xs = _table_order(cents, dup_ts)
+
+    # reference folds, written directly from the Flux record semantics
+    cnt, total, avg = 0.0, 0.0, 0.0
+    for v in xs:
+        cnt, total, avg = cnt + 1.0, total + v, (total + v) / (cnt + 1.0)
+    prod = 1.0
+    for v in xs:
+        prod = prod * v
+    a_f, b_f = 0.0, 1.0
+    for v in xs:
+        a_f, b_f = b_f + v, a_f
+
+    df = _series_df(spark, cents, dup_ts).select(
+        "_time", "_measurement", "_field", "_value",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    path = str(tmp_path_factory.mktemp("rfoldprop") / "bucket")
+    bkt.write_bucket(df, path, mode="overwrite")
+
+    out = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> reduce(fn: (r, accumulator) => ({'
+        " cnt: accumulator.cnt + 1.0,"
+        " total: accumulator.total + r._value,"
+        " avg: (accumulator.total + r._value) / (accumulator.cnt + 1.0),"
+        " prod: accumulator.prod * r._value,"
+        " a: accumulator.b + r._value,"
+        " b: accumulator.a"
+        " }), identity: {cnt: 0.0, total: 0.0, avg: 0.0, prod: 1.0,"
+        " a: 0.0, b: 1.0})",
+        {"b": path},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cnt"], r["total"], r["avg"], r["prod"], r["a"], r["b"]) == (
+        cnt, total, avg, prod, a_f, b_f,
+    )

@@ -272,8 +272,14 @@ Round 10c adds the technical-indicator / selector / conversion batch
   aggregation (each field folds identity + Σ poly(r), poly a product
   of ``r._value`` factors and ≤2-dp numeric literals, ≤3 value
   factors): exactly the map-side-combinable fragment, over exact
-  decimal(12,2) sums; cross-field accumulator expressions (the docs'
-  incremental-mean idiom) are order-dependent per-row folds and raise.
+  decimal(12,2) sums. Round 12 adds the CROSS-FIELD fold: a record
+  where any field references another accumulator field or folds
+  non-additively (the docs' incremental-mean idiom) compiles to the
+  sanctioned Arrow per-series kernel — rows in table order, each
+  field evaluated against the PREVIOUS accumulator, float64 with SQL
+  NULL propagation — selected by structure, never as a fallback (a
+  fully self-folding-additive record keeps the exact-decimal
+  fragment and its strict domain raises).
 * ``aggregateWindow(fn:) |> derivative/difference/cumulativeSum/
   increase`` (round 11b) — the DOWNSAMPLE-THEN-RATE idiom
   (``aggregateWindow(every: 1h, fn: last) |> derivative(nonNegative:
