@@ -5358,7 +5358,11 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
     }
     # out-of-subset stages raise naming the streaming subset
     for bad, msg in [
-        ('from(bucket: "b") |> derivative(unit: 1s)', "STREAMING subset"),
+        # EMA needs the whole-series recurrence (the Arrow kernel
+        # class) — still a batch query's job; derivative() streams
+        # since round 12 (keyed state, test further below)
+        ('from(bucket: "b") |> exponentialMovingAverage(n: 3)',
+         "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean, '
@@ -5717,6 +5721,94 @@ def test_compile_flux_stream_map_timeshift(spark, store, tmp_path):
     ):
         with pytest.raises(flux.FluxError, match="STREAMING subset"):
             flux.compile_flux_stream(spark, bad, {"b": store})
+
+
+def test_compile_flux_stream_value_series_transforms(spark, tmp_path):
+    """Round 12: the value-series transforms stream as keyed state
+    (derivative / difference / cumulativeSum / increase). Two
+    micro-batches (day-2 data lands AFTER the first drain, same
+    checkpoint) must together emit exactly the batch compiler's rows —
+    bit-identical — proving the per-series state carries deltas and
+    running totals ACROSS batches. Stages after a transform raise."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    for idx, (text, value_cols) in enumerate([
+        (
+            'from(bucket: "b") |> derivative(unit: 1m, nonNegative: true)',
+            ("_value", "derivative"),
+        ),
+        ('from(bucket: "b") |> difference()', ("_value",)),
+        ('from(bucket: "b") |> cumulativeSum()', ("_value",)),
+        ('from(bucket: "b") |> increase()', ("_value",)),
+    ]):
+        src = str(tmp_path / f"vs_src_{idx}")
+        # counter-ish values with one reset (5.5 -> 2.25) for the
+        # nonNegative rule, plus a fractional cent (0.125) to exercise
+        # HALF_UP decimal quantization against the batch decimal cast
+        _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+        live = flux.compile_flux_stream(spark, text, {"b": src})
+        assert live.isStreaming
+        ck = str(tmp_path / f"ck_vs_{idx}")
+
+        def drain():
+            # foreachBatch (checkpoint-recoverable, unlike the memory
+            # sink) collecting this run's emissions on the driver
+            rows: list = []
+            q = (
+                live.writeStream.foreachBatch(
+                    lambda df, _eid: rows.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [
+                (r["_field"], r["_time"], *[r[c] for c in value_cols])
+                for r in rows
+            ]
+
+        rows1 = drain()
+        # day 2 arrives — the SAME checkpoint continues the series
+        _write(src, 2, [3.0, 7.25, 4.0], "append")
+        rows2 = drain()
+        got = sorted(rows1 + rows2)
+        batch = flux.compile_flux(spark, text, {"b": src}).collect()
+        expected = sorted(
+            (r["_field"], r["_time"], *[r[c] for c in value_cols])
+            for r in batch
+        )
+        assert got == expected and len(rows1) > 0 and len(rows2) > 0, text
+
+    # stages after a transform raise; so does a transform after a window
+    for bad in (
+        'from(bucket: "b") |> derivative(unit: 1s) '
+        "|> aggregateWindow(every: 1h, fn: mean)",
+        'from(bucket: "b") |> increase() |> filter(fn: (r) => r["_value"] > 0)',
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        "|> derivative(unit: 1s)",
+    ):
+        with pytest.raises(flux.FluxError, match="STREAMING subset"):
+            flux.compile_flux_stream(spark, bad, {"b": src})
 
 
 def test_start_flux_task_picks_up_new_data(spark, tmp_path):

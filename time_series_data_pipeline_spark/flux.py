@@ -2026,9 +2026,20 @@ def _compile_stream_single(
     # must see the rewritten value, exactly as in batch)
     row_ops: list[tuple[str, Any]] = []
     agg = None  # (every_s, fn)
+    vs = None  # ("derivative", unit_s, nn) | ("difference", nn) | ...
     yield_name = None
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
+        if vs is not None and head != "yield":
+            # the value-series transform is the terminal STATEFUL
+            # stage of a live pipeline — chaining more state (a window
+            # aggregate) or more row ops behind it is a batch query's
+            # job (run compile_flux on the store)
+            raise FluxError(
+                f"{head}() after a value-series transform is outside "
+                "the STREAMING subset (the transform is the terminal "
+                "stage; compose further with compile_flux on the store)"
+            )
         if head == "range":
             if agg is not None:
                 raise FluxError(
@@ -2156,6 +2167,68 @@ def _compile_stream_single(
                 "run it with start_flux_task (compile_flux_stream returns "
                 "the live frame for a panel sink)"
             )
+        elif head in ("derivative", "difference", "cumulativeSum", "increase"):
+            # round 12: the live counter-rate / delta / running-total
+            # panel — the value-series transforms as KEYED STATE
+            # (streaming/stateful.value_series_transform): per-series
+            # state is one (last time, last value, two accumulators)
+            # tuple; append mode. ARRIVAL CONTRACT: strictly-increasing
+            # event time per series across micro-batches (the
+            # reference's unit of arrival is a whole ordered day file);
+            # late/duplicate-time rows drop — the batch compiler on the
+            # store is the replay path for disordered data.
+            if agg is not None:
+                raise FluxError(
+                    f"{head}() after aggregateWindow is outside the "
+                    "STREAMING subset (the downsample-then-rate "
+                    "composition is a batch query's job)"
+                )
+            a = _args(stage, head)
+            if head == "derivative":
+                unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+                if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                    raise FluxError(f"derivative unit: bad duration {unit!r}")
+                unit_s = _duration_seconds(unit)
+                if unit_s <= 0:
+                    raise FluxError(f"derivative unit must be > 0: {unit!r}")
+                nn = (
+                    _resolve(a["nonNegative"], params)
+                    if "nonNegative" in a
+                    else False
+                )
+                if not isinstance(nn, bool):
+                    raise FluxError(
+                        f"derivative nonNegative: expected a boolean, got {nn!r}"
+                    )
+                extra = set(a) - {"unit", "nonNegative"}
+                if extra:
+                    raise FluxError(
+                        f"derivative: unsupported args {sorted(extra)}"
+                    )
+                vs = ("derivative", unit_s, nn)
+            elif head == "difference":
+                nn = (
+                    _resolve(a["nonNegative"], params)
+                    if "nonNegative" in a
+                    else False
+                )
+                if not isinstance(nn, bool):
+                    raise FluxError(
+                        f"difference nonNegative: expected a boolean, got {nn!r}"
+                    )
+                extra = set(a) - {"nonNegative"}
+                if extra:
+                    raise FluxError(
+                        f"difference: unsupported args {sorted(extra)}"
+                    )
+                vs = ("difference", nn)
+            else:
+                if a:
+                    raise FluxError(
+                        f"streaming {head} ships the default form only "
+                        f"(got args {sorted(a)})"
+                    )
+                vs = ("cumsum",) if head == "cumulativeSum" else ("increase",)
         elif head in ("last", "first"):
             # the live stat-panel gauge: a BARE selector is an
             # unwindowed aggregate, which append mode cannot finalize
@@ -2188,6 +2261,29 @@ def _compile_stream_single(
                     F.unix_micros("_time") + F.lit(val * 1_000_000)
                 ),
             )
+    if vs is not None:
+        from .streaming.stateful import value_series_transform
+
+        frame = out.select(*natural_key, "_time", "_value").filter(
+            F.col("_value").isNotNull()
+        )
+        if vs[0] == "derivative":
+            return (
+                value_series_transform(
+                    frame, natural_key, "derivative",
+                    unit_s=vs[1], non_negative=vs[2],
+                    out_name=yield_name or "derivative",
+                ),
+                None,
+            )
+        nn = vs[1] if vs[0] == "difference" else False
+        return (
+            value_series_transform(
+                frame, natural_key, vs[0], non_negative=nn,
+                out_name=yield_name or "_value",
+            ),
+            None,
+        )
     if agg is None:
         # the raw live-table panel: the filtered record stream
         return out.select(*natural_key, "_time", "_value"), None

@@ -68,3 +68,169 @@ def running_stats(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming value-series transforms (round 12) ----------------------
+#
+# The live counter-rate / delta / running-total panel: Flux's
+# value-series transforms (derivative / difference / cumulativeSum /
+# increase) over a record STREAM, as keyed state via
+# applyInPandasWithState — per-series state is one (last event time,
+# last value, two integer accumulators) tuple, O(#series) total.
+#
+# ARRIVAL CONTRACT (pinned; the compiler's docstring repeats it): event
+# time must be strictly increasing per series ACROSS micro-batches —
+# the reference's unit of arrival is a whole, ordered day file, so its
+# ingest satisfies this by construction. A row at or before the
+# series' last seen timestamp is LATE and is dropped (the batch
+# compiler on the store is the replay path for late/duplicate data).
+# Within a batch, rows fold in the engine's table order (_time,
+# _value).
+#
+# NUMERIC PARITY with the batch compiler (bit-for-bit, pinned by the
+# streaming==batch test):
+# * derivative is float64 end to end — exactly the batch expression
+#   tree (delta = v − prev or the nonNegative reset rule; denom =
+#   Δt_us / (unit_s · 1e6); one division).
+# * difference / cumulativeSum / increase run the batch path's EXACT
+#   decimal(18,2) arithmetic as integer cents: the value quantizes via
+#   shortest-repr + HALF_UP (the same rule as Spark's double→decimal
+#   cast), deltas/sums stay integers, and the one cents/100.0 division
+#   per emitted row is the decimal→double cast's correctly-rounded
+#   result.
+
+_VS_STATE = "last_t long, last_v double, a long, b long"
+
+
+def _cents(v: float) -> int:
+    """decimal(18,2) quantization of a double as integer cents —
+    shortest-repr + ROUND_HALF_UP, the same result as Spark's
+    CAST(double AS DECIMAL(18,2)) (BigDecimal.valueOf + setScale
+    HALF_UP)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+        * 100
+    )
+
+
+def value_series_transform(
+    stream: DataFrame,
+    key_cols: list[str],
+    kind: str,
+    unit_s: int = 1,
+    non_negative: bool = False,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Per-series streaming form of the Flux value-series transforms.
+
+    ``stream`` carries ``key_cols + [_time, _value]`` (null ``_value``
+    rows must already be filtered — the shared null policy). Output:
+    ``key_cols + [_time, _value]`` with ``_value`` rewritten
+    (difference/cumulativeSum/increase), or ``key_cols + [_time,
+    _value, <out_name>]`` for derivative (the batch column shape).
+    Append output mode; state never times out (one tuple per series).
+    """
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    if kind not in ("derivative", "difference", "cumsum", "increase"):
+        raise ValueError(f"unknown value-series transform {kind!r}")
+    name = out_name or ("derivative" if kind == "derivative" else "_value")
+    narrowed = stream.select(*key_cols, "_time", "_value")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    if kind == "derivative":
+        out_schema = StructType(
+            base
+            + time_f
+            + [
+                StructField("_value", DoubleType()),
+                StructField(name, DoubleType()),
+            ]
+        )
+    else:
+        out_schema = StructType(base + time_f + [StructField(name, DoubleType())])
+    unit_us = unit_s * 1_000_000.0
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_t, last_v, a, b = state.get
+            seen = True
+        else:
+            last_t, last_v, a, b = 0, 0.0, 0, 0
+            seen = False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, v_out, x_out = [], [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        vals = pdf["_value"].to_numpy()
+        for t, t_us, v in zip(times, t_us_arr, vals):
+            v = float(v)
+            if math.isnan(v):
+                continue  # NaN ≡ null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            if kind == "derivative":
+                if seen:
+                    delta = (
+                        (v - last_v if v >= last_v else v)
+                        if non_negative
+                        else v - last_v
+                    )
+                    denom = (t_us - last_t) / unit_us
+                    ts_out.append(t)
+                    v_out.append(v)
+                    x_out.append(delta / denom)
+            elif kind == "difference":
+                c = _cents(v)
+                if seen:
+                    d = (
+                        (c - a if c >= a else c)
+                        if non_negative
+                        else c - a
+                    )
+                    ts_out.append(t)
+                    v_out.append(d / 100.0)
+                a = c
+            elif kind == "cumsum":
+                b += _cents(v)
+                ts_out.append(t)
+                v_out.append(b / 100.0)
+            else:  # increase: reset-aware delta running sum, first row 0
+                c = _cents(v)
+                if seen:
+                    b += c - a if c >= a else c
+                a = c
+                ts_out.append(t)
+                v_out.append(b / 100.0)
+            last_t, last_v, seen = int(t_us), v, True
+        state.update((int(last_t), float(last_v), int(a), int(b)))
+        cols = {k: [key[i]] * len(ts_out) for i, k in enumerate(key_cols)}
+        cols["_time"] = ts_out
+        if kind == "derivative":
+            cols["_value"] = v_out
+            cols[name] = x_out
+        else:
+            cols[name] = v_out
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_VS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
