@@ -5723,6 +5723,69 @@ def test_compile_flux_stream_map_timeshift(spark, store, tmp_path):
             flux.compile_flux_stream(spark, bad, {"b": store})
 
 
+def test_compile_flux_stream_group_rekey(spark, store, tmp_path):
+    """Round 12: group() re-keys the streaming windowed aggregate (the
+    'per field' / merged-global dashboard rollup) — emitted windows
+    bit-identical to the batch compiler; group() before a value-series
+    transform raises (key-less per-point state is a scale trap), and
+    group() after aggregateWindow raises."""
+    for sub, text in [
+        ("bytype", """
+            from(bucket: "gas-quality")
+              |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+              |> filter(fn: (r) => r["_measurement"] == "events")
+              |> group(columns: ["_field"])
+              |> aggregateWindow(every: 6h, fn: mean)
+            """),
+        ("merged", """
+            from(bucket: "gas-quality")
+              |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+              |> filter(fn: (r) => r["_measurement"] == "events")
+              |> group()
+              |> aggregateWindow(every: 6h, fn: sum)
+            """),
+    ]:
+        live = flux.compile_flux_stream(
+            spark, text, {"gas-quality": store}, watermark="0 seconds"
+        )
+        assert live.isStreaming
+        qn = f"flux_grp_{sub}"
+        q = (
+            live.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{sub}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        key = (lambda r: (r["window_start"], r["_field"])) if sub == "bytype" \
+            else (lambda r: r["window_start"])
+        val = (lambda r: (r["mean"], r["n"])) if sub == "bytype" \
+            else (lambda r: (r["sum"], r["n"]))
+        got = {key(r): val(r) for r in spark.sql(f"SELECT * FROM {qn}").collect()}
+        batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+        max_t = max(r["window_start"] for r in batch)
+        expected = {
+            key(r): val(r) for r in batch if r["window_start"] < max_t
+        }
+        assert expected and all(got[k] == v for k, v in expected.items()), sub
+    # rejections: merged-key transform; post-aggregate re-key
+    with pytest.raises(flux.FluxError, match="one state partition"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> group() |> derivative(unit: 1s)',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="STREAMING subset"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+            '|> group(columns: ["_field"])',
+            {"b": store},
+        )
+
+
 def test_compile_flux_stream_value_series_transforms(spark, tmp_path):
     """Round 12: the value-series transforms stream as keyed state
     (derivative / difference / cumulativeSum / increase). Two

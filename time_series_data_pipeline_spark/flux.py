@@ -1792,10 +1792,17 @@ def compile_flux_stream(
     aggregation (a raw live-table panel). ``fn: last`` is the live
     stat-panel GAUGE (round 12 — the reference dashboard's two gauge
     panels): the windowed latest record as an append-mode max_by
-    selector under the watermark. Everything else raises naming the stage —
-    per-point transforms, selectors, and rank aggregates need the
-    whole series per trigger, which is a batch query's job (run
-    ``compile_flux`` on the store instead).
+    selector under the watermark. The VALUE-SERIES transforms
+    ``derivative/difference/cumulativeSum/increase`` (round 12) stream
+    as keyed state — one (last time, last value, accumulators) tuple
+    per series — under a pinned arrival contract (strictly-increasing
+    per-series event time across micro-batches; late rows drop, the
+    batch compiler is the replay path), bit-identical to the batch
+    forms; a transform is the TERMINAL stage of its pipeline.
+    Everything else raises naming the stage — whole-series recurrences
+    (EMA and kin), rank aggregates, and post-aggregate compositions
+    are a batch query's job (run ``compile_flux`` on the store
+    instead).
 
     MULTI-STATEMENT live panels: named pipelines feeding one final
     ``union(tables: [...])`` (exchange-free; each side keeps its own
@@ -2027,6 +2034,7 @@ def _compile_stream_single(
     row_ops: list[tuple[str, Any]] = []
     agg = None  # (every_s, fn)
     vs = None  # ("derivative", unit_s, nn) | ("difference", nn) | ...
+    key_cols = list(natural_key)  # group() re-keys (round 12)
     yield_name = None
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -2167,6 +2175,37 @@ def _compile_stream_single(
                 "run it with start_flux_task (compile_flux_stream returns "
                 "the live frame for a panel sink)"
             )
+        elif head == "group":
+            # round 12: the dashboard RE-KEY before a windowed
+            # aggregate ("per host" rollup) — the same validation as
+            # the batch stage; streaming groupBy keys become the
+            # listed columns (the empty key merges all series: a
+            # partial-aggregated global window, safe)
+            if agg is not None:
+                raise FluxError(
+                    "group() after aggregateWindow is outside the "
+                    "STREAMING subset (re-keying finalized windows is "
+                    "a batch query's job)"
+                )
+            a = _args(stage, "group")
+            cols = _str_list(a.get("columns", "[]"), "group columns")
+            extra = set(a) - {"columns", "mode"}
+            mode = _resolve(a["mode"], params) if "mode" in a else "by"
+            bad = [c for c in cols if c not in natural_key]
+            if (
+                extra
+                or mode not in ("by", "except")
+                or bad
+                or len(cols) != len(set(cols))
+            ):
+                raise FluxError(
+                    'group ships mode: "by"/"except" over a subset of '
+                    f"the store's table key columns {natural_key} "
+                    f"(incl. the empty list — merge all series); got {stage!r}"
+                )
+            if mode == "except":
+                cols = [c for c in natural_key if c not in cols]
+            key_cols = [c for c in natural_key if c in cols]
         elif head in ("derivative", "difference", "cumulativeSum", "increase"):
             # round 12: the live counter-rate / delta / running-total
             # panel — the value-series transforms as KEYED STATE
@@ -2264,13 +2303,21 @@ def _compile_stream_single(
     if vs is not None:
         from .streaming.stateful import value_series_transform
 
-        frame = out.select(*natural_key, "_time", "_value").filter(
+        if not key_cols:
+            # the batch compiler's own rule: a key-less per-point
+            # transform funnels every row through one state partition
+            raise FluxError(
+                "group() (merge all series) before a value-series "
+                "transform is outside the subset: the per-point "
+                "transform would run in one state partition"
+            )
+        frame = out.select(*key_cols, "_time", "_value").filter(
             F.col("_value").isNotNull()
         )
         if vs[0] == "derivative":
             return (
                 value_series_transform(
-                    frame, natural_key, "derivative",
+                    frame, key_cols, "derivative",
                     unit_s=vs[1], non_negative=vs[2],
                     out_name=yield_name or "derivative",
                 ),
@@ -2279,14 +2326,14 @@ def _compile_stream_single(
         nn = vs[1] if vs[0] == "difference" else False
         return (
             value_series_transform(
-                frame, natural_key, vs[0], non_negative=nn,
+                frame, key_cols, vs[0], non_negative=nn,
                 out_name=yield_name or "_value",
             ),
             None,
         )
     if agg is None:
         # the raw live-table panel: the filtered record stream
-        return out.select(*natural_key, "_time", "_value"), None
+        return out.select(*key_cols, "_time", "_value"), None
     every_s, fn = agg
     name = yield_name or fn
     # the value expression is the batch compiler's own (_plain_agg_expr
@@ -2300,7 +2347,7 @@ def _compile_stream_single(
         out.filter(F.col("_value").isNotNull())
         .withWatermark("_time", watermark)
         .groupBy(
-            F.window("_time", f"{every_s} seconds").alias("w"), *natural_key
+            F.window("_time", f"{every_s} seconds").alias("w"), *key_cols
         )
         .agg(*exprs)
     )
@@ -2311,13 +2358,13 @@ def _compile_stream_single(
         # stateful-operator window join)
         return (
             agged.select(
-                F.col("w").alias("__w"), *natural_key, *value_cols
+                F.col("w").alias("__w"), *key_cols, *value_cols
             ),
             every_s,
         )
     return (
         agged.select(
-            F.col("w.start").alias("window_start"), *natural_key,
+            F.col("w.start").alias("window_start"), *key_cols,
             *value_cols,
         ),
         every_s,
