@@ -5427,6 +5427,103 @@ def test_compile_flux_stream_gauge_last_equals_batch(spark, store, tmp_path):
         )
 
 
+def test_compile_flux_stream_alert_filter_equals_batch(spark, store, tmp_path):
+    """Round 12c: the LIVE ALERT — ``aggregateWindow |> filter(fn: (r)
+    => r._value > X)`` is a stateless row filter over the append-mode
+    aggregate output, so the Grafana alert-threshold panel streams.
+    Emitted rows are bit-identical to the batch compiler's postfilter
+    on the same text (same r._value remap onto the aggregate's value
+    column); a reference to a column the output frame lacks raises
+    naming the frame."""
+    probe = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+    """
+    vals = sorted(
+        r["mean"]
+        for r in flux.compile_flux(spark, probe, {"gas-quality": store}).collect()
+    )
+    thr = vals[len(vals) // 2]  # a median threshold splits the windows
+    text = probe + f"  |> filter(fn: (r) => r._value > {thr!r})\n"
+    live = flux.compile_flux_stream(
+        spark, text, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_alert")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_alert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_alert").collect()
+    }
+    batch_all = flux.compile_flux(spark, probe, {"gas-quality": store}).collect()
+    max_t = max(r["window_start"] for r in batch_all)
+    batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+    expected = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] < max_t  # the final window stays open
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # the threshold genuinely filters: fewer alert windows than windows
+    assert len(batch) < len(batch_all)
+    # an unknown column on the OUTPUT frame raises naming the frame
+    with pytest.raises(flux.FluxError, match="unknown column"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+            '|> filter(fn: (r) => r["_start"] > 1.0)',
+            {"b": store},
+        )
+    # the named-column form works on a join input too (keep_window)
+    overlay = """
+    a = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+      |> filter(fn: (r) => r["mean"] > {thr})
+    b = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_measurement"] == "events")
+      |> filter(fn: (r) => r["_field"] == "view")
+      |> aggregateWindow(every: 6h, fn: mean)
+    join(tables: {{a: a, b: b}}, on: ["window_start"])
+    """.format(thr=repr(thr))
+    live2 = flux.compile_flux_stream(
+        spark, overlay, {"gas-quality": store}, watermark="0 seconds"
+    )
+    q2 = (
+        live2.writeStream.format("memory")
+        .queryName("flux_alert_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_alert_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        r["window_start"]: (r["mean_a"], r["mean_b"])
+        for r in spark.sql("SELECT * FROM flux_alert_join").collect()
+    }
+    batch2 = flux.compile_flux(spark, overlay, {"gas-quality": store}).collect()
+    expected2 = {
+        r["window_start"]: (r["mean_a"], r["mean_b"])
+        for r in batch2
+        if r["window_start"] < max_t
+    }
+    assert expected2 and all(got2[k] == v for k, v in expected2.items())
+
+
 def test_start_flux_task_runs_to_script(spark, store, tmp_path):
     """start_flux_task: the InfluxDB task loop as a ticker stream —
     one availableNow tick executes the to() script and the target

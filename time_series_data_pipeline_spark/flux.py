@@ -1788,8 +1788,12 @@ def compile_flux_stream(
     STREAMING subset — the dashboard pipeline shapes Structured
     Streaming can run incrementally: ``from |> range |> filter* |>
     aggregateWindow(every:, fn: mean/count/sum/min/max/first/last[,
-    createEmpty: false]) [|> yield]``, or the same prefix with NO
-    aggregation (a raw live-table panel). ``fn: last`` is the live
+    createEmpty: false]) [|> filter(...)] [|> yield]``, or the same
+    prefix with NO aggregation (a raw live-table panel). The
+    post-aggregate ``filter`` (round 12c) is the LIVE ALERT — the
+    Grafana threshold panel as a stateless row filter over the
+    append-mode aggregate output, with the batch postfilter's own
+    r._value→value-column remap. ``fn: last`` is the live
     stat-panel GAUGE (round 12 — the reference dashboard's two gauge
     panels): the windowed latest record as an append-mode max_by
     selector under the watermark. The VALUE-SERIES transforms
@@ -2035,6 +2039,7 @@ def _compile_stream_single(
     agg = None  # (every_s, fn)
     vs = None  # ("derivative", unit_s, nn) | ("difference", nn) | ...
     key_cols = list(natural_key)  # group() re-keys (round 12)
+    post_filters: list[tuple[list[str], str]] = []  # alert thresholds
     yield_name = None
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -2059,13 +2064,18 @@ def _compile_stream_single(
             if "stop" in a:
                 stop = _resolve_bound(a["stop"], params, now, "range")
         elif head == "filter":
-            if agg is not None:
-                raise FluxError(
-                    "filter() after aggregateWindow is outside the "
-                    "STREAMING subset (post-aggregate alert filters are "
-                    "a batch query's job)"
-                )
             toks = _tokenize_pred(_filter_extract(stage))
+            if agg is not None:
+                # round 12c: the LIVE ALERT — aggregateWindow |>
+                # filter(fn: (r) => r._value > X) is a STATELESS row
+                # filter over the append-mode aggregate output (Spark
+                # allows projections/filters after a streaming
+                # aggregation), so the Grafana alert-threshold panel
+                # streams. Same remap as the batch postfilter:
+                # r._value resolves to the aggregate's value column;
+                # references validate against the output frame.
+                post_filters.append((toks, stage))
+                continue
             _validate_refs(
                 toks,
                 {*natural_key, "_time", "_value", "tags", "_date"},
@@ -2352,23 +2362,45 @@ def _compile_stream_single(
         .agg(*exprs)
     )
     value_cols = [name, "n"] if fn != "count" else [name]
+    # the window struct AND its projected start ride together so a
+    # post-aggregate alert filter can reference window_start on either
+    # the panel frame or a join input; the unused one drops below
+    base = agged.select(
+        F.col("w").alias("__w"),
+        F.col("w.start").alias("window_start"),
+        *key_cols,
+        *value_cols,
+    )
+    for toks, src_stage in post_filters:
+        # the batch postfilter's own normalization + remap: bracketed
+        # layouts collapse, r._value resolves to the aggregate's value
+        # column, every reference must exist on the output frame
+        toks = [
+            re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t) for t in toks
+        ]
+        new_toks = [
+            f'r["{name}"]' if t in ('r["_value"]', "r._value") else t
+            for t in toks
+        ]
+        refs = [
+            t[3:-2] if t.startswith('r["') else t[2:]
+            for t in new_toks
+            if t.startswith('r["') or t.startswith("r.")
+        ]
+        visible = [c for c in base.columns if c != "__w"]
+        missing = sorted({c for c in refs if c not in visible})
+        if missing:
+            raise FluxError(
+                f"filter after aggregateWindow: unknown column(s) "
+                f"{missing}; frame has {visible}: {src_stage!r}"
+            )
+        base = base.filter(_parse_pred(new_toks, params))
     if keep_window:
         # the streaming join keys on the window STRUCT itself — the
         # event-time watermark rides through it (Spark's multiple-
         # stateful-operator window join)
-        return (
-            agged.select(
-                F.col("w").alias("__w"), *key_cols, *value_cols
-            ),
-            every_s,
-        )
-    return (
-        agged.select(
-            F.col("w.start").alias("window_start"), *key_cols,
-            *value_cols,
-        ),
-        every_s,
-    )
+        return base.drop("window_start"), every_s
+    return base.drop("__w"), every_s
 
 
 def start_flux_task(
