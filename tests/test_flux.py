@@ -1463,8 +1463,9 @@ def test_map_variables_and_no_udf_in_plan(spark, store):
          'r._value ** 2.0 }))', "map expression"),
         ('from(bucket: "b") |> map(fn: (r) => ({ r with _value: '
          'r._value + v.missing }))', "not in params"),
-        ('from(bucket: "b") |> mean() |> map(fn: (r) => ({ r with _value: '
-         "r._value }))", "subset"),
+        # round 12d: mean() |> map() COMPILES now (the post-aggregate
+        # rewrite) — the rejection moved to unknown references and
+        # ambiguous frames (test_postmap_after_aggregate_batch)
         ('from(bucket: "b") |> map(fn: (r) => ({ r with _value: '
          '(r._value + 1.0 }))', "map expression"),
     ],
@@ -5522,6 +5523,238 @@ def test_compile_flux_stream_alert_filter_equals_batch(spark, store, tmp_path):
         if r["window_start"] < max_t
     }
     assert expected2 and all(got2[k] == v for k, v in expected2.items())
+
+
+def test_postmap_after_aggregate_batch(spark, store):
+    """Round 12d: the POST-AGGREGATE ``map()`` — the unit-converted
+    aggregate panel (``aggregateWindow |> map(fn: (r) => ({ r with
+    _value: r._value * k }))``). The rewrite lands on the OUTPUT
+    frame's value column (named after the fn / yield), composes with
+    the postfilter in user order, works on bare aggregates, and
+    refuses unknown references and ambiguous frames (transforms that
+    keep the original _value beside a named result column)."""
+    probe = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+    """
+    plain = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in flux.compile_flux(spark, probe, {"gas-quality": store}).collect()
+    }
+    text = probe + "  |> map(fn: (r) => ({ r with _value: r._value * 60.0 + 1.0 }))\n"
+    got = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+    }
+    assert got.keys() == plain.keys() and len(got) > 1
+    for k, (v, n) in plain.items():
+        assert abs(got[k][0] - (float(v) * 60.0 + 1.0)) < 1e-9
+        assert got[k][1] == n
+    # map THEN filter applies in user order (threshold on mapped units)
+    thr = sorted(v for v, _ in got.values())[len(got) // 2]
+    filt = flux.compile_flux(
+        spark,
+        text + f"  |> filter(fn: (r) => r._value > {thr!r})\n",
+        {"gas-quality": store},
+    ).collect()
+    assert 0 < len(filt) < len(got)
+    assert all(r["mean"] > thr for r in filt)
+    # bare aggregate |> map: the stat-panel unit conversion
+    bare = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> mean() |> map(fn: (r) => ({ r with _value: r._value / 1000.0 }))",
+        {"b": store},
+    ).collect()
+    bare_plain = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> mean()",
+        {"b": store},
+    ).collect()
+    assert len(bare) == len(bare_plain) == 1
+    assert abs(bare[0]["mean"] - float(bare_plain[0]["mean"]) / 1000.0) < 1e-12
+    # rejections: unknown reference names the frame; transforms that
+    # keep the original _value refuse the ambiguous r._value rewrite
+    with pytest.raises(flux.FluxError, match="unknown column"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+            "|> map(fn: (r) => ({ r with _value: r.nope * 2.0 }))",
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="ambiguous"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+            "|> derivative(unit: 1s) "
+            "|> map(fn: (r) => ({ r with _value: r._value * 2.0 }))",
+            {"b": store},
+        )
+
+
+def test_compile_flux_stream_postmap_equals_batch(spark, store, tmp_path):
+    """Round 12d: the live unit-converted panel — ``aggregateWindow |>
+    map`` streams as a stateless projection over the append-mode
+    aggregate output, bit-identical to the batch tail (ONE shared
+    definition: _post_value_map)."""
+    text = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+      |> map(fn: (r) => ({ r with _value: r._value * 60.0 }))
+    """
+    live = flux.compile_flux_stream(
+        spark, text, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_postmap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_postmap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_postmap").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] < max_t  # the final window stays open
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # an unknown reference raises at compile time, naming the frame
+    with pytest.raises(flux.FluxError, match="unknown column"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+            "|> map(fn: (r) => ({ r with _value: r.nope * 2.0 }))",
+            {"b": store},
+        )
+
+
+def test_compile_flux_stream_sliding_and_offset_equals_batch(
+    spark, store, tmp_path
+):
+    """Round 12d: ``aggregateWindow(every:, period:)`` (SLIDING) and
+    ``offset:`` stream — the batch compiler's own _window_grouping
+    struct under the watermark. Finalization rule for overlapping
+    windows: a window emits once the watermark passes its END, so the
+    streaming==batch comparison excludes every window whose end
+    exceeds the max event time (not just the latest start). Mismatched
+    specs refuse to join; a period that is not a multiple of every
+    raises the batch validation."""
+    import datetime as dt
+
+    sliding = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 2h, period: 6h, fn: mean)
+    """
+    live = flux.compile_flux_stream(
+        spark, sliding, {"gas-quality": store}, watermark="0 seconds"
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_sliding")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sliding"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_sliding").collect()
+    }
+    batch = flux.compile_flux(spark, sliding, {"gas-quality": store}).collect()
+    # the stream's watermark advances to the max event time it SAW —
+    # which the range stop bounds, so bound the cutoff the same way
+    max_evt = (
+        bkt.scan_bucket(
+            spark, store, field="click",
+            start="2024-01-03 00:00:00", stop="2024-01-06 00:00:00",
+        )
+        .agg(F.max("_time"))
+        .collect()[0][0]
+    )
+    expected = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] + dt.timedelta(hours=6) <= max_evt
+    }
+    assert len(expected) > 3 and all(got[k] == v for k, v in expected.items())
+    # every emitted window exists in the batch result (no inventions)
+    assert set(got) <= {
+        (r["window_start"], r["_field"]) for r in batch
+    }
+    # each row lands in period/every = 3 windows: more sliding windows
+    # than tumbling ones over the same range
+    tumbling = flux.compile_flux(
+        spark,
+        sliding.replace(", period: 6h", ""),
+        {"gas-quality": store},
+    ).count()
+    assert len(batch) > tumbling
+    # offset: the alignment-shifted form
+    shifted = sliding.replace("period: 6h", "offset: 30m")
+    live2 = flux.compile_flux_stream(
+        spark, shifted, {"gas-quality": store}, watermark="0 seconds"
+    )
+    q2 = (
+        live2.writeStream.format("memory")
+        .queryName("flux_offset")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_offset"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_offset").collect()
+    }
+    batch2 = flux.compile_flux(spark, shifted, {"gas-quality": store}).collect()
+    max_t2 = max(r["window_start"] for r in batch2)
+    expected2 = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in batch2
+        if r["window_start"] < max_t2
+    }
+    assert expected2 and all(got2[k] == v for k, v in expected2.items())
+    # offset windows genuinely shift: starts land on :30 boundaries
+    assert all(ws.minute == 30 for (ws, _f) in got2)
+    # rejections: non-multiple period (batch rule), mismatched join specs
+    with pytest.raises(flux.FluxError, match="positive multiple"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, period: 90m, '
+            "fn: mean)",
+            {"b": store},
+        )
+    overlay = """
+    a = from(bucket: "b")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 2h, period: 6h, fn: mean)
+    b = from(bucket: "b")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "view")
+      |> aggregateWindow(every: 2h, fn: mean)
+    join(tables: {a: a, b: b}, on: ["window_start"])
+    """
+    with pytest.raises(flux.FluxError, match="window specs differ"):
+        flux.compile_flux_stream(spark, overlay, {"b": store})
 
 
 def test_start_flux_task_runs_to_script(spark, store, tmp_path):

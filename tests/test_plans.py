@@ -354,6 +354,10 @@ import pytest as _pytest
         ("flux_compiled_holt_winters", 2),
         ("flux_compiled_holt_winters_fit", 2),
         ("flux_compiled_holt_winters_seasonal_fit", 2),
+        # round 12d: the post-aggregate map + threshold are stateless
+        # row ops over the aggregate output — the windowed mean's one
+        # exchange only (the tail adds NO exchange)
+        ("flux_compiled_postmap_units", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -133,6 +133,18 @@ null-fill panel option over gap-filled frames (coalesce, resp. a
 last-non-null window per table over the bucket spine) — and
 ``rename(columns: {old: "new"})``; swap/collision rename sets raise.
 
+Round 12d adds ``map()`` to the tail grammar: AFTER an aggregation /
+transform (or among tail stages) the ``_value`` rewrite lands on the
+OUTPUT frame's value column — the unit-converted aggregate panel
+(``aggregateWindow |> map(fn: (r) => ({ r with _value: r._value *
+0.001 }))``), composing with the threshold ``filter`` in user order.
+The remap follows the postfilter's rules exactly (r._value resolves
+onto the fn-/yield-named column; unknown references raise naming the
+frame; frames that keep the original ``_value`` beside a named result
+column — derivative/movingAverage forms — refuse the ambiguous
+rewrite). The streaming compiler ships the same stage through the
+same shared definition (``_post_value_map``).
+
 Round 10 adds the period-comparison stages (VERDICT r8 item 6):
 
 * ``timeShift(duration: d)`` — Grafana's day-over-day overlay. BEFORE
@@ -313,7 +325,11 @@ Round 10c adds the technical-indicator / selector / conversion batch
   compiler's. Subset: range/filter/map/timeShift prefix (the latter
   two are stateless row ops — round 12) + one
   ``aggregateWindow(mean/count/sum/min/max/first/last)`` (first/last
-  — the live stat-panel gauge, round 12) or the raw record stream,
+  — the live stat-panel gauge, round 12; ``period:``/``offset:`` —
+  the SLIDING / alignment-shifted live panel, round 12d) with
+  optional post-aggregate ``filter``/``map`` tail stages (the live
+  alert threshold and the unit-converted panel — stateless row ops
+  over the append-mode output) or the raw record stream,
   and multi-statement scripts with a final ``union()`` (the live
   multi-series panel — exchange-free) or — round 12 — a final
   ``join()`` of exactly two same-``every`` windowed aggregates on the
@@ -1292,6 +1308,65 @@ def _parse_arith(src: str, params: dict[str, Any]) -> Column:
     return out
 
 
+def _post_value_map(
+    frame: DataFrame,
+    valcol: str,
+    arith_src: str,
+    params: dict[str, Any],
+    visible: list[str],
+    src_stage: str,
+) -> DataFrame:
+    """The POST-AGGREGATE ``map()`` (round 12d): rewrite the OUTPUT
+    frame's value column in place — the Grafana unit-converted panel
+    over a windowed aggregate (``aggregateWindow |> map(fn: (r) =>
+    ({ r with _value: r._value * 0.001 }))``). ONE definition shared
+    by the batch tail and the streaming live-panel path, so both
+    compile the identical rewrite: ``r._value`` references remap onto
+    the frame's value column (attested frames name it after the
+    fn / yield name), every other reference must exist on the output
+    frame, and the rewrite is NULL-preserving (a gap row created by
+    createEmpty stays null — the same policy as the pre-aggregate
+    map). The value column's type becomes double (Flux float
+    arithmetic), exactly what the oracles compute."""
+    tokens, i = [], 0
+    while i < len(arith_src):
+        m = _ARITH_TOKEN_RE.match(arith_src, i)
+        if not m:
+            if arith_src[i:].strip() == "":
+                break
+            raise FluxError(
+                f"unsupported map expression syntax at {arith_src[i:]!r}"
+            )
+        tokens.append(m.group(1))
+        i = m.end()
+    # normalize bracketed reference layouts FIRST (r[ "_value" ] must
+    # remap exactly like r["_value"] — the postfilter's formatting-
+    # invariance rule), then remap the value reference onto valcol
+    norm = [re.sub(r'^r\[\s*"(.*)"\s*\]$', r'r["\1"]', t) for t in tokens]
+    new_toks = [
+        f'r["{valcol}"]' if t in ('r["_value"]', "r._value") else t
+        for t in norm
+    ]
+    refs = [
+        t[3:-2] if t.startswith('r["') else t[2:]
+        for t in new_toks
+        if t.startswith('r["') or re.match(r"^r\.\w+$", t)
+    ]
+    missing = sorted({c for c in refs if c not in visible})
+    if missing:
+        raise FluxError(
+            f"map after an aggregation stage: unknown column(s) "
+            f"{missing}; frame has {visible}: {src_stage!r}"
+        )
+    mapped = _parse_arith(" ".join(new_toks), params)
+    return frame.withColumn(
+        valcol,
+        F.when(
+            F.col(valcol).isNull(), F.lit(None).cast("double")
+        ).otherwise(mapped),
+    )
+
+
 def _parse_bins(tok: str, params: dict[str, Any]) -> list[float]:
     """histogram bins: a literal float list, or the upstream generator
     helpers ``linearBins(start:, width:, count:, [infinity:])`` /
@@ -1788,8 +1863,12 @@ def compile_flux_stream(
     STREAMING subset — the dashboard pipeline shapes Structured
     Streaming can run incrementally: ``from |> range |> filter* |>
     aggregateWindow(every:, fn: mean/count/sum/min/max/first/last[,
-    createEmpty: false]) [|> filter(...)] [|> yield]``, or the same
-    prefix with NO aggregation (a raw live-table panel). The
+    period:][, offset:][, createEmpty: false]) [|> filter(...)]
+    [|> yield]``, or the same prefix with NO aggregation (a raw
+    live-table panel). ``period:``/``offset:`` (round 12d) are the
+    SLIDING and alignment-shifted live panels — the batch compiler's
+    own ``F.window(period, every, startTime)`` struct under the
+    watermark, finalized per overlapping window in append mode. The
     post-aggregate ``filter`` (round 12c) is the LIVE ALERT — the
     Grafana threshold panel as a stateless row filter over the
     append-mode aggregate output, with the batch postfilter's own
@@ -1968,9 +2047,13 @@ def compile_flux_stream(
                     "aggregates only"
                 )
         if ea != eb:
+            # the spec triple (every, period, offset) — mismatched
+            # sliding/offset forms produce window structs that never
+            # pair, so refuse up front rather than emit an empty join
             raise FluxError(
-                f"streaming join window sizes differ ({ea}s vs {eb}s) — "
-                "windows must align to pair"
+                f"streaming join window specs differ ({ea} vs {eb}; "
+                "(every, period, offset) seconds) — windows must align "
+                "to pair"
             )
         extra_on = [c for c in on if c != "window_start"]
         for label, d in ((la, dfa), (lb, dfb)):
@@ -2039,7 +2122,9 @@ def _compile_stream_single(
     agg = None  # (every_s, fn)
     vs = None  # ("derivative", unit_s, nn) | ("difference", nn) | ...
     key_cols = list(natural_key)  # group() re-keys (round 12)
-    post_filters: list[tuple[list[str], str]] = []  # alert thresholds
+    # post-aggregate tail stages, in user order: ("filter", toks,
+    # stage) alert thresholds / ("map", arith_src, stage) unit rewrites
+    post_stages: list[tuple[str, Any, str]] = []
     yield_name = None
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -2074,7 +2159,7 @@ def _compile_stream_single(
                 # streams. Same remap as the batch postfilter:
                 # r._value resolves to the aggregate's value column;
                 # references validate against the output frame.
-                post_filters.append((toks, stage))
+                post_stages.append(("filter", toks, stage))
                 continue
             _validate_refs(
                 toks,
@@ -2086,12 +2171,6 @@ def _compile_stream_single(
             # round 12: map's _value rewrite is a STATELESS row op —
             # unit conversion on a live panel streams trivially (the
             # same grammar + NULL-preserving wrap as the batch stage)
-            if agg is not None:
-                raise FluxError(
-                    "map() after aggregateWindow is outside the "
-                    "STREAMING subset (post-aggregate rewrites are a "
-                    "batch query's job)"
-                )
             a = _args(stage, "map")
             if "fn" not in a or set(a) - {"fn"}:
                 raise FluxError(
@@ -2109,6 +2188,16 @@ def _compile_stream_single(
                     f"{m2.group(1)!r} (rewriting keys/time would change "
                     "table semantics)"
                 )
+            if agg is not None:
+                # round 12d: the POST-AGGREGATE rewrite — the live
+                # unit-converted panel. A stateless projection over the
+                # append-mode aggregate output (Spark allows row ops
+                # after a streaming aggregation), remapped onto the
+                # aggregate's value column by the shared
+                # _post_value_map — the batch tail's own definition,
+                # so emitted windows replay bit-identically.
+                post_stages.append(("map", m2.group(2), stage))
+                continue
             mapped = _parse_arith(m2.group(2), params)
             row_ops.append(
                 (
@@ -2168,13 +2257,46 @@ def _compile_stream_single(
                     "createEmpty: true is outside the streaming subset "
                     "(append mode emits observed windows)"
                 )
-            extra = set(a) - {"every", "fn", "createEmpty"}
+            # period:/offset: — the SLIDING / alignment-shifted live
+            # panel (round 12d): Spark's streaming aggregation takes
+            # the same F.window(period, every, startTime) struct the
+            # batch path compiles (_window_grouping), and append mode
+            # finalizes each overlapping window as the watermark
+            # passes its end — the same validation envelope as batch
+            # (period a positive multiple of every; offset normalized
+            # into [0, every)), so emitted windows replay
+            # bit-identically against the batch sliding form.
+            period_s = None
+            if "period" in a:
+                period = _resolve(a["period"], params)
+                if not (isinstance(period, str) and _DUR_RE.match(period)):
+                    raise FluxError(
+                        f"aggregateWindow period: bad duration {period!r}"
+                    )
+                period_s = _duration_seconds(period)
+                if period_s != every_s:
+                    if period_s <= 0 or period_s % every_s != 0:
+                        raise FluxError(
+                            "aggregateWindow period: must be a positive "
+                            f"multiple of every: in the subset; got {stage!r}"
+                        )
+                else:
+                    period_s = None
+            offset_s = 0
+            if "offset" in a:
+                off_tok = _resolve(a["offset"], params)
+                if not (isinstance(off_tok, str) and _DUR_RE.match(off_tok)):
+                    raise FluxError(
+                        f"aggregateWindow offset: bad duration {off_tok!r}"
+                    )
+                offset_s = _duration_seconds(off_tok) % every_s
+            extra = set(a) - {"every", "fn", "createEmpty", "period", "offset"}
             if extra:
                 raise FluxError(
                     f"aggregateWindow: unsupported args {sorted(extra)} "
                     "in the streaming subset"
                 )
-            agg = (every_s, fn)
+            agg = (every_s, fn, period_s, offset_s)
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
@@ -2344,7 +2466,7 @@ def _compile_stream_single(
     if agg is None:
         # the raw live-table panel: the filtered record stream
         return out.select(*key_cols, "_time", "_value"), None
-    every_s, fn = agg
+    every_s, fn, period_s, offset_s = agg
     name = yield_name or fn
     # the value expression is the batch compiler's own (_plain_agg_expr
     # — ONE definition), so emitted windows replay bit-identically
@@ -2352,13 +2474,15 @@ def _compile_stream_single(
     if fn != "count":
         exprs.append(F.count(F.lit(1)).alias("n"))
     # the shared null policy: aggregates skip null values, and n counts
-    # exactly the rows the aggregate saw — identical to the batch path
+    # exactly the rows the aggregate saw — identical to the batch path.
+    # The window column is the batch compiler's own (_window_grouping
+    # — ONE definition covering tumbling/sliding/offset), so a live
+    # sliding panel's windows match the batch replay exactly.
+    win_col, _is_struct = _window_grouping(every_s, period_s, offset_s)
     agged = (
         out.filter(F.col("_value").isNotNull())
         .withWatermark("_time", watermark)
-        .groupBy(
-            F.window("_time", f"{every_s} seconds").alias("w"), *key_cols
-        )
+        .groupBy(win_col, *key_cols)
         .agg(*exprs)
     )
     value_cols = [name, "n"] if fn != "count" else [name]
@@ -2371,7 +2495,14 @@ def _compile_stream_single(
         *key_cols,
         *value_cols,
     )
-    for toks, src_stage in post_filters:
+    for op in post_stages:
+        visible = [c for c in base.columns if c != "__w"]
+        if op[0] == "map":
+            # round 12d: the live unit-converted panel — the shared
+            # batch-tail rewrite over the aggregate's value column
+            base = _post_value_map(base, name, op[1], params, visible, op[2])
+            continue
+        toks, src_stage = op[1], op[2]
         # the batch postfilter's own normalization + remap: bracketed
         # layouts collapse, r._value resolves to the aggregate's value
         # column, every reference must exist on the output frame
@@ -2387,7 +2518,6 @@ def _compile_stream_single(
             for t in new_toks
             if t.startswith('r["') or t.startswith("r.")
         ]
-        visible = [c for c in base.columns if c != "__w"]
         missing = sorted({c for c in refs if c not in visible})
         if missing:
             raise FluxError(
@@ -2399,8 +2529,8 @@ def _compile_stream_single(
         # the streaming join keys on the window STRUCT itself — the
         # event-time watermark rides through it (Spark's multiple-
         # stateful-operator window join)
-        return base.drop("window_start"), every_s
-    return base.drop("__w"), every_s
+        return base.drop("window_start"), (every_s, period_s, offset_s)
+    return base.drop("__w"), (every_s, period_s, offset_s)
 
 
 def start_flux_task(
@@ -2694,7 +2824,7 @@ def _compile_pipeline(
     )
     _TAIL_HEADS = ("sort", "limit", "keep", "drop", "fill", "rename",
                    "timeShift", "top", "bottom", "duplicate", "set",
-                   "tail", "filter")
+                   "tail", "filter", "map")
     time_shifted = False  # a row-level timeShift has rewritten _time
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -2714,7 +2844,7 @@ def _compile_pipeline(
         # stages strictly BEFORE one terminal aggregation/transform
         # stage, and raises on anything else rather than mis-compiling
         if head in (
-            "range", "group", "map", "hourSelection",
+            "range", "group", "hourSelection",
             "truncateTimeColumn", "toFloat", "toInt",
         ) and terminal_seen:
             raise FluxError(
@@ -2953,6 +3083,15 @@ def _compile_pipeline(
                     f"map ships only the _value rewrite; got {target!r} "
                     "(rewriting keys/time would change table semantics)"
                 )
+            if terminal_seen or post_ops:
+                # round 12d: POST-AGGREGATE map — the tail rewrite of
+                # the output frame's value column (unit conversion on
+                # an aggregated panel: aggregateWindow |> map), applied
+                # in user order among the tail stages via the shared
+                # _post_value_map (the streaming live panel compiles
+                # the identical rewrite)
+                post_ops.append(("postmap", m.group(2), stage))
+                continue
             # NULL-preserving rewrite: arithmetic already propagates
             # null, but greatest/least and when/otherwise (math.mMax,
             # if/then/else) would turn a NULL _value into a non-null
@@ -4052,6 +4191,36 @@ def _compile_pipeline(
             if extra:
                 raise FluxError(f"integral: unsupported args {sorted(extra)}")
             transform = ("integral", unit_s)
+        elif head == "timeWeightedAvg":
+            # timeWeightedAvg(unit:) (round 12d) — the time-weighted
+            # mean of an irregular gauge per table: the trapezoid
+            # integral divided by the time span, so the unit: cancels
+            # algebraically (upstream divides integral(unit) by
+            # range/unit — accepted, validated, and irrelevant to the
+            # value). PINNED CONVENTION: the OBSERVED span (first..last
+            # point; single-point/zero-span tables yield NULL) — the
+            # same convention the registered time_weighted_avg
+            # operator attests — not upstream's boundary
+            # interpolation to [range start, range stop), which this
+            # subset's order-insensitive frame contract cannot
+            # replicate without resolved range context in the stage.
+            a = _args(stage, "timeWeightedAvg")
+            if "unit" in a:
+                u = _resolve(a["unit"], params)
+                if not (isinstance(u, str) and _DUR_RE.match(u)):
+                    raise FluxError(
+                        f"timeWeightedAvg unit: bad duration {u!r}"
+                    )
+                if _duration_seconds(u) <= 0:
+                    raise FluxError(
+                        f"timeWeightedAvg unit must be > 0: {u!r}"
+                    )
+            extra = set(a) - {"unit"}
+            if extra:
+                raise FluxError(
+                    f"timeWeightedAvg: unsupported args {sorted(extra)}"
+                )
+            transform = ("twa",)
         elif head == "exponentialMovingAverage":
             # exponentialMovingAverage(n:) — upstream semantics: the
             # first emitted point (at row n) is the algebraic mean of
@@ -4399,6 +4568,51 @@ def _compile_pipeline(
                         f"{out.columns}: {src_stage!r}"
                     )
                 out = out.filter(_parse_pred(new_toks, params))
+            elif op[0] == "postmap":
+                # round 12d: the tail value rewrite — the same
+                # ambiguity guard + value-column resolution as the
+                # postfilter above, then the shared _post_value_map
+                src, src_stage = op[1], op[2]
+                mentions_value = (
+                    re.search(r'r\[\s*"_value"\s*\]|r\._value\b', src)
+                    is not None
+                )
+                if transform is not None and transform[0] in (
+                    "derivative", "tma", "ma",
+                ) and mentions_value:
+                    # these attested frames KEEP the original _value
+                    # beside the named result column — a map on
+                    # r._value would rewrite the wrong series
+                    raise FluxError(
+                        f"map on _value after {transform[0]} is "
+                        "ambiguous in this subset (the frame keeps the "
+                        "original _value beside the named result column "
+                        "— reference the result column explicitly): "
+                        f"{src_stage!r}"
+                    )
+                valcol = "_value"
+                if valcol not in out.columns:
+                    cand = [
+                        c
+                        for c in (
+                            yield_name,
+                            agg[1] if agg is not None else None,
+                            "integral" if transform is not None
+                            and transform[0] == "integral" else None,
+                            "last_value",
+                        )
+                        if c and c in out.columns
+                    ]
+                    if not cand:
+                        raise FluxError(
+                            f"map after this stage needs a value "
+                            f"column; frame has {out.columns}: "
+                            f"{src_stage!r}"
+                        )
+                    valcol = cand[0]
+                out = _post_value_map(
+                    out, valcol, src, params, list(out.columns), src_stage
+                )
             elif op[0] == "sort":
                 pending_sort = op
             elif op[0] == "limit":

@@ -3912,6 +3912,57 @@ def flux_compiled_alert_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_postmap_units",
+    # round 12d: aggregateWindow(mean) |> map(r._value * 0.1 - 2.0)
+    # |> filter(r._value > 3.0) — the POST-AGGREGATE map (the Grafana
+    # unit-converted panel) composed with the alert threshold in user
+    # order: the rewrite lands on the aggregate's value column, the
+    # threshold tests the MAPPED units. The oracle computes the same
+    # double ops in the same order ((mean * 0.1) - 2.0) over the inner
+    # windowed mean, so values replay bit-identically.
+    oracle="""
+    SELECT window_start, _measurement, _field,
+           mean * 0.1 - 2.0 AS mean, n
+    FROM (
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS window_start,
+             'events' AS _measurement, event_type AS _field,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS mean,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE event_type = 'signup' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2, 3
+    ) t
+    WHERE mean * 0.1 - 2.0 > 3.0
+    """,
+)
+def flux_compiled_postmap_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow |> map |> filter` through the Flux front-end —
+    the unit-converted aggregate panel with a threshold on the mapped
+    units (round 12d: map() joined the tail grammar; the rejection
+    before this round was pinned in test_map_rejections)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "signup")
+          |> aggregateWindow(every: 1h, fn: mean)
+          |> map(fn: (r) => ({ r with _value: r._value * 0.1 - 2.0 }))
+          |> filter(fn: (r) => r._value > 3.0)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_columns",
     # columns() — record-label introspection per table: compile-time
     # constant labels exploded over the DISTINCT table keys.
