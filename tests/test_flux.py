@@ -2534,6 +2534,79 @@ def test_integral(spark, store):
         )
 
 
+def test_time_weighted_avg_stage(spark, store, tmp_path):
+    """timeWeightedAvg() (round 12d): the trapezoid integral divided
+    by the observed span per table (the registered time_weighted_avg
+    operator's pinned convention), replayed with exact cent-integer
+    arithmetic. The unit: argument cancels algebraically (same result
+    for every unit); single-point tables yield NULL; the key-less
+    group() merge raises like integral."""
+    import math
+
+    got = {
+        r["_field"]: (r["time_weighted_avg"], r["n"])
+        for r in flux.compile_flux(
+            spark, 'from(bucket: "b") |> timeWeightedAvg(unit: 1m)',
+            {"b": store},
+        ).collect()
+    }
+    src = bkt.scan_bucket(spark, store, measurement="events").collect()
+    by_field: dict = {}
+    for r in src:
+        if r["_value"] is not None:
+            by_field.setdefault(r["_field"], []).append(
+                (r["_time"], r["_value"])
+            )
+    for f, pts in by_field.items():
+        pts.sort()
+        total = 0  # Σ (cents_i + cents_{i-1}) · Δt_µs — exact int
+        for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+            c0, c1 = round(v0 * 100), round(v1 * 100)
+            dt_us = round((t1 - t0).total_seconds() * 1e6)
+            total += (c0 + c1) * dt_us
+        span_us = round((pts[-1][0] - pts[0][0]).total_seconds() * 1e6)
+        want = (total / 100.0) / (2.0 * span_us)
+        v, n = got[f]
+        assert n == len(pts)
+        assert math.isclose(v, want, rel_tol=1e-12), f
+        # the time-weighted mean sits inside the value range
+        lo, hi = min(p[1] for p in pts), max(p[1] for p in pts)
+        assert lo <= v <= hi
+    # unit: cancels — identical values for any unit (and when omitted)
+    for text in (
+        'from(bucket: "b") |> timeWeightedAvg(unit: 1h)',
+        'from(bucket: "b") |> timeWeightedAvg()',
+    ):
+        other = {
+            r["_field"]: (r["time_weighted_avg"], r["n"])
+            for r in flux.compile_flux(spark, text, {"b": store}).collect()
+        }
+        assert other == got
+    # a single-point table yields NULL (no span)
+    single = _tiny_store(spark, tmp_path, [42.0])
+    row = flux.compile_flux(
+        spark, 'from(bucket: "b") |> timeWeightedAvg()', {"b": single}
+    ).collect()
+    assert len(row) == 1 and row[0]["time_weighted_avg"] is None
+    assert row[0]["n"] == 1
+    # rejections: bad unit, unknown args, the key-less merge
+    with pytest.raises(flux.FluxError, match="bad duration"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> timeWeightedAvg(unit: "x")',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="unsupported args"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> timeWeightedAvg(column: "v")',
+            {"b": store},
+        )
+    with pytest.raises(flux.FluxError, match="one partition"):
+        flux.compile_flux(
+            spark, 'from(bucket: "b") |> group() |> timeWeightedAvg()',
+            {"b": store},
+        )
+
+
 def test_exponential_moving_average(spark, store):
     """exponentialMovingAverage(n:): first emitted point = mean of the
     first n values; then y = (1−k)·y + k·x with k = 2/(n+1); first n−1

@@ -259,6 +259,10 @@ import pytest as _pytest
         ("flux_compiled_window_raw", 0),
         # lag window + map-side-combined sum over ONE partitioning
         ("flux_compiled_integral", 1),
+        # round 12d: timeWeightedAvg = the integral machinery with the
+        # span division — same one exchange (lag window + groupBy on
+        # the same table key)
+        ("flux_compiled_time_weighted", 1),
         # Arrow kernel's series-key shuffle + the last() agg reuses it
         ("flux_compiled_ema", 2),
         # lag pair over ONE series-key partitioning

@@ -45,6 +45,7 @@ stage):
                 | histogramQuantile (fused after histogram)
                 | tripleExponentialDerivative | kaufmansAMA
                 | events.duration | interpolate.linear | reduce
+                | timeWeightedAvg
     map        := 'map' '(' 'fn:' '(r)' '=>' '({ r with _value:' arith '})' ')'
     arith      := refs, numeric literals, v.NAME, + - * / ( )  [doubles]
     range      := 'range' '(' 'start:' time [',' 'stop:' time] ')'
@@ -144,6 +145,12 @@ frame; frames that keep the original ``_value`` beside a named result
 column — derivative/movingAverage forms — refuse the ambiguous
 rewrite). The streaming compiler ships the same stage through the
 same shared definition (``_post_value_map``).
+
+Round 12d also adds ``timeWeightedAvg([unit:])`` — the time-weighted
+gauge mean: the integral's exact-decimal trapezoid machinery divided
+by the OBSERVED span per table (the registered time_weighted_avg
+operator's pinned convention; single-point tables yield NULL; the
+``unit:`` cancels algebraically and is validated only).
 
 Round 10 adds the period-comparison stages (VERDICT r8 item 6):
 
@@ -2811,7 +2818,7 @@ def _compile_pipeline(
         "movingAverage", "increase", "stateDuration", "pivot",
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
         "elapsed", "histogram", "unique", "distinct", "window",
-        "integral", "exponentialMovingAverage",
+        "integral", "timeWeightedAvg", "exponentialMovingAverage",
         # round 10c: the technical-indicator / selector batch
         "mode", "skew", "stateCount", "chandeMomentumOscillator",
         "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
@@ -4540,6 +4547,8 @@ def _compile_pipeline(
                             # _value entirely — no ambiguity)
                             "integral" if transform is not None
                             and transform[0] == "integral" else None,
+                            "time_weighted_avg" if transform is not None
+                            and transform[0] == "twa" else None,
                             "last_value",
                         )
                         if c and c in out.columns
@@ -4599,6 +4608,8 @@ def _compile_pipeline(
                             agg[1] if agg is not None else None,
                             "integral" if transform is not None
                             and transform[0] == "integral" else None,
+                            "time_weighted_avg" if transform is not None
+                            and transform[0] == "twa" else None,
                             "last_value",
                         )
                         if c and c in out.columns
@@ -5367,6 +5378,42 @@ def _compile_pipeline(
                         F.col("__a").cast("double")
                         / F.lit(2.0 * unit_s * 1_000_000.0)
                     ).alias(yield_name or "integral"),
+                    "n",
+                )
+            )
+            return _finish(out)
+        if kind == "twa":
+            # time-weighted average per table: the integral's trapezoid
+            # machinery with the span division — Σ (vᵢ + vᵢ₋₁)·Δtᵢ over
+            # exact decimals / (2 · observed span). Single-point and
+            # zero-span tables yield NULL (no area, no span). Same
+            # double-op order as the registered time_weighted_avg
+            # oracle family: trap(double) / (2.0 * span(double)).
+            src = df.filter(F.col("_value").isNotNull())
+            w = Window.partitionBy(*keys).orderBy("_time", "_value")
+            y = _dec("_value")
+            seg = (y + F.lag(y).over(w)) * (
+                F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w)
+            ).cast("decimal(18,0)")
+            out = (
+                src.select(
+                    *keys,
+                    F.unix_micros("_time").alias("__us"),
+                    seg.alias("__seg"),
+                )
+                .groupBy(*keys)
+                .agg(
+                    F.sum("__seg").alias("__a"),
+                    (F.max("__us") - F.min("__us")).alias("__span"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select(
+                    *keys,
+                    F.when(
+                        F.col("__span") > 0,
+                        F.col("__a").cast("double")
+                        / (F.lit(2.0) * F.col("__span").cast("double")),
+                    ).alias(yield_name or "time_weighted_avg"),
                     "n",
                 )
             )

@@ -1799,6 +1799,58 @@ def flux_compiled_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_time_weighted",
+    # Flux timeWeightedAvg() (round 12d) — the correct mean of an
+    # irregular gauge: the integral's exact-decimal trapezoid sum
+    # divided by the observed span (first..last point per table; the
+    # pinned convention — upstream's boundary interpolation needs
+    # range context the order-insensitive frame contract lacks).
+    # Identical double-op order both sides: trap(double) /
+    # (2.0 * span(double)); single-point tables yield NULL.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, value,
+             lag(CAST(value AS DECIMAL(18,2))) OVER w AS pv,
+             lag(epoch_us(ts)) OVER w AS pt
+      FROM events
+      WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    )
+    SELECT 'events' AS _measurement, event_type AS _field,
+           CASE WHEN MAX(epoch_us(ts)) - MIN(epoch_us(ts)) > 0 THEN
+             CAST(SUM((CAST(value AS DECIMAL(18,2)) + pv)
+                      * CAST(epoch_us(ts) - pt AS DECIMAL(18,0)))
+                  AS DOUBLE)
+             / (2.0 * CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts))
+                           AS DOUBLE))
+           END AS time_weighted_avg,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def flux_compiled_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`timeWeightedAvg()` through the Flux front-end — the
+    time-weighted gauge mean (the registered time_weighted_avg
+    operator's convention, reached from dashboard text). The unit:
+    argument cancels algebraically and is accepted/validated only."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> timeWeightedAvg(unit: 1m)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_ema",
     # Flux exponentialMovingAverage(n: 10) |> last() — the smoothed
     # stat panel. Upstream semantics: seed = mean of the first n
