@@ -73,6 +73,11 @@ HEADLINE = (
     "flux_compiled_holt_winters_fit",
     "flux_compiled_reduce_fold",
     "flux_compiled_nested_overlay",
+    # round 12d: the tail rewrite over the windowed mean (postmap +
+    # threshold — the tail must cost a projection, nothing more) and
+    # the trapezoid/span twa (the integral machinery's second consumer)
+    "flux_compiled_postmap_units",
+    "flux_compiled_time_weighted",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",

@@ -5598,6 +5598,178 @@ def test_compile_flux_stream_alert_filter_equals_batch(spark, store, tmp_path):
     assert expected2 and all(got2[k] == v for k, v in expected2.items())
 
 
+def test_aggregate_window_time_src(spark, store, tmp_path):
+    """Round 12d: ``aggregateWindow(timeSrc:)`` — "_start" is the
+    engine's pinned convention (a no-op), "_stop" is UPSTREAM'S
+    DEFAULT labeling: every emitted label shifts to the window end
+    (start + period for sliding windows), applied before the tail
+    stages so a post filter on window_start tests stop labels.
+    Calendar windows and post-aggregate-transform compositions
+    raise; so does any other timeSrc value."""
+    base = """
+    from(bucket: "b")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean{extra})
+    """
+    import datetime as dt
+
+    plain = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in flux.compile_flux(
+            spark, base.format(extra=""), {"b": store}
+        ).collect()
+    }
+    # explicit "_start" ≡ omitted (byte-identical results)
+    start_lbl = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in flux.compile_flux(
+            spark, base.format(extra=', timeSrc: "_start"'), {"b": store}
+        ).collect()
+    }
+    assert start_lbl == plain
+    # "_stop" shifts every label by exactly the window size
+    stop_lbl = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in flux.compile_flux(
+            spark, base.format(extra=', timeSrc: "_stop"'), {"b": store}
+        ).collect()
+    }
+    assert stop_lbl == {
+        (ws + dt.timedelta(hours=6), f): v for (ws, f), v in plain.items()
+    }
+    # sliding windows label by start + PERIOD (the window's own end)
+    slide = base.format(extra=', period: 12h, timeSrc: "_stop"')
+    slide_plain = base.format(extra=", period: 12h")
+    got_slide = {
+        (r["window_start"], r["_field"]) for r in flux.compile_flux(
+            spark, slide, {"b": store}
+        ).collect()
+    }
+    want_slide = {
+        (r["window_start"] + dt.timedelta(hours=12), r["_field"])
+        for r in flux.compile_flux(spark, slide_plain, {"b": store}).collect()
+    }
+    assert got_slide == want_slide
+    # a post filter on window_start tests STOP labels (user order)
+    cut = sorted(ws for ws, _f in stop_lbl)[len(stop_lbl) // 2]
+    cut_s = cut.strftime("%Y-%m-%dT%H:%M:%SZ")
+    filt = flux.compile_flux(
+        spark,
+        base.format(extra=', timeSrc: "_stop"')
+        + f'  |> filter(fn: (r) => r["window_start"] >= {cut_s!r})\n',
+        {"b": store},
+    ).collect()
+    assert 0 < len(filt) < len(stop_lbl)
+    assert all(r["window_start"] >= cut for r in filt)
+    # streaming: "_stop" labels equal the batch form's
+    stream_text = base.format(extra=', timeSrc: "_stop"').replace(
+        'from(bucket: "b")', 'from(bucket: "gas-quality")'
+    )
+    live = flux.compile_flux_stream(
+        spark, stream_text, {"gas-quality": store}, watermark="0 seconds"
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_timesrc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_timesrc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_timesrc").collect()
+    }
+    max_t = max(ws for ws, _f in stop_lbl)
+    expected = {k: v for k, v in stop_lbl.items() if k[0] < max_t}
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # rejections
+    for bad, msg in (
+        (base.format(extra=', timeSrc: "_time"'), "timeSrc"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean, '
+         'timeSrc: "_stop")', "calendar"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: last, '
+         'timeSrc: "_stop") |> difference()', "consumes the window"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, bad, {"b": store})
+    with pytest.raises(flux.FluxError, match="join projects start labels"):
+        flux.compile_flux_stream(
+            spark,
+            'a = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean, '
+            'timeSrc: "_stop")\n'
+            'b = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
+            'join(tables: {a: a, b: b}, on: ["window_start"])',
+            {"b": store},
+        )
+
+
+def test_compile_flux_stream_stddev_spread_equals_batch(
+    spark, store, tmp_path
+):
+    """Round 12d: ``aggregateWindow(fn: stddev/spread)`` joins the
+    streaming subset — both are map-side-combinable (central moments /
+    extrema, bounded state) and share _plain_agg_expr with batch.
+    spread is bit-exact; stddev's moment merge is order-sensitive in
+    the last ulp, so its cross-path equality is to float tolerance
+    (documented — the one non-bit-exact member). median still raises
+    (rank aggregates buffer every window value)."""
+    import math
+
+    for fn, exact in (("spread", True), ("stddev", False)):
+        text = f"""
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 6h, fn: {fn})
+        """
+        live = flux.compile_flux_stream(
+            spark, text, {"gas-quality": store}, watermark="0 seconds"
+        )
+        q = (
+            live.writeStream.format("memory")
+            .queryName(f"flux_{fn}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{fn}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["window_start"]: (r[fn], r["n"])
+            for r in spark.sql(f"SELECT * FROM flux_{fn}").collect()
+        }
+        batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+        max_t = max(r["window_start"] for r in batch)
+        expected = {
+            r["window_start"]: (r[fn], r["n"])
+            for r in batch
+            if r["window_start"] < max_t
+        }
+        assert expected and got.keys() >= expected.keys()
+        for k, (v, n) in expected.items():
+            gv, gn = got[k]
+            assert gn == n
+            if v is None or gv is None:
+                # a single-point window: stddev_samp yields NULL on
+                # both paths or neither
+                assert gv is None and v is None, (k, gv, v)
+            elif exact:
+                assert gv == v
+            else:
+                assert math.isclose(gv, v, rel_tol=1e-9), (k, gv, v)
+        # variability genuinely varies across windows
+        assert len({v for v, _ in expected.values()}) > 1
+    with pytest.raises(flux.FluxError, match="STREAMING subset"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',
+            {"b": store},
+        )
+
+
 def test_postmap_after_aggregate_batch(spark, store):
     """Round 12d: the POST-AGGREGATE ``map()`` — the unit-converted
     aggregate panel (``aggregateWindow |> map(fn: (r) => ({ r with
@@ -5996,7 +6168,7 @@ def test_compile_flux_stream_multi_statement_union(spark, store, tmp_path):
             'join(tables: {a: a, b: b}, on: ["window_start"])',
             {"b": store},
         )
-    with pytest.raises(flux.FluxError, match="window sizes differ"):
+    with pytest.raises(flux.FluxError, match="window specs differ"):
         flux.compile_flux_stream(
             spark,
             'a = from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)\n'
@@ -6115,15 +6287,16 @@ def test_compile_flux_stream_map_timeshift(spark, store, tmp_path):
     assert expected and all(got[k] == v for k, v in expected.items())
     # the shifted side genuinely differs from the unshifted one
     assert any(v[0] != v[2] for v in expected.values())
-    # post-aggregate forms raise naming the subset
-    for bad in (
-        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
-        "|> map(fn: (r) => ({ r with _value: r._value * 2.0 }))",
-        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
-        "|> timeShift(duration: 1h)",
-    ):
-        with pytest.raises(flux.FluxError, match="STREAMING subset"):
-            flux.compile_flux_stream(spark, bad, {"b": store})
+    # post-aggregate timeShift still raises naming the subset
+    # (post-aggregate map STREAMS since round 12d —
+    # test_compile_flux_stream_postmap_equals_batch)
+    with pytest.raises(flux.FluxError, match="STREAMING subset"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+            "|> timeShift(duration: 1h)",
+            {"b": store},
+        )
 
 
 def test_compile_flux_stream_group_rekey(spark, store, tmp_path):

@@ -360,8 +360,10 @@ import pytest as _pytest
         ("flux_compiled_holt_winters_seasonal_fit", 2),
         # round 12d: the post-aggregate map + threshold are stateless
         # row ops over the aggregate output — the windowed mean's one
-        # exchange only (the tail adds NO exchange)
+        # exchange only (the tail adds NO exchange); the stop-label
+        # shift is a projection with the same budget
         ("flux_compiled_postmap_units", 1),
+        ("flux_compiled_timesrc_stop", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

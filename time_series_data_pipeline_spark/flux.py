@@ -1821,10 +1821,11 @@ def _strip_imports(flux: str) -> str:
 
 
 def _plain_agg_expr(fn: str) -> Column:
-    """The seven incremental (map-side-combinable) aggregate value
+    """The nine incremental (map-side-combinable) aggregate value
     expressions, shared VERBATIM by the batch window path and
     ``compile_flux_stream`` — one definition, so the pinned
-    streaming==batch bit-identity cannot drift (review r11b).
+    streaming==batch equality cannot drift (review r11b; bit-exact
+    for all but stddev's order-sensitive moment merge).
 
     ``first``/``last`` (round 12 — the live stat-panel gauge) are the
     selector pair: a (time, value) extremum struct folded by
@@ -1845,6 +1846,20 @@ def _plain_agg_expr(fn: str) -> Column:
         return F.min_by("_value", F.struct(F.col("_time"), F.col("_value")))
     if fn == "last":  # greatest _time wins, value tie-break
         return F.max_by("_value", F.struct(F.col("_time"), F.col("_value")))
+    if fn == "stddev":
+        # Flux stddev() default mode "sample" — central-moment merge
+        # aggregation (map-side combinable, bounded state); NULL for a
+        # single-point window, exactly as Flux yields no value.
+        # Round 12d: joined the shared set so the live variability
+        # panel streams; the moment MERGE ORDER differs between
+        # partition layouts, so cross-path equality is to float
+        # tolerance, not bit-exact (the one non-bit-exact member —
+        # documented in the streaming==batch test)
+        return F.stddev_samp("_value")
+    if fn == "spread":
+        # max − min — two map-side-combinable extrema, exact on the
+        # store's doubles (round 12d: streams with the selector pair)
+        return F.max("_value") - F.min("_value")
     raise FluxError(f"no incremental aggregate expression for {fn!r}")
 
 
@@ -1869,10 +1884,10 @@ def compile_flux_stream(
 
     STREAMING subset — the dashboard pipeline shapes Structured
     Streaming can run incrementally: ``from |> range |> filter* |>
-    aggregateWindow(every:, fn: mean/count/sum/min/max/first/last[,
-    period:][, offset:][, createEmpty: false]) [|> filter(...)]
-    [|> yield]``, or the same prefix with NO aggregation (a raw
-    live-table panel). ``period:``/``offset:`` (round 12d) are the
+    aggregateWindow(every:, fn: mean/count/sum/min/max/first/last/
+    stddev/spread[, period:][, offset:][, createEmpty: false])
+    [|> filter(...)] [|> yield]``, or the same prefix with NO
+    aggregation (a raw live-table panel). ``period:``/``offset:`` (round 12d) are the
     SLIDING and alignment-shifted live panels — the batch compiler's
     own ``F.window(period, every, startTime)`` struct under the
     watermark, finalized per overlapping window in append mode. The
@@ -2132,6 +2147,7 @@ def _compile_stream_single(
     # post-aggregate tail stages, in user order: ("filter", toks,
     # stage) alert thresholds / ("map", arith_src, stage) unit rewrites
     post_stages: list[tuple[str, Any, str]] = []
+    agg_timesrc = "_start"  # aggregateWindow timeSrc: (round 12d)
     yield_name = None
     for stage in stages[1:]:
         head = stage.split("(", 1)[0].strip()
@@ -2253,11 +2269,17 @@ def _compile_stream_single(
             if every_s <= 0:
                 raise FluxError(f"aggregateWindow every must be > 0: {every!r}")
             fn = a.get("fn", "mean").strip()
-            if fn not in ("mean", "count", "sum", "min", "max", "first", "last"):
+            if fn not in (
+                "mean", "count", "sum", "min", "max", "first", "last",
+                "stddev", "spread",
+            ):
+                # median/quantile/mode buffer every window value in
+                # state (rank aggregates have no bounded merge form) —
+                # a batch query's job
                 raise FluxError(
                     f"aggregateWindow fn: {fn!r} is outside the STREAMING "
-                    "subset (mean/count/sum/min/max/first/last — "
-                    "incremental, map-side-combinable state)"
+                    "subset (mean/count/sum/min/max/first/last/stddev/"
+                    "spread — incremental, map-side-combinable state)"
                 )
             if "createEmpty" in a and _resolve(a["createEmpty"], params) is not False:
                 raise FluxError(
@@ -2297,7 +2319,20 @@ def _compile_stream_single(
                         f"aggregateWindow offset: bad duration {off_tok!r}"
                     )
                 offset_s = _duration_seconds(off_tok) % every_s
-            extra = set(a) - {"every", "fn", "createEmpty", "period", "offset"}
+            if "timeSrc" in a:
+                # round 12d: same label rule as batch — "_stop" shifts
+                # the emitted label to the window end (a stateless
+                # projection over the append-mode output)
+                ts_raw = _resolve(a["timeSrc"], params)
+                if ts_raw not in ("_start", "_stop"):
+                    raise FluxError(
+                        'aggregateWindow timeSrc: ships "_start" or '
+                        f'"_stop"; got {ts_raw!r}'
+                    )
+                agg_timesrc = ts_raw
+            extra = set(a) - {
+                "every", "fn", "createEmpty", "period", "offset", "timeSrc",
+            }
             if extra:
                 raise FluxError(
                     f"aggregateWindow: unsupported args {sorted(extra)} "
@@ -2502,6 +2537,23 @@ def _compile_stream_single(
         *key_cols,
         *value_cols,
     )
+    if agg_timesrc == "_stop":
+        if keep_window:
+            # the join pairs on the window STRUCT and projects its own
+            # start label — a stop-labeled input's label never surfaces
+            raise FluxError(
+                'timeSrc: "_stop" on a streaming join input is outside '
+                "the subset (the join projects start labels)"
+            )
+        # upstream's default labeling: the window end — a stateless
+        # projection over the append-mode output, same as batch
+        base = base.withColumn(
+            "window_start",
+            F.timestamp_micros(
+                F.unix_micros("window_start")
+                + F.lit((period_s or every_s) * 1_000_000)
+            ),
+        )
     for op in post_stages:
         visible = [c for c in base.columns if c != "__w"]
         if op[0] == "map":
@@ -2796,6 +2848,7 @@ def _compile_pipeline(
     # with _value maps, so extraction stays order-free.)
     row_ops: list[tuple[str, Column]] = []
     agg = None  # (every_s, fn, create_empty)
+    agg_timesrc = "_start"  # aggregateWindow timeSrc: (round 12d)
     take_last = False
     # aggregateWindow |> <value-series transform> (the downsample-then-
     # rate idiom): the transform runs over the windowed aggregate's
@@ -2968,6 +3021,15 @@ def _compile_pipeline(
                         f"aggregateWindow |> {head}(): tumbling windows "
                         "only (no createEmpty/sliding/calendar) in the "
                         "shipped subset"
+                    )
+                if agg_timesrc == "_stop":
+                    # the transform would consume stop-labeled times —
+                    # its emitted timestamps and the label convention
+                    # interleave ambiguously; compose in DataFrame land
+                    raise FluxError(
+                        f'timeSrc: "_stop" before {head}() is outside '
+                        "the shipped subset (the transform consumes the "
+                        "window labels)"
                     )
                 transform_post_agg = True
                 # fall through to the transform's own parse branch
@@ -3207,8 +3269,27 @@ def _compile_pipeline(
                         f"aggregateWindow offset: bad duration {off_tok!r}"
                     )
                 offset_s = _duration_seconds(off_tok)
+            # timeSrc: — the window-label source (round 12d).
+            # "_start" is this engine's pinned convention (no-op);
+            # "_stop" is UPSTREAM'S DEFAULT: the emitted label becomes
+            # the window end (start + every), applied once on the
+            # output frame before the tail stages, so a pasted
+            # dashboard query with explicit timeSrc: "_stop" replays.
+            # Calendar windows raise (a month's end is not a fixed
+            # shift); "_time" (the last raw timestamp) is not a label
+            # this order-insensitive frame contract can produce.
+            if "timeSrc" in a:
+                ts_raw = _resolve(a["timeSrc"], params)
+                if ts_raw not in ("_start", "_stop"):
+                    raise FluxError(
+                        'aggregateWindow timeSrc: ships "_start" (the '
+                        'engine convention) or "_stop" (upstream\'s '
+                        f"default label); got {ts_raw!r}"
+                    )
+                agg_timesrc = ts_raw
             extra = set(a) - {
                 "every", "fn", "createEmpty", "period", "offset",
+                "timeSrc",
             }
             if extra:
                 raise FluxError(
@@ -3219,6 +3300,12 @@ def _compile_pipeline(
                     raise FluxError(
                         "aggregateWindow: period:/offset: do not compose "
                         "with calendar every: (1mo/1y) in the subset"
+                    )
+                if agg_timesrc == "_stop":
+                    raise FluxError(
+                        'timeSrc: "_stop" with calendar every: (1mo/1y) '
+                        "is outside the subset (a month's end is not a "
+                        "fixed shift)"
                     )
                 if create_empty:
                     raise FluxError(
@@ -4461,6 +4548,22 @@ def _compile_pipeline(
         # arbitrary rows.
         from pyspark.sql import Window
 
+        if agg_timesrc == "_stop" and "window_start" in out.columns:
+            # timeSrc: "_stop" (round 12d) — upstream's default window
+            # labeling: shift the label to the window end BEFORE the
+            # tail stages (Flux assigns _time from timeSrc at the
+            # aggregation itself, so post-stage references see stop
+            # labels). The window DURATION is period (sliding) or
+            # every; agg[0] is int seconds here — calendar and
+            # post-agg-transform forms raised at parse.
+            out = out.withColumn(
+                "window_start",
+                F.timestamp_micros(
+                    F.unix_micros("window_start")
+                    + F.lit(int(agg[4] or agg[0]) * 1_000_000)
+                ),
+            )
+
         pending_sort: tuple | None = None
         sorted_limit_applied = False
 
@@ -5039,22 +5142,18 @@ def _compile_pipeline(
                 "n",
             )
             return _finish(out)
-        if fn in ("mean", "sum", "count", "min", "max", "first", "last"):
-            # the seven incremental fns share ONE expression definition
+        if fn in (
+            "mean", "sum", "count", "min", "max", "first", "last",
+            "stddev", "spread",
+        ):
+            # the nine incremental fns share ONE expression definition
             # with compile_flux_stream (_plain_agg_expr) — the pinned
-            # streaming==batch bit-identity hangs on it
+            # streaming==batch equality hangs on it (bit-exact for all
+            # but stddev, whose moment merge is order-sensitive in the
+            # last ulp)
             expr = _plain_agg_expr(fn)
         elif fn == "median":
             expr = F.median("_value")
-        elif fn == "stddev":
-            # Flux stddev() default mode "sample" — central-moment
-            # merge aggregation (map-side combinable); NULL for a
-            # single-point table, exactly as Flux yields no value
-            expr = F.stddev_samp("_value")
-        elif fn == "spread":
-            # max − min over the table/window — two map-side-combinable
-            # extrema, exact on the store's doubles
-            expr = F.max("_value") - F.min("_value")
         else:
             # structural backstop (VERDICT r8): an accepted-set name
             # with no expression branch must raise, never silently

@@ -166,10 +166,12 @@ _CHECKED_WINDOW = [
     "flux_compiled_reduce_fold",
     "flux_compiled_nested_overlay",
     # round 12d: the post-aggregate map tail stage (unit-converted
-    # panel + threshold in user order) and the timeWeightedAvg gauge
-    # mean — new queries, never had a row
+    # panel + threshold in user order), the timeWeightedAvg gauge
+    # mean, and upstream's default stop-labeled windows — new
+    # queries, never had a row
     "flux_compiled_postmap_units",
     "flux_compiled_time_weighted",
+    "flux_compiled_timesrc_stop",
     # --- the enumerated r12 rotation heads (VERDICT r11 item 1: the
     # r9-green singletons the r11 window deliberately left out) ---
     "counter_increase",
@@ -212,10 +214,10 @@ _CHECKED_WINDOW = [
     "negative_pairs",
     "dsir_weights",
     "duplicate_spans",
-    "hybrid_search_rrf",
-    # span_dedup_apply and curation_pipeline yielded their slots to
-    # flux_compiled_postmap_units / flux_compiled_time_weighted
-    # (round 12d); both stay suite-covered via in-window suite_round5
+    # span_dedup_apply, curation_pipeline and hybrid_search_rrf
+    # yielded their slots to flux_compiled_postmap_units /
+    # flux_compiled_time_weighted / flux_compiled_timesrc_stop
+    # (round 12d); all stay suite-covered via in-window suite_round5
     # (own rows r7/r6)
     # --- always-checked core: flagships + suites (11; suite_round11
     # and suite_flux_round10c are the sole attestation paths for

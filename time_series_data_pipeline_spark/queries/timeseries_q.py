@@ -4015,6 +4015,47 @@ def flux_compiled_postmap_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_timesrc_stop",
+    # round 12d: aggregateWindow(timeSrc: "_stop") — UPSTREAM'S
+    # DEFAULT window labeling: every emitted label is the window END
+    # (floor + 1 interval), so a pasted dashboard query with the
+    # explicit default replays. Values identical to the start-labeled
+    # form; only the label shifts.
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) // 3600000000) + 1)
+                          * 3600000000) AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type = 'signup' AND value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_timesrc_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`aggregateWindow(timeSrc: "_stop")` through the Flux front-end —
+    upstream's default stop-labeled windows (round 12d; "_start" stays
+    the engine's pinned convention and compiles as a no-op)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "signup")
+          |> aggregateWindow(every: 1h, fn: mean, timeSrc: "_stop")
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_columns",
     # columns() — record-label introspection per table: compile-time
     # constant labels exploded over the DISTINCT table keys.
