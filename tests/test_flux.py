@@ -5598,6 +5598,50 @@ def test_compile_flux_stream_alert_filter_equals_batch(spark, store, tmp_path):
     assert expected2 and all(got2[k] == v for k, v in expected2.items())
 
 
+def test_legacy_window_aggregate_idiom(spark, store):
+    """Round 12d: the LEGACY pre-aggregateWindow idiom InfluxDB 2.0's
+    Data Explorer generated — ``window(every:) |> <agg>() |>
+    window(every: inf)`` — rewrites to the windowed aggregate
+    (aggregateWindow IS upstream's sugar for it), byte-identical
+    results; the trailing un-window merge is a no-op on the merged-
+    frame contract and optional. Finite re-windows after an
+    aggregate, bare window(every: inf), and aggregates the idiom
+    doesn't cover still raise."""
+    for fn in ("mean", "last", "count"):
+        legacy = (
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+            f"|> window(every: 6h) |> {fn}() |> window(every: inf)"
+        )
+        modern = (
+            'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+            f"|> aggregateWindow(every: 6h, fn: {fn})"
+        )
+        a = sorted(map(tuple, flux.compile_flux(spark, legacy, {"b": store}).collect()))
+        b = sorted(map(tuple, flux.compile_flux(spark, modern, {"b": store}).collect()))
+        assert a == b and len(a) > 1, fn
+    # the trailing un-window is optional (frames are merged by contract)
+    c = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> window(every: 6h) |> mean()",
+        {"b": store},
+    )
+    assert "window_start" in c.columns
+    for bad, msg in (
+        ('from(bucket: "b") |> window(every: inf)', "nothing to merge"),
+        ('from(bucket: "b") |> window(every: 6h) |> mean() '
+         "|> window(every: 5m)", "after an aggregation"),
+        ('from(bucket: "b") |> window(every: 6h) |> quantile(q: 0.5)',
+         "second aggregation"),
+        ('from(bucket: "b") |> window(every: 6h) |> mean(column: "x")',
+         "takes no arguments"),
+        ('from(bucket: "b") |> window(every: 6h) |> mean() '
+         "|> window(every: inf, period: 1h)", "unsupported args"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux(spark, bad, {"b": store})
+
+
 def test_aggregate_window_time_src(spark, store, tmp_path):
     """Round 12d: ``aggregateWindow(timeSrc:)`` — "_start" is the
     engine's pinned convention (a no-op), "_stop" is UPSTREAM'S

@@ -364,6 +364,9 @@ import pytest as _pytest
         # shift is a projection with the same budget
         ("flux_compiled_postmap_units", 1),
         ("flux_compiled_timesrc_stop", 1),
+        # the legacy window |> mean |> window(inf) idiom rewrites to
+        # the SAME windowed-aggregate plan — one exchange
+        ("flux_compiled_legacy_window", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -55,18 +55,20 @@ def test_new_and_changed_queries_lead_the_window():
     # fifteen rotation heads VERDICT r11 item 1 enumerated (the
     # r9-green singletons the r11 window deliberately left out), then
     # the five suite_round5 arms that have never had their own row
-    assert set(_CHECKED_WINDOW[:7]) == {
+    assert set(_CHECKED_WINDOW[:8]) == {
         "flux_compiled_holt_winters_fit",
         "flux_compiled_holt_winters_seasonal_fit",
         "flux_compiled_reduce_fold",
         "flux_compiled_nested_overlay",
         # round 12d: the post-aggregate map tail stage, the
-        # timeWeightedAvg gauge mean, upstream's stop-labeled windows
+        # timeWeightedAvg gauge mean, upstream's stop-labeled windows,
+        # and the legacy window/un-window idiom
         "flux_compiled_postmap_units",
         "flux_compiled_time_weighted",
         "flux_compiled_timesrc_stop",
+        "flux_compiled_legacy_window",
     }
-    assert set(_CHECKED_WINDOW[7:22]) == {
+    assert set(_CHECKED_WINDOW[8:23]) == {
         "counter_increase", "event_transitions",
         "funnel_view_click_purchase", "time_weighted_avg",
         "value_percentiles", "value_trend_per_type", "weekly_retention",
@@ -75,7 +77,7 @@ def test_new_and_changed_queries_lead_the_window():
         "sql_surface_top_part_types", "salted_join_segment_counts",
         "pricing_summary", "rollup_day_from_hour",
     }
-    assert set(_CHECKED_WINDOW[22:27]) == {
+    assert set(_CHECKED_WINDOW[23:28]) == {
         "holt_linear_final", "decimate_lttb", "trailing_1h_mean",
         "state_duration", "series_correlation",
     }

@@ -3049,6 +3049,37 @@ def _compile_pipeline(
                 # (createEmpty gap-fills the composed series the same
                 # way — the spine covers the series' own time range.)
                 pass
+            elif (
+                head in (
+                    "mean", "count", "sum", "min", "max", "median",
+                    "first", "last", "spread", "stddev",
+                )
+                and transform is not None
+                and transform[0] == "window"
+                and agg is None
+                and not take_last
+            ):
+                # the LEGACY pre-aggregateWindow idiom (round 12d —
+                # InfluxDB 2.0's Data Explorer generated exactly this):
+                # window(every:) |> <agg>() [|> window(every: inf)].
+                # The first two stages rewrite to the windowed
+                # aggregate — aggregateWindow IS upstream's sugar for
+                # this composition, with the same createEmpty: false
+                # behavior the legacy form has (windows with no data
+                # don't exist); the trailing un-window merge is a
+                # no-op on this engine's merged-frame contract,
+                # validated in the window branch below
+                if _args(stage, head):
+                    raise FluxError(
+                        f"bare {head}() takes no arguments in the subset"
+                    )
+                agg = (transform[1], head, False, None, None, 0)
+                transform = None
+                continue
+            elif head == "window" and agg is not None and transform is None:
+                # possibly the legacy un-window merge — fall through
+                # to the window branch, which accepts every: inf only
+                pass
             else:
                 raise FluxError(
                     f"second aggregation/transform stage {head!r} is outside "
@@ -4246,12 +4277,43 @@ def _compile_pipeline(
             # tumbling-window bounds as _start/_stop columns (the
             # re-keyed Flux tables materialized as columns — this store
             # carries window identity in columns, SURVEY §1.1). A
-            # narrow map — no shuffle; window |> <agg> is spelled
-            # aggregateWindow in the subset and raises here.
+            # narrow map — no shuffle. window |> <agg> [|> window(inf)]
+            # — the LEGACY Data-Explorer idiom — rewrites to the
+            # windowed aggregate in the terminal gate above (round 12d).
             a = _args(stage, "window")
             if "every" not in a:
                 raise FluxError("window requires every:")
             every = _resolve(a["every"], params)
+            if every == "inf" or (
+                isinstance(every, float) and every == float("inf")
+            ):
+                # the legacy un-window merge closing the window |> agg
+                # idiom (round 12d): upstream merges the per-window
+                # tables back into one — a no-op here, where frames
+                # are merged by contract (``inf`` resolves to the float
+                # through the literal parser, hence both forms)
+                if set(a) - {"every"}:
+                    raise FluxError(
+                        "window(every: inf): unsupported args "
+                        f"{sorted(set(a) - {'every'})}"
+                    )
+                if agg is None or transform is not None or take_last:
+                    raise FluxError(
+                        "window(every: inf) (the legacy un-window merge) "
+                        "requires a preceding window(every:) |> "
+                        "<aggregate> — nothing to merge here"
+                    )
+                continue
+            if agg is not None or take_last or transform is not None:
+                # a finite re-window over aggregated output would need
+                # the subset to model per-window table identity — only
+                # the legacy un-window merge (every: inf) follows an
+                # aggregate
+                raise FluxError(
+                    "window(every:) after an aggregation is outside the "
+                    "subset (only the legacy un-window merge "
+                    f"window(every: inf) follows it): {stage!r}"
+                )
             if not (isinstance(every, str) and _DUR_RE.match(every)):
                 raise FluxError(f"window every: bad duration {every!r}")
             every_w = _duration_seconds(every)

@@ -4056,6 +4056,49 @@ def flux_compiled_timesrc_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_legacy_window",
+    # round 12d: the LEGACY pre-aggregateWindow idiom (InfluxDB 2.0's
+    # Data Explorer generated exactly this text) — window(every:) |>
+    # mean() |> window(every: inf) rewrites to the windowed aggregate;
+    # the oracle is the plain windowed mean (byte-identical values —
+    # aggregateWindow IS upstream's sugar for the composition).
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS window_start,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type = 'signup' AND value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flux_compiled_legacy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`window |> mean |> window(every: inf)` through the Flux
+    front-end — the legacy Data-Explorer window/un-window idiom
+    (round 12d), rewritten onto the windowed-aggregate machinery."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "signup")
+          |> window(every: 1h)
+          |> mean()
+          |> window(every: inf)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_columns",
     # columns() — record-label introspection per table: compile-time
     # constant labels exploded over the DISTINCT table keys.
