@@ -1517,6 +1517,34 @@ def test_difference_signed_and_nonnegative(spark, store):
         {"b": store},
     )
     assert all(r["_value"] >= 0 for r in nn.collect())
+    # keepFirst: true preserves the row count with a NULL first delta;
+    # initialZero: true writes 0 there (round 12d); initialZero without
+    # keepFirst raises (the zero would never land)
+    kf = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> difference(keepFirst: true)",
+        {"b": store},
+    ).collect()
+    assert len(kf) == df.count()
+    first_t = min(r["_time"] for r in kf)
+    assert [r["_value"] for r in kf if r["_time"] == first_t] == [None]
+    kfz = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click")'
+        " |> difference(nonNegative: true, keepFirst: true,"
+        " initialZero: true)",
+        {"b": store},
+    ).collect()
+    assert len(kfz) == df.count()
+    assert [r["_value"] for r in kfz if r["_time"] == first_t] == [0.0]
+    assert all(r["_value"] is not None and r["_value"] >= 0 for r in kfz)
+    with pytest.raises(flux.FluxError, match="keepFirst"):
+        flux.compile_flux(
+            spark,
+            'from(bucket: "b") |> difference(initialZero: true)',
+            {"b": store},
+        )
 
 
 def test_cumulative_sum_and_last_reduction(spark, store):

@@ -230,6 +230,8 @@ import pytest as _pytest
         ("flux_compiled_increase", 1),
         # lag delta / running sum: same single-partitioning shape
         ("flux_compiled_difference", 1),
+        # keepFirst/initialZero ride the same lag window — same budget
+        ("flux_compiled_difference_keepfirst", 1),
         ("flux_compiled_cumulative_sum", 1),
         # map is an in-plan rewrite: the windowed agg's one exchange only
         ("flux_compiled_map_units", 1),

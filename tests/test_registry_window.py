@@ -55,20 +55,22 @@ def test_new_and_changed_queries_lead_the_window():
     # fifteen rotation heads VERDICT r11 item 1 enumerated (the
     # r9-green singletons the r11 window deliberately left out), then
     # the five suite_round5 arms that have never had their own row
-    assert set(_CHECKED_WINDOW[:8]) == {
+    assert set(_CHECKED_WINDOW[:9]) == {
         "flux_compiled_holt_winters_fit",
         "flux_compiled_holt_winters_seasonal_fit",
         "flux_compiled_reduce_fold",
         "flux_compiled_nested_overlay",
         # round 12d: the post-aggregate map tail stage, the
         # timeWeightedAvg gauge mean, upstream's stop-labeled windows,
-        # and the legacy window/un-window idiom
+        # the legacy window/un-window idiom, and the row-count-
+        # preserving difference form
         "flux_compiled_postmap_units",
         "flux_compiled_time_weighted",
         "flux_compiled_timesrc_stop",
         "flux_compiled_legacy_window",
+        "flux_compiled_difference_keepfirst",
     }
-    assert set(_CHECKED_WINDOW[8:23]) == {
+    assert set(_CHECKED_WINDOW[9:24]) == {
         "counter_increase", "event_transitions",
         "funnel_view_click_purchase", "time_weighted_avg",
         "value_percentiles", "value_trend_per_type", "weekly_retention",
@@ -77,7 +79,7 @@ def test_new_and_changed_queries_lead_the_window():
         "sql_surface_top_part_types", "salted_join_segment_counts",
         "pricing_summary", "rollup_day_from_hour",
     }
-    assert set(_CHECKED_WINDOW[23:28]) == {
+    assert set(_CHECKED_WINDOW[24:29]) == {
         "holt_linear_final", "decimate_lttb", "trailing_1h_mean",
         "state_duration", "series_correlation",
     }

@@ -3478,16 +3478,45 @@ def _compile_pipeline(
             # first row dropped (no predecessor). nonNegative: true is
             # the counter form (reset ⇒ previous assumed zero ⇒ delta =
             # current value) — the same rule increase() accumulates.
+            # keepFirst: true (round 12d) keeps each table's first row
+            # with a NULL delta — upstream's row-count-preserving form
+            # — and initialZero: true writes 0 there instead (exactly
+            # what increase() does internally; now reachable from the
+            # bare stage).
             a = _args(stage, "difference")
             nn = _resolve(a["nonNegative"], params) if "nonNegative" in a else False
             if not isinstance(nn, bool):
                 raise FluxError(
                     f"difference nonNegative: expected a boolean, got {nn!r}"
                 )
-            extra = set(a) - {"nonNegative"}
+            keep_first = (
+                _resolve(a["keepFirst"], params) if "keepFirst" in a else False
+            )
+            if not isinstance(keep_first, bool):
+                raise FluxError(
+                    f"difference keepFirst: expected a boolean, got "
+                    f"{keep_first!r}"
+                )
+            initial_zero = (
+                _resolve(a["initialZero"], params)
+                if "initialZero" in a
+                else False
+            )
+            if not isinstance(initial_zero, bool):
+                raise FluxError(
+                    f"difference initialZero: expected a boolean, got "
+                    f"{initial_zero!r}"
+                )
+            if initial_zero and not keep_first:
+                raise FluxError(
+                    "difference initialZero: true applies to the KEPT "
+                    "first row — set keepFirst: true (upstream drops "
+                    "the first row otherwise and the zero never lands)"
+                )
+            extra = set(a) - {"nonNegative", "keepFirst", "initialZero"}
             if extra:
                 raise FluxError(f"difference: unsupported args {sorted(extra)}")
-            transform = ("difference", nn)
+            transform = ("difference", nn, keep_first, initial_zero)
         elif head == "cumulativeSum":
             # cumulativeSum(): per-table running sum rewriting _value.
             # The default column list is the only shape shipped.
@@ -6383,6 +6412,23 @@ def _compile_pipeline(
                         "_time",
                         F.coalesce(point, F.lit(0))
                         .cast("double")
+                        .alias("_value"),
+                    )
+                elif kind == "difference" and transform[2]:
+                    # keepFirst: true (round 12d) — the row-count-
+                    # preserving form: each table's first row stays
+                    # with a NULL delta, or 0 under initialZero
+                    # (exactly increase()'s internal convention)
+                    first_val = (
+                        F.lit(0.0)
+                        if transform[3]
+                        else F.lit(None).cast("double")
+                    )
+                    series = src.select(
+                        *keys,
+                        "_time",
+                        F.when(prev.isNull(), first_val)
+                        .otherwise(point.cast("double"))
                         .alias("_value"),
                     )
                 else:

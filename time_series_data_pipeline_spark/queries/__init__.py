@@ -173,6 +173,7 @@ _CHECKED_WINDOW = [
     "flux_compiled_time_weighted",
     "flux_compiled_timesrc_stop",
     "flux_compiled_legacy_window",
+    "flux_compiled_difference_keepfirst",
     # --- the enumerated r12 rotation heads (VERDICT r11 item 1: the
     # r9-green singletons the r11 window deliberately left out) ---
     "counter_increase",
@@ -213,12 +214,12 @@ _CHECKED_WINDOW = [
     "dedup_apply",
     "dq_lineitem",
     "negative_pairs",
-    "dsir_weights",
-    # span_dedup_apply, curation_pipeline, hybrid_search_rrf and
-    # duplicate_spans yielded their slots to the four round-12d
-    # queries (flux_compiled_postmap_units / _time_weighted /
-    # _timesrc_stop / _legacy_window); all stay suite-covered via
-    # in-window suite_round5 (own rows r7/r6)
+    # span_dedup_apply, curation_pipeline, hybrid_search_rrf,
+    # duplicate_spans and dsir_weights yielded their slots to the
+    # five round-12d queries (flux_compiled_postmap_units /
+    # _time_weighted / _timesrc_stop / _legacy_window /
+    # _difference_keepfirst); all stay suite-covered via in-window
+    # suite_round5 (own rows r7/r6)
     # --- always-checked core: flagships + suites (11; suite_round11
     # and suite_flux_round10c are the sole attestation paths for
     # their singleton arms, and the round-12 holtWinters/reduce code

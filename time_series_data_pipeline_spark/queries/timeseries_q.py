@@ -1113,6 +1113,50 @@ def flux_compiled_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_difference_keepfirst",
+    # round 12d: difference(nonNegative: true, keepFirst: true,
+    # initialZero: true) — upstream's row-count-preserving counter
+    # delta (exactly increase()'s internal convention, now reachable
+    # from the bare stage): the reset-aware delta with 0 on each
+    # table's first row.
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field, ts AS _time,
+           CAST(CASE
+             WHEN lag(CAST(value AS DECIMAL(18,2))) OVER w IS NULL
+               THEN CAST(0 AS DECIMAL(18,2))
+             WHEN CAST(value AS DECIMAL(18,2))
+                  >= lag(CAST(value AS DECIMAL(18,2))) OVER w
+               THEN CAST(value AS DECIMAL(18,2))
+                    - lag(CAST(value AS DECIMAL(18,2))) OVER w
+             ELSE CAST(value AS DECIMAL(18,2))
+           END AS DOUBLE) AS _value
+    FROM events
+    WHERE event_type = 'view' AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, value)
+    """,
+)
+def flux_compiled_difference_keepfirst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flux `difference(nonNegative:, keepFirst:, initialZero:)`
+    through the front-end — the row-count-preserving counter-delta
+    form (round 12d)."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> difference(nonNegative: true, keepFirst: true, initialZero: true)
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_cumulative_sum",
     # Flux cumulativeSum() — per-table running sum rewriting _value
     # (every row kept; nulls excluded first, the declared shared
