@@ -477,6 +477,101 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert bkt.expire_partitions(spark, path, cutoff) == []
 
 
+def test_delete_rows_predicate(spark, tmp_path):
+    """The InfluxDB DELETE endpoint analog (round 12d): rows inside
+    [start, stop) matching the equality predicate vanish; only the
+    touched _date partitions are rewritten (untouched partition files
+    keep their mtimes — the O(touched) proof); an emptied partition
+    dir is removed; the manifest follows; a re-run is a no-op."""
+    import pytest
+
+    path = _build_store(spark, tmp_path)
+    src = _events_long(spark)
+    dates = sorted(
+        str(r["_date"])
+        for r in bkt.read_bucket(spark, path).select("_date").distinct().collect()
+    )
+    assert len(dates) >= 4
+    start = f"{dates[1]} 06:00:00"
+    stop = f"{dates[2]} 18:00:00"
+    # untouched partitions: record file mtimes before the delete
+    def _files_outside():
+        out = {}
+        for dirpath, _dirs, files in os.walk(path):
+            if bkt.MANIFEST_SUBDIR in dirpath:
+                continue
+            if f"_date={dates[1]}" in dirpath or f"_date={dates[2]}" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = _files_outside()
+    assert before
+    in_range = (F.col("_time") >= start) & (F.col("_time") < stop)
+    want_deleted = src.filter(in_range & (F.col("_field") == "click")).count()
+    assert want_deleted > 0
+    res = bkt.delete_rows(
+        spark, path, start, stop, measurement="events", field="click",
+        cluster="field",
+    )
+    assert res["rows_deleted"] == want_deleted
+    assert res["partitions_rewritten"] and not res["partitions_removed"]
+    # surviving rows = everything except the matched ones
+    assert bkt.read_bucket(spark, path).count() == src.count() - want_deleted
+    assert (
+        bkt.read_bucket(spark, path)
+        .filter(in_range & (F.col("_field") == "click"))
+        .count()
+        == 0
+    )
+    # other fields in the range are intact
+    assert (
+        bkt.read_bucket(spark, path)
+        .filter(in_range & (F.col("_field") != "click"))
+        .count()
+        == src.filter(in_range & (F.col("_field") != "click")).count()
+    )
+    # untouched partitions were not rewritten
+    assert _files_outside() == before
+    # the manifest followed: a pruned scan agrees
+    assert (
+        bkt.scan_bucket(spark, path, field="click").count()
+        == src.filter(F.col("_field") == "click").count() - want_deleted
+    )
+    # idempotent re-run
+    res2 = bkt.delete_rows(
+        spark, path, start, stop, measurement="events", field="click",
+        cluster="field",
+    )
+    assert res2["rows_deleted"] == 0 and not res2["partitions_removed"]
+    # deleting a WHOLE day of every field empties the partition dir
+    res3 = bkt.delete_rows(
+        spark, path, f"{dates[3]} 00:00:00", "2099-01-01 00:00:00",
+        measurement="events", cluster="field",
+    )
+    assert any(f"_date={dates[3]}" in p for p in res3["partitions_removed"])
+    assert not os.path.isdir(
+        os.path.join(path, "_measurement=events", f"_date={dates[3]}")
+    )
+    # unknown predicate tag raises naming the store's tag columns
+    with pytest.raises(ValueError, match="not a promoted column"):
+        bkt.delete_rows(
+            spark, path, start, stop, tags={"host": "a"},
+        )
+
+
+def test_delete_rows_refuses_streaming_sink_stores(spark, tmp_path):
+    import pytest
+
+    store = str(tmp_path / "delsink")
+    os.makedirs(os.path.join(store, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        bkt.delete_rows(spark, store, "2024-01-01", "2024-02-01")
+
+
 def test_expire_partitions_refuses_streaming_sink_stores(spark, tmp_path):
     """Deleting partition dirs under a FileStreamSink store would leave
     _spark_metadata pointing at vanished files (every native read then

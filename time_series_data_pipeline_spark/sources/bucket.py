@@ -447,6 +447,132 @@ def expire_partitions(
     return deleted
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    start: str,
+    stop: str,
+    measurement: str | None = None,
+    field: str | None = None,
+    tags: dict[str, str] | None = None,
+    cluster: str = "day",
+) -> dict:
+    """The InfluxDB DELETE endpoint analog (``influx delete --bucket b
+    --start --stop [--predicate '_measurement="m" AND host="a"']``):
+    remove rows inside ``[start, stop)`` matching the predicate —
+    the documented equality-conjunction subset (measurement, field,
+    promoted-tag equalities), exactly the trio the scanner pushes down.
+    ``start``/``stop`` are REQUIRED, as upstream requires them.
+
+    Scale shape (SURVEY §2.7 ST6's idempotent-overwrite discipline):
+    only the ``_date`` partitions intersecting the range are read and
+    rewritten — dynamic partition overwrite replaces each touched
+    partition with its SURVIVING rows, so cost is O(touched
+    partitions), never a table rewrite. A partition left with zero
+    survivors is removed like ``expire_partitions`` (dynamic overwrite
+    cannot express "replace with nothing"). Survivors are eagerly
+    materialized (``localCheckpoint``) before the overwrite — a lazy
+    plan would read the very files the write replaces. The stats
+    manifest refreshes incrementally afterwards. Idempotent: a re-run
+    finds no matching rows and rewrites partitions with themselves.
+    Single maintenance writer assumed, like compact/expire.
+
+    ``cluster`` must name the store's file-clustering layout (see
+    ``write_bucket``) so the rewritten partitions keep their footer-
+    stats organization. Returns ``{"rows_deleted": int,
+    "partitions_rewritten": [...], "partitions_removed": [...]}``.
+    """
+    import os
+    import shutil
+
+    root = os.path.abspath(path)
+    if os.path.isdir(os.path.join(root, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a streaming-sink store (_spark_metadata present): "
+            "delete_rows would orphan the sink log; compact to a batch "
+            "bucket first"
+        )
+    d0 = start[:10]
+    # stop is exclusive: a midnight stop does not touch that day
+    import datetime as _dt
+
+    stop_dt = _dt.datetime.fromisoformat(stop.replace("Z", "+00:00"))
+    d1 = (stop_dt - _dt.timedelta(microseconds=1)).date().isoformat()
+    # touched partitions, from the directory layout (like expire)
+    touched: list[tuple[str, str]] = []
+    for mdir in sorted(os.listdir(root)):
+        if not mdir.startswith("_measurement="):
+            continue
+        mname = mdir.split("=", 1)[1]
+        if measurement is not None and mname != measurement:
+            continue
+        mpath = os.path.join(root, mdir)
+        for ddir in sorted(os.listdir(mpath)):
+            if ddir.startswith("_date=") and d0 <= ddir.split("=", 1)[1] <= d1:
+                touched.append((mname, ddir.split("=", 1)[1]))
+    if not touched:
+        return {
+            "rows_deleted": 0,
+            "partitions_rewritten": [],
+            "partitions_removed": [],
+        }
+    src = read_bucket(spark, path).filter(
+        F.col("_date").between(d0, d1)
+        & (
+            F.col("_measurement").isin([m for m, _ in {*touched}])
+            if measurement is None
+            else (F.col("_measurement") == measurement)
+        )
+    )
+    matching = (F.col("_time") >= F.lit(start).cast("timestamp")) & (
+        F.col("_time") < F.lit(stop).cast("timestamp")
+    )
+    if field is not None:
+        matching = matching & (F.col("_field") == field)
+    for t, v in (tags or {}).items():
+        if t not in src.columns:
+            raise ValueError(
+                f"predicate tag {t!r} is not a promoted column of this "
+                f"store (has {tag_columns(src)})"
+            )
+        # a NULL tag never equals the predicate value — those rows
+        # survive, exactly upstream's missing-tag behavior
+        matching = matching & (F.col(t) == v)
+    n_match = src.filter(matching).count()
+    survivors = src.filter(~F.coalesce(matching, F.lit(False))).drop("_date")
+    # eager materialization: the overwrite replaces the files this
+    # plan reads
+    survivors = survivors.localCheckpoint(eager=True)
+    surv_parts = {
+        (r["_measurement"], r["_date"].isoformat())
+        for r in survivors.withColumn("_date", F.to_date("_time"))
+        .select("_measurement", "_date")
+        .distinct()
+        .collect()
+    }
+    if n_match and surv_parts:
+        write_bucket(survivors, path, mode="overwrite", cluster=cluster)
+    removed = []
+    for mname, d in touched:
+        if (mname, d) not in surv_parts:
+            shutil.rmtree(
+                os.path.join(root, f"_measurement={mname}", f"_date={d}"),
+                ignore_errors=True,
+            )
+            removed.append(f"_measurement={mname}/_date={d}")
+    if n_match and os.path.isdir(os.path.join(root, MANIFEST_SUBDIR)):
+        refresh_bucket_manifest(spark, path, incremental=True)
+    return {
+        "rows_deleted": n_match,
+        "partitions_rewritten": sorted(
+            f"_measurement={m}/_date={d}"
+            for (m, d) in surv_parts
+            if (m, d) in set(touched)
+        ),
+        "partitions_removed": removed,
+    }
+
+
 def scan_bucket(
     spark: SparkSession,
     path: str,
