@@ -5893,6 +5893,18 @@ def test_postmap_after_aggregate_batch(spark, store):
     ).collect()
     assert len(bare) == len(bare_plain) == 1
     assert abs(bare[0]["mean"] - float(bare_plain[0]["mean"]) / 1000.0) < 1e-12
+    # formatting invariance: the bracketed layout with interior
+    # whitespace remaps exactly like the dotted form (the postfilter's
+    # own normalization rule)
+    spaced = probe + (
+        '  |> map(fn: (r) => ({ r with _value: r[ "_value" ] * 60.0'
+        " + 1.0 }))\n"
+    )
+    got_spaced = {
+        r["window_start"]: (r["mean"], r["n"])
+        for r in flux.compile_flux(spark, spaced, {"gas-quality": store}).collect()
+    }
+    assert got_spaced == got
     # rejections: unknown reference names the frame; transforms that
     # keep the original _value refuse the ambiguous r._value rewrite
     with pytest.raises(flux.FluxError, match="unknown column"):

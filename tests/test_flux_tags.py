@@ -583,3 +583,52 @@ def test_compile_flux_stream_keys_on_tags(spark, tagged, tmp_path):
     }
     assert expected and all(got[k] == v for k, v in expected.items())
     assert all(k[1] == "h1" for k in got)  # the tag filter held
+
+
+def test_pivot_on_tag_column(spark, tagged):
+    """Round 12d: pivot(columnKey: ["host"]) — the per-host overlay
+    table: the tag leaves the table key and becomes one column per
+    value; the residual key (measurement, field, other tags) plus
+    _time stays as rows. The _field form is unchanged; a column that
+    is neither _field nor a promoted tag raises naming the store's
+    tags."""
+    got = compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        '|> pivot(rowKey: ["_time"], columnKey: ["host"], '
+        'valueColumn: "_value")',
+        {"b": tagged},
+    )
+    hosts = sorted(
+        r["host"]
+        for r in bkt.read_bucket(spark, tagged)
+        .select("host").distinct().collect()
+        if r["host"] is not None
+    )
+    assert [h for h in hosts if h in got.columns] == hosts
+    assert "host" not in got.columns and "_time" in got.columns
+    assert "dc" in got.columns  # the other tag stays in the row key
+    # values land in the right host column
+    src = (
+        bkt.read_bucket(spark, tagged)
+        .filter((F.col("_field") == "click") & (F.col("host") == hosts[0]))
+        .select("_time", "_value", "dc")
+        .collect()
+    )
+    by_key = {
+        (r["_time"], r["dc"]): r[hosts[0]] for r in got.collect()
+    }
+    hits = 0
+    for r in src:
+        v = by_key.get((r["_time"], r["dc"]))
+        if v is not None:
+            hits += 1
+            assert v == r["_value"] or v >= r["_value"]  # MAX tie rule
+    assert hits > 0
+    with pytest.raises(FluxError, match="promoted tag column"):
+        compile_flux(
+            spark,
+            'from(bucket: "b") |> pivot(rowKey: ["_time"], '
+            'columnKey: ["nope"], valueColumn: "_value")',
+            {"b": tagged},
+        )

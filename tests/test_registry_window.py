@@ -55,22 +55,23 @@ def test_new_and_changed_queries_lead_the_window():
     # fifteen rotation heads VERDICT r11 item 1 enumerated (the
     # r9-green singletons the r11 window deliberately left out), then
     # the five suite_round5 arms that have never had their own row
-    assert set(_CHECKED_WINDOW[:9]) == {
+    assert set(_CHECKED_WINDOW[:10]) == {
         "flux_compiled_holt_winters_fit",
         "flux_compiled_holt_winters_seasonal_fit",
         "flux_compiled_reduce_fold",
         "flux_compiled_nested_overlay",
         # round 12d: the post-aggregate map tail stage, the
         # timeWeightedAvg gauge mean, upstream's stop-labeled windows,
-        # the legacy window/un-window idiom, and the row-count-
-        # preserving difference form
+        # the legacy window/un-window idiom, the row-count-preserving
+        # difference form, and the per-tag pivot
         "flux_compiled_postmap_units",
         "flux_compiled_time_weighted",
         "flux_compiled_timesrc_stop",
         "flux_compiled_legacy_window",
         "flux_compiled_difference_keepfirst",
+        "flux_compiled_tag_pivot",
     }
-    assert set(_CHECKED_WINDOW[9:24]) == {
+    assert set(_CHECKED_WINDOW[10:25]) == {
         "counter_increase", "event_transitions",
         "funnel_view_click_purchase", "time_weighted_avg",
         "value_percentiles", "value_trend_per_type", "weekly_retention",
@@ -79,7 +80,7 @@ def test_new_and_changed_queries_lead_the_window():
         "sql_surface_top_part_types", "salted_join_segment_counts",
         "pricing_summary", "rollup_day_from_hour",
     }
-    assert set(_CHECKED_WINDOW[24:29]) == {
+    assert set(_CHECKED_WINDOW[25:30]) == {
         "holt_linear_final", "decimate_lttb", "trailing_1h_mean",
         "state_duration", "series_correlation",
     }

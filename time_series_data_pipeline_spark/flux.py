@@ -3538,19 +3538,27 @@ def _compile_pipeline(
             rk = _str_list(a.get("rowKey", ""), "pivot rowKey")
             ck = _str_list(a.get("columnKey", ""), "pivot columnKey")
             vc = _resolve(a.get("valueColumn", '""'), params)
-            if rk != ["_time"] or ck != ["_field"] or vc != "_value":
-                # the Data-Explorer default is the only pivot shape the
+            if (
+                rk != ["_time"]
+                or vc != "_value"
+                or len(ck) != 1
+                or (ck[0] != "_field" and ck[0] not in store_tag_cols)
+            ):
+                # the Data-Explorer default — and, round 12d, its
+                # one-column-per-TAG sibling (columnKey: ["host"], the
+                # per-host overlay table) — are the pivot shapes the
                 # subset ships; anything else raises rather than
                 # mis-compiling a different reshape
                 raise FluxError(
-                    "pivot ships only rowKey: [\"_time\"], columnKey: "
-                    "[\"_field\"], valueColumn: \"_value\" (the "
-                    f"Data-Explorer table view); got {stage!r}"
+                    'pivot ships rowKey: ["_time"], valueColumn: '
+                    '"_value", columnKey: ["_field"] or one promoted '
+                    f"tag column {store_tag_cols} (the Data-Explorer "
+                    f"table views); got {stage!r}"
                 )
             extra = set(a) - {"rowKey", "columnKey", "valueColumn"}
             if extra:
                 raise FluxError(f"pivot: unsupported args {sorted(extra)}")
-            transform = ("pivot",)
+            transform = ("pivot", ck[0])
         elif head == "stateDuration":
             a = _args(stage, "stateDuration")
             if "fn" not in a:
@@ -6078,22 +6086,23 @@ def _compile_pipeline(
                 .drop("__rn")
             )
         if kind == "pivot":
-            # the Data-Explorer table view: one row per (measurement,
-            # _time) — the residual table key after _field pivots out —
-            # one column per field (Spark infers + SORTS the distinct
-            # pivot values — deterministic column order); duplicate
-            # (measurement, time, field) cells resolve to MAX (the
-            # documented tie rule)
+            # the Data-Explorer table view: one row per (residual
+            # table key, _time) — the pivoted column (_field, or a
+            # promoted tag: the per-host overlay table, round 12d)
+            # leaves the key and becomes columns (Spark infers + SORTS
+            # the distinct pivot values — deterministic column order);
+            # duplicate cells resolve to MAX (the documented tie rule)
             if group_cols is not None:
                 raise FluxError(
                     "pivot after group() is outside the subset (the "
                     "Data-Explorer emits pivot over the natural table key)"
                 )
+            pcol = transform[1]
             return _finish(
                 df.groupBy(
-                    *[c for c in natural_key if c != "_field"], "_time"
+                    *[c for c in natural_key if c != pcol], "_time"
                 )
-                .pivot("_field")
+                .pivot(pcol)
                 .agg(F.max("_value"))
             )
         if kind == "elapsed":

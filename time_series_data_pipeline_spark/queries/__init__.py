@@ -174,6 +174,7 @@ _CHECKED_WINDOW = [
     "flux_compiled_timesrc_stop",
     "flux_compiled_legacy_window",
     "flux_compiled_difference_keepfirst",
+    "flux_compiled_tag_pivot",
     # --- the enumerated r12 rotation heads (VERDICT r11 item 1: the
     # r9-green singletons the r11 window deliberately left out) ---
     "counter_increase",
@@ -213,13 +214,12 @@ _CHECKED_WINDOW = [
     "day_over_day_delta",
     "dedup_apply",
     "dq_lineitem",
-    "negative_pairs",
     # span_dedup_apply, curation_pipeline, hybrid_search_rrf,
-    # duplicate_spans and dsir_weights yielded their slots to the
-    # five round-12d queries (flux_compiled_postmap_units /
-    # _time_weighted / _timesrc_stop / _legacy_window /
-    # _difference_keepfirst); all stay suite-covered via in-window
-    # suite_round5 (own rows r7/r6)
+    # duplicate_spans, dsir_weights and negative_pairs yielded their
+    # slots to the six round-12d queries (flux_compiled_postmap_units
+    # / _time_weighted / _timesrc_stop / _legacy_window /
+    # _difference_keepfirst / _tag_pivot); all stay suite-covered via
+    # in-window suite_round5 (own rows r7/r6)
     # --- always-checked core: flagships + suites (11; suite_round11
     # and suite_flux_round10c are the sole attestation paths for
     # their singleton arms, and the round-12 holtWinters/reduce code

@@ -4143,6 +4143,44 @@ def flux_compiled_legacy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flux_compiled_tag_pivot",
+    # round 12d: pivot(columnKey: ["host"]) — the per-host overlay
+    # table: the tag leaves the table key and becomes one column per
+    # value; the residual key (measurement, field, other tags) + _time
+    # stays as rows. MAX tie rule, nulls preserved (no value filter —
+    # pivot reshapes, it does not aggregate away rows).
+    oracle="""
+    SELECT 'events' AS _measurement, event_type AS _field,
+           concat('d', CAST(user_id % 3 AS VARCHAR)) AS dc,
+           ts AS _time,
+           MAX(CASE WHEN user_id % 4 = 0 THEN value END) AS h0,
+           MAX(CASE WHEN user_id % 4 = 1 THEN value END) AS h1,
+           MAX(CASE WHEN user_id % 4 = 2 THEN value END) AS h2,
+           MAX(CASE WHEN user_id % 4 = 3 THEN value END) AS h3
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def flux_compiled_tag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pivot(columnKey: ["host"])` through the Flux front-end — the
+    per-host overlay table over the TAGGED store (round 12d)."""
+    from ..flux import compile_flux
+
+    path = _tagged_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> pivot(rowKey: ["_time"], columnKey: ["host"], valueColumn: "_value")
+        """,
+        {"gas-quality": path},
+    )
+
+
+@query(
     "flux_compiled_columns",
     # columns() — record-label introspection per table: compile-time
     # constant labels exploded over the DISTINCT table keys.
