@@ -169,7 +169,10 @@ def test_create_empty_false_string_does_not_gap_fill(spark, store):
 def test_stage_order_violations_raise(spark, store):
     for bad in (
         'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) |> last()',
-        'from(bucket: "b") |> last() |> map(fn: (r) => ({ r with _value: r._value }))',
+        # round 12d: last() |> map() COMPILES now (the gauge unit
+        # conversion — test_postmap_after_aggregate_batch); a
+        # post-aggregate CAST still raises (it would act on raw rows)
+        'from(bucket: "b") |> last() |> toFloat()',
         'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
         '|> range(start: "2024-01-03 00:00:00")',
         'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
@@ -177,6 +180,21 @@ def test_stage_order_violations_raise(spark, store):
     ):
         with pytest.raises(flux.FluxError, match="subset"):
             flux.compile_flux(spark, bad, {"b": store})
+    # and the formerly-pinned rejection is now the gauge conversion
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> last() |> map(fn: (r) => ({ r with _value: r._value * 2.0 }))",
+        {"b": store},
+    ).collect()
+    plain = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> last()",
+        {"b": store},
+    ).collect()
+    assert len(got) == len(plain) == 1
+    assert got[0]["last_value"] == plain[0]["last_value"] * 2.0
 
 
 def test_url_literal_survives_comment_stripping(spark, store):
