@@ -5796,6 +5796,67 @@ def test_aggregate_window_time_src(spark, store, tmp_path):
         )
 
 
+def test_compile_flux_stream_display_tail_equals_batch(spark, store, tmp_path):
+    """Round 12d: post-aggregate ``rename``/``keep``/``drop`` stream as
+    display-shaping projections over the append-mode output — the
+    batch tail's own validation (unknown columns / rename collisions
+    raise naming the frame); pre-aggregate forms raise (re-keying is
+    group()'s job)."""
+    text = """
+    from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+      |> rename(columns: {mean: "value"})
+      |> keep(columns: ["window_start", "_field", "value"])
+    """
+    live = flux.compile_flux_stream(
+        spark, text, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    assert set(live.columns) == {"window_start", "_field", "value"}
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_disp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_disp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): r["value"]
+        for r in spark.sql("SELECT * FROM flux_disp").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"gas-quality": store}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["_field"]): r["value"]
+        for r in batch
+        if r["window_start"] < max_t
+    }
+    assert expected and all(got[k] == v for k, v in expected.items())
+    # drop form: the n column vanishes
+    dropped = flux.compile_flux_stream(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 6h, fn: mean) '
+        '|> drop(columns: ["n"])',
+        {"b": store},
+    )
+    assert "n" not in dropped.columns and "mean" in dropped.columns
+    # rejections: pre-aggregate position, unknown column, collision
+    for bad, msg in (
+        ('from(bucket: "b") |> keep(columns: ["_value"]) '
+         "|> aggregateWindow(every: 1h, fn: mean)", "group\\(\\)"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         '|> drop(columns: ["nope"])', "unknown column"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         '|> rename(columns: {mean: "n"})', "collide|already exist"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": store})
+
+
 def test_compile_flux_stream_stddev_spread_equals_batch(
     spark, store, tmp_path
 ):
@@ -6780,6 +6841,21 @@ _STAGE_POOL = [
     "(accumulator.c + 1.0) }), identity: {c: 0.0, a: 0.0})",
     "highestMax(n: 2)",
     "lowestAverage(n: 2)",
+    # round 12d: the tail/label/legacy/delta additions — legal in
+    # their documented positions, rejected elsewhere; the fuzz pins
+    # totality either way
+    "map(fn: (r) => ({ r with _value: r._value * 0.001 }))",
+    'aggregateWindow(every: 1h, fn: mean, timeSrc: "_stop")',
+    'aggregateWindow(every: 1h, fn: mean, timeSrc: "_time")',
+    "aggregateWindow(every: 2h, period: 6h, fn: mean)",
+    "aggregateWindow(every: 2h, period: 5h, fn: mean)",
+    "timeWeightedAvg(unit: 1m)",
+    "timeWeightedAvg()",
+    "window(every: 6h)",
+    "window(every: inf)",
+    "difference(nonNegative: true, keepFirst: true, initialZero: true)",
+    "difference(initialZero: true)",
+    'pivot(rowKey: ["_time"], columnKey: ["host"], valueColumn: "_value")',
     'to(bucket: "nowhere")',
     'yield(name: "out")',
     "bogusStage(x: 1)",

@@ -334,8 +334,9 @@ Round 10c adds the technical-indicator / selector / conversion batch
   ``aggregateWindow(mean/count/sum/min/max/first/last)`` (first/last
   — the live stat-panel gauge, round 12; ``period:``/``offset:`` —
   the SLIDING / alignment-shifted live panel, round 12d) with
-  optional post-aggregate ``filter``/``map`` tail stages (the live
-  alert threshold and the unit-converted panel — stateless row ops
+  optional post-aggregate ``filter``/``map``/``keep``/``drop``/
+  ``rename`` tail stages (the live alert threshold, the
+  unit-converted panel, and display shaping — stateless row ops
   over the append-mode output) or the raw record stream,
   and multi-statement scripts with a final ``union()`` (the live
   multi-series panel — exchange-free) or — round 12 — a final
@@ -1890,7 +1891,10 @@ def compile_flux_stream(
     aggregation (a raw live-table panel). ``period:``/``offset:`` (round 12d) are the
     SLIDING and alignment-shifted live panels — the batch compiler's
     own ``F.window(period, every, startTime)`` struct under the
-    watermark, finalized per overlapping window in append mode. The
+    watermark, finalized per overlapping window in append mode.
+    Post-aggregate ``keep``/``drop``/``rename`` (round 12d) are the
+    display-shaping projections; their PRE-aggregate forms raise
+    (re-keying is ``group()``'s job). The
     post-aggregate ``filter`` (round 12c) is the LIVE ALERT — the
     Grafana threshold panel as a stateless row filter over the
     append-mode aggregate output, with the batch postfilter's own
@@ -2442,6 +2446,35 @@ def _compile_stream_single(
                         f"(got args {sorted(a)})"
                     )
                 vs = ("cumsum",) if head == "cumulativeSum" else ("increase",)
+        elif head in ("keep", "drop", "rename"):
+            # round 12d: the display-shaping tail over the aggregate
+            # output — stateless projections, so the live panel keeps
+            # the batch tail's column tools. PRE-aggregate forms
+            # raise: keep/drop of key columns re-keys tables (that is
+            # group()'s job) and the raw frame's shape is fixed.
+            if agg is None:
+                raise FluxError(
+                    f"{head}() before aggregateWindow is outside the "
+                    "STREAMING subset (re-keying is group()'s job; the "
+                    "raw live frame has a fixed shape)"
+                )
+            a = _args(stage, head)
+            if head == "rename":
+                if "columns" not in a or set(a) - {"columns"}:
+                    raise FluxError(
+                        'rename requires exactly columns: {old: "new"}'
+                    )
+                mapping = _str_map(a["columns"], "rename columns")
+                if not mapping:
+                    raise FluxError("rename: columns record is empty")
+                post_stages.append(("rename", mapping, stage))
+            else:
+                cols = _str_list(a.get("columns", ""), f"{head} columns")
+                if not cols or set(a) - {"columns"}:
+                    raise FluxError(
+                        f"{head} requires exactly columns: [ ... ]"
+                    )
+                post_stages.append((head, cols, stage))
         elif head in ("last", "first"):
             # the live stat-panel gauge: a BARE selector is an
             # unwindowed aggregate, which append mode cannot finalize
@@ -2560,6 +2593,50 @@ def _compile_stream_single(
             # round 12d: the live unit-converted panel — the shared
             # batch-tail rewrite over the aggregate's value column
             base = _post_value_map(base, name, op[1], params, visible, op[2])
+            continue
+        if op[0] in ("keep", "drop", "rename"):
+            # round 12d: display-shaping projections over the
+            # append-mode output — the batch tail's own validation
+            # (unknown columns raise naming the frame; rename
+            # collisions raise); __w stays internal on join inputs
+            if op[0] == "rename":
+                mapping = op[1]
+                missing = [c for c in mapping if c not in visible]
+                if missing:
+                    raise FluxError(
+                        f"rename: unknown column(s) {missing}; frame "
+                        f"has {visible}: {op[2]!r}"
+                    )
+                vals = list(mapping.values())
+                clash = sorted(
+                    {
+                        new
+                        for new in vals
+                        if new in visible or vals.count(new) > 1
+                    }
+                )
+                if clash:
+                    raise FluxError(
+                        f"rename: target column(s) {clash} already "
+                        f"exist or collide: {op[2]!r}"
+                    )
+                for old, new in mapping.items():
+                    base = base.withColumnRenamed(old, new)
+            else:
+                cols = op[1]
+                missing = [c for c in cols if c not in visible]
+                if missing:
+                    raise FluxError(
+                        f"{op[0]}: unknown column(s) {missing}; frame "
+                        f"has {visible}: {op[2]!r}"
+                    )
+                if op[0] == "keep":
+                    keep_cols = [c for c in base.columns if c == "__w"] + [
+                        c for c in visible if c in cols
+                    ]
+                    base = base.select(*keep_cols)
+                else:
+                    base = base.drop(*cols)
             continue
         toks, src_stage = op[1], op[2]
         # the batch postfilter's own normalization + remap: bracketed
