@@ -541,12 +541,31 @@ def test_delete_rows_predicate(spark, tmp_path):
         bkt.scan_bucket(spark, path, field="click").count()
         == src.filter(F.col("_field") == "click").count() - want_deleted
     )
-    # idempotent re-run
+    # idempotent re-run — and a no-match call rewrites NOTHING and
+    # says so (review 12d: the old report listed never-rewritten
+    # partitions)
     res2 = bkt.delete_rows(
         spark, path, start, stop, measurement="events", field="click",
         cluster="field",
     )
     assert res2["rows_deleted"] == 0 and not res2["partitions_removed"]
+    assert res2["partitions_rewritten"] == []
+    # offset-bearing bounds convert to UTC instants (review 12d: the
+    # date window derives from parsed instants, not string slices)
+    want_view = src.filter(in_range & (F.col("_field") == "view")).count()
+    assert want_view > 0
+    res_off = bkt.delete_rows(
+        spark, path,
+        f"{dates[1]}T11:00:00+05:00",  # == {dates[1]} 06:00 UTC
+        f"{dates[2]}T23:00:00+05:00",  # == {dates[2]} 18:00 UTC
+        measurement="events", field="view", cluster="field",
+    )
+    assert res_off["rows_deleted"] == want_view
+    # malformed / inverted bounds raise naming the problem
+    with pytest.raises(ValueError, match="unparseable"):
+        bkt.delete_rows(spark, path, "2024-1-5 00:00:00", stop)
+    with pytest.raises(ValueError, match="must precede"):
+        bkt.delete_rows(spark, path, stop, start)
     # deleting a WHOLE day of every field empties the partition dir
     res3 = bkt.delete_rows(
         spark, path, f"{dates[3]} 00:00:00", "2099-01-01 00:00:00",

@@ -2116,9 +2116,13 @@ def _compile_stream_single(
     now: str | None,
     watermark: str,
     keep_window: bool = False,
-) -> tuple[DataFrame, int | None]:
+) -> tuple[DataFrame, tuple[int, int | None, int] | None]:
     """Compile ONE streaming from-pipeline (the single-statement body
-    of ``compile_flux_stream``); returns (frame, every_s|None).
+    of ``compile_flux_stream``); returns (frame, window spec) where
+    the spec is ``(every_s, period_s|None, offset_s)`` for a windowed
+    aggregate and ``None`` for raw/value-series frames — the join path
+    compares full specs so mismatched sliding/offset forms refuse to
+    pair.
     ``keep_window`` keeps the aggregate's window STRUCT as ``__w``
     instead of projecting ``window_start`` — the streaming join needs
     the struct itself as the join key (Spark's multiple-stateful-
@@ -2631,9 +2635,12 @@ def _compile_stream_single(
                         f"has {visible}: {op[2]!r}"
                     )
                 if op[0] == "keep":
-                    keep_cols = [c for c in base.columns if c == "__w"] + [
-                        c for c in visible if c in cols
-                    ]
+                    # user-listed order, exactly like the batch tail's
+                    # out.select(*op[1]) (review 12d: frame order here
+                    # made the two paths emit differently-shaped frames)
+                    keep_cols = [
+                        c for c in base.columns if c == "__w"
+                    ] + list(cols)
                     base = base.select(*keep_cols)
                 else:
                     base = base.drop(*cols)
@@ -5630,47 +5637,23 @@ def _compile_pipeline(
             if yield_name:
                 out = out.withColumnRenamed("_value", yield_name)
             return _finish(out)
-        if kind == "integral":
-            # trapezoid area per table: Σ (vᵢ + vᵢ₋₁)·Δtᵢ over exact
-            # decimals (associative → deterministic across partition
-            # orders), ONE double division at the end. Lag window per
-            # table + map-side-combinable sum; single-point tables
-            # yield NULL (no segment), matching the SQL SUM-of-empty.
-            unit_s = transform[1]
+        if kind in ("integral", "twa"):
+            # ONE trapezoid definition for both consumers (review 12d):
+            # Σ (vᵢ + vᵢ₋₁)·Δtᵢ over exact decimals (associative →
+            # deterministic across partition orders) per table — the
+            # lag window + a map-side-combinable sum; single-point
+            # tables yield NULL (no segment), matching the SQL
+            # SUM-of-empty. integral divides the area into `unit`
+            # spans; twa divides by the OBSERVED span (zero-span →
+            # NULL), with the registered oracle family's double-op
+            # order: trap(double) / (2.0 * span(double)).
             src = df.filter(F.col("_value").isNotNull())
             w = Window.partitionBy(*keys).orderBy("_time", "_value")
             y = _dec("_value")
             seg = (y + F.lag(y).over(w)) * (
                 F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w)
             ).cast("decimal(18,0)")
-            out = (
-                src.select(*keys, seg.alias("__seg"))
-                .groupBy(*keys)
-                .agg(F.sum("__seg").alias("__a"), F.count(F.lit(1)).alias("n"))
-                .select(
-                    *keys,
-                    (
-                        F.col("__a").cast("double")
-                        / F.lit(2.0 * unit_s * 1_000_000.0)
-                    ).alias(yield_name or "integral"),
-                    "n",
-                )
-            )
-            return _finish(out)
-        if kind == "twa":
-            # time-weighted average per table: the integral's trapezoid
-            # machinery with the span division — Σ (vᵢ + vᵢ₋₁)·Δtᵢ over
-            # exact decimals / (2 · observed span). Single-point and
-            # zero-span tables yield NULL (no area, no span). Same
-            # double-op order as the registered time_weighted_avg
-            # oracle family: trap(double) / (2.0 * span(double)).
-            src = df.filter(F.col("_value").isNotNull())
-            w = Window.partitionBy(*keys).orderBy("_time", "_value")
-            y = _dec("_value")
-            seg = (y + F.lag(y).over(w)) * (
-                F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w)
-            ).cast("decimal(18,0)")
-            out = (
+            grouped = (
                 src.select(
                     *keys,
                     F.unix_micros("_time").alias("__us"),
@@ -5682,17 +5665,20 @@ def _compile_pipeline(
                     (F.max("__us") - F.min("__us")).alias("__span"),
                     F.count(F.lit(1)).alias("n"),
                 )
-                .select(
-                    *keys,
-                    F.when(
-                        F.col("__span") > 0,
-                        F.col("__a").cast("double")
-                        / (F.lit(2.0) * F.col("__span").cast("double")),
-                    ).alias(yield_name or "time_weighted_avg"),
-                    "n",
-                )
             )
-            return _finish(out)
+            if kind == "integral":
+                unit_s = transform[1]
+                value = (
+                    F.col("__a").cast("double")
+                    / F.lit(2.0 * unit_s * 1_000_000.0)
+                ).alias(yield_name or "integral")
+            else:
+                value = F.when(
+                    F.col("__span") > 0,
+                    F.col("__a").cast("double")
+                    / (F.lit(2.0) * F.col("__span").cast("double")),
+                ).alias(yield_name or "time_weighted_avg")
+            return _finish(grouped.select(*keys, value, "n"))
         if kind in ("ema", "ema2", "ema3", "rsi", "trix", "kama"):
             from .operators.timeseries import (
                 flux_ema,

@@ -492,11 +492,35 @@ def delete_rows(
             "delete_rows would orphan the sink log; compact to a batch "
             "bucket first"
         )
-    d0 = start[:10]
-    # stop is exclusive: a midnight stop does not touch that day
+    # derive the touched-date window from PARSED UTC instants, never
+    # raw string slices (review 12d: an offset-bearing bound or a
+    # non-zero-padded date would silently skip partitions and report
+    # success); the same parsed instants feed the row filter below so
+    # the directory window and the row window cannot disagree
     import datetime as _dt
 
-    stop_dt = _dt.datetime.fromisoformat(stop.replace("Z", "+00:00"))
+    def _parse_utc(tok: str, label: str) -> _dt.datetime:
+        try:
+            d = _dt.datetime.fromisoformat(
+                tok.replace("Z", "+00:00").replace(" ", "T")
+            )
+        except ValueError as exc:
+            raise ValueError(
+                f"delete_rows {label}: unparseable timestamp {tok!r} "
+                "(ISO-8601 / 'YYYY-MM-DD HH:MM:SS' required)"
+            ) from exc
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return d
+
+    start_dt = _parse_utc(start, "start")
+    stop_dt = _parse_utc(stop, "stop")
+    if not start_dt < stop_dt:
+        raise ValueError(
+            f"delete_rows: start {start!r} must precede stop {stop!r}"
+        )
+    d0 = start_dt.date().isoformat()
+    # stop is exclusive: a midnight stop does not touch that day
     d1 = (stop_dt - _dt.timedelta(microseconds=1)).date().isoformat()
     # touched partitions, from the directory layout (like expire)
     touched: list[tuple[str, str]] = []
@@ -524,8 +548,8 @@ def delete_rows(
             else (F.col("_measurement") == measurement)
         )
     )
-    matching = (F.col("_time") >= F.lit(start).cast("timestamp")) & (
-        F.col("_time") < F.lit(stop).cast("timestamp")
+    matching = (F.col("_time") >= F.lit(start_dt)) & (
+        F.col("_time") < F.lit(stop_dt)
     )
     if field is not None:
         matching = matching & (F.col("_field") == field)
@@ -538,11 +562,15 @@ def delete_rows(
         # a NULL tag never equals the predicate value — those rows
         # survive, exactly upstream's missing-tag behavior
         matching = matching & (F.col(t) == v)
-    n_match = src.filter(matching).count()
-    survivors = src.filter(~F.coalesce(matching, F.lit(False))).drop("_date")
-    # eager materialization: the overwrite replaces the files this
-    # plan reads
-    survivors = survivors.localCheckpoint(eager=True)
+    # ONE parquet pass over the touched partitions: the match flag is
+    # materialized alongside the rows, and both the deleted count and
+    # the survivor frame read the checkpoint, not the files the
+    # overwrite is about to replace
+    flagged = src.drop("_date").withColumn(
+        "__match", F.coalesce(matching, F.lit(False))
+    ).localCheckpoint(eager=True)
+    n_match = flagged.filter(F.col("__match")).count()
+    survivors = flagged.filter(~F.col("__match")).drop("__match")
     surv_parts = {
         (r["_measurement"], r["_date"].isoformat())
         for r in survivors.withColumn("_date", F.to_date("_time"))
@@ -550,7 +578,8 @@ def delete_rows(
         .distinct()
         .collect()
     }
-    if n_match and surv_parts:
+    rewritten = n_match > 0 and bool(surv_parts)
+    if rewritten:
         write_bucket(survivors, path, mode="overwrite", cluster=cluster)
     removed = []
     for mname, d in touched:
@@ -564,11 +593,15 @@ def delete_rows(
         refresh_bucket_manifest(spark, path, incremental=True)
     return {
         "rows_deleted": n_match,
+        # only partitions the overwrite actually replaced — a no-match
+        # call rewrites nothing and says so (review 12d)
         "partitions_rewritten": sorted(
             f"_measurement={m}/_date={d}"
             for (m, d) in surv_parts
             if (m, d) in set(touched)
-        ),
+        )
+        if rewritten
+        else [],
         "partitions_removed": removed,
     }
 

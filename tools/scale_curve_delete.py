@@ -35,7 +35,9 @@ from time_series_data_pipeline_spark.sources import bucket as bkt  # noqa: E402
 
 def build_store(spark, root: str, days: int, rows_per_day: int) -> str:
     path = os.path.join(root, f"store_{days}d")
-    base = dt.datetime(2024, 1, 1)
+    # UTC-anchored: _date partitioning is UTC, so a machine-local
+    # naive timestamp would shift the day boundaries on non-UTC hosts
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     step_s = 86400 / rows_per_day
     rows = spark.range(days * rows_per_day).select(
         F.timestamp_micros(
