@@ -5796,6 +5796,84 @@ def test_aggregate_window_time_src(spark, store, tmp_path):
         )
 
 
+def test_compile_flux_stream_nested_overlay_equals_batch(
+    spark, store, tmp_path
+):
+    """Round 12d: the STREAMING nested overlay — a join input may BE a
+    union assignment (two windowed series unioned, the union joined
+    against a third), the batch nested combiner's live form. The
+    union is stateless, so the multiple-stateful-operator join pairs
+    the concatenated append-mode window states; every emitted row is
+    bit-identical to the batch compiler. Mixed specs inside the
+    union, two-level nesting, and raw members raise."""
+    script = """
+    errors = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "error")
+      |> aggregateWindow(every: 6h, fn: mean)
+    clicks = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 6h, fn: mean)
+    u = union(tables: [errors, clicks])
+    views = from(bucket: "gas-quality")
+      |> range(start: "2024-01-03T00:00:00Z", stop: "2024-01-06T00:00:00Z")
+      |> filter(fn: (r) => r["_field"] == "view")
+      |> aggregateWindow(every: 6h, fn: mean)
+    join(tables: {u: u, v: views}, on: ["window_start"])
+    """
+    live = flux.compile_flux_stream(
+        spark, script, {"gas-quality": store}, watermark="0 seconds"
+    )
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_nested")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_nested"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field_u"]): (r["mean_u"], r["mean_v"])
+        for r in spark.sql("SELECT * FROM flux_nested").collect()
+    }
+    batch = flux.compile_flux(spark, script, {"gas-quality": store}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["_field_u"]): (r["mean_u"], r["mean_v"])
+        for r in batch
+        if r["window_start"] < max_t  # the final window stays open
+    }
+    # both union arms (error AND click) pair against views
+    assert len({f for (_w, f) in expected}) == 2
+    assert expected and all(got[k] == v for k, v in expected.items())
+    for bad, msg in (
+        # mixed window specs inside the union
+        (script.replace(
+            '|> filter(fn: (r) => r["_field"] == "click")\n'
+            "      |> aggregateWindow(every: 6h, fn: mean)",
+            '|> filter(fn: (r) => r["_field"] == "click")\n'
+            "      |> aggregateWindow(every: 3h, fn: mean)",
+        ), "IDENTICAL"),
+        # a raw member (no aggregateWindow)
+        (script.replace(
+            '|> filter(fn: (r) => r["_field"] == "error")\n'
+            "      |> aggregateWindow(every: 6h, fn: mean)",
+            '|> filter(fn: (r) => r["_field"] == "error")',
+        ), "IDENTICAL|windowed aggregate"),
+        # two-level nesting
+        (script.replace(
+            "u = union(tables: [errors, clicks])",
+            "u0 = union(tables: [errors, clicks])\n"
+            "    u = union(tables: [u0, clicks])",
+        ), "ONE level"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"gas-quality": store})
+
+
 def test_compile_flux_stream_display_tail_equals_batch(spark, store, tmp_path):
     """Round 12d: post-aggregate ``rename``/``keep``/``drop`` stream as
     display-shaping projections over the append-mode output — the

@@ -1917,7 +1917,9 @@ def compile_flux_stream(
     ``union(tables: [...])`` (exchange-free; each side keeps its own
     watermarked window state) or — round 12 — one final
     ``join(tables: {a:, b:}, on: ["window_start", ...])`` of exactly
-    two WINDOWED aggregates with the same ``every``: Spark's
+    two WINDOWED aggregates with the same ``every`` — and (round 12d)
+    a join input may itself BE a ``union`` assignment of same-spec
+    windowed aggregates (the nested three-series overlay, live): Spark's
     multiple-stateful-operator support joins the two append-mode
     window states on the window struct itself, so the overlay panel
     (error rate vs click rate, period comparison) runs live. Raw-frame
@@ -2057,14 +2059,80 @@ def compile_flux_stream(
                 "stream-stream join is a batch query's job: run "
                 "compile_flux instead)"
             )
-        dfa, ea = _compile_stream_single(
-            spark, texts[ra], bucket_paths, params, now, watermark,
-            keep_window=True,
-        )
-        dfb, eb = _compile_stream_single(
-            spark, texts[rb], bucket_paths, params, now, watermark,
-            keep_window=True,
-        )
+        def _join_side(ref: str):
+            # round 12d: a join input may BE a union assignment (the
+            # streaming nested overlay — the batch nested combiner's
+            # live form: two windowed series unioned, the union joined
+            # against a third). The union is STATELESS, so Spark's
+            # multiple-stateful-operator path joins the concatenated
+            # append-mode window states exactly as it joins a single
+            # one; one nesting level only, and every member must be a
+            # windowed aggregate with the IDENTICAL window spec (the
+            # union's watermark is the min of its members' — equal
+            # specs keep finalization aligned).
+            text = texts[ref].lstrip()
+            if not text.startswith("union"):
+                return _compile_stream_single(
+                    spark, texts[ref], bucket_paths, params, now,
+                    watermark, keep_window=True,
+                )
+            ustages = _split_stages(text, require_from=False)
+            if len(ustages) > 1:
+                raise FluxError(
+                    f"stages after the nested union in {ref!r} are "
+                    f"outside the subset: {ustages[1]!r}"
+                )
+            ua = _args(ustages[0], "union")
+            if "tables" not in ua or set(ua) - {"tables"}:
+                raise FluxError("union requires exactly tables: [a, b, ...]")
+            utoks = ua["tables"].strip()
+            if not re.match(r"^\[\s*\w+(?:\s*,\s*\w+)*\s*\]$", utoks):
+                raise FluxError(
+                    f"union tables: expected [a, b, ...]; got {utoks!r}"
+                )
+            unames = [t.strip() for t in utoks[1:-1].split(",")]
+            if len(unames) < 2:
+                raise FluxError("union needs at least two tables")
+            for un in unames:
+                if un not in texts:
+                    raise FluxError(
+                        f"union references unknown pipeline {un!r} "
+                        f"(defined: {sorted(texts)})"
+                    )
+                if texts[un].lstrip().startswith("union"):
+                    raise FluxError(
+                        "nested unions nest ONE level in the streaming "
+                        f"subset ({un!r} is itself a union)"
+                    )
+            members = [
+                _compile_stream_single(
+                    spark, texts[un], bucket_paths, params, now,
+                    watermark, keep_window=True,
+                )
+                for un in unames
+            ]
+            specs = {sp for _f, sp in members}
+            if None in specs or len(specs) != 1:
+                raise FluxError(
+                    f"nested union {ref!r}: every member must be a "
+                    "windowed aggregate with the IDENTICAL (every, "
+                    f"period, offset) spec; got {sorted(map(str, specs))}"
+                )
+            cols0 = members[0][0].columns
+            for un, (f, _sp) in zip(unames[1:], members[1:]):
+                if set(f.columns) != set(cols0):
+                    raise FluxError(
+                        f"nested union {ref!r}: table {un!r} columns "
+                        f"{sorted(f.columns)} != {sorted(cols0)} "
+                        "(identical column sets required)"
+                    )
+            uout = members[0][0]
+            for f, _sp in members[1:]:
+                uout = uout.unionByName(f)
+            return uout, next(iter(specs))
+
+        dfa, ea = _join_side(ra)
+        dfb, eb = _join_side(rb)
         for label, ref, ev in ((la, ra, ea), (lb, rb, eb)):
             if ev is None:
                 raise FluxError(
