@@ -582,6 +582,76 @@ def test_delete_rows_predicate(spark, tmp_path):
         )
 
 
+def test_delete_rows_property_partition_of_rows(spark, tmp_path):
+    """Property (round 12d): for random [start, stop) windows and
+    predicates, delete_rows PARTITIONS the store — deleted + surviving
+    == original, no surviving row matches, every non-matching row
+    survives byte-identical, and a re-run deletes nothing. Hypothesis
+    is deliberately not used here: each example needs a fresh store
+    copy, so a seeded grid keeps the runtime bounded while still
+    covering boundary hours and predicate shapes."""
+    import shutil
+
+    import datetime as dtm
+
+    base = str(tmp_path / "prop_base")
+    rows = []
+    t0 = dtm.datetime(2024, 1, 1)
+    for i in range(400):
+        rows.append(
+            (
+                t0 + dtm.timedelta(minutes=17 * i),
+                "events",
+                f"f{i % 3}",
+                float(i % 53),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "`_time` timestamp, `_measurement` string, `_field` string, "
+        "`_value` double"
+    ).withColumn("tags", F.create_map().cast("map<string,string>"))
+    bkt.write_bucket(df, base, mode="overwrite")
+    bkt.refresh_bucket_manifest(spark, base)
+    total = df.count()
+    all_rows = sorted(map(tuple, df.drop("tags").collect()), key=repr)
+    cases = [
+        # (start_h, stop_h, field) over the ~4.7-day span
+        (0, 1, None),            # tiny window at the very start
+        (23, 25, "f1"),          # day-boundary straddle
+        (0, 24, None),           # exactly one whole day
+        (30, 113, "f0"),         # multi-day middle slice
+        (111, 240, None),        # through the end (empties tail days)
+    ]
+    for j, (h0, h1, fld) in enumerate(cases):
+        path = str(tmp_path / f"prop_{j}")
+        shutil.copytree(base, path)
+        start = (t0 + dtm.timedelta(hours=h0)).isoformat(sep=" ")
+        stop = (t0 + dtm.timedelta(hours=h1)).isoformat(sep=" ")
+        in_win = (F.col("_time") >= start) & (F.col("_time") < stop)
+        pred = in_win if fld is None else in_win & (F.col("_field") == fld)
+        want_del = df.filter(pred).count()
+        res = bkt.delete_rows(
+            spark, path, start, stop, measurement="events", field=fld
+        )
+        assert res["rows_deleted"] == want_del, (j, res)
+        cols = ["_time", "_measurement", "_field", "_value"]
+        left = bkt.read_bucket(spark, path).select(*cols)
+        assert left.count() == total - want_del, j
+        assert left.filter(pred).count() == 0, j
+        keep_rows = sorted(
+            map(tuple, df.filter(~pred).select(*cols).collect()), key=repr
+        )
+        assert sorted(map(tuple, left.collect()), key=repr) == keep_rows, j
+        # deleted ∪ survivors == original (no invented rows anywhere)
+        assert len(keep_rows) + want_del == len(all_rows)
+        res2 = bkt.delete_rows(
+            spark, path, start, stop, measurement="events", field=fld
+        )
+        assert res2["rows_deleted"] == 0
+        assert res2["partitions_rewritten"] == []
+        assert res2["partitions_removed"] == []
+
+
 def test_delete_rows_refuses_streaming_sink_stores(spark, tmp_path):
     import pytest
 

@@ -6691,6 +6691,94 @@ def test_compile_flux_stream_value_series_transforms(spark, tmp_path):
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 
+def test_compile_flux_stream_nested_overlay_incremental(spark, tmp_path):
+    """Round 12d: the nested union-join overlay across TWO
+    micro-batches (day-2 lands after the first drain, same
+    checkpoint): the multiple-stateful-operator state — two unioned
+    window aggregates joined against a third — must carry across the
+    restart, every finalized window pairing EXACTLY once (no re-emits,
+    no losses), the union of both drains equal to the batch result
+    minus the final open window."""
+    import datetime
+
+    src = str(tmp_path / "nested_inc_src")
+
+    def _write(day, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=13 * i), "events", f,
+             float((i * 7 + day) % 23))
+            for i in range(60)
+            for f in ("click", "error", "view")
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    _write(1, "overwrite")
+    script = """
+    errors = from(bucket: "b")
+      |> filter(fn: (r) => r["_field"] == "error")
+      |> aggregateWindow(every: 3h, fn: mean)
+    clicks = from(bucket: "b")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 3h, fn: mean)
+    u = union(tables: [errors, clicks])
+    views = from(bucket: "b")
+      |> filter(fn: (r) => r["_field"] == "view")
+      |> aggregateWindow(every: 3h, fn: mean)
+    join(tables: {u: u, v: views}, on: ["window_start"])
+    """
+    live = flux.compile_flux_stream(
+        spark, script, {"b": src}, watermark="0 seconds"
+    )
+    ck = str(tmp_path / "ck_nested_inc")
+
+    def drain():
+        rows: list = []
+        q = (
+            live.writeStream.foreachBatch(
+                lambda df, _eid: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return [
+            (r["window_start"], r["_field_u"], r["mean_u"], r["mean_v"])
+            for r in rows
+        ]
+
+    rows1 = drain()
+    _write(2, "append")
+    rows2 = drain()
+    # exactly-once across the restart: no key emitted twice
+    keys1 = {(w, f) for (w, f, *_v) in rows1}
+    keys2 = {(w, f) for (w, f, *_v) in rows2}
+    assert keys1 and keys2 and not (keys1 & keys2)
+    batch = flux.compile_flux(spark, script, {"b": src}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = sorted(
+        (r["window_start"], r["_field_u"], r["mean_u"], r["mean_v"])
+        for r in batch
+        if r["window_start"] < max_t
+    )
+    assert sorted(rows1 + rows2) == expected
+    # day-1 windows that the first drain could not finalize arrive in
+    # the second (the restart genuinely continued open state)
+    day1_in_2 = {w for (w, _f) in keys2 if w < datetime.datetime(2024, 1, 2)}
+    assert day1_in_2
+
+
 def test_start_flux_task_picks_up_new_data(spark, tmp_path):
     """The task loop's freshness contract: a tick AFTER new source
     data arrives recomputes and lands the new windows (the idempotent
