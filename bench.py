@@ -74,10 +74,13 @@ HEADLINE = (
     "flux_compiled_reduce_fold",
     "flux_compiled_nested_overlay",
     # round 12d: the tail rewrite over the windowed mean (postmap +
-    # threshold — the tail must cost a projection, nothing more) and
-    # the trapezoid/span twa (the integral machinery's second consumer)
+    # threshold — the tail must cost a projection, nothing more), the
+    # trapezoid/span twa (the integral machinery's second consumer),
+    # and the per-tag pivot (the groupBy().pivot() reshape over the
+    # tagged store — the one round-12d shape with its own physical plan)
     "flux_compiled_postmap_units",
     "flux_compiled_time_weighted",
+    "flux_compiled_tag_pivot",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
