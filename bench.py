@@ -81,6 +81,10 @@ HEADLINE = (
     "flux_compiled_postmap_units",
     "flux_compiled_time_weighted",
     "flux_compiled_tag_pivot",
+    # round 13: the time-decayed EMA — same Arrow recurrence class as
+    # flux_compiled_ema but per-gap weights (timestamps ride into the
+    # kernel), so its cost is its own number
+    "flux_compiled_etma",
     "window_sliding_15m_5m",
     "session_windows_5m",
     "asof_error_click",
@@ -138,6 +142,18 @@ HEADLINE = (
 
 
 _CAL_VERSION = "cal-v1"
+
+# Pinned IDLE reference for the calibration anchor (VERDICT r12 item
+# 4): the quiet-run anchors recorded across r10–r12 cluster at
+# 0.196–0.26 s (builder quiet captures 0.196/0.209/0.229/0.258; judge
+# idle re-runs 0.218/0.313) — 0.21 is the pinned floor-of-band value.
+# A run whose BOTH anchors sit above 1.5× this reference is uniformly
+# contended: the within-run spread test can't see it (that was the
+# r12 failure mode — anchors 0.44/0.46, ratio ~1.0, no adjudication
+# fired, and a 1.9× phantom mover shipped), so the absolute test
+# fires the same 5-slowest re-run. If the bench box itself changes
+# generations, re-pin this from that box's quiet captures.
+_CAL_IDLE_REFERENCE = 0.21
 
 
 def _calibration_workload(spark) -> float:
@@ -466,7 +482,13 @@ def main() -> None:
     # anchors say how calm.)
     adjudication = None
     cal_ratio = max(cal_start, cal_end) / max(min(cal_start, cal_end), 1e-9)
-    if cal_ratio > 1.5:
+    # two triggers (VERDICT r12 item 4): (a) the anchors DISAGREE —
+    # the box changed speed mid-run; (b) BOTH anchors sit above 1.5×
+    # the pinned idle reference — the whole run was uniformly
+    # contended, which the spread test is blind to. Either way the
+    # 5 slowest entries re-run bracketed by their own calibration pair.
+    abs_contended = min(cal_start, cal_end) > 1.5 * _CAL_IDLE_REFERENCE
+    if cal_ratio > 1.5 or abs_contended:
         movers = sorted(timings, key=timings.get, reverse=True)[:5]
         re_cal_start = _calibration_workload(spark)
         rerun: dict[str, float] = {}
@@ -490,6 +512,10 @@ def main() -> None:
             rerun[name] = round(min(attempts), 3)
         adjudication = {
             "trigger_cal_ratio": round(cal_ratio, 3),
+            "trigger": (
+                "mid_run_change" if cal_ratio > 1.5 else "uniform_contention"
+            ),
+            "idle_reference": _CAL_IDLE_REFERENCE,
             "first_capture": {n: timings[n] for n in movers},
             "rerun": rerun,
             "rerun_cal": [re_cal_start, _calibration_workload(spark)],

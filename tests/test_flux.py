@@ -663,6 +663,95 @@ def test_moving_average_rejections(spark, store, bad, msg):
         flux.compile_flux(spark, bad, {"b": store})
 
 
+def test_exponential_time_moving_average(spark, store):
+    """exponentialTimeMovingAverage(n:) — round 13, the time-decayed
+    EMA: first point emits its own value (no warm-up drop, unlike
+    exponentialMovingAverage), each later point is
+    w·y_prev + (1−w)·v with the pinned rational decay
+    w = n_us/(n_us + Δt_us) (MIGRATION.md divergence: upstream's
+    exp(−Δt/n) is not bit-replayable). Values bit-match a driver-side
+    Python replay of the exact kernel expression order; |> last() and
+    |> aggregateWindow compositions ride the value-series machinery."""
+    got = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> exponentialTimeMovingAverage(n: 5m)",
+        {"b": store},
+    )
+    assert got.columns == ["_measurement", "_field", "_time", "_value"]
+    raw = (
+        bkt.scan_bucket(spark, store, measurement="events", field="click")
+        .filter(F.col("_value").isNotNull())
+        .select("_time", "_value")
+        .orderBy("_time", "_value")
+        .collect()
+    )
+    n_us = 300 * 1_000_000
+    acc, prev_t, want = 0.0, 0, []
+    for i, r in enumerate(raw):
+        # exact integer µs — timestamp() would round-trip via float
+        import calendar
+
+        t_us = (
+            calendar.timegm(r["_time"].timetuple()) * 1_000_000
+            + r["_time"].microsecond
+        )
+        if i == 0:
+            acc = float(r["_value"])
+        else:
+            w = n_us / (n_us + (t_us - prev_t))
+            acc = w * acc + (1.0 - w) * float(r["_value"])
+        want.append((r["_time"], acc))
+        prev_t = t_us
+    got_rows = [
+        (r["_time"], r["_value"])
+        for r in got.orderBy("_time", "_value").collect()
+    ]
+    assert len(got_rows) == len(want) > 0
+    # bit-identical: the kernel's expression tree is replayed verbatim
+    assert got_rows == want
+    # first emitted point IS the first raw value (duration, not count)
+    assert got_rows[0][1] == float(raw[0]["_value"])
+    # |> last(): the fold's final element
+    last = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> exponentialTimeMovingAverage(n: 5m) |> last()",
+        {"b": store},
+    ).collect()
+    assert len(last) == 1 and last[0]["last_value"] == want[-1][1]
+    # |> aggregateWindow(fn: count): windowed aggregate over the
+    # rewritten series keeps every point (no warm-up drop)
+    agg = flux.compile_flux(
+        spark,
+        'from(bucket: "b") |> filter(fn: (r) => r["_field"] == "click") '
+        "|> exponentialTimeMovingAverage(n: 5m) "
+        "|> aggregateWindow(every: 1d, fn: count)",
+        {"b": store},
+    )
+    assert agg.agg(F.sum("count")).collect()[0][0] == len(want)
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('from(bucket: "b") |> exponentialTimeMovingAverage()',
+         "requires n:"),
+        ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 5)',
+         "bad duration"),
+        ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 1mo)',
+         "bad duration"),
+        ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 0s)',
+         "must be > 0"),
+        ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 5m, '
+         'column: "x")', "unsupported args"),
+    ],
+)
+def test_exponential_time_moving_average_rejections(spark, store, bad, msg):
+    with pytest.raises(flux.FluxError, match=msg):
+        flux.compile_flux(spark, bad, {"b": store})
+
+
 # -- Data-Explorer tail stages: sort / limit / keep / drop ------------
 
 
@@ -5478,17 +5567,23 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
     }
     # out-of-subset stages raise naming the streaming subset
     for bad, msg in [
-        # EMA needs the whole-series recurrence (the Arrow kernel
-        # class) — still a batch query's job; derivative() streams
-        # since round 12 (keyed state, test further below)
-        ('from(bucket: "b") |> exponentialMovingAverage(n: 3)',
+        # window-of-values recurrences (state is a value window, not
+        # O(1) accumulators) — still a batch query's job; EMA/ETMA
+        # stream since round 13 (keyed smoothing state, test further
+        # below), derivative() since round 12
+        ('from(bucket: "b") |> doubleEMA(n: 3)',
+         "STREAMING subset"),
+        ('from(bucket: "b") |> kaufmansAMA(n: 5)',
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean, '
          "createEmpty: true)", "append mode"),
+        # the calendar rejection names its BATCH REPLAY PATH (VERDICT
+        # r12 item 5): the user pasting a 1mo dashboard panel learns
+        # where that query runs instead
         ('from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean)',
-         "calendar"),
+         r"calendar windows.*run compile_flux on the store"),
     ]:
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux_stream(spark, bad, {"b": store})
@@ -5683,6 +5778,21 @@ def test_legacy_window_aggregate_idiom(spark, store):
          "takes no arguments"),
         ('from(bucket: "b") |> window(every: 6h) |> mean() '
          "|> window(every: inf, period: 1h)", "unsupported args"),
+        # ADVICE r12 probe: a tail stage INTERPOSED between window()
+        # and the bare aggregate must raise, never reorder past the
+        # rewritten aggregate (the filter/map/timeShift is recorded as
+        # a post-stage, so the tail guard fires before the rewrite)
+        ('from(bucket: "b") |> window(every: 6h) '
+         '|> filter(fn: (r) => r["_value"] > 0.5) |> mean()',
+         "after a sort/limit/keep/drop tail"),
+        ('from(bucket: "b") |> window(every: 6h) '
+         "|> map(fn: (r) => ({ r with _value: r._value * 2.0 })) "
+         "|> mean()", "after a sort/limit/keep/drop tail"),
+        ('from(bucket: "b") |> window(every: 6h) '
+         "|> timeShift(duration: 1h) |> mean()",
+         "after a sort/limit/keep/drop tail"),
+        ('from(bucket: "b") |> window(every: 6h) |> sort() |> last()',
+         "after a sort/limit/keep/drop tail"),
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux(spark, bad, {"b": store})
@@ -6688,6 +6798,169 @@ def test_compile_flux_stream_value_series_transforms(spark, tmp_path):
         "|> derivative(unit: 1s)",
     ):
         with pytest.raises(flux.FluxError, match="STREAMING subset"):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
+def test_compile_flux_stream_ema_smoothing(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 2): the SMOOTHED live panel —
+    exponentialMovingAverage / exponentialTimeMovingAverage stream as
+    keyed smoothing state (one float of state per series plus the
+    count-EMA's bounded warm-up). Two micro-batches (day-2 lands
+    after the first drain, same checkpoint) must together emit
+    exactly the batch compiler's rows — bit-identical — proving the
+    recurrence carries ACROSS batches: the day-2 seed is day-1's
+    final accumulator, so any state loss or re-seed diverges every
+    subsequent value. The EMA warm-up must also SPAN the batch
+    boundary (n: 5 over a 4-row first day → first emission lands in
+    batch 2)."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    for idx, (text, warm_spans_boundary) in enumerate([
+        # n: 5 > 4 day-1 rows — the warm-up fold must cross the
+        # micro-batch boundary (batch 1 emits NOTHING for this series)
+        ('from(bucket: "b") |> exponentialMovingAverage(n: 5)', True),
+        ('from(bucket: "b") |> exponentialMovingAverage(n: 3)', False),
+        # duration decay: every point emits, day-2's first weight is
+        # the OVERNIGHT gap — the strongest cross-batch state probe
+        ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 2h)',
+         False),
+    ]):
+        src = str(tmp_path / f"sm_src_{idx}")
+        _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+        live = flux.compile_flux_stream(spark, text, {"b": src})
+        assert live.isStreaming
+        ck = str(tmp_path / f"ck_sm_{idx}")
+
+        def drain():
+            rows: list = []
+            q = (
+                live.writeStream.foreachBatch(
+                    lambda df, _eid: rows.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [(r["_field"], r["_time"], r["_value"]) for r in rows]
+
+        rows1 = drain()
+        if warm_spans_boundary:
+            assert rows1 == []  # n rows not yet seen — nothing emits
+        else:
+            assert len(rows1) > 0
+        _write(src, 2, [3.0, 7.25, 4.0], "append")
+        rows2 = drain()
+        got = sorted(rows1 + rows2)
+        batch = flux.compile_flux(spark, text, {"b": src}).collect()
+        expected = sorted(
+            (r["_field"], r["_time"], r["_value"]) for r in batch
+        )
+        assert got == expected and len(rows2) > 0, text
+
+    # the smoother is terminal; post-stages and pre-aggregates raise
+    for bad in (
+        'from(bucket: "b") |> exponentialMovingAverage(n: 3) '
+        "|> aggregateWindow(every: 1h, fn: mean)",
+        'from(bucket: "b") |> exponentialTimeMovingAverage(n: 1h) '
+        '|> filter(fn: (r) => r["_value"] > 0)',
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        "|> exponentialMovingAverage(n: 3)",
+    ):
+        with pytest.raises(flux.FluxError, match="STREAMING subset"):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+    # arg validation mirrors batch
+    for bad, msg in (
+        ('from(bucket: "b") |> exponentialMovingAverage(n: 0)',
+         "positive int"),
+        ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 5)',
+         "bad duration"),
+        ('from(bucket: "b") |> exponentialTimeMovingAverage()',
+         "requires n:"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
+def test_compile_flux_stream_timed_moving_average(spark, tmp_path):
+    """Round 13: the windowed-emission timedMovingAverage(every:,
+    period:) streams — upstream defines it as window(every:, period:)
+    |> mean(), so the streaming compiler rewrites it onto the SAME
+    sliding-aggregateWindow path round 12d shipped. Pinned by plan
+    identity: the live tma and the equivalent sliding aggregateWindow
+    text must produce the same analyzed streaming plan (bit-identity
+    then follows from the sliding path's own streaming==batch pin).
+    The bare trailing-frame form raises naming the batch path."""
+    import datetime
+
+    src = str(tmp_path / "tma_src")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=29 * i), "events", "click",
+         float(i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"), F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"), F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(df, src, mode="overwrite")
+    tma = flux.compile_flux_stream(
+        spark,
+        'from(bucket: "b") |> timedMovingAverage(every: 1h, period: 3h)',
+        {"b": src},
+    )
+    slide = flux.compile_flux_stream(
+        spark,
+        'from(bucket: "b") |> aggregateWindow(every: 1h, period: 3h, '
+        "fn: mean)",
+        {"b": src},
+    )
+    assert tma.isStreaming
+    assert tma.schema == slide.schema
+
+    def _norm(df):
+        import re as _re
+
+        # expression IDs (#57) and the watermark node's per-query UUID
+        # differ per compile; the tree must not
+        s = df._jdf.queryExecution().analyzed().toString()
+        s = _re.sub(r"#\d+", "#", s)
+        return _re.sub(r"[0-9a-f]{8}-[0-9a-f-]{27}", "<uuid>", s)
+
+    assert _norm(tma) == _norm(slide)
+    for bad, msg in (
+        ('from(bucket: "b") |> timedMovingAverage(period: 3h)',
+         "bare timedMovingAverage"),
+        ('from(bucket: "b") |> timedMovingAverage(every: 1h, period: 90m)',
+         "multiple of every"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         "|> timedMovingAverage(every: 1h, period: 2h)",
+         "STREAMING subset"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 

@@ -159,6 +159,9 @@ def test_no_row_python_anywhere(spark, name):
         # per-row recurrence, the same sanctioned Arrow class
         # (flux.py reduce_fold branch)
         "flux_compiled_reduce_fold",
+        # round 13: exponentialTimeMovingAverage — the time-decayed
+        # member of the same sequential-recurrence class (flux_etma)
+        "flux_compiled_etma",
     ):
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
@@ -369,6 +372,10 @@ import pytest as _pytest
         # the legacy window |> mean |> window(inf) idiom rewrites to
         # the SAME windowed-aggregate plan — one exchange
         ("flux_compiled_legacy_window", 1),
+        # round 13: exponentialTimeMovingAverage — ONE narrowed
+        # raw-row exchange on the series key into the Arrow kernel
+        # (the sequential-recurrence class floor)
+        ("flux_compiled_etma", 1),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

@@ -402,7 +402,7 @@ _AGG_FNS = (
 #: named column, so composing over them would be ambiguous — they raise)
 _VALUE_SERIES = (
     "increase", "difference", "cumsum", "ema", "ema2", "ema3", "rsi",
-    "cmo", "ker", "trix", "kama", "interpolate",
+    "cmo", "ker", "trix", "kama", "interpolate", "etma",
 )
 
 
@@ -1907,11 +1907,19 @@ def compile_flux_stream(
     per series — under a pinned arrival contract (strictly-increasing
     per-series event time across micro-batches; late rows drop, the
     batch compiler is the replay path), bit-identical to the batch
-    forms; a transform is the TERMINAL stage of its pipeline.
-    Everything else raises naming the stage — whole-series recurrences
-    (EMA and kin), rank aggregates, and post-aggregate compositions
-    are a batch query's job (run ``compile_flux`` on the store
-    instead).
+    forms; a transform is the TERMINAL stage of its pipeline. The
+    EMA-class smoothers ``exponentialMovingAverage`` /
+    ``exponentialTimeMovingAverage`` (round 13) stream the same way —
+    O(1) smoothing state per series, emitting the batch kernels'
+    exact expression trees under the same arrival contract — and
+    ``timedMovingAverage(every:, period:)`` (round 13) rewrites onto
+    the sliding-aggregateWindow path it is upstream sugar for (the
+    bare trailing-frame form raises naming the batch path). Everything
+    else raises naming the stage — window-of-values recurrences
+    (DEMA/TEMA/RSI/TRIX/KAMA/holtWinters, whose state is a value
+    window, not O(1) accumulators), rank aggregates, and
+    post-aggregate compositions are a batch query's job (run
+    ``compile_flux`` on the store instead).
 
     MULTI-STATEMENT live panels: named pipelines feeding one final
     ``union(tables: [...])`` (exchange-free; each side keeps its own
@@ -2339,7 +2347,12 @@ def _compile_stream_single(
             if not (isinstance(every, str) and _DUR_RE.match(every)):
                 raise FluxError(
                     f"aggregateWindow every: bad duration {every!r} "
-                    "(calendar windows are outside the streaming subset)"
+                    "(calendar windows — every: 1mo/1y — are outside the "
+                    "STREAMING subset: month/year boundaries are not a "
+                    "fixed stride, so Spark's streaming window state "
+                    "cannot bucket them; run compile_flux on the store "
+                    "instead — the batch aggregateWindow handles 1mo/1y "
+                    "via date_trunc)"
                 )
             every_s = _duration_seconds(every)
             if every_s <= 0:
@@ -2415,6 +2428,59 @@ def _compile_stream_single(
                     "in the streaming subset"
                 )
             agg = (every_s, fn, period_s, offset_s)
+        elif head == "timedMovingAverage":
+            # round 13: the WINDOWED-EMISSION form streams — upstream
+            # defines timedMovingAverage(every:, period:) as
+            # window(every:, period:) |> mean(), exactly the sliding
+            # aggregateWindow(mean) the streaming subset already runs
+            # (round 12d), so it rewrites to the same agg tuple and
+            # inherits that path's state shape and watermark
+            # finalization. The bare trailing-frame form
+            # (timedMovingAverage(period:) with no every:) is a
+            # per-record ROW-frame mean — a window of values per
+            # series, outside the O(1)-state streaming contract.
+            if agg is not None:
+                raise FluxError(
+                    "timedMovingAverage() after aggregateWindow is "
+                    "outside the STREAMING subset"
+                )
+            a = _args(stage, "timedMovingAverage")
+            if "every" not in a:
+                raise FluxError(
+                    "bare timedMovingAverage(period:) is outside the "
+                    "STREAMING subset (a per-record trailing window "
+                    "buffers a value window per series) — stream the "
+                    "windowed-emission form timedMovingAverage(every:, "
+                    "period:) or run compile_flux on the store"
+                )
+            tma_every = _resolve(a["every"], params)
+            tma_period = _resolve(a.get("period", ""), params)
+            for nm, v in (("every", tma_every), ("period", tma_period)):
+                if (
+                    not (isinstance(v, str) and _DUR_RE.match(v))
+                    or _duration_seconds(v) <= 0
+                ):
+                    raise FluxError(
+                        f"timedMovingAverage {nm}: bad duration {v!r}"
+                    )
+            extra = set(a) - {"every", "period"}
+            if extra:
+                raise FluxError(
+                    f"timedMovingAverage: unsupported args {sorted(extra)}"
+                )
+            tma_every_s = _duration_seconds(tma_every)
+            tma_period_s = _duration_seconds(tma_period)
+            if tma_period_s != tma_every_s and (
+                tma_period_s % tma_every_s != 0
+            ):
+                raise FluxError(
+                    "timedMovingAverage period: must be a positive "
+                    f"multiple of every: in the subset; got {stage!r}"
+                )
+            agg = (
+                tma_every_s, "mean",
+                tma_period_s if tma_period_s != tma_every_s else None, 0,
+            )
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
@@ -2518,6 +2584,67 @@ def _compile_stream_single(
                         f"(got args {sorted(a)})"
                     )
                 vs = ("cumsum",) if head == "cumulativeSum" else ("increase",)
+        elif head in (
+            "exponentialMovingAverage", "exponentialTimeMovingAverage",
+        ):
+            # round 13 (VERDICT r12 item 2): the SMOOTHED live panel —
+            # EMA-class recurrences as keyed state
+            # (streaming/stateful.value_series_smoothing): one float of
+            # smoothing state per series (plus the count-EMA's bounded
+            # warm-up accumulator), append mode, the same pinned
+            # arrival contract as the round-12 value-series transforms
+            # (strictly-increasing per-series event time; late rows
+            # drop; batch replay on the store for disordered data).
+            # Emitted values are the batch kernels' exact expression
+            # trees — bit-identical under the contract (pinned in
+            # tests). Other whole-series recurrences (DEMA/TEMA/RSI/
+            # TRIX/KAMA/holtWinters) still raise below: their state is
+            # a window of values, not O(1) accumulators.
+            if agg is not None:
+                raise FluxError(
+                    f"{head}() after aggregateWindow is outside the "
+                    "STREAMING subset (smooth-the-downsample is a "
+                    "batch query's job)"
+                )
+            a = _args(stage, head)
+            if head == "exponentialMovingAverage":
+                n = _resolve(a["n"], params) if "n" in a else None
+                if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                    raise FluxError(
+                        f"exponentialMovingAverage n: positive int "
+                        f"required, got {n!r}"
+                    )
+                extra = set(a) - {"n"}
+                if extra:
+                    raise FluxError(
+                        f"exponentialMovingAverage: unsupported args "
+                        f"{sorted(extra)}"
+                    )
+                vs = ("ema_smooth", n)
+            else:
+                if "n" not in a:
+                    raise FluxError(
+                        "exponentialTimeMovingAverage requires n:"
+                    )
+                dur = _resolve(a["n"], params)
+                if not (isinstance(dur, str) and _DUR_RE.match(dur)):
+                    raise FluxError(
+                        f"exponentialTimeMovingAverage n: bad duration "
+                        f"{dur!r}"
+                    )
+                n_s = _duration_seconds(dur)
+                if n_s <= 0:
+                    raise FluxError(
+                        f"exponentialTimeMovingAverage n must be > 0: "
+                        f"{dur!r}"
+                    )
+                extra = set(a) - {"n"}
+                if extra:
+                    raise FluxError(
+                        f"exponentialTimeMovingAverage: unsupported "
+                        f"args {sorted(extra)}"
+                    )
+                vs = ("etma_smooth", n_s * 1_000_000)
         elif head in ("keep", "drop", "rename"):
             # round 12d: the display-shaping tail over the aggregate
             # output — stateless projections, so the live panel keeps
@@ -2593,6 +2720,17 @@ def _compile_stream_single(
         frame = out.select(*key_cols, "_time", "_value").filter(
             F.col("_value").isNotNull()
         )
+        if vs[0] in ("ema_smooth", "etma_smooth"):
+            from .streaming.stateful import value_series_smoothing
+
+            return (
+                value_series_smoothing(
+                    frame, key_cols,
+                    "ema" if vs[0] == "ema_smooth" else "etma",
+                    vs[1], out_name=yield_name or "_value",
+                ),
+                None,
+            )
         if vs[0] == "derivative":
             return (
                 value_series_transform(
@@ -3024,6 +3162,7 @@ def _compile_pipeline(
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
         "elapsed", "histogram", "unique", "distinct", "window",
         "integral", "timeWeightedAvg", "exponentialMovingAverage",
+    "exponentialTimeMovingAverage",
         # round 10c: the technical-indicator / selector batch
         "mode", "skew", "stateCount", "chandeMomentumOscillator",
         "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
@@ -3214,6 +3353,15 @@ def _compile_pipeline(
                 # the LEGACY pre-aggregateWindow idiom (round 12d —
                 # InfluxDB 2.0's Data Explorer generated exactly this):
                 # window(every:) |> <agg>() [|> window(every: inf)].
+                # ORDERING INVARIANT (ADVICE r12 probe): an interposed
+                # tail stage — window |> filter/map/timeShift |> mean —
+                # can NEVER reach this rewrite: once post_ops is
+                # non-empty the tail guard at the top of the stage loop
+                # (`post_ops and head not in _TAIL_HEADS`) raises
+                # before this branch is evaluated, so a recorded
+                # post-stage cannot be silently reordered past the
+                # rewritten aggregate (pinned in
+                # test_legacy_window_aggregate_idiom).
                 # The first two stages rewrite to the windowed
                 # aggregate — aggregateWindow IS upstream's sugar for
                 # this composition, with the same createEmpty: false
@@ -4589,6 +4737,36 @@ def _compile_pipeline(
                     f"{sorted(extra)}"
                 )
             transform = ("ema", n)
+        elif head == "exponentialTimeMovingAverage":
+            # exponentialTimeMovingAverage(n: <duration>) — the
+            # time-decayed EMA for irregular sampling (round 13; the
+            # last upstream movingAverage-family member). First point
+            # seeds y = v and is emitted (n is a duration, not a
+            # warm-up count); later points y = w·y_prev + (1−w)·v with
+            # the PINNED rational decay w = n/(n + Δt) in place of
+            # upstream's non-replayable exp(−Δt/n) (MIGRATION.md
+            # divergence list; operators/timeseries.py flux_etma).
+            a = _args(stage, "exponentialTimeMovingAverage")
+            if "n" not in a:
+                raise FluxError("exponentialTimeMovingAverage requires n:")
+            dur = _resolve(a["n"], params)
+            if not (isinstance(dur, str) and _DUR_RE.match(dur)):
+                raise FluxError(
+                    f"exponentialTimeMovingAverage n: bad duration {dur!r} "
+                    "(calendar anchors 1mo/1y are not a fixed decay scale)"
+                )
+            n_s = _duration_seconds(dur)
+            if n_s <= 0:
+                raise FluxError(
+                    f"exponentialTimeMovingAverage n must be > 0: {dur!r}"
+                )
+            extra = set(a) - {"n"}
+            if extra:
+                raise FluxError(
+                    f"exponentialTimeMovingAverage: unsupported args "
+                    f"{sorted(extra)}"
+                )
+            transform = ("etma", n_s * 1_000_000)
         elif head in ("top", "bottom"):
             # Flux top(n:, [columns:]) / bottom: the Data-Explorer
             # per-series extrema buttons — exactly sort(desc/asc) |>
@@ -5747,10 +5925,11 @@ def _compile_pipeline(
                     / (F.lit(2.0) * F.col("__span").cast("double")),
                 ).alias(yield_name or "time_weighted_avg")
             return _finish(grouped.select(*keys, value, "n"))
-        if kind in ("ema", "ema2", "ema3", "rsi", "trix", "kama"):
+        if kind in ("ema", "ema2", "ema3", "rsi", "trix", "kama", "etma"):
             from .operators.timeseries import (
                 flux_ema,
                 flux_ema_chain,
+                flux_etma,
                 flux_kama,
                 flux_rsi,
                 flux_trix,
@@ -5759,6 +5938,8 @@ def _compile_pipeline(
             src = df.filter(F.col("_value").isNotNull())
             if kind == "ema":
                 series = flux_ema(src, "_time", "_value", keys, transform[1])
+            elif kind == "etma":
+                series = flux_etma(src, "_time", "_value", keys, transform[1])
             elif kind == "rsi":
                 series = flux_rsi(src, "_time", "_value", keys, transform[1])
             elif kind == "trix":

@@ -438,6 +438,78 @@ def flux_ema(
     return narrowed.groupBy(*keys).applyInPandas(_ema, schema=out_schema)
 
 
+def flux_etma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    n_us: int,
+) -> DataFrame:
+    """Flux ``exponentialTimeMovingAverage(n:)`` — the time-decayed
+    EMA for irregularly-sampled series (the last upstream
+    ``movingAverage``-family member, round 13): per series in
+    (ts, value) order, the first point seeds y₁ = v₁ and IS emitted
+    (``n`` is a duration, not a warm-up count — no rows drop, unlike
+    ``exponentialMovingAverage``); every later point emits
+    ``y = w·y_prev + (1−w)·v`` with ``w = n_us / (n_us + Δt_us)``,
+    Δt the integer-µs gap to the previous point.
+
+    ONE pinned deviation (MIGRATION.md divergence list): upstream
+    weights the previous average by ``exp(−Δt/n)``; libm ``exp`` is
+    not bit-replayable across engines, so this engine pins the
+    rational first-order Padé form ``n/(n + Δt)`` — the same
+    pinned-replayable-constant precedent as holtWinters' dyadic
+    smoothing constants. Both decay monotonically from 1 at Δt = 0
+    (a tied timestamp contributes zero weight in either convention)
+    and agree to O((Δt/n)²) for gaps short against n.
+
+    Replay contract: ``w`` is one exact-operand double division
+    (n_us and the summed denominator are integers < 2⁵³, so Python's
+    correctly-rounded int÷int equals IEEE double division) and the
+    step is exactly ``w·acc + (1.0−w)·x`` — the same expression tree
+    the DuckDB recursive-CTE oracle walks, so every output value is
+    bit-identical to the SQL replay. Sequential recurrence → the
+    sanctioned Arrow escape hatch (one shuffle on the series key, one
+    pass per series, one (acc, prev_t) pair of running state).
+    ``__seq`` serves a downstream last() exactly as in ``flux_ema``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cols = [*keys, ts_col]
+    narrowed = df.select(*cols, F.col(value_col).cast("double").alias(value_col))
+    out_schema = StructType(
+        [narrowed.schema[c] for c in cols]
+        + [StructField(value_col, DoubleType()), StructField("__seq", LongType())]
+    )
+    n_us = int(n_us)
+
+    def _etma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        t_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        out = []
+        acc = 0.0
+        prev_t = 0
+        for i in range(len(xs)):
+            x = float(xs[i])
+            t = int(t_us[i])
+            if i == 0:
+                acc = x
+            else:
+                w = n_us / (n_us + (t - prev_t))
+                acc = w * acc + (1.0 - w) * x
+            out.append(acc)
+            prev_t = t
+        kept = pdf.copy()
+        kept[value_col] = out
+        kept["__seq"] = range(len(out))
+        return kept
+
+    return narrowed.groupBy(*keys).applyInPandas(_etma, schema=out_schema)
+
+
 def _flux_ema_fold(xs, n: int, k: float, omk: float):
     """The shared EMA fold every chained-EMA kernel composes from
     (flux_ema_chain, flux_trix): seed = left-to-right sum of the first

@@ -156,74 +156,68 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
     "bpe_learn_merges": None,
 }
 
-# The 50 queries the driver will verify this round, in order.
+# The 50 queries the driver will verify this round, in order. The
+# ordering below is COMPUTED policy, not hand lore: run
+# ``python tools/rotation_ledger.py`` (VERDICT r12 item 6) — it derives
+# every query's last own-row round from the committed
+# CORRECTNESS_r*.json files; never-own-row entries lead, then oldest.
 _CHECKED_WINDOW = [
-    # --- round 12: new queries go first (never had a row) — the
-    # holtWinters withFit pair (VERDICT r11 item 2), the reduce()
-    # cross-field fold (item 3), the nested combiner overlay (item 5)
-    "flux_compiled_holt_winters_fit",
-    "flux_compiled_holt_winters_seasonal_fit",
-    "flux_compiled_reduce_fold",
-    "flux_compiled_nested_overlay",
-    # round 12d: the post-aggregate map tail stage (unit-converted
-    # panel + threshold in user order), the timeWeightedAvg gauge
-    # mean, and upstream's default stop-labeled windows — new
-    # queries, never had a row
-    "flux_compiled_postmap_units",
-    "flux_compiled_time_weighted",
-    "flux_compiled_timesrc_stop",
-    "flux_compiled_legacy_window",
-    "flux_compiled_difference_keepfirst",
-    "flux_compiled_tag_pivot",
-    # --- the enumerated r12 rotation heads (VERDICT r11 item 1: the
-    # r9-green singletons the r11 window deliberately left out) ---
-    "counter_increase",
-    "event_transitions",
-    "funnel_view_click_purchase",
-    "time_weighted_avg",
-    "value_percentiles",
-    "value_trend_per_type",
-    "weekly_retention",
-    "value_percentiles_approx",
-    "distinct_users_two_phase",
-    "flux_compiled_increase_total",
-    "flux_compiled_row_moving_avg",
-    "sql_surface_top_part_types",
-    "salted_join_segment_counts",
-    "pricing_summary",
-    "rollup_day_from_hour",
-    # --- suite_round5 arms that have NEVER had their own row (always
-    # suite-attested; cross-round audit shows no recorded singleton
-    # hash) — they outrank the r6-green arms ---
-    "holt_linear_final",
-    "decimate_lttb",
-    "trailing_1h_mean",
-    "state_duration",
-    "series_correlation",
-    # --- r6-green suite_round5 arm singletons, in registry order
-    # (VERDICT r11 item 1 tail: "as slots allow"). Left out this
-    # round (still suite-covered via in-window suite_round5, own rows
-    # r6/r7): mixture_plan, corpus_drift, chunk_dedup_stats,
-    # label_outliers, pack_sequences. ---
-    "source_cap_docs",
-    "trigram_familiarity",
-    "split_leakage_guard",
-    "embedding_pq_topk",
-    "embedding_pq_rerank",
-    "window_percentiles_15m",
-    "day_over_day_delta",
-    "dedup_apply",
-    "dq_lineitem",
-    # span_dedup_apply, curation_pipeline, hybrid_search_rrf,
-    # duplicate_spans, dsir_weights and negative_pairs yielded their
-    # slots to the six round-12d queries (flux_compiled_postmap_units
-    # / _time_weighted / _timesrc_stop / _legacy_window /
-    # _difference_keepfirst / _tag_pivot); all stay suite-covered via
-    # in-window suite_round5 (own rows r7/r6)
-    # --- always-checked core: flagships + suites (11; suite_round11
-    # and suite_flux_round10c are the sole attestation paths for
-    # their singleton arms, and the round-12 holtWinters/reduce code
-    # changes re-attest through suite_round11's embedded arms) ---
+    # --- round 13: new queries go first (never had a row) ---
+    "flux_compiled_etma",
+    # --- the never-own-row class (VERDICT r12 item 1; ledger output
+    # r12-end: 38 queries, every one suite-attested only since
+    # registration). This window clears ALL of it: the 23
+    # suite_flux_round10c arms... ---
+    "flux_compiled_mode",
+    "flux_compiled_skew",
+    "flux_compiled_state_count",
+    "flux_compiled_cmo",
+    "flux_compiled_kaufmans_er",
+    "flux_compiled_sample",
+    "flux_compiled_limit_offset",
+    "flux_compiled_to_int",
+    "flux_compiled_highest_max",
+    "flux_compiled_lowest_average",
+    "flux_compiled_histogram_quantile",
+    "flux_compiled_dema",
+    "flux_compiled_tema",
+    "flux_compiled_rsi",
+    "flux_compiled_sliding",
+    "flux_compiled_offset_window",
+    "flux_compiled_month",
+    "flux_compiled_counter_window",
+    "flux_compiled_alert_filter",
+    "flux_compiled_columns",
+    "flux_compiled_key_values",
+    "flux_compiled_map_math",
+    "flux_compiled_map_conditional",
+    # --- ...and the 15 suite_round11 arms ---
+    "flux_compiled_holt_winters",
+    "flux_compiled_holt_winters_seasonal",
+    "lineprotocol_window_mean",
+    "flux_compiled_trix",
+    "flux_compiled_kama",
+    "flux_compiled_events_duration",
+    "flux_compiled_interpolate",
+    "flux_compiled_reduce",
+    "flux_compiled_tma_windowed",
+    "flux_compiled_downsample_rate",
+    "flux_compiled_contains",
+    "flux_compiled_left_join",
+    "flux_compiled_windowed_quantile",
+    "semantic_dedup_apply",
+    "semantic_dedup_lsh",
+    # --- oldest own-row singletons as slots allow (ledger: the r1
+    # relational block is the oldest; both stay suite_joins-covered
+    # besides). The rest of the r1/r6 backlog rotates next round. ---
+    "top_revenue_orders",
+    "region_nation_revenue",
+    # --- always-checked core: flagships + the suites that remain the
+    # sole in-window representative of their operator families.
+    # suite_flux_round10c and suite_round11 rotate OUT this round:
+    # every constituent has its own in-window row above (stronger
+    # attestation than the suite hash), and the suites themselves
+    # hold r12-green rows. ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
@@ -233,8 +227,6 @@ _CHECKED_WINDOW = [
     "suite_window_fns",
     "suite_round5",
     "suite_timeseries_stats",
-    "suite_flux_round10c",
-    "suite_round11",
 ]
 
 

@@ -6241,3 +6241,71 @@ def suite_round11(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# -- round 13: exponentialTimeMovingAverage ---------------------------
+
+
+@query(
+    "flux_compiled_etma",
+    # exponentialTimeMovingAverage(n: 5m), full series: y1 = v1
+    # (emitted — n is a duration, not a warm-up count), then
+    # y = w·y_prev + (1−w)·v with w = n_us/(n_us + Δt_us), the PINNED
+    # rational decay (MIGRATION.md divergence list; upstream's
+    # exp(−Δt/n) is not bit-replayable across engines). The oracle
+    # replays the recurrence as a linear recursive CTE carrying the
+    # (values, epoch-µs) lists in the working row; w is one
+    # exact-operand double division (both integers < 2⁵³) and the step
+    # is exactly w·a + (1.0−w)·v — the kernel's own expression tree
+    # (operators/timeseries.py flux_etma), so every value is
+    # bit-identical.
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT ts, value, row_number() OVER (ORDER BY ts, value) AS rn
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    base AS (
+      SELECT count(*) AS L, list(value ORDER BY rn) AS vs,
+             list(epoch_us(ts) ORDER BY rn) AS tu,
+             list(ts ORDER BY rn) AS tss
+      FROM ranked
+    ),
+    e(rn, a, vs, tu) AS (
+      SELECT 1, vs[1], vs, tu FROM base WHERE L >= 1
+      UNION ALL
+      SELECT rn + 1, w * a + (1.0 - w) * vs[rn + 1], vs, tu
+      FROM (
+        SELECT rn, a, vs, tu,
+               300000000.0 / CAST(300000000 + (tu[rn + 1] - tu[rn])
+                                  AS DOUBLE) AS w
+        FROM e WHERE rn + 1 <= len(vs)
+      )
+    )
+    SELECT 'events' AS _measurement, 'view' AS _field,
+           b.tss[e.rn] AS _time, e.a AS _value
+    FROM e, base b
+    """,
+)
+def flux_compiled_etma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`exponentialTimeMovingAverage()` through the Flux front-end —
+    the time-decayed smoothing panel for irregular sampling, the last
+    upstream movingAverage-family member (VERDICT r12 item 3). One
+    Arrow per-series pass (operators/timeseries.py flux_etma), pinned
+    rational decay documented there and in MIGRATION.md."""
+    from ..flux import compile_flux
+
+    path = _event_bucket_path(spark, sf_dir)
+    return compile_flux(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z", stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "view")
+          |> exponentialTimeMovingAverage(n: 5m)
+        """,
+        {"gas-quality": path},
+    )

@@ -477,6 +477,20 @@ def delete_rows(
     finds no matching rows and rewrites partitions with themselves.
     Single maintenance writer assumed, like compact/expire.
 
+    PARTIAL-FAILURE story (ADVICE r12): the eager ``localCheckpoint``
+    pins the touched partitions' survivors in executor storage
+    UNREPLICATED, so an executor loss mid-delete fails the job — and
+    the dynamic overwrite is per-partition, so some touched partitions
+    may already hold the post-delete state while others still hold the
+    pre-delete one. Readers see only whole old or whole new partitions
+    (never torn files), and because the operation is idempotent the
+    documented recovery is simply RE-RUN THE SAME CALL: already-swapped
+    partitions have no matching rows left and rewrite as themselves,
+    the rest complete the delete. For ranges too wide to pin in
+    executor memory, split the call into per-day [start, stop) slices —
+    cost is identical (the partition set is the unit of work either
+    way) and each slice bounds the checkpointed footprint to one day.
+
     ``cluster`` must name the store's file-clustering layout (see
     ``write_bucket``) so the rewritten partitions keep their footer-
     stats organization. Returns ``{"rows_deleted": int,

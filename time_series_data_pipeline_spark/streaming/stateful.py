@@ -234,3 +234,114 @@ def value_series_transform(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming EMA-class smoothing (round 13) --------------------------
+#
+# The smoothed live panel (VERDICT r12 item 2): Flux's
+# exponentialMovingAverage / exponentialTimeMovingAverage over a record
+# STREAM, the same keyed-state pattern as value_series_transform with
+# ONE float of smoothing state per series (plus the count-EMA's bounded
+# warm-up accumulator). Same pinned ARRIVAL CONTRACT (strictly-
+# increasing per-series event time across micro-batches; late rows
+# drop; the batch compiler on the store is the replay path), and the
+# NUMERIC PARITY discipline is the batch kernels' own expression
+# trees verbatim (operators/timeseries.py flux_ema / flux_etma):
+# * ema: seed = left-to-right float64 sum of the first n values ÷ n
+#   (emitted at the n-th point; earlier points emit nothing), then
+#   acc = (1−k)·acc + k·x with k = 2/(n+1) — bit-identical to batch
+#   under the arrival contract.
+# * etma: first point seeds acc = v (emitted); then
+#   w = n_us/(n_us + Δt_us) (exact-operand int÷int division) and
+#   acc = w·acc + (1.0−w)·x — the pinned rational decay (MIGRATION.md;
+#   upstream's exp(−Δt/n) is not bit-replayable).
+
+_SMOOTH_STATE = "last_t long, acc double, warm double, cnt long"
+
+
+def value_series_smoothing(
+    stream: DataFrame,
+    key_cols: list[str],
+    kind: str,
+    n: int,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Streaming EMA-class smoothing per series. ``kind`` is ``"ema"``
+    (``n`` = point count ≥ 1) or ``"etma"`` (``n`` = decay duration in
+    integer µs). Input carries ``key_cols + [_time, _value]`` with
+    null ``_value`` already filtered; output is ``key_cols + [_time,
+    _value]`` with ``_value`` rewritten to the smoothed series (the
+    batch kernels' column shape). Append mode; one
+    (last_t, acc, warm, cnt) tuple per series, never timed out."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if kind not in ("ema", "etma"):
+        raise ValueError(f"unknown smoothing kind {kind!r}")
+    name = out_name or "_value"
+    narrowed = stream.select(*key_cols, "_time", "_value")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    out_schema = StructType(base + time_f + [StructField(name, DoubleType())])
+    n = int(n)
+    # ema constants (unused by etma, but bound so the closure pickles)
+    k = 2.0 / (n + 1.0)
+    omk = 1.0 - k
+
+    def _fn(key, pdfs, state):
+        if state.exists:
+            last_t, acc, warm, cnt = state.get
+            seen = True
+        else:
+            last_t, acc, warm, cnt = 0, 0.0, 0.0, 0
+            seen = False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, v_out = [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        vals = pdf["_value"].to_numpy()
+        for t, t_us, v in zip(times, t_us_arr, vals):
+            v = float(v)
+            t_us = int(t_us)
+            if math.isnan(v):
+                continue  # NaN ≡ null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            if kind == "etma":
+                if cnt == 0:
+                    acc = v
+                else:
+                    w = n / (n + (t_us - last_t))
+                    acc = w * acc + (1.0 - w) * v
+                cnt += 1
+                ts_out.append(t)
+                v_out.append(acc)
+            else:  # ema — warm-up fold, then the recurrence
+                if cnt < n:
+                    warm = v if cnt == 0 else warm + v
+                    cnt += 1
+                    if cnt == n:
+                        acc = warm / n
+                        ts_out.append(t)
+                        v_out.append(acc)
+                else:
+                    acc = omk * acc + k * v
+                    ts_out.append(t)
+                    v_out.append(acc)
+            last_t, seen = t_us, True
+        state.update((int(last_t), float(acc), float(warm), int(cnt)))
+        cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
+        cols["_time"] = ts_out
+        cols[name] = v_out
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_SMOOTH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

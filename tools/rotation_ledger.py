@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Freshness ledger for the driver-window rotation (VERDICT r12 item
+6): for every registered query, the last round with its OWN hash-green
+driver row — computed from the recorded CORRECTNESS_r*.json files, so
+the rotation policy's "oldest first" ordering is derived, not
+hand-maintained in comments.
+
+Usage: python tools/rotation_ledger.py [--json]
+
+Text output groups queries by attestation state, oldest-first inside
+each group:
+  never-own-row : registered, suite-/verify-attested only — these
+                  lead the next window (queries/__init__.py policy)
+  rN            : own hash-green row last recorded in round N
+Rows-only queries are annotated (their hash evidence rides on the
+*_verify twin). Pure-Python over the committed JSON — no Spark.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_ledger() -> dict[str, dict]:
+    sys.path.insert(0, _REPO)
+    from time_series_data_pipeline_spark.queries import (
+        ORACLE,
+        QUERIES,
+        ROWS_ONLY_ATTESTATION,
+        SUITE_CONSTITUENTS,
+    )
+
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            elif (
+                isinstance(row, dict)
+                and name in ROWS_ONLY_ATTESTATION
+                and row.get("rows_match")
+            ):
+                # rows-only entries can never hash-match; their own-row
+                # freshness is the rows-check, hash evidence rides on
+                # the *_verify twin
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    suites_of: dict[str, list[str]] = {}
+    for suite, members in SUITE_CONSTITUENTS.items():
+        for name in members:
+            suites_of.setdefault(name, []).append(suite)
+    ledger: dict[str, dict] = {}
+    for name in QUERIES:
+        ledger[name] = {
+            "own_row_round": last_green.get(name),
+            "suites": suites_of.get(name, []),
+            "rows_only": name in ROWS_ONLY_ATTESTATION,
+            "has_oracle": name in ORACLE,
+        }
+    return ledger
+
+
+def main() -> None:
+    ledger = build_ledger()
+    if "--json" in sys.argv:
+        json.dump(ledger, sys.stdout, indent=1, sort_keys=True)
+        print()
+        return
+    never = [n for n, e in ledger.items() if e["own_row_round"] is None]
+    aged = sorted(
+        ((e["own_row_round"], n) for n, e in ledger.items()
+         if e["own_row_round"] is not None),
+    )
+    print(f"# {len(ledger)} registered queries, "
+          f"{len(never)} never-own-row\n")
+    print("## never-own-row (lead the next window)")
+    for n in never:
+        e = ledger[n]
+        via = ",".join(e["suites"]) or (
+            "rows-only/verify" if e["rows_only"] else "UNATTESTED"
+        )
+        print(f"  {n}  (via {via})")
+    print("\n## own-row freshness, oldest first")
+    for rnd, n in aged:
+        print(f"  r{rnd:02d}  {n}")
+
+
+if __name__ == "__main__":
+    main()
