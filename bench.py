@@ -393,6 +393,44 @@ def _bench_stream_chain(spark) -> float:
     return elapsed
 
 
+def _bench_stream_smoothing(spark, sf_dir: str) -> float:
+    """Time the keyed-state smoothing path (round 13): the sf-scale
+    events bucket drained through ``compile_flux_stream(... |>
+    exponentialMovingAverage(n: 12))`` with trigger(availableNow) —
+    the live smoothed panel's full envelope (stream-source file
+    listing, applyInPandasWithState shuffle + state-store commit, the
+    per-series fold) over every event row. Fresh checkpoint per
+    attempt: re-timing a drained checkpoint would measure a no-op.
+    The store build is the cached one the batch queries share."""
+    import shutil
+    import tempfile
+
+    from time_series_data_pipeline_spark.flux import compile_flux_stream
+    from time_series_data_pipeline_spark.queries.timeseries_q import (
+        _event_bucket_path,
+    )
+
+    store = _event_bucket_path(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="tsdp_bench_smooth_")
+    t0 = time.perf_counter()
+    live = compile_flux_stream(
+        spark,
+        'from(bucket: "b") |> exponentialMovingAverage(n: 12)',
+        {"b": store},
+    )
+    q = (
+        live.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(scratch, ignore_errors=True)
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -468,6 +506,13 @@ def main() -> None:
     stream_attempts = [round(_bench_stream_chain(spark), 3) for _ in range(3)]
     cold["ingest_stream_chain"] = stream_attempts[0]
     timings["ingest_stream_chain"] = min(stream_attempts)
+    # round 13: the keyed-state smoothing drain (the live smoothed
+    # panel) — same min-of-3 protocol
+    smooth_attempts = [
+        round(_bench_stream_smoothing(spark, sf_dir), 3) for _ in range(3)
+    ]
+    cold["stream_smoothing_panel"] = smooth_attempts[0]
+    timings["stream_smoothing_panel"] = min(smooth_attempts)
     total = round(sum(timings.values()), 3)
     cal_end = _calibration_workload(spark)
     load_end = _loadavg_1m()
@@ -492,14 +537,17 @@ def main() -> None:
         movers = sorted(timings, key=timings.get, reverse=True)[:5]
         re_cal_start = _calibration_workload(spark)
         rerun: dict[str, float] = {}
+        special = {
+            "ingest_backfill": lambda: _bench_ingest_backfill(spark),
+            "ingest_stream_chain": lambda: _bench_stream_chain(spark),
+            "stream_smoothing_panel": (
+                lambda: _bench_stream_smoothing(spark, sf_dir)
+            ),
+        }
         for name in movers:
-            if name in ("ingest_backfill", "ingest_stream_chain"):
-                fn = (
-                    _bench_ingest_backfill
-                    if name == "ingest_backfill"
-                    else _bench_stream_chain
-                )
-                rerun[name] = round(min(fn(spark) for _ in range(2)), 3)
+            if name in special:
+                fn = special[name]
+                rerun[name] = round(min(fn() for _ in range(2)), 3)
                 continue
             spark.catalog.clearCache()
             attempts = []

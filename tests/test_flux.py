@@ -5567,13 +5567,14 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
     }
     # out-of-subset stages raise naming the streaming subset
     for bad, msg in [
-        # window-of-values recurrences (state is a value window, not
-        # O(1) accumulators) — still a batch query's job; EMA/ETMA
-        # stream since round 13 (keyed smoothing state, test further
-        # below), derivative() since round 12
-        ('from(bucket: "b") |> doubleEMA(n: 3)',
-         "STREAMING subset"),
+        # window-of-values recurrences (state is a value WINDOW, not a
+        # fixed tuple) — still a batch query's job; the O(1)-state
+        # smoothing family (EMA/ETMA/DEMA/TEMA/RSI/TRIX) streams since
+        # round 13 (keyed state, test further below), derivative()
+        # since round 12
         ('from(bucket: "b") |> kaufmansAMA(n: 5)',
+         "STREAMING subset"),
+        ('from(bucket: "b") |> movingAverage(n: 5)',
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',
          "STREAMING subset"),
@@ -6842,6 +6843,15 @@ def test_compile_flux_stream_ema_smoothing(spark, tmp_path):
         # the OVERNIGHT gap — the strongest cross-batch state probe
         ('from(bucket: "b") |> exponentialTimeMovingAverage(n: 2h)',
          False),
+        # the CHAINED O(1)-state family (second sweep): doubleEMA n:3
+        # first emits at row 2(n−1) = 4 — day 2 (4-row day 1 emits
+        # nothing, the chained warm-up spans the boundary); tripleEMA
+        # n:2 emits from row 3; Wilder RSI n:3 from row 3; TRIX n:2
+        # (one-lag derivative of the thrice-chained fold) from row 4
+        ('from(bucket: "b") |> doubleEMA(n: 3)', True),
+        ('from(bucket: "b") |> tripleEMA(n: 2)', False),
+        ('from(bucket: "b") |> relativeStrengthIndex(n: 3)', False),
+        ('from(bucket: "b") |> tripleExponentialDerivative(n: 2)', True),
     ]):
         src = str(tmp_path / f"sm_src_{idx}")
         _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
@@ -7295,6 +7305,13 @@ _STAGE_POOL = [
     "difference(nonNegative: true, keepFirst: true, initialZero: true)",
     "difference(initialZero: true)",
     'pivot(rowKey: ["_time"], columnKey: ["host"], valueColumn: "_value")',
+    # round 13: the time-decayed EMA + the streaming smoothing family
+    # (legal standalone in BOTH compilers now; rejected after
+    # aggregates / with bad args — the fuzz pins totality either way)
+    "exponentialTimeMovingAverage(n: 5m)",
+    "exponentialTimeMovingAverage(n: 5)",
+    "exponentialTimeMovingAverage(n: 0s)",
+    "tripleEMA(n: 2)",
     'to(bucket: "nowhere")',
     'yield(name: "out")',
     "bogusStage(x: 1)",

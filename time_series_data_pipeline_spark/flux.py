@@ -343,8 +343,12 @@ Round 10c adds the technical-indicator / selector / conversion batch
   ``join()`` of exactly two same-``every`` windowed aggregates on the
   window spine (the live overlay / period comparison: a stream-stream
   join on the window STRUCT via Spark's multiple-stateful-operator
-  path); everything needing whole-series state per trigger raises,
-  pointing at the batch entry point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
+  path). Value-series transforms (round 12) and the O(1)-state
+  smoothing/indicator family (EMA/ETMA/doubleEMA/tripleEMA/RSI/TRIX,
+  round 13) stream as keyed state under a pinned arrival contract;
+  everything needing a WINDOW of values per series (kaufmansAMA,
+  holtWinters, rank aggregates) raises, pointing at the batch entry
+  point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
   as the InfluxDB task loop (a ticker stream; per-tick ``now_fn``
   anchoring for relative bounds).
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
@@ -1908,16 +1912,18 @@ def compile_flux_stream(
     per-series event time across micro-batches; late rows drop, the
     batch compiler is the replay path), bit-identical to the batch
     forms; a transform is the TERMINAL stage of its pipeline. The
-    EMA-class smoothers ``exponentialMovingAverage`` /
-    ``exponentialTimeMovingAverage`` (round 13) stream the same way —
-    O(1) smoothing state per series, emitting the batch kernels'
+    EMA-class smoothers and indicators ``exponentialMovingAverage`` /
+    ``exponentialTimeMovingAverage`` / ``doubleEMA`` / ``tripleEMA`` /
+    ``relativeStrengthIndex`` / ``tripleExponentialDerivative``
+    (round 13) stream the same way — a FIXED per-series state tuple
+    (chained fold slots + one lag value), emitting the batch kernels'
     exact expression trees under the same arrival contract — and
     ``timedMovingAverage(every:, period:)`` (round 13) rewrites onto
     the sliding-aggregateWindow path it is upstream sugar for (the
     bare trailing-frame form raises naming the batch path). Everything
     else raises naming the stage — window-of-values recurrences
-    (DEMA/TEMA/RSI/TRIX/KAMA/holtWinters, whose state is a value
-    window, not O(1) accumulators), rank aggregates, and
+    (``kaufmansAMA``'s n-value efficiency-ratio ring buffer,
+    ``holtWinters``' slot-normalized windows), rank aggregates, and
     post-aggregate compositions are a batch query's job (run
     ``compile_flux`` on the store instead).
 
@@ -2586,20 +2592,24 @@ def _compile_stream_single(
                 vs = ("cumsum",) if head == "cumulativeSum" else ("increase",)
         elif head in (
             "exponentialMovingAverage", "exponentialTimeMovingAverage",
+            "doubleEMA", "tripleEMA", "relativeStrengthIndex",
+            "tripleExponentialDerivative",
         ):
             # round 13 (VERDICT r12 item 2): the SMOOTHED live panel —
-            # EMA-class recurrences as keyed state
-            # (streaming/stateful.value_series_smoothing): one float of
-            # smoothing state per series (plus the count-EMA's bounded
-            # warm-up accumulator), append mode, the same pinned
-            # arrival contract as the round-12 value-series transforms
-            # (strictly-increasing per-series event time; late rows
-            # drop; batch replay on the store for disordered data).
-            # Emitted values are the batch kernels' exact expression
-            # trees — bit-identical under the contract (pinned in
-            # tests). Other whole-series recurrences (DEMA/TEMA/RSI/
-            # TRIX/KAMA/holtWinters) still raise below: their state is
-            # a window of values, not O(1) accumulators.
+            # every O(1)-STATE member of the smoothing/indicator
+            # family as keyed state
+            # (streaming/stateful.value_series_smoothing): a FIXED
+            # per-series tuple (three chained fold slots + one lag
+            # value), append mode, the same pinned arrival contract as
+            # the round-12 value-series transforms (strictly-increasing
+            # per-series event time; late rows drop; batch replay on
+            # the store for disordered data). Emitted values are the
+            # batch kernels' exact expression trees — bit-identical
+            # under the contract (pinned in tests). kaufmansAMA (an
+            # n-value efficiency-ratio ring buffer), holtWinters
+            # (slot-normalized windows) and the rank aggregates still
+            # raise below: their state is a WINDOW of values — the
+            # principled streaming boundary.
             if agg is not None:
                 raise FluxError(
                     f"{head}() after aggregateWindow is outside the "
@@ -2607,20 +2617,27 @@ def _compile_stream_single(
                     "batch query's job)"
                 )
             a = _args(stage, head)
-            if head == "exponentialMovingAverage":
+            if head != "exponentialTimeMovingAverage":
                 n = _resolve(a["n"], params) if "n" in a else None
                 if not isinstance(n, int) or isinstance(n, bool) or n < 1:
                     raise FluxError(
-                        f"exponentialMovingAverage n: positive int "
-                        f"required, got {n!r}"
+                        f"{head} n: positive int required, got {n!r}"
                     )
                 extra = set(a) - {"n"}
                 if extra:
                     raise FluxError(
-                        f"exponentialMovingAverage: unsupported args "
-                        f"{sorted(extra)}"
+                        f"{head}: unsupported args {sorted(extra)}"
                     )
-                vs = ("ema_smooth", n)
+                vs = (
+                    {
+                        "exponentialMovingAverage": "ema_smooth",
+                        "doubleEMA": "dema_smooth",
+                        "tripleEMA": "tema_smooth",
+                        "relativeStrengthIndex": "rsi_smooth",
+                        "tripleExponentialDerivative": "trix_smooth",
+                    }[head],
+                    n,
+                )
             else:
                 if "n" not in a:
                     raise FluxError(
@@ -2720,13 +2737,13 @@ def _compile_stream_single(
         frame = out.select(*key_cols, "_time", "_value").filter(
             F.col("_value").isNotNull()
         )
-        if vs[0] in ("ema_smooth", "etma_smooth"):
+        if vs[0].endswith("_smooth"):
             from .streaming.stateful import value_series_smoothing
 
             return (
                 value_series_smoothing(
                     frame, key_cols,
-                    "ema" if vs[0] == "ema_smooth" else "etma",
+                    vs[0][: -len("_smooth")],
                     vs[1], out_name=yield_name or "_value",
                 ),
                 None,

@@ -234,29 +234,49 @@ def value_series_transform(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-
 # -- streaming EMA-class smoothing (round 13) --------------------------
 #
-# The smoothed live panel (VERDICT r12 item 2): Flux's
-# exponentialMovingAverage / exponentialTimeMovingAverage over a record
-# STREAM, the same keyed-state pattern as value_series_transform with
-# ONE float of smoothing state per series (plus the count-EMA's bounded
-# warm-up accumulator). Same pinned ARRIVAL CONTRACT (strictly-
-# increasing per-series event time across micro-batches; late rows
-# drop; the batch compiler on the store is the replay path), and the
-# NUMERIC PARITY discipline is the batch kernels' own expression
-# trees verbatim (operators/timeseries.py flux_ema / flux_etma):
-# * ema: seed = left-to-right float64 sum of the first n values ÷ n
-#   (emitted at the n-th point; earlier points emit nothing), then
-#   acc = (1−k)·acc + k·x with k = 2/(n+1) — bit-identical to batch
-#   under the arrival contract.
+# The smoothed live panel (VERDICT r12 item 2): every O(1)-STATE
+# member of Flux's smoothing/indicator family over a record STREAM —
+# exponentialMovingAverage, exponentialTimeMovingAverage, doubleEMA,
+# tripleEMA, relativeStrengthIndex, tripleExponentialDerivative — the
+# same keyed-state pattern as value_series_transform. The state is a
+# FIXED tuple per series (three (acc, warm, cnt) fold slots + a lag
+# value), never a window of values: that is the principled streaming
+# boundary — kaufmansAMA (an n-value efficiency-ratio ring buffer),
+# holtWinters (slot-normalized windows) and the rank aggregates stay
+# batch-only. Same pinned ARRIVAL CONTRACT (strictly-increasing
+# per-series event time across micro-batches; late rows drop; the
+# batch compiler on the store is the replay path), and the NUMERIC
+# PARITY discipline is the batch kernels' own expression trees
+# verbatim (operators/timeseries.py flux_ema / flux_etma /
+# flux_ema_chain / flux_rsi / flux_trix):
+# * every EMA fold: seed = left-to-right float64 sum of the first n
+#   values / n (emitted at the n-th point; earlier points emit
+#   nothing), then acc = (1-k)*acc + k*x with k = 2/(n+1);
 # * etma: first point seeds acc = v (emitted); then
-#   w = n_us/(n_us + Δt_us) (exact-operand int÷int division) and
-#   acc = w·acc + (1.0−w)·x — the pinned rational decay (MIGRATION.md;
-#   upstream's exp(−Δt/n) is not bit-replayable).
+#   w = n_us/(n_us + dt_us) (exact-operand int/int division) and
+#   acc = w*acc + (1.0-w)*x — the pinned rational decay (MIGRATION.md;
+#   upstream's exp(-dt/n) is not bit-replayable);
+# * dema/tema: each emitted level-1 value feeds the level-2 fold (and
+#   level-2 feeds level-3), combination 2.0*a - b / 3.0*a - 3.0*b + c
+#   at the row where the DEEPEST fold first emits — exactly the batch
+#   zip alignment (e2's j-th output consumes e1's (n-1)+j-th value,
+#   the same original row);
+# * rsi: Wilder — warm sums of max(d,0)/max(-d,0) over the first n
+#   deltas, then avg = (avg*(n-1) + move)/n, RSI = 100 - 100/(1+au/ad)
+#   (100 where ad == 0);
+# * trix: the thrice-chained fold plus a one-lag percent derivative
+#   (a - b)/b*100.0, NULL where the previous e3 is 0.0 (the batch
+#   kernel's pinned zero-denominator rule).
 
-_SMOOTH_STATE = "last_t long, acc double, warm double, cnt long"
+# three fold slots (a=acc, w=warm seed sum, c=count) + a lag value
+# for trix's derivative / rsi's previous raw value. ~96B per series.
+_SMOOTH_STATE = (
+    "last_t long, a1 double, w1 double, c1 long, "
+    "a2 double, w2 double, c2 long, a3 double, w3 double, c3 long, "
+    "prev double, seen_prev long"
+)
 
 
 def value_series_smoothing(
@@ -266,18 +286,20 @@ def value_series_smoothing(
     n: int,
     out_name: str | None = None,
 ) -> DataFrame:
-    """Streaming EMA-class smoothing per series. ``kind`` is ``"ema"``
-    (``n`` = point count ≥ 1) or ``"etma"`` (``n`` = decay duration in
-    integer µs). Input carries ``key_cols + [_time, _value]`` with
-    null ``_value`` already filtered; output is ``key_cols + [_time,
-    _value]`` with ``_value`` rewritten to the smoothed series (the
-    batch kernels' column shape). Append mode; one
-    (last_t, acc, warm, cnt) tuple per series, never timed out."""
+    """Streaming EMA-class smoothing per series. ``kind`` is one of
+    ``ema`` / ``dema`` / ``tema`` / ``rsi`` / ``trix`` (``n`` = point
+    count >= 1) or ``etma`` (``n`` = decay duration in integer µs).
+    Input carries ``key_cols + [_time, _value]`` with null ``_value``
+    already filtered; output is ``key_cols + [_time, _value]`` with
+    ``_value`` rewritten to the smoothed/indicator series (the batch
+    kernels' column shape; trix emits NULL on a zero previous e3).
+    Append mode; one fixed-size state tuple per series, never timed
+    out."""
     import math
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    if kind not in ("ema", "etma"):
+    if kind not in ("ema", "etma", "dema", "tema", "rsi", "trix"):
         raise ValueError(f"unknown smoothing kind {kind!r}")
     name = out_name or "_value"
     narrowed = stream.select(*key_cols, "_time", "_value")
@@ -285,17 +307,43 @@ def value_series_smoothing(
     time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
     out_schema = StructType(base + time_f + [StructField(name, DoubleType())])
     n = int(n)
-    # ema constants (unused by etma, but bound so the closure pickles)
+    # ema-fold constants (unused by etma/rsi, bound so the closure
+    # pickles)
     k = 2.0 / (n + 1.0)
     omk = 1.0 - k
+    levels = {"ema": 1, "etma": 1, "dema": 2, "tema": 3, "trix": 3}.get(
+        kind, 0
+    )
 
     def _fn(key, pdfs, state):
         if state.exists:
-            last_t, acc, warm, cnt = state.get
+            (last_t, a1, w1, c1, a2, w2, c2, a3, w3, c3,
+             prev, seen_prev) = state.get
             seen = True
         else:
-            last_t, acc, warm, cnt = 0, 0.0, 0.0, 0
+            last_t, prev, seen_prev = 0, 0.0, 0
+            a1 = w1 = a2 = w2 = a3 = w3 = 0.0
+            c1 = c2 = c3 = 0
             seen = False
+        slots = [[a1, w1, c1], [a2, w2, c2], [a3, w3, c3]]
+
+        def _fold_step(i: int, x: float):
+            # one incremental step of operators.timeseries._flux_ema_fold:
+            # returns the emitted fold value, or None during warm-up
+            a, w, c = slots[i]
+            if c < n:
+                w = x if c == 0 else w + x
+                c += 1
+                out = None
+                if c == n:
+                    a = w / n
+                    out = a
+            else:
+                a = omk * a + k * x
+                out = a
+            slots[i] = [a, w, c]
+            return out
+
         pdf = pd.concat(list(pdfs))
         if len(pdf):
             pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
@@ -307,35 +355,103 @@ def value_series_smoothing(
             v = float(v)
             t_us = int(t_us)
             if math.isnan(v):
-                continue  # NaN ≡ null under the shared policy
+                continue  # NaN = null under the shared policy
             if seen and t_us <= last_t:
                 continue  # LATE — outside the arrival contract
+            emit = None
             if kind == "etma":
-                if cnt == 0:
-                    acc = v
+                a, _w, c = slots[0]
+                if c == 0:
+                    a = v
                 else:
                     w = n / (n + (t_us - last_t))
-                    acc = w * acc + (1.0 - w) * v
-                cnt += 1
+                    a = w * a + (1.0 - w) * v
+                slots[0] = [a, _w, c + 1]
+                emit = a
+            elif kind == "rsi":
+                # Wilder: state rides (au, wau) in slot 1, (ad, wad)
+                # in slot 2, delta count in c1, previous raw in prev
+                if seen_prev:
+                    d = v - prev
+                    u = d if d > 0.0 else 0.0
+                    dn = -d if d < 0.0 else 0.0
+                    au, wau, c = slots[0]
+                    ad, wad, _c2 = slots[1]
+                    if c < n:
+                        # batch warm loop adds only non-zero moves —
+                        # same float sums (x + 0.0 is exact, but keep
+                        # the branch structure identical)
+                        if d > 0.0:
+                            wau = wau + d
+                        elif d < 0.0:
+                            wad = wad + (-d)
+                        c += 1
+                        if c == n:
+                            au = wau / n
+                            ad = wad / n
+                            emit = (
+                                100.0 if ad == 0.0
+                                else 100.0 - 100.0 / (1.0 + au / ad)
+                            )
+                    else:
+                        au = (au * (n - 1.0) + u) / n
+                        ad = (ad * (n - 1.0) + dn) / n
+                        emit = (
+                            100.0 if ad == 0.0
+                            else 100.0 - 100.0 / (1.0 + au / ad)
+                        )
+                    slots[0] = [au, wau, c]
+                    slots[1] = [ad, wad, _c2]
+                prev, seen_prev = v, 1
+            else:
+                # chained EMA folds: each emitted level feeds the next
+                out = _fold_step(0, v)
+                lvl_vals = [out]
+                for i in range(1, levels):
+                    if out is None:
+                        break
+                    out = _fold_step(i, out)
+                    lvl_vals.append(out)
+                if out is not None:
+                    if kind == "ema":
+                        emit = out
+                    elif kind == "dema":
+                        emit = 2.0 * lvl_vals[0] - lvl_vals[1]
+                    elif kind == "tema":
+                        emit = (
+                            3.0 * lvl_vals[0] - 3.0 * lvl_vals[1]
+                            + lvl_vals[2]
+                        )
+                    else:  # trix: one-lag percent derivative of e3
+                        e3 = out
+                        if seen_prev:
+                            emit = (
+                                None if prev == 0.0
+                                else (e3 - prev) / prev * 100.0
+                            )
+                            if emit is None:
+                                # NULL row still EMITS (batch keeps it)
+                                ts_out.append(t)
+                                v_out.append(None)
+                                emit = False  # sentinel: already out
+                        prev, seen_prev = e3, 1
+                        if emit is False:
+                            emit = None
+            if emit is not None:
                 ts_out.append(t)
-                v_out.append(acc)
-            else:  # ema — warm-up fold, then the recurrence
-                if cnt < n:
-                    warm = v if cnt == 0 else warm + v
-                    cnt += 1
-                    if cnt == n:
-                        acc = warm / n
-                        ts_out.append(t)
-                        v_out.append(acc)
-                else:
-                    acc = omk * acc + k * v
-                    ts_out.append(t)
-                    v_out.append(acc)
+                v_out.append(emit)
             last_t, seen = t_us, True
-        state.update((int(last_t), float(acc), float(warm), int(cnt)))
+        (a1, w1, c1), (a2, w2, c2), (a3, w3, c3) = slots
+        state.update((
+            int(last_t), float(a1), float(w1), int(c1),
+            float(a2), float(w2), int(c2),
+            float(a3), float(w3), int(c3),
+            float(prev), int(seen_prev),
+        ))
         cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
         cols["_time"] = ts_out
-        cols[name] = v_out
+        # nullable Float64 keeps trix's None a true NULL through Arrow
+        cols[name] = pd.array(v_out, dtype="Float64")
         yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
 
     return narrowed.groupBy(*key_cols).applyInPandasWithState(
