@@ -393,3 +393,57 @@ def test_reduce_fold_matches_python_fold(spark, cents, dup_ts, tmp_path_factory)
     assert (r["cnt"], r["total"], r["avg"], r["prod"], r["a"], r["b"]) == (
         cnt, total, avg, prod, a_f, b_f,
     )
+
+
+# -- round 13: the streaming fold step ≡ the batch fold ----------------
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=0, max_size=64,
+    ),
+    st.integers(1, 12),
+)
+@settings(max_examples=300, deadline=None)
+def test_incremental_fold_step_equals_batch_fold(xs, n):
+    """The streaming smoothing kernel's incremental step
+    (streaming/stateful._ema_fold_step) replayed over a whole series
+    must reproduce operators.timeseries._flux_ema_fold BIT-FOR-BIT —
+    the property the six streaming==batch equalities rest on, pinned
+    here on arbitrary floats without spinning a streaming query. Also
+    pinned: splitting the series at EVERY point (the micro-batch
+    boundary) changes nothing, because the step carries (acc, warm,
+    cnt) — the warm-up-spans-the-boundary guarantee."""
+    from time_series_data_pipeline_spark.operators.timeseries import (
+        _flux_ema_fold,
+    )
+    from time_series_data_pipeline_spark.streaming.stateful import (
+        _ema_fold_step,
+    )
+
+    k = 2.0 / (n + 1.0)
+    omk = 1.0 - k
+    batch = _flux_ema_fold(xs, n, k, omk)
+    slot = [0.0, 0.0, 0]
+    incr = [
+        out for x in xs
+        if (out := _ema_fold_step(slot, x, n, k, omk)) is not None
+    ]
+    if batch is None:
+        assert incr == []
+    else:
+        assert incr == batch  # exact, not approximate
+    # state round-trip through int/float (the Spark state store's
+    # typed tuple) preserves the fold exactly
+    slot2 = [0.0, 0.0, 0]
+    incr2 = []
+    for x in xs:
+        out = _ema_fold_step(slot2, x, n, k, omk)
+        if out is not None:
+            incr2.append(out)
+        slot2 = [float(slot2[0]), float(slot2[1]), int(slot2[2])]
+    assert incr2 == incr

@@ -279,6 +279,33 @@ _SMOOTH_STATE = (
 )
 
 
+def _ema_fold_step(
+    slot: list, x: float, n: int, k: float, omk: float
+) -> float | None:
+    """ONE incremental step of the batch EMA fold
+    (``operators.timeseries._flux_ema_fold``), over a mutable
+    ``[acc, warm, cnt]`` slot: warm accumulates the left-to-right seed
+    sum until ``cnt == n`` (then emits ``warm / n``), each later step
+    emits ``omk·acc + k·x`` — the exact expression order, so replaying
+    a whole series through this step reproduces the batch fold
+    bit-for-bit (pinned by a hypothesis property test). Returns the
+    emitted value, or None during warm-up. Module-level so the parity
+    property is testable without a streaming query."""
+    a, w, c = slot
+    if c < n:
+        w = x if c == 0 else w + x
+        c += 1
+        out = None
+        if c == n:
+            a = w / n
+            out = a
+    else:
+        a = omk * a + k * x
+        out = a
+    slot[0], slot[1], slot[2] = a, w, c
+    return out
+
+
 def value_series_smoothing(
     stream: DataFrame,
     key_cols: list[str],
@@ -328,21 +355,9 @@ def value_series_smoothing(
         slots = [[a1, w1, c1], [a2, w2, c2], [a3, w3, c3]]
 
         def _fold_step(i: int, x: float):
-            # one incremental step of operators.timeseries._flux_ema_fold:
-            # returns the emitted fold value, or None during warm-up
-            a, w, c = slots[i]
-            if c < n:
-                w = x if c == 0 else w + x
-                c += 1
-                out = None
-                if c == n:
-                    a = w / n
-                    out = a
-            else:
-                a = omk * a + k * x
-                out = a
-            slots[i] = [a, w, c]
-            return out
+            # the shared incremental batch-fold step (module level for
+            # the hypothesis parity pin)
+            return _ema_fold_step(slots[i], x, n, k, omk)
 
         pdf = pd.concat(list(pdfs))
         if len(pdf):
