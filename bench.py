@@ -532,7 +532,11 @@ def main() -> None:
     # the pinned idle reference — the whole run was uniformly
     # contended, which the spread test is blind to. Either way the
     # 5 slowest entries re-run bracketed by their own calibration pair.
-    abs_contended = min(cal_start, cal_end) > 1.5 * _CAL_IDLE_REFERENCE
+    # 2× (not 1.5×): the recorded idle band itself tops at 0.313 s —
+    # 1.5 × 0.21 = 0.315 would fire on a genuinely idle run at the
+    # band's edge (review r13); 2× = 0.42 sits clear of the band and
+    # below the r12 contended capture's 0.44 anchors
+    abs_contended = min(cal_start, cal_end) > 2.0 * _CAL_IDLE_REFERENCE
     if cal_ratio > 1.5 or abs_contended:
         movers = sorted(timings, key=timings.get, reverse=True)[:5]
         re_cal_start = _calibration_workload(spark)

@@ -414,6 +414,37 @@ class FluxError(ValueError):
     """Unsupported or malformed Flux — always names the offending text."""
 
 
+def _parse_tma_windowed(a: dict, params: dict, stage: str) -> tuple[int, int | None]:
+    """Validate the WINDOWED-EMISSION ``timedMovingAverage(every:,
+    period:)`` arguments — ONE definition shared by the batch and
+    streaming compilers (review r13), so the subset rule (period a
+    positive multiple of every, the sliding constraint) and its error
+    wording can never diverge between the two front-ends. Returns
+    ``(every_s, period_s | None)`` with period None when it equals
+    every (the plain tumbling form)."""
+    tma_every = _resolve(a["every"], params)
+    tma_period = _resolve(a.get("period", ""), params)
+    for nm, v in (("every", tma_every), ("period", tma_period)):
+        if (
+            not (isinstance(v, str) and _DUR_RE.match(v))
+            or _duration_seconds(v) <= 0
+        ):
+            raise FluxError(f"timedMovingAverage {nm}: bad duration {v!r}")
+    extra = set(a) - {"every", "period"}
+    if extra:
+        raise FluxError(
+            f"timedMovingAverage: unsupported args {sorted(extra)}"
+        )
+    every_s = _duration_seconds(tma_every)
+    period_s = _duration_seconds(tma_period)
+    if period_s != every_s and period_s % every_s != 0:
+        raise FluxError(
+            "timedMovingAverage period: must be a positive "
+            f"multiple of every: in the subset; got {stage!r}"
+        )
+    return every_s, (period_s if period_s != every_s else None)
+
+
 def _epoch_floor_us(ts_col: str, unit_s: int) -> Column:
     """Epoch-aligned floor of a timestamp column to whole `unit_s`
     spans, in PURE integer µs (a float-division floor is exact only
@@ -2459,34 +2490,8 @@ def _compile_stream_single(
                     "windowed-emission form timedMovingAverage(every:, "
                     "period:) or run compile_flux on the store"
                 )
-            tma_every = _resolve(a["every"], params)
-            tma_period = _resolve(a.get("period", ""), params)
-            for nm, v in (("every", tma_every), ("period", tma_period)):
-                if (
-                    not (isinstance(v, str) and _DUR_RE.match(v))
-                    or _duration_seconds(v) <= 0
-                ):
-                    raise FluxError(
-                        f"timedMovingAverage {nm}: bad duration {v!r}"
-                    )
-            extra = set(a) - {"every", "period"}
-            if extra:
-                raise FluxError(
-                    f"timedMovingAverage: unsupported args {sorted(extra)}"
-                )
-            tma_every_s = _duration_seconds(tma_every)
-            tma_period_s = _duration_seconds(tma_period)
-            if tma_period_s != tma_every_s and (
-                tma_period_s % tma_every_s != 0
-            ):
-                raise FluxError(
-                    "timedMovingAverage period: must be a positive "
-                    f"multiple of every: in the subset; got {stage!r}"
-                )
-            agg = (
-                tma_every_s, "mean",
-                tma_period_s if tma_period_s != tma_every_s else None, 0,
-            )
+            tma_every_s, tma_period_s = _parse_tma_windowed(a, params, stage)
+            agg = (tma_every_s, "mean", tma_period_s, 0)
         elif head == "yield":
             a = _args(stage, "yield")
             if "name" in a:
@@ -3733,35 +3738,13 @@ def _compile_pipeline(
                 # compiles to the same agg tuple and inherits the
                 # sliding path's plan (each row lands in period/every
                 # windows, one exchange). period must be a positive
-                # multiple of every, the sliding subset's constraint.
-                tma_every = _resolve(a["every"], params)
-                tma_period = _resolve(a.get("period", ""), params)
-                for nm, v in (("every", tma_every), ("period", tma_period)):
-                    if (
-                        not (isinstance(v, str) and _DUR_RE.match(v))
-                        or _duration_seconds(v) <= 0
-                    ):
-                        raise FluxError(
-                            f"timedMovingAverage {nm}: bad duration {v!r}"
-                        )
-                extra = set(a) - {"every", "period"}
-                if extra:
-                    raise FluxError(
-                        f"timedMovingAverage: unsupported args {sorted(extra)}"
-                    )
-                tma_every_s = _duration_seconds(tma_every)
-                tma_period_s = _duration_seconds(tma_period)
-                if tma_period_s != tma_every_s and (
-                    tma_period_s % tma_every_s != 0
-                ):
-                    raise FluxError(
-                        "timedMovingAverage period: must be a positive "
-                        f"multiple of every: in the subset; got {stage!r}"
-                    )
-                agg = (
-                    tma_every_s, "mean", False, None,
-                    tma_period_s if tma_period_s != tma_every_s else None, 0,
+                # multiple of every, the sliding subset's constraint —
+                # validation shared with the streaming compiler
+                # (_parse_tma_windowed, ONE definition).
+                tma_every_s, tma_period_s = _parse_tma_windowed(
+                    a, params, stage
                 )
+                agg = (tma_every_s, "mean", False, None, tma_period_s, 0)
                 continue
             period = _resolve(a.get("period", ""), params)
             if not (isinstance(period, str) and _DUR_RE.match(period)):

@@ -440,18 +440,15 @@ def value_series_smoothing(
                     else:  # trix: one-lag percent derivative of e3
                         e3 = out
                         if seen_prev:
-                            emit = (
-                                None if prev == 0.0
-                                else (e3 - prev) / prev * 100.0
-                            )
-                            if emit is None:
-                                # NULL row still EMITS (batch keeps it)
+                            if prev == 0.0:
+                                # the NULL row still EMITS (the batch
+                                # kernel keeps it — pinned zero-
+                                # denominator rule)
                                 ts_out.append(t)
                                 v_out.append(None)
-                                emit = False  # sentinel: already out
+                            else:
+                                emit = (e3 - prev) / prev * 100.0
                         prev, seen_prev = e3, 1
-                        if emit is False:
-                            emit = None
             if emit is not None:
                 ts_out.append(t)
                 v_out.append(emit)

@@ -51,11 +51,16 @@ def build_ledger() -> dict[str, dict]:
             elif (
                 isinstance(row, dict)
                 and name in ROWS_ONLY_ATTESTATION
-                and row.get("rows_match")
+                and row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
             ):
-                # rows-only entries can never hash-match; their own-row
-                # freshness is the rows-check, hash evidence rides on
-                # the *_verify twin
+                # rows-only entries can never hash-match; the driver
+                # records them as err="no_oracle" with the produced
+                # row count (the weaker rows-only check) — that IS
+                # their own-row freshness; hash evidence rides on the
+                # *_verify twin (review r13: the old rows_match test
+                # was dead — the driver leaves it null for no-oracle
+                # rows, so these were misclassified never-own-row)
                 last_green[name] = max(last_green.get(name, 0), rnd)
     suites_of: dict[str, list[str]] = {}
     for suite, members in SUITE_CONSTITUENTS.items():
