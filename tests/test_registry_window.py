@@ -58,18 +58,18 @@ def test_new_and_changed_queries_lead_the_window():
     # the committed CORRECTNESS_r*.json files.
     from time_series_data_pipeline_spark.queries import SUITE_CONSTITUENTS
 
-    assert _CHECKED_WINDOW[0] == "flux_compiled_etma"
-    assert set(_CHECKED_WINDOW[1:24]) == set(
+    assert set(_CHECKED_WINDOW[:2]) == {
+        "flux_compiled_etma", "lineprotocol_export",
+    }
+    assert set(_CHECKED_WINDOW[2:25]) == set(
         SUITE_CONSTITUENTS["suite_flux_round10c"]
     )
-    assert set(_CHECKED_WINDOW[24:39]) == set(
+    assert set(_CHECKED_WINDOW[25:40]) == set(
         SUITE_CONSTITUENTS["suite_round11"]
     )
-    # oldest own-row singletons fill the remaining non-core slots
+    # the oldest own-row singleton fills the remaining non-core slot
     # (ledger: the r1 relational block leads the aged backlog)
-    assert set(_CHECKED_WINDOW[39:41]) == {
-        "top_revenue_orders", "region_nation_revenue",
-    }
+    assert _CHECKED_WINDOW[40] == "top_revenue_orders"
     # suite_flux_round10c / suite_round11 rotate OUT: every
     # constituent has its own in-window row above, and the suites
     # themselves hold r12-green rows (rotation_ledger confirms)
@@ -91,7 +91,7 @@ def test_rotation_ledger_matches_window_policy():
     ledger = json.loads(out)
     assert set(ledger) == set(QUERIES)
     # every slot in the never-own-row block really has no recorded row
-    for name in _CHECKED_WINDOW[0:39]:
+    for name in _CHECKED_WINDOW[0:40]:
         assert ledger[name]["own_row_round"] is None, (
             f"{name} already has an own row "
             f"(r{ledger[name]['own_row_round']}) — the window comment "

@@ -164,6 +164,7 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 _CHECKED_WINDOW = [
     # --- round 13: new queries go first (never had a row) ---
     "flux_compiled_etma",
+    "lineprotocol_export",
     # --- the never-own-row class (VERDICT r12 item 1; ledger output
     # r12-end: 38 queries, every one suite-attested only since
     # registration). This window clears ALL of it: the 23
@@ -207,11 +208,12 @@ _CHECKED_WINDOW = [
     "flux_compiled_windowed_quantile",
     "semantic_dedup_apply",
     "semantic_dedup_lsh",
-    # --- oldest own-row singletons as slots allow (ledger: the r1
-    # relational block is the oldest; both stay suite_joins-covered
-    # besides). The rest of the r1/r6 backlog rotates next round. ---
+    # --- oldest own-row singleton as slots allow (ledger: the r1
+    # relational block is the oldest; it stays suite_joins-covered
+    # besides). region_nation_revenue yielded its slot to the
+    # round-13 lineprotocol_export; the rest of the r1/r6 backlog
+    # rotates next round. ---
     "top_revenue_orders",
-    "region_nation_revenue",
     # --- always-checked core: flagships + the suites that remain the
     # sole in-window representative of their operator families.
     # suite_flux_round10c and suite_round11 rotate OUT this round:

@@ -6309,3 +6309,42 @@ def flux_compiled_etma(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"gas-quality": path},
     )
+
+
+@query(
+    "lineprotocol_export",
+    # the EXPORT side of the wire format (sources/line_protocol.py
+    # to_line_protocol — the influx-write-API / replication path,
+    # round-trip property-tested against the parser since r11; this
+    # row is its driver attestation, round 13). The events store has
+    # no tags and delimiter-free identifiers, so each line is
+    # measurement<SP>field=value<SP>epoch_ns. Both engines render the
+    # double via shortest-repr round-trip formatting (Java
+    # Double.toString ≡ DuckDB's fast-float VARCHAR cast on this
+    # domain — verified distinct-value-exact at sf0.001 and sf0.01)
+    # and the timestamp as an exact integer.
+    oracle="""
+    SELECT 'events ' || event_type || '=' || CAST(value AS VARCHAR)
+           || ' ' || CAST(epoch_ns(ts) AS VARCHAR) AS value
+    FROM events
+    WHERE value IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def lineprotocol_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-inverse: bucket → line-protocol text (the export/replication
+    path a reference user runs to feed data back into InfluxDB
+    tooling). Pure Catalyst string formatting over the pruned scan —
+    no shuffle, no Python."""
+    from ..sources import bucket as bkt
+    from ..sources import line_protocol as lp
+
+    path = _event_bucket_path(spark, sf_dir)
+    frame = bkt.scan_bucket(
+        spark, path,
+        measurement="events",
+        start="2024-01-08 00:00:00",
+        stop="2024-01-15 00:00:00",
+    )
+    return lp.to_line_protocol(frame)
