@@ -376,6 +376,10 @@ import pytest as _pytest
         # raw-row exchange on the series key into the Arrow kernel
         # (the sequential-recurrence class floor)
         ("flux_compiled_etma", 1),
+        # round 13: the line-protocol export is map-only string
+        # formatting over the pruned scan — ZERO exchanges at any
+        # store size
+        ("lineprotocol_export", 0),
     ],
 )
 def test_flux_compiled_shuffle_budget(spark, name, max_shuffles):

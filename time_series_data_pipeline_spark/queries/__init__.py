@@ -161,6 +161,13 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 # ``python tools/rotation_ledger.py`` (VERDICT r12 item 6) — it derives
 # every query's last own-row round from the committed
 # CORRECTNESS_r*.json files; never-own-row entries lead, then oldest.
+
+#: the round this window was AUTHORED for — the ledger invariant test
+#: bounds its evidence at WINDOW_ROUND − 1, so the "leading slots were
+#: never-own-row when chosen" pin survives the driver landing THIS
+#: round's CORRECTNESS file (which gives them rows — the goal)
+WINDOW_ROUND = 13
+
 _CHECKED_WINDOW = [
     # --- round 13: new queries go first (never had a row) ---
     "flux_compiled_etma",

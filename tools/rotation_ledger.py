@@ -26,7 +26,13 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_ledger() -> dict[str, dict]:
+def build_ledger(max_round: int | None = None) -> dict[str, dict]:
+    """``max_round`` bounds the evidence window: rounds AFTER it are
+    ignored. The window-policy test passes the window's AUTHORING
+    round minus one — 'never-own-row' is a property of the evidence
+    available when the window was chosen, so the test stays green
+    after the driver lands the current round's own CORRECTNESS file
+    (which gives every leading slot its row — the point)."""
     sys.path.insert(0, _REPO)
     from time_series_data_pipeline_spark.queries import (
         ORACLE,
@@ -41,6 +47,8 @@ def build_ledger() -> dict[str, dict]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
@@ -78,7 +86,10 @@ def build_ledger() -> dict[str, dict]:
 
 
 def main() -> None:
-    ledger = build_ledger()
+    max_round = None
+    if "--until" in sys.argv:
+        max_round = int(sys.argv[sys.argv.index("--until") + 1])
+    ledger = build_ledger(max_round)
     if "--json" in sys.argv:
         json.dump(ledger, sys.stdout, indent=1, sort_keys=True)
         print()
