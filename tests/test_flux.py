@@ -6911,6 +6911,74 @@ def test_compile_flux_stream_ema_smoothing(spark, tmp_path):
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 
+def test_compile_flux_stream_smoothing_arrival_contract_on_merged_series(
+    spark, tmp_path
+):
+    """The arrival contract made VISIBLE (round 13): group() before a
+    keyed-state stage merges series, and if the merged series carries
+    TIED timestamps (two fields sampled on the same grid), the ties
+    violate the strictly-increasing contract — streaming keeps the
+    first row of each tie and DROPS the rest (the documented late-row
+    rule), while the batch compiler (the documented replay path for
+    contract-violating data) folds both. This pins that the divergence
+    is the deliberate, documented contract — not silent corruption:
+    every streaming emission equals the batch fold over exactly the
+    tie-surviving subsequence."""
+    import datetime
+
+    src = str(tmp_path / "tied_src")
+    t0 = datetime.datetime(2024, 1, 1)
+    # click and error share every timestamp — merged under group(),
+    # each tick is a tied pair; (ts, value) order puts the SMALLER
+    # value first, so the survivor sequence is min(click, error)
+    rows = []
+    vals = [5.0, 3.0, 8.0, 1.0, 9.0, 2.0, 7.0]
+    for i, v in enumerate(vals):
+        t = t0 + datetime.timedelta(minutes=31 * i)
+        rows.append((t, "events", "click", v))
+        rows.append((t, "events", "error", v + 1.0))
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"), F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"), F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(df, src, mode="overwrite")
+    text = (
+        'from(bucket: "b") |> group(columns: ["_measurement"]) '
+        "|> exponentialMovingAverage(n: 3)"
+    )
+    live = flux.compile_flux_stream(spark, text, {"b": src})
+    got: list = []
+    q = (
+        live.writeStream.foreachBatch(lambda d, _e: got.extend(d.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_tied"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the tie survivors: first row of each tied pair in (ts, value)
+    # order = the click value (always smaller here)
+    survivors = vals
+    n = 3
+    acc = (survivors[0] + survivors[1] + survivors[2]) / n
+    want = [acc]
+    k = 2.0 / (n + 1.0)
+    omk = 1.0 - k
+    for x in survivors[n:]:
+        acc = omk * acc + k * x
+        want.append(acc)
+    got_vals = [r["_value"] for r in sorted(got, key=lambda r: r["_time"])]
+    assert got_vals == want  # the fold over EXACTLY the survivors
+    # batch (the replay path) folds BOTH rows of every tie — more
+    # emissions than the streaming form, by design
+    batch_n = flux.compile_flux(spark, text, {"b": src}).count()
+    assert batch_n == 2 * len(vals) - (n - 1)
+    assert len(got_vals) == len(vals) - (n - 1) < batch_n
+
+
 def test_compile_flux_stream_timed_moving_average(spark, tmp_path):
     """Round 13: the windowed-emission timedMovingAverage(every:,
     period:) streams — upstream defines it as window(every:, period:)
