@@ -147,12 +147,13 @@ _CAL_VERSION = "cal-v1"
 # 4): the quiet-run anchors recorded across r10–r12 cluster at
 # 0.196–0.26 s (builder quiet captures 0.196/0.209/0.229/0.258; judge
 # idle re-runs 0.218/0.313) — 0.21 is the pinned floor-of-band value.
-# A run whose BOTH anchors sit above 1.5× this reference is uniformly
+# A run whose BOTH anchors sit above 2× this reference is uniformly
 # contended: the within-run spread test can't see it (that was the
 # r12 failure mode — anchors 0.44/0.46, ratio ~1.0, no adjudication
 # fired, and a 1.9× phantom mover shipped), so the absolute test
-# fires the same 5-slowest re-run. If the bench box itself changes
-# generations, re-pin this from that box's quiet captures.
+# fires the same 5-slowest re-run. (2×, not 1.5×: the idle band
+# itself tops at 0.313 s, inside 1.5 × 0.21.) If the bench box
+# changes generations, re-pin this from that box's quiet END anchors.
 _CAL_IDLE_REFERENCE = 0.21
 
 
@@ -528,7 +529,7 @@ def main() -> None:
     adjudication = None
     cal_ratio = max(cal_start, cal_end) / max(min(cal_start, cal_end), 1e-9)
     # two triggers (VERDICT r12 item 4): (a) the anchors DISAGREE —
-    # the box changed speed mid-run; (b) BOTH anchors sit above 1.5×
+    # the box changed speed mid-run; (b) BOTH anchors sit above 2×
     # the pinned idle reference — the whole run was uniformly
     # contended, which the spread test is blind to. Either way the
     # 5 slowest entries re-run bracketed by their own calibration pair.

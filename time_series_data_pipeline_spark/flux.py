@@ -414,6 +414,34 @@ class FluxError(ValueError):
     """Unsupported or malformed Flux — always names the offending text."""
 
 
+def _parse_etma_n(a: dict, params: dict) -> int:
+    """Validate ``exponentialTimeMovingAverage(n: <duration>)``
+    arguments — ONE definition shared by the batch and streaming
+    compilers (review r13, the ``_parse_tma_windowed`` precedent), so
+    the duration rule and its guidance can never diverge. Returns the
+    decay scale in integer µs."""
+    if "n" not in a:
+        raise FluxError("exponentialTimeMovingAverage requires n:")
+    dur = _resolve(a["n"], params)
+    if not (isinstance(dur, str) and _DUR_RE.match(dur)):
+        raise FluxError(
+            f"exponentialTimeMovingAverage n: bad duration {dur!r} "
+            "(calendar anchors 1mo/1y are not a fixed decay scale)"
+        )
+    n_s = _duration_seconds(dur)
+    if n_s <= 0:
+        raise FluxError(
+            f"exponentialTimeMovingAverage n must be > 0: {dur!r}"
+        )
+    extra = set(a) - {"n"}
+    if extra:
+        raise FluxError(
+            f"exponentialTimeMovingAverage: unsupported args "
+            f"{sorted(extra)}"
+        )
+    return n_s * 1_000_000
+
+
 def _parse_tma_windowed(a: dict, params: dict, stage: str) -> tuple[int, int | None]:
     """Validate the WINDOWED-EMISSION ``timedMovingAverage(every:,
     period:)`` arguments — ONE definition shared by the batch and
@@ -2644,29 +2672,7 @@ def _compile_stream_single(
                     n,
                 )
             else:
-                if "n" not in a:
-                    raise FluxError(
-                        "exponentialTimeMovingAverage requires n:"
-                    )
-                dur = _resolve(a["n"], params)
-                if not (isinstance(dur, str) and _DUR_RE.match(dur)):
-                    raise FluxError(
-                        f"exponentialTimeMovingAverage n: bad duration "
-                        f"{dur!r}"
-                    )
-                n_s = _duration_seconds(dur)
-                if n_s <= 0:
-                    raise FluxError(
-                        f"exponentialTimeMovingAverage n must be > 0: "
-                        f"{dur!r}"
-                    )
-                extra = set(a) - {"n"}
-                if extra:
-                    raise FluxError(
-                        f"exponentialTimeMovingAverage: unsupported "
-                        f"args {sorted(extra)}"
-                    )
-                vs = ("etma_smooth", n_s * 1_000_000)
+                vs = ("etma_smooth", _parse_etma_n(a, params))
         elif head in ("keep", "drop", "rename"):
             # round 12d: the display-shaping tail over the aggregate
             # output — stateless projections, so the live panel keeps
@@ -3184,7 +3190,7 @@ def _compile_pipeline(
         "difference", "cumulativeSum", "spread", "stddev", "quantile",
         "elapsed", "histogram", "unique", "distinct", "window",
         "integral", "timeWeightedAvg", "exponentialMovingAverage",
-    "exponentialTimeMovingAverage",
+        "exponentialTimeMovingAverage",
         # round 10c: the technical-indicator / selector batch
         "mode", "skew", "stateCount", "chandeMomentumOscillator",
         "kaufmansER", "doubleEMA", "tripleEMA", "relativeStrengthIndex",
@@ -4746,27 +4752,10 @@ def _compile_pipeline(
             # the PINNED rational decay w = n/(n + Δt) in place of
             # upstream's non-replayable exp(−Δt/n) (MIGRATION.md
             # divergence list; operators/timeseries.py flux_etma).
+            # argument validation shared with the streaming compiler
+            # (_parse_etma_n, ONE definition — review r13)
             a = _args(stage, "exponentialTimeMovingAverage")
-            if "n" not in a:
-                raise FluxError("exponentialTimeMovingAverage requires n:")
-            dur = _resolve(a["n"], params)
-            if not (isinstance(dur, str) and _DUR_RE.match(dur)):
-                raise FluxError(
-                    f"exponentialTimeMovingAverage n: bad duration {dur!r} "
-                    "(calendar anchors 1mo/1y are not a fixed decay scale)"
-                )
-            n_s = _duration_seconds(dur)
-            if n_s <= 0:
-                raise FluxError(
-                    f"exponentialTimeMovingAverage n must be > 0: {dur!r}"
-                )
-            extra = set(a) - {"n"}
-            if extra:
-                raise FluxError(
-                    f"exponentialTimeMovingAverage: unsupported args "
-                    f"{sorted(extra)}"
-                )
-            transform = ("etma", n_s * 1_000_000)
+            transform = ("etma", _parse_etma_n(a, params))
         elif head in ("top", "bottom"):
             # Flux top(n:, [columns:]) / bottom: the Data-Explorer
             # per-series extrema buttons — exactly sort(desc/asc) |>

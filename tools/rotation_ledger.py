@@ -53,6 +53,10 @@ def build_ledger(max_round: int | None = None) -> dict[str, dict]:
             rows = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
+        if not isinstance(rows, dict):
+            # a malformed round artifact is SKIPPED like an unreadable
+            # one — it must not take down the window-policy gate
+            continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match"):
                 last_green[name] = max(last_green.get(name, 0), rnd)
@@ -88,7 +92,10 @@ def build_ledger(max_round: int | None = None) -> dict[str, dict]:
 def main() -> None:
     max_round = None
     if "--until" in sys.argv:
-        max_round = int(sys.argv[sys.argv.index("--until") + 1])
+        idx = sys.argv.index("--until") + 1
+        if idx >= len(sys.argv) or not sys.argv[idx].isdigit():
+            sys.exit("usage: rotation_ledger.py [--json] [--until N]")
+        max_round = int(sys.argv[idx])
     ledger = build_ledger(max_round)
     if "--json" in sys.argv:
         json.dump(ledger, sys.stdout, indent=1, sort_keys=True)
