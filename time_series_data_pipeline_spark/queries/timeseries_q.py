@@ -6323,6 +6323,18 @@ def flux_compiled_etma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Double.toString ≡ DuckDB's fast-float VARCHAR cast on this
     # domain — verified distinct-value-exact at sf0.001 and sf0.01)
     # and the timestamp as an exact integer.
+    #
+    # HARD PRECONDITION (ADVICE r13): the two formatters agree ONLY
+    # while every value sits in the plain-decimal band
+    # 1e-3 <= |v| < 1e7 (or v == 0 / integral): outside it Java
+    # switches to scientific notation ('1.0E-4', '1.23E8') where
+    # DuckDB keeps plain decimals ('0.0001', '123000000.0'), so the
+    # hash comparison would fail LOUDLY, not drift silently. The
+    # events.value domain is uniform [0, 100) with >=2 significant
+    # digits, inside the band by construction (TESTDATA.md). A port
+    # of this oracle to an unbounded domain must normalize both sides
+    # through one pinned printf-style spec instead (to_line_protocol
+    # itself is format-agnostic; only this ORACLE carries the bound).
     oracle="""
     SELECT 'events ' || event_type || '=' || CAST(value AS VARCHAR)
            || ' ' || CAST(epoch_ns(ts) AS VARCHAR) AS value

@@ -5,7 +5,13 @@ driver row — computed from the recorded CORRECTNESS_r*.json files, so
 the rotation policy's "oldest first" ordering is derived, not
 hand-maintained in comments.
 
-Usage: python tools/rotation_ledger.py [--json]
+Usage: python tools/rotation_ledger.py [--json] [--until N] [--write]
+
+``--write`` renders the text ledger to ``ROTATION.md`` at the repo
+root (VERDICT r13 item 6: a committed artifact so a judge/round can
+diff freshness without running the tool). The header records the
+highest CORRECTNESS round the ledger saw, so staleness is
+self-describing.
 
 Text output groups queries by attestation state, oldest-first inside
 each group:
@@ -89,35 +95,75 @@ def build_ledger(max_round: int | None = None) -> dict[str, dict]:
     return ledger
 
 
-def main() -> None:
-    max_round = None
-    if "--until" in sys.argv:
-        idx = sys.argv.index("--until") + 1
-        if idx >= len(sys.argv) or not sys.argv[idx].isdigit():
-            sys.exit("usage: rotation_ledger.py [--json] [--until N]")
-        max_round = int(sys.argv[idx])
-    ledger = build_ledger(max_round)
-    if "--json" in sys.argv:
-        json.dump(ledger, sys.stdout, indent=1, sort_keys=True)
-        print()
-        return
+def evidence_round(max_round: int | None = None) -> int:
+    """Highest CORRECTNESS round the ledger's evidence covers."""
+    best = 0
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rnd = int(m.group(1))
+            if max_round is None or rnd <= max_round:
+                best = max(best, rnd)
+    return best
+
+
+def render_text(ledger: dict[str, dict], through: int) -> str:
     never = [n for n, e in ledger.items() if e["own_row_round"] is None]
     aged = sorted(
         ((e["own_row_round"], n) for n, e in ledger.items()
          if e["own_row_round"] is not None),
     )
-    print(f"# {len(ledger)} registered queries, "
-          f"{len(never)} never-own-row\n")
-    print("## never-own-row (lead the next window)")
+    lines = [
+        f"# {len(ledger)} registered queries, "
+        f"{len(never)} never-own-row",
+        f"(evidence through CORRECTNESS_r{through:02d}.json; regenerate "
+        "with `python tools/rotation_ledger.py --write`)",
+        "",
+        "## never-own-row (lead the next window)",
+    ]
     for n in never:
         e = ledger[n]
         via = ",".join(e["suites"]) or (
             "rows-only/verify" if e["rows_only"] else "UNATTESTED"
         )
-        print(f"  {n}  (via {via})")
-    print("\n## own-row freshness, oldest first")
+        lines.append(f"  {n}  (via {via})")
+    lines.append("")
+    lines.append("## own-row freshness, oldest first")
     for rnd, n in aged:
-        print(f"  r{rnd:02d}  {n}")
+        note = "  (rows-only)" if ledger[n]["rows_only"] else ""
+        lines.append(f"  r{rnd:02d}  {n}{note}")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    max_round = None
+    if "--until" in sys.argv:
+        idx = sys.argv.index("--until") + 1
+        if idx >= len(sys.argv) or not sys.argv[idx].isdigit():
+            sys.exit("usage: rotation_ledger.py [--json] [--until N] "
+                     "[--write]")
+        max_round = int(sys.argv[idx])
+    ledger = build_ledger(max_round)
+    if "--write" in sys.argv:
+        out = os.path.join(_REPO, "ROTATION.md")
+        with open(out, "w") as f:
+            f.write(render_text(ledger, evidence_round(max_round)))
+        print(f"wrote {out}")
+        return
+    try:
+        if "--json" in sys.argv:
+            json.dump(ledger, sys.stdout, indent=1, sort_keys=True)
+            print()
+        else:
+            sys.stdout.write(
+                render_text(ledger, evidence_round(max_round))
+            )
+    except BrokenPipeError:
+        # a consumer like `| head` exiting early is normal CLI use —
+        # hand the fd a devnull so interpreter shutdown doesn't print
+        # a second traceback, then exit cleanly
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)
 
 
 if __name__ == "__main__":
