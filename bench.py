@@ -574,6 +574,21 @@ def main() -> None:
             "rerun_cal": [re_cal_start, _calibration_workload(spark)],
             "rerun_load_1m": _loadavg_1m(),
         }
+    # STEADY map (VERDICT r13 item 5): two driver captures in a row
+    # were contended, and a naive BENCH_rN-vs-rN-1 diff of "queries"
+    # read the contended first-capture numbers as regressions that the
+    # adjudication block had already re-measured. Emit the adjudicated
+    # steady value — min(first capture, adjudication re-run) — beside
+    # the raw map, SPARSE (only re-run entries whose steady value
+    # differs from "queries"; a consumer reads
+    # steady.get(name, queries[name])) so the stdout line stays under
+    # the driver's 2000-char capture.
+    steady = {}
+    if adjudication is not None:
+        for name, rr in adjudication["rerun"].items():
+            s = round(min(timings[name], rr), 2)
+            if s != round(timings[name], 2):
+                steady[name] = s
     # full per-query detail (cold attempt-1 timings, calibration pair,
     # load averages) goes to a repo-root sidecar — the stdout line must
     # stay under the driver's 2000-char capture (the r4 line overflowed
@@ -584,6 +599,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steady": steady,
         "cold": cold,
         "total_cold": round(sum(cold.values()), 3),
         "calibration": {"start": cal_start, "end": cal_end},
@@ -600,19 +616,21 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass  # detail sidecar is best-effort; the contract line is stdout
-    # ONE compact line: steady timings under the contract key
-    # "queries"; "cal" = [start, end] min-of-3 calibration anchor;
-    # "load" = [start, end] 1-min load average.
+    # ONE compact line: best-of-attempts timings under the contract
+    # key "queries" (2 dp on the line; 3-dp precision, cold attempts,
+    # total_cold, and load averages live in bench_detail.json — the
+    # line must stay under the driver's 2000-char capture); "steady" =
+    # the sparse adjudicated overrides (see above); "cal" = [start,
+    # end] min-of-3 calibration anchor.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "total_cold": round(sum(cold.values()), 3),
+                "queries": {n: round(v, 2) for n, v in timings.items()},
+                "steady": steady,
                 "cal": [cal_start, cal_end],
-                "load": [load_start, load_end],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),
