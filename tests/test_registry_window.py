@@ -50,40 +50,37 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-13 policy (VERDICT r12 item 1): the new round-13 query
-    # goes first, then the ENTIRE never-own-row class the judge's
-    # ledger enumerated — the 23 suite_flux_round10c arms and the 15
-    # suite_round11 arms — so this one window clears the class. The
-    # ordering is computed: tools/rotation_ledger.py derives it from
-    # the committed CORRECTNESS_r*.json files.
-    from time_series_data_pipeline_spark.queries import SUITE_CONSTITUENTS
-
-    assert set(_CHECKED_WINDOW[:2]) == {
-        "flux_compiled_etma", "lineprotocol_export",
-    }
-    assert set(_CHECKED_WINDOW[2:25]) == set(
-        SUITE_CONSTITUENTS["suite_flux_round10c"]
-    )
-    assert set(_CHECKED_WINDOW[25:40]) == set(
-        SUITE_CONSTITUENTS["suite_round11"]
-    )
-    # the oldest own-row singleton fills the remaining non-core slot
-    # (ledger: the r1 relational block leads the aged backlog)
-    assert _CHECKED_WINDOW[40] == "top_revenue_orders"
-    # suite_flux_round10c / suite_round11 rotate OUT: every
-    # constituent has its own in-window row above, and the suites
-    # themselves hold r12-green rows (rotation_ledger confirms)
+    # round-14 policy (VERDICT r13 item 1): the never-own-row class
+    # is EMPTY (r13 cleared it), so the window is pure freshness
+    # rotation — the aged backlog the verdict enumerated leads, in
+    # the ledger's (round, name) order: 15 r1 relational singletons,
+    # 2 r4, the 10 r6 suite_round5 arms, 6 r7 singletons, then the
+    # first 12 of the r10 block in the slots freed by rotating the
+    # four relational suites out (every constituent of those suites
+    # is individually in-window or r13-green: top_revenue_orders).
+    assert _CHECKED_WINDOW[0] == "cube_status_priority"  # oldest r1
+    assert _CHECKED_WINDOW[15:17] == ["anomaly_mad", "json_props_stats"]
+    assert _CHECKED_WINDOW[44] == "flux_compiled_distinct"  # 12th r10
+    # core tail: flagships + the two suites still covering arms that
+    # are NOT individually in this window
+    assert _CHECKED_WINDOW[45:] == [
+        "window_5m_mean",
+        "flux_pipeline_mean",
+        "window_5m_mean_bucketed",
+        "suite_round5",
+        "suite_timeseries_stats",
+    ]
 
 
 def test_rotation_ledger_matches_window_policy():
-    """The window's 'never-own-row leads' claim is COMPUTED: the
-    ledger derived from CORRECTNESS_r*.json must agree that every
-    non-core window slot ahead of the aged backlog had no own row
-    AS OF the evidence available when the window was authored
-    (VERDICT r12 item 6 — ledger visibility as an artifact). The
-    evidence window is bounded at WINDOW_ROUND − 1: once the driver
-    lands THIS round's CORRECTNESS file, the leading slots get their
-    rows — that is the goal, not a policy violation."""
+    """The window's 'oldest first' claim is COMPUTED: against the
+    ledger derived from CORRECTNESS_r*.json (bounded at
+    WINDOW_ROUND - 1, the evidence available when the window was
+    authored), the non-core slots must be exactly the OLDEST
+    oracle-bearing entries in (round, name) order, preceded by any
+    never-own-row entries (new queries registered this round lead).
+    Once the driver lands THIS round's CORRECTNESS file every slot
+    gets a fresh row — that is the goal, not a policy violation."""
     import subprocess
     import sys
 
@@ -96,14 +93,32 @@ def test_rotation_ledger_matches_window_policy():
     ).stdout
     ledger = json.loads(out)
     assert set(ledger) == set(QUERIES)
-    # every slot in the never-own-row block really had no recorded row
-    for name in _CHECKED_WINDOW[0:40]:
-        assert ledger[name]["own_row_round"] is None, (
-            f"{name} already had an own row "
-            f"(r{ledger[name]['own_row_round']}) before round "
-            f"{WINDOW_ROUND} — the window comment claims it was "
-            "never-own-row; recompute the rotation"
-        )
+    n_core = 5  # the fixed core tail pinned above
+    window_noncore = _CHECKED_WINDOW[:-n_core]
+    core = set(_CHECKED_WINDOW[-n_core:])
+    never = [
+        n for n in QUERIES
+        if ledger[n]["own_row_round"] is None and ledger[n]["has_oracle"]
+        and n not in core
+    ]
+    # never-own-row (new this round) leads, any order within the block
+    assert set(window_noncore[: len(never)]) == set(never), (
+        "new/never-own-row queries must lead the window"
+    )
+    aged_candidates = sorted(
+        (
+            n for n in QUERIES
+            if ledger[n]["own_row_round"] is not None
+            and ledger[n]["has_oracle"] and n not in core
+        ),
+        key=lambda n: (ledger[n]["own_row_round"], n),
+    )
+    want = aged_candidates[: len(window_noncore) - len(never)]
+    assert window_noncore[len(never):] == want, (
+        "non-core window slots must be the ledger's oldest "
+        "oracle-bearing entries in (round, name) order — recompute "
+        "with tools/rotation_ledger.py"
+    )
 
 
 def test_oracles_subset_of_queries():

@@ -166,74 +166,78 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 #: bounds its evidence at WINDOW_ROUND − 1, so the "leading slots were
 #: never-own-row when chosen" pin survives the driver landing THIS
 #: round's CORRECTNESS file (which gives them rows — the goal)
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 _CHECKED_WINDOW = [
-    # --- round 13: new queries go first (never had a row) ---
-    "flux_compiled_etma",
-    "lineprotocol_export",
-    # --- the never-own-row class (VERDICT r12 item 1; ledger output
-    # r12-end: 38 queries, every one suite-attested only since
-    # registration). This window clears ALL of it: the 23
-    # suite_flux_round10c arms... ---
-    "flux_compiled_mode",
-    "flux_compiled_skew",
-    "flux_compiled_state_count",
-    "flux_compiled_cmo",
-    "flux_compiled_kaufmans_er",
-    "flux_compiled_sample",
-    "flux_compiled_limit_offset",
-    "flux_compiled_to_int",
-    "flux_compiled_highest_max",
-    "flux_compiled_lowest_average",
-    "flux_compiled_histogram_quantile",
-    "flux_compiled_dema",
-    "flux_compiled_tema",
-    "flux_compiled_rsi",
-    "flux_compiled_sliding",
-    "flux_compiled_offset_window",
-    "flux_compiled_month",
-    "flux_compiled_counter_window",
-    "flux_compiled_alert_filter",
-    "flux_compiled_columns",
-    "flux_compiled_key_values",
-    "flux_compiled_map_math",
-    "flux_compiled_map_conditional",
-    # --- ...and the 15 suite_round11 arms ---
-    "flux_compiled_holt_winters",
-    "flux_compiled_holt_winters_seasonal",
-    "lineprotocol_window_mean",
-    "flux_compiled_trix",
-    "flux_compiled_kama",
-    "flux_compiled_events_duration",
-    "flux_compiled_interpolate",
-    "flux_compiled_reduce",
-    "flux_compiled_tma_windowed",
-    "flux_compiled_downsample_rate",
-    "flux_compiled_contains",
-    "flux_compiled_left_join",
-    "flux_compiled_windowed_quantile",
-    "semantic_dedup_apply",
-    "semantic_dedup_lsh",
-    # --- oldest own-row singleton as slots allow (ledger: the r1
-    # relational block is the oldest; it stays suite_joins-covered
-    # besides). region_nation_revenue yielded its slot to the
-    # round-13 lineprotocol_export; the rest of the r1/r6 backlog
+    # --- round 14 (VERDICT r13 item 1): the never-own-row class is
+    # EMPTY (r13 cleared it; ledger r13-end: "0 never-own-row"), so
+    # this window is pure freshness rotation — the 45 OLDEST
+    # oracle-bearing entries in the ledger's (round, name) order.
+    # First the aged backlog the verdict enumerated: the 15 r1
+    # relational singletons... ---
+    "cube_status_priority",
+    "customers_without_orders",
+    "distinct_counts",
+    "filter_project_pushdown",
+    "grouping_sets_flag_status",
+    "median_price_by_priority",
+    "order_gap_days",
+    "parts_ordered_by_brand",
+    "region_nation_revenue",
+    "rollup_region_nation",
+    "running_total_per_customer",
+    "scalar_functions",
+    "set_except_intersect",
+    "top3_orders_per_customer",
+    "topk_orders",
+    # --- ...the 2 r4 singletons... ---
+    "anomaly_mad",
+    "json_props_stats",
+    # --- ...the 10 r6 suite_round5 arms... ---
+    "chunk_dedup_stats",
+    "corpus_drift",
+    "curation_pipeline",
+    "dsir_weights",
+    "duplicate_spans",
+    "hybrid_search_rrf",
+    "label_outliers",
+    "mixture_plan",
+    "negative_pairs",
+    "span_dedup_apply",
+    # --- ...the 6 r7 singletons (the rows-only r5 block cannot take
+    # slots — no oracle; it ages via its in-ledger rows-checks and
+    # the *_verify twins)... ---
+    "contamination_overlap",
+    "embedding_dedup_clusters",
+    "ewma_final",
+    "label_centroids",
+    "pack_sequences",
+    "profile_columns",
+    # --- ...and the first 12 of the r10 block (ledger order), which
+    # the freed relational-suite slots now reach; the rest of r10
     # rotates next round. ---
-    "top_revenue_orders",
+    "asof_nearest_click",
+    "bpe_encode_stats",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_chunks",
+    "doc_profile",
+    "embedding_ivf_topk",
+    "embedding_topk",
+    "flux_compiled_cov",
+    "flux_compiled_derivative",
+    "flux_compiled_derivative_signed",
+    "flux_compiled_distinct",
     # --- always-checked core: flagships + the suites that remain the
-    # sole in-window representative of their operator families.
-    # suite_flux_round10c and suite_round11 rotate OUT this round:
-    # every constituent has its own in-window row above (stronger
-    # attestation than the suite hash), and the suites themselves
-    # hold r12-green rows. ---
+    # sole in-window hash over constituents NOT individually in this
+    # window (suite_round5 covers 14 such arms,
+    # suite_timeseries_stats 7). suite_scans / suite_joins /
+    # suite_grouping / suite_window_fns rotate OUT this round — every
+    # constituent is individually in-window above (or r13-green:
+    # top_revenue_orders), the r13 precedent for round10c/round11. ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
-    "suite_scans",
-    "suite_joins",
-    "suite_grouping",
-    "suite_window_fns",
     "suite_round5",
     "suite_timeseries_stats",
 ]
