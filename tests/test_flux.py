@@ -5567,12 +5567,13 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
     }
     # out-of-subset stages raise naming the streaming subset
     for bad, msg in [
-        # window-of-values recurrences (state is a value WINDOW, not a
-        # fixed tuple) — still a batch query's job; the O(1)-state
-        # smoothing family (EMA/ETMA/DEMA/TEMA/RSI/TRIX) streams since
-        # round 13 (keyed state, test further below), derivative()
-        # since round 12
-        ('from(bucket: "b") |> kaufmansAMA(n: 5)',
+        # stream-proportional / whole-range state — still a batch
+        # query's job; the O(1)-state smoothing family
+        # (EMA/ETMA/DEMA/TEMA/RSI/TRIX) streams since round 13,
+        # kaufmansAMA (bounded n+1-value list state) since round 14
+        # (keyed state, tests further below), derivative() since
+        # round 12
+        ('from(bucket: "b") |> holtWinters(n: 5, interval: 1h)',
          "STREAMING subset"),
         ('from(bucket: "b") |> movingAverage(n: 5)',
          "STREAMING subset"),
@@ -6906,6 +6907,91 @@ def test_compile_flux_stream_ema_smoothing(spark, tmp_path):
          "bad duration"),
         ('from(bucket: "b") |> exponentialTimeMovingAverage()',
          "requires n:"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
+def test_compile_flux_stream_kaufmans_ama(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 4): kaufmansAMA streams — the r13
+    boundary said 'window-of-values state raises', but KAMA's
+    efficiency-ratio window is BOUNDED at the trailing n+1 raw values
+    (n a dashboard constant), so a bounded-list state tuple carries
+    it across micro-batches (streaming/stateful.value_series_kama).
+    Same protocol as the EMA-family test: two drains against one
+    checkpoint must together emit exactly the batch compiler's rows,
+    BIT-identical (the streaming fold replays the batch kernel's
+    fresh left-to-right delta fold over the buffered window), with a
+    warm-up (n+1 > day-1 rows) that spans the drain boundary — any
+    state loss, re-seed, or buffer slip diverges every later value."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    for idx, (text, warm_spans_boundary) in enumerate([
+        # n: 4 needs n+1 = 5 points before the first emission — the
+        # 4-row day 1 emits NOTHING; the identity seed (row n−1) and
+        # the buffered window must survive the drain boundary
+        ('from(bucket: "b") |> kaufmansAMA(n: 4)', True),
+        ('from(bucket: "b") |> kaufmansAMA(n: 2)', False),
+    ]):
+        src = str(tmp_path / f"kama_src_{idx}")
+        _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+        live = flux.compile_flux_stream(spark, text, {"b": src})
+        assert live.isStreaming
+        ck = str(tmp_path / f"ck_kama_{idx}")
+
+        def drain():
+            rows: list = []
+            q = (
+                live.writeStream.foreachBatch(
+                    lambda df, _eid: rows.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [(r["_field"], r["_time"], r["_value"]) for r in rows]
+
+        rows1 = drain()
+        if warm_spans_boundary:
+            assert rows1 == []  # n+1 rows not yet seen — nothing emits
+        else:
+            assert len(rows1) > 0
+        _write(src, 2, [3.0, 7.25, 4.0], "append")
+        rows2 = drain()
+        got = sorted(rows1 + rows2)
+        batch = flux.compile_flux(spark, text, {"b": src}).collect()
+        expected = sorted(
+            (r["_field"], r["_time"], r["_value"]) for r in batch
+        )
+        assert got == expected and len(rows2) > 0, text
+
+    # terminal-stage / pre-aggregate / arg rejections mirror the family
+    for bad, msg in (
+        ('from(bucket: "b") |> kaufmansAMA(n: 2) '
+         "|> aggregateWindow(every: 1h, fn: mean)", "STREAMING subset"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         "|> kaufmansAMA(n: 2)", "STREAMING subset"),
+        ('from(bucket: "b") |> kaufmansAMA(n: 0)', "positive int"),
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux_stream(spark, bad, {"b": src})

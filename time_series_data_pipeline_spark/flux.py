@@ -343,12 +343,14 @@ Round 10c adds the technical-indicator / selector / conversion batch
   ``join()`` of exactly two same-``every`` windowed aggregates on the
   window spine (the live overlay / period comparison: a stream-stream
   join on the window STRUCT via Spark's multiple-stateful-operator
-  path). Value-series transforms (round 12) and the O(1)-state
+  path). Value-series transforms (round 12), the O(1)-state
   smoothing/indicator family (EMA/ETMA/doubleEMA/tripleEMA/RSI/TRIX,
-  round 13) stream as keyed state under a pinned arrival contract;
-  everything needing a WINDOW of values per series (kaufmansAMA,
-  holtWinters, rank aggregates) raises, pointing at the batch entry
-  point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
+  round 13) and kaufmansAMA (round 14 — its efficiency-ratio window
+  is bounded at n+1 values, so a bounded-list state tuple streams it)
+  run as keyed state under a pinned arrival contract; state
+  proportional to the stream (rank aggregates) or semantics needing
+  the whole series per emission (holtWinters' slot-window fit) raise,
+  pointing at the batch entry point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
   as the InfluxDB task loop (a ticker stream; per-tick ``now_fn``
   anchoring for relative bounds).
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
@@ -1979,11 +1981,13 @@ def compile_flux_stream(
     exact expression trees under the same arrival contract — and
     ``timedMovingAverage(every:, period:)`` (round 13) rewrites onto
     the sliding-aggregateWindow path it is upstream sugar for (the
-    bare trailing-frame form raises naming the batch path). Everything
-    else raises naming the stage — window-of-values recurrences
-    (``kaufmansAMA``'s n-value efficiency-ratio ring buffer,
-    ``holtWinters``' slot-normalized windows), rank aggregates, and
-    post-aggregate compositions are a batch query's job (run
+    bare trailing-frame form raises naming the batch path), and
+    ``kaufmansAMA`` (round 14) streams on a BOUNDED-list state tuple —
+    the trailing n+1 raw values, O(1) in the stream length. Everything
+    else raises naming the stage — state proportional to the stream
+    (rank aggregates' value multisets), semantics needing the whole
+    series per emission (``holtWinters``' slot-normalized window fit),
+    and post-aggregate compositions are a batch query's job (run
     ``compile_flux`` on the store instead).
 
     MULTI-STATEMENT live panels: named pipelines feeding one final
@@ -2626,7 +2630,7 @@ def _compile_stream_single(
         elif head in (
             "exponentialMovingAverage", "exponentialTimeMovingAverage",
             "doubleEMA", "tripleEMA", "relativeStrengthIndex",
-            "tripleExponentialDerivative",
+            "tripleExponentialDerivative", "kaufmansAMA",
         ):
             # round 13 (VERDICT r12 item 2): the SMOOTHED live panel —
             # every O(1)-STATE member of the smoothing/indicator
@@ -2638,11 +2642,15 @@ def _compile_stream_single(
             # per-series event time; late rows drop; batch replay on
             # the store for disordered data). Emitted values are the
             # batch kernels' exact expression trees — bit-identical
-            # under the contract (pinned in tests). kaufmansAMA (an
-            # n-value efficiency-ratio ring buffer), holtWinters
-            # (slot-normalized windows) and the rank aggregates still
-            # raise below: their state is a WINDOW of values — the
-            # principled streaming boundary.
+            # under the contract (pinned in tests). Round 14 (VERDICT
+            # r13 item 4): kaufmansAMA joins — its efficiency-ratio
+            # window is BOUNDED (the trailing n+1 raw values, n a
+            # dashboard constant), so a bounded-list state tuple
+            # streams it (streaming/stateful.value_series_kama). The
+            # boundary restates as: state O(1) in the STREAM LENGTH
+            # streams; holtWinters (the fit consumes slot-normalized
+            # windows over the WHOLE range per emission) and the rank
+            # aggregates (full value multisets) still raise below.
             if agg is not None:
                 raise FluxError(
                     f"{head}() after aggregateWindow is outside the "
@@ -2668,6 +2676,7 @@ def _compile_stream_single(
                         "tripleEMA": "tema_smooth",
                         "relativeStrengthIndex": "rsi_smooth",
                         "tripleExponentialDerivative": "trix_smooth",
+                        "kaufmansAMA": "kama_smooth",
                     }[head],
                     n,
                 )
@@ -2748,6 +2757,16 @@ def _compile_stream_single(
         frame = out.select(*key_cols, "_time", "_value").filter(
             F.col("_value").isNotNull()
         )
+        if vs[0] == "kama_smooth":
+            from .streaming.stateful import value_series_kama
+
+            return (
+                value_series_kama(
+                    frame, key_cols, vs[1],
+                    out_name=yield_name or "_value",
+                ),
+                None,
+            )
         if vs[0].endswith("_smooth"):
             from .streaming.stateful import value_series_smoothing
 
