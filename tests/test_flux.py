@@ -5573,8 +5573,12 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
         # kaufmansAMA (bounded n+1-value list state) since round 14
         # (keyed state, tests further below), derivative() since
         # round 12
+        # holtWinters' own rejection names the REAL blocker (round 14
+        # written rejection): bounded recurrence state, but forecast
+        # rows anchored to the stream's moving end — append mode
+        # cannot retract them
         ('from(bucket: "b") |> holtWinters(n: 5, interval: 1h)',
-         "STREAMING subset"),
+         "retracts previously-emitted forecast"),
         ('from(bucket: "b") |> movingAverage(n: 5)',
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',

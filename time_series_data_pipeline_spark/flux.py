@@ -2711,6 +2711,26 @@ def _compile_stream_single(
                         f"{head} requires exactly columns: [ ... ]"
                     )
                 post_stages.append((head, cols, stage))
+        elif head == "holtWinters":
+            # round 14 (VERDICT r13 item 4, the written rejection):
+            # unlike kaufmansAMA, the blocker is NOT state size — the
+            # Holt recurrence state is bounded too (level, trend, m
+            # seasonal slots + a first-cycle init buffer). The blocker
+            # is the OUTPUT: the n forecast rows hang off the stream's
+            # LAST slot, so every arriving point moves the forecast
+            # origin and RETRACTS every previously-emitted forecast
+            # row — append mode cannot retract, and update/complete
+            # would re-emit the whole forecast per micro-batch, which
+            # is exactly a batch replay. The task loop IS that replay.
+            raise FluxError(
+                "holtWinters() is outside the STREAMING subset: the "
+                "forecast is anchored to the stream's LAST slot, so "
+                "each arriving point retracts previously-emitted "
+                "forecast rows (its recurrence state is bounded — the "
+                "output is what append mode cannot express). Run "
+                "compile_flux on the store, or start_flux_task for "
+                "the per-tick re-forecast loop."
+            )
         elif head in ("last", "first"):
             # the live stat-panel gauge: a BARE selector is an
             # unwindowed aggregate, which append mode cannot finalize
