@@ -5579,8 +5579,11 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
         # cannot retract them
         ('from(bucket: "b") |> holtWinters(n: 5, interval: 1h)',
          "retracts previously-emitted forecast"),
-        ('from(bucket: "b") |> movingAverage(n: 5)',
-         "STREAMING subset"),
+        # movingAverage(n:) streams since round 14 (bounded-list
+        # state); the bare TIME-frame form stays out — its buffer is
+        # data-rate-dependent, not bounded by a dashboard constant
+        ('from(bucket: "b") |> timedMovingAverage(period: 2h)',
+         "data-rate-dependent"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: median)',
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean, '
@@ -6996,6 +6999,89 @@ def test_compile_flux_stream_kaufmans_ama(spark, tmp_path):
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
          "|> kaufmansAMA(n: 2)", "STREAMING subset"),
         ('from(bucket: "b") |> kaufmansAMA(n: 0)', "positive int"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
+def test_compile_flux_stream_moving_average(spark, tmp_path):
+    """Round 14: movingAverage(n:) streams on the same bounded-list
+    principle as kaufmansAMA — the trailing n values per series as
+    exact decimal cents. Two drains against one checkpoint must
+    together emit exactly the batch compiler's rows (keys + _time +
+    raw _value + moving_avg), BIT-identical: the integer cents sum is
+    order-free and the two double divisions replay the batch frame's
+    decimal→double cast and count division."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    for idx, (text, warm_spans_boundary) in enumerate([
+        # n: 5 > 4 day-1 rows — the buffer fill spans the drain
+        ('from(bucket: "b") |> movingAverage(n: 5)', True),
+        ('from(bucket: "b") |> movingAverage(n: 3)', False),
+    ]):
+        src = str(tmp_path / f"ma_src_{idx}")
+        _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+        live = flux.compile_flux_stream(spark, text, {"b": src})
+        assert live.isStreaming
+        assert "moving_avg" in live.columns and "_value" in live.columns
+        ck = str(tmp_path / f"ck_ma_{idx}")
+
+        def drain():
+            rows: list = []
+            q = (
+                live.writeStream.foreachBatch(
+                    lambda df, _eid: rows.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [
+                (r["_field"], r["_time"], r["_value"], r["moving_avg"])
+                for r in rows
+            ]
+
+        rows1 = drain()
+        if warm_spans_boundary:
+            assert rows1 == []  # n rows not yet seen — nothing emits
+        else:
+            assert len(rows1) > 0
+        _write(src, 2, [3.0, 7.25, 4.0], "append")
+        rows2 = drain()
+        got = sorted(rows1 + rows2)
+        batch = flux.compile_flux(spark, text, {"b": src}).collect()
+        expected = sorted(
+            (r["_field"], r["_time"], r["_value"], r["moving_avg"])
+            for r in batch
+        )
+        assert got == expected and len(rows2) > 0, text
+
+    for bad, msg in (
+        ('from(bucket: "b") |> movingAverage(n: 2) '
+         "|> aggregateWindow(every: 1h, fn: mean)", "STREAMING subset"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         "|> movingAverage(n: 2)", "STREAMING subset"),
+        ('from(bucket: "b") |> movingAverage(n: 0)', "positive int"),
     ):
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux_stream(spark, bad, {"b": src})

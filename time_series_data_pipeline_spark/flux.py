@@ -2497,6 +2497,31 @@ def _compile_stream_single(
                     "in the streaming subset"
                 )
             agg = (every_s, fn, period_s, offset_s)
+        elif head == "movingAverage":
+            # round 14: the trailing ROW-frame mean streams on the
+            # same bounded-list state principle as kaufmansAMA — the
+            # trailing n values per series (n a dashboard constant),
+            # O(1) in the stream length
+            # (streaming/stateful.value_series_moving_average);
+            # emissions replay the batch frame's exact-decimal sum /
+            # count expression bit-for-bit under the arrival contract
+            if agg is not None:
+                raise FluxError(
+                    "movingAverage() after aggregateWindow is outside "
+                    "the STREAMING subset (smooth-the-downsample is a "
+                    "batch query's job)"
+                )
+            a = _args(stage, "movingAverage")
+            n = _resolve(a["n"], params) if "n" in a else None
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise FluxError(
+                    f"movingAverage n: positive int required, got {n!r}"
+                )
+            if set(a) - {"n"}:
+                raise FluxError(
+                    f"movingAverage: unsupported args {sorted(set(a) - {'n'})}"
+                )
+            vs = ("ma_list", n)
         elif head == "timedMovingAverage":
             # round 13: the WINDOWED-EMISSION form streams — upstream
             # defines timedMovingAverage(every:, period:) as
@@ -2505,9 +2530,11 @@ def _compile_stream_single(
             # (round 12d), so it rewrites to the same agg tuple and
             # inherits that path's state shape and watermark
             # finalization. The bare trailing-frame form
-            # (timedMovingAverage(period:) with no every:) is a
-            # per-record ROW-frame mean — a window of values per
-            # series, outside the O(1)-state streaming contract.
+            # (timedMovingAverage(period:) with no every:) buffers a
+            # TIME window of values whose size is data-rate-dependent
+            # — unbounded by any dashboard constant, unlike
+            # movingAverage(n:)/kaufmansAMA(n:)'s bounded lists —
+            # outside the O(1)-in-stream-length state contract.
             if agg is not None:
                 raise FluxError(
                     "timedMovingAverage() after aggregateWindow is "
@@ -2517,8 +2544,9 @@ def _compile_stream_single(
             if "every" not in a:
                 raise FluxError(
                     "bare timedMovingAverage(period:) is outside the "
-                    "STREAMING subset (a per-record trailing window "
-                    "buffers a value window per series) — stream the "
+                    "STREAMING subset (its trailing TIME window "
+                    "buffers a data-rate-dependent number of values — "
+                    "unbounded by any dashboard constant) — stream the "
                     "windowed-emission form timedMovingAverage(every:, "
                     "period:) or run compile_flux on the store"
                 )
@@ -2784,6 +2812,16 @@ def _compile_stream_single(
                 value_series_kama(
                     frame, key_cols, vs[1],
                     out_name=yield_name or "_value",
+                ),
+                None,
+            )
+        if vs[0] == "ma_list":
+            from .streaming.stateful import value_series_moving_average
+
+            return (
+                value_series_moving_average(
+                    frame, key_cols, vs[1],
+                    out_name=yield_name or "moving_avg",
                 ),
                 None,
             )

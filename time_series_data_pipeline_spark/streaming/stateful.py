@@ -495,6 +495,98 @@ def value_series_smoothing(
 # + the AMA accumulator; ~8(n+6) bytes per series
 _KAMA_STATE = "last_t long, vals array<double>, cnt long, ama double"
 
+# movingAverage(n:): the trailing n values as decimal(18,2) integer
+# cents (the batch frame sums _dec("_value") exactly)
+_MA_STATE = "last_t long, cents array<long>, cnt long"
+
+
+def value_series_moving_average(
+    stream: DataFrame,
+    key_cols: list[str],
+    n: int,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Streaming Flux ``movingAverage(n:)`` — the trailing ROW-frame
+    mean, bit-identical to the batch compiler under the pinned
+    arrival contract. Same bounded-list principle as
+    ``value_series_kama``: state is the trailing n values per series,
+    O(1) in the stream length.
+
+    NUMERIC PARITY: the batch expression is
+    ``sum(decimal(18,2)).cast(double) / count.cast(double)`` over the
+    full n-row frame (emission starts at row n). Quantizing each
+    value to integer cents via the shared ``_cents`` rule makes the
+    buffer sum EXACT (integer addition — order-free), and the two
+    double divisions replay the decimal→double cast and the frame
+    division: ``(sum_cents / 100.0) / float(n)``. Output keeps the
+    raw ``_value`` beside the named average column — the batch
+    column shape."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"movingAverage n: positive int required, got {n!r}")
+    name = out_name or "moving_avg"
+    narrowed = stream.select(*key_cols, "_time", "_value")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    out_schema = StructType(
+        base
+        + time_f
+        + [StructField("_value", DoubleType()), StructField(name, DoubleType())]
+    )
+
+    def _fn(key, pdfs, state):
+        if state.exists:
+            last_t, cents, cnt = state.get
+            cents = list(cents)
+            seen = True
+        else:
+            last_t, cents, cnt = 0, [], 0
+            seen = False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, raw_out, v_out = [], [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        raw = pdf["_value"].to_numpy()
+        for t, t_us, v in zip(times, t_us_arr, raw):
+            v = float(v)
+            t_us = int(t_us)
+            if math.isnan(v):
+                continue  # NaN = null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            cnt += 1
+            cents.append(_cents(v))
+            if len(cents) > n:
+                cents.pop(0)
+            if cnt >= n:
+                s = 0
+                for c in cents:
+                    s += c  # exact integer sum, order-free
+                ts_out.append(t)
+                raw_out.append(v)
+                v_out.append((s / 100.0) / float(n))
+            last_t, seen = t_us, True
+        state.update((int(last_t), [int(c) for c in cents], int(cnt)))
+        cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
+        cols["_time"] = ts_out
+        cols["_value"] = raw_out
+        cols[name] = v_out
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_MA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 def value_series_kama(
     stream: DataFrame,
