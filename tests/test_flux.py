@@ -7087,6 +7087,133 @@ def test_compile_flux_stream_moving_average(spark, tmp_path):
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 
+def test_compile_flux_stream_trailing_indicators_and_elapsed(
+    spark, tmp_path
+):
+    """Round 14, the rest of the bounded-state members:
+    chandeMomentumOscillator / kaufmansER stream on the trailing
+    n+1-cents buffer (their batch kernels are exact-decimal delta
+    frames with one double division per row — the integer-cents
+    replay is bit-identical), and elapsed() streams on ONE long of
+    state (the previous event time). Two drains each, emissions must
+    equal the batch compiler bit-for-bit."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    # indicator shape: _value REWRITTEN to the indicator
+    for idx, (text, warm_spans_boundary) in enumerate([
+        # n: 4 needs n+1 = 5 points — the 4-row day 1 emits nothing
+        ('from(bucket: "b") |> chandeMomentumOscillator(n: 4)', True),
+        ('from(bucket: "b") |> chandeMomentumOscillator(n: 2)', False),
+        ('from(bucket: "b") |> kaufmansER(n: 4)', True),
+        ('from(bucket: "b") |> kaufmansER(n: 2)', False),
+    ]):
+        src = str(tmp_path / f"ti_src_{idx}")
+        _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+        live = flux.compile_flux_stream(spark, text, {"b": src})
+        assert live.isStreaming
+        ck = str(tmp_path / f"ck_ti_{idx}")
+
+        def drain():
+            rows: list = []
+            q = (
+                live.writeStream.foreachBatch(
+                    lambda df, _eid: rows.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [(r["_field"], r["_time"], r["_value"]) for r in rows]
+
+        rows1 = drain()
+        if warm_spans_boundary:
+            assert rows1 == []
+        else:
+            assert len(rows1) > 0
+        _write(src, 2, [3.0, 7.25, 4.0], "append")
+        rows2 = drain()
+        got = sorted(rows1 + rows2)
+        batch = flux.compile_flux(spark, text, {"b": src}).collect()
+        expected = sorted(
+            (r["_field"], r["_time"], r["_value"]) for r in batch
+        )
+        assert got == expected and len(rows2) > 0, text
+
+    # elapsed: raw _value kept beside the long gap column; the
+    # OVERNIGHT gap (day-2 first row) only exists if last_t crossed
+    # the drain boundary
+    src = str(tmp_path / "el_src")
+    _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+    text = 'from(bucket: "b") |> elapsed(unit: 1m)'
+    live = flux.compile_flux_stream(spark, text, {"b": src})
+    assert live.isStreaming
+    assert "elapsed" in live.columns and "_value" in live.columns
+    ck = str(tmp_path / "ck_el")
+    rows_all: list = []
+
+    def drain_el():
+        rows: list = []
+        q = (
+            live.writeStream.foreachBatch(
+                lambda df, _eid: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return [
+            (r["_field"], r["_time"], r["_value"], r["elapsed"])
+            for r in rows
+        ]
+
+    rows_all += drain_el()
+    assert len(rows_all) > 0 and all(r[3] == 17 for r in rows_all)
+    _write(src, 2, [3.0, 7.25, 4.0], "append")
+    day2 = drain_el()
+    # day-2's first row measures the overnight gap from day-1's last
+    # row — state carried across the drain
+    assert any(r[3] > 17 for r in day2)
+    got = sorted(rows_all + day2)
+    batch = flux.compile_flux(spark, text, {"b": src}).collect()
+    expected = sorted(
+        (r["_field"], r["_time"], r["_value"], r["elapsed"])
+        for r in batch
+    )
+    assert got == expected
+    for bad, msg in (
+        ('from(bucket: "b") |> chandeMomentumOscillator(n: 0)',
+         "positive int"),
+        ('from(bucket: "b") |> kaufmansER(n: 0)', "positive int"),
+        ('from(bucket: "b") |> elapsed(unit: 0s)', "must be > 0"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         "|> elapsed()", "STREAMING subset"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
 def test_compile_flux_stream_smoothing_arrival_contract_on_merged_series(
     spark, tmp_path
 ):

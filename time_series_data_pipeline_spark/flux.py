@@ -2497,31 +2497,64 @@ def _compile_stream_single(
                     "in the streaming subset"
                 )
             agg = (every_s, fn, period_s, offset_s)
-        elif head == "movingAverage":
-            # round 14: the trailing ROW-frame mean streams on the
-            # same bounded-list state principle as kaufmansAMA — the
-            # trailing n values per series (n a dashboard constant),
-            # O(1) in the stream length
-            # (streaming/stateful.value_series_moving_average);
-            # emissions replay the batch frame's exact-decimal sum /
-            # count expression bit-for-bit under the arrival contract
+        elif head in (
+            "movingAverage", "chandeMomentumOscillator", "kaufmansER",
+        ):
+            # round 14: the trailing ROW-frame mean and the
+            # trailing-n-delta indicators stream on the same
+            # bounded-list state principle as kaufmansAMA — the
+            # trailing n (or n+1) values per series as exact decimal
+            # cents (n a dashboard constant), O(1) in the stream
+            # length (streaming/stateful.value_series_moving_average /
+            # value_series_trailing_indicator); emissions replay the
+            # batch frames' exact-decimal expressions bit-for-bit
+            # under the arrival contract
             if agg is not None:
                 raise FluxError(
-                    "movingAverage() after aggregateWindow is outside "
+                    f"{head}() after aggregateWindow is outside "
                     "the STREAMING subset (smooth-the-downsample is a "
                     "batch query's job)"
                 )
-            a = _args(stage, "movingAverage")
+            a = _args(stage, head)
             n = _resolve(a["n"], params) if "n" in a else None
             if not isinstance(n, int) or isinstance(n, bool) or n < 1:
                 raise FluxError(
-                    f"movingAverage n: positive int required, got {n!r}"
+                    f"{head} n: positive int required, got {n!r}"
                 )
             if set(a) - {"n"}:
                 raise FluxError(
-                    f"movingAverage: unsupported args {sorted(set(a) - {'n'})}"
+                    f"{head}: unsupported args {sorted(set(a) - {'n'})}"
                 )
-            vs = ("ma_list", n)
+            vs = (
+                {
+                    "movingAverage": "ma_list",
+                    "chandeMomentumOscillator": "cmo_list",
+                    "kaufmansER": "ker_list",
+                }[head],
+                n,
+            )
+        elif head == "elapsed":
+            # round 14: the smallest O(1)-state member — one long of
+            # state per series (the previous event time); same batch
+            # expression (integer-µs diff, double-divided by the unit,
+            # long cast truncating toward zero), first row drops
+            if agg is not None:
+                raise FluxError(
+                    "elapsed() after aggregateWindow is outside the "
+                    "STREAMING subset"
+                )
+            a = _args(stage, "elapsed")
+            unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+            if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                raise FluxError(f"elapsed unit: bad duration {unit!r}")
+            unit_s = _duration_seconds(unit)
+            if unit_s <= 0:
+                raise FluxError(f"elapsed unit must be > 0: {unit!r}")
+            if set(a) - {"unit"}:
+                raise FluxError(
+                    f"elapsed: unsupported args {sorted(set(a) - {'unit'})}"
+                )
+            vs = ("elapsed_lag", unit_s)
         elif head == "timedMovingAverage":
             # round 13: the WINDOWED-EMISSION form streams — upstream
             # defines timedMovingAverage(every:, period:) as
@@ -2822,6 +2855,26 @@ def _compile_stream_single(
                 value_series_moving_average(
                     frame, key_cols, vs[1],
                     out_name=yield_name or "moving_avg",
+                ),
+                None,
+            )
+        if vs[0] in ("cmo_list", "ker_list"):
+            from .streaming.stateful import value_series_trailing_indicator
+
+            return (
+                value_series_trailing_indicator(
+                    frame, key_cols, vs[0][:3], vs[1],
+                    out_name=yield_name or "_value",
+                ),
+                None,
+            )
+        if vs[0] == "elapsed_lag":
+            from .streaming.stateful import value_series_elapsed
+
+            return (
+                value_series_elapsed(
+                    frame, key_cols, vs[1],
+                    out_name=yield_name or "elapsed",
                 ),
                 None,
             )

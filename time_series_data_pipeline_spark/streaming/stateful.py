@@ -588,6 +588,194 @@ def value_series_moving_average(
     )
 
 
+def value_series_trailing_indicator(
+    stream: DataFrame,
+    key_cols: list[str],
+    kind: str,
+    n: int,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Streaming ``chandeMomentumOscillator(n:)`` / ``kaufmansER(n:)``
+    — the trailing-n-delta technical indicators, on the same bounded
+    cents-list state as ``value_series_moving_average`` (here n+1
+    values, deriving the n deltas). Both batch kernels work over
+    EXACT decimal(18,2) deltas with one double division per row, so
+    the integer-cents replay is bit-identical:
+
+    * cmo: up/dn = signed sums of the positive/negative delta cents;
+      0.0 on a flat window, else
+      ``float(up_c - dn_c) / ((up_c + dn_c) / 100.0)`` — the
+      ``((up-dn)*100).cast(double) / (up+dn).cast(double)`` tree.
+    * ker: ``num_c = |c_t - c_{t-n}|``, ``den_c = sum |delta|``; 0.0
+      on a flat window, else ``(num_c/100.0) / (den_c/100.0)``.
+
+    Emission starts at the (n+1)-th accepted point (n full deltas),
+    ``_value`` REWRITTEN to the indicator — the batch column shape.
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if kind not in ("cmo", "ker"):
+        raise ValueError(f"unknown trailing indicator {kind!r}")
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"{kind} n: positive int required, got {n!r}")
+    name = out_name or "_value"
+    narrowed = stream.select(*key_cols, "_time", "_value")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    out_schema = StructType(base + time_f + [StructField(name, DoubleType())])
+
+    def _fn(key, pdfs, state):
+        if state.exists:
+            last_t, cents, cnt = state.get
+            cents = list(cents)
+            seen = True
+        else:
+            last_t, cents, cnt = 0, [], 0
+            seen = False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, v_out = [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        raw = pdf["_value"].to_numpy()
+        for t, t_us, v in zip(times, t_us_arr, raw):
+            v = float(v)
+            t_us = int(t_us)
+            if math.isnan(v):
+                continue  # NaN = null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            cnt += 1
+            cents.append(_cents(v))
+            if len(cents) > n + 1:
+                cents.pop(0)
+            if cnt >= n + 1:
+                if kind == "cmo":
+                    up_c = 0
+                    dn_c = 0
+                    for i in range(1, n + 1):
+                        d = cents[i] - cents[i - 1]
+                        if d > 0:
+                            up_c += d
+                        elif d < 0:
+                            dn_c += -d
+                    point = (
+                        0.0
+                        if up_c + dn_c == 0
+                        else float(up_c - dn_c) / ((up_c + dn_c) / 100.0)
+                    )
+                else:
+                    den_c = 0
+                    for i in range(1, n + 1):
+                        den_c += abs(cents[i] - cents[i - 1])
+                    num_c = abs(cents[n] - cents[0])
+                    point = (
+                        0.0
+                        if den_c == 0
+                        else (num_c / 100.0) / (den_c / 100.0)
+                    )
+                ts_out.append(t)
+                v_out.append(point)
+            last_t, seen = t_us, True
+        state.update((int(last_t), [int(c) for c in cents], int(cnt)))
+        cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
+        cols["_time"] = ts_out
+        cols[name] = v_out
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_MA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def value_series_elapsed(
+    stream: DataFrame,
+    key_cols: list[str],
+    unit_s: int,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Streaming Flux ``elapsed([unit:])`` — the gap to the previous
+    record in whole units, with ONE long of state per series (the
+    smallest member of the O(1)-state family). Replays the batch
+    expression exactly: integer-µs diff, double division by the unit,
+    long cast truncating toward zero; the per-series first row drops
+    (no predecessor). Output keeps the raw ``_value`` beside the
+    elapsed column — the batch shape."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    unit_s = int(unit_s)
+    if unit_s <= 0:
+        raise ValueError(f"elapsed unit must be > 0, got {unit_s!r}")
+    name = out_name or "elapsed"
+    narrowed = stream.select(*key_cols, "_time", "_value")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    out_schema = StructType(
+        base
+        + time_f
+        + [StructField("_value", DoubleType()), StructField(name, LongType())]
+    )
+    unit_us = unit_s * 1_000_000
+
+    def _fn(key, pdfs, state):
+        if state.exists:
+            (last_t,) = state.get
+            seen = True
+        else:
+            last_t, seen = 0, False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, raw_out, v_out = [], [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        raw = pdf["_value"].to_numpy()
+        for t, t_us, v in zip(times, t_us_arr, raw):
+            v = float(v)
+            t_us = int(t_us)
+            if math.isnan(v):
+                continue  # NaN = null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            if seen:
+                ts_out.append(t)
+                raw_out.append(v)
+                # double division then truncation toward zero — the
+                # batch (diff / lit).cast("long") tree
+                v_out.append(int((t_us - last_t) / float(unit_us)))
+            last_t, seen = t_us, True
+        state.update((int(last_t),))
+        cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
+        cols["_time"] = ts_out
+        cols["_value"] = raw_out
+        # explicit int64 so an empty batch still Arrow-types as long
+        cols[name] = pd.array(v_out, dtype="Int64")
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType="last_t long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def value_series_kama(
     stream: DataFrame,
     key_cols: list[str],
