@@ -7214,6 +7214,104 @@ def test_compile_flux_stream_trailing_indicators_and_elapsed(
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 
+def test_compile_flux_stream_state_tracking(spark, tmp_path):
+    """Round 14: stateDuration/stateCount stream — the live
+    ALERT-duration panel. Run tracking is a FIXED per-series state
+    tuple (previous predicate state, run start µs, run position); the
+    predicate compiles to a Catalyst projection ahead of the keyed
+    state. Two drains must equal the batch compiler bit-for-bit,
+    including a TRUE run that SPANS the drain boundary (the click
+    series ends day 1 in-state and stays in-state into day 2: its
+    day-2 duration measures from day-1's run start across the
+    overnight gap, and its count continues 1→2→3 — any state loss
+    restarts both at the boundary)."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    for idx, (text, out_col) in enumerate([
+        ('from(bucket: "b") |> stateDuration('
+         "fn: (r) => r._value > 3.0, unit: 1m)", "stateDuration"),
+        ('from(bucket: "b") |> stateCount('
+         "fn: (r) => r._value > 3.0)", "stateCount"),
+    ]):
+        src = str(tmp_path / f"st_src_{idx}")
+        # click day 1: F F F T (ends in-state); error (reversed):
+        # T F F F
+        _write(src, 1, [0.125, 1.5, 2.25, 5.5], "overwrite")
+        live = flux.compile_flux_stream(spark, text, {"b": src})
+        assert live.isStreaming
+        assert out_col in live.columns and "state" in live.columns
+        ck = str(tmp_path / f"ck_st_{idx}")
+
+        def drain():
+            rows: list = []
+            q = (
+                live.writeStream.foreachBatch(
+                    lambda df, _eid: rows.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [
+                (r["_field"], r["_time"], r["_value"], r["state"],
+                 r[out_col])
+                for r in rows
+            ]
+
+        rows1 = drain()
+        assert len(rows1) == 8  # every record emits (−1 where false)
+        # click day 2: T T T — the true run CONTINUES across the drain
+        _write(src, 2, [7.25, 4.0, 3.5], "append")
+        rows2 = drain()
+        got = sorted(rows1 + rows2)
+        batch = flux.compile_flux(spark, text, {"b": src}).collect()
+        expected = sorted(
+            (r["_field"], r["_time"], r["_value"], r["state"], r[out_col])
+            for r in batch
+        )
+        assert got == expected and len(rows2) == 6, text
+        day2_click = [
+            r for r in rows2 if r[0] == "click" and r[3]
+        ]
+        if out_col == "stateCount":
+            # continuation proof: day-2 click counts pick up at 2
+            assert [r[4] for r in sorted(day2_click)] == [2, 3, 4]
+        else:
+            # duration measured from DAY-1's run start (00:51) across
+            # the overnight gap: 1389, 1406, 1423 minutes
+            assert [r[4] for r in sorted(day2_click)] == [1389, 1406, 1423]
+
+    for bad, msg in (
+        ('from(bucket: "b") |> stateDuration(fn: (r) => r._value > 3.0, '
+         "unit: 0s)", "must be > 0"),
+        ('from(bucket: "b") |> stateCount()', "requires fn"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         "|> stateCount(fn: (r) => r._value > 3.0)", "STREAMING subset"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
 def test_compile_flux_stream_smoothing_arrival_contract_on_merged_series(
     spark, tmp_path
 ):

@@ -2533,6 +2533,48 @@ def _compile_stream_single(
                 }[head],
                 n,
             )
+        elif head in ("stateDuration", "stateCount"):
+            # round 14: the live ALERT-duration panel — run tracking
+            # is a fixed per-series state tuple (previous predicate
+            # state, run start µs, run position); the predicate
+            # compiles to a Catalyst column applied as a stateless
+            # projection BEFORE the keyed-state stage, so Python only
+            # ever folds booleans
+            # (streaming/stateful.value_series_state_tracking)
+            if agg is not None:
+                raise FluxError(
+                    f"{head}() after aggregateWindow is outside the "
+                    "STREAMING subset"
+                )
+            a = _args(stage, head)
+            if "fn" not in a:
+                raise FluxError(f"{head} requires fn: (r) => predicate")
+            allowed = {"fn", "unit"} if head == "stateDuration" else {"fn"}
+            if set(a) - allowed:
+                raise FluxError(
+                    f"{head}: unsupported args {sorted(set(a) - allowed)}"
+                )
+            sd_unit_s = 1
+            if head == "stateDuration":
+                unit = _resolve(a["unit"], params) if "unit" in a else "1s"
+                if not (isinstance(unit, str) and _DUR_RE.match(unit)):
+                    raise FluxError(f"stateDuration unit: bad duration {unit!r}")
+                sd_unit_s = _duration_seconds(unit)
+                if sd_unit_s <= 0:
+                    raise FluxError(
+                        f"stateDuration unit must be > 0: {unit!r}"
+                    )
+            m = re.match(
+                r"^\(\s*r\s*\)\s*=>\s*(.*)$", a["fn"].strip(), re.DOTALL
+            )
+            if not m:
+                raise FluxError(f"malformed {head} fn: {a['fn']!r}")
+            pred = _parse_pred(_tokenize_pred(m.group(1).strip()), params)
+            vs = (
+                "state_dur" if head == "stateDuration" else "state_cnt",
+                pred,
+                sd_unit_s,
+            )
         elif head == "elapsed":
             # round 14: the smallest O(1)-state member — one long of
             # state per series (the previous event time); same batch
@@ -2875,6 +2917,28 @@ def _compile_stream_single(
                 value_series_elapsed(
                     frame, key_cols, vs[1],
                     out_name=yield_name or "elapsed",
+                ),
+                None,
+            )
+        if vs[0] in ("state_dur", "state_cnt"):
+            from .streaming.stateful import value_series_state_tracking
+
+            # predicate evaluated on the FULL raw frame (it may
+            # reference promoted tags outside the series key), then
+            # narrowed — a stateless projection ahead of the keyed
+            # state
+            st_frame = (
+                out.filter(F.col("_value").isNotNull())
+                .withColumn("__state", vs[1])
+                .select(*key_cols, "_time", "_value", "__state")
+            )
+            kind = "duration" if vs[0] == "state_dur" else "count"
+            return (
+                value_series_state_tracking(
+                    st_frame, key_cols, kind, vs[2],
+                    out_name=yield_name
+                    or ("stateDuration" if kind == "duration"
+                        else "stateCount"),
                 ),
                 None,
             )

@@ -696,6 +696,126 @@ def value_series_trailing_indicator(
     )
 
 
+def value_series_state_tracking(
+    stream: DataFrame,
+    key_cols: list[str],
+    kind: str,
+    unit_s: int = 1,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Streaming Flux ``stateDuration(fn:)`` / ``stateCount(fn:)`` —
+    the live ALERT-duration panel ("how long has this series been
+    above threshold"). Run tracking is a FIXED state tuple per series
+    (previous predicate state, current run's start µs, 1-based run
+    position): change detection is the batch ``_state_runs``
+    null-safe compare (a null predicate is its own state value), and
+    the emitted values replay the batch expressions —
+
+    * stateDuration: ``(t_us − run_start_us) / unit_us`` double
+      division, long cast truncating toward zero (0 at a true run's
+      first point); −1 where the predicate is not true.
+    * stateCount: the 1-based position within the current run where
+      true; −1 otherwise.
+
+    ``stream`` must carry ``key_cols + [_time, _value, __state]``
+    with ``__state`` the pre-compiled predicate column (a stateless
+    projection — the Catalyst predicate never enters Python). Output
+    keeps ``_value`` and the boolean ``state`` beside the named long,
+    the batch column shape."""
+    import math
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if kind not in ("duration", "count"):
+        raise ValueError(f"unknown state tracking kind {kind!r}")
+    unit_s = int(unit_s)
+    if unit_s <= 0:
+        raise ValueError(f"stateDuration unit must be > 0, got {unit_s!r}")
+    name = out_name or (
+        "stateDuration" if kind == "duration" else "stateCount"
+    )
+    narrowed = stream.select(*key_cols, "_time", "_value", "__state")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    out_schema = StructType(
+        base
+        + time_f
+        + [
+            StructField("_value", DoubleType()),
+            StructField("state", BooleanType()),
+            StructField(name, LongType()),
+        ]
+    )
+    unit_us = unit_s * 1_000_000
+
+    def _fn(key, pdfs, state):
+        # prev_state: -1 = no rows yet, 0 = false, 1 = true, 2 = null
+        if state.exists:
+            last_t, prev_state, run_start, run_pos = state.get
+            seen = True
+        else:
+            last_t, prev_state, run_start, run_pos = 0, -1, 0, 0
+            seen = False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, raw_out, st_out, v_out = [], [], [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        raw = pdf["_value"].to_numpy()
+        preds = pdf["__state"].to_numpy(dtype=object)
+        for t, t_us, v, p in zip(times, t_us_arr, raw, preds):
+            v = float(v)
+            t_us = int(t_us)
+            if math.isnan(v):
+                continue  # NaN = null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            s3 = 2 if pd.isna(p) else (1 if bool(p) else 0)
+            if s3 != prev_state:
+                # new run — the batch null-safe change compare
+                prev_state, run_start, run_pos = s3, t_us, 1
+            else:
+                run_pos += 1
+            if s3 == 1:
+                out = (
+                    int((t_us - run_start) / float(unit_us))
+                    if kind == "duration"
+                    else run_pos
+                )
+            else:
+                out = -1
+            ts_out.append(t)
+            raw_out.append(v)
+            st_out.append(None if s3 == 2 else bool(s3))
+            v_out.append(out)
+            last_t, seen = t_us, True
+        state.update(
+            (int(last_t), int(prev_state), int(run_start), int(run_pos))
+        )
+        cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
+        cols["_time"] = ts_out
+        cols["_value"] = raw_out
+        cols["state"] = pd.array(st_out, dtype="boolean")
+        cols[name] = pd.array(v_out, dtype="Int64")
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType="last_t long, prev_state long, run_start long, "
+                        "run_pos long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def value_series_elapsed(
     stream: DataFrame,
     key_cols: list[str],
