@@ -7214,6 +7214,85 @@ def test_compile_flux_stream_trailing_indicators_and_elapsed(
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 
+def test_compile_flux_stream_fill_value_tail(spark, tmp_path):
+    """Round 14: ``fill(value:)`` joins the streaming tail — a
+    stateless coalesce over the append-mode output (the Grafana
+    "null as zero" panel option). Reachable nulls in append mode are
+    single-point stddev windows; filled values must equal the batch
+    tail bit-for-bit (0.0 literal), non-null windows pass through
+    (stddev's moment merge is the documented float-tolerance member).
+    fill(usePrevious:), pre-aggregate fill, unknown columns, and
+    both/neither-arg forms raise."""
+    import datetime
+    import math
+
+    src = str(tmp_path / "fill_src")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(minutes=m), "events", "click", v)
+        for m, v in [(0, 1.0), (5, 4.0), (30, 2.5), (60, 7.0), (95, 3.0)]
+    ]
+    df = spark.createDataFrame(
+        rows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"), F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"), F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(df, src, mode="overwrite")
+    text = (
+        'from(bucket: "b") |> aggregateWindow(every: 15m, fn: stddev) '
+        '|> fill(column: "stddev", value: 0.0)'
+    )
+    live = flux.compile_flux_stream(
+        spark, text, {"b": src}, watermark="0 seconds"
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_fill")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fill"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["stddev"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_fill").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"b": src}).collect()
+    max_t = max(r["window_start"] for r in batch)
+    expected = {
+        r["window_start"]: (r["stddev"], r["n"])
+        for r in batch
+        if r["window_start"] < max_t
+    }
+    assert expected and got.keys() >= expected.keys()
+    filled = [v for v, n in expected.values() if n == 1]
+    assert filled and all(v == 0.0 for v in filled)  # fill really fired
+    assert any(n > 1 for _, n in expected.values())  # and passed through
+    for k, (v, n) in expected.items():
+        gv, gn = got[k]
+        assert gn == n
+        if n == 1:
+            assert gv == 0.0 and v == 0.0, (k, gv, v)
+        else:
+            assert math.isclose(gv, v, rel_tol=1e-9), (k, gv, v)
+    for bad, msg in (
+        ('from(bucket: "b") |> aggregateWindow(every: 15m, fn: mean) '
+         "|> fill(usePrevious: true)", "keyed state over the aggregate"),
+        ('from(bucket: "b") |> fill(value: 0.0)', "STREAMING subset"),
+        ('from(bucket: "b") |> aggregateWindow(every: 15m, fn: mean) '
+         '|> fill(column: "nope", value: 0.0)', "unknown column"),
+        ('from(bucket: "b") |> aggregateWindow(every: 15m, fn: mean) '
+         "|> fill()", "exactly one of"),
+        ('from(bucket: "b") |> aggregateWindow(every: 15m, fn: mean) '
+         "|> fill(value: 0.0, usePrevious: true)", "exactly one of"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
 def test_compile_flux_stream_state_tracking(spark, tmp_path):
     """Round 14: stateDuration/stateCount stream — the live
     ALERT-duration panel. Run tracking is a FIXED per-series state

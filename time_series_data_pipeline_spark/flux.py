@@ -2785,6 +2785,57 @@ def _compile_stream_single(
                 )
             else:
                 vs = ("etma_smooth", _parse_etma_n(a, params))
+        elif head == "fill":
+            # round 14: fill(value:) joins the streaming tail — a
+            # stateless coalesce over the append-mode output (the
+            # Grafana "null as zero" panel option; reachable nulls:
+            # single-point stddev windows — createEmpty gap rows
+            # already raise). fill(usePrevious: true) raises: carrying
+            # the previous emitted value needs keyed state OVER the
+            # aggregate output — a second arbitrary-stateful operator
+            # downstream of a streaming aggregation, a shape Spark's
+            # multiple-stateful-operator support does not include (and
+            # emission order across micro-batches is undefined for a
+            # stateless tail).
+            if agg is None:
+                raise FluxError(
+                    "fill() before aggregateWindow is outside the "
+                    "STREAMING subset (the raw live frame carries "
+                    "every record; fill gaps in the aggregated panel)"
+                )
+            a = _args(stage, "fill")
+            fcol = _resolve(a["column"], params) if "column" in a else "_value"
+            if not isinstance(fcol, str):
+                raise FluxError(
+                    f"fill column: expected a string, got {fcol!r}"
+                )
+            extra = set(a) - {"column", "value", "usePrevious"}
+            if extra:
+                raise FluxError(f"fill: unsupported args {sorted(extra)}")
+            up = (
+                _resolve(a["usePrevious"], params)
+                if "usePrevious" in a
+                else False
+            )
+            if not isinstance(up, bool):
+                raise FluxError(
+                    f"fill usePrevious: expected a boolean, got {up!r}"
+                )
+            if ("value" in a) == up:
+                raise FluxError(
+                    "fill needs exactly one of value: or usePrevious: true"
+                )
+            if up:
+                raise FluxError(
+                    "fill(usePrevious: true) is outside the STREAMING "
+                    "subset: carrying the previous emitted value is "
+                    "keyed state over the aggregate output (not a "
+                    "stateless tail) — run compile_flux on the store "
+                    "for the carried-forward panel"
+                )
+            post_stages.append(
+                ("fill", (fcol, _resolve(a["value"], params)), stage)
+            )
         elif head in ("keep", "drop", "rename"):
             # round 12d: the display-shaping tail over the aggregate
             # output — stateless projections, so the live panel keeps
@@ -3021,6 +3072,21 @@ def _compile_stream_single(
         )
     for op in post_stages:
         visible = [c for c in base.columns if c != "__w"]
+        if op[0] == "fill":
+            # the batch tail's own rule: the column is validated
+            # literally against the frame (no r._value remap — fill
+            # names a COLUMN, not a record field), so a pasted text
+            # works or raises identically on both paths
+            fcol, fval = op[1]
+            if fcol not in visible:
+                raise FluxError(
+                    f"fill: unknown column(s) [{fcol!r}]; frame has "
+                    f"{visible}: {op[2]!r}"
+                )
+            base = base.withColumn(
+                fcol, F.coalesce(F.col(fcol), F.lit(fval))
+            )
+            continue
         if op[0] == "map":
             # round 12d: the live unit-converted panel — the shared
             # batch-tail rewrite over the aggregate's value column
