@@ -345,12 +345,15 @@ Round 10c adds the technical-indicator / selector / conversion batch
   join on the window STRUCT via Spark's multiple-stateful-operator
   path). Value-series transforms (round 12), the O(1)-state
   smoothing/indicator family (EMA/ETMA/doubleEMA/tripleEMA/RSI/TRIX,
-  round 13) and kaufmansAMA (round 14 — its efficiency-ratio window
-  is bounded at n+1 values, so a bounded-list state tuple streams it)
-  run as keyed state under a pinned arrival contract; state
-  proportional to the stream (rank aggregates) or semantics needing
-  the whole series per emission (holtWinters' slot-window fit) raise,
-  pointing at the batch entry point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
+  round 13) and the round-14 bounded-state members — kaufmansAMA /
+  movingAverage / chandeMomentumOscillator / kaufmansER on bounded
+  cents/value lists, elapsed on one lag, stateDuration/stateCount on
+  fixed run tuples, fill(value:) as a stateless tail — run as keyed
+  state under a pinned arrival contract; state proportional to the
+  stream (rank aggregates), data-rate-dependent buffers (bare
+  timedMovingAverage), and non-monotone output (holtWinters — each
+  point retracts the previously-emitted forecast) raise, pointing at
+  the batch entry point. ``start_flux_task`` runs a trailing-``to(bucket:)`` script
   as the InfluxDB task loop (a ticker stream; per-tick ``now_fn``
   anchoring for relative bounds).
 * ``|> to(bucket:)`` (round 11) — the InfluxDB task / continuous-query
@@ -1981,14 +1984,19 @@ def compile_flux_stream(
     exact expression trees under the same arrival contract — and
     ``timedMovingAverage(every:, period:)`` (round 13) rewrites onto
     the sliding-aggregateWindow path it is upstream sugar for (the
-    bare trailing-frame form raises naming the batch path), and
-    ``kaufmansAMA`` (round 14) streams on a BOUNDED-list state tuple —
-    the trailing n+1 raw values, O(1) in the stream length. Everything
-    else raises naming the stage — state proportional to the stream
-    (rank aggregates' value multisets), semantics needing the whole
-    series per emission (``holtWinters``' slot-normalized window fit),
-    and post-aggregate compositions are a batch query's job (run
-    ``compile_flux`` on the store instead).
+    bare trailing-frame form raises naming the batch path), and the
+    round-14 bounded-state members stream: ``kaufmansAMA`` /
+    ``movingAverage`` / ``chandeMomentumOscillator`` / ``kaufmansER``
+    on BOUNDED-list state (trailing n or n+1 values — O(1) in the
+    stream length), ``elapsed`` on one lag, ``stateDuration`` /
+    ``stateCount`` on a fixed run tuple (predicate pre-compiled to a
+    Catalyst projection), and ``fill(value:)`` as a stateless tail.
+    Everything else raises naming the stage — state proportional to
+    the stream (rank aggregates' value multisets), data-rate-dependent
+    buffers (bare ``timedMovingAverage(period:)``), non-monotone
+    output (``holtWinters`` — each arriving point retracts the
+    previously-emitted forecast), and post-aggregate compositions are
+    a batch query's job (run ``compile_flux`` on the store instead).
 
     MULTI-STATEMENT live panels: named pipelines feeding one final
     ``union(tables: [...])`` (exchange-free; each side keeps its own
