@@ -432,6 +432,43 @@ def _bench_stream_smoothing(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def _bench_stream_state_panel(spark, sf_dir: str) -> float:
+    """Time the round-14 bounded-list/run-state path: the sf-scale
+    events bucket drained through ``kaufmansAMA(n: 10)`` — the
+    heaviest new member (n+1-value buffer + O(n) ER fold per row),
+    so this bounds the whole round-14 family (movingAverage / cmo /
+    ker fold less, elapsed and stateDuration/stateCount fold O(1)).
+    Same envelope protocol as ``_bench_stream_smoothing``: fresh
+    checkpoint per attempt, availableNow drain over every event row."""
+    import shutil
+    import tempfile
+
+    from time_series_data_pipeline_spark.flux import compile_flux_stream
+    from time_series_data_pipeline_spark.queries.timeseries_q import (
+        _event_bucket_path,
+    )
+
+    store = _event_bucket_path(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="tsdp_bench_state_")
+    t0 = time.perf_counter()
+    live = compile_flux_stream(
+        spark,
+        'from(bucket: "b") |> kaufmansAMA(n: 10)',
+        {"b": store},
+    )
+    q = (
+        live.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(scratch, ignore_errors=True)
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -514,6 +551,13 @@ def main() -> None:
     ]
     cold["stream_smoothing_panel"] = smooth_attempts[0]
     timings["stream_smoothing_panel"] = min(smooth_attempts)
+    # round 14: the bounded-list/run-state drain (kaufmansAMA n:10 —
+    # the heaviest new member bounds the family)
+    state_attempts = [
+        round(_bench_stream_state_panel(spark, sf_dir), 3) for _ in range(3)
+    ]
+    cold["stream_state_panel"] = state_attempts[0]
+    timings["stream_state_panel"] = min(state_attempts)
     total = round(sum(timings.values()), 3)
     cal_end = _calibration_workload(spark)
     load_end = _loadavg_1m()
@@ -547,6 +591,9 @@ def main() -> None:
             "ingest_stream_chain": lambda: _bench_stream_chain(spark),
             "stream_smoothing_panel": (
                 lambda: _bench_stream_smoothing(spark, sf_dir)
+            ),
+            "stream_state_panel": (
+                lambda: _bench_stream_state_panel(spark, sf_dir)
             ),
         }
         for name in movers:
