@@ -394,15 +394,16 @@ def _bench_stream_chain(spark) -> float:
     return elapsed
 
 
-def _bench_stream_smoothing(spark, sf_dir: str) -> float:
-    """Time the keyed-state smoothing path (round 13): the sf-scale
-    events bucket drained through ``compile_flux_stream(... |>
-    exponentialMovingAverage(n: 12))`` with trigger(availableNow) —
-    the live smoothed panel's full envelope (stream-source file
-    listing, applyInPandasWithState shuffle + state-store commit, the
-    per-series fold) over every event row. Fresh checkpoint per
-    attempt: re-timing a drained checkpoint would measure a no-op.
-    The store build is the cached one the batch queries share."""
+def _bench_stream_drain(spark, sf_dir: str, flux_text: str, prefix: str) -> float:
+    """Time one keyed-state streaming drain: the sf-scale events
+    bucket through ``compile_flux_stream(flux_text)`` with
+    trigger(availableNow) — the live panel's full envelope
+    (stream-source file listing, applyInPandasWithState shuffle +
+    state-store commit, the per-series fold) over every event row.
+    Fresh checkpoint per attempt: re-timing a drained checkpoint
+    would measure a no-op. The store build is the cached one the
+    batch queries share. ONE protocol for every stream-panel bench
+    entry (review r14) so they always measure the same envelope."""
     import shutil
     import tempfile
 
@@ -412,13 +413,9 @@ def _bench_stream_smoothing(spark, sf_dir: str) -> float:
     )
 
     store = _event_bucket_path(spark, sf_dir)
-    scratch = tempfile.mkdtemp(prefix="tsdp_bench_smooth_")
+    scratch = tempfile.mkdtemp(prefix=prefix)
     t0 = time.perf_counter()
-    live = compile_flux_stream(
-        spark,
-        'from(bucket: "b") |> exponentialMovingAverage(n: 12)',
-        {"b": store},
-    )
+    live = compile_flux_stream(spark, flux_text, {"b": store})
     q = (
         live.writeStream.format("noop")
         .option("checkpointLocation", os.path.join(scratch, "ck"))
@@ -430,43 +427,28 @@ def _bench_stream_smoothing(spark, sf_dir: str) -> float:
     elapsed = time.perf_counter() - t0
     shutil.rmtree(scratch, ignore_errors=True)
     return elapsed
+
+
+def _bench_stream_smoothing(spark, sf_dir: str) -> float:
+    """Round 13: the live smoothed panel (EMA n:12 keyed-state fold)."""
+    return _bench_stream_drain(
+        spark, sf_dir,
+        'from(bucket: "b") |> exponentialMovingAverage(n: 12)',
+        "tsdp_bench_smooth_",
+    )
 
 
 def _bench_stream_state_panel(spark, sf_dir: str) -> float:
-    """Time the round-14 bounded-list/run-state path: the sf-scale
-    events bucket drained through ``kaufmansAMA(n: 10)`` — the
-    heaviest new member (n+1-value buffer + O(n) ER fold per row),
-    so this bounds the whole round-14 family (movingAverage / cmo /
-    ker fold less, elapsed and stateDuration/stateCount fold O(1)).
-    Same envelope protocol as ``_bench_stream_smoothing``: fresh
-    checkpoint per attempt, availableNow drain over every event row."""
-    import shutil
-    import tempfile
-
-    from time_series_data_pipeline_spark.flux import compile_flux_stream
-    from time_series_data_pipeline_spark.queries.timeseries_q import (
-        _event_bucket_path,
-    )
-
-    store = _event_bucket_path(spark, sf_dir)
-    scratch = tempfile.mkdtemp(prefix="tsdp_bench_state_")
-    t0 = time.perf_counter()
-    live = compile_flux_stream(
-        spark,
+    """Round 14: the bounded-list/run-state path — kaufmansAMA(n: 10)
+    is the heaviest new member (n+1-value buffer + O(n) ER fold per
+    row), so its envelope bounds the family (movingAverage / cmo /
+    ker fold O(1) after the review-r14 running-sum change; elapsed
+    and stateDuration/stateCount fold O(1))."""
+    return _bench_stream_drain(
+        spark, sf_dir,
         'from(bucket: "b") |> kaufmansAMA(n: 10)',
-        {"b": store},
+        "tsdp_bench_state_",
     )
-    q = (
-        live.writeStream.format("noop")
-        .option("checkpointLocation", os.path.join(scratch, "ck"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    elapsed = time.perf_counter() - t0
-    shutil.rmtree(scratch, ignore_errors=True)
-    return elapsed
 
 
 def main() -> None:
@@ -669,27 +651,39 @@ def main() -> None:
     # line must stay under the driver's 2000-char capture); "steady" =
     # the sparse adjudicated overrides (see above); "cal" = [start,
     # end] min-of-3 calibration anchor.
+    # hard budget: the driver captures a bounded 2000-char tail — an
+    # overflowing line parses as null. Shedding order (review r14 —
+    # the budget must never "give up"): steady entries first (all
+    # duplicated in bench_detail.json's full map + adjudication
+    # block), then the cal pair (also in the sidecar), then 1-dp
+    # query timings (full precision lives in the sidecar). Every
+    # shed stage keeps the line a parseable superset of the contract
+    # keys metric/value/unit/queries/sf.
     line_steady = dict(steady)
+    line_cal: list | None = [cal_start, cal_end]
+    q_dp = 2
     while True:
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(v, 2) for n, v in timings.items()},
-                "steady": line_steady,
-                "cal": [cal_start, cal_end],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        )
-        # hard budget: the driver captures a bounded 2000-char tail —
-        # an overflowing line parses as null. steady entries are
-        # duplicated in bench_detail.json (full map + adjudication
-        # block), so shedding them here loses nothing.
-        if len(line) <= 1990 or not line_steady:
+        payload = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: round(v, q_dp) for n, v in timings.items()},
+            "steady": line_steady,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if line_cal is not None:
+            payload["cal"] = line_cal
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1990:
             break
-        line_steady.pop(max(line_steady, key=len))
+        if line_steady:
+            line_steady.pop(max(line_steady, key=len))
+        elif line_cal is not None:
+            line_cal = None
+        elif q_dp > 1:
+            q_dp = 1
+        else:
+            break  # floor: nothing optional left to shed
     print(line)
 
 

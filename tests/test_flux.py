@@ -7076,6 +7076,53 @@ def test_compile_flux_stream_moving_average(spark, tmp_path):
         )
         assert got == expected and len(rows2) > 0, text
 
+    # NULL ROWS ARE FRAME POSITIONS (review r14): the batch kernel
+    # has no null prefilter — a null record occupies a frame slot,
+    # emits its own row (raw null), sum/count skip it. The streaming
+    # form must match row count AND values, incl. the count(_value)
+    # division (NOT /n) when the frame holds a null.
+    import datetime as _dt
+
+    nsrc = str(tmp_path / "ma_null_src")
+    t0 = _dt.datetime(2024, 1, 1)
+    nrows = [
+        (t0 + _dt.timedelta(minutes=17 * i), "events", "click", v)
+        for i, v in enumerate([1.0, None, 3.0, 2.0])
+    ]
+    ndf = spark.createDataFrame(
+        nrows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"), F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"), F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(ndf, nsrc, mode="overwrite")
+    ntext = 'from(bucket: "b") |> movingAverage(n: 2)'
+    nlive = flux.compile_flux_stream(spark, ntext, {"b": nsrc})
+    ngot: list = []
+    q = (
+        nlive.writeStream.foreachBatch(
+            lambda df, _eid: ngot.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ma_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    nbatch = flux.compile_flux(spark, ntext, {"b": nsrc}).collect()
+    key = lambda r: (r["_time"],)  # noqa: E731
+    assert sorted(
+        (r["_time"], r["_value"], r["moving_avg"]) for r in ngot
+    ) == sorted(
+        (r["_time"], r["_value"], r["moving_avg"]) for r in nbatch
+    )
+    # the null record emitted its own row with the 1-count average
+    got_by_t = {r["_time"]: (r["_value"], r["moving_avg"]) for r in ngot}
+    assert got_by_t[t0 + _dt.timedelta(minutes=17)] == (None, 1.0)
+    assert got_by_t[t0 + _dt.timedelta(minutes=34)] == (3.0, 3.0)
+    assert got_by_t[t0 + _dt.timedelta(minutes=51)] == (2.0, 2.5)
+
     for bad, msg in (
         ('from(bucket: "b") |> movingAverage(n: 2) '
          "|> aggregateWindow(every: 1h, fn: mean)", "STREAMING subset"),
@@ -7379,6 +7426,57 @@ def test_compile_flux_stream_state_tracking(spark, tmp_path):
             # duration measured from DAY-1's run start (00:51) across
             # the overnight gap: 1389, 1406, 1423 minutes
             assert [r[4] for r in sorted(day2_click)] == [1389, 1406, 1423]
+
+    # NULL ROWS ARE RECORDS (review r14): _state_runs keeps
+    # null-valued rows — the null predicate is ITS OWN run state
+    # under the null-safe compare (true→null→true is THREE runs), the
+    # row emits with −1. Streaming run splitting must match.
+    import datetime as _dt
+
+    nsrc = str(tmp_path / "st_null_src")
+    t0 = _dt.datetime(2024, 1, 1)
+    nrows = [
+        (t0 + _dt.timedelta(minutes=17 * i), "events", "click", v)
+        for i, v in enumerate([5.0, None, 5.0])
+    ]
+    ndf = spark.createDataFrame(
+        nrows, "t timestamp, m string, f string, v double"
+    ).select(
+        F.col("t").alias("_time"), F.col("m").alias("_measurement"),
+        F.col("f").alias("_field"), F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(ndf, nsrc, mode="overwrite")
+    for ntext, ncol in (
+        ('from(bucket: "b") |> stateCount(fn: (r) => r._value > 3.0)',
+         "stateCount"),
+        ('from(bucket: "b") |> stateDuration('
+         "fn: (r) => r._value > 3.0, unit: 1m)", "stateDuration"),
+    ):
+        nlive = flux.compile_flux_stream(spark, ntext, {"b": nsrc})
+        ngot: list = []
+        q = (
+            nlive.writeStream.foreachBatch(
+                lambda df, _eid: ngot.extend(df.collect())
+            )
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck_st_null_{ncol}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        nbatch = flux.compile_flux(spark, ntext, {"b": nsrc}).collect()
+        assert sorted(
+            (r["_time"], r["_value"], r["state"], r[ncol]) for r in ngot
+        ) == sorted(
+            (r["_time"], r["_value"], r["state"], r[ncol]) for r in nbatch
+        )
+        # three runs: the second TRUE run restarts at 1 / duration 0
+        vals = [r[ncol] for r in sorted(ngot, key=lambda r: r["_time"])]
+        assert vals == ([1, -1, 1] if ncol == "stateCount" else [0, -1, 0])
 
     for bad, msg in (
         ('from(bucket: "b") |> stateDuration(fn: (r) => r._value > 3.0, '

@@ -2952,9 +2952,14 @@ def _compile_stream_single(
         if vs[0] == "ma_list":
             from .streaming.stateful import value_series_moving_average
 
+            # NO null prefilter (review r14): the batch movingAverage
+            # kernel is the one value-series transform where a
+            # null-valued record keeps its ROWS-frame slot and emits
+            # its own row — the stateful op handles null positions
             return (
                 value_series_moving_average(
-                    frame, key_cols, vs[1],
+                    out.select(*key_cols, "_time", "_value"),
+                    key_cols, vs[1],
                     out_name=yield_name or "moving_avg",
                 ),
                 None,
@@ -2985,10 +2990,11 @@ def _compile_stream_single(
             # predicate evaluated on the FULL raw frame (it may
             # reference promoted tags outside the series key), then
             # narrowed — a stateless projection ahead of the keyed
-            # state
+            # state. NO null prefilter (review r14): _state_runs is
+            # record-based — a null-valued row keeps its slot, its
+            # null predicate is its own run state
             st_frame = (
-                out.filter(F.col("_value").isNotNull())
-                .withColumn("__state", vs[1])
+                out.withColumn("__state", vs[1])
                 .select(*key_cols, "_time", "_value", "__state")
             )
             kind = "duration" if vs[0] == "state_dur" else "count"

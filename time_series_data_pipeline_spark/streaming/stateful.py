@@ -495,9 +495,16 @@ def value_series_smoothing(
 # + the AMA accumulator; ~8(n+6) bytes per series
 _KAMA_STATE = "last_t long, vals array<double>, cnt long, ama double"
 
-# movingAverage(n:): the trailing n values as decimal(18,2) integer
-# cents (the batch frame sums _dec("_value") exactly)
+# cmo/ker: the trailing n+1 values as decimal(18,2) integer cents
+# (the batch frames sum _dec("_value") deltas exactly)
 _MA_STATE = "last_t long, cents array<long>, cnt long"
+
+# movingAverage(n:): same long-cents buffer, but null RECORDS keep
+# their frame slot (the batch kernel has no null prefilter) — marked
+# by an out-of-domain sentinel (decimal(18,2) bounds |cents| < 1e18
+# < 2^62, so the sentinel is unreachable and the longs stay exact,
+# unlike a NaN-in-double encoding which loses integers above 2^53)
+_MA_NULL_SLOT = 1 << 62
 
 
 def value_series_moving_average(
@@ -512,16 +519,32 @@ def value_series_moving_average(
     ``value_series_kama``: state is the trailing n values per series,
     O(1) in the stream length.
 
+    NULL ROWS ARE FRAME POSITIONS (review r14): the batch kernel is
+    the ONE value-series transform with no isNotNull prefilter — a
+    null-valued record occupies a slot in the ROWS(−(n−1), 0) frame
+    and emits its own row (raw null ``_value``), while ``sum``/
+    ``count`` skip it. (This null-position contract is WHY this stays
+    a separate function instead of a third ``kind`` in
+    ``value_series_trailing_indicator``, whose batch kernels
+    null-prefilter.) The buffer therefore stores None for null
+    rows, the running sum/count track only the non-null members, and
+    an all-null frame emits a NULL average (the batch
+    ``sum(empty) = NULL`` rule). Input must NOT be null-filtered —
+    the compiler passes the raw narrowed frame.
+
     NUMERIC PARITY: the batch expression is
-    ``sum(decimal(18,2)).cast(double) / count.cast(double)`` over the
-    full n-row frame (emission starts at row n). Quantizing each
+    ``sum(decimal(18,2)).cast(double) / count(_value).cast(double)``
+    over the n-row frame (emission starts at row n). Quantizing each
     value to integer cents via the shared ``_cents`` rule makes the
-    buffer sum EXACT (integer addition — order-free), and the two
-    double divisions replay the decimal→double cast and the frame
-    division: ``(sum_cents / 100.0) / float(n)``. Output keeps the
-    raw ``_value`` beside the named average column — the batch
-    column shape."""
+    sum EXACT (integer addition — order-free, so a RUNNING
+    add-on-append / subtract-on-evict total is bit-identical to the
+    batch frame fold at O(1) per row), and the two double divisions
+    replay the decimal→double cast and the frame division:
+    ``(sum_cents / 100.0) / float(nn)`` with ``nn`` the frame's
+    non-null count. Output keeps the raw ``_value`` beside the named
+    average column — the batch column shape."""
     import math
+    from collections import deque
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -539,13 +562,20 @@ def value_series_moving_average(
     )
 
     def _fn(key, pdfs, state):
+        # state buffer marks null frame positions with the
+        # out-of-domain _MA_NULL_SLOT sentinel (exact long cents)
         if state.exists:
             last_t, cents, cnt = state.get
-            cents = list(cents)
+            buf = deque(
+                (None if c == _MA_NULL_SLOT else int(c)) for c in cents
+            )
             seen = True
         else:
-            last_t, cents, cnt = 0, [], 0
+            last_t, cnt = 0, 0
+            buf = deque()
             seen = False
+        run_sum = sum(c for c in buf if c is not None)
+        run_cnt = sum(1 for c in buf if c is not None)
         pdf = pd.concat(list(pdfs))
         if len(pdf):
             pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
@@ -556,27 +586,39 @@ def value_series_moving_average(
         for t, t_us, v in zip(times, t_us_arr, raw):
             v = float(v)
             t_us = int(t_us)
-            if math.isnan(v):
-                continue  # NaN = null under the shared policy
             if seen and t_us <= last_t:
                 continue  # LATE — outside the arrival contract
             cnt += 1
-            cents.append(_cents(v))
-            if len(cents) > n:
-                cents.pop(0)
+            if math.isnan(v):
+                buf.append(None)  # a null RECORD keeps its frame slot
+            else:
+                c = _cents(v)
+                buf.append(c)
+                run_sum += c
+                run_cnt += 1
+            if len(buf) > n:
+                old = buf.popleft()
+                if old is not None:
+                    run_sum -= old
+                    run_cnt -= 1
             if cnt >= n:
-                s = 0
-                for c in cents:
-                    s += c  # exact integer sum, order-free
                 ts_out.append(t)
-                raw_out.append(v)
-                v_out.append((s / 100.0) / float(n))
+                raw_out.append(None if math.isnan(v) else v)
+                v_out.append(
+                    None
+                    if run_cnt == 0
+                    else (run_sum / 100.0) / float(run_cnt)
+                )
             last_t, seen = t_us, True
-        state.update((int(last_t), [int(c) for c in cents], int(cnt)))
+        state.update((
+            int(last_t),
+            [_MA_NULL_SLOT if c is None else int(c) for c in buf],
+            int(cnt),
+        ))
         cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
         cols["_time"] = ts_out
-        cols["_value"] = raw_out
-        cols[name] = v_out
+        cols["_value"] = pd.array(raw_out, dtype="Float64")
+        cols[name] = pd.array(v_out, dtype="Float64")
         yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
 
     return narrowed.groupBy(*key_cols).applyInPandasWithState(
@@ -628,13 +670,30 @@ def value_series_trailing_indicator(
     out_schema = StructType(base + time_f + [StructField(name, DoubleType())])
 
     def _fn(key, pdfs, state):
+        from collections import deque
+
         if state.exists:
             last_t, cents, cnt = state.get
-            cents = list(cents)
+            buf = deque(int(c) for c in cents)
             seen = True
         else:
-            last_t, cents, cnt = 0, [], 0
+            last_t, cnt = 0, 0
+            buf = deque()
             seen = False
+        # RUNNING delta sums (review r14): integer cents sums are
+        # order-free, so add-on-append / subtract-on-evict is
+        # bit-identical to the batch frame's fresh fold at O(1) per
+        # row; rebuilt from the <= n+1 buffer once per micro-batch
+        up_c = dn_c = 0  # cmo: Σ positive deltas / Σ −negative deltas
+        prev_c = None
+        for c in buf:
+            if prev_c is not None:
+                d = c - prev_c
+                if d > 0:
+                    up_c += d
+                elif d < 0:
+                    dn_c += -d
+            prev_c = c
         pdf = pd.concat(list(pdfs))
         if len(pdf):
             pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
@@ -650,29 +709,32 @@ def value_series_trailing_indicator(
             if seen and t_us <= last_t:
                 continue  # LATE — outside the arrival contract
             cnt += 1
-            cents.append(_cents(v))
-            if len(cents) > n + 1:
-                cents.pop(0)
+            c = _cents(v)
+            if buf:
+                d = c - buf[-1]
+                if d > 0:
+                    up_c += d
+                elif d < 0:
+                    dn_c += -d
+            buf.append(c)
+            if len(buf) > n + 1:
+                old = buf.popleft()
+                d = buf[0] - old
+                if d > 0:
+                    up_c -= d
+                elif d < 0:
+                    dn_c -= -d
             if cnt >= n + 1:
                 if kind == "cmo":
-                    up_c = 0
-                    dn_c = 0
-                    for i in range(1, n + 1):
-                        d = cents[i] - cents[i - 1]
-                        if d > 0:
-                            up_c += d
-                        elif d < 0:
-                            dn_c += -d
                     point = (
                         0.0
                         if up_c + dn_c == 0
                         else float(up_c - dn_c) / ((up_c + dn_c) / 100.0)
                     )
                 else:
-                    den_c = 0
-                    for i in range(1, n + 1):
-                        den_c += abs(cents[i] - cents[i - 1])
-                    num_c = abs(cents[n] - cents[0])
+                    # ker: den = Σ|delta| = up_c + dn_c; num = |net|
+                    den_c = up_c + dn_c
+                    num_c = abs(buf[-1] - buf[0])
                     point = (
                         0.0
                         if den_c == 0
@@ -681,7 +743,7 @@ def value_series_trailing_indicator(
                 ts_out.append(t)
                 v_out.append(point)
             last_t, seen = t_us, True
-        state.update((int(last_t), [int(c) for c in cents], int(cnt)))
+        state.update((int(last_t), [int(c) for c in buf], int(cnt)))
         cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
         cols["_time"] = ts_out
         cols[name] = v_out
@@ -721,7 +783,15 @@ def value_series_state_tracking(
     with ``__state`` the pre-compiled predicate column (a stateless
     projection — the Catalyst predicate never enters Python). Output
     keeps ``_value`` and the boolean ``state`` beside the named long,
-    the batch column shape."""
+    the batch column shape.
+
+    NULL ROWS ARE RECORDS (review r14): the batch ``_state_runs``
+    frame has no null prefilter — a null-valued record keeps its row,
+    its (typically null) predicate is ITS OWN run state under the
+    null-safe compare (true→null→true is three runs), and it emits
+    with −1. Input must NOT be null-filtered; the fold keeps NaN
+    rows (emitting a null ``_value``) so run splitting matches batch
+    exactly."""
     import math
 
     from pyspark.sql.types import (
@@ -773,8 +843,6 @@ def value_series_state_tracking(
         for t, t_us, v, p in zip(times, t_us_arr, raw, preds):
             v = float(v)
             t_us = int(t_us)
-            if math.isnan(v):
-                continue  # NaN = null under the shared policy
             if seen and t_us <= last_t:
                 continue  # LATE — outside the arrival contract
             s3 = 2 if pd.isna(p) else (1 if bool(p) else 0)
@@ -792,7 +860,7 @@ def value_series_state_tracking(
             else:
                 out = -1
             ts_out.append(t)
-            raw_out.append(v)
+            raw_out.append(None if math.isnan(v) else v)
             st_out.append(None if s3 == 2 else bool(s3))
             v_out.append(out)
             last_t, seen = t_us, True
@@ -801,7 +869,7 @@ def value_series_state_tracking(
         )
         cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
         cols["_time"] = ts_out
-        cols["_value"] = raw_out
+        cols["_value"] = pd.array(raw_out, dtype="Float64")
         cols["state"] = pd.array(st_out, dtype="boolean")
         cols[name] = pd.array(v_out, dtype="Int64")
         yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
