@@ -7261,6 +7261,83 @@ def test_compile_flux_stream_trailing_indicators_and_elapsed(
             flux.compile_flux_stream(spark, bad, {"b": src})
 
 
+def test_compile_flux_stream_interpolate(spark, tmp_path):
+    """Round 14: interpolate.linear(every:) streams — the gap-filled
+    live chart on ONE (last_t, last_v) lag tuple per series. Two
+    drains against one checkpoint must emit exactly the batch
+    compiler's rows (raw pass-through + aligned in-gap marks),
+    BIT-identical: the streaming emission replays the batch kernel's
+    pinned expression order (int64 µs deltas, one double division).
+    The overnight gap is the state probe: day-2's first arriving
+    point emits the whole night's grid, interpolated against DAY-1's
+    last value carried across the drain."""
+    import datetime
+
+    def _write(src, day, vals, mode):
+        t0 = datetime.datetime(2024, 1, day)
+        rows = [
+            (t0 + datetime.timedelta(minutes=17 * i), "events", f, v)
+            for i, pair in enumerate(zip(vals, vals[::-1]))
+            for f, v in (("click", pair[0]), ("error", pair[1]))
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp, m string, f string, v double"
+        ).select(
+            F.col("t").alias("_time"),
+            F.col("m").alias("_measurement"),
+            F.col("f").alias("_field"),
+            F.col("v").alias("_value"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        bkt.write_bucket(df, src, mode=mode)
+
+    src = str(tmp_path / "interp_src")
+    _write(src, 1, [0.125, 1.5, 5.5, 2.25], "overwrite")
+    text = 'from(bucket: "b") |> interpolate.linear(every: 5m)'
+    live = flux.compile_flux_stream(spark, text, {"b": src})
+    assert live.isStreaming
+    ck = str(tmp_path / "ck_interp")
+
+    def drain():
+        rows: list = []
+        q = (
+            live.writeStream.foreachBatch(
+                lambda df, _eid: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return [(r["_field"], r["_time"], r["_value"]) for r in rows]
+
+    rows1 = drain()
+    # day 1 per series: 4 raw + 3+3+4 aligned marks in the three
+    # 17-min gaps (5m grid: {5,10,15}, {20,25,30}, {35,40,45,50}) = 14
+    assert len(rows1) == 2 * 14
+    _write(src, 2, [3.0, 7.25, 4.0], "append")
+    rows2 = drain()
+    # the overnight grid: 23h04m of 5m marks (55min .. 23:55) emitted
+    # by day-2's first point, against day-1's carried last value
+    assert len(rows2) > 2 * 270
+    got = sorted(rows1 + rows2)
+    batch = flux.compile_flux(spark, text, {"b": src}).collect()
+    expected = sorted(
+        (r["_field"], r["_time"], r["_value"]) for r in batch
+    )
+    assert got == expected
+    for bad, msg in (
+        ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+         "|> interpolate.linear(every: 5m)", "STREAMING subset"),
+        ('from(bucket: "b") |> interpolate.linear(every: 0s)',
+         "bad duration"),
+        ('from(bucket: "b") |> interpolate.linear()', "requires every"),
+    ):
+        with pytest.raises(flux.FluxError, match=msg):
+            flux.compile_flux_stream(spark, bad, {"b": src})
+
+
 def test_compile_flux_stream_fill_value_tail(spark, tmp_path):
     """Round 14: ``fill(value:)`` joins the streaming tail — a
     stateless coalesce over the append-mode output (the Grafana

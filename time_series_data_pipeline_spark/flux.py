@@ -1988,9 +1988,11 @@ def compile_flux_stream(
     round-14 bounded-state members stream: ``kaufmansAMA`` /
     ``movingAverage`` / ``chandeMomentumOscillator`` / ``kaufmansER``
     on BOUNDED-list state (trailing n or n+1 values — O(1) in the
-    stream length), ``elapsed`` on one lag, ``stateDuration`` /
-    ``stateCount`` on a fixed run tuple (predicate pre-compiled to a
-    Catalyst projection), and ``fill(value:)`` as a stateless tail.
+    stream length), ``elapsed`` and ``interpolate.linear`` on one lag
+    (the gap-filled live chart: in-gap marks are emitted VOLUME, not
+    state), ``stateDuration`` / ``stateCount`` on a fixed run tuple
+    (predicate pre-compiled to a Catalyst projection), and
+    ``fill(value:)`` as a stateless tail.
     Everything else raises naming the stage — state proportional to
     the stream (rank aggregates' value multisets), data-rate-dependent
     buffers (bare ``timedMovingAverage(period:)``), non-monotone
@@ -2583,6 +2585,36 @@ def _compile_stream_single(
                 pred,
                 sd_unit_s,
             )
+        elif head == "interpolate.linear":
+            # round 14: the gap-filled live chart — one (last_t,
+            # last_v) lag tuple per series; each arriving point emits
+            # its raw row plus the aligned marks inside the gap,
+            # interpolated with the batch kernel's pinned expression
+            # (streaming/stateful.value_series_interpolate). Emitted
+            # volume is gap/every — output, not state.
+            if agg is not None:
+                raise FluxError(
+                    "interpolate.linear() after aggregateWindow is "
+                    "outside the STREAMING subset (densify BEFORE "
+                    "windowing, as the batch composition does)"
+                )
+            a = _args(stage, "interpolate.linear")
+            if "every" not in a:
+                raise FluxError("interpolate.linear requires every:")
+            ev = _resolve(a["every"], params)
+            if (
+                not (isinstance(ev, str) and _DUR_RE.match(ev))
+                or _duration_seconds(ev) <= 0
+            ):
+                raise FluxError(
+                    f"interpolate.linear every: bad duration {ev!r}"
+                )
+            if set(a) - {"every"}:
+                raise FluxError(
+                    "interpolate.linear: unsupported args "
+                    f"{sorted(set(a) - {'every'})}"
+                )
+            vs = ("interp_lag", _duration_seconds(ev))
         elif head == "elapsed":
             # round 14: the smallest O(1)-state member — one long of
             # state per series (the previous event time); same batch
@@ -2970,6 +3002,16 @@ def _compile_stream_single(
             return (
                 value_series_trailing_indicator(
                     frame, key_cols, vs[0][:3], vs[1],
+                    out_name=yield_name or "_value",
+                ),
+                None,
+            )
+        if vs[0] == "interp_lag":
+            from .streaming.stateful import value_series_interpolate
+
+            return (
+                value_series_interpolate(
+                    frame, key_cols, vs[1],
                     out_name=yield_name or "_value",
                 ),
                 None,

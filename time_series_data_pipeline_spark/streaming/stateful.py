@@ -884,6 +884,98 @@ def value_series_state_tracking(
     )
 
 
+def value_series_interpolate(
+    stream: DataFrame,
+    key_cols: list[str],
+    every_s: int,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Streaming ``interpolate.linear(every:)`` — the gap-filled live
+    chart. ONE (last_t, last_v) lag tuple per series: each arriving
+    point emits its own raw row plus the epoch-aligned every-multiples
+    strictly inside the gap to the previous point, linearly
+    interpolated with the batch kernel's pinned expression order
+    (``pv + (nv − pv) · ((us − pt) / (nt − pt))`` — int64 µs deltas,
+    ONE double division). The emitted-row count per gap is
+    gap/every — output volume, not state: the state tuple never
+    grows, so an overnight gap emits the whole night's grid when
+    day-2's first point arrives (exactly the batch densification).
+
+    The batch kernel's per-timestamp MAX dedup has no streaming
+    counterpart: tied timestamps violate the arrival contract and
+    drop as late rows (the documented keep-first-tie divergence —
+    MIGRATION.md; distinct single-series ingest never ties)."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    every_s = int(every_s)
+    if every_s <= 0:
+        raise ValueError(
+            f"interpolate.linear every must be > 0, got {every_s!r}"
+        )
+    name = out_name or "_value"
+    narrowed = stream.select(*key_cols, "_time", "_value")
+    base = [f for f in narrowed.schema.fields if f.name in key_cols]
+    time_f = [f for f in narrowed.schema.fields if f.name == "_time"]
+    out_schema = StructType(base + time_f + [StructField(name, DoubleType())])
+    ev_us = every_s * 1_000_000
+
+    def _fn(key, pdfs, state):
+        if state.exists:
+            last_t, last_v = state.get
+            seen = True
+        else:
+            last_t, last_v, seen = 0, 0.0, False
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["_time", "_value"], kind="mergesort")
+        ts_out, v_out = [], []
+        times = pdf["_time"].to_numpy()
+        t_us_arr = times.astype("datetime64[us]").astype("int64")
+        raw = pdf["_value"].to_numpy()
+        for t, t_us, v in zip(times, t_us_arr, raw):
+            v = float(v)
+            t_us = int(t_us)
+            if math.isnan(v):
+                continue  # NaN = null under the shared policy
+            if seen and t_us <= last_t:
+                continue  # LATE — outside the arrival contract
+            if seen:
+                # aligned marks strictly inside (last_t, t_us):
+                # Python's % IS pmod (non-negative for positive ev),
+                # so the floor alignment matches pre-epoch times too
+                lo = last_t - (last_t % ev_us) + ev_us
+                hi = (t_us - 1) - ((t_us - 1) % ev_us)
+                span = float(t_us - last_t)
+                us = lo
+                while us <= hi:
+                    ts_out.append(
+                        pd.Timestamp(us, unit="us").to_datetime64()
+                    )
+                    v_out.append(
+                        last_v
+                        + (v - last_v) * (float(us - last_t) / span)
+                    )
+                    us += ev_us
+            ts_out.append(t)
+            v_out.append(v)
+            last_t, last_v, seen = t_us, v, True
+        state.update((int(last_t), float(last_v)))
+        cols = {kc: [key[i]] * len(ts_out) for i, kc in enumerate(key_cols)}
+        cols["_time"] = pd.Series(ts_out, dtype="datetime64[us]")
+        cols[name] = v_out
+        yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
+
+    return narrowed.groupBy(*key_cols).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType="last_t long, last_v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def value_series_elapsed(
     stream: DataFrame,
     key_cols: list[str],
