@@ -5588,11 +5588,17 @@ def test_compile_flux_stream_equals_batch(spark, store, tmp_path):
          "STREAMING subset"),
         ('from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean, '
          "createEmpty: true)", "append mode"),
-        # the calendar rejection names its BATCH REPLAY PATH (VERDICT
-        # r12 item 5): the user pasting a 1mo dashboard panel learns
-        # where that query runs instead
-        ('from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean)',
-         r"calendar windows.*run compile_flux on the store"),
+        # calendar strides STREAM since round 15 (the date_trunc'd
+        # key carries the watermark itself) — but only the plain
+        # tumbling form: sliding/shifted compositions keep the batch
+        # compiler's own rejections
+        ('from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean, '
+         "period: 2mo)", "do not compose with calendar"),
+        ('from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean, '
+         'timeSrc: "_stop")', "not a fixed shift"),
+        # a non-1mo/1y calendar token never parses as a duration value
+        ('from(bucket: "b") |> aggregateWindow(every: 2mo, fn: mean)',
+         "unsupported value token"),
     ]:
         with pytest.raises(flux.FluxError, match=msg):
             flux.compile_flux_stream(spark, bad, {"b": store})
@@ -8082,3 +8088,160 @@ def test_compiler_total_over_stage_compositions(spark, store, stages):
     except flux.FluxError:
         return
     assert out is not None and out.columns
+
+
+@pytest.fixture(scope="module")
+def multimonth_store(spark, tmp_path_factory):
+    """A 4-month, 2-field store for the CALENDAR streaming tests (the
+    sf events corpus spans one January only, so calendar windows need
+    their own spine)."""
+    path = str(tmp_path_factory.mktemp("fluxcal") / "bucket")
+    rows = []
+    for m, days in [(1, 31), (2, 29), (3, 31), (4, 30)]:
+        for d in range(1, days + 1, 3):
+            for f, v in [("click", 1.25), ("view", 2.5)]:
+                rows.append(
+                    (f"2024-{m:02d}-{d:02d} 06:30:00", f, v * m + d / 100.0)
+                )
+    df = spark.createDataFrame(rows, "t string, f string, v double").select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("cal").alias("_measurement"),
+        F.col("f").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(df, path, mode="overwrite")
+    return path
+
+
+def test_compile_flux_stream_calendar_month_equals_batch(
+    spark, multimonth_store, tmp_path
+):
+    """Round 15 (VERDICT r14 item 4): calendar windows (every: 1mo)
+    STREAM — the watermark rides the date_trunc'd calendar key
+    itself, so append mode finalizes each month once data past the
+    next month's start arrives. Emitted months are bit-identical to
+    the batch compiler; the final month — whose key the watermark
+    (max(key) − delay) never passes — is the one legitimate
+    difference, exactly the fixed-window rule."""
+    text = """
+    from(bucket: "b")
+      |> filter(fn: (r) => r["_measurement"] == "cal")
+      |> aggregateWindow(every: 1mo, fn: mean)
+    """
+    live = flux.compile_flux_stream(spark, text, {"b": multimonth_store})
+    assert live.isStreaming
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_cal_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_cal_live").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"b": multimonth_store}).collect()
+    max_m = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["_field"]): (r["mean"], r["n"])
+        for r in batch
+        if r["window_start"] < max_m  # the final month stays open
+    }
+    # exact both ways: every closed month emitted bit-identically,
+    # nothing else emitted (3 months × 2 fields here)
+    assert len(expected) == 6
+    assert got == expected
+
+
+def test_compile_flux_stream_calendar_union_and_rejections(
+    spark, multimonth_store, tmp_path
+):
+    """The union overlay composes calendar aggregates (each side keeps
+    its own watermarked calendar state); the join form and a zero
+    watermark delay raise naming why."""
+    a = """
+    a = from(bucket: "b")
+      |> filter(fn: (r) => r["_field"] == "click")
+      |> aggregateWindow(every: 1mo, fn: mean)
+    b = from(bucket: "b")
+      |> filter(fn: (r) => r["_field"] == "view")
+      |> aggregateWindow(every: 1mo, fn: mean)
+    union(tables: [a, b])
+    """
+    live = flux.compile_flux_stream(spark, a, {"b": multimonth_store})
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_cal_union")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_union"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM flux_cal_union").collect()
+    # 3 closed months × 2 single-field pipelines
+    assert len(got) == 6
+    assert {r["_field"] for r in got} == {"click", "view"}
+    # the join form pairs state on the F.window STRUCT — a bare
+    # calendar key gives it nothing to pair on
+    j = a.replace(
+        "union(tables: [a, b])",
+        'join(tables: {a: a, b: b}, on: ["window_start"])',
+    )
+    with pytest.raises(flux.FluxError, match="streaming join input"):
+        flux.compile_flux_stream(spark, j, {"b": multimonth_store})
+    # delay 0 would finalize a month on its own first record
+    with pytest.raises(flux.FluxError, match="positive watermark delay"):
+        flux.compile_flux_stream(
+            spark,
+            'from(bucket: "b") |> aggregateWindow(every: 1mo, fn: mean)',
+            {"b": multimonth_store},
+            watermark="0 seconds",
+        )
+
+
+def test_compile_flux_stream_calendar_year_equals_batch(
+    spark, tmp_path
+):
+    """The 1y stride: same mechanics, year boundaries."""
+    path = str(tmp_path / "ybucket")
+    rows = [
+        (f"{y}-{m:02d}-15 12:00:00", float(y - 2020) + m / 100.0)
+        for y in (2021, 2022, 2023)
+        for m in (2, 7, 11)
+    ]
+    df = spark.createDataFrame(rows, "t string, v double").select(
+        F.col("t").cast("timestamp").alias("_time"),
+        F.lit("cal").alias("_measurement"),
+        F.lit("metric").alias("_field"),
+        F.col("v").alias("_value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    bkt.write_bucket(df, path, mode="overwrite")
+    text = 'from(bucket: "b") |> aggregateWindow(every: 1y, fn: sum)'
+    live = flux.compile_flux_stream(spark, text, {"b": path})
+    q = (
+        live.writeStream.format("memory")
+        .queryName("flux_cal_year")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_year"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["_field"]): (r["sum"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_cal_year").collect()
+    }
+    batch = flux.compile_flux(spark, text, {"b": path}).collect()
+    max_y = max(r["window_start"] for r in batch)
+    expected = {
+        (r["window_start"], r["_field"]): (r["sum"], r["n"])
+        for r in batch
+        if r["window_start"] < max_y
+    }
+    assert len(expected) == 2 and got == expected

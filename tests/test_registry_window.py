@@ -50,17 +50,28 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-14 policy (VERDICT r13 item 1): the never-own-row class
-    # is EMPTY (r13 cleared it), so the window is pure freshness
-    # rotation — the aged backlog the verdict enumerated leads, in
-    # the ledger's (round, name) order: 15 r1 relational singletons,
-    # 2 r4, the 10 r6 suite_round5 arms, 6 r7 singletons, then the
-    # first 12 of the r10 block in the slots freed by rotating the
-    # four relational suites out (every constituent of those suites
-    # is individually in-window or r13-green: top_revenue_orders).
-    assert _CHECKED_WINDOW[0] == "cube_status_priority"  # oldest r1
-    assert _CHECKED_WINDOW[15:17] == ["anomaly_mad", "json_props_stats"]
-    assert _CHECKED_WINDOW[44] == "flux_compiled_distinct"  # 12th r10
+    # round-15 policy (VERDICT r14 items 1–3): the NEW drained
+    # streaming query (never-own-row) leads; then the rows-only
+    # re-attestation block — the five r05 rows-only sketch entries,
+    # each paired with its hash-bearing *_verify twin; then the
+    # whole r10 tail and the oldest of r11 in ledger (round, name)
+    # order.
+    assert _CHECKED_WINDOW[0] == "stream_moving_avg_drained"
+    assert _CHECKED_WINDOW[1:10] == [
+        "bpe_learn_merges",
+        "embedding_lsh_ann",
+        "lsh_ann_verify",
+        "heavy_hitter_tokens",
+        "heavy_hitter_verify",
+        "minhash_lsh_pairs",
+        "minhash_lsh_verify",
+        "simhash_pairs",
+        "simhash_verify",
+    ]
+    assert _CHECKED_WINDOW[10] == "flux_compiled_elapsed"  # oldest r10
+    assert _CHECKED_WINDOW[34] == "unpivot_lineitem"  # last of r10
+    assert _CHECKED_WINDOW[35] == "approx_distinct_users"  # oldest r11
+    assert _CHECKED_WINDOW[44] == "events_pivot_counts"
     # core tail: flagships + the two suites still covering arms that
     # are NOT individually in this window
     assert _CHECKED_WINDOW[45:] == [
@@ -105,6 +116,7 @@ def test_rotation_ledger_matches_window_policy():
     assert set(window_noncore[: len(never)]) == set(never), (
         "new/never-own-row queries must lead the window"
     )
+    rest = window_noncore[len(never):]
     aged_candidates = sorted(
         (
             n for n in QUERIES
@@ -113,8 +125,37 @@ def test_rotation_ledger_matches_window_policy():
         ),
         key=lambda n: (ledger[n]["own_row_round"], n),
     )
-    want = aged_candidates[: len(window_noncore) - len(never)]
-    assert window_noncore[len(never):] == want, (
+    # the rows-only re-attestation block (round-15 policy, VERDICT r14
+    # item 3): a rows-only entry STRICTLY OLDER than every remaining
+    # oracle-bearing entry is due for a fresh driver rows-check, but a
+    # slot spent on it alone yields no hash — so it enters WITH its
+    # *_verify twin (the twin pulled forward if the aged order would
+    # not reach it), in ledger (round, name) order within the block
+    oldest_oracle_round = ledger[aged_candidates[0]]["own_row_round"]
+    due_rows_only = sorted(
+        (
+            n for n in QUERIES
+            if ledger[n]["rows_only"]
+            and ledger[n]["own_row_round"] is not None
+            and ledger[n]["own_row_round"] < oldest_oracle_round
+        ),
+        key=lambda n: (ledger[n]["own_row_round"], n),
+    )
+    pair_block: list[str] = []
+    for n in due_rows_only:
+        pair_block.append(n)
+        twin = ROWS_ONLY_ATTESTATION[n]
+        if twin is not None:
+            pair_block.append(twin)
+    assert rest[: len(pair_block)] == pair_block, (
+        "due rows-only entries must enter paired with their *_verify "
+        "twins, oldest first"
+    )
+    placed = set(pair_block)
+    want = [n for n in aged_candidates if n not in placed][
+        : len(rest) - len(pair_block)
+    ]
+    assert rest[len(pair_block):] == want, (
         "non-core window slots must be the ledger's oldest "
         "oracle-bearing entries in (round, name) order — recompute "
         "with tools/rotation_ledger.py"
@@ -192,8 +233,22 @@ def test_folded_singletons_remain_registered():
 
 def test_window_slots_all_carry_oracles():
     """A driver slot spent on a rows-only query gets only the weak
-    rows-check — every in-window query must carry an oracle so all 50
-    slots produce hash evidence (rows-only ops are attested via their
-    in-window *_verify partners instead)."""
-    missing = [n for n in _CHECKED_WINDOW if n not in ORACLE]
+    rows-check — every in-window query must carry an oracle, EXCEPT
+    the documented rows-only re-attestation pattern (round 15, VERDICT
+    r14 item 3): a rows-only entry may take a slot when its
+    hash-bearing *_verify twin is in the SAME window (the pair lands
+    rows-check + hash evidence together), or when it has no twin by
+    documented design (bpe_learn_merges: golden-trace attested)."""
+    window = set(_CHECKED_WINDOW)
+    missing = [
+        n for n in _CHECKED_WINDOW
+        if n not in ORACLE
+        and not (
+            n in ROWS_ONLY_ATTESTATION
+            and (
+                ROWS_ONLY_ATTESTATION[n] is None
+                or ROWS_ONLY_ATTESTATION[n] in window
+            )
+        )
+    ]
     assert not missing, missing

@@ -166,75 +166,76 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 #: bounds its evidence at WINDOW_ROUND − 1, so the "leading slots were
 #: never-own-row when chosen" pin survives the driver landing THIS
 #: round's CORRECTNESS file (which gives them rows — the goal)
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 _CHECKED_WINDOW = [
-    # --- round 14 (VERDICT r13 item 1): the never-own-row class is
-    # EMPTY (r13 cleared it; ledger r13-end: "0 never-own-row"), so
-    # this window is pure freshness rotation — the 45 OLDEST
-    # oracle-bearing entries in the ledger's (round, name) order.
-    # First the aged backlog the verdict enumerated: the 15 r1
-    # relational singletons... ---
-    "cube_status_priority",
-    "customers_without_orders",
-    "distinct_counts",
-    "filter_project_pushdown",
-    "grouping_sets_flag_status",
-    "median_price_by_priority",
-    "order_gap_days",
-    "parts_ordered_by_brand",
-    "region_nation_revenue",
-    "rollup_region_nation",
-    "running_total_per_customer",
-    "scalar_functions",
-    "set_except_intersect",
-    "top3_orders_per_customer",
-    "topk_orders",
-    # --- ...the 2 r4 singletons... ---
-    "anomaly_mad",
-    "json_props_stats",
-    # --- ...the 10 r6 suite_round5 arms... ---
-    "chunk_dedup_stats",
-    "corpus_drift",
-    "curation_pipeline",
-    "dsir_weights",
-    "duplicate_spans",
-    "hybrid_search_rrf",
-    "label_outliers",
-    "mixture_plan",
-    "negative_pairs",
-    "span_dedup_apply",
-    # --- ...the 6 r7 singletons (the rows-only r5 block cannot take
-    # slots — no oracle; it ages via its in-ledger rows-checks and
-    # the *_verify twins)... ---
-    "contamination_overlap",
-    "embedding_dedup_clusters",
-    "ewma_final",
-    "label_centroids",
-    "pack_sequences",
-    "profile_columns",
-    # --- ...and the first 12 of the r10 block (ledger order), which
-    # the freed relational-suite slots now reach; the rest of r10
-    # rotates next round. ---
-    "asof_nearest_click",
-    "bpe_encode_stats",
-    "dedup_clusters",
-    "dedup_exact",
-    "doc_chunks",
-    "doc_profile",
-    "embedding_ivf_topk",
-    "embedding_topk",
-    "flux_compiled_cov",
-    "flux_compiled_derivative",
-    "flux_compiled_derivative_signed",
-    "flux_compiled_distinct",
+    # --- round 15 (VERDICT r14 items 1–3). Never-own-row leads: the
+    # NEW drained streaming query — the applyInPandasWithState path's
+    # first driver-visible row (until now attested by
+    # streaming==batch tests only). ---
+    "stream_moving_avg_drained",
+    # --- the rows-only re-attestation block (VERDICT r14 item 3):
+    # the five r05 rows-only sketch entries are the OLDEST entries in
+    # the whole ledger, but a rows-only slot alone yields only the
+    # weak rows-check — so each enters WITH its hash-bearing *_verify
+    # twin (pulled forward if the aged order wouldn't reach it:
+    # lsh_ann_verify is r11), landing the pair's rows-check + hash
+    # evidence in the same round. bpe_learn_merges has no twin by
+    # documented design (golden-trace + partition-invariance tests).
+    # Ordered by the ledger's (round, name) within the block. ---
+    "bpe_learn_merges",
+    "embedding_lsh_ann",
+    "lsh_ann_verify",
+    "heavy_hitter_tokens",
+    "heavy_hitter_verify",
+    "minhash_lsh_pairs",
+    "minhash_lsh_verify",
+    "simhash_pairs",
+    "simhash_verify",
+    # --- the r10 tail (VERDICT r14 item 1), ledger (round, name)
+    # order, minus the three verify twins already placed above — this
+    # clears the entire r10 block. ---
+    "flux_compiled_elapsed",
+    "flux_compiled_ema",
+    "flux_compiled_gauge",
+    "flux_compiled_group_merge",
+    "flux_compiled_histogram",
+    "flux_compiled_hour_truncate",
+    "flux_compiled_integral",
+    "flux_compiled_join_overlay",
+    "flux_compiled_mean",
+    "flux_compiled_pearsonr",
+    "flux_compiled_quantile",
+    "flux_compiled_spread",
+    "flux_compiled_stddev",
+    "flux_compiled_tail",
+    "flux_compiled_timeshift",
+    "flux_compiled_top",
+    "flux_compiled_unique",
+    "flux_compiled_window_raw",
+    "last_value_per_type",
+    "ngram_jaccard_pairs",
+    "pack_sequences_sharded",
+    "sampling_splits",
+    "scrub_pii",
+    "session_windows_5m",
+    "unpivot_lineitem",
+    # --- the oldest of the r11 block fills the remaining slots; the
+    # rest of r11 rotates next round. ---
+    "approx_distinct_users",
+    "asof_error_click",
+    "bm25_search",
+    "bpe_token_stats",
+    "counter_rate",
+    "decimate_minmax_15m",
+    "doc_repetition",
+    "embedding_neardup_pairs",
+    "embedding_quantized_topk",
+    "events_pivot_counts",
     # --- always-checked core: flagships + the suites that remain the
     # sole in-window hash over constituents NOT individually in this
-    # window (suite_round5 covers 14 such arms,
-    # suite_timeseries_stats 7). suite_scans / suite_joins /
-    # suite_grouping / suite_window_fns rotate OUT this round — every
-    # constituent is individually in-window above (or r13-green:
-    # top_revenue_orders), the r13 precedent for round10c/round11. ---
+    # window. The r14-green singletons (r1/r4/r6/r7 backlog + first
+    # 12 of r10) rotate out on fresh prior rows. ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
