@@ -170,10 +170,12 @@ WINDOW_ROUND = 15
 
 _CHECKED_WINDOW = [
     # --- round 15 (VERDICT r14 items 1–3). Never-own-row leads: the
-    # NEW drained streaming query — the applyInPandasWithState path's
-    # first driver-visible row (until now attested by
-    # streaming==batch tests only). ---
+    # NEW drained streaming queries — first driver-visible rows for
+    # BOTH streaming state families (the applyInPandasWithState
+    # keyed-state path and the append-mode windowed-aggregate path;
+    # until now attested by streaming==batch tests only). ---
     "stream_moving_avg_drained",
+    "stream_window_mean_drained",
     # --- the rows-only re-attestation block (VERDICT r14 item 3):
     # the five r05 rows-only sketch entries are the OLDEST entries in
     # the whole ledger, but a rows-only slot alone yields only the
@@ -231,7 +233,6 @@ _CHECKED_WINDOW = [
     "doc_repetition",
     "embedding_neardup_pairs",
     "embedding_quantized_topk",
-    "events_pivot_counts",
     # --- always-checked core: flagships + the suites that remain the
     # sole in-window hash over constituents NOT individually in this
     # window. The r14-green singletons (r1/r4/r6/r7 backlog + first

@@ -6446,3 +6446,81 @@ def stream_moving_avg_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the checkpoint is drain-scoped scratch
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
+
+
+@query(
+    "stream_window_mean_drained",
+    # driver evidence for the OTHER streaming state family (the
+    # append-mode windowed aggregate — pure JVM window state, no
+    # Python kernel): the flagship 6h-mean live panel drained
+    # availableNow. Append mode cannot emit the final open window
+    # (its end exceeds the drain's final watermark), so the oracle
+    # excludes exactly the max observed window — the same rule the
+    # streaming==batch equality tests pin.
+    oracle="""
+    WITH w AS (
+      SELECT make_timestamp((epoch_us(ts)//21600000000)*21600000000)
+               AS window_start,
+             'events' AS _measurement,
+             event_type AS _field,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS mean,
+             COUNT(*) AS n
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2, 3)
+    SELECT * FROM w
+    WHERE window_start < (SELECT MAX(window_start) FROM w)
+    """,
+)
+def stream_window_mean_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-aggregate streaming path's driver row, beside
+    ``stream_moving_avg_drained``'s keyed-state one: the flagship
+    dashboard panel (range → filter → aggregateWindow(every: 6h,
+    fn: mean)) compiled by ``compile_flux_stream`` onto a
+    file-arrival stream over the bucket store and drained with
+    trigger(availableNow) under watermark 0s. Emitted windows are the
+    batch compiler's exact decimal-mean expressions; the final window
+    — whose end the drain's final watermark never passes — stays open
+    by append-mode rule, and the oracle excludes exactly that max
+    observed window, so the compare is exact both ways.
+
+    Scale: per-(window, series) partial-aggregate state only
+    (map-side combinable), pruned as the watermark passes — the
+    continuous form of the same plan the batch flagship runs."""
+    import shutil
+    import tempfile
+
+    from ..flux import compile_flux_stream
+
+    path = _event_bucket_path(spark, sf_dir)
+    live = compile_flux_stream(
+        spark,
+        """
+        from(bucket: "gas-quality")
+          |> range(start: "2024-01-08T00:00:00Z",
+                   stop: "2024-01-15T00:00:00Z")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> aggregateWindow(every: 6h, fn: mean)
+        """,
+        {"gas-quality": path},
+        watermark="0 seconds",
+    )
+    name = f"tsdp_stream_drain_{next(_STREAM_DRAIN_SEQ)}"
+    ck = tempfile.mkdtemp(prefix="tsdp_stream_drain_ck_")
+    try:
+        q = (
+            live.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)
