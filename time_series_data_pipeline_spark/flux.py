@@ -3165,11 +3165,13 @@ def _compile_stream_single(
                 "finalizes on its own first record and the rest of the "
                 "month drops as late data"
             )
+        # the calendar bucket column is the batch compiler's own
+        # (_window_grouping — ONE definition), appended as a named
+        # column so withWatermark can ride it
+        cal_col, _is_struct = _window_grouping(every_s, None, 0)
         agged = (
             out.filter(F.col("_value").isNotNull())
-            .withColumn(
-                "window_start", F.date_trunc(every_s, F.col("_time"))
-            )
+            .select("*", cal_col)
             .withWatermark("window_start", watermark)
             .groupBy("window_start", *key_cols)
             .agg(*exprs)
