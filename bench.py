@@ -138,12 +138,14 @@ HEADLINE = (
     # not claimed (VERDICT r6 item 2)
     "pack_sequences",
     "pack_sequences_sharded",
-    # round 15: the driver-facing drained streaming query — the SAME
-    # applyInPandasWithState envelope the stream panels measure, but
-    # through the registered-query surface (compile + availableNow
-    # drain + memory-sink capture), so the cost the driver's
-    # correctness gate pays is itself a measured number
+    # round 15: the driver-facing drained streaming queries — the
+    # applyInPandasWithState envelope (moving_avg) and the append-mode
+    # window-state envelope (window_mean) through the registered-query
+    # surface (compile + availableNow drain + memory-sink capture), so
+    # the cost the driver's correctness gate pays is itself a
+    # measured number
     "stream_moving_avg_drained",
+    "stream_window_mean_drained",
 )
 
 

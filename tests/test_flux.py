@@ -8222,6 +8222,32 @@ def test_compile_flux_stream_calendar_year_equals_batch(
         F.create_map().cast("map<string,string>").alias("tags"),
     )
     bkt.write_bucket(df, path, mode="overwrite")
+    # fn: last — the calendar GAUGE (selector aggregates share the
+    # same _plain_agg_expr dispatch; one arm pins the family)
+    gtext = 'from(bucket: "b") |> aggregateWindow(every: 1y, fn: last)'
+    glive = flux.compile_flux_stream(spark, gtext, {"b": path})
+    gq = (
+        glive.writeStream.format("memory")
+        .queryName("flux_cal_gauge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_gauge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    gq.awaitTermination(180)
+    ggot = {
+        (r["window_start"], r["_field"]): (r["last"], r["n"])
+        for r in spark.sql("SELECT * FROM flux_cal_gauge").collect()
+    }
+    gbatch = flux.compile_flux(spark, gtext, {"b": path}).collect()
+    gmax = max(r["window_start"] for r in gbatch)
+    gexpected = {
+        (r["window_start"], r["_field"]): (r["last"], r["n"])
+        for r in gbatch
+        if r["window_start"] < gmax
+    }
+    assert len(gexpected) == 2 and ggot == gexpected
+
     text = 'from(bucket: "b") |> aggregateWindow(every: 1y, fn: sum)'
     live = flux.compile_flux_stream(spark, text, {"b": path})
     q = (
