@@ -56,11 +56,12 @@ def test_new_and_changed_queries_lead_the_window():
     # each paired with its hash-bearing *_verify twin; then the
     # whole r10 tail and the oldest of r11 in ledger (round, name)
     # order.
-    assert _CHECKED_WINDOW[:2] == [
+    assert _CHECKED_WINDOW[:3] == [
         "stream_moving_avg_drained",
+        "stream_task_rollup_drained",
         "stream_window_mean_drained",
     ]
-    assert _CHECKED_WINDOW[2:11] == [
+    assert _CHECKED_WINDOW[3:12] == [
         "bpe_learn_merges",
         "embedding_lsh_ann",
         "lsh_ann_verify",
@@ -71,10 +72,10 @@ def test_new_and_changed_queries_lead_the_window():
         "simhash_pairs",
         "simhash_verify",
     ]
-    assert _CHECKED_WINDOW[11] == "flux_compiled_elapsed"  # oldest r10
-    assert _CHECKED_WINDOW[35] == "unpivot_lineitem"  # last of r10
-    assert _CHECKED_WINDOW[36] == "approx_distinct_users"  # oldest r11
-    assert _CHECKED_WINDOW[44] == "embedding_quantized_topk"
+    assert _CHECKED_WINDOW[12] == "flux_compiled_elapsed"  # oldest r10
+    assert _CHECKED_WINDOW[36] == "unpivot_lineitem"  # last of r10
+    assert _CHECKED_WINDOW[37] == "approx_distinct_users"  # oldest r11
+    assert _CHECKED_WINDOW[44] == "embedding_neardup_pairs"
     # core tail: flagships + the two suites still covering arms that
     # are NOT individually in this window
     assert _CHECKED_WINDOW[45:] == [

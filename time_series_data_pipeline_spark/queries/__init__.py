@@ -171,10 +171,13 @@ WINDOW_ROUND = 15
 _CHECKED_WINDOW = [
     # --- round 15 (VERDICT r14 items 1–3). Never-own-row leads: the
     # NEW drained streaming queries — first driver-visible rows for
-    # BOTH streaming state families (the applyInPandasWithState
-    # keyed-state path and the append-mode windowed-aggregate path;
-    # until now attested by streaming==batch tests only). ---
+    # the three streaming surfaces (the applyInPandasWithState
+    # keyed-state path, the append-mode windowed-aggregate path, and
+    # the start_flux_task ticker + idempotent-sink loop with its
+    # result read back from the store; until now attested by
+    # streaming==batch / replay tests only). ---
     "stream_moving_avg_drained",
+    "stream_task_rollup_drained",
     "stream_window_mean_drained",
     # --- the rows-only re-attestation block (VERDICT r14 item 3):
     # the five r05 rows-only sketch entries are the OLDEST entries in
@@ -232,7 +235,6 @@ _CHECKED_WINDOW = [
     "decimate_minmax_15m",
     "doc_repetition",
     "embedding_neardup_pairs",
-    "embedding_quantized_topk",
     # --- always-checked core: flagships + the suites that remain the
     # sole in-window hash over constituents NOT individually in this
     # window. The r14-green singletons (r1/r4/r6/r7 backlog + first

@@ -6524,3 +6524,77 @@ def stream_window_mean_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
+
+
+@query(
+    "stream_task_rollup_drained",
+    # the THIRD streaming surface's driver row: the task LOOP
+    # (start_flux_task — rate ticker + foreachBatch re-executing the
+    # compiled pipeline + the idempotent dynamic-partition-overwrite
+    # writer), result READ BACK FROM THE SINK STORE rather than passed
+    # through — so the checkpointed tick machinery, the bucket write,
+    # and the store read-back are all inside the hash compare. Each
+    # tick runs the BATCH compiler, so there is no open-window
+    # exclusion: the compare is the full windowed mean.
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts)//7200000000)*7200000000) AS _time,
+           'events' AS _measurement, event_type AS _field,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+             AS _value
+    FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_task_rollup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming TASK loop end to end per invocation (beside the
+    two drained panel queries): ``start_flux_task`` runs the compiled
+    2h-mean rollup as one ``availableNow`` tick — the InfluxDB task
+    scheduler's unit of work — landing the result through the
+    idempotent writer into a fresh sink store, and the returned frame
+    is the SINK READ BACK (``read_bucket``), not the write-path
+    passthrough, so a silent sink corruption would break the hash.
+    ``flux_compiled_to_rollup`` attests the same writer through the
+    batch front-end; this row adds the ticker + checkpoint +
+    store-read envelope.
+
+    Scale: one tick costs the compiled pipeline over the pruned scan
+    plus a dynamic-partition overwrite of the touched days —
+    SCALE.md §20's maintenance floor; the sink here is drain-scoped
+    scratch (a production task refreshes one durable store)."""
+    import shutil
+    import tempfile
+
+    from ..flux import start_flux_task
+    from ..sources import bucket as bkt_src
+
+    path = _event_bucket_path(spark, sf_dir)
+    # the sink store must outlive the returned DataFrame (the driver
+    # collects after this returns), so it is NOT cleaned here — a
+    # drain-scoped scratch dir like the bench stream sinks
+    target = tempfile.mkdtemp(prefix="tsdp_task_drain_out_") + "/bucket"
+    ck = tempfile.mkdtemp(prefix="tsdp_task_drain_ck_")
+    try:
+        q = start_flux_task(
+            spark,
+            """
+            from(bucket: "gas-quality")
+              |> range(start: "2024-01-08T00:00:00Z",
+                       stop: "2024-01-15T00:00:00Z")
+              |> filter(fn: (r) => r["_measurement"] == "events")
+              |> filter(fn: (r) => r["_field"] == "error")
+              |> aggregateWindow(every: 2h, fn: mean, createEmpty: false)
+              |> to(bucket: "rollup2h")
+            """,
+            {"gas-quality": path, "rollup2h": target},
+            checkpoint=ck,
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return bkt_src.read_bucket(spark, target).select(
+        "_time", "_measurement", "_field", "_value"
+    )
