@@ -1,0 +1,411 @@
+"""InfluxQL front-end: parser boundaries, compile semantics, and the
+cross-language pin — the same statement answered by the Flux compiler
+and the InfluxQL compiler off the same tagged store must be
+bit-identical (both front-ends lower onto the same scan + exact-decimal
+aggregate idioms).
+
+The registered influxql_* queries' value correctness is attested by
+the DuckDB oracles (tests/test_oracle_parity.py + the driver gate);
+this file covers what the oracles cannot: the refusal surface (every
+out-of-subset construct raises naming itself), semantic edges (offset
+alignment, fill forms, epoch-stamped bare aggregates, per-series
+limits), and plan shape (pushdown reaching the scan).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_pipeline_spark.influxql import (
+    InfluxQLError,
+    compile_influxql,
+)
+from time_series_data_pipeline_spark.queries.timeseries_q import (
+    _tagged_bucket_path,
+)
+
+from .conftest import SF_SMOKE
+
+RANGE = "time >= '2024-01-08T00:00:00Z' AND time < '2024-01-15T00:00:00Z'"
+
+
+@pytest.fixture(scope="module")
+def store(spark) -> str:
+    return _tagged_bucket_path(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# refusal surface — every rejection names the construct
+# ---------------------------------------------------------------------------
+
+REJECTED = [
+    ("SELECT * FROM events", "SELECT \\*"),
+    ("SELECT mean(\"click\") FROM events WHERE \"host\" = 'h1' OR \"host\" = 'h2'", "OR"),
+    ('SELECT mean("click") FROM events WHERE "host" =~ /h1/', "regex"),
+    ('SELECT mean("click") FROM events GROUP BY time(1h) fill(linear)', "linear"),
+    ('SELECT integral("click") FROM events', "integral"),
+    ('SELECT holt_winters(mean("click"), 10, 4) FROM events', "holt_winters"),
+    ('SELECT mean("click") FROM "db"."rp".events', "qualified FROM"),
+    ('SELECT mean("click") FROM events WHERE time >= 1704672000000000000', "epoch"),
+    ('SELECT mean("click"), mean("error") FROM events GROUP BY time(1h)', "duplicate"),
+    ('SELECT mean("click") FROM events GROUP BY "nosuchtag"', "not a tag"),
+    ('SELECT mean("click") FROM events WHERE ' + RANGE + ' GROUP BY time(1h) fill(none) SLIMIT 2', "SLIMIT"),
+    ('SELECT percentile("click", 95), mean("click") FROM events GROUP BY time(1h)', "combine"),
+    ('SELECT derivative(mean("click")) FROM events WHERE ' + RANGE + ' GROUP BY time(1h) fill(0)', "fill"),
+    ('SELECT derivative("click") FROM events', "aggregate"),
+    ('SELECT mean("click") FROM events WHERE time = \'2024-01-08T00:00:00Z\'', "time ="),
+    ("DROP MEASUREMENT events", "unsupported"),
+    ('SELECT mean("click") FROM events GROUP BY time(100ms)', "sub-second"),
+    ('SELECT top("click", 3) FROM events GROUP BY time(1h)', "GROUP BY time"),
+    ('SELECT "click", "error" FROM events', "one raw field"),
+    ('SELECT mean("click") FROM events WHERE "click" = 5', "equality"),
+    ("SHOW SERIES", "outside the subset"),
+    ('SELECT mean("click") FROM events WHERE time >= now() - 7d GROUP BY time(1h)', "now"),
+]
+
+
+@pytest.mark.parametrize("stmt,needle", REJECTED, ids=[n for _, n in REJECTED])
+def test_rejections_name_the_construct(spark, store, stmt, needle):
+    with pytest.raises(InfluxQLError) as ei:
+        compile_influxql(spark, stmt, store)
+    import re as _re
+
+    assert _re.search(needle, str(ei.value), _re.IGNORECASE), str(ei.value)
+
+
+def test_mixed_raw_and_aggregate_rejected(spark, store):
+    with pytest.raises(InfluxQLError, match="mixing raw fields"):
+        compile_influxql(
+            spark, 'SELECT "click", mean("click") FROM events', store
+        )
+
+
+def test_fill_needs_both_bounds(spark, store):
+    with pytest.raises(InfluxQLError, match="BOTH time bounds"):
+        compile_influxql(
+            spark,
+            'SELECT mean("click") FROM events WHERE '
+            "time >= '2024-01-08T00:00:00Z' GROUP BY time(1h) fill(0)",
+            store,
+        )
+
+
+# ---------------------------------------------------------------------------
+# the cross-language pin: InfluxQL ≡ Flux off the same store
+# ---------------------------------------------------------------------------
+
+
+def test_influxql_matches_flux_twin(spark, store):
+    """The same dashboard question asked in both languages — a
+    host-pinned windowed mean split by the remaining tag — must be
+    bit-identical: both compile onto the same scan pushdown and the
+    same decimal-exact mean expression."""
+    from time_series_data_pipeline_spark.flux import compile_flux
+
+    iql = compile_influxql(
+        spark,
+        'SELECT mean("click") FROM events WHERE "host" = \'h1\' AND '
+        + RANGE
+        + ' GROUP BY time(6h), "dc" fill(none)',
+        store,
+    )
+    flux = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: "2024-01-08 00:00:00", stop: "2024-01-15 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> filter(fn: (r) => r["host"] == "h1")
+          |> aggregateWindow(every: 6h, fn: mean, createEmpty: false)
+        """,
+        {"tagged": store},
+    )
+    got = {
+        (r["time"], r["dc"], r["mean"]) for r in iql.collect()
+    }
+    want = {
+        (r["window_start"], r["dc"], r["mean"]) for r in flux.collect()
+    }
+    assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# semantic edges
+# ---------------------------------------------------------------------------
+
+
+def test_group_by_time_offset_alignment(spark, store):
+    """time(1h, 15m): boundaries shift to :15 — every emitted bucket
+    start lands on hh:15 (upstream's offset_interval)."""
+    df = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE '
+        + RANGE
+        + " GROUP BY time(1h, 15m) fill(none)",
+        store,
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["time"].minute == 15 and r["time"].second == 0
+
+
+def test_fill_zero_and_null_spine(spark, store):
+    base = (
+        'SELECT mean("click") FROM events WHERE "host" = \'h2\' AND '
+        "time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' "
+        "GROUP BY time(1h) fill({})"
+    )
+    zero = compile_influxql(spark, base.format("0"), store).collect()
+    null = compile_influxql(spark, base.format("null"), store).collect()
+    assert len(zero) == 24 and len(null) == 24  # the full day spine
+    assert all(r["mean"] is not None for r in zero)
+    assert any(r["mean"] is None for r in null)
+    z = {r["time"]: r["mean"] for r in zero}
+    for r in null:
+        assert z[r["time"]] == (r["mean"] if r["mean"] is not None else 0.0)
+
+
+def test_fill_empty_result_stays_empty(spark, store):
+    """Upstream fills EXISTING series only: an aggregate that produced
+    no rows emits no spine."""
+    df = compile_influxql(
+        spark,
+        'SELECT mean("click") FROM events WHERE "host" = \'h1\' AND '
+        "time >= '2030-01-01T00:00:00Z' AND time < '2030-01-02T00:00:00Z' "
+        "GROUP BY time(1h) fill(0)",
+        store,
+    )
+    assert df.count() == 0
+
+
+def test_bare_aggregate_epoch_timestamp(spark, store):
+    df = compile_influxql(
+        spark,
+        'SELECT mean("click") AS m, count("click") AS n FROM events '
+        "WHERE " + RANGE,
+        store,
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["time"] == dt.datetime(1970, 1, 1)
+    assert rows[0]["n"] > 0
+
+
+def test_bare_selector_carries_point_time(spark, store):
+    """SELECT max(f) with no time grouping returns the max POINT —
+    its own timestamp, not a bucket label."""
+    df = compile_influxql(
+        spark,
+        'SELECT max("click") FROM events WHERE ' + RANGE,
+        store,
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    t = rows[0]["time"]
+    assert dt.datetime(2024, 1, 8) <= t < dt.datetime(2024, 1, 15)
+    assert t.microsecond or t.second or t.minute  # a real point time
+
+
+def test_count_distinct(spark, store):
+    df = compile_influxql(
+        spark,
+        'SELECT count(distinct("click")) FROM events WHERE ' + RANGE,
+        store,
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["count"] > 0
+
+
+def test_limit_is_per_series_with_tags(spark, store):
+    df = compile_influxql(
+        spark,
+        'SELECT "click" FROM events WHERE ' + RANGE
+        + ' GROUP BY "host" ORDER BY time DESC LIMIT 2',
+        store,
+    )
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["host"], []).append(r["time"])
+    assert set(per) == {"h0", "h1", "h2", "h3"}
+    assert all(len(ts) <= 2 for ts in per.values())
+
+
+def test_slimit_soffset_series_order(spark, store):
+    df = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE ' + RANGE
+        + ' GROUP BY "host" SLIMIT 2 SOFFSET 1',
+        store,
+    )
+    hosts = {r["host"] for r in df.collect()}
+    assert hosts == {"h1", "h2"}  # lexicographic series order, skip 1
+
+
+def test_bottom_mirrors_top(spark, store):
+    top = compile_influxql(
+        spark,
+        'SELECT top("click", 2) FROM events WHERE ' + RANGE,
+        store,
+    ).collect()
+    bot = compile_influxql(
+        spark,
+        'SELECT bottom("click", 2) FROM events WHERE ' + RANGE,
+        store,
+    ).collect()
+    assert len(top) == 2 and len(bot) == 2
+    assert min(r["top"] for r in top) > max(r["bottom"] for r in bot)
+
+
+def test_moving_average_emits_from_nth_bucket(spark, store):
+    agg = compile_influxql(
+        spark,
+        'SELECT mean("click") FROM events WHERE ' + RANGE
+        + " GROUP BY time(1d) fill(none)",
+        store,
+    ).collect()
+    ma = compile_influxql(
+        spark,
+        'SELECT moving_average(mean("click"), 3) FROM events WHERE '
+        + RANGE
+        + " GROUP BY time(1d) fill(none)",
+        store,
+    ).collect()
+    assert len(ma) == len(agg) - 2  # first N-1 buckets emit nothing
+    by_t = {r["time"]: r["mean"] for r in agg}
+    times = sorted(by_t)
+    first_ma = sorted(ma, key=lambda r: r["time"])[0]
+    assert first_ma["time"] == times[2]
+    expect = sum(by_t[t] for t in times[:3]) / 3
+    assert abs(first_ma["moving_average"] - expect) < 1e-9
+
+
+def test_cumulative_sum_last_equals_total(spark, store):
+    cs = compile_influxql(
+        spark,
+        'SELECT cumulative_sum(sum("click")) FROM events WHERE '
+        + RANGE
+        + " GROUP BY time(1d) fill(none)",
+        store,
+    ).collect()
+    total = compile_influxql(
+        spark,
+        'SELECT sum("click") FROM events WHERE ' + RANGE,
+        store,
+    ).collect()[0]["sum"]
+    last = max(cs, key=lambda r: r["time"])["cumulative_sum"]
+    assert abs(last - total) < 1e-9
+
+
+def test_non_negative_difference_filters(spark, store):
+    diff = compile_influxql(
+        spark,
+        'SELECT difference(count("click")) FROM events WHERE ' + RANGE
+        + " GROUP BY time(1d) fill(none)",
+        store,
+    ).collect()
+    nnd = compile_influxql(
+        spark,
+        'SELECT non_negative_difference(count("click")) FROM events '
+        "WHERE " + RANGE + " GROUP BY time(1d) fill(none)",
+        store,
+    ).collect()
+    assert len(nnd) == sum(1 for r in diff if r["difference"] >= 0)
+    assert all(r["non_negative_difference"] >= 0 for r in nnd)
+
+
+def test_now_anchor_resolves_relative_range(spark, store):
+    anchored = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE time >= now() - 7d '
+        "AND time < now()",
+        store,
+        now="2024-01-15T00:00:00Z",
+    ).collect()
+    explicit = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE ' + RANGE,
+        store,
+    ).collect()
+    assert anchored[0]["count"] == explicit[0]["count"] > 0
+
+
+def test_field_range_predicate(spark, store):
+    df = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE "click" > 50 AND ' + RANGE,
+        store,
+    )
+    n = df.collect()[0]["count"]
+    all_n = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE ' + RANGE,
+        store,
+    ).collect()[0]["count"]
+    assert 0 < n < all_n
+
+
+def test_inclusive_upper_bound(spark, store):
+    """time <= t keeps the boundary point that time < t drops."""
+    lt = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE '
+        "time >= '2024-01-08T00:00:00Z' AND time < '2024-01-15T00:00:00Z'",
+        store,
+    ).collect()[0]["count"]
+    le = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE '
+        "time >= '2024-01-08T00:00:00Z' AND time <= '2024-01-15T00:00:00Z'",
+        store,
+    ).collect()[0]["count"]
+    assert le >= lt
+
+
+# ---------------------------------------------------------------------------
+# SHOW meta-queries
+# ---------------------------------------------------------------------------
+
+
+def test_show_measurements_and_keys(spark, store):
+    m = compile_influxql(spark, "SHOW MEASUREMENTS", store)
+    assert m.columns == ["name"]
+    assert {r["name"] for r in m.collect()} == {"events"}
+    fk = compile_influxql(spark, "SHOW FIELD KEYS FROM events", store)
+    assert fk.columns == ["fieldKey", "fieldType"]
+    assert {r["fieldType"] for r in fk.collect()} == {"float"}
+    tk = compile_influxql(spark, "SHOW TAG KEYS FROM events", store)
+    assert [r["tagKey"] for r in tk.collect()] == ["dc", "host"]
+
+
+def test_show_tag_values_unknown_key(spark, store):
+    with pytest.raises(InfluxQLError, match="not a tag"):
+        compile_influxql(
+            spark, 'SHOW TAG VALUES WITH KEY = "nope"', store
+        )
+
+
+# ---------------------------------------------------------------------------
+# plan shape: predicates reach the scan
+# ---------------------------------------------------------------------------
+
+
+def test_raw_query_pushdown_reaches_parquet(spark, store):
+    """The raw-points query is pure pushdown: field, promoted-tag, and
+    time predicates all appear as PushedFilters on the parquet scan —
+    no post-scan Python, no aggregation."""
+    df = compile_influxql(
+        spark,
+        'SELECT "click" FROM events WHERE "host" = \'h1\' AND ' + RANGE,
+        store,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    assert "_field" in line and "host" in line and "_time" in line, line

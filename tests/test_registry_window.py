@@ -50,18 +50,29 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-15 policy (VERDICT r14 items 1–3): the NEW drained
-    # streaming query (never-own-row) leads; then the rows-only
-    # re-attestation block — the five r05 rows-only sketch entries,
-    # each paired with its hash-bearing *_verify twin; then the
-    # whole r10 tail and the oldest of r11 in ledger (round, name)
-    # order.
+    # round-15 policy (VERDICT r14 items 1–3 + the 15b InfluxQL
+    # front-end): the NEW never-own-row block leads — the three
+    # drained streaming queries plus the eight InfluxQL queries; then
+    # the rows-only re-attestation block — the five r05 rows-only
+    # sketch entries, each paired with its hash-bearing *_verify twin;
+    # then the whole r10 tail in ledger (round, name) order (the
+    # oldest-r11 entries yielded their slots to the InfluxQL block).
     assert _CHECKED_WINDOW[:3] == [
         "stream_moving_avg_drained",
         "stream_task_rollup_drained",
         "stream_window_mean_drained",
     ]
-    assert _CHECKED_WINDOW[3:12] == [
+    assert _CHECKED_WINDOW[3:11] == [
+        "influxql_derivative",
+        "influxql_fill_previous",
+        "influxql_group_mean",
+        "influxql_multi_agg",
+        "influxql_percentile",
+        "influxql_raw_points",
+        "influxql_show_tag_values",
+        "influxql_top_per_host",
+    ]
+    assert _CHECKED_WINDOW[11:20] == [
         "bpe_learn_merges",
         "embedding_lsh_ann",
         "lsh_ann_verify",
@@ -72,10 +83,8 @@ def test_new_and_changed_queries_lead_the_window():
         "simhash_pairs",
         "simhash_verify",
     ]
-    assert _CHECKED_WINDOW[12] == "flux_compiled_elapsed"  # oldest r10
-    assert _CHECKED_WINDOW[36] == "unpivot_lineitem"  # last of r10
-    assert _CHECKED_WINDOW[37] == "approx_distinct_users"  # oldest r11
-    assert _CHECKED_WINDOW[44] == "embedding_neardup_pairs"
+    assert _CHECKED_WINDOW[20] == "flux_compiled_elapsed"  # oldest r10
+    assert _CHECKED_WINDOW[44] == "unpivot_lineitem"  # last of r10
     # core tail: flagships + the two suites still covering arms that
     # are NOT individually in this window
     assert _CHECKED_WINDOW[45:] == [

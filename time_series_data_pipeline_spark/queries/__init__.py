@@ -26,6 +26,7 @@ from the singleton it attests (pinned by tests/test_registry_window).
 from . import timeseries_q  # noqa: F401  isort: skip
 from . import relational  # noqa: F401  isort: skip
 from . import extensions  # noqa: F401  isort: skip
+from . import influxql_q  # noqa: F401  isort: skip
 from .registry import ORACLE, QUERIES
 
 # Registered singletons whose results are hash-verified as arms of an
@@ -179,6 +180,21 @@ _CHECKED_WINDOW = [
     "stream_moving_avg_drained",
     "stream_task_rollup_drained",
     "stream_window_mean_drained",
+    # --- round 15b, the session's second deliverable: the InfluxQL
+    # front-end (influxql.py + queries/influxql_q.py) — the reference
+    # server's OTHER query language, compiled onto the same tagged
+    # store as the Flux twins. New oracle-bearing queries, so they
+    # join the never-own-row lead block; the eight oldest r11 entries
+    # they displace wait one round (with events_pivot_counts and
+    # embedding_quantized_topk). ---
+    "influxql_derivative",
+    "influxql_fill_previous",
+    "influxql_group_mean",
+    "influxql_multi_agg",
+    "influxql_percentile",
+    "influxql_raw_points",
+    "influxql_show_tag_values",
+    "influxql_top_per_host",
     # --- the rows-only re-attestation block (VERDICT r14 item 3):
     # the five r05 rows-only sketch entries are the OLDEST entries in
     # the whole ledger, but a rows-only slot alone yields only the
@@ -225,16 +241,8 @@ _CHECKED_WINDOW = [
     "scrub_pii",
     "session_windows_5m",
     "unpivot_lineitem",
-    # --- the oldest of the r11 block fills the remaining slots; the
-    # rest of r11 rotates next round. ---
-    "approx_distinct_users",
-    "asof_error_click",
-    "bm25_search",
-    "bpe_token_stats",
-    "counter_rate",
-    "decimate_minmax_15m",
-    "doc_repetition",
-    "embedding_neardup_pairs",
+    # --- the r11 block rotates next round: its eight oldest entries
+    # yielded their slots to the InfluxQL lead block above. ---
     # --- always-checked core: flagships + the suites that remain the
     # sole in-window hash over constituents NOT individually in this
     # window. The r14-green singletons (r1/r4/r6/r7 backlog + first
