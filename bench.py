@@ -146,6 +146,15 @@ HEADLINE = (
     # measured number
     "stream_moving_avg_drained",
     "stream_window_mean_drained",
+    # round 15b: the InfluxQL front-end beside its Flux twins —
+    # influxql_group_mean is the same tagged panel as
+    # flux_compiled_tag_filter asked in the 1.x language (front-end
+    # overhead should be driver-only, like flux_compiled_mean vs
+    # flux_pipeline_mean); influxql_multi_agg is the shape where the
+    # single conditional-aggregation shuffle replaces N Flux pipelines
+    # + joins, so the structural win is a measured number
+    "influxql_group_mean",
+    "influxql_multi_agg",
 )
 
 
