@@ -409,3 +409,155 @@ def test_raw_query_pushdown_reaches_parquet(spark, store):
     assert pushed, plan
     line = pushed[0]
     assert "_field" in line and "host" in line and "_time" in line, line
+
+
+# ---------------------------------------------------------------------------
+# Grafana multi-select WHERE shapes (round 15b second batch)
+# ---------------------------------------------------------------------------
+
+
+def _duck_events(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return con
+
+
+def _compare(df, con, sql):
+    import math
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else v
+        return v
+
+    scols = df.columns
+    rel = con.sql(sql)
+    assert sorted(scols) == sorted(rel.columns)
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    oo = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    srows = sorted(
+        [tuple(norm(r[i]) for i in so) for r in df.collect()], key=repr
+    )
+    orows = sorted(
+        [tuple(norm(r[i]) for i in oo) for r in rel.fetchall()], key=repr
+    )
+    assert srows == orows and srows
+
+
+def test_or_group_multiselect(spark, store):
+    """The Grafana variable with two values selected: a parenthesized
+    same-tag OR group compiles to isin — DuckDB-parity-checked."""
+    df = compile_influxql(
+        spark,
+        "SELECT count(\"click\") FROM events WHERE "
+        "(\"host\" = 'h1' OR \"host\" = 'h3') AND " + RANGE
+        + ' GROUP BY time(1d), "host" fill(none)',
+        store,
+    )
+    _compare(
+        df,
+        _duck_events(SF_SMOKE),
+        """
+        SELECT make_timestamp((epoch_us(ts)//86400000000)*86400000000) AS "time",
+               'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+               CAST(COUNT(*) AS BIGINT) AS count
+        FROM events
+        WHERE event_type='click' AND user_id % 4 IN (1, 3)
+          AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1, 2
+        """,
+    )
+
+
+def test_regex_multiselect_and_negation(spark, store):
+    """=~ /^(h0|h2)$/ is the literal-alternation multi-select Grafana
+    emits; !~ is its negation — both enumerate to isin (general regex
+    raises: engine-dependent semantics)."""
+    pos = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE "host" =~ /^(h0|h2)$/ '
+        "AND " + RANGE,
+        store,
+    ).collect()[0]["count"]
+    neg = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE "host" !~ /^(h0|h2)$/ '
+        "AND " + RANGE,
+        store,
+    ).collect()[0]["count"]
+    total = compile_influxql(
+        spark,
+        'SELECT count("click") FROM events WHERE ' + RANGE,
+        store,
+    ).collect()[0]["count"]
+    assert pos + neg == total and pos > 0 and neg > 0
+
+
+def test_general_regex_raises(spark, store):
+    with pytest.raises(InfluxQLError, match="multi-select form"):
+        compile_influxql(
+            spark,
+            'SELECT count("click") FROM events WHERE "host" =~ /h.*/',
+            store,
+        )
+
+
+def test_cross_tag_or_raises(spark, store):
+    with pytest.raises(InfluxQLError, match="mixes tags"):
+        compile_influxql(
+            spark,
+            "SELECT count(\"click\") FROM events WHERE "
+            "(\"host\" = 'h1' OR \"dc\" = 'd1')",
+            store,
+        )
+
+
+def test_single_value_multiselect_collapses_to_pushdown(spark, store):
+    """A one-value OR group folds into the equality pushdown tier —
+    the plan carries the same pushed host filter as plain equality."""
+    df = compile_influxql(
+        spark,
+        "SELECT \"click\" FROM events WHERE (\"host\" = 'h1') AND " + RANGE,
+        store,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "host" in pushed[0]
+
+
+def test_multi_field_aggregates_one_pass(spark, store):
+    """mean of TWO different fields in one SELECT — the conditional-
+    aggregation path: one shuffle, each item guarded by its _field.
+    DuckDB-parity-checked (FILTER clauses are the SQL twin)."""
+    df = compile_influxql(
+        spark,
+        'SELECT mean("click") AS click_mean, mean("error") AS error_mean, '
+        'count("click") AS click_n FROM events WHERE ' + RANGE
+        + " GROUP BY time(1d) fill(none)",
+        store,
+    )
+    _compare(
+        df,
+        _duck_events(SF_SMOKE),
+        """
+        SELECT make_timestamp((epoch_us(ts)//86400000000)*86400000000) AS "time",
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type='click') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE event_type='click') AS click_mean,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type='error') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE event_type='error') AS error_mean,
+               CAST(COUNT(*) FILTER (WHERE event_type='click') AS BIGINT)
+                 AS click_n
+        FROM events
+        WHERE event_type IN ('click', 'error')
+          AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+        """,
+    )

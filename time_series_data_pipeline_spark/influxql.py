@@ -65,10 +65,11 @@ _TOKEN_RE = re.compile(
       \s*(
         '(?:[^'\\]|\\.)*'            # single-quoted string literal
       | "(?:[^"\\]|\\.)*"            # double-quoted identifier
+      | /(?:[^/\\]|\\.)+/            # regex literal (after =~ / !~)
       | [0-9]+(?:\.[0-9]+)?[a-zA-Zµ]*  # number, possibly a duration (5m)
       | <> | != | <= | >= | =~ | !~  # two-char operators
       | [A-Za-z_][A-Za-z0-9_]*       # bare identifier / keyword
-      | [(),;*=<>+\-/.]              # single-char tokens
+      | [(),;*=<>+\-.]               # single-char tokens
       )
     """,
     re.VERBOSE,
@@ -306,7 +307,65 @@ class _Where:
         self.time_hi: tuple[str, bool] | None = None
         self.tag_eq: dict[str, str] = {}
         self.tag_neq: list[tuple[str, str]] = []
+        self.tag_in: dict[str, list[str]] = {}      # OR group / =~ altern.
+        self.tag_not_in: dict[str, list[str]] = {}  # !~ alternation
         self.field_preds: list[tuple[str, str, float]] = []
+
+
+#: the Grafana multi-select regex: both anchors + a plain-literal
+#: alternation — ^(v1|v2|...)$ (parens optional for one value). Any
+#: other pattern raises: general regex semantics differ between engines
+#: (Java vs RE2 vs PCRE), so only the exactly-enumerable form is
+#: replayable cross-engine.
+_MULTISELECT_RE = re.compile(r"^\^\(?([^^$()|]+(?:\|[^^$()|]+)*)\)?\$$")
+
+
+def _regex_values(pattern: str, where: str) -> list[str]:
+    m = _MULTISELECT_RE.match(pattern)
+    if not m or any(
+        ch in m.group(1) for ch in ".*+?[]{}\\"
+    ):
+        raise InfluxQLError(
+            f"{where}: regex ships the Grafana multi-select form only — "
+            "an anchored literal alternation like /^(v1|v2)$/ "
+            f"(general regex is engine-dependent); got /{pattern}/"
+        )
+    return m.group(1).split("|")
+
+
+def _parse_or_group(cur: _Cursor) -> tuple[str, list[str]]:
+    """A parenthesized disjunction — the OTHER Grafana multi-select
+    shape: ("host" = 'h1' OR "host" = 'h2'). Every disjunct must be an
+    equality on the SAME tag (a mixed-column or non-equality OR has no
+    single-scan predicate form — raise naming it)."""
+    name: str | None = None
+    vals: list[str] = []
+    while True:
+        lhs = cur.next()
+        n = _ident(lhs)
+        op = cur.next()
+        rhs = cur.next()
+        if op != "=" or not _is_string(rhs):
+            raise InfluxQLError(
+                "OR groups ship tag EQUALITY disjuncts only "
+                f"(got {n!r} {op} {rhs!r})"
+            )
+        if name is None:
+            name = n
+        elif n != name:
+            raise InfluxQLError(
+                f"OR group mixes tags {name!r} and {n!r} — one tag per "
+                "group (the multi-select shape); cross-tag OR needs two "
+                "queries"
+            )
+        vals.append(_string(rhs))
+        kw = cur.next().upper()
+        if kw == ")":
+            return name, vals
+        if kw != "OR":
+            raise InfluxQLError(
+                f"expected OR or ) in the disjunction group, got {kw!r}"
+            )
 
 
 def _parse_time_literal(tok: str, cur: _Cursor, now: str | None) -> str:
@@ -353,18 +412,44 @@ def _parse_where(cur: _Cursor, now: str | None) -> _Where:
     w = _Where()
     while True:
         lhs = cur.next()
-        if lhs.upper() == "(" or lhs.upper() == ")":
-            raise InfluxQLError(
-                "parenthesized WHERE groups are outside the subset "
-                "(AND-conjunctions only; OR needs two queries)"
-            )
+        if lhs == "(":
+            name, vals = _parse_or_group(cur)
+            w.tag_in.setdefault(name, [])
+            w.tag_in[name] = sorted(set(w.tag_in[name]) | set(vals))
+            kw = cur.accept_kw("AND", "OR")
+            if kw == "OR":
+                raise InfluxQLError(
+                    "OR between WHERE groups is outside the subset "
+                    "(one parenthesized multi-select group per tag, "
+                    "AND-joined)"
+                )
+            if kw is None:
+                return w
+            continue
+        if lhs == ")":
+            raise InfluxQLError("unbalanced ) in WHERE")
         name = _ident(lhs)
         op = cur.next()
         if op in ("=~", "!~"):
-            raise InfluxQLError(
-                "regex predicates (=~ /../) are outside the subset — "
-                "equality per value, or the Flux path's filter fn"
-            )
+            rx = cur.next()
+            if not (rx.startswith("/") and rx.endswith("/")):
+                raise InfluxQLError(
+                    f"{op} expects a /regex/ literal, got {rx!r}"
+                )
+            vals = _regex_values(rx[1:-1], f"{name} {op}")
+            dst = w.tag_in if op == "=~" else w.tag_not_in
+            dst.setdefault(name, [])
+            dst[name] = sorted(set(dst[name]) | set(vals))
+            kw = cur.accept_kw("AND", "OR")
+            if kw == "OR":
+                raise InfluxQLError(
+                    "OR in WHERE is outside the subset (AND-conjunctions "
+                    "only; a multi-select is one =~ alternation or one "
+                    "parenthesized OR group per tag)"
+                )
+            if kw is None:
+                return w
+            continue
         if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
             raise InfluxQLError(f"unsupported WHERE operator {op!r}")
         rhs = cur.next()
@@ -679,7 +764,18 @@ def _scan(
             stop = ts
     probe = bkt.read_bucket(spark, bucket_path)
     tag_cols = bkt.tag_columns(probe)
-    for k in set(w.tag_eq) | {k for k, _ in w.tag_neq}:
+    # single-value multi-selects collapse to plain equality — the
+    # strongest pushdown tier (scan_bucket tags=)
+    tag_eq = dict(w.tag_eq)
+    tag_in = {}
+    for k, vals in w.tag_in.items():
+        if len(vals) == 1 and k not in tag_eq:
+            tag_eq[k] = vals[0]
+        else:
+            tag_in[k] = vals
+    for k in set(tag_eq) | {k for k, _ in w.tag_neq} | set(tag_in) | set(
+        w.tag_not_in
+    ):
         if k not in tag_cols:
             raise InfluxQLError(
                 f"WHERE tag {k!r}: not a tag of this store (tags: "
@@ -693,7 +789,7 @@ def _scan(
         field=fields[0] if len(fields) == 1 else None,
         start=start,
         stop=stop,
-        tags=w.tag_eq or None,
+        tags=tag_eq or None,
     )
     if len(fields) > 1:
         out = out.filter(F.col("_field").isin(fields))
@@ -703,6 +799,12 @@ def _scan(
         out = out.filter(F.col("_time") <= w.time_hi[0])
     for k, val in w.tag_neq:
         out = out.filter(F.col(k) != val)
+    for k, vals in tag_in.items():
+        # promoted-column isin → a parquet In filter, same pushdown
+        # tier as equality (row-group skipping over the series sort)
+        out = out.filter(F.col(k).isin(vals))
+    for k, vals in w.tag_not_in.items():
+        out = out.filter(~F.col(k).isin(vals))
     for name, op, num in w.field_preds:
         if len(fields) != 1 or name != fields[0]:
             raise InfluxQLError(
