@@ -561,3 +561,119 @@ def test_multi_field_aggregates_one_pass(spark, store):
         GROUP BY 1
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# subqueries (round 15b third batch): FROM (SELECT ...)
+# ---------------------------------------------------------------------------
+
+
+def test_subquery_downsample_then_mean_parity(spark, store):
+    """The canonical InfluxQL subquery idiom — max per hour, then mean
+    of those maxima per day, per host. DuckDB-parity-checked with the
+    subquery determinism rule (DECIMAL(18,10) cast of the inner
+    doubles on both engines)."""
+    df = compile_influxql(
+        spark,
+        'SELECT mean("max") FROM (SELECT max("click") FROM events '
+        "WHERE " + RANGE + ' GROUP BY time(1h), "host" fill(none)) '
+        'GROUP BY time(1d), "host" fill(none)',
+        store,
+    )
+    _compare(
+        df,
+        _duck_events(SF_SMOKE),
+        """
+        WITH inner_q AS (
+          SELECT make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS t,
+                 'h' || CAST(user_id % 4 AS VARCHAR) AS host,
+                 MAX(value) AS mx
+          FROM events WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+          GROUP BY 1, 2)
+        SELECT make_timestamp((epoch_us(t)//86400000000)*86400000000)
+                 AS "time",
+               host,
+               CAST(SUM(CAST(mx AS DECIMAL(18,10))) AS DOUBLE)/COUNT(*)
+                 AS mean
+        FROM inner_q GROUP BY 1, 2
+        """,
+    )
+
+
+def test_subquery_outer_where_refilters(spark, store):
+    """The outer WHERE narrows the inner result — re-filter semantics,
+    not a second scan: outer time bounds drop inner buckets, outer tag
+    equality drops inner series."""
+    full = compile_influxql(
+        spark,
+        'SELECT count("max") FROM (SELECT max("click") FROM events '
+        "WHERE " + RANGE + ' GROUP BY time(1d), "host" fill(none))',
+        store,
+    ).collect()[0]["count"]
+    narrowed = compile_influxql(
+        spark,
+        'SELECT count("max") FROM (SELECT max("click") FROM events '
+        "WHERE " + RANGE + ' GROUP BY time(1d), "host" fill(none)) '
+        "WHERE time >= '2024-01-10T00:00:00Z' AND \"host\" = 'h1'",
+        store,
+    ).collect()[0]["count"]
+    assert 0 < narrowed < full
+
+
+def test_subquery_selector_carries_inner_time(spark, store):
+    """max over a subquery selects the inner ROW — its bucket
+    timestamp, not an outer window label."""
+    rows = compile_influxql(
+        spark,
+        'SELECT max("mean") FROM (SELECT mean("click") FROM events '
+        "WHERE " + RANGE + " GROUP BY time(6h) fill(none))",
+        store,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["time"].hour in (0, 6, 12, 18)  # a 6h bucket label
+
+
+def test_subquery_raw_projection(spark, store):
+    rows = compile_influxql(
+        spark,
+        'SELECT "max" FROM (SELECT max("click") FROM events WHERE '
+        + RANGE
+        + " GROUP BY time(1d) fill(none)) ORDER BY time DESC LIMIT 3",
+        store,
+    ).collect()
+    assert len(rows) == 3
+    assert rows[0]["max"] is not None
+
+
+def test_subquery_unknown_column_raises(spark, store):
+    with pytest.raises(InfluxQLError, match="subquery emits columns"):
+        compile_influxql(
+            spark,
+            'SELECT mean("nope") FROM (SELECT max("click") FROM events '
+            "WHERE " + RANGE + " GROUP BY time(1h) fill(none))",
+            store,
+        )
+
+
+def test_subquery_two_levels_raise(spark, store):
+    with pytest.raises(InfluxQLError, match="ONE level"):
+        compile_influxql(
+            spark,
+            'SELECT mean("max") FROM (SELECT max("mean") FROM '
+            '(SELECT mean("click") FROM events GROUP BY time(5m)) '
+            "GROUP BY time(1h))",
+            store,
+        )
+
+
+def test_subquery_outer_unknown_tag_raises(spark, store):
+    with pytest.raises(InfluxQLError, match="carries tags"):
+        compile_influxql(
+            spark,
+            'SELECT mean("max") FROM (SELECT max("click") FROM events '
+            "WHERE " + RANGE + ' GROUP BY time(1h) fill(none)) '
+            "WHERE \"host\" = 'h1'",
+            store,
+        )

@@ -576,6 +576,7 @@ class _Stmt:
     def __init__(self) -> None:
         self.items: list[_Item] = []
         self.measurement: str = ""
+        self.sub: "_Stmt | None" = None  # FROM (SELECT ...) subquery
         self.where = _Where()
         self.group = _GroupBy()
         self.order_desc = False
@@ -585,26 +586,43 @@ class _Stmt:
         self.soffset: int = 0
 
 
-def _parse_select(cur: _Cursor, now: str | None) -> _Stmt:
+def _parse_select(
+    cur: _Cursor, now: str | None, nested: bool = False
+) -> _Stmt:
     st = _Stmt()
     while True:
         st.items.append(_parse_select_item(cur))
         if not cur.accept_kw(","):
             break
     cur.expect("FROM")
-    mtok = cur.next()
-    if cur.peek() == ".":
-        raise InfluxQLError(
-            'qualified FROM ("db"."rp"."m") is outside the subset — '
-            "the bucket is the compile call's bucket_path argument; "
-            "name the bare measurement"
-        )
-    if _is_string(mtok):
-        raise InfluxQLError(
-            "FROM takes an identifier (double-quoted or bare), not a "
-            "string literal"
-        )
-    st.measurement = _ident(mtok)
+    if cur.peek() == "(":
+        # FROM (SELECT ...) — the downsample-then-aggregate idiom;
+        # one level (upstream allows deeper nesting; a sub-subquery
+        # raises naming the depth)
+        cur.next()
+        cur.expect("SELECT")
+        st.sub = _parse_select(cur, now, nested=True)
+        if st.sub.sub is not None:
+            raise InfluxQLError(
+                "subqueries nest ONE level in the subset (inner "
+                "SELECT has its own FROM (SELECT ...))"
+            )
+        cur.expect(")")
+        st.measurement = ""
+    else:
+        mtok = cur.next()
+        if cur.peek() == ".":
+            raise InfluxQLError(
+                'qualified FROM ("db"."rp"."m") is outside the subset — '
+                "the bucket is the compile call's bucket_path argument; "
+                "name the bare measurement"
+            )
+        if _is_string(mtok):
+            raise InfluxQLError(
+                "FROM takes an identifier (double-quoted or bare), not a "
+                "string literal"
+            )
+        st.measurement = _ident(mtok)
     if cur.accept_kw("WHERE"):
         st.where = _parse_where(cur, now)
     if cur.accept_kw("GROUP"):
@@ -627,7 +645,7 @@ def _parse_select(cur: _Cursor, now: str | None) -> _Stmt:
         st.slimit = int(cur.next())
     if cur.accept_kw("SOFFSET"):
         st.soffset = int(cur.next())
-    if not cur.done():
+    if not nested and not cur.done():
         raise InfluxQLError(
             f"trailing tokens after statement: {cur.toks[cur.i:][:6]}"
         )
@@ -639,20 +657,28 @@ def _parse_select(cur: _Cursor, now: str | None) -> _Stmt:
 # ---------------------------------------------------------------------------
 
 
-def _agg_expr(fn: str, guard: Column) -> Column:
+def _agg_expr(fn: str, guard: Column, scale: int = 2) -> Column:
     """The conditional-aggregation expression for one item: ``guard``
     pins the item's field, so N items share one groupBy. The value
     idioms mirror flux.py's ``_plain_agg_expr`` exactly (decimal-cents
     sum for mean/sum, struct-folded selectors with the same value
-    tie-break) so InfluxQL and Flux answers hash identically."""
+    tie-break) so InfluxQL and Flux answers hash identically.
+
+    ``scale`` is the exact-decimal scale for mean/sum: 2 over the raw
+    store (the ≤2-dp money contract), 10 over a SUBQUERY source —
+    inner aggregates are arbitrary doubles, so both engines cast the
+    same double to DECIMAL(38,10) (identical truncation) and the sum
+    stays associative → deterministic cross-engine, documented as the
+    subquery determinism rule (vs upstream's order-dependent double
+    sum, which no engine pair replays bit-identically)."""
     v = F.when(guard, F.col("_value"))
     if fn == "mean":
         return (
-            F.sum(F.when(guard, _dec("_value"))).cast("double")
+            F.sum(F.when(guard, _dec("_value", scale))).cast("double")
             / F.count(v)
         )
     if fn == "sum":
-        return F.sum(F.when(guard, _dec("_value"))).cast("double")
+        return F.sum(F.when(guard, _dec("_value", scale))).cast("double")
     if fn == "count":
         return F.count(v).cast("long")
     if fn == "min":
@@ -822,6 +848,84 @@ def _scan(
     return out, tag_cols
 
 
+def _subquery_source(
+    inner: DataFrame, st: _Stmt, fields: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """The outer statement's source frame for ``FROM (SELECT ...)``:
+    the inner result melts back into the long model — ``_time`` =
+    inner time, one (``_field``, ``_value``) row per inner item column
+    (``stack``, a zero-shuffle row expansion), inner GROUP BY tags
+    carried as promoted columns. The outer pipeline then runs
+    UNCHANGED over it: outer aggregates bucket the inner's emitted
+    times (the downsample-then-aggregate idiom), outer WHERE re-filters
+    time/tags/values as plain filters (the source is the inner plan,
+    not a parquet scan — there is nothing to push down to; the inner's
+    own WHERE already did the pruning)."""
+    sub_names = [it.out_name for it in st.sub.items]  # type: ignore[union-attr]
+    dims = [c for c in inner.columns if c != "time" and c not in sub_names]
+    missing = [f for f in fields if f not in sub_names]
+    if missing:
+        raise InfluxQLError(
+            f"outer SELECT references {missing} — the subquery emits "
+            f"columns {sub_names} (reference an inner item name or its "
+            "AS alias)"
+        )
+    stack_args = ", ".join(
+        f"'{n}', CAST(`{n}` AS DOUBLE)" for n in sub_names
+    )
+    out = inner.selectExpr(
+        "time AS _time",
+        *[f"`{d}`" for d in dims],
+        f"stack({len(sub_names)}, {stack_args}) AS (_field, _value)",
+    )
+    w = st.where
+    for k in (
+        set(w.tag_eq)
+        | {k for k, _ in w.tag_neq}
+        | set(w.tag_in)
+        | set(w.tag_not_in)
+    ):
+        if k not in dims:
+            raise InfluxQLError(
+                f"outer WHERE tag {k!r}: the subquery carries tags "
+                f"{sorted(dims)} (inner GROUP BY tags only)"
+            )
+    if w.time_lo:
+        ts, incl = w.time_lo
+        out = out.filter(
+            F.col("_time") >= ts if incl else F.col("_time") > ts
+        )
+    if w.time_hi:
+        ts, incl = w.time_hi
+        out = out.filter(
+            F.col("_time") <= ts if incl else F.col("_time") < ts
+        )
+    for k, val in w.tag_eq.items():
+        out = out.filter(F.col(k) == val)
+    for k, val in w.tag_neq:
+        out = out.filter(F.col(k) != val)
+    for k, vals in w.tag_in.items():
+        out = out.filter(F.col(k).isin(vals))
+    for k, vals in w.tag_not_in.items():
+        out = out.filter(~F.col(k).isin(vals))
+    for name, op, num in w.field_preds:
+        if len(fields) != 1 or name != fields[0]:
+            raise InfluxQLError(
+                f"field predicate on {name!r}: ships when the query "
+                "references exactly that one field"
+            )
+        col = F.col("_value")
+        out = out.filter(
+            col > num if op == ">" else
+            col >= num if op == ">=" else
+            col < num if op == "<" else
+            col <= num
+        )
+    if len(fields) >= 1:
+        out = out.filter(F.col("_field").isin(fields))
+    return out, dims
+
+
 def _series_limits(
     out: DataFrame,
     dims: list[str],
@@ -888,7 +992,13 @@ def _compile_select(
             "with AS (upstream's mean_1 auto-suffix is not replayable "
             "schema)"
         )
-    src, tag_cols = _scan(spark, st, bucket_path, fields)
+    if st.sub is not None:
+        inner = _compile_select(spark, st.sub, bucket_path)
+        src, tag_cols = _subquery_source(inner, st, fields)
+        scale = 10
+    else:
+        src, tag_cols = _scan(spark, st, bucket_path, fields)
+        scale = 2
     dims = _resolve_dims(st.group, tag_cols)
     g = st.group
 
@@ -929,7 +1039,7 @@ def _compile_select(
                 "a transform (derivative/difference/...) runs alone in "
                 "its SELECT in the subset"
             )
-        return _compile_transform(src, st, dims)
+        return _compile_transform(src, st, dims, scale)
 
     # plain / count-distinct aggregates — ONE conditional-aggregation
     # pass: every item shares the single groupBy shuffle
@@ -943,7 +1053,7 @@ def _compile_select(
                 ).cast("long").alias(it.out_name)
             )
         else:
-            exprs.append(_agg_expr(it.fn, guard).alias(it.out_name))
+            exprs.append(_agg_expr(it.fn, guard, scale).alias(it.out_name))
     src = src.filter(F.col("_value").isNotNull())
 
     if g.every_s is None:
@@ -1085,7 +1195,7 @@ def _compile_percentile(
 
 
 def _compile_transform(
-    src: DataFrame, st: _Stmt, dims: list[str]
+    src: DataFrame, st: _Stmt, dims: list[str], scale: int = 2
 ) -> DataFrame:
     """derivative/difference/non_negative_difference/cumulative_sum/
     moving_average over a GROUP BY time() aggregate — the Grafana rate
@@ -1122,7 +1232,7 @@ def _compile_transform(
     guard = F.col("_field") == inner.field
     agg = (
         src.groupBy(gcol, *dims)
-        .agg(_agg_expr(inner.fn, guard).alias("__v"))
+        .agg(_agg_expr(inner.fn, guard, scale).alias("__v"))
         .select(F.col("w.start").alias("time"), *dims, "__v")
     )
     w = (
