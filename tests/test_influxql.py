@@ -46,7 +46,8 @@ REJECTED = [
     ("SELECT mean(\"click\") FROM events WHERE \"host\" = 'h1' OR \"host\" = 'h2'", "OR"),
     ('SELECT mean("click") FROM events WHERE "host" =~ /h1/', "regex"),
     ('SELECT mean("click") FROM events GROUP BY time(1h) fill(linear)', "linear"),
-    ('SELECT integral("click") FROM events', "integral"),
+    ('SELECT integral("click") FROM events WHERE ' + RANGE + ' GROUP BY time(1h)', "attribution"),
+    ('SELECT elapsed("click") FROM events WHERE ' + RANGE + ' GROUP BY time(1h)', "raw transform"),
     ('SELECT holt_winters(mean("click"), 10, 4) FROM events', "holt_winters"),
     ('SELECT mean("click") FROM "db"."rp".events', "qualified FROM"),
     ('SELECT mean("click") FROM events WHERE time >= 1704672000000000000', "epoch"),
@@ -677,3 +678,107 @@ def test_subquery_outer_unknown_tag_raises(spark, store):
             "WHERE \"host\" = 'h1'",
             store,
         )
+
+
+# ---------------------------------------------------------------------------
+# mode / integral / elapsed (round 15b fourth batch): the remaining
+# public function-reference rows
+# ---------------------------------------------------------------------------
+
+
+def test_mode_parity_and_tie_rule(spark, store):
+    """mode(f) per day: most frequent value, smallest wins ties (the
+    pinned rule — public docs leave ties unspecified). DuckDB mirrors
+    via ROW_NUMBER (count desc, value asc)."""
+    df = compile_influxql(
+        spark,
+        'SELECT mode("click") FROM events WHERE ' + RANGE
+        + " GROUP BY time(1d)",
+        store,
+    )
+    _compare(
+        df,
+        _duck_events(SF_SMOKE),
+        """
+        WITH c AS (
+          SELECT make_timestamp((epoch_us(ts)//86400000000)*86400000000)
+                   AS t, value, COUNT(*) AS c
+          FROM events WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+          GROUP BY 1, 2),
+        r AS (
+          SELECT t, value,
+                 ROW_NUMBER() OVER (PARTITION BY t
+                                    ORDER BY c DESC, value ASC) AS rn
+          FROM c)
+        SELECT t AS "time", value AS mode FROM r WHERE rn = 1
+        """,
+    )
+
+
+def test_integral_matches_flux_twin(spark, store):
+    """integral(f, 1m) in both languages off the same store —
+    bit-identical (the shared exact-decimal trapezoid expression)."""
+    from time_series_data_pipeline_spark.flux import compile_flux
+
+    iql = compile_influxql(
+        spark,
+        'SELECT integral("click", 1m) FROM events WHERE ' + RANGE
+        + ' GROUP BY "host", "dc"',
+        store,
+    ).collect()
+    flux = compile_flux(
+        spark,
+        """
+        from(bucket: "tagged")
+          |> range(start: "2024-01-08 00:00:00", stop: "2024-01-15 00:00:00")
+          |> filter(fn: (r) => r["_measurement"] == "events")
+          |> filter(fn: (r) => r["_field"] == "click")
+          |> integral(unit: 1m)
+        """,
+        {"tagged": store},
+    ).collect()
+    # Flux tables split on the FULL tag key; the InfluxQL series only
+    # split where GROUP BY says — grouped by both tags the two series
+    # sets coincide and every area must be bit-identical
+    got = {(r["host"], r["dc"]): r["integral"] for r in iql}
+    want = {(r["host"], r["dc"]): r["integral"] for r in flux}
+    assert got == want and len(got) == 12
+    assert all(r["time"] == dt.datetime(1970, 1, 1) for r in iql)
+
+
+def test_elapsed_parity(spark, store):
+    """elapsed(f, 1m): integer minute gaps between subsequent points,
+    stamped with the later point's time."""
+    df = compile_influxql(
+        spark,
+        'SELECT elapsed("click", 1m) FROM events WHERE ' + RANGE,
+        store,
+    )
+    _compare(
+        df,
+        _duck_events(SF_SMOKE),
+        """
+        SELECT ts AS "time",
+               CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 60000000
+                    AS BIGINT) AS elapsed
+        FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL
+          AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        WINDOW w AS (ORDER BY ts, value)
+        QUALIFY elapsed IS NOT NULL
+        """,
+    )
+
+
+def test_mode_per_host_bare(spark, store):
+    rows = compile_influxql(
+        spark,
+        'SELECT mode("click") FROM events WHERE ' + RANGE
+        + ' GROUP BY "host"',
+        store,
+    ).collect()
+    assert {r["host"] for r in rows} == {"h0", "h1", "h2", "h3"}
+    assert all(r["time"] == dt.datetime(1970, 1, 1) for r in rows)

@@ -169,9 +169,6 @@ _TRANSFORMS = (
 #: fns recognized but outside the subset — each raise names its
 #: in-engine alternative
 _KNOWN_UNSUPPORTED = {
-    "integral": "the Flux path (flux.py integral)",
-    "elapsed": "the Flux path (flux.py elapsed)",
-    "mode": "the Flux path (flux.py aggregateWindow fn: mode)",
     "stddev_pop": "stddev (InfluxQL stddev is the sample form)",
     "holt_winters": "compile_flux holtWinters on the store",
     "sample": "deterministic_sample (operators/sampling.py)",
@@ -286,6 +283,25 @@ def _parse_select_item(cur: _Cursor) -> _Item:
             if not n.isdigit() or int(n) < 1:
                 raise InfluxQLError(f"{low} N must be a positive integer: {n!r}")
             return _maybe_alias(cur, _Item(low, low, fld, None, arg=float(n)))
+        if low in ("integral", "elapsed"):
+            fld = _ident(cur.next())
+            unit_s = 1
+            if cur.accept_kw(","):
+                t = cur.next()
+                m = _IQL_DUR_RE.match(t)
+                if not m or m.group(2) not in _DUR_UNIT_S:
+                    raise InfluxQLError(
+                        f"{low} unit: bad duration {t!r} (units s/m/h/d/w)"
+                    )
+                unit_s = int(m.group(1)) * _DUR_UNIT_S[m.group(2)]
+            cur.expect(")")
+            return _maybe_alias(
+                cur, _Item(low, low, fld, None, unit_s=unit_s)
+            )
+        if low == "mode":
+            fld = _ident(cur.next())
+            cur.expect(")")
+            return _maybe_alias(cur, _Item("mode", low, fld, None))
         if low in _PLAIN_AGGS:
             fld = _ident(cur.next())
             cur.expect(")")
@@ -1026,13 +1042,19 @@ def _compile_select(
         )
     if kinds & {"top", "bottom"}:
         return _compile_top_bottom(src, st, dims)
-    if kinds == {"percentile"}:
-        return _compile_percentile(src, st, dims)
-    if "percentile" in kinds:
-        raise InfluxQLError(
-            "percentile() does not combine with other select items in "
-            "the subset (rank aggregates run alone)"
-        )
+    for solo, compiler in (
+        ("percentile", _compile_percentile),
+        ("mode", _compile_mode),
+        ("integral", _compile_integral),
+        ("elapsed", _compile_elapsed),
+    ):
+        if kinds == {solo}:
+            return compiler(src, st, dims)
+        if solo in kinds:
+            raise InfluxQLError(
+                f"{solo}() does not combine with other select items in "
+                "the subset (it runs alone)"
+            )
     if "transform" in kinds:
         if len(st.items) != 1:
             raise InfluxQLError(
@@ -1192,6 +1214,117 @@ def _compile_percentile(
         .select("time", *dims, F.col("_value").alias(it.out_name))
     )
     return _series_limits(out, dims, st, "time")
+
+
+def _compile_mode(
+    src: DataFrame, st: _Stmt, dims: list[str]
+) -> DataFrame:
+    """``mode(f)``: the most frequent value — two hash aggregations
+    (per-value counts, then a max-count selection over DISTINCT VALUES
+    per group, never raw rows — the flux.py mode plan shape). Pinned
+    tie rule (the public docs leave ties unspecified): the SMALLEST
+    value among the most frequent wins, which also covers the
+    all-unique case deterministically. Composes with GROUP BY time()
+    and tags."""
+    it = st.items[0]
+    g = st.group
+    src = src.filter(F.col("_value").isNotNull())
+    if g.every_s is not None:
+        gcol, _ = _window_grouping(g.every_s, None, g.offset_s)
+        keyed = src.select(gcol, *dims, "_value").select(
+            F.col("w.start").alias("time"), *dims, "_value"
+        )
+    else:
+        keyed = src.select(
+            F.lit("1970-01-01 00:00:00").cast("timestamp").alias("time"),
+            *dims,
+            "_value",
+        )
+    counts = keyed.groupBy("time", *dims, "_value").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    out = counts.groupBy("time", *dims).agg(
+        F.max_by(
+            "_value", F.struct(F.col("__c"), -F.col("_value"))
+        ).alias(it.out_name)
+    )
+    return _series_limits(out, dims, st, "time")
+
+
+def _compile_integral(
+    src: DataFrame, st: _Stmt, dims: list[str]
+) -> DataFrame:
+    """``integral(f, unit)``: trapezoidal area under the series, in
+    value·unit — EXACTLY the flux.py integral expression (exact-decimal
+    segment areas summed map-side-combinably, one double division at
+    the end), so the two languages hash identically. Bare form only
+    (one row per series, the epoch timestamp); per-bucket integrals
+    don't ship — a trapezoid crossing a bucket boundary has no
+    uninterpolated attribution, the same reason flux.py windows don't
+    compose with it."""
+    it = st.items[0]
+    if st.group.every_s is not None:
+        raise InfluxQLError(
+            "integral() with GROUP BY time() is outside the subset "
+            "(boundary trapezoids have no uninterpolated attribution) "
+            "— integrate per query range"
+        )
+    unit_s = it.unit_s or 1
+    src = src.filter(F.col("_value").isNotNull())
+    # the series partition always includes _field (the frame is
+    # single-field by construction, but partitioning on it keeps the
+    # lag window distributed instead of a keyless global sort)
+    w = Window.partitionBy("_field", *[F.col(d) for d in dims]).orderBy(
+        "_time", "_value"
+    )
+    y = _dec("_value")
+    seg = (y + F.lag(y).over(w)) * (
+        F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w)
+    ).cast("decimal(18,0)")
+    out = (
+        src.select("_field", *dims, seg.alias("__seg"))
+        .groupBy("_field", *dims)
+        .agg(F.sum("__seg").alias("__a"))
+        .select(
+            F.lit("1970-01-01 00:00:00").cast("timestamp").alias("time"),
+            *dims,
+            (
+                F.col("__a").cast("double")
+                / F.lit(2.0 * unit_s * 1_000_000.0)
+            ).alias(it.out_name),
+        )
+    )
+    return _series_limits(out, dims, st, "time")
+
+
+def _compile_elapsed(
+    src: DataFrame, st: _Stmt, dims: list[str]
+) -> DataFrame:
+    """``elapsed(f, unit)``: the gap between subsequent points of the
+    field, as an INTEGER count of ``unit`` (truncated — upstream), one
+    row per point after the first, stamped with the LATER point's
+    time. A raw transform: per-series lag over (time, value) order —
+    the deterministic tie rule the flux.py elapsed oracle pins."""
+    it = st.items[0]
+    if st.group.every_s is not None:
+        raise InfluxQLError(
+            "elapsed() is a raw transform — GROUP BY time() does not "
+            "compose (bucket an aggregate instead)"
+        )
+    unit_us = (it.unit_s or 1) * 1_000_000
+    src = src.filter(F.col("_value").isNotNull())
+    w = Window.partitionBy("_field", *[F.col(d) for d in dims]).orderBy(
+        "_time", "_value"
+    )
+    gap = (
+        (F.unix_micros("_time") - F.lag(F.unix_micros("_time")).over(w))
+        / F.lit(unit_us)
+    ).cast("long")
+    out = (
+        src.select(F.col("_time").alias("time"), *dims, gap.alias(it.out_name))
+        .filter(F.col(it.out_name).isNotNull())
+    )
+    return _series_limits(out, dims, st, "time", tiebreak=[it.out_name])
 
 
 def _compile_transform(
