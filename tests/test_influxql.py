@@ -782,3 +782,63 @@ def test_mode_per_host_bare(spark, store):
     ).collect()
     assert {r["host"] for r in rows} == {"h0", "h1", "h2", "h3"}
     assert all(r["time"] == dt.datetime(1970, 1, 1) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# aggregate arithmetic + tz (round 15b fifth batch)
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_arithmetic_parity(spark, store):
+    """The Grafana unit-conversion tail: mean("f") * 8 / 1000 AS kbits
+    — scalar ops applied left-to-right to the aggregate output, the
+    identical double-op order in DuckDB."""
+    df = compile_influxql(
+        spark,
+        'SELECT mean("click") * 8 / 1000 AS kbits, count("click") + 0.5 '
+        "AS nn FROM events WHERE " + RANGE + " GROUP BY time(1d) fill(none)",
+        store,
+    )
+    _compare(
+        df,
+        _duck_events(SF_SMOKE),
+        """
+        SELECT make_timestamp((epoch_us(ts)//86400000000)*86400000000)
+                 AS "time",
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) * 8 / 1000 AS kbits,
+               CAST(COUNT(*) AS BIGINT) + 0.5 AS nn
+        FROM events WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+        """,
+    )
+
+
+def test_arithmetic_on_selector_raises(spark, store):
+    with pytest.raises(InfluxQLError, match="actual point"):
+        compile_influxql(
+            spark,
+            'SELECT top("click", 3) * 2 FROM events WHERE ' + RANGE,
+            store,
+        )
+
+
+def test_cross_item_arithmetic_raises(spark, store):
+    with pytest.raises(InfluxQLError, match="cross-item"):
+        compile_influxql(
+            spark,
+            'SELECT mean("click") / mean("error") FROM events',
+            store,
+        )
+
+
+def test_tz_raises_named(spark, store):
+    with pytest.raises(InfluxQLError, match="tz\\(\\) is outside"):
+        compile_influxql(
+            spark,
+            'SELECT mean("click") FROM events WHERE ' + RANGE
+            + " GROUP BY time(1h) fill(none) tz('America/Chicago')",
+            store,
+        )

@@ -65,15 +65,20 @@ _TOKEN_RE = re.compile(
       \s*(
         '(?:[^'\\]|\\.)*'            # single-quoted string literal
       | "(?:[^"\\]|\\.)*"            # double-quoted identifier
-      | /(?:[^/\\]|\\.)+/            # regex literal (after =~ / !~)
       | [0-9]+(?:\.[0-9]+)?[a-zA-Zµ]*  # number, possibly a duration (5m)
       | <> | != | <= | >= | =~ | !~  # two-char operators
       | [A-Za-z_][A-Za-z0-9_]*       # bare identifier / keyword
-      | [(),;*=<>+\-.]               # single-char tokens
+      | [(),;*=<>+\-./]              # single-char tokens
       )
     """,
     re.VERBOSE,
 )
+
+#: a /regex/ literal — lexed ONLY immediately after =~ / !~ (the one
+#: place InfluxQL allows it), so `/` elsewhere stays the division /
+#: path-separator single-char token (mean("v") / 2 must not swallow
+#: the rest of the statement as a regex body)
+_REGEX_LIT_RE = re.compile(r"\s*(/(?:[^/\\]|\\.)+/)")
 
 #: InfluxQL duration units → seconds (the sub-second units ns/u/ms are
 #: outside the subset: the store's micro-resolution windows below 1s
@@ -87,6 +92,12 @@ def _tokenize(text: str) -> list[str]:
     pos = 0
     text = text.strip().rstrip(";")
     while pos < len(text):
+        if toks and toks[-1] in ("=~", "!~"):
+            m = _REGEX_LIT_RE.match(text, pos)
+            if m:
+                toks.append(m.group(1))
+                pos = m.end()
+                continue
         m = _TOKEN_RE.match(text, pos)
         if not m:
             raise InfluxQLError(
@@ -182,13 +193,19 @@ class _Item:
                  alias: str | None, arg: float | None = None,
                  inner: "_Item | None" = None, unit_s: int | None = None):
         self.kind = kind      # raw | agg | percentile | count_distinct
-        #                     # | top | bottom | transform
+        #                     # | top | bottom | transform | mode
+        #                     # | integral | elapsed
         self.fn = fn
         self.field = field
         self.alias = alias
         self.arg = arg        # percentile p / top-bottom N / moving_average N
         self.inner = inner    # transform's inner aggregate item
         self.unit_s = unit_s  # derivative unit in seconds
+        #: post-aggregation scalar arithmetic — the Grafana unit
+        #: conversion tail (mean("v") * 8, / 1000, + offset): a list of
+        #: (op, number) applied left-to-right to the aggregate output
+        #: (identical double-op order in the oracle → deterministic)
+        self.post_ops: list[tuple[str, float]] = []
 
     @property
     def out_name(self) -> str:
@@ -312,6 +329,28 @@ def _parse_select_item(cur: _Cursor) -> _Item:
 
 
 def _maybe_alias(cur: _Cursor, item: _Item) -> _Item:
+    # scalar arithmetic tail BEFORE the alias: mean("v") * 8 AS mbits.
+    # Ships on plain aggregates only — the output of rank/point
+    # selectors is a picked member value, and scaling it silently
+    # would blur "actual point" semantics (raise names the boundary).
+    while cur.peek() in ("*", "/", "+", "-"):
+        op = cur.next()
+        num_tok = cur.next()
+        try:
+            num = float(num_tok)
+        except ValueError:
+            raise InfluxQLError(
+                f"aggregate arithmetic ships <agg> {op} <number> "
+                f"chains only; got {num_tok!r} (cross-item arithmetic "
+                "like mean(a)/mean(b) is outside the subset)"
+            ) from None
+        if item.kind not in ("agg", "count_distinct"):
+            raise InfluxQLError(
+                f"arithmetic on a {item.kind} item is outside the "
+                "subset (plain aggregates only — a scaled selector "
+                "would no longer be an actual point value)"
+            )
+        item.post_ops.append((op, num))
     if cur.accept_kw("AS"):
         item.alias = _ident(cur.next())
     return item
@@ -661,6 +700,12 @@ def _parse_select(
         st.slimit = int(cur.next())
     if cur.accept_kw("SOFFSET"):
         st.soffset = int(cur.next())
+    if cur.peek_kw() == "TZ":
+        raise InfluxQLError(
+            "tz() is outside the subset — the store and every window "
+            "boundary are UTC (the engine's replayability rule); shift "
+            "display timezones in the client"
+        )
     if not nested and not cur.done():
         raise InfluxQLError(
             f"trailing tokens after statement: {cur.toks[cur.i:][:6]}"
@@ -1069,13 +1114,21 @@ def _compile_select(
     for it in st.items:
         guard = F.col("_field") == it.field
         if it.kind == "count_distinct":
-            exprs.append(
-                F.count_distinct(
-                    F.when(guard, F.col("_value"))
-                ).cast("long").alias(it.out_name)
-            )
+            e: Column = F.count_distinct(
+                F.when(guard, F.col("_value"))
+            ).cast("long")
         else:
-            exprs.append(_agg_expr(it.fn, guard, scale).alias(it.out_name))
+            e = _agg_expr(it.fn, guard, scale)
+        for op, num in it.post_ops:
+            if op == "*":
+                e = e * F.lit(num)
+            elif op == "/":
+                e = e / F.lit(num)
+            elif op == "+":
+                e = e + F.lit(num)
+            else:
+                e = e - F.lit(num)
+        exprs.append(e.alias(it.out_name))
     src = src.filter(F.col("_value").isNotNull())
 
     if g.every_s is None:
@@ -1359,6 +1412,12 @@ def _compile_transform(
             f"{it.fn}() composes with fill(none) only (a fill value "
             "would leak into the transform arithmetic); got "
             f"fill({g.fill})"
+        )
+    if inner.post_ops:
+        raise InfluxQLError(
+            f"arithmetic inside {it.fn}() is outside the subset — "
+            "scale the transform's input field upstream or its output "
+            "in the client"
         )
     src = src.filter(F.col("_value").isNotNull())
     gcol, _ = _window_grouping(g.every_s, None, g.offset_s)
