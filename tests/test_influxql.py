@@ -842,3 +842,94 @@ def test_tz_raises_named(spark, store):
             + " GROUP BY time(1h) fill(none) tz('America/Chicago')",
             store,
         )
+
+
+# ---------------------------------------------------------------------------
+# INTO (round 15b sixth batch): the continuous-query body
+# ---------------------------------------------------------------------------
+
+
+def test_into_roundtrip_idempotent(spark, store, tmp_path):
+    """SELECT ... INTO writes the multi-field rollup through the
+    idempotent bucket writer; the rollup reads back through InfluxQL
+    itself, and a rerun rewrites the same partitions (count stable)."""
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+
+    tgt = str(tmp_path / "rollup_store")
+    q = (
+        'SELECT mean("click") AS click_mean, max("click") AS click_max '
+        "INTO rollup_2h FROM events WHERE " + RANGE
+        + ' GROUP BY time(2h), "host" fill(none)'
+    )
+    written = compile_influxql(spark, q, store, into_path=tgt)
+    n = written.count()
+    assert n > 0
+    assert written.columns == [
+        "_time", "_measurement", "_field", "_value", "host", "tags",
+    ]
+    back = bkt.read_bucket(spark, tgt)
+    assert back.count() == n
+    assert {
+        r["_field"] for r in back.select("_field").distinct().collect()
+    } == {"click_mean", "click_max"}
+    compile_influxql(spark, q, store, into_path=tgt)  # rerun
+    assert bkt.read_bucket(spark, tgt).count() == n
+    sel = compile_influxql(
+        spark,
+        'SELECT "click_mean" FROM rollup_2h WHERE '
+        "time >= '2024-01-08T00:00:00Z' ORDER BY time DESC LIMIT 3",
+        tgt,
+    ).collect()
+    assert len(sel) == 3
+
+
+@pytest.mark.parametrize(
+    "stmt,kwargs,needle",
+    [
+        (
+            'SELECT mean("click") INTO r FROM events WHERE '
+            + RANGE + " GROUP BY time(1h) fill(none)",
+            {},
+            "into_path",
+        ),
+        (
+            'SELECT mean("click") INTO r FROM events WHERE '
+            + RANGE,
+            {"into_path": "/tmp/x"},
+            "GROUP BY time",
+        ),
+        (
+            'SELECT mean("click") INTO r FROM events WHERE '
+            + RANGE + " GROUP BY time(1h)",
+            {"into_path": "/tmp/x"},
+            "fill\\(none\\)",
+        ),
+        (
+            'SELECT mean("click") INTO r FROM events WHERE '
+            + RANGE + " GROUP BY time(1h) fill(none) LIMIT 5",
+            {"into_path": "/tmp/x"},
+            "idempotent",
+        ),
+        (
+            'SELECT percentile("click", 95) INTO r FROM events WHERE '
+            + RANGE + " GROUP BY time(1h) fill(none)",
+            {"into_path": "/tmp/x"},
+            "plain aggregates",
+        ),
+    ],
+    ids=["no-path", "no-window", "fill", "limit", "selector"],
+)
+def test_into_shape_rules(spark, store, stmt, kwargs, needle):
+    with pytest.raises(InfluxQLError, match=needle):
+        compile_influxql(spark, stmt, store, **kwargs)
+
+
+def test_into_self_write_refused(spark, store):
+    with pytest.raises(InfluxQLError, match="itself"):
+        compile_influxql(
+            spark,
+            'SELECT mean("click") INTO r FROM events WHERE ' + RANGE
+            + " GROUP BY time(1h) fill(none)",
+            store,
+            into_path=store,
+        )

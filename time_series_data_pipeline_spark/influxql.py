@@ -631,6 +631,7 @@ class _Stmt:
     def __init__(self) -> None:
         self.items: list[_Item] = []
         self.measurement: str = ""
+        self.into: str | None = None  # INTO target measurement (CQ body)
         self.sub: "_Stmt | None" = None  # FROM (SELECT ...) subquery
         self.where = _Where()
         self.group = _GroupBy()
@@ -649,6 +650,14 @@ def _parse_select(
         st.items.append(_parse_select_item(cur))
         if not cur.accept_kw(","):
             break
+    if cur.accept_kw("INTO"):
+        itok = cur.next()
+        if _is_string(itok) or cur.peek() == ".":
+            raise InfluxQLError(
+                "INTO takes a bare target measurement (the target "
+                "bucket is the compile call's into_path argument)"
+            )
+        st.into = _ident(itok)
     cur.expect("FROM")
     if cur.peek() == "(":
         # FROM (SELECT ...) — the downsample-then-aggregate idiom;
@@ -797,6 +806,7 @@ def compile_influxql(
     statement: str,
     bucket_path: str,
     now: str | None = None,
+    into_path: str | None = None,
 ) -> DataFrame:
     """Compile one InfluxQL statement against a bucket store at
     ``bucket_path`` (the ``sources.bucket`` layout) and return the
@@ -826,7 +836,93 @@ def compile_influxql(
     cur = _Cursor(toks)
     cur.next()
     st = _parse_select(cur, now)
+    if st.into is not None:
+        return _compile_into(spark, st, bucket_path, into_path)
     return _compile_select(spark, st, bucket_path)
+
+
+def _compile_into(
+    spark: SparkSession, st: _Stmt, bucket_path: str, into_path: str | None
+) -> DataFrame:
+    """``SELECT <aggs> INTO <measurement> FROM ...`` — the continuous-
+    query body, InfluxQL's downsampling loop (the Flux ``to(bucket:)``
+    twin, sharing its write discipline): the aggregated result melts
+    back into the long bucket schema — one (``_field``, ``_value``)
+    row per select item (a MULTI-field rollup in one statement, which
+    the Flux form needs one pipeline per field for), GROUP BY tags
+    promoted + mirrored into the ``tags`` map, window starts as
+    ``_time`` — and lands through the idempotent dynamic-partition-
+    overwrite ``write_bucket`` path, so re-running the CQ rewrites
+    exactly the partitions it produces. Returns the written rows
+    (upstream INTO reports what it wrote).
+
+    Shape rules (each raise names itself): GROUP BY time() required
+    (a CQ without buckets is a copy job), fill(none) only (null gap
+    rows are not points), plain aggregates only, no LIMIT/SLIMIT (a
+    truncated rollup is not idempotent), and the target store must
+    differ from the source (the scan would race its own overwrite)."""
+    if into_path is None:
+        raise InfluxQLError(
+            "INTO needs into_path= (the target bucket store) on the "
+            "compile call"
+        )
+    import os as _os
+
+    if _os.path.abspath(into_path) == _os.path.abspath(bucket_path):
+        raise InfluxQLError(
+            "INTO: writing a bucket into itself is outside the subset "
+            "(the scan would race its own partition overwrite)"
+        )
+    if st.group.every_s is None:
+        raise InfluxQLError(
+            "INTO needs GROUP BY time() (the continuous-query shape; "
+            "a raw copy is the ingest pipeline's job)"
+        )
+    if st.group.fill != "none":
+        raise InfluxQLError(
+            "INTO composes with fill(none) only — null gap rows are "
+            f"not points to write; got fill({st.group.fill})"
+        )
+    if st.limit is not None or st.slimit is not None:
+        raise InfluxQLError(
+            "INTO with LIMIT/SLIMIT is outside the subset (a truncated "
+            "rollup is not idempotent)"
+        )
+    bad = [it.kind for it in st.items if it.kind not in ("agg", "count_distinct")]
+    if bad:
+        raise InfluxQLError(
+            f"INTO ships plain aggregates only (got {sorted(set(bad))})"
+        )
+    target = st.into
+    st.into = None
+    out = _compile_select(spark, st, bucket_path)
+    names = [it.out_name for it in st.items]
+    dims = [c for c in out.columns if c not in ("time", *names)]
+    tags_map = (
+        F.create_map(*[x for d in dims for x in (F.lit(d), F.col(d))])
+        if dims
+        else F.create_map().cast("map<string,string>")
+    )
+    stack_args = ", ".join(f"'{n}', CAST(`{n}` AS DOUBLE)" for n in names)
+    long_df = out.selectExpr(
+        "time AS _time",
+        *[f"`{d}`" for d in dims],
+        f"stack({len(names)}, {stack_args}) AS (_field, _value)",
+    ).select(
+        "_time",
+        F.lit(target).alias("_measurement"),
+        "_field",
+        "_value",
+        *dims,
+        tags_map.alias("tags"),
+    )
+    # materialize once: the write is an action and the returned
+    # pass-through frame gets consumed by the caller (the flux.py
+    # _write_to_bucket rule — without the checkpoint the pipeline
+    # would execute twice and could diverge between runs)
+    long_df = long_df.localCheckpoint(eager=True)
+    bkt.write_bucket(long_df, into_path, mode="overwrite")
+    return long_df
 
 
 def _scan(
