@@ -933,3 +933,83 @@ def test_into_self_write_refused(spark, store):
             store,
             into_path=store,
         )
+
+
+# ---------------------------------------------------------------------------
+# CREATE CONTINUOUS QUERY (round 15b seventh batch): the CQ scheduler
+# ---------------------------------------------------------------------------
+
+
+def test_continuous_query_tick_writes_rollup(spark, store, tmp_path):
+    """One availableNow tick of the CQ scheduler executes the BEGIN
+    body and lands the rollup through the idempotent writer — the
+    written store matches the one-shot INTO compile bit-for-bit, and a
+    second tick (fresh checkpoint) leaves the store unchanged."""
+    from time_series_data_pipeline_spark.influxql import start_influxql_cq
+    from time_series_data_pipeline_spark.sources import bucket as bkt
+
+    tgt = str(tmp_path / "cq_store")
+    ref = str(tmp_path / "ref_store")
+    body = (
+        'SELECT mean("click") AS m INTO cq_1h FROM events WHERE '
+        + RANGE + " GROUP BY time(1h) fill(none)"
+    )
+    cq = (
+        'CREATE CONTINUOUS QUERY "cq_test" ON "db" RESAMPLE EVERY 30m '
+        "BEGIN " + body + " END"
+    )
+    q = start_influxql_cq(
+        spark, cq, store, tgt, str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    compile_influxql(spark, body, store, into_path=ref)
+    got = {
+        (r["_time"], r["_field"], r["_value"])
+        for r in bkt.read_bucket(spark, tgt).collect()
+    }
+    want = {
+        (r["_time"], r["_field"], r["_value"])
+        for r in bkt.read_bucket(spark, ref).collect()
+    }
+    assert got == want and got
+    q2 = start_influxql_cq(
+        spark, body, store, tgt, str(tmp_path / "ckpt2"),
+    )  # bare body, second tick: idempotent rewrite
+    q2.awaitTermination(120)
+    assert {
+        (r["_time"], r["_field"], r["_value"])
+        for r in bkt.read_bucket(spark, tgt).collect()
+    } == want
+
+
+def test_continuous_query_rejections(spark, store, tmp_path):
+    from time_series_data_pipeline_spark.influxql import start_influxql_cq
+
+    with pytest.raises(InfluxQLError, match="RESAMPLE FOR"):
+        start_influxql_cq(
+            spark,
+            'CREATE CONTINUOUS QUERY c ON d RESAMPLE FOR 2h BEGIN '
+            'SELECT mean("click") INTO r FROM events WHERE ' + RANGE
+            + " GROUP BY time(1h) fill(none) END",
+            store, str(tmp_path / "t"), str(tmp_path / "c"),
+        )
+    with pytest.raises(InfluxQLError, match="needs INTO"):
+        start_influxql_cq(
+            spark,
+            'SELECT mean("click") FROM events WHERE ' + RANGE
+            + " GROUP BY time(1h) fill(none)",
+            store, str(tmp_path / "t"), str(tmp_path / "c"),
+        )
+    with pytest.raises(InfluxQLError, match="malformed CREATE"):
+        start_influxql_cq(
+            spark, "CREATE CONTINUOUS QUERY oops", store,
+            str(tmp_path / "t"), str(tmp_path / "c"),
+        )
+    with pytest.raises(InfluxQLError, match="now"):
+        # now()-relative body with no anchor: fails at START, not tick 1
+        start_influxql_cq(
+            spark,
+            'SELECT mean("click") INTO r FROM events WHERE '
+            "time >= now() - 2h GROUP BY time(1h) fill(none)",
+            store, str(tmp_path / "t"), str(tmp_path / "c"),
+        )

@@ -841,26 +841,12 @@ def compile_influxql(
     return _compile_select(spark, st, bucket_path)
 
 
-def _compile_into(
-    spark: SparkSession, st: _Stmt, bucket_path: str, into_path: str | None
-) -> DataFrame:
-    """``SELECT <aggs> INTO <measurement> FROM ...`` — the continuous-
-    query body, InfluxQL's downsampling loop (the Flux ``to(bucket:)``
-    twin, sharing its write discipline): the aggregated result melts
-    back into the long bucket schema — one (``_field``, ``_value``)
-    row per select item (a MULTI-field rollup in one statement, which
-    the Flux form needs one pipeline per field for), GROUP BY tags
-    promoted + mirrored into the ``tags`` map, window starts as
-    ``_time`` — and lands through the idempotent dynamic-partition-
-    overwrite ``write_bucket`` path, so re-running the CQ rewrites
-    exactly the partitions it produces. Returns the written rows
-    (upstream INTO reports what it wrote).
-
-    Shape rules (each raise names itself): GROUP BY time() required
-    (a CQ without buckets is a copy job), fill(none) only (null gap
-    rows are not points), plain aggregates only, no LIMIT/SLIMIT (a
-    truncated rollup is not idempotent), and the target store must
-    differ from the source (the scan would race its own overwrite)."""
+def _check_into_shape(
+    st: _Stmt, bucket_path: str, into_path: str | None
+) -> None:
+    """The INTO shape rules, shared by the one-shot compile and the
+    CQ scheduler's fail-fast validation (which must check WITHOUT
+    executing the write)."""
     if into_path is None:
         raise InfluxQLError(
             "INTO needs into_path= (the target bucket store) on the "
@@ -893,6 +879,29 @@ def _compile_into(
         raise InfluxQLError(
             f"INTO ships plain aggregates only (got {sorted(set(bad))})"
         )
+
+
+def _compile_into(
+    spark: SparkSession, st: _Stmt, bucket_path: str, into_path: str | None
+) -> DataFrame:
+    """``SELECT <aggs> INTO <measurement> FROM ...`` — the continuous-
+    query body, InfluxQL's downsampling loop (the Flux ``to(bucket:)``
+    twin, sharing its write discipline): the aggregated result melts
+    back into the long bucket schema — one (``_field``, ``_value``)
+    row per select item (a MULTI-field rollup in one statement, which
+    the Flux form needs one pipeline per field for), GROUP BY tags
+    promoted + mirrored into the ``tags`` map, window starts as
+    ``_time`` — and lands through the idempotent dynamic-partition-
+    overwrite ``write_bucket`` path, so re-running the CQ rewrites
+    exactly the partitions it produces. Returns the written rows
+    (upstream INTO reports what it wrote).
+
+    Shape rules (each raise names itself): GROUP BY time() required
+    (a CQ without buckets is a copy job), fill(none) only (null gap
+    rows are not points), plain aggregates only, no LIMIT/SLIMIT (a
+    truncated rollup is not idempotent), and the target store must
+    differ from the source (the scan would race its own overwrite)."""
+    _check_into_shape(st, bucket_path, into_path)
     target = st.into
     st.into = None
     out = _compile_select(spark, st, bucket_path)
@@ -1757,3 +1766,116 @@ def _compile_show(
         .distinct()
         .select(F.lit(key).alias("key"), "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# CREATE CONTINUOUS QUERY — the CQ scheduler face
+# ---------------------------------------------------------------------------
+
+_CQ_RE = re.compile(
+    r"""^\s*CREATE\s+CONTINUOUS\s+QUERY\s+
+        (?P<name>"[^"]+"|\w+)\s+ON\s+(?P<db>"[^"]+"|\w+)\s+
+        (?:RESAMPLE\s+(?:EVERY\s+(?P<every>\S+)\s*)?
+           (?:FOR\s+(?P<for>\S+)\s*)?)?
+        BEGIN\s+(?P<body>.*?)\s+END\s*;?\s*$""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE,
+)
+
+
+def start_influxql_cq(
+    spark: SparkSession,
+    statement: str,
+    bucket_path: str,
+    into_path: str,
+    checkpoint: str,
+    now: str | None = None,
+    now_fn=None,
+    tick_seconds: int = 60,
+    available_now: bool = True,
+):
+    """``CREATE CONTINUOUS QUERY <name> ON <db> [RESAMPLE EVERY <i>]
+    BEGIN SELECT ... INTO ... GROUP BY time(...) END`` — InfluxDB's
+    downsampling scheduler, run exactly like ``flux.start_flux_task``:
+    one long-lived Structured Streaming ticker whose every tick
+    re-parses and re-executes the inner SELECT-INTO body through the
+    idempotent dynamic-partition-overwrite writer, so a replayed or
+    crashed tick rewrites exactly the same partitions (exactly-once in
+    effect, no sink-side dedup state). A bare ``SELECT ... INTO``
+    statement is accepted too (the task body without the DDL wrapper).
+
+    ``RESAMPLE EVERY <interval>`` sets the tick cadence (overriding
+    ``tick_seconds``); ``RESAMPLE FOR`` raises — the recompute window
+    is the inner statement's own WHERE range, which is where upstream
+    CQs express it too (write ``time >= now() - 2h`` and pass
+    ``now_fn`` for the per-tick anchor; the replayability rule: with
+    neither ``now`` nor ``now_fn``, a now()-relative body raises at
+    start, never silently at tick 1). ``available_now=True`` runs one
+    tick and stops (the test/backfill trigger).
+
+    Scale: each tick is one compiled pipeline over the pruned scan —
+    bound the WHERE range so a tick touches only recent partitions
+    (the maintenance-floor discipline), and size the cadence to the
+    dashboard's freshness SLA."""
+    m = _CQ_RE.match(statement)
+    if m:
+        body = m.group("body")
+        if m.group("for"):
+            raise InfluxQLError(
+                "RESAMPLE FOR is outside the subset — the recompute "
+                "window is the inner statement's WHERE range (write "
+                "time >= now() - <for> and pass now_fn)"
+            )
+        if m.group("every"):
+            ev = m.group("every")
+            dm = _IQL_DUR_RE.match(ev)
+            if not dm or dm.group(2) not in _DUR_UNIT_S:
+                raise InfluxQLError(
+                    f"RESAMPLE EVERY: bad duration {ev!r} (units s/m/h/d/w)"
+                )
+            tick_seconds = int(dm.group(1)) * _DUR_UNIT_S[dm.group(2)]
+    elif re.match(r"^\s*CREATE\b", statement, re.IGNORECASE):
+        raise InfluxQLError(
+            "malformed CREATE CONTINUOUS QUERY — expected CREATE "
+            'CONTINUOUS QUERY <name> ON <db> [RESAMPLE EVERY <i>] '
+            "BEGIN <select-into> END"
+        )
+    else:
+        body = statement
+
+    def _parse_body(anchor: str | None) -> _Stmt:
+        toks = _tokenize(body)
+        cur = _Cursor(toks)
+        cur.expect("SELECT")
+        return _parse_select(cur, anchor)
+
+    # fail fast at start (the start_flux_task rule): the body must
+    # parse with the per-tick anchor source and pass the INTO shape
+    # checks — a malformed script errors HERE, not as an async
+    # StreamingQueryException at tick 1
+    st0 = _parse_body(now_fn() if now_fn is not None else now)
+    if st0.into is None:
+        raise InfluxQLError(
+            "the continuous-query body needs INTO — for a read-only "
+            "live panel use the Flux streaming path "
+            "(compile_flux_stream)"
+        )
+    _check_into_shape(st0, bucket_path, into_path)
+
+    def _tick(batch_df: DataFrame, epoch_id: int) -> None:
+        anchor = now_fn() if now_fn is not None else now
+        st = _parse_body(anchor)
+        _compile_into(spark, st, bucket_path, into_path)
+
+    ticker = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    writer = (
+        ticker.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{tick_seconds} seconds")
+    return writer.start()
