@@ -900,7 +900,7 @@ def test_into_roundtrip_idempotent(spark, store, tmp_path):
         ),
         (
             'SELECT mean("click") INTO r FROM events WHERE '
-            + RANGE + " GROUP BY time(1h)",
+            + RANGE + " GROUP BY time(1h) fill(0)",
             {"into_path": "/tmp/x"},
             "fill\\(none\\)",
         ),
@@ -1012,4 +1012,158 @@ def test_continuous_query_rejections(spark, store, tmp_path):
             'SELECT mean("click") INTO r FROM events WHERE '
             "time >= now() - 2h GROUP BY time(1h) fill(none)",
             store, str(tmp_path / "t"), str(tmp_path / "c"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# review-15b regression pins (the second-sweep findings, each fixed)
+# ---------------------------------------------------------------------------
+
+
+def test_same_tag_and_predicates_intersect(spark, store):
+    """AND-ed multi-selects on one tag INTERSECT (the union form
+    silently widened the filter); contradictory equalities yield the
+    EMPTY set, not last-wins."""
+    inter = compile_influxql(
+        spark,
+        "SELECT count(\"click\") FROM events WHERE "
+        "(\"host\" = 'h1' OR \"host\" = 'h2') AND \"host\" =~ /^(h2|h3)$/ "
+        "AND " + RANGE,
+        store,
+    ).collect()[0]["count"]
+    only_h2 = compile_influxql(
+        spark,
+        "SELECT count(\"click\") FROM events WHERE \"host\" = 'h2' AND "
+        + RANGE,
+        store,
+    ).collect()[0]["count"]
+    assert inter == only_h2 > 0
+    contradiction = compile_influxql(
+        spark,
+        "SELECT count(\"click\") FROM events WHERE \"host\" = 'h1' AND "
+        "\"host\" = 'h2' AND " + RANGE,
+        store,
+    ).collect()
+    assert contradiction[0]["count"] == 0
+
+
+def test_scaled_bare_selector_takes_aggregate_row(spark, store):
+    """max(f) * 2 without GROUP BY time: the arithmetic tail is
+    APPLIED (it was silently dropped) and the row takes the
+    epoch-stamped aggregate form — a scaled extremum is not a point."""
+    plain = compile_influxql(
+        spark, 'SELECT max("click") FROM events WHERE ' + RANGE, store
+    ).collect()[0]
+    scaled = compile_influxql(
+        spark, 'SELECT max("click") * 2 FROM events WHERE ' + RANGE, store
+    ).collect()[0]
+    assert scaled["max"] == plain["max"] * 2
+    assert scaled["time"] == dt.datetime(1970, 1, 1)
+
+
+def test_subquery_decimal_width_survives_large_sums(spark, store):
+    """Outer mean over inner sums ~1e8+: DECIMAL(38,10) must not
+    overflow-to-null the way decimal(18,10)'s 8 integer digits did."""
+    rows = compile_influxql(
+        spark,
+        'SELECT mean("s") FROM (SELECT sum("click") * 100000 AS s '
+        "FROM events WHERE " + RANGE + " GROUP BY time(1d) fill(none))",
+        store,
+    ).collect()
+    # wait: arithmetic inside the subquery scales sums to ~1e8-1e9
+    assert len(rows) == 1 and rows[0]["mean"] is not None
+    assert rows[0]["mean"] > 1e7
+
+
+def test_percentile_exact_rank_boundary(spark, store):
+    """percentile(f, 10) over exactly 30 values must pick rank 3
+    (ceil(10·30/100) = 3), not 4 — the double-order regression."""
+    import duckdb  # noqa: F401  (parity harness already imported)
+
+    rows = compile_influxql(
+        spark,
+        'SELECT percentile("click", 10) FROM events WHERE ' + RANGE,
+        store,
+    ).collect()
+    con = _duck_events(SF_SMOKE)
+    n, want = con.sql(
+        """
+        WITH pts AS (
+          SELECT value, ROW_NUMBER() OVER (ORDER BY value, ts) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM events WHERE event_type='click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00')
+        SELECT max(n), max(CASE WHEN rn = GREATEST(1, CEIL(10*n/100.0))
+                          THEN value END) FROM pts
+        """
+    ).fetchone()
+    assert rows[0]["percentile"] == want
+
+
+def test_rank_aggregates_reject_fill(spark, store):
+    for fn in ('percentile("click", 95)', 'mode("click")'):
+        with pytest.raises(InfluxQLError, match="observed buckets"):
+            compile_influxql(
+                spark,
+                f"SELECT {fn} FROM events WHERE " + RANGE
+                + " GROUP BY time(1d) fill(0)",
+                store,
+            )
+
+
+def test_aware_time_literal_rejected(spark, store):
+    with pytest.raises(InfluxQLError, match="UTC offset"):
+        compile_influxql(
+            spark,
+            'SELECT count("click") FROM events WHERE '
+            "time >= '2024-01-08T00:00:00+02:00'",
+            store,
+        )
+
+
+def test_show_inclusive_upper_bound(spark, store):
+    """SHOW ... WHERE time <= t keeps values present only at exactly
+    t (the bound was passed as an exclusive scan stop)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    t = con.sql(
+        "SELECT max(ts) FROM events WHERE event_type='click'"
+    ).fetchone()[0]
+    lit = t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    le = compile_influxql(
+        spark,
+        f'SHOW TAG VALUES FROM events WITH KEY = "host" '
+        f"WHERE time >= '{lit}' AND time <= '{lit}'",
+        store,
+    ).count()
+    lt = compile_influxql(
+        spark,
+        f'SHOW TAG VALUES FROM events WITH KEY = "host" '
+        f"WHERE time >= '{lit}' AND time < '{lit}'",
+        store,
+    ).count()
+    assert le == 1 and lt == 0
+
+
+def test_hostile_identifier_rejected(spark, store):
+    with pytest.raises(InfluxQLError, match="identifier"):
+        compile_influxql(
+            spark,
+            'SELECT mean("click") AS "a`b" FROM events WHERE ' + RANGE
+            + " GROUP BY time(1d) fill(none)",
+            store,
+        )
+
+
+def test_numeric_clause_args_raise_named(spark, store):
+    with pytest.raises(InfluxQLError, match="LIMIT expects an integer"):
+        compile_influxql(
+            spark,
+            'SELECT "click" FROM events WHERE ' + RANGE + " LIMIT abc",
+            store,
         )

@@ -46,7 +46,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .flux import _duration_seconds, _window_grouping
+from .flux import _window_grouping
 from .operators.timeseries import _dec
 from .sources import bucket as bkt
 
@@ -85,6 +85,33 @@ _REGEX_LIT_RE = re.compile(r"\s*(/(?:[^/\\]|\\.)+/)")
 #: are not a dashboard shape; they raise naming the unit)
 _DUR_UNIT_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 _IQL_DUR_RE = re.compile(r"^(\d+)(ns|u|µ|ms|s|m|h|d|w)$")
+
+
+def _parse_duration_s(tok: str, where: str) -> int:
+    """ONE definition of the InfluxQL duration-literal rule for every
+    use site (GROUP BY time interval/offset, derivative/integral/
+    elapsed units, RESAMPLE EVERY, now() offsets) — a parse that
+    accepted different unit sets at different sites would be a grammar
+    fork."""
+    m = _IQL_DUR_RE.match(tok)
+    if not m:
+        raise InfluxQLError(f"{where}: bad duration {tok!r}")
+    if m.group(2) not in _DUR_UNIT_S:
+        raise InfluxQLError(
+            f"{where}: sub-second unit {m.group(2)!r} is outside the "
+            "subset (s/m/h/d/w)"
+        )
+    return int(m.group(1)) * _DUR_UNIT_S[m.group(2)]
+
+
+def _int_arg(cur: "_Cursor", what: str) -> int:
+    tok = cur.next()
+    try:
+        return int(tok)
+    except ValueError:
+        raise InfluxQLError(
+            f"{what} expects an integer, got {tok!r}"
+        ) from None
 
 
 def _tokenize(text: str) -> list[str]:
@@ -145,11 +172,25 @@ class _Cursor:
         return self.i >= len(self.toks)
 
 
+_IDENT_BAD = re.compile(r"[`'\"\\\x00-\x1f]")
+
+
 def _ident(tok: str) -> str:
-    """An identifier token: strip double quotes if present."""
-    if tok.startswith('"') and tok.endswith('"'):
-        return tok[1:-1]
-    return tok
+    """An identifier token: strip double quotes if present. Quoted
+    identifiers may carry spaces/dots/dashes, but backticks, quotes,
+    backslashes, and control characters raise — identifier names flow
+    into generated ``selectExpr``/``stack()`` SQL, and an unescapable
+    character there would surface as an opaque ParseException (or
+    worse, splice into the plan) instead of a named refusal (review
+    15b)."""
+    name = tok[1:-1] if tok.startswith('"') and tok.endswith('"') else tok
+    if _IDENT_BAD.search(name):
+        raise InfluxQLError(
+            f"identifier {name!r} is outside the subset (backticks, "
+            "quotes, backslashes, and control characters do not "
+            "compose with generated SQL)"
+        )
+    return name
 
 
 def _is_string(tok: str) -> bool:
@@ -249,19 +290,13 @@ def _parse_select_item(cur: _Cursor) -> _Item:
             if cur.accept_kw(","):
                 t = cur.next()
                 if low == "moving_average":
-                    arg = float(t)
-                    if arg != int(arg) or int(arg) < 2:
+                    if not t.isdigit() or int(t) < 2:
                         raise InfluxQLError(
                             f"moving_average N must be an integer >= 2: {t!r}"
                         )
+                    arg = float(t)
                 elif low == "derivative":
-                    m = _IQL_DUR_RE.match(t)
-                    if not m or m.group(2) not in _DUR_UNIT_S:
-                        raise InfluxQLError(
-                            f"derivative unit: bad duration {t!r} "
-                            "(units s/m/h/d/w in the subset)"
-                        )
-                    unit_s = int(m.group(1)) * _DUR_UNIT_S[m.group(2)]
+                    unit_s = _parse_duration_s(t, "derivative unit")
                 else:
                     raise InfluxQLError(
                         f"{low}() takes no second argument: {t!r}"
@@ -287,7 +322,13 @@ def _parse_select_item(cur: _Cursor) -> _Item:
         if low == "percentile":
             fld = _ident(cur.next())
             cur.expect(",")
-            p = float(cur.next())
+            ptok = cur.next()
+            try:
+                p = float(ptok)
+            except ValueError:
+                raise InfluxQLError(
+                    f"percentile N expects a number, got {ptok!r}"
+                ) from None
             cur.expect(")")
             if not 0 < p <= 100:
                 raise InfluxQLError(f"percentile N must be in (0, 100]: {p}")
@@ -304,13 +345,7 @@ def _parse_select_item(cur: _Cursor) -> _Item:
             fld = _ident(cur.next())
             unit_s = 1
             if cur.accept_kw(","):
-                t = cur.next()
-                m = _IQL_DUR_RE.match(t)
-                if not m or m.group(2) not in _DUR_UNIT_S:
-                    raise InfluxQLError(
-                        f"{low} unit: bad duration {t!r} (units s/m/h/d/w)"
-                    )
-                unit_s = int(m.group(1)) * _DUR_UNIT_S[m.group(2)]
+                unit_s = _parse_duration_s(cur.next(), f"{low} unit")
             cur.expect(")")
             return _maybe_alias(
                 cur, _Item(low, low, fld, None, unit_s=unit_s)
@@ -360,9 +395,11 @@ class _Where:
     def __init__(self) -> None:
         self.time_lo: tuple[str, bool] | None = None  # (ts, inclusive)
         self.time_hi: tuple[str, bool] | None = None
-        self.tag_eq: dict[str, str] = {}
         self.tag_neq: list[tuple[str, str]] = []
-        self.tag_in: dict[str, list[str]] = {}      # OR group / =~ altern.
+        #: tag = / OR group / =~ alternation — ALL equality-shaped tag
+        #: predicates AND-merge here by set intersection (singletons
+        #: collapse to the equality pushdown tier at the scan)
+        self.tag_in: dict[str, list[str]] = {}
         self.tag_not_in: dict[str, list[str]] = {}  # !~ alternation
         self.field_preds: list[tuple[str, str, float]] = []
 
@@ -430,9 +467,19 @@ def _parse_time_literal(tok: str, cur: _Cursor, now: str | None) -> str:
     if _is_string(tok):
         s = _string(tok).replace("T", " ").replace("Z", "")
         try:
-            _dt.datetime.fromisoformat(s)
+            parsed = _dt.datetime.fromisoformat(s)
         except ValueError:
             raise InfluxQLError(f"bad time literal {tok!r}") from None
+        if parsed.tzinfo is not None:
+            # a numeric UTC offset would flow downstream as a naive
+            # string with the offset silently dropped (wrong scan
+            # bounds) or crash the spine arithmetic — raise instead
+            # (review 15b); Z is the one accepted decoration
+            raise InfluxQLError(
+                f"time literal {tok!r} carries a UTC offset — the "
+                "subset ships naive-UTC literals (trailing Z allowed); "
+                "convert the bound to UTC"
+            )
         return s
     if tok.lower() == "now":
         cur.expect("(")
@@ -446,14 +493,8 @@ def _parse_time_literal(tok: str, cur: _Cursor, now: str | None) -> str:
         base = base.replace(tzinfo=None)
         sign = cur.accept_kw("+", "-")
         if sign:
-            dtok = cur.next()
-            m = _IQL_DUR_RE.match(dtok)
-            if not m or m.group(2) not in _DUR_UNIT_S:
-                raise InfluxQLError(
-                    f"now() offset: bad duration {dtok!r} (units s/m/h/d/w)"
-                )
             delta = _dt.timedelta(
-                seconds=int(m.group(1)) * _DUR_UNIT_S[m.group(2)]
+                seconds=_parse_duration_s(cur.next(), "now() offset")
             )
             base = base + delta if sign == "+" else base - delta
         return base.strftime("%Y-%m-%d %H:%M:%S")
@@ -463,14 +504,24 @@ def _parse_time_literal(tok: str, cur: _Cursor, now: str | None) -> str:
     )
 
 
+def _merge_tag_in(w: "_Where", name: str, vals: list[str]) -> None:
+    """AND-merge a multi-select value set into the WHERE state: a
+    second set on the SAME tag INTERSECTS (review 15b — the set-union
+    form silently widened the filter). An empty intersection stays
+    recorded: the query legitimately matches nothing."""
+    if name in w.tag_in:
+        w.tag_in[name] = sorted(set(w.tag_in[name]) & set(vals))
+    else:
+        w.tag_in[name] = sorted(set(vals))
+
+
 def _parse_where(cur: _Cursor, now: str | None) -> _Where:
     w = _Where()
     while True:
         lhs = cur.next()
         if lhs == "(":
             name, vals = _parse_or_group(cur)
-            w.tag_in.setdefault(name, [])
-            w.tag_in[name] = sorted(set(w.tag_in[name]) | set(vals))
+            _merge_tag_in(w, name, vals)
             kw = cur.accept_kw("AND", "OR")
             if kw == "OR":
                 raise InfluxQLError(
@@ -492,9 +543,14 @@ def _parse_where(cur: _Cursor, now: str | None) -> _Where:
                     f"{op} expects a /regex/ literal, got {rx!r}"
                 )
             vals = _regex_values(rx[1:-1], f"{name} {op}")
-            dst = w.tag_in if op == "=~" else w.tag_not_in
-            dst.setdefault(name, [])
-            dst[name] = sorted(set(dst[name]) | set(vals))
+            if op == "=~":
+                _merge_tag_in(w, name, vals)
+            else:
+                # !~ negations on one tag compose by union: NOT in A
+                # AND NOT in B == NOT in (A ∪ B)
+                w.tag_not_in[name] = sorted(
+                    set(w.tag_not_in.get(name, [])) | set(vals)
+                )
             kw = cur.accept_kw("AND", "OR")
             if kw == "OR":
                 raise InfluxQLError(
@@ -524,9 +580,12 @@ def _parse_where(cur: _Cursor, now: str | None) -> _Where:
                 )
         elif _is_string(rhs):
             # tag predicate (single-quoted literal — the InfluxQL rule:
-            # tag values are always strings)
+            # tag values are always strings). Equality merges through
+            # the same intersection rule as the multi-select shapes, so
+            # "host"='a' AND "host"='b' compiles to the EMPTY set
+            # (review 15b — the dict write silently kept only 'b')
             if op == "=":
-                w.tag_eq[name] = _string(rhs)
+                _merge_tag_in(w, name, [_string(rhs)])
             elif op in ("<>", "!="):
                 w.tag_neq.append((name, _string(rhs)))
             else:
@@ -565,6 +624,7 @@ class _GroupBy:
         self.dims: list[str] = []
         self.star = False
         self.fill: str | float = "null"  # InfluxQL default
+        self.fill_set = False  # an explicit fill() clause appeared
 
 
 def _parse_group_by(cur: _Cursor) -> _GroupBy:
@@ -573,16 +633,7 @@ def _parse_group_by(cur: _Cursor) -> _GroupBy:
         tok = cur.next()
         if tok.lower() == "time":
             cur.expect("(")
-            d = cur.next()
-            m = _IQL_DUR_RE.match(d)
-            if not m:
-                raise InfluxQLError(f"GROUP BY time(): bad duration {d!r}")
-            if m.group(2) not in _DUR_UNIT_S:
-                raise InfluxQLError(
-                    f"GROUP BY time(): sub-second unit {m.group(2)!r} is "
-                    "outside the subset (s/m/h/d/w)"
-                )
-            g.every_s = int(m.group(1)) * _DUR_UNIT_S[m.group(2)]
+            g.every_s = _parse_duration_s(cur.next(), "GROUP BY time()")
             if g.every_s <= 0:
                 raise InfluxQLError("GROUP BY time() interval must be > 0")
             if cur.accept_kw(","):
@@ -590,12 +641,7 @@ def _parse_group_by(cur: _Cursor) -> _GroupBy:
                 neg = False
                 if o == "-":
                     neg, o = True, cur.next()
-                mo = _IQL_DUR_RE.match(o)
-                if not mo or mo.group(2) not in _DUR_UNIT_S:
-                    raise InfluxQLError(
-                        f"GROUP BY time() offset: bad duration {o!r}"
-                    )
-                g.offset_s = int(mo.group(1)) * _DUR_UNIT_S[mo.group(2)]
+                g.offset_s = _parse_duration_s(o, "GROUP BY time() offset")
                 if neg:
                     g.offset_s = -g.offset_s
                 g.offset_s %= g.every_s
@@ -608,6 +654,7 @@ def _parse_group_by(cur: _Cursor) -> _GroupBy:
             break
     if cur.peek() is not None and cur.peek().lower() == "fill":
         cur.next()
+        g.fill_set = True
         cur.expect("(")
         ftok = cur.next()
         fl = ftok.lower()
@@ -702,13 +749,13 @@ def _parse_select(
         d = cur.accept_kw("ASC", "DESC")
         st.order_desc = d == "DESC"
     if cur.accept_kw("LIMIT"):
-        st.limit = int(cur.next())
+        st.limit = _int_arg(cur, "LIMIT")
     if cur.accept_kw("OFFSET"):
-        st.offset = int(cur.next())
+        st.offset = _int_arg(cur, "OFFSET")
     if cur.accept_kw("SLIMIT"):
-        st.slimit = int(cur.next())
+        st.slimit = _int_arg(cur, "SLIMIT")
     if cur.accept_kw("SOFFSET"):
-        st.soffset = int(cur.next())
+        st.soffset = _int_arg(cur, "SOFFSET")
     if cur.peek_kw() == "TZ":
         raise InfluxQLError(
             "tz() is outside the subset — the store and every window "
@@ -742,13 +789,20 @@ def _agg_expr(fn: str, guard: Column, scale: int = 2) -> Column:
     subquery determinism rule (vs upstream's order-dependent double
     sum, which no engine pair replays bit-identically)."""
     v = F.when(guard, F.col("_value"))
+    # scale 2 → the store idiom decimal(18,2); scale 10 → the subquery
+    # rule's documented DECIMAL(38,10) — 28 integer digits, so inner
+    # sums up to 1e28 cannot overflow-to-null the way decimal(18,10)'s
+    # 8 integer digits would (review 15b: an overflowed numerator row
+    # dropped from the sum while count still counted it)
+    dec = (
+        _dec("_value", scale)
+        if scale == 2
+        else F.col("_value").cast("decimal(38,10)")
+    )
     if fn == "mean":
-        return (
-            F.sum(F.when(guard, _dec("_value", scale))).cast("double")
-            / F.count(v)
-        )
+        return F.sum(F.when(guard, dec)).cast("double") / F.count(v)
     if fn == "sum":
-        return F.sum(F.when(guard, _dec("_value", scale))).cast("double")
+        return F.sum(F.when(guard, dec)).cast("double")
     if fn == "count":
         return F.count(v).cast("long")
     if fn == "min":
@@ -864,7 +918,7 @@ def _check_into_shape(
             "INTO needs GROUP BY time() (the continuous-query shape; "
             "a raw copy is the ingest pipeline's job)"
         )
-    if st.group.fill != "none":
+    if st.group.fill_set and st.group.fill != "none":
         raise InfluxQLError(
             "INTO composes with fill(none) only — null gap rows are "
             f"not points to write; got fill({st.group.fill})"
@@ -902,6 +956,10 @@ def _compile_into(
     truncated rollup is not idempotent), and the target store must
     differ from the source (the scan would race its own overwrite)."""
     _check_into_shape(st, bucket_path, into_path)
+    # an unspecified fill normalizes to none for the write: upstream
+    # CQs write observed points only — a default-null spine row is
+    # not a point
+    st.group.fill = "none"
     target = st.into
     st.into = None
     out = _compile_select(spark, st, bucket_path)
@@ -934,6 +992,30 @@ def _compile_into(
     return long_df
 
 
+def _apply_field_preds(
+    out: DataFrame, w: _Where, fields: list[str]
+) -> DataFrame:
+    """Numeric field-range predicates — ONE definition for the scan
+    and subquery sources: allowed only when the query references
+    exactly that one field (a cross-field points predicate is a pivot
+    query — the Flux path)."""
+    for name, op, num in w.field_preds:
+        if len(fields) != 1 or name != fields[0]:
+            raise InfluxQLError(
+                f"field predicate on {name!r}: ships when the query "
+                "references exactly that one field (a cross-field "
+                "points predicate is a pivot query — the Flux path)"
+            )
+        col = F.col("_value")
+        out = out.filter(
+            col > num if op == ">" else
+            col >= num if op == ">=" else
+            col < num if op == "<" else
+            col <= num
+        )
+    return out
+
+
 def _scan(
     spark: SparkSession, st: _Stmt, bucket_path: str, fields: list[str]
 ) -> tuple[DataFrame, list[str]]:
@@ -956,13 +1038,19 @@ def _scan(
             stop = ts
     probe = bkt.read_bucket(spark, bucket_path)
     tag_cols = bkt.tag_columns(probe)
-    # single-value multi-selects collapse to plain equality — the
-    # strongest pushdown tier (scan_bucket tags=)
-    tag_eq = dict(w.tag_eq)
+    # single-value sets (plain equality, or a multi-select collapsed
+    # by the AND-intersection merge) ride the strongest pushdown tier
+    # (scan_bucket tags=); an EMPTY intersection ("host"='a' AND
+    # "host"='b') compiles to a constant-false filter — the correct
+    # empty result, never a silently widened one
+    tag_eq: dict[str, str] = {}
     tag_in = {}
+    empty_and = False
     for k, vals in w.tag_in.items():
-        if len(vals) == 1 and k not in tag_eq:
+        if len(vals) == 1:
             tag_eq[k] = vals[0]
+        elif not vals:
+            empty_and = True
         else:
             tag_in[k] = vals
     for k in set(tag_eq) | {k for k, _ in w.tag_neq} | set(tag_in) | set(
@@ -983,6 +1071,8 @@ def _scan(
         stop=stop,
         tags=tag_eq or None,
     )
+    if empty_and:
+        out = out.filter(F.lit(False))
     if len(fields) > 1:
         out = out.filter(F.col("_field").isin(fields))
     if w.time_lo and not w.time_lo[1]:
@@ -997,20 +1087,7 @@ def _scan(
         out = out.filter(F.col(k).isin(vals))
     for k, vals in w.tag_not_in.items():
         out = out.filter(~F.col(k).isin(vals))
-    for name, op, num in w.field_preds:
-        if len(fields) != 1 or name != fields[0]:
-            raise InfluxQLError(
-                f"field predicate on {name!r}: ships when the query "
-                "references exactly that one field (a cross-field "
-                "points predicate is a pivot query — the Flux path)"
-            )
-        col = F.col("_value")
-        out = out.filter(
-            col > num if op == ">" else
-            col >= num if op == ">=" else
-            col < num if op == "<" else
-            col <= num
-        )
+    out = _apply_field_preds(out, w, fields)
     return out, tag_cols
 
 
@@ -1046,10 +1123,7 @@ def _subquery_source(
     )
     w = st.where
     for k in (
-        set(w.tag_eq)
-        | {k for k, _ in w.tag_neq}
-        | set(w.tag_in)
-        | set(w.tag_not_in)
+        {k for k, _ in w.tag_neq} | set(w.tag_in) | set(w.tag_not_in)
     ):
         if k not in dims:
             raise InfluxQLError(
@@ -1066,27 +1140,15 @@ def _subquery_source(
         out = out.filter(
             F.col("_time") <= ts if incl else F.col("_time") < ts
         )
-    for k, val in w.tag_eq.items():
-        out = out.filter(F.col(k) == val)
     for k, val in w.tag_neq:
         out = out.filter(F.col(k) != val)
     for k, vals in w.tag_in.items():
-        out = out.filter(F.col(k).isin(vals))
+        out = out.filter(
+            F.col(k).isin(vals) if vals else F.lit(False)
+        )
     for k, vals in w.tag_not_in.items():
         out = out.filter(~F.col(k).isin(vals))
-    for name, op, num in w.field_preds:
-        if len(fields) != 1 or name != fields[0]:
-            raise InfluxQLError(
-                f"field predicate on {name!r}: ships when the query "
-                "references exactly that one field"
-            )
-        col = F.col("_value")
-        out = out.filter(
-            col > num if op == ">" else
-            col >= num if op == ">=" else
-            col < num if op == "<" else
-            col <= num
-        )
+    out = _apply_field_preds(out, w, fields)
     if len(fields) >= 1:
         out = out.filter(F.col("_field").isin(fields))
     return out, dims
@@ -1243,7 +1305,15 @@ def _compile_select(
             it for it in st.items
             if it.kind == "agg" and it.fn in ("first", "last", "min", "max")
         ]
-        if bare_selectors and len(st.items) == 1:
+        if (
+            bare_selectors
+            and len(st.items) == 1
+            and not st.items[0].post_ops
+        ):
+            # an arithmetic tail falls through to the aggregate path:
+            # a scaled extremum is no longer an actual point, so it
+            # takes the epoch-stamped aggregate row, never a silently
+            # unscaled point (review 15b)
             return _compile_bare_selector(src, st, dims)
         out = src.groupBy(*dims).agg(*exprs).select(
             F.lit("1970-01-01 00:00:00").cast("timestamp").alias("time"),
@@ -1341,10 +1411,19 @@ def _compile_percentile(
     interpolation): sorted ascending, index ``max(1, ceil(N/100 *
     count))`` (ties broken by time asc — pinned, oracle-mirrored).
     Composes with GROUP BY time() (bucket timestamps) or runs bare
-    (epoch timestamp, the un-windowed aggregate rule)."""
+    (epoch timestamp, the un-windowed aggregate rule). Rank aggregates
+    emit OBSERVED buckets only — an explicit fill() raises (review
+    15b: it was previously ignored silently), and the default-null
+    spine does not apply (a rank over an empty bucket has no member
+    to return)."""
     it = st.items[0]
     p = it.arg  # type: ignore[assignment]
     g = st.group
+    if g.fill_set:
+        raise InfluxQLError(
+            "percentile() emits observed buckets only — fill() does "
+            "not compose (a rank over an empty bucket has no member)"
+        )
     src = src.filter(F.col("_value").isNotNull())
     if g.every_s is not None:
         gcol, _ = _window_grouping(g.every_s, None, g.offset_s)
@@ -1366,8 +1445,14 @@ def _compile_percentile(
         keyed.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(cw))
         .filter(
+            # ceil(p·n / 100), p·n first: 10·30/100 = 3.0 exactly,
+            # where (10/100)·30 = 3.0000000000000004 in doubles and
+            # ceil'd to 4 — off-by-one on every exactly-divisible
+            # (p, n) pair (review 15b); the oracle pins the same order
             F.col("__rn")
-            == F.greatest(F.lit(1), F.ceil(F.lit(p) / 100.0 * F.col("__n")))
+            == F.greatest(
+                F.lit(1), F.ceil(F.lit(p) * F.col("__n") / 100.0)
+            )
         )
         .select("time", *dims, F.col("_value").alias(it.out_name))
     )
@@ -1383,9 +1468,15 @@ def _compile_mode(
     tie rule (the public docs leave ties unspecified): the SMALLEST
     value among the most frequent wins, which also covers the
     all-unique case deterministically. Composes with GROUP BY time()
-    and tags."""
+    and tags; like percentile, it emits OBSERVED buckets only — an
+    explicit fill() raises."""
     it = st.items[0]
     g = st.group
+    if g.fill_set:
+        raise InfluxQLError(
+            "mode() emits observed buckets only — fill() does not "
+            "compose (an empty bucket has no most-frequent member)"
+        )
     src = src.filter(F.col("_value").isNotNull())
     if g.every_s is not None:
         gcol, _ = _window_grouping(g.every_s, None, g.offset_s)
@@ -1512,7 +1603,7 @@ def _compile_transform(
         raise InfluxQLError(
             f"{it.fn}() over an aggregate needs GROUP BY time()"
         )
-    if g.fill != "none":
+    if g.fill_set and g.fill != "none":
         raise InfluxQLError(
             f"{it.fn}() composes with fill(none) only (a fill value "
             "would leak into the transform arithmetic); got "
@@ -1728,7 +1819,12 @@ def _compile_show(
     where = _Where()
     if cur.accept_kw("WHERE"):
         where = _parse_where(cur, now)
-        if where.tag_eq or where.tag_neq or where.field_preds:
+        if (
+            where.tag_in
+            or where.tag_not_in
+            or where.tag_neq
+            or where.field_preds
+        ):
             raise InfluxQLError(
                 "SHOW ... WHERE ships time bounds only in the subset"
             )
@@ -1736,11 +1832,27 @@ def _compile_show(
         raise InfluxQLError(
             f"trailing tokens after SHOW: {cur.toks[cur.i:][:6]}"
         )
+    # same operator-exactness discipline as _scan (review 15b: the
+    # bounds were passed raw, so <= behaved exclusive and > inclusive):
+    # scan with the widened superset, re-apply the exact predicate
     start = where.time_lo[0] if where.time_lo else None
-    stop = where.time_hi[0] if where.time_hi else None
+    stop = None
+    if where.time_hi:
+        ts, incl = where.time_hi
+        stop = (
+            (
+                _dt.datetime.fromisoformat(ts) + _dt.timedelta(seconds=1)
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            if incl
+            else ts
+        )
     df = bkt.scan_bucket(
         spark, bucket_path, measurement=measurement, start=start, stop=stop
     )
+    if where.time_lo and not where.time_lo[1]:
+        df = df.filter(F.col("_time") > where.time_lo[0])
+    if where.time_hi and where.time_hi[1]:
+        df = df.filter(F.col("_time") <= where.time_hi[0])
     if what == "FIELD":
         # the store's value column is a double — upstream reports the
         # shard's concrete field type the same way
@@ -1826,13 +1938,9 @@ def start_influxql_cq(
                 "time >= now() - <for> and pass now_fn)"
             )
         if m.group("every"):
-            ev = m.group("every")
-            dm = _IQL_DUR_RE.match(ev)
-            if not dm or dm.group(2) not in _DUR_UNIT_S:
-                raise InfluxQLError(
-                    f"RESAMPLE EVERY: bad duration {ev!r} (units s/m/h/d/w)"
-                )
-            tick_seconds = int(dm.group(1)) * _DUR_UNIT_S[dm.group(2)]
+            tick_seconds = _parse_duration_s(
+                m.group("every"), "RESAMPLE EVERY"
+            )
     elif re.match(r"^\s*CREATE\b", statement, re.IGNORECASE):
         raise InfluxQLError(
             "malformed CREATE CONTINUOUS QUERY — expected CREATE "

@@ -155,7 +155,7 @@ def influxql_fill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY epoch_us(ts)//86400000000) AS n
       FROM events WHERE event_type = 'click' AND {_RANGE_SQL})
     SELECT t AS "time", value AS percentile FROM pts
-    WHERE rn = GREATEST(1, CEIL(0.95 * n))
+    WHERE rn = GREATEST(1, CEIL(95 * n / 100.0))
     """,
 )
 def influxql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
