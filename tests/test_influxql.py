@@ -1167,3 +1167,46 @@ def test_numeric_clause_args_raise_named(spark, store):
             'SELECT "click" FROM events WHERE ' + RANGE + " LIMIT abc",
             store,
         )
+
+
+# ---------------------------------------------------------------------------
+# SHOW ... CARDINALITY (round 15b eighth batch): the ops monitors
+# ---------------------------------------------------------------------------
+
+
+def test_cardinality_family(spark, store):
+    """Exact forms against known fixture cardinalities; the estimated
+    default must land within HLL++ tolerance of the exact count."""
+    def one(stmt):
+        rows = compile_influxql(spark, stmt, store).collect()
+        assert len(rows) == 1 and rows[0].__fields__ == ["count"]
+        return rows[0]["count"]
+
+    assert one("SHOW MEASUREMENT EXACT CARDINALITY") == 1
+    assert one("SHOW FIELD KEY EXACT CARDINALITY") == 5
+    assert one("SHOW TAG KEY CARDINALITY") == 2  # host, dc — schema
+    assert one(
+        'SHOW TAG VALUES EXACT CARDINALITY WITH KEY = "host"'
+    ) == 4
+    series = one("SHOW SERIES EXACT CARDINALITY")
+    assert series == 12  # 4 hosts x 3 dcs, one measurement
+    est = one("SHOW SERIES CARDINALITY")
+    assert abs(est - series) <= max(2, series * 0.05)
+
+
+def test_cardinality_time_scoped(spark, store):
+    full = compile_influxql(
+        spark, "SHOW SERIES EXACT CARDINALITY", store
+    ).collect()[0]["count"]
+    none = compile_influxql(
+        spark,
+        "SHOW SERIES EXACT CARDINALITY WHERE "
+        "time >= '2030-01-01T00:00:00Z'",
+        store,
+    ).collect()[0]["count"]
+    assert full == 12 and none == 0
+
+
+def test_bare_show_series_rejected(spark, store):
+    with pytest.raises(InfluxQLError, match="CARDINALITY monitors"):
+        compile_influxql(spark, "SHOW SERIES", store)

@@ -1776,6 +1776,51 @@ def _apply_fill(
 # ---------------------------------------------------------------------------
 
 
+def _show_cardinality(
+    spark: SparkSession,
+    df: DataFrame,
+    what: str,
+    key: str | None,
+    card: str,
+) -> DataFrame:
+    """The ``SHOW ... CARDINALITY`` monitors — series cardinality is
+    THE InfluxDB operational scaling concern, so the estimated default
+    compiles to ``approx_count_distinct`` (HLL++, register-max merge —
+    order-insensitive, deterministic for a fixed multiset, one
+    map-side-combinable pass that survives any store size) and the
+    ``EXACT`` form to ``count_distinct`` (a full distinct shuffle —
+    the honest cost, reach for it only when the estimate isn't
+    enough, exactly upstream's split). Series key = measurement + tag
+    set (the upstream 1.x definition; fields are counted by FIELD KEY
+    CARDINALITY). Output: one row, ``count`` BIGINT."""
+    if what == "SERIES":
+        tag_cols = bkt.tag_columns(df)
+        target = F.concat_ws(
+            "\x1f", F.col("_measurement"), *[F.col(t) for t in tag_cols]
+        )
+    elif what == "MEASUREMENT":
+        target = F.col("_measurement")
+    elif what == "FIELD":
+        target = F.col("_field")
+    elif what == "TAG" and key is not None:
+        tag_cols = bkt.tag_columns(df)
+        if key not in tag_cols:
+            raise InfluxQLError(
+                f"SHOW TAG VALUES CARDINALITY: {key!r} is not a tag of "
+                f"this store (tags: {sorted(tag_cols)})"
+            )
+        target = F.col(key)
+    else:  # TAG KEY CARDINALITY — the tag-key count is schema, not data
+        n = len(bkt.tag_columns(df))
+        return spark.createDataFrame([(n,)], "count bigint")
+    expr = (
+        F.count_distinct(target)
+        if card == "exact"
+        else F.approx_count_distinct(target)
+    )
+    return df.groupBy().agg(expr.cast("long").alias("count"))
+
+
 def _compile_show(
     spark: SparkSession, cur: _Cursor, bucket_path: str, now: str | None
 ) -> DataFrame:
@@ -1797,18 +1842,43 @@ def _compile_show(
             .select(F.col("_measurement").alias("name"))
             .distinct()
         )
-    if what not in ("FIELD", "TAG"):
+    if what not in ("FIELD", "TAG", "SERIES", "MEASUREMENT"):
         raise InfluxQLError(
             f"SHOW {what} is outside the subset (MEASUREMENTS / FIELD "
-            "KEYS / TAG KEYS / TAG VALUES)"
+            "KEYS / TAG KEYS / TAG VALUES / the CARDINALITY family)"
         )
-    second = cur.next().upper()
     measurement = None
     key = None
-    if what == "TAG" and second == "VALUES":
-        pass
-    elif second != "KEYS":
-        raise InfluxQLError(f"SHOW {what} {second} is not an InfluxQL form")
+    card: str | None = None  # None | "exact" | "approx"
+    if what in ("SERIES", "MEASUREMENT"):
+        # SHOW SERIES|MEASUREMENT [EXACT] CARDINALITY — the
+        # cardinality monitors; bare SHOW SERIES (the full series
+        # dump) stays outside the subset
+        if cur.done():
+            raise InfluxQLError(
+                f"bare SHOW {what} is outside the subset — the "
+                f"CARDINALITY monitors ship (SHOW {what} [EXACT] "
+                "CARDINALITY)"
+            )
+        card = "exact" if cur.accept_kw("EXACT") else "approx"
+        cur.expect("CARDINALITY")
+        second = "CARDINALITY"
+    else:
+        second = cur.next().upper()
+        if what == "TAG" and second == "VALUES":
+            pass
+        elif second == "KEY":
+            card = "exact" if cur.accept_kw("EXACT") else "approx"
+            cur.expect("CARDINALITY")
+        elif second != "KEYS":
+            raise InfluxQLError(
+                f"SHOW {what} {second} is not an InfluxQL form"
+            )
+    if what == "TAG" and second == "VALUES" and cur.peek_kw() in (
+        "EXACT", "CARDINALITY",
+    ):
+        card = "exact" if cur.accept_kw("EXACT") else "approx"
+        cur.expect("CARDINALITY")
     if cur.accept_kw("FROM"):
         measurement = _ident(cur.next())
     if what == "TAG" and second == "VALUES":
@@ -1853,6 +1923,8 @@ def _compile_show(
         df = df.filter(F.col("_time") > where.time_lo[0])
     if where.time_hi and where.time_hi[1]:
         df = df.filter(F.col("_time") <= where.time_hi[0])
+    if card is not None:
+        return _show_cardinality(spark, df, what, key, card)
     if what == "FIELD":
         # the store's value column is a double — upstream reports the
         # shard's concrete field type the same way
