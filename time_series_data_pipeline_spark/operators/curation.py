@@ -92,14 +92,23 @@ def dsir_logweights(
     Documents shorter than 2 tokens have no bigrams and drop out.
     Returns (doc_id, n_grams, dsir_logw).
     """
-    grams = tx.ngrams(tx.tokens(text_col), 2)
+    # materialize the token array before the gram build: ngrams() would
+    # re-derive the interpreted token split 3x per row if inlined. (No
+    # spread_small_scan here: A/B on the bench corpus showed the
+    # round-robin exchange of the raw text costs more than the saved
+    # single-task CPU for this gram pass — 0.88 s → 1.15 s.)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_t"),
+        tx.tokens(text_col).alias("__t"),
+    )
     # pinned: the exploded gram frame feeds the model aggregate AND the
     # per-doc counts — without the pin the corpus is tokenized twice
     occ = _pin(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            target.alias("is_t"),
-            F.explode(grams).alias("g"),
+        toked.select(
+            "doc_id",
+            "is_t",
+            F.explode(tx.ngrams(F.col("__t"), 2)).alias("g"),
         ).select(
             "doc_id", "is_t", _gram_bucket(F.col("g"), n_buckets, salt).alias("b")
         )
@@ -160,11 +169,16 @@ def duplicate_spans(
     Returns (id_a, id_b, a_start, b_start, n_tokens) with id_a < id_b
     and 0-based token offsets.
     """
-    tok = tx.tokens(text_col)
+    # materialize tokens first: the k-gram build re-derives the
+    # interpreted token split k+1 times per row when inlined (no spread
+    # — see dsir_logweights for the A/B)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tx.tokens(text_col).alias("__t")
+    )
     post = _pin(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(tx.ngrams(tok, k)).alias("pos", "g"),
+        toked.select(
+            "doc_id",
+            F.posexplode(tx.ngrams(F.col("__t"), k)).alias("pos", "g"),
         ).select(
             "doc_id",
             "pos",
@@ -280,10 +294,13 @@ def distribution_drift(
     arithmetic on a 1-row frame.
     """
     Bf = float(n_buckets)
-    occ = docs.select(
-        target.alias("is_t"),
-        F.explode(tx.ngrams(tx.tokens(text_col), 2)).alias("g"),
-    ).select("is_t", _gram_bucket(F.col("g"), n_buckets, salt).alias("b"))
+    # materialize tokens once (see dsir_logweights — same shape)
+    occ = (
+        docs
+        .select(target.alias("is_t"), tx.tokens(text_col).alias("__t"))
+        .select("is_t", F.explode(tx.ngrams(F.col("__t"), 2)).alias("g"))
+        .select("is_t", _gram_bucket(F.col("g"), n_buckets, salt).alias("b"))
+    )
     # NOT pinned: the model aggregate feeds both the totals and the
     # term sums, but Catalyst's ReusedExchange already shares the one
     # physical aggregate between them (verified: pinning changes

@@ -332,9 +332,15 @@ def simhash64(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t")).withColumn(
-        "h", h
-    )
+    from .text import spread_small_scan
+
+    # spread first: the explode + per-token hash + 64-way partial
+    # aggregation all run BEFORE the groupBy exchange, i.e. inside the
+    # scan stage — a one-split corpus serializes them on one core.
+    # Output is partition-proof (exact integer sums per doc).
+    tok = spread_small_scan(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", h)
     sums = tok.groupBy(id_col).agg(
         *[
             F.sum(

@@ -265,17 +265,27 @@ def shingle_hashes(tok: Column, n: int = 3) -> Column:
     return F.transform(shingles(tok, n), lambda s: F.xxhash64(s))
 
 
-def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens / n_unique_tokens / total_token_chars / avg_token_len."""
-    t = tokens(text_col)
-    return (
-        df.withColumn("__toks", t)
-        .withColumn("n_tokens", F.size("__toks").cast("long"))
-        .withColumn("n_unique_tokens", F.size(F.array_distinct("__toks")).cast("long"))
+def with_token_stats(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
+    """n_tokens / n_unique_tokens / total_token_chars / avg_token_len.
+
+    ``tokens_col``: name of an already-materialized token-array column to
+    reuse. The token split is an interpreted (non-codegen) higher-order
+    expression, so every inline re-derivation is paid per row — a caller
+    stacking several profile passes (doc_profile) materializes the array
+    once and threads it through instead of letting each pass re-split.
+    """
+    created = tokens_col is None
+    tc = "__toks" if created else tokens_col
+    out = df.withColumn(tc, tokens(text_col)) if created else df
+    out = (
+        out.withColumn("n_tokens", F.size(tc).cast("long"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(tc)).cast("long"))
         .withColumn(
             "total_token_chars",
             F.aggregate(
-                "__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                tc, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
             ),
         )
         .withColumn(
@@ -284,22 +294,28 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             # ANSI DIVIDE_BY_ZERO — crawl corpora always contain empties
             F.try_divide(F.col("total_token_chars").cast("double"), F.col("n_tokens")),
         )
-        .drop("__toks")
     )
+    return out.drop(tc) if created else out
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Composite quality score in [0,1]: length component, non-stopword
     component, word-length component. Deterministic double arithmetic
-    (identical expression tree on the DuckDB oracle side)."""
-    t = tokens(text_col)
+    (identical expression tree on the DuckDB oracle side).
+
+    ``tokens_col`` reuses a pre-materialized token array (see
+    with_token_stats)."""
+    created = tokens_col is None
+    tc = "__toks" if created else tokens_col
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     df = (
-        df.withColumn("__toks", t)
-        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        (df.withColumn(tc, tokens(text_col)) if created else df)
+        .withColumn("n_tokens", F.size(tc).cast("long"))
         .withColumn(
             "n_stopwords",
-            F.size(F.filter("__toks", lambda x: F.array_contains(stop, x))).cast("long"),
+            F.size(F.filter(tc, lambda x: F.array_contains(stop, x))).cast("long"),
         )
         .withColumn(
             "stopword_ratio",
@@ -310,7 +326,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_token_len",
             F.try_divide(
                 F.aggregate(
-                    "__toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                    tc, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
                 ).cast("double"),
                 F.col("n_tokens"),
             ),
@@ -321,21 +337,28 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.4) * (F.lit(1.0) - F.col("stopword_ratio"))
         + F.lit(0.2) * F.least(F.col("mean_token_len") / F.lit(10.0), F.lit(1.0))
     )
-    return df.withColumn("quality", score).drop("__toks")
+    out = df.withColumn("quality", score)
+    return out.drop(tc) if created else out
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Marker-word language ID: score per language = number of tokens in
     that language's marker set; argmax with fixed precedence (en > es),
     'und' when every score is zero. An n-gram model would need training
-    data; marker scoring is the deterministic, SQL-expressible heuristic."""
-    t = tokens(text_col)
-    df = df.withColumn("__toks", t)
+    data; marker scoring is the deterministic, SQL-expressible heuristic.
+
+    ``tokens_col`` reuses a pre-materialized token array (see
+    with_token_stats)."""
+    created = tokens_col is None
+    tc = "__toks" if created else tokens_col
+    df = df.withColumn(tc, tokens(text_col)) if created else df
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         df = df.withColumn(
             f"{lang}_score",
-            F.size(F.filter("__toks", lambda x: F.array_contains(arr, x))).cast("long"),
+            F.size(F.filter(tc, lambda x: F.array_contains(arr, x))).cast("long"),
         )
     pred = (
         F.when(
@@ -344,7 +367,8 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(F.col("es_score") > 0, F.lit("es"))
         .otherwise(F.lit("und"))
     )
-    return df.withColumn("predicted_lang", pred).drop("__toks")
+    out = df.withColumn("predicted_lang", pred)
+    return out.drop(tc) if created else out
 
 
 def repetition_stats(
@@ -491,13 +515,27 @@ def trigram_familiarity(
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Document fingerprint = lexicographic min of md5(3-shingle) — a
-    1-permutation MinHash; identical shingle sets ⇒ identical prints."""
-    sh = shingles(tokens(text_col))
-    return df.withColumn("n_shingles", F.size(sh).cast("long")).withColumn(
-        "fingerprint",
-        F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary")))),
+    1-permutation MinHash; identical shingle sets ⇒ identical prints.
+
+    The shingle array is materialized ONCE in its own projection and
+    both outputs read the materialized column: inlining the shingle
+    expression into n_shingles AND fingerprint doubled the dominant
+    per-row cost (zip_with chain + the token split it re-derives —
+    the doc_profile plan carried ten split() evaluations per row).
+    ``tokens_col`` additionally reuses a pre-materialized token array."""
+    tok = tokens(text_col) if tokens_col is None else F.col(tokens_col)
+    out = df.withColumn("__sh", shingles(tok))
+    return (
+        out.withColumn("n_shingles", F.size("__sh").cast("long"))
+        .withColumn(
+            "fingerprint",
+            F.array_min(F.transform("__sh", lambda s: F.md5(s.cast("binary")))),
+        )
+        .drop("__sh")
     )
 
 
@@ -523,7 +561,11 @@ def chunk_docs(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    tok = tokens(text_col)
+    # materialize the token array once per row: the split is an
+    # interpreted higher-order expression, and inlining it into the
+    # chunk transform would re-evaluate it once PER CHUNK (slice(tok)
+    # inside the lambda) plus the two size() uses
+    tok = F.col("__tok_arr")
     dl = F.size(tok)
     n_chunks = F.when(dl <= size, F.lit(1)).otherwise(
         F.floor((dl - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
@@ -533,7 +575,7 @@ def chunk_docs(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(tok, i * stride + 1, size),
     )
-    return df.select(
+    return df.withColumn("__tok_arr", tokens(text_col)).select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__chunk")
     ).select(
         id_col,

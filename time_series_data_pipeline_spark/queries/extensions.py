@@ -504,10 +504,18 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions fused into a single scan projection. (en_score equals
     n_stopwords by construction: the English marker set IS the stopword
     set.)"""
-    out = tx.with_token_stats(table(spark, sf_dir, "documents"))
-    out = tx.quality_score(out)
-    out = tx.lang_id(out)
-    out = tx.fingerprint(out)
+    # One materialized token array feeds all four passes (the split is an
+    # interpreted higher-order expression — re-deriving it per pass cost
+    # 13 split() evaluations per row in the r14 plan), and the one-split
+    # scan is spread to the cluster first (a small corpus plans as one
+    # 128 MB split = one task; at scale the repartition is a no-op).
+    docs = tx.spread_small_scan(table(spark, sf_dir, "documents")).withColumn(
+        "__toks", tx.tokens("text")
+    )
+    out = tx.with_token_stats(docs, tokens_col="__toks")
+    out = tx.quality_score(out, tokens_col="__toks")
+    out = tx.lang_id(out, tokens_col="__toks")
+    out = tx.fingerprint(out, tokens_col="__toks")
     return out.select(
         "doc_id", "lang", "n_chars", "n_tokens", "n_unique_tokens",
         "total_token_chars", "avg_token_len", "n_stopwords", "stopword_ratio",
@@ -629,14 +637,17 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.bpe_encode — Arrow-batched, word-memoized) over the demo
     vocabulary, giving real tokens-per-word cost estimates; upgrade of
     the regex pre-split proxy in bpe_token_stats."""
+    # word counts come off one materialized token array instead of two
+    # inline splits (no spread: the memoized Arrow kernel is cheap
+    # enough that the exchange costs more than it saves — A/B'd)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    enc = tx.bpe_encode(docs)
+    enc = tx.bpe_encode(docs).withColumn("__nw", F.size(tx.tokens("text")))
     return enc.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        F.size(tx.tokens("text")).cast("long").alias("n_word_tokens"),
+        F.col("__nw").cast("long").alias("n_word_tokens"),
         F.try_divide(
-            F.size("bpe_tokens").cast("double"), F.size(tx.tokens("text"))
+            F.size("bpe_tokens").cast("double"), F.col("__nw")
         ).alias("bpe_per_word"),
     )
 
@@ -819,7 +830,9 @@ def scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 cleaning: email/URL redaction with counts + whitespace
     normalization — regexes are RE2-and-Java compatible so the oracle
     applies the identical patterns."""
-    out = tx.scrub_pii(table(spark, sf_dir, "documents"))
+    # spread: three regex passes per row otherwise run on the single
+    # scan task of a one-split corpus
+    out = tx.scrub_pii(tx.spread_small_scan(table(spark, sf_dir, "documents")))
     return out.select(
         "doc_id", tx.clean_text(F.col("scrubbed")).alias("scrubbed"), "n_emails", "n_urls"
     )
