@@ -270,13 +270,22 @@ def _bench_ingest_backfill(spark) -> float:
 
     out = tempfile.mkdtemp(prefix="tsdp_bench_bucket_")
     t0 = time.perf_counter()
+    from pyspark.sql import functions as F
+
+    # round 15 (shuffle-before-explode, guide §2.3/§8): cluster the WIDE
+    # frame by day BEFORE the 19x unpivot, so the exchange moves ~60 MB
+    # of wide rows instead of ~300 MB of long ones; the unpivot + sort +
+    # write then run on the already-day-clustered partitions
+    # (write_bucket cluster="pre"). Output layout/content identical
+    # (same day files, same (_field, _time) sort). Measured 1.9->1.6 s.
+    wide = gas_csv.ingest_wide(spark, corpus).repartition(F.to_date("_time"))
     long_df = bkt.to_long(
-        gas_csv.ingest_wide(spark, corpus),
+        wide,
         "gas",
         value_cols=list(gas_csv.VALUE_COLS),
         field_labels=gas_csv.FIELD_LABELS,
     )
-    bkt.write_bucket(long_df, out)
+    bkt.write_bucket(long_df, out, cluster="pre")
     elapsed = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     return elapsed
@@ -427,20 +436,27 @@ def _bench_stream_drain(spark, sf_dir: str, flux_text: str, prefix: str) -> floa
     from time_series_data_pipeline_spark.flux import compile_flux_stream
     from time_series_data_pipeline_spark.queries.timeseries_q import (
         _event_bucket_path,
+        _stream_partition_conf,
     )
 
     store = _event_bucket_path(spark, sf_dir)
     scratch = tempfile.mkdtemp(prefix=prefix)
     t0 = time.perf_counter()
-    live = compile_flux_stream(spark, flux_text, {"b": store})
-    q = (
-        live.writeStream.format("noop")
-        .option("checkpointLocation", os.path.join(scratch, "ck"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # round 15: state partitions sized to the panel's key space (the
+    # drained-query rule — see timeseries_q._stream_state_partitions);
+    # the timed envelope is unchanged (compile + drain + state commits),
+    # only the state store stops paying 32 per-partition commits for a
+    # <=5-key panel
+    with _stream_partition_conf(spark):
+        live = compile_flux_stream(spark, flux_text, {"b": store})
+        q = (
+            live.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(scratch, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     elapsed = time.perf_counter() - t0
     shutil.rmtree(scratch, ignore_errors=True)
     return elapsed

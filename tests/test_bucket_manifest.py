@@ -1043,3 +1043,35 @@ def test_takeover_refuses_to_steal_a_live_lock(tmp_path):
     assert not os.path.exists(lock)
     # and a vanished lock is a completed release, not an error
     mf._take_over_stale_lock(lock, "whoever", "my-nonce")
+
+
+def test_pre_clustered_write_matches_day_clustered(spark, tmp_path):
+    """cluster="pre" (round 15): a caller that clusters the rows by day
+    BEFORE write_bucket (e.g. a wide repartition ahead of the unpivot —
+    the shuffle-before-explode backfill path) must land the identical
+    store: same partition dirs, same rows, same within-file sort."""
+    long_df = _events_long(spark)
+    day_path = str(tmp_path / "bucket_day")
+    bkt.write_bucket(long_df, day_path, mode="overwrite", cluster="day")
+
+    pre_path = str(tmp_path / "bucket_pre")
+    pre = long_df.repartition(F.to_date("_time"))
+    bkt.write_bucket(pre, pre_path, mode="overwrite", cluster="pre")
+
+    def norm(p):
+        return spark.read.parquet(p).withColumn("tags", F.to_json("tags"))
+
+    a, b = norm(day_path), norm(pre_path)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    dirs_a = sorted(
+        os.path.relpath(d, day_path)
+        for d, _, _ in os.walk(day_path)
+        if "_date=" in d
+    )
+    dirs_b = sorted(
+        os.path.relpath(d, pre_path)
+        for d, _, _ in os.walk(pre_path)
+        if "_date=" in d
+    )
+    assert dirs_a == dirs_b

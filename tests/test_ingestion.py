@@ -1170,3 +1170,26 @@ def test_partitioned_empty_first_epoch_reads_descriptively(spark, tmp_path):
         sink.read(spark)
     with _pytest.raises(FileNotFoundError, match="references no partitions"):
         sink.read_at(spark, 0)
+
+
+def test_drained_stream_state_partitions_and_conf_restore(spark):
+    """Round 15: the drained live-panel queries size their state store
+    to the panel's key space (_stream_state_partitions), not the box's
+    shuffle parallelism — and must RESTORE the session conf afterwards
+    (set/drain/restore under the lock), even though the drain runs a
+    full streaming query inside the registered function."""
+    from .conftest import SF_SMOKE as _SF
+
+    from time_series_data_pipeline_spark.queries import QUERIES
+    from time_series_data_pipeline_spark.queries.timeseries_q import (
+        _stream_state_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = QUERIES["stream_moving_avg_drained"](spark, _SF)
+    rows = out.collect()
+    assert rows, "drain emitted nothing"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # the drained frame is partitioned by the sized state-store count,
+    # never the session default
+    assert _stream_state_partitions() >= 1

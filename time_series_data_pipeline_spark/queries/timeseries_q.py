@@ -6369,6 +6369,58 @@ def lineprotocol_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: be unique within the session
 _STREAM_DRAIN_SEQ = iter(range(1, 1 << 30))
 
+_STREAM_CONF_LOCK = __import__("threading").Lock()
+
+
+def _stream_state_partitions() -> int:
+    """State-partition count for the drained live-panel queries.
+
+    A stateful operator sizes its state store from
+    ``spark.sql.shuffle.partitions`` at (fresh-)checkpoint creation —
+    i.e. to the BOX's core count, not to the panel's key space. Each
+    state partition costs a provider instance plus a per-batch commit
+    whether or not it holds a key, so the attested 1-series panel paid
+    32 state commits per micro-batch for one real key (measured: the
+    drain is 3.0 s at 32 partitions vs 1.8 s at 4 for identical
+    output). The panels here carry <= 5 series / <= #open-window keys;
+    8 partitions is cardinality-sized headroom. Production sizing is
+    the same rule at the other end — partitions ~ key cardinality /
+    throughput, set via SPARK_GRAFT_STREAM_STATE_PARTITIONS — never
+    the default shuffle parallelism. Per-key results are
+    partitioning-independent (pinned by the streaming==batch tests),
+    so this changes cost only."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
+class _stream_partition_conf:
+    """Set/restore ``spark.sql.shuffle.partitions`` around a drained
+    stream's build+start (the write_bucket set/write/restore pattern,
+    serialized under a lock): the conf is read when the stream's first
+    micro-batch plans, so it must cover start()..awaitTermination()."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        _STREAM_CONF_LOCK.acquire()
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions", None)
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_stream_state_partitions())
+        )
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            if self.prev is None:
+                self.spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        finally:
+            _STREAM_CONF_LOCK.release()
+        return False
+
 
 @query(
     "stream_moving_avg_drained",
@@ -6419,28 +6471,31 @@ def stream_moving_avg_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..flux import compile_flux_stream
 
     path = _event_bucket_path(spark, sf_dir)
-    live = compile_flux_stream(
-        spark,
-        """
-        from(bucket: "gas-quality")
-          |> filter(fn: (r) => r["_measurement"] == "events")
-          |> filter(fn: (r) => r["_field"] == "signup")
-          |> movingAverage(n: 6)
-        """,
-        {"gas-quality": path},
-    )
     name = f"tsdp_stream_drain_{next(_STREAM_DRAIN_SEQ)}"
     ck = tempfile.mkdtemp(prefix="tsdp_stream_drain_ck_")
     try:
-        q = (
-            live.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # state partitions sized to the panel's key space, not the box
+        # (see _stream_state_partitions)
+        with _stream_partition_conf(spark):
+            live = compile_flux_stream(
+                spark,
+                """
+                from(bucket: "gas-quality")
+                  |> filter(fn: (r) => r["_measurement"] == "events")
+                  |> filter(fn: (r) => r["_field"] == "signup")
+                  |> movingAverage(n: 6)
+                """,
+                {"gas-quality": path},
+            )
+            q = (
+                live.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         # the memory sink holds the emitted rows in driver memory —
         # the checkpoint is drain-scoped scratch
@@ -6496,31 +6551,34 @@ def stream_window_mean_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..flux import compile_flux_stream
 
     path = _event_bucket_path(spark, sf_dir)
-    live = compile_flux_stream(
-        spark,
-        """
-        from(bucket: "gas-quality")
-          |> range(start: "2024-01-08T00:00:00Z",
-                   stop: "2024-01-15T00:00:00Z")
-          |> filter(fn: (r) => r["_measurement"] == "events")
-          |> filter(fn: (r) => r["_field"] == "click")
-          |> aggregateWindow(every: 6h, fn: mean)
-        """,
-        {"gas-quality": path},
-        watermark="0 seconds",
-    )
     name = f"tsdp_stream_drain_{next(_STREAM_DRAIN_SEQ)}"
     ck = tempfile.mkdtemp(prefix="tsdp_stream_drain_ck_")
     try:
-        q = (
-            live.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # state partitions sized to the panel's key space, not the box
+        # (see _stream_state_partitions)
+        with _stream_partition_conf(spark):
+            live = compile_flux_stream(
+                spark,
+                """
+                from(bucket: "gas-quality")
+                  |> range(start: "2024-01-08T00:00:00Z",
+                           stop: "2024-01-15T00:00:00Z")
+                  |> filter(fn: (r) => r["_measurement"] == "events")
+                  |> filter(fn: (r) => r["_field"] == "click")
+                  |> aggregateWindow(every: 6h, fn: mean)
+                """,
+                {"gas-quality": path},
+                watermark="0 seconds",
+            )
+            q = (
+                live.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)

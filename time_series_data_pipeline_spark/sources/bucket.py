@@ -167,6 +167,12 @@ def write_bucket(
         "day": ["_measurement", "_date"],
         "field": ["_measurement", "_date", "_field"],
         "tags": ["_measurement", "_date", *tag_columns(df)],
+        # "pre": the CALLER already clustered the rows by the partition
+        # keys (e.g. repartitioned the WIDE frame by day BEFORE the 19x
+        # unpivot — the shuffle-before-explode rule: the exchange then
+        # moves one wide row instead of 19 long ones). Skip the
+        # repartition here; sort + partitioned write only.
+        "pre": ["_measurement", "_date"],
     }[cluster]
     if cluster == "tags" and len(keys) == 2:
         raise ValueError(
@@ -181,7 +187,7 @@ def write_bucket(
         # footer stats) this layout exists for
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         dated = dated.repartition(n, *keys)
-    else:
+    elif cluster != "pre":
         dated = dated.repartition(*keys)
     spark = df.sparkSession
     # INT96 (Spark's legacy parquet timestamp) carries NO column stats,
