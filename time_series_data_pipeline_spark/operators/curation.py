@@ -467,12 +467,29 @@ def rrf_fuse(
     parameter-free hybrid-search combiner (Cormack et al. 2009; k=60
     is the canonical constant). Returns (doc_id, rrf_score, rank).
     """
+    # union + one aggregate instead of a FULL OUTER join: a full-outer
+    # cannot broadcast, so the join planned as a SortMergeJoin with two
+    # sort exchanges over the k-row inputs; each doc appears at most
+    # once per list (row_number ranks), so min() per side under a
+    # groupBy is exactly the outer join's row — one tiny exchange,
+    # identical rrf arithmetic (guide §2.4: remove shuffles outright)
     fused = (
-        lex.select("doc_id", F.col("rank").alias("r_lex"))
-        .join(
-            dense.select("doc_id", F.col("rank").alias("r_dense")),
+        lex.select(
             "doc_id",
-            "full_outer",
+            F.col("rank").cast("long").alias("r_lex"),
+            F.lit(None).cast("long").alias("r_dense"),
+        )
+        .unionByName(
+            dense.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("r_lex"),
+                F.col("rank").cast("long").alias("r_dense"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("r_lex").alias("r_lex"),
+            F.min("r_dense").alias("r_dense"),
         )
         .select(
             "doc_id",
