@@ -77,6 +77,7 @@ def dsir_logweights(
     salt: str = "dsir",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight under hashed-bigram bag
     models with add-one smoothing.
@@ -91,6 +92,10 @@ def dsir_logweights(
 
     Documents shorter than 2 tokens have no bigrams and drop out.
     Returns (doc_id, n_grams, dsir_logw).
+
+    ``tokens_col`` reuses a pre-materialized token array (the
+    with_token_stats convention); ``target`` is still evaluated against
+    ``docs``, so it may reference any of its columns.
     """
     # materialize the token array before the gram build: ngrams() would
     # re-derive the interpreted token split 3x per row if inlined. (No
@@ -100,7 +105,9 @@ def dsir_logweights(
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
         target.alias("is_t"),
-        tx.tokens(text_col).alias("__t"),
+        (tx.tokens(text_col) if tokens_col is None else F.col(tokens_col)).alias(
+            "__t"
+        ),
     )
     # pinned: the exploded gram frame feeds the model aggregate AND the
     # per-doc counts — without the pin the corpus is tokenized twice

@@ -377,6 +377,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     top_bigram_max: float = 0.20,
     dup_trigram_max: float = 0.30,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Repetition-based quality signals (the Gopher-style filters — Rae
     et al. 2021 §A1.1 — restated over word n-grams): per document,
@@ -398,17 +399,30 @@ def repetition_stats(
     arrays. ZERO shuffle; scales linearly with documents (m ~ tokens/doc
     is corpus-bounded, not scale-bound). Fractions are exact-int
     divisions → bit-identical across engines.
+
+    ``tokens_col`` reuses a pre-materialized token array (see
+    with_token_stats); the caller then owns spreading/pinning of the
+    tokenized frame, so no spread_small_scan is applied here.
     """
     from ._util import pin as _pin
 
     c = F.col(id_col)
-    t = tokens(text_col)
+    # materialize the token array BEFORE the gram builds: inlining
+    # tokens() into ngrams(t, 2) + ngrams(t, 3) + __t re-derives the
+    # interpreted split 11x per row (1 + 4 + 6 slices/sizes); a
+    # separate projection is multi-referenced and non-cheap, so
+    # CollapseProject leaves it evaluated once (the dsir_logweights /
+    # duplicate_spans pattern)
+    if tokens_col is None:
+        toked = spread_small_scan(df).select(c, tokens(text_col).alias("__t"))
+    else:
+        toked = df.select(c, F.col(tokens_col).alias("__t"))
     g = _pin(
-        spread_small_scan(df).select(
+        toked.select(
             c,
-            t.alias("__t"),
-            ngrams(t, 2).alias("__bg"),
-            ngrams(t, 3).alias("__tg"),
+            "__t",
+            ngrams(F.col("__t"), 2).alias("__bg"),
+            ngrams(F.col("__t"), 3).alias("__tg"),
         )
     )
     n = F.size("__t").cast("long")

@@ -2466,6 +2466,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on the full corpus and cascaded by priority, so the reason
     histogram is stable under any evaluation order."""
     from ..operators import curation as cu
+    from ..operators._util import pin as _pin
 
     docs = table(spark, sf_dir, "documents")
     md = docs.select(
@@ -2475,11 +2476,30 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         md.groupBy("__h").agg(F.min("doc_id").alias("__keeper")), "__h"
     ).select("doc_id", (F.col("doc_id") != F.col("__keeper")).alias("__exact_dup"))
     cl = _cluster_store(spark, sf_dir).select("doc_id", "is_keeper")
-    rep = tx.repetition_stats(docs).select("doc_id", "repetitive")
-    qual = tx.quality_score(docs).select("doc_id", "quality")
-    w = cu.dsir_logweights(docs, target=F.col("lang") == "en").select(
-        "doc_id", "dsir_logw"
+    # ONE spread + tokenize + pin shared by the three token-consuming
+    # gates: each arm re-deriving the interpreted token split (and
+    # re-scanning the text column) tripled the pipeline's per-row work;
+    # threading the materialized array through tokens_col evaluates the
+    # split once per document (the doc_profile lesson, applied across
+    # the composed arms). The spread also parallelizes the quality and
+    # dsir gram passes — standalone they lose the exchange A/B, but
+    # here the exchange is paid once for all three arms.
+    toked = _pin(
+        tx.spread_small_scan(
+            docs.select("doc_id", "lang", "text")
+        ).select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__is_t"),
+            tx.tokens("text").alias("__t"),
+        )
     )
+    rep = tx.repetition_stats(toked, tokens_col="__t").select(
+        "doc_id", "repetitive"
+    )
+    qual = tx.quality_score(toked, tokens_col="__t").select("doc_id", "quality")
+    w = cu.dsir_logweights(
+        toked, target=F.col("__is_t"), tokens_col="__t"
+    ).select("doc_id", "dsir_logw")
     reason = (
         F.when(F.col("__exact_dup"), F.lit("exact_dup"))
         .when(F.coalesce(~F.col("is_keeper"), F.lit(False)), F.lit("near_dup"))
