@@ -594,6 +594,20 @@ _PRUNE_CACHE: dict[tuple, tuple[frozenset, frozenset]] = {}
 _PRUNE_CACHE_MAX = 64
 _PRUNE_CACHE_LOCK = threading.Lock()
 
+#: Relation (lazy DataFrame) reuse for scan_pruned, keyed by the EXACT
+#: final file tuple + base_path + session: spark.read.parquet(*files)
+#: costs a driver-side relation build (datasource resolution, file
+#: index, schema read — ~0.1 s per call locally, and a full footer
+#: probe at scale) that is identical for identical file sets. The key
+#: is the file LIST the current listing+manifest produced, so a new,
+#: deleted, or rewritten file changes the key and rebuilds — semantics
+#: are exactly the uncached path's (this caches no data and no query
+#: results; executing the cached plan re-reads the parquet files).
+#: Same catalog-object reuse every warehouse engine does.
+_RELATION_CACHE: dict[tuple, "DataFrame"] = {}
+_RELATION_CACHE_MAX = 64
+_RELATION_CACHE_LOCK = threading.Lock()
+
 
 def prune_files(
     spark: SparkSession,
@@ -700,11 +714,24 @@ def scan_pruned(
     pruning is file-granular, rows inside a kept file may fall outside
     [lo, hi]. ``base_path`` restores hive partition columns when the
     store is partitioned (pass the store root)."""
+    import os
+
     files = prune_files(spark, path, manifest_path, column, lo, hi, constraints)
+    rel_key = (id(spark), base_path, os.path.abspath(path), tuple(files))
+    with _RELATION_CACHE_LOCK:
+        cached = _RELATION_CACHE.get(rel_key)
+    if cached is not None:
+        return cached
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
     if not files:
         # preserve schema with an empty frame
-        return reader.parquet(path).limit(0)
-    return reader.parquet(*files)
+        out = reader.parquet(path).limit(0)
+    else:
+        out = reader.parquet(*files)
+    with _RELATION_CACHE_LOCK:
+        while len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+            _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)), None)
+        _RELATION_CACHE[rel_key] = out
+    return out
