@@ -249,10 +249,29 @@ def start_rollup_maintenance(
     )
 
     def _refresh(batch_df, epoch_id: int) -> None:
-        dates = [
-            str(r["_date"])
-            for r in batch_df.select("_date").distinct().collect()
-        ]
+        # Touched dates from the micro-batch's FILE LIST: every bucket
+        # file lives under a _date=<day> directory, so the day set is
+        # pure metadata — the previous select("_date").distinct() ran
+        # a full data pass over the batch's rows (millions on a
+        # backfill tick) to recover a handful of values the source
+        # already knows (guide §1.2: don't compute what you throw
+        # away). Falls back to the scan when the plan exposes no file
+        # paths (e.g. a non-file batch frame).
+        import re as _re
+
+        dates = sorted(
+            {
+                m.group(1)
+                for f in batch_df.inputFiles()
+                for m in [_re.search(r"/_date=([^/]+)/", f)]
+                if m
+            }
+        )
+        if not dates:
+            dates = [
+                str(r["_date"])
+                for r in batch_df.select("_date").distinct().collect()
+            ]
         if dates:
             bkt.refresh_hourly_rollup(
                 batch_df.sparkSession, bucket_path, rollup_path, dates
