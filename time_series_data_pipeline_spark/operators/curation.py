@@ -473,6 +473,12 @@ def rrf_fuse(
     from a list contributes 0 for it. rrf = Σ 1/(k_rrf + rank), the
     parameter-free hybrid-search combiner (Cormack et al. 2009; k=60
     is the canonical constant). Returns (doc_id, rrf_score, rank).
+
+    CONTRACT (ADVICE r15): each input list must hold at most ONE row
+    per doc_id — true by construction for row_number ranks, which both
+    callers produce. A duplicated doc_id would be collapsed to its best
+    rank by the min() below instead of multiplying rows the way the
+    FULL OUTER join this aggregate replaces would.
     """
     # union + one aggregate instead of a FULL OUTER join: a full-outer
     # cannot broadcast, so the join planned as a SortMergeJoin with two

@@ -277,7 +277,7 @@ def with_token_stats(
     once and threads it through instead of letting each pass re-split.
     """
     created = tokens_col is None
-    tc = "__toks" if created else tokens_col
+    tc = "__ts_toks" if created else tokens_col
     out = df.withColumn(tc, tokens(text_col)) if created else df
     out = (
         out.withColumn("n_tokens", F.size(tc).cast("long"))
@@ -308,7 +308,7 @@ def quality_score(
     ``tokens_col`` reuses a pre-materialized token array (see
     with_token_stats)."""
     created = tokens_col is None
-    tc = "__toks" if created else tokens_col
+    tc = "__qs_toks" if created else tokens_col
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     df = (
         (df.withColumn(tc, tokens(text_col)) if created else df)
@@ -352,7 +352,7 @@ def lang_id(
     ``tokens_col`` reuses a pre-materialized token array (see
     with_token_stats)."""
     created = tokens_col is None
-    tc = "__toks" if created else tokens_col
+    tc = "__li_toks" if created else tokens_col
     df = df.withColumn(tc, tokens(text_col)) if created else df
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -542,14 +542,14 @@ def fingerprint(
     the doc_profile plan carried ten split() evaluations per row).
     ``tokens_col`` additionally reuses a pre-materialized token array."""
     tok = tokens(text_col) if tokens_col is None else F.col(tokens_col)
-    out = df.withColumn("__sh", shingles(tok))
+    out = df.withColumn("__fp_sh", shingles(tok))
     return (
-        out.withColumn("n_shingles", F.size("__sh").cast("long"))
+        out.withColumn("n_shingles", F.size("__fp_sh").cast("long"))
         .withColumn(
             "fingerprint",
-            F.array_min(F.transform("__sh", lambda s: F.md5(s.cast("binary")))),
+            F.array_min(F.transform("__fp_sh", lambda s: F.md5(s.cast("binary")))),
         )
-        .drop("__sh")
+        .drop("__fp_sh")
     )
 
 
@@ -579,7 +579,7 @@ def chunk_docs(
     # interpreted higher-order expression, and inlining it into the
     # chunk transform would re-evaluate it once PER CHUNK (slice(tok)
     # inside the lambda) plus the two size() uses
-    tok = F.col("__tok_arr")
+    tok = F.col("__chunk_toks")
     dl = F.size(tok)
     n_chunks = F.when(dl <= size, F.lit(1)).otherwise(
         F.floor((dl - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
@@ -589,7 +589,7 @@ def chunk_docs(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(tok, i * stride + 1, size),
     )
-    return df.withColumn("__tok_arr", tokens(text_col)).select(
+    return df.withColumn("__chunk_toks", tokens(text_col)).select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__chunk")
     ).select(
         id_col,

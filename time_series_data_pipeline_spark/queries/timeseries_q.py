@@ -6369,7 +6369,14 @@ def lineprotocol_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: be unique within the session
 _STREAM_DRAIN_SEQ = iter(range(1, 1 << 30))
 
-_STREAM_CONF_LOCK = __import__("threading").Lock()
+# ONE lock for every session-global conf set/restore in this codebase
+# (ADVICE r15): shared with write_bucket's outputTimestampType block so
+# all session-conf mutators serialize against each OTHER, not just
+# against their own kind. A concurrent batch query planned on another
+# thread while the conf is lowered would still see 8 shuffle
+# partitions (results unaffected, parallelism only) — callers that
+# plan batch queries concurrently with drains should take this lock.
+from ..sources.bucket import _SESSION_CONF_LOCK as _STREAM_CONF_LOCK  # noqa: E402
 
 
 def _stream_state_partitions() -> int:

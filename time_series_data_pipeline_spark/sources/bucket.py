@@ -54,10 +54,12 @@ def tag_columns(df: DataFrame) -> list[str]:
     frame's column order (the write-time declaration order)."""
     return [c for c in df.columns if c not in BUCKET_COLS and c != "_date"]
 
-#: Serializes the session-global parquet timestamp-type conf mutation
-#: in write_bucket — unlike partitionOverwriteMode, that conf has no
-#: per-write DataFrameWriter option, so concurrent writers in one
-#: session would race the set/restore.
+#: Serializes EVERY session-global conf set/restore in this codebase
+#: (write_bucket's parquet timestamp type here; the drained streams'
+#: shuffle-partition sizing in queries/timeseries_q imports this same
+#: lock — ADVICE r15): unlike partitionOverwriteMode, these confs have
+#: no per-operation option, so concurrent mutators in one session
+#: would race each other's set/restore.
 _SESSION_CONF_LOCK = threading.Lock()
 
 
@@ -171,7 +173,12 @@ def write_bucket(
         # keys (e.g. repartitioned the WIDE frame by day BEFORE the 19x
         # unpivot — the shuffle-before-explode rule: the exchange then
         # moves one wide row instead of 19 long ones). Skip the
-        # repartition here; sort + partitioned write only.
+        # repartition here; sort + partitioned write only. The caller's
+        # clustering is TRUSTED, not validated (ADVICE r15): rows that
+        # are not actually co-located by (_measurement, day) still
+        # write correct data but silently produce one file per
+        # (input-partition, day) pair — degrading the one-file-per-day
+        # layout the manifest skipping relies on, without erroring.
         "pre": ["_measurement", "_date"],
     }[cluster]
     if cluster == "tags" and len(keys) == 2:
