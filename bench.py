@@ -694,13 +694,24 @@ def main() -> None:
     # keys metric/value/unit/queries/sf.
     line_steady = dict(steady)
     line_cal: list | None = [cal_start, cal_end]
-    q_dp = 2
+    # precision ladder (VERDICT r15 item 8): a blanket 1-dp round made
+    # the driver's 10% regression threshold trigger on the ±0.05 s
+    # rounding step of every sub-0.6 s entry. Shed precision from the
+    # LARGE entries first — ≥1 s timings lose <5% meaning at 1 dp —
+    # and keep sub-1 s entries at 2 dp until nothing else is left.
+    prec = 0  # 0: all 2 dp; 1: ≥1 s at 1 dp, rest 2 dp; 2: all 1 dp
+
+    def _q(v: float) -> float:
+        if prec == 0 or (prec == 1 and v < 1.0):
+            return round(v, 2)
+        return round(v, 1)
+
     while True:
         payload = {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": {n: round(v, q_dp) for n, v in timings.items()},
+            "queries": {n: _q(v) for n, v in timings.items()},
             "steady": line_steady,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
@@ -713,8 +724,8 @@ def main() -> None:
             line_steady.pop(max(line_steady, key=len))
         elif line_cal is not None:
             line_cal = None
-        elif q_dp > 1:
-            q_dp = 1
+        elif prec < 2:
+            prec += 1
         else:
             break  # floor: nothing optional left to shed
     print(line)

@@ -10,5 +10,5 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tsdp-tests")
+    s = get_spark("tsdp-tests", shuffle_partitions=8)
     yield s
