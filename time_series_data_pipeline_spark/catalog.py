@@ -7,6 +7,9 @@ predicate pushdown into the parquet scan, so callers never pre-trim.
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,11 +46,32 @@ def _configure(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: Catalog-object reuse (the scan_pruned relation cache's sibling):
+#: spark.read.parquet + the timestamp normalization below cost a
+#: driver-side relation build (~0.05-0.1 s of py4j/schema probing) per
+#: call for an identical lazy plan. Keyed by session + path + file
+#: mtime, so a regenerated testdata file rebuilds. No data and no
+#: results are cached — executing the plan still reads the parquet.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+_TABLE_CACHE_LOCK = threading.Lock()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _configure(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (id(spark), os.path.abspath(path), mtime)
+    with _TABLE_CACHE_LOCK:
+        cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanoseconds → TimestampType(µs). Integer DIV, not float
         # division — ns-since-epoch exceeds double's 2^53 exact range.
@@ -59,6 +83,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    with _TABLE_CACHE_LOCK:
+        while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)), None)
+        _TABLE_CACHE[key] = df
     return df
 
 
