@@ -50,41 +50,17 @@ def test_checked_window_is_first_50():
 
 
 def test_new_and_changed_queries_lead_the_window():
-    # round-15 policy (VERDICT r14 items 1–3 + the 15b InfluxQL
-    # front-end): the NEW never-own-row block leads — the three
-    # drained streaming queries plus the eight InfluxQL queries; then
-    # the rows-only re-attestation block — the five r05 rows-only
-    # sketch entries, each paired with its hash-bearing *_verify twin;
-    # then the whole r10 tail in ledger (round, name) order (the
-    # oldest-r11 entries yielded their slots to the InfluxQL block).
-    assert _CHECKED_WINDOW[:3] == [
-        "stream_moving_avg_drained",
-        "stream_task_rollup_drained",
-        "stream_window_mean_drained",
-    ]
-    assert _CHECKED_WINDOW[3:11] == [
-        "influxql_derivative",
-        "influxql_fill_previous",
-        "influxql_group_mean",
-        "influxql_multi_agg",
-        "influxql_percentile",
-        "influxql_raw_points",
-        "influxql_show_tag_values",
-        "influxql_top_per_host",
-    ]
-    assert _CHECKED_WINDOW[11:20] == [
-        "bpe_learn_merges",
-        "embedding_lsh_ann",
-        "lsh_ann_verify",
-        "heavy_hitter_tokens",
-        "heavy_hitter_verify",
-        "minhash_lsh_pairs",
-        "minhash_lsh_verify",
-        "simhash_pairs",
-        "simhash_verify",
-    ]
-    assert _CHECKED_WINDOW[20] == "flux_compiled_elapsed"  # oldest r10
-    assert _CHECKED_WINDOW[44] == "unpivot_lineitem"  # last of r10
+    # round-16 policy (VERDICT r15 item 3): the optimization round
+    # registers no new queries, so the TOUCHED re-attestation block
+    # leads — every query whose implementation changed in r15/r16
+    # without same-round driver verification gets its own hash row.
+    from time_series_data_pipeline_spark.queries import TOUCHED_THIS_ROUND
+
+    n = len(TOUCHED_THIS_ROUND)
+    assert _CHECKED_WINDOW[:n] == TOUCHED_THIS_ROUND
+    assert "curation_pipeline" in TOUCHED_THIS_ROUND  # the r15 regression
+    assert _CHECKED_WINDOW[n] == "approx_distinct_users"  # oldest r11
+    assert _CHECKED_WINDOW[44] == "vocab_coverage"  # last aged slot
     # core tail: flagships + the two suites still covering arms that
     # are NOT individually in this window
     assert _CHECKED_WINDOW[45:] == [
@@ -130,11 +106,28 @@ def test_rotation_ledger_matches_window_policy():
         "new/never-own-row queries must lead the window"
     )
     rest = window_noncore[len(never):]
+    # TOUCHED re-attestation block (r16 policy, VERDICT r15 item 3):
+    # queries whose implementation changed this round or the previous
+    # one without same-round driver verification are re-attested right
+    # after the never-own-row block, regardless of ledger age — the
+    # rotation must never again roll a rewritten query OUT of the
+    # window in the round of its rewrite.
+    from time_series_data_pipeline_spark.queries import TOUCHED_THIS_ROUND
+
+    touched = [
+        n for n in TOUCHED_THIS_ROUND
+        if n not in core and n not in set(never)
+    ]
+    assert rest[: len(touched)] == touched, (
+        "touched-this-round queries must follow the never-own-row block"
+    )
+    rest = rest[len(touched):]
     aged_candidates = sorted(
         (
             n for n in QUERIES
             if ledger[n]["own_row_round"] is not None
             and ledger[n]["has_oracle"] and n not in core
+            and n not in set(touched)
         ),
         key=lambda n: (ledger[n]["own_row_round"], n),
     )

@@ -167,86 +167,84 @@ ROWS_ONLY_ATTESTATION: dict[str, str | None] = {
 #: bounds its evidence at WINDOW_ROUND − 1, so the "leading slots were
 #: never-own-row when chosen" pin survives the driver landing THIS
 #: round's CORRECTNESS file (which gives them rows — the goal)
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
+
+#: Queries whose implementation changed in this round or the previous
+#: one WITHOUT same-round driver verification (VERDICT r15 item 3 —
+#: the r15 rotation rolled the r14-attested queries out of the window
+#: exactly when r15 rewrote several of them). These are re-attested at
+#: the head of the window regardless of ledger age; the window-policy
+#: test reads this list.
+#:
+#: r15 rewrites (commits bd8e2ec/ff74db3): doc_profile/scrub_pii token
+#: threading, dsir/duplicate_spans token materialization, rrf union
+#: rewrite (hybrid_search_rrf), bpe_encode_stats/doc_chunks/
+#: pack_sequences expression dedup, curation_pipeline (via dsir arm).
+#: r16 rewrites: repetition_stats token materialization + the shared
+#: tokenize-once pipeline (curation_pipeline, doc_repetition), the
+#: rollup maintenance stream's file-list date discovery
+#: (stream_task_rollup_drained).
+TOUCHED_THIS_ROUND = [
+    "curation_pipeline",
+    "doc_profile",
+    "dsir_weights",
+    "duplicate_spans",
+    "hybrid_search_rrf",
+    "bpe_encode_stats",
+    "doc_chunks",
+    "scrub_pii",
+    "pack_sequences",
+    "doc_repetition",
+    "stream_task_rollup_drained",
+]
 
 _CHECKED_WINDOW = [
-    # --- round 15 (VERDICT r14 items 1–3). Never-own-row leads: the
-    # NEW drained streaming queries — first driver-visible rows for
-    # the three streaming surfaces (the applyInPandasWithState
-    # keyed-state path, the append-mode windowed-aggregate path, and
-    # the start_flux_task ticker + idempotent-sink loop with its
-    # result read back from the store; until now attested by
-    # streaming==batch / replay tests only). ---
-    "stream_moving_avg_drained",
-    "stream_task_rollup_drained",
-    "stream_window_mean_drained",
-    # --- round 15b, the session's second deliverable: the InfluxQL
-    # front-end (influxql.py + queries/influxql_q.py) — the reference
-    # server's OTHER query language, compiled onto the same tagged
-    # store as the Flux twins. New oracle-bearing queries, so they
-    # join the never-own-row lead block; the eight oldest r11 entries
-    # they displace wait one round (with events_pivot_counts and
-    # embedding_quantized_topk). ---
-    "influxql_derivative",
-    "influxql_fill_previous",
-    "influxql_group_mean",
-    "influxql_multi_agg",
-    "influxql_percentile",
-    "influxql_raw_points",
-    "influxql_show_tag_values",
-    "influxql_top_per_host",
-    # --- the rows-only re-attestation block (VERDICT r14 item 3):
-    # the five r05 rows-only sketch entries are the OLDEST entries in
-    # the whole ledger, but a rows-only slot alone yields only the
-    # weak rows-check — so each enters WITH its hash-bearing *_verify
-    # twin (pulled forward if the aged order wouldn't reach it:
-    # lsh_ann_verify is r11), landing the pair's rows-check + hash
-    # evidence in the same round. bpe_learn_merges has no twin by
-    # documented design (golden-trace + partition-invariance tests).
-    # Ordered by the ledger's (round, name) within the block. ---
-    "bpe_learn_merges",
-    "embedding_lsh_ann",
-    "lsh_ann_verify",
-    "heavy_hitter_tokens",
-    "heavy_hitter_verify",
-    "minhash_lsh_pairs",
-    "minhash_lsh_verify",
-    "simhash_pairs",
-    "simhash_verify",
-    # --- the r10 tail (VERDICT r14 item 1), ledger (round, name)
-    # order, minus the three verify twins already placed above — this
-    # clears the entire r10 block. ---
-    "flux_compiled_elapsed",
-    "flux_compiled_ema",
-    "flux_compiled_gauge",
-    "flux_compiled_group_merge",
-    "flux_compiled_histogram",
-    "flux_compiled_hour_truncate",
-    "flux_compiled_integral",
-    "flux_compiled_join_overlay",
-    "flux_compiled_mean",
-    "flux_compiled_pearsonr",
-    "flux_compiled_quantile",
-    "flux_compiled_spread",
-    "flux_compiled_stddev",
-    "flux_compiled_tail",
-    "flux_compiled_timeshift",
-    "flux_compiled_top",
-    "flux_compiled_unique",
-    "flux_compiled_window_raw",
-    "last_value_per_type",
-    "ngram_jaccard_pairs",
-    "pack_sequences_sharded",
-    "sampling_splits",
-    "scrub_pii",
-    "session_windows_5m",
-    "unpivot_lineitem",
-    # --- the r11 block rotates next round: its eight oldest entries
-    # yielded their slots to the InfluxQL lead block above. ---
+    # --- round 16 (VERDICT r15 item 3). No new queries this round
+    # (optimization round — no never-own-row block). The TOUCHED
+    # re-attestation block leads: every query whose implementation
+    # changed in r15/r16 without same-round driver verification gets
+    # its own hash row now (TOUCHED_THIS_ROUND above, verbatim). ---
+    *TOUCHED_THIS_ROUND,
+    # --- the ledger's oldest aged entries fill the remaining slots,
+    # (round, name) order — the whole remaining r11 block
+    # (doc_repetition, also r11, sits in the touched block above). ---
+    "approx_distinct_users",
+    "asof_error_click",
+    "bm25_search",
+    "bpe_token_stats",
+    "counter_rate",
+    "decimate_minmax_15m",
+    "embedding_neardup_pairs",
+    "embedding_quantized_topk",
+    "events_pivot_counts",
+    "flux_compiled_cumulative_sum",
+    "flux_compiled_difference",
+    "flux_compiled_fill_previous",
+    "flux_compiled_increase",
+    "flux_compiled_map_units",
+    "flux_compiled_moving_avg",
+    "flux_compiled_state_duration",
+    "flux_compiled_tag_filter",
+    "flux_compiled_tag_group",
+    "flux_compiled_tag_regex",
+    "flux_compiled_to_rollup",
+    "flux_schema_field_keys",
+    "flux_schema_measurements",
+    "flux_schema_tag_values",
+    "gap_fill_5m",
+    "merge_value_intervals",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "range_join_clicks_before_error",
+    "resample_hourly",
+    "rolling_stats_zscore",
+    "similar_part_names",
+    "top_ngrams",
+    "value_histogram",
+    "vocab_coverage",
     # --- always-checked core: flagships + the suites that remain the
     # sole in-window hash over constituents NOT individually in this
-    # window. The r14-green singletons (r1/r4/r6/r7 backlog + first
-    # 12 of r10) rotate out on fresh prior rows. ---
+    # window. ---
     "window_5m_mean",
     "flux_pipeline_mean",
     "window_5m_mean_bucketed",
@@ -269,4 +267,10 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["QUERIES", "ORACLE", "SUITE_CONSTITUENTS", "ROWS_ONLY_ATTESTATION"]
+__all__ = [
+    "QUERIES",
+    "ORACLE",
+    "SUITE_CONSTITUENTS",
+    "ROWS_ONLY_ATTESTATION",
+    "TOUCHED_THIS_ROUND",
+]
