@@ -66,7 +66,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = -1.0
-    key = (id(spark), os.path.abspath(path), mtime)
+    # the session OBJECT anchors the key (not id(spark)) — see the
+    # scan_pruned relation cache for the address-reuse hazard
+    key = (spark, os.path.abspath(path), mtime)
     with _TABLE_CACHE_LOCK:
         cached = _TABLE_CACHE.get(key)
     if cached is not None:

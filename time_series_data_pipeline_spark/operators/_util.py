@@ -2,10 +2,40 @@
 
 from __future__ import annotations
 
+import threading
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+#: Relation reuse for IMMUTABLE cached_store outputs (the scan_pruned /
+#: catalog.table relation caches' sibling): a published store path is
+#: content-keyed (source mtime + pipeline version in key_material) and
+#: never rewritten in place, so the lazy relation over it is identical
+#: for the life of the path. Caches the PLAN object only — executing it
+#: still reads the parquet files.
+_STORE_REL_CACHE: dict[tuple, DataFrame] = {}
+_STORE_REL_CACHE_MAX = 64
+_STORE_REL_CACHE_LOCK = threading.Lock()
+
+
+def load_store(spark, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` memoized per (session, path) —
+    valid ONLY for immutable published stores (cached_store outputs)."""
+    import os
+
+    key = (spark, os.path.abspath(path))
+    with _STORE_REL_CACHE_LOCK:
+        cached = _STORE_REL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
+    with _STORE_REL_CACHE_LOCK:
+        while len(_STORE_REL_CACHE) >= _STORE_REL_CACHE_MAX:
+            _STORE_REL_CACHE.pop(next(iter(_STORE_REL_CACHE)), None)
+        _STORE_REL_CACHE[key] = df
+    return df
 
 
 def cached_store(build: Callable[[str], None], prefix: str, key_material: str) -> str:

@@ -89,15 +89,23 @@ def asof_join(
             "__bwd", F.last("__asof", ignorenulls=True).over(wb)
         )
     if direction in ("forward", "nearest"):
+        # REVERSED order + RUNNING frame instead of first(...) over
+        # [current, unboundedFollowing]: the following-frame evaluator
+        # re-scans to the partition end for every row (O(n²) per
+        # partition); last(...) over the exact reverse sort — each key's
+        # direction flipped, so the frame holds the identical row set —
+        # is incremental. Rows tied on the full sort key carry equal
+        # __asof (it IS a sort key), so tie order cannot change the
+        # picked value.
         wf = (
             Window.partitionBy(*by)
             .orderBy(
-                F.col(ts_col), F.col("__side").desc(), F.col("__asof").desc()
+                F.col(ts_col).desc(), F.col("__side"), F.col("__asof")
             )
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         unioned = unioned.withColumn(
-            "__fwd", F.first("__asof", ignorenulls=True).over(wf)
+            "__fwd", F.last("__asof", ignorenulls=True).over(wf)
         )
     if direction == "backward":
         picked = F.col("__bwd")

@@ -77,7 +77,10 @@ def build_shingle_store(
 
 
 def load_shingle_store(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # published stores are immutable → relation reuse is sound
+    from ._util import load_store
+
+    return load_store(spark, path)
 
 
 def jaccard_pairs(

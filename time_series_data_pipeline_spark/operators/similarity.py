@@ -1120,7 +1120,10 @@ def pq_index_load(
 
     with open(os.path.join(path, "codebooks.json")) as f:
         cb = json.load(f)
-    return cb, spark.read.parquet(os.path.join(path, "codes"))
+    from ._util import load_store
+
+    # published stores are immutable → relation reuse is sound
+    return cb, load_store(spark, os.path.join(path, "codes"))
 
 
 def pq_topk(

@@ -109,13 +109,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT doc_id, {_SHINGLES} AS s FROM toks
+    ),
+    post AS (
+      SELECT doc_id, len(s) AS ls, unnest(s) AS g FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter, ANY_VALUE(a.ls) AS la, ANY_VALUE(b.ls) AS lb
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    SELECT id_a, id_b, inter::DOUBLE / (la + lb - inter) AS jaccard
+    FROM cand
+    WHERE inter::DOUBLE / (la + lb - inter) >= 0.5
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,11 +179,18 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id, {_SHINGLES} AS s FROM toks
     ),
+    post AS (
+      SELECT doc_id, len(s) AS ls, unnest(s) AS g FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter, ANY_VALUE(a.ls) AS la, ANY_VALUE(b.ls) AS lb
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      SELECT id_a, id_b FROM cand
+      WHERE inter::DOUBLE / (la + lb - inter) >= 0.5
     )
     SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM p
     """,
@@ -1144,7 +1157,10 @@ def _cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.abspath(sf_dir)}:{mtime}:"
         f"{_SHINGLE_STORE_VERSION}:{_CLUSTER_STORE_VERSION}",
     )
-    return spark.read.parquet(path)
+    # published stores are immutable → relation reuse is sound
+    from ..operators._util import load_store
+
+    return load_store(spark, path)
 
 
 @query(
@@ -1161,11 +1177,18 @@ def _cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id, {_SHINGLES} AS s FROM toks
     ),
+    post AS (
+      SELECT doc_id, len(s) AS ls, unnest(s) AS g FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter, ANY_VALUE(a.ls) AS la, ANY_VALUE(b.ls) AS lb
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      SELECT id_a, id_b FROM cand
+      WHERE inter::DOUBLE / (la + lb - inter) >= 0.5
     ),
     e AS (
       SELECT id_a AS u, id_b AS v FROM p
@@ -1587,11 +1610,18 @@ def trigram_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id, {_SHINGLES} AS s FROM toks
     ),
+    post AS (
+      SELECT doc_id, len(s) AS ls, unnest(s) AS g FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter, ANY_VALUE(a.ls) AS la, ANY_VALUE(b.ls) AS lb
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      SELECT id_a, id_b FROM cand
+      WHERE inter::DOUBLE / (la + lb - inter) >= 0.5
     ),
     e AS (
       SELECT id_a AS u, id_b AS v FROM p
@@ -1682,11 +1712,18 @@ def split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id, {_SHINGLES} AS s FROM toks
     ),
+    post AS (
+      SELECT doc_id, len(s) AS ls, unnest(s) AS g FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter, ANY_VALUE(a.ls) AS la, ANY_VALUE(b.ls) AS lb
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      SELECT id_a, id_b FROM cand
+      WHERE inter::DOUBLE / (la + lb - inter) >= 0.5
     ),
     e AS (
       SELECT id_a AS u, id_b AS v FROM p

@@ -717,7 +717,10 @@ def scan_pruned(
     import os
 
     files = prune_files(spark, path, manifest_path, column, lo, hi, constraints)
-    rel_key = (id(spark), base_path, os.path.abspath(path), tuple(files))
+    # the session OBJECT anchors the key (not id(spark)): a stopped,
+    # garbage-collected session could otherwise hand its address to a
+    # new session and serve it a dead relation
+    rel_key = (spark, base_path, os.path.abspath(path), tuple(files))
     with _RELATION_CACHE_LOCK:
         cached = _RELATION_CACHE.get(rel_key)
     if cached is not None:
